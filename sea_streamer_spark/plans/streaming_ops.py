@@ -1,0 +1,433 @@
+"""Streaming-semantics queries, checked batch-equivalently.
+
+Each query replays the driver's ``events`` table through the canonical message
+envelope (FIXTURES.md §1) and expresses one piece of the reference's streaming
+surface — seek/rewind (T1/T2), shard assignment (T3, H1-H4), consumer modes
+(D1-D3), the fuse StreamJoin (J1), windowed aggregation — as a deterministic
+batch query the DuckDB oracle can verify. The live streaming path reuses the
+same column expressions over ``readStream`` (see streaming/ and tests).
+
+The envelope mapping (shared with the oracle):
+``stream_key=event_type, shard_id=user_id%4, sequence=event_id, timestamp=ts,
+payload=props``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import envelope_from_events
+from ..sources.tables import load_tables
+from .registry import query
+
+#: The envelope projection as oracle SQL (payload kept as string for hashing).
+ENVELOPE_SQL = """
+    SELECT event_type AS stream_key,
+           user_id % 4 AS shard_id,
+           event_id AS sequence,
+           ts AS timestamp,
+           props AS payload_str
+    FROM events
+"""
+
+
+def _envelope(spark: SparkSession, sf_dir: str, num_shards: int = 4) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events")
+    return envelope_from_events(t.events, num_shards=num_shards)
+
+
+def _with_payload_str(env: DataFrame) -> DataFrame:
+    return env.select(
+        "stream_key",
+        "shard_id",
+        "sequence",
+        "timestamp",
+        F.col("payload").cast("string").alias("payload_str"),
+    )
+
+
+@query(
+    "envelope_project",
+    oracle=ENVELOPE_SQL,
+    tags=("streaming", "envelope"),
+)
+def envelope_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical envelope itself (S16 socket layer data model): a pure
+    projection — no shuffle at any scale."""
+    return _with_payload_str(_envelope(spark, sf_dir))
+
+
+@query(
+    "seek_timestamp",
+    oracle=f"""
+    SELECT stream_key, shard_id, sequence, timestamp
+    FROM ({ENVELOPE_SQL})
+    WHERE timestamp > TIMESTAMP '2024-01-15 00:00:00'
+    """,
+    tags=("streaming", "seek"),
+)
+def seek_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 seek(Timestamp): earliest message with timestamp strictly later
+    than the target (exclusive — file/src/messages.rs:262-279). On parquet
+    the predicate prunes row groups; on Kafka it maps to
+    ``startingOffsetsByTimestamp``."""
+    return (
+        _envelope(spark, sf_dir)
+        .filter(F.col("timestamp") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("stream_key", "shard_id", "sequence", "timestamp")
+    )
+
+
+@query(
+    "rewind_at_seqno",
+    oracle=f"""
+    SELECT stream_key, shard_id, sequence
+    FROM ({ENVELOPE_SQL})
+    WHERE sequence >= 5000
+    """,
+    tags=("streaming", "seek"),
+)
+def rewind_at_seqno(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 rewind(SeqPos::At(n)): seqno comparison is *inclusive*
+    (types/src/consumer.rs:69-75); Kafka analog ``startingOffsets`` JSON."""
+    return (
+        _envelope(spark, sf_dir)
+        .filter(F.col("sequence") >= 5000)
+        .select("stream_key", "shard_id", "sequence")
+    )
+
+
+@query(
+    "assign_shard",
+    oracle=f"""
+    SELECT stream_key, shard_id, sequence
+    FROM ({ENVELOPE_SQL})
+    WHERE shard_id = 2
+    """,
+    tags=("streaming", "shard"),
+)
+def assign_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 assign(): pin a consumer to one (stream, shard)
+    (types/src/consumer.rs:77-85)."""
+    return (
+        _envelope(spark, sf_dir)
+        .filter(F.col("shard_id") == 2)
+        .select("stream_key", "shard_id", "sequence")
+    )
+
+
+@query(
+    "shard_round_robin",
+    oracle="""
+    SELECT event_type AS stream_key,
+           event_id % 3 AS shard_id,
+           COUNT(*) AS n,
+           MIN(event_id) AS min_seq,
+           MAX(event_id) AS max_seq
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "shard"),
+)
+def shard_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 RoundRobinSharder: message i → shard ``i % num_shards`` (verified by
+    the reference's sharding test, redis/tests/sharding.rs:52-63)."""
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t.events.select(
+            F.col("event_type").alias("stream_key"),
+            F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("shard_id"),
+            F.col("event_id"),
+        )
+        .groupBy("stream_key", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_seq"),
+            F.max("event_id").alias("max_seq"),
+        )
+    )
+
+
+@query(
+    "shard_pseudo_random",
+    oracle="""
+    SELECT (epoch_ms(ts) % 1000) % 4 AS shard_id, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "shard"),
+)
+def shard_pseudo_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 PseudoRandomSharder: ``millisecond % num_shards``
+    (redis/src/producer.rs:592-608), applied to event time for determinism."""
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t.events.select(
+            F.pmod(F.pmod(F.unix_millis(F.col("ts")), F.lit(1000)), F.lit(4)).alias("shard_id")
+        )
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "consumer_group_round_robin",
+    oracle=f"""
+    SELECT sequence % 3 AS group_member, COUNT(*) AS n,
+           MIN(sequence) AS min_seq, MAX(sequence) AS max_seq
+    FROM ({ENVELOPE_SQL})
+    GROUP BY 1
+    """,
+    tags=("streaming", "group"),
+)
+def consumer_group_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 in-process consumer groups: member = ``sequence % group_size``
+    (file/src/consumer/group.rs:485-524, pick at :493)."""
+    return (
+        _envelope(spark, sf_dir)
+        .select(F.pmod(F.col("sequence"), F.lit(3)).cast("long").alias("group_member"), "sequence")
+        .groupBy("group_member")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("sequence").alias("min_seq"),
+            F.max("sequence").alias("max_seq"),
+        )
+    )
+
+
+@query(
+    "latest_vs_earliest",
+    oracle=f"""
+    SELECT 'earliest' AS consumer, COUNT(*) AS n, MIN(sequence) AS first_seq
+    FROM ({ENVELOPE_SQL})
+    UNION ALL
+    SELECT 'latest' AS consumer, COUNT(*) AS n, MIN(sequence) AS first_seq
+    FROM ({ENVELOPE_SQL}) WHERE sequence >= 9000
+    """,
+    tags=("streaming", "mode"),
+)
+def latest_vs_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 RealTime consumer reset semantics (redis/tests/realtime.rs:67-98):
+    an 'earliest' consumer replays everything, a 'latest' consumer only sees
+    messages after its subscription point (here seq 9000)."""
+    env = _envelope(spark, sf_dir)
+    earliest = env.agg(
+        F.count(F.lit(1)).alias("n"), F.min("sequence").alias("first_seq")
+    ).select(F.lit("earliest").alias("consumer"), "n", "first_seq")
+    latest = (
+        env.filter(F.col("sequence") >= 9000)
+        .agg(F.count(F.lit(1)).alias("n"), F.min("sequence").alias("first_seq"))
+        .select(F.lit("latest").alias("consumer"), "n", "first_seq")
+    )
+    return earliest.unionByName(latest)
+
+
+@query(
+    "xrange_bounded_scan",
+    oracle=f"""
+    SELECT stream_key, sequence, timestamp
+    FROM ({ENVELOPE_SQL})
+    WHERE stream_key = 'view'
+      AND timestamp >= TIMESTAMP '2024-01-10 00:00:00'
+      AND timestamp <  TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    tags=("streaming", "scan"),
+)
+def xrange_bounded_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 RedisManager::range (XRANGE start end): bounded batch scan of one
+    stream (redis/src/manager.rs:70-105); Kafka analog = batch read with
+    starting/endingOffsets."""
+    return (
+        _envelope(spark, sf_dir)
+        .filter(
+            (F.col("stream_key") == "view")
+            & (F.col("timestamp") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("timestamp") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
+        .select("stream_key", "sequence", "timestamp")
+    )
+
+
+@query(
+    "relay_filtered_copy",
+    oracle=f"""
+    SELECT stream_key, shard_id, sequence, timestamp, payload_str
+    FROM ({ENVELOPE_SQL})
+    WHERE stream_key IN ('click', 'view')
+    """,
+    tags=("streaming", "relay"),
+)
+def relay_filtered_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 relay: copy stream A→B across backends — in Spark a
+    read→filter→write one-liner; the payload passes through untouched."""
+    return _with_payload_str(
+        _envelope(spark, sf_dir).filter(F.col("stream_key").isin("click", "view"))
+    )
+
+
+@query(
+    "stream_merge_order_fuse",
+    oracle=f"""
+    SELECT ROW_NUMBER() OVER (ORDER BY timestamp, stream_key, sequence) AS emit_index,
+           stream_key, sequence, timestamp
+    FROM ({ENVELOPE_SQL})
+    WHERE stream_key IN ('click', 'error')
+    """,
+    tags=("streaming", "fuse", "join"),
+)
+def stream_merge_order_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 fuse StreamJoin: timestamp-ordered merge of N streams with ties
+    broken by stream key (sea-streamer-fuse/src/lib.rs:71-89). The emit index
+    encodes the merge order so the oracle hash verifies ordering, not just
+    membership."""
+    from ..operators.fuse import stream_join_batch
+
+    env = _envelope(spark, sf_dir).filter(F.col("stream_key").isin("click", "error"))
+    return stream_join_batch(env).select("emit_index", "stream_key", "sequence", "timestamp")
+
+
+@query(
+    "stream_join_correlate",
+    oracle="""
+    SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def stream_join_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream correlation join with an event-time range condition —
+    the watermarked interval-join pattern (clicks followed by a purchase
+    within 30 minutes). Equi-join on user_id keeps the shuffle keyed; the
+    time range is evaluated within each key group."""
+    t = load_tables(spark, sf_dir, "events")
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+        )
+        .select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    )
+
+
+@query(
+    "window_tumbling_1h",
+    oracle="""
+    SELECT event_type,
+           DATE_TRUNC('hour', ts) AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "bench"),
+)
+def window_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (the micro-batch analog of P4
+    buffering); in streaming mode the same expression runs under a watermark."""
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t.events.groupBy(
+            "event_type", F.window("ts", "1 hour").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(14,2))")).cast("double").alias("sum_value"),
+        )
+        .select("event_type", F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "window_sliding_1h_30m",
+    oracle="""
+    WITH starts AS (
+      SELECT *, time_bucket(INTERVAL 30 MINUTE, ts) AS b FROM events
+    ), expanded AS (
+      SELECT event_type, value, b AS window_start FROM starts
+      UNION ALL
+      SELECT event_type, value, b - INTERVAL 30 MINUTE AS window_start FROM starts
+    )
+    SELECT event_type, window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM expanded GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def window_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30m slide): each event lands in 2 windows."""
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t.events.groupBy("event_type", F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(14,2))")).cast("double").alias("sum_value"),
+        )
+        .select("event_type", F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "window_session_30m",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "window", "session"),
+)
+def window_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap per user — Spark's native
+    ``session_window`` (streaming-capable with a watermark); the oracle
+    reconstructs sessions with a lag/cumsum idiom."""
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t.events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "dedup_events_first_per_key",
+    oracle="""
+    SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dups
+    FROM events GROUP BY user_id, event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def dedup_events_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the first message per (user, type) — the batch
+    analog of ``dropDuplicatesWithinWatermark``; deterministic via MIN."""
+    t = load_tables(spark, sf_dir, "events")
+    return t.events.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_dups")
+    )

@@ -1,0 +1,61 @@
+"""Driver test-table access (TESTDATA.md).
+
+All correctness queries read these parquet tables. Reads are plain
+``spark.read.parquet`` so Catalyst gets predicate pushdown, column pruning and
+partition pruning for free — verify with ``.explain``: filters on e.g.
+``l_shipdate`` appear as ``PushedFilters`` on the scan node.
+"""
+
+from __future__ import annotations
+
+import os
+from types import SimpleNamespace
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import prepare
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    prepare(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS): read as nanos-long (nanosAsLong
+        # conf), truncate to micros exactly like DuckDB does.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> SimpleNamespace:
+    """Load tables as attributes (``t = load_tables(...); t.lineitem``)."""
+    prepare(spark)
+    use = names or TABLE_NAMES
+    return SimpleNamespace(**{n: load_table(spark, sf_dir, n) for n in use})
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for ``spark.sql`` queries."""
+    prepare(spark)
+    for n in TABLE_NAMES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,86 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs a registered query on Spark and its oracle SQL on DuckDB over the same
+parquet tables, canonicalizes both frames (columns sorted by name, rows sorted
+by all columns), and compares. Stricter than the driver: we demand (near-)
+exact values, so any driver-side rounding still hash-matches.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from sea_streamer_spark.plans.queries import QUERIES
+from sea_streamer_spark.sources.tables import TABLE_NAMES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None).astype("datetime64[ns]")
+        elif np.issubdtype(df[c].dtype, np.datetime64):
+            df[c] = df[c].astype("datetime64[ns]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: v.decode("utf-8", "replace") if isinstance(v, (bytes, bytearray)) else v
+            )
+    df = df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
+    return df
+
+
+def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str, atol=1e-9, rtol=1e-9):
+    s, o = canonicalize(spark_df), canonicalize(oracle_df)
+    assert list(s.columns) == list(o.columns), (
+        f"{name}: column mismatch spark={list(s.columns)} oracle={list(o.columns)}"
+    )
+    assert len(s) == len(o), f"{name}: row count spark={len(s)} oracle={len(o)}"
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
+            sv_f, ov_f = sv.astype(float), ov.astype(float)
+            both_nan = sv_f.isna() & ov_f.isna()
+            close = np.isclose(sv_f, ov_f, atol=atol, rtol=rtol) | both_nan
+            if not close.all():
+                bad = np.where(~close)[0][:5]
+                raise AssertionError(
+                    f"{name}: column {c} differs at rows {bad.tolist()}: "
+                    f"spark={sv_f.iloc[bad].tolist()} oracle={ov_f.iloc[bad].tolist()}"
+                )
+            exact = (sv_f == ov_f) | both_nan
+            if not exact.all():
+                # tolerated but reported — the driver may hash exact values
+                n = int((~exact).sum())
+                print(f"WARN {name}.{c}: {n} rows equal only within tolerance (hash risk)")
+        else:
+            if np.issubdtype(sv.dtype, np.integer) and np.issubdtype(ov.dtype, np.integer):
+                sv, ov = sv.astype("int64"), ov.astype("int64")
+            if not sv.equals(ov):
+                neq = ~((sv == ov) | (sv.isna() & ov.isna()))
+                bad = np.where(neq)[0][:5]
+                raise AssertionError(
+                    f"{name}: column {c} differs at rows {bad.tolist()}: "
+                    f"spark={sv.iloc[bad].tolist()} oracle={ov.iloc[bad].tolist()}"
+                )
+
+
+def check_query(spark, name: str, sf_dir: str) -> int:
+    qd = QUERIES[name]
+    assert qd.oracle is not None, f"{name} has no oracle"
+    spark_pdf = qd.fn(spark, sf_dir).toPandas()
+    con = duck_connection(sf_dir)
+    try:
+        oracle_pdf = con.sql(qd.oracle).df()
+    finally:
+        con.close()
+    compare_frames(spark_pdf, oracle_pdf, name)
+    return len(spark_pdf)
