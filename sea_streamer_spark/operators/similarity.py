@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+Dot products are computed JVM-side with ``zip_with``+``aggregate`` (one
+projection, no UDF, no shuffle): casting each float element to double before
+multiply and folding left-to-right makes the result bit-reproducible in any
+engine — the DuckDB oracle uses the same fold.
+
+Scale paths:
+
+- ``cosine_topk``: brute force against a broadcast query vector — a single
+  map-side pass + TakeOrdered; linear in corpus size, the right baseline even
+  at 1000 executors.
+- ``knn_join``: brute-force k-NN for a set of probe vectors — broadcast the
+  probes (small side), score per partition, per-probe top-k via window.
+- ``lsh_buckets`` / ``ann_lsh``: random-hyperplane LSH. Hyperplane weights
+  are derived from a deterministic integer hash of (plane, dim) so signatures
+  are reproducible without storing planes. ANN = per-bucket brute force —
+  the pairwise scan shrinks by ~2^planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_PLANES = 8
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<numeric> columns (double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k most cosine-similar vectors to the vector with ``query_id``
+    (query excluded). Broadcast the 1-row query side; global top-k is a
+    TakeOrdered, not a sort."""
+    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, cosine(F.col(vec_col), F.col("qvec")).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For every probe vector, its k nearest corpus neighbors (self excluded).
+
+    ``probes`` carries (probe_id, probe_vec); it is broadcast, so the corpus
+    is scanned exactly once regardless of executor count."""
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col(vec_col), F.col("probe_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
+
+
+def near_dup_pairs(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """All pairs (a<b) with cosine >= threshold — brute force all-pairs; use
+    :func:`ann_lsh` buckets first at scale."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _plane_weight(p: int, d: Column) -> Column:
+    """Deterministic pseudo-random weight in [-1, 1) for plane p, dim d."""
+    h = (F.lit(p * 1315423911 % 2147483647) + d * 2654435761) % 2147483647
+    return (h % 2001 - 1000).cast("double") / 1000.0
+
+
+def lsh_buckets(
+    emb: DataFrame, n_planes: int = N_PLANES, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Random-hyperplane signature: bit p = sign(v · plane_p). Pure
+    projection; equal buckets → likely-similar vectors."""
+    dims = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
+    def weight_fn(p: int):
+        return lambda d: _plane_weight(p, d)
+
+    sig = None
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(dims, weight_fn(p)),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return emb.select(id_col, vec_col, sig.alias("bucket"))
+
+
+def ann_lsh(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-neighbor pairs: brute force within LSH buckets only."""
+    bk = lsh_buckets(emb, n_planes, id_col, vec_col)
+    a = bk.select(F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = bk.select(F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .distinct()
+    )

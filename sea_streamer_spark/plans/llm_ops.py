@@ -1,0 +1,294 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — the beyond-the-reference operator layer (BASELINE.json
+north star), oracle-checked on the driver's documents/embeddings tables.
+
+Oracle strategy: all hashing/scoring uses the portable polynomial fold and
+explicit left-to-right double folds (see operators/text.py), so DuckDB
+reproduces Spark bit-for-bit. The MinHash-LSH query's oracle is the *exact*
+Jaccard answer: on this corpus pair similarities are bimodal (>=0.9 planted
+dups vs <=0.1 background, measured at sf0.01), and with 12 bands x 2 rows the
+deterministic LSH catches every >=0.9 pair — asserted by tests comparing LSH
+to exact output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from ..sources.tables import load_tables
+from .registry import query
+
+# ---------------------------------------------------------------- oracle SQL
+
+TOKS = T.duck_tokens("text")
+
+DUCK_SHINGLE_SETS = """
+  shing AS (
+    SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS sh FROM (
+      SELECT doc_id, w AS w1,
+             lead(w,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+             lead(w,2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+      FROM (SELECT doc_id, generate_subscripts({toks},1) AS pos,
+                   unnest({toks}) AS w FROM documents)
+    ) WHERE w3 IS NOT NULL
+  ),
+  ds AS (SELECT DISTINCT doc_id, sh FROM shing),
+  sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id)
+""".format(toks=TOKS)
+
+JACCARD_SQL = f"""
+  WITH {DUCK_SHINGLE_SETS},
+  pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT doc_a, doc_b,
+         CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+"""
+
+
+def _duck_simhash_sql() -> str:
+    word_hash = T.duck_char_fold("w")
+    bits = []
+    for i in range(D.SIMHASH_BITS):
+        vote = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(hs, x -> CASE WHEN (x >> {i}) & 1 = 1 "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), (a,b) -> a+b)"
+        )
+        bits.append(f"CASE WHEN {vote} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END")
+    total = " + ".join(bits)
+    return f"""
+      WITH h AS (SELECT doc_id, list_transform({TOKS}, w -> {word_hash}) AS hs
+                 FROM documents)
+      SELECT doc_id, {total} AS simhash FROM h
+    """
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        f"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return f"({_duck_dot(a, b)} / (SQRT({_duck_dot(a, a)}) * SQRT({_duck_dot(b, b)})))"
+
+
+# ------------------------------------------------------------------- queries
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(toks, w -> CAST(length(w) AS BIGINT))), (a,b) -> a+b)
+                AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+    """,
+    tags=("llm", "text", "bench"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer): totals/distincts/avg length —
+    pure projection, zero shuffle at any scale."""
+    t = load_tables(spark, sf_dir, "documents")
+    return T.token_stats(t.documents)
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text, toks,
+             CAST(len(list_filter(toks, w -> list_contains({list(T.STOPWORDS)!r}, w))) AS BIGINT) AS n_stop,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+      FROM (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id,
+           ROUND(CAST(n_stop AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+           ROUND(CAST(n_punct AS DOUBLE) / length(text), 6) AS punct_ratio,
+           ROUND(0.5 * (1 - CAST(n_stop AS DOUBLE) / len(toks))
+                 + 0.2 * (1 - CAST(n_punct AS DOUBLE) / length(text))
+                 + 0.3 * LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0), 6) AS quality
+    FROM s
+    """,
+    tags=("llm", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics (stopword/punctuation ratios + length)."""
+    t = load_tables(spark, sf_dir, "documents")
+    return T.quality_score(t.documents)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+        CAST(len(list_filter(toks, w -> list_contains({list(T.LANG_MARKERS['de'])!r}, w))) AS BIGINT) AS score_de,
+        CAST(len(list_filter(toks, w -> list_contains({list(T.LANG_MARKERS['en'])!r}, w))) AS BIGINT) AS score_en,
+        CAST(len(list_filter(toks, w -> list_contains({list(T.LANG_MARKERS['es'])!r}, w))) AS BIGINT) AS score_es
+      FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id, score_de, score_en, score_es,
+           CASE WHEN GREATEST(score_de, score_en, score_es) = 0 THEN 'unknown'
+                WHEN score_de >= score_en AND score_de >= score_es THEN 'de'
+                WHEN score_en >= score_es THEN 'en'
+                ELSE 'es' END AS pred_lang
+    FROM s
+    """,
+    tags=("llm", "text"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic with deterministic tie-break."""
+    t = load_tables(spark, sf_dir, "documents")
+    return T.language_id(t.documents)
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"SELECT doc_id, {T.duck_char_fold('text')} AS fingerprint FROM documents",
+    tags=("llm", "text", "bench"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document rolling-hash fingerprint (exact-dup key)."""
+    t = load_tables(spark, sf_dir, "documents")
+    return T.fingerprint(t.documents)
+
+
+@query(
+    "dedup_exact",
+    oracle="SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text",
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on content."""
+    t = load_tables(spark, sf_dir, "documents")
+    return D.exact_dedup(t.documents)
+
+
+@query("dedup_ngram_jaccard", oracle=JACCARD_SQL, tags=("llm", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5) — the
+    reference implementation the LSH path is verified against."""
+    t = load_tables(spark, sf_dir, "documents")
+    return D.jaccard_pairs(t.documents, threshold=0.5)
+
+
+@query("dedup_minhash_lsh", oracle=JACCARD_SQL, tags=("llm", "dedup", "bench"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup detection: MinHash signatures → banded LSH
+    candidate join → exact verification. Oracle = exact Jaccard (see module
+    docstring for why they coincide on this corpus)."""
+    t = load_tables(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(t.documents, threshold=0.5)
+
+
+@query("dedup_simhash", oracle=_duck_simhash_sql(), tags=("llm", "dedup"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 30-bit SimHash fingerprints (bitwise majority vote)."""
+    t = load_tables(spark, sf_dir, "documents")
+    return D.simhash(t.documents)
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_duck_cosine('e.embedding', 'q.qvec')} AS cosine_sim
+    FROM embeddings e, q
+    WHERE vec_id <> 0
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "bench"),
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a broadcast query vector."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return S.cosine_topk(t.embeddings, query_id=0, k=10)
+
+
+@query(
+    "similarity_knn_join",
+    oracle=f"""
+    WITH scored AS (
+      SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+             {_duck_cosine('e.embedding', 'p.embedding')} AS cosine_sim
+      FROM embeddings e, embeddings p
+      WHERE p.vec_id < 10 AND e.vec_id <> p.vec_id
+    )
+    SELECT probe_id, neighbor_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+      FROM scored) WHERE rnk <= 3
+    """,
+    tags=("llm", "similarity"),
+)
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: 3 nearest neighbors for each of the first 10 vectors."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    probes = t.embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return S.knn_join(t.embeddings, probes, k=3)
+
+
+@query(
+    "similarity_near_dup",
+    oracle=f"""
+    SELECT id_a, id_b, cosine_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_duck_cosine('a.embedding', 'b.embedding')} AS cosine_sim
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+    ) WHERE cosine_sim >= 0.45
+    """,
+    tags=("llm", "similarity"),
+)
+def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.45), brute-force all-pairs."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs(t.embeddings, threshold=0.45)
+
+
+@query("similarity_ann_lsh", oracle=None, tags=("llm", "similarity", "approx"))
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-neighbor pairs via random-hyperplane LSH buckets
+    (deterministic planes). Approximate by construction → rows-only check;
+    recall vs brute force is asserted in tests."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return S.ann_lsh(t.embeddings, threshold=0.3)
+
+
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS payload_len,
+           'image/stub' AS media_type,
+           CAST(16 + length(text) % 64 AS BIGINT) AS width,
+           CAST(16 + (length(text) * 7) % 64 AS BIGINT) AS height
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column decoded via Arrow-batched
+    mapInPandas (deterministic stub codec; see operators/multimodal.py)."""
+    t = load_tables(spark, sf_dir, "documents")
+    return M.decode_media(M.attach_binary_payload(t.documents))

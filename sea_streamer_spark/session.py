@@ -10,6 +10,7 @@ to call on an externally-created session (the correctness driver owns its own
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -35,6 +36,39 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    An externally-created session (e.g. the correctness driver's) may run
+    from a cwd where ``sea_streamer_spark`` is not on the workers' path;
+    any pickled-by-reference function would then fail to unpickle. Shipping
+    a zip of the package via ``addPyFile`` once per session fixes that.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    try:
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zip_path = os.path.join(tempfile.gettempdir(), f"sea_streamer_spark_{os.getpid()}.zip")
+        if not os.path.exists(zip_path):
+            with zipfile.ZipFile(zip_path, "w") as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                            zf.write(full, rel)
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added or restricted deployment — closures still work
+    _SHIPPED.add(app_id)
+
+
 def prepare(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime confs to an existing session (idempotent)."""
     for k, v in RUNTIME_CONFS.items():
@@ -43,6 +77,7 @@ def prepare(spark: SparkSession) -> SparkSession:
         except Exception:
             # conf not settable at runtime in this deployment -> keep going
             pass
+    _ship_package(spark)
     return spark
 
 
