@@ -431,3 +431,71 @@ def dedup_events_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.events.groupBy("user_id", "event_type").agg(
         F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_dups")
     )
+
+
+@query(
+    "stream_merge_sharded",
+    oracle=f"""
+    SELECT ROW_NUMBER() OVER (PARTITION BY shard_id
+                              ORDER BY timestamp, stream_key, sequence) AS emit_index,
+           shard_id, stream_key, sequence
+    FROM ({ENVELOPE_SQL})
+    """,
+    tags=("streaming", "fuse", "shard"),
+)
+def stream_merge_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 fuse StreamJoin, scale path: merge order maintained per shard via a
+    hash-partitioned window — fully parallel, the ordering guarantee the
+    reference actually delivers per shard."""
+    from ..operators.fuse import stream_join_sharded
+
+    return stream_join_sharded(_envelope(spark, sf_dir)).select(
+        "emit_index", "shard_id", "stream_key", "sequence"
+    )
+
+
+@query(
+    "stdio_line_roundtrip",
+    oracle="""
+    SELECT event_type AS stream_key,
+           user_id % 4 AS shard_id,
+           event_id AS sequence,
+           DATE_TRUNC('second', ts) AS timestamp,
+           props AS payload_str
+    FROM events
+    """,
+    tags=("streaming", "stdio"),
+)
+def stdio_line_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/S13 stdio line protocol: envelope → `[ts | key | seq | shard] payload`
+    lines → parsed back to the envelope, entirely in JVM regexp expressions.
+    The oracle is the *intended* envelope (second-precision timestamps — the
+    protocol's own resolution, lib.rs:65-66), so the round trip is verified
+    against ground truth rather than self-consistency."""
+    from ..sources.stdio import format_lines_df, parse_lines_df
+
+    env = _envelope(spark, sf_dir)
+    parsed = parse_lines_df(format_lines_df(env))
+    return parsed.select(
+        "stream_key",
+        "shard_id",
+        "sequence",
+        "timestamp",
+        F.col("payload").cast("string").alias("payload_str"),
+    )
+
+
+@query("ss_file_decode", oracle=None, tags=("streaming", "ss", "file"))
+def ss_file_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S18 `.ss` seekable-file decode: parse the reference's own golden
+    container (tests/data/sample-1.ss) into the envelope. Not SQL-expressible
+    → rows-only driver check; byte-level fidelity is asserted in
+    tests/test_ss_format.py against the sequences the reference's sample.rs
+    expects."""
+    import os
+
+    from ..sources.ss import read_ss
+
+    golden = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+                          "tests", "data", "sample-1.ss")
+    return read_ss(spark, golden)

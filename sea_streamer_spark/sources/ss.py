@@ -1,0 +1,373 @@
+"""The `.ss` seekable container format (S8/S9/S11): codec + Spark reader/writer.
+
+Format (observed from sea-streamer-file/src/format.rs:1-59 and the sink/source
+logic in messages.rs:412-660, 290-344):
+
+- **Header** (128 bytes): ``0x53 0x73 0x01`` + ShortString file_name +
+  u64-BE created_at (unix ms) + u32-BE beacon_interval + zero padding ending
+  with ``0x0D``.
+- **Message**: ShortString stream_key + u64 shard_id + u64 seq_no +
+  u64 timestamp(ms) + u32 payload_len + payload + u16 CRC16/CDMA2000(payload)
+  + ``0x0D``.
+- **Beacon** at every positive multiple of ``beacon_interval`` of the raw
+  file offset: ``0x0D`` + u32 remaining-bytes-of-spliced-message + u8 item
+  count + items (message header + u16 running checksum) + ``0x0D``. Messages
+  are spliced around beacons (messages.rs:573-585); the reader consumes a
+  beacon whenever its offset hits a boundary (messages.rs:299-305).
+- **EOS**: a message on stream ``SEA_STREAMER_INTERNAL`` with payload
+  ``EOS`` terminates the stream (messages.rs:16).
+
+All integers big-endian. Per-message CRC is over the payload only; each
+stream's running checksum folds the message checksums big-endian
+(format.rs:470-504).
+
+Spark integration:
+
+- :func:`read_ss` — batch read via ``binaryFile`` + ``mapInPandas``: one
+  Arrow-batched parse per file, fully parallel across files. (Parquet is the
+  engine's native storage — beacons' seek function is subsumed by row-group
+  stats — so `.ss` support is for interop with reference-produced data.)
+- :func:`write_ss` — driver-side single-file writer (the format is a single
+  sequential container; for partitioned output write one file per partition
+  directory instead).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.crc16 import RunningChecksum, crc16_cdma2000
+from ..model import EOS_PAYLOAD, MESSAGE_SCHEMA, SEA_STREAMER_INTERNAL
+
+HEADER_SIZE = 128
+DEFAULT_BEACON_INTERVAL = 1024 * 1024  # file/src/lib.rs:92
+
+
+class SsFormatError(ValueError):
+    pass
+
+
+@dataclass
+class SsHeader:
+    file_name: str
+    created_at_ms: int
+    beacon_interval: int
+
+
+@dataclass
+class SsMessage:
+    stream_key: str
+    shard_id: int
+    sequence: int
+    timestamp_ms: int
+    payload: bytes
+
+    @property
+    def is_eos(self) -> bool:
+        return self.stream_key == SEA_STREAMER_INTERNAL and self.payload == EOS_PAYLOAD
+
+
+# ------------------------------------------------------------------ encoding
+
+
+def _short_string(s: str) -> bytes:
+    b = s.encode("utf-8")
+    if len(b) > 255:
+        raise SsFormatError(f"string too long for ShortString: {len(b)}")
+    return bytes([len(b)]) + b
+
+
+def encode_header(h: SsHeader) -> bytes:
+    body = b"\x53\x73\x01" + _short_string(h.file_name)
+    body += h.created_at_ms.to_bytes(8, "big")
+    body += h.beacon_interval.to_bytes(4, "big")
+    pad = HEADER_SIZE - len(body)
+    if pad < 1:
+        raise SsFormatError("file name too long for 128-byte header")
+    return body + b"\x00" * (pad - 1) + b"\x0d"
+
+
+def encode_message_header(m: SsMessage) -> bytes:
+    return (
+        _short_string(m.stream_key)
+        + m.shard_id.to_bytes(8, "big")
+        + m.sequence.to_bytes(8, "big")
+        + m.timestamp_ms.to_bytes(8, "big")
+    )
+
+
+def encode_message(m: SsMessage) -> tuple[bytes, int]:
+    """Returns (encoded bytes, payload checksum)."""
+    crc = crc16_cdma2000(m.payload)
+    out = (
+        encode_message_header(m)
+        + len(m.payload).to_bytes(4, "big")
+        + m.payload
+        + crc.to_bytes(2, "big")
+        + b"\x0d"
+    )
+    return out, crc
+
+
+# ------------------------------------------------------------------ decoding
+
+
+class _Cursor:
+    """Byte cursor that transparently consumes beacons at interval
+    boundaries, mirroring MessageSource::request_bytes (messages.rs:297-318)."""
+
+    def __init__(self, data: bytes, beacon_interval: int, offset: int = HEADER_SIZE):
+        self.data = data
+        self.interval = beacon_interval
+        self.offset = offset
+        self.beacons: list[tuple[int, list[dict]]] = []
+
+    def eof(self) -> bool:
+        return self.offset >= len(self.data)
+
+    def _raw(self, n: int) -> bytes:
+        if self.offset + n > len(self.data):
+            raise EOFError("not enough bytes")
+        b = self.data[self.offset : self.offset + n]
+        self.offset += n
+        return b
+
+    def _maybe_beacon(self) -> None:
+        while self.offset > 0 and self.offset % self.interval == 0 and not self.eof():
+            self.beacons.append((self.offset // self.interval, self._read_beacon()))
+
+    def _read_beacon(self) -> list[dict]:
+        self._raw(1)  # 0x0D
+        _remaining = int.from_bytes(self._raw(4), "big")
+        num = self._raw(1)[0]
+        items = []
+        for _ in range(num):
+            key_len = self._raw(1)[0]
+            key = self._raw(key_len).decode("utf-8")
+            shard = int.from_bytes(self._raw(8), "big")
+            seq = int.from_bytes(self._raw(8), "big")
+            ts = int.from_bytes(self._raw(8), "big")
+            rcs = int.from_bytes(self._raw(2), "big")
+            items.append(
+                {"stream_key": key, "shard_id": shard, "sequence": seq,
+                 "timestamp_ms": ts, "running_checksum": rcs}
+            )
+        self._raw(1)  # 0x0D
+        return items
+
+    def read(self, n: int) -> bytes:
+        """Read n message bytes, skipping interleaved beacons."""
+        out = bytearray()
+        while len(out) < n:
+            self._maybe_beacon()
+            chunk = min(n - len(out), self.interval - (self.offset % self.interval))
+            out += self._raw(chunk)
+        return bytes(out)
+
+
+def decode_header(data: bytes) -> SsHeader:
+    if len(data) < HEADER_SIZE:
+        raise SsFormatError("file shorter than header")
+    if data[0] != 0x53 or data[1] != 0x73:
+        raise SsFormatError("byte mark mismatch")
+    if data[2] != 0x01:
+        raise SsFormatError("version mismatch")
+    pos = 3
+    name_len = data[pos]
+    name = data[pos + 1 : pos + 1 + name_len].decode("utf-8")
+    pos += 1 + name_len
+    created = int.from_bytes(data[pos : pos + 8], "big")
+    beacon_interval = int.from_bytes(data[pos + 8 : pos + 12], "big")
+    return SsHeader(name, created, beacon_interval)
+
+
+def iter_messages(
+    data: bytes, verify_crc: bool = True, stop_at_eos: bool = True
+):
+    """Yield SsMessage from raw `.ss` bytes (beacon-aware, CRC-verified)."""
+    header = decode_header(data)
+    cur = _Cursor(data, header.beacon_interval)
+    while True:
+        cur._maybe_beacon()
+        if cur.eof():
+            return
+        try:
+            key_len = cur.read(1)[0]
+            key = cur.read(key_len).decode("utf-8")
+            shard = int.from_bytes(cur.read(8), "big")
+            seq = int.from_bytes(cur.read(8), "big")
+            ts = int.from_bytes(cur.read(8), "big")
+            size = int.from_bytes(cur.read(4), "big")
+            payload = cur.read(size)
+            crc = int.from_bytes(cur.read(2), "big")
+            cur.read(1)  # 0x0D
+        except EOFError:
+            return  # truncated tail (file being written) — stop cleanly
+        if verify_crc:
+            computed = crc16_cdma2000(payload)
+            if crc != computed:
+                raise SsFormatError(f"checksum error: received {crc}, computed {computed}")
+        msg = SsMessage(key, shard, seq, ts, payload)
+        if msg.is_eos and stop_at_eos:
+            return
+        yield msg
+
+
+# ------------------------------------------------------------------- writing
+
+
+class SsWriter:
+    """Single-file `.ss` writer mirroring MessageSink (messages.rs:555-609):
+    chunked writes with beacons at interval boundaries, per-stream running
+    checksums, round-robin marker selection when streams > marker slots."""
+
+    MARKER_MAX_SIZE = 1 + 255 + 8 + 8 + 8 + 2
+
+    def __init__(self, file_name: str, beacon_interval: int = DEFAULT_BEACON_INTERVAL,
+                 created_at_ms: int = 0):
+        if HEADER_SIZE > beacon_interval:
+            raise SsFormatError("beacon_interval must be >= header size")
+        self.buf = io.BytesIO()
+        self.interval = beacon_interval
+        self.offset = 0
+        self.beacon_state: dict[tuple[str, int], dict] = {}
+        self.beacon_count = 0
+        self._write_raw(encode_header(SsHeader(file_name, created_at_ms, beacon_interval)))
+        if self.offset == beacon_interval:
+            # header exactly fills the first interval: an empty beacon follows
+            # immediately (messages.rs:517-525, "a very special case")
+            self._write_beacon(0)
+
+    def _write_raw(self, b: bytes) -> None:
+        self.buf.write(b)
+        self.offset += len(b)
+
+    def _num_markers(self) -> int:
+        space = self.interval
+        if space < 7:
+            return 0
+        return min(255, (space - 7) // self.MARKER_MAX_SIZE) // 2
+
+    def _write_beacon(self, remaining: int) -> None:
+        states = list(self.beacon_state.items())
+        n = min(len(states), self._num_markers())
+        start = self.beacon_count % len(states) if states else 0
+        chosen = (states[start:] + states[:start])[:n]
+        out = b"\x0d" + remaining.to_bytes(4, "big") + bytes([len(chosen)])
+        for (key, shard), st in chosen:
+            out += (
+                _short_string(key)
+                + shard.to_bytes(8, "big")
+                + st["seq"].to_bytes(8, "big")
+                + st["ts"].to_bytes(8, "big")
+                + st["crc"].crc.to_bytes(2, "big")
+            )
+        out += b"\x0d"
+        self._write_raw(out)
+        self.beacon_count += len(chosen)
+
+    def write(self, m: SsMessage) -> int:
+        encoded, crc = encode_message(m)
+        st = self.beacon_state.setdefault(
+            (m.stream_key, m.shard_id),
+            {"seq": m.sequence, "ts": m.timestamp_ms, "crc": RunningChecksum()},
+        )
+        st["seq"] = max(st["seq"], m.sequence)
+        st["ts"] = max(st["ts"], m.timestamp_ms)
+        st["crc"].update(crc)
+        view = memoryview(encoded)
+        while len(view) > 0:
+            chunk = min(self.interval - (self.offset % self.interval), len(view))
+            self._write_raw(bytes(view[:chunk]))
+            view = view[chunk:]
+            if self.offset > 0 and self.offset % self.interval == 0:
+                self._write_beacon(len(view))
+        return crc
+
+    def end(self, eos: bool = True) -> bytes:
+        if eos:
+            self.write(SsMessage(SEA_STREAMER_INTERNAL, 0, 0, 0, EOS_PAYLOAD))
+        return self.buf.getvalue()
+
+
+# ------------------------------------------------------------- Spark surface
+
+
+def read_ss(spark: SparkSession, path: str) -> DataFrame:
+    """Read `.ss` file(s) into the canonical envelope DataFrame.
+
+    ``binaryFile`` source + Arrow-batched parse; one task per file (files are
+    sequential containers — cross-file parallelism is the scale axis; for a
+    single huge file, split at beacon boundaries in a follow-up).
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for m in iter_messages(bytes(content)):
+                    rows.append(
+                        (m.stream_key, m.shard_id, m.sequence, m.timestamp_ms, m.payload)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["stream_key", "shard_id", "sequence", "ts_ms", "payload"]
+            )
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    parsed_schema = StructType(
+        [
+            StructField("stream_key", StringType()),
+            StructField("shard_id", LongType()),
+            StructField("sequence", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return raw.mapInPandas(parse, parsed_schema).select(
+        "stream_key",
+        "shard_id",
+        "sequence",
+        F.timestamp_millis(F.col("ts_ms")).alias("timestamp"),
+        "payload",
+    )
+
+
+def write_ss(
+    df: DataFrame,
+    path: str,
+    beacon_interval: int = DEFAULT_BEACON_INTERVAL,
+    eos: bool = True,
+) -> int:
+    """Write an envelope DataFrame to a single `.ss` file (driver-side;
+    ordered by (timestamp, stream_key, sequence)). Returns message count."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        df.select("stream_key", "shard_id", "sequence", "timestamp", "payload")
+        .orderBy("timestamp", "stream_key", "sequence")
+        .collect()
+    )
+    w = SsWriter(os.path.basename(path), beacon_interval)
+    for r in rows:
+        ts_ms = int(r.timestamp.timestamp() * 1000)
+        w.write(SsMessage(r.stream_key, r.shard_id, r.sequence, ts_ms, bytes(r.payload or b"")))
+    data = w.end(eos)
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(rows)

@@ -1,0 +1,226 @@
+"""Consumer facade: ``create_consumer(streams, options) → streaming envelope``.
+
+Maps the reference's consumer surface (types/src/consumer.rs:49-94) onto
+Structured Streaming:
+
+| reference                         | Spark                                             |
+|-----------------------------------|---------------------------------------------------|
+| ConsumerMode::RealTime (D1)       | no checkpoint + latest offsets                    |
+| ConsumerMode::Resumable (D2)      | ``checkpointLocation`` (exactly Spark's model)    |
+| ConsumerMode::LoadBalanced (D3)   | native partition→task ownership; scale executors  |
+| seek(Timestamp) (T1)              | starting-offset-by-timestamp / event-time filter  |
+| rewind(Beginning/End/At) (T2)     | startingOffsets earliest/latest/explicit          |
+| assign/unassign shard (T3)        | shard_id filter (partition pruning upstream)      |
+| next()/stream()                   | the streaming DataFrame itself + trigger          |
+| ack/commit (D4/D5)                | checkpoint commits offset ranges per micro-batch  |
+
+Per-message acks (D4/D5) deliberately have no per-row analog: Spark commits
+offset *ranges* per micro-batch from the WAL/checkpoint, which subsumes the
+reference's Delayed/Rolling commit machinery (SURVEY §2.5). This is a
+documented semantic mapping, not an emulation.
+
+Backends resolve by URI scheme (socket/src/streamer.rs:203-245 analog):
+``kafka://`` → built-in Kafka source; ``file://<dir>`` → file streaming
+source over envelope parquet (the replay backend used in tests);
+``redis://`` → the sea_redis connector (streaming/redis.py).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import MESSAGE_SCHEMA
+from ..session import prepare
+from ..uri import StreamUrl
+
+
+class ConsumerMode(enum.Enum):
+    """types/src/consumer.rs:4-15."""
+
+    RealTime = "real-time"
+    Resumable = "resumable"
+    LoadBalanced = "load-balanced"
+
+
+class _Special(enum.Enum):
+    Beginning = "beginning"
+    End = "end"
+
+
+#: SeqPos = Beginning | End | At(seq_no)  (types/src/stream.rs:34-40)
+SeqPos = Union[_Special, int]
+Beginning = _Special.Beginning
+End = _Special.End
+
+
+@dataclass
+class ConsumerOptions:
+    mode: ConsumerMode = ConsumerMode.RealTime
+    group: str | None = None
+    checkpoint_dir: str | None = None
+    #: T1 seek target — timestamp-exclusive (file/src/messages.rs:262-279)
+    seek_to: datetime | None = None
+    #: T2 rewind target
+    rewind_to: SeqPos | None = None
+    #: T3 assigned shards (empty = all)
+    assigned_shards: tuple[int, ...] = field(default_factory=tuple)
+    #: cap per micro-batch (the paged-read analog, node.rs:141-157)
+    max_offsets_per_trigger: int | None = None
+
+
+@dataclass
+class Consumer:
+    """A handle pairing a streaming envelope DataFrame with its options.
+
+    The reference's ``next()`` pull loop becomes the streaming DataFrame:
+    attach any transformation and start a query. ``seek``/``rewind``/
+    ``assign`` return a *new* consumer (Spark restarts a query to change
+    offsets — the latch-drain dance of T5 disappears)."""
+
+    spark: SparkSession
+    url: StreamUrl
+    options: ConsumerOptions
+    _df: DataFrame
+
+    def dataframe(self) -> DataFrame:
+        df = self._df
+        if self.url.streams:
+            df = df.filter(F.col("stream_key").isin(list(self.url.streams)))
+        if self.options.assigned_shards:
+            df = df.filter(F.col("shard_id").isin(list(self.options.assigned_shards)))
+        if self.options.seek_to is not None:
+            df = df.filter(F.col("timestamp") > F.lit(self.options.seek_to))
+        if isinstance(self.options.rewind_to, int):
+            df = df.filter(F.col("sequence") >= self.options.rewind_to)
+        return df
+
+    def seek(self, to: datetime) -> "Consumer":
+        """T1: resume strictly after `to` (exclusive timestamp)."""
+        return Consumer(
+            self.spark, self.url, _replace(self.options, seek_to=to, rewind_to=None), self._df
+        )
+
+    def rewind(self, pos: SeqPos) -> "Consumer":
+        """T2: Beginning replays all; End = only new data; At(n) inclusive."""
+        return Consumer(
+            self.spark, self.url, _replace(self.options, rewind_to=pos, seek_to=None), self._df
+        )
+
+    def assign(self, *shards: int) -> "Consumer":
+        return Consumer(
+            self.spark, self.url, _replace(self.options, assigned_shards=shards), self._df
+        )
+
+    def start_to_memory(self, name: str, await_termination: bool = True):
+        """Run with an availableNow trigger into a memory sink (bounded
+        replay — the test harness pattern; D10 EOS ≈ availableNow)."""
+        writer = (
+            self.dataframe()
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+        )
+        if self.options.mode is ConsumerMode.Resumable:
+            if not self.options.checkpoint_dir:
+                raise ValueError("Resumable mode requires checkpoint_dir (D2)")
+            writer = writer.option("checkpointLocation", self.options.checkpoint_dir)
+        q = writer.start()
+        if await_termination:
+            q.awaitTermination()
+        return q
+
+    def start_to_parquet(self, out_dir: str, await_termination: bool = True):
+        """Durable sink with checkpoint recovery — the Resumable (D2) path:
+        restarting with the same checkpoint resumes exactly where the
+        previous query committed, no redelivery."""
+        if self.options.mode is not ConsumerMode.Resumable or not self.options.checkpoint_dir:
+            raise ValueError("parquet sink resume requires Resumable mode + checkpoint_dir")
+        q = (
+            self.dataframe()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", self.options.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if await_termination:
+            q.awaitTermination()
+        return q
+
+
+def _replace(opts: ConsumerOptions, **kw) -> ConsumerOptions:
+    from dataclasses import replace
+
+    return replace(opts, **kw)
+
+
+def create_consumer(
+    spark: SparkSession, url: str | StreamUrl, options: ConsumerOptions | None = None
+) -> Consumer:
+    """Backend dispatch by URI scheme → streaming envelope DataFrame."""
+    prepare(spark)
+    if isinstance(url, str):
+        url = StreamUrl.parse(url)
+    options = options or ConsumerOptions()
+    scheme = url.streamer.scheme
+    if scheme == "kafka":
+        df = _kafka_reader(spark, url, options)
+    elif scheme == "file":
+        df = _file_reader(spark, url)
+    elif scheme in ("redis", "rediss"):
+        from .redis import redis_reader
+
+        df = redis_reader(spark, url, options)
+    else:
+        raise ValueError(f"unsupported consumer scheme {scheme!r}")
+    return Consumer(spark, url, options, df)
+
+
+def _kafka_reader(spark: SparkSession, url: StreamUrl, options: ConsumerOptions) -> DataFrame:
+    """Built-in Kafka source → envelope columns (S1). The Kafka row schema
+    (topic/partition/offset/timestamp/value) is isomorphic to the envelope."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", ",".join(url.streamer.nodes))
+        .option("subscribe", ",".join(url.streams))
+        .option(
+            "startingOffsets",
+            "earliest" if options.mode is ConsumerMode.Resumable else "latest",
+        )
+    )
+    if options.rewind_to is Beginning:
+        reader = reader.option("startingOffsets", "earliest")
+    elif options.rewind_to is End:
+        reader = reader.option("startingOffsets", "latest")
+    if options.seek_to is not None:
+        ms = int(options.seek_to.timestamp() * 1000) + 1  # T1 is exclusive
+        reader = reader.option("startingTimestamp", str(ms))
+    if options.group:
+        reader = reader.option("groupIdPrefix", options.group)
+    if options.max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(options.max_offsets_per_trigger))
+    return reader.load().select(
+        F.col("topic").alias("stream_key"),
+        F.col("partition").cast("long").alias("shard_id"),
+        F.col("offset").alias("sequence"),
+        F.col("timestamp"),
+        F.col("value").alias("payload"),
+    )
+
+
+def _file_reader(spark: SparkSession, url: StreamUrl) -> DataFrame:
+    """File replay backend (S8/S10 analog): a directory of envelope parquet
+    consumed as a stream — new files are discovered like `tail -f`; bounded
+    replay uses an availableNow trigger (EOS, D10)."""
+    path = url.streamer.nodes[0]
+    return (
+        spark.readStream.schema(MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(path)
+    )

@@ -1,0 +1,194 @@
+"""Streaming behavior tests mirroring the reference's integration suite
+(SURVEY §5): loopback produce→consume, resumable groups, seek/rewind,
+shard assignment — over the file replay backend with availableNow triggers
+(the stdio-loopback analog: no broker needed)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sea_streamer_spark.model import envelope_from_events
+from sea_streamer_spark.sources.tables import load_tables
+from sea_streamer_spark.streaming import (
+    Consumer,
+    ConsumerMode,
+    ConsumerOptions,
+    create_consumer,
+    create_producer,
+)
+from sea_streamer_spark.streaming.consumer import Beginning
+from sea_streamer_spark.streaming.redis import (
+    format_entry_id,
+    next_after,
+    pack_message_id,
+    parse_entry_id,
+    shard_key,
+    unpack_message_id,
+)
+
+
+@pytest.fixture()
+def env_batch(spark, sf_dir):
+    return envelope_from_events(load_tables(spark, sf_dir, "events").events)
+
+
+class TestLoopback:
+    """stdio/tests/loopback.rs analog: produce to a stream dir, consume it."""
+
+    def test_produce_consume_roundtrip(self, spark, env_batch, tmp_path):
+        stream_dir = str(tmp_path / "stream")
+        producer = create_producer(spark, f"file://{stream_dir}/")
+        producer.send_batch(env_batch.limit(200))
+
+        consumer = create_consumer(
+            spark,
+            f"file://{stream_dir}/",
+            ConsumerOptions(mode=ConsumerMode.RealTime),
+        )
+        consumer.start_to_memory("loopback_q")
+        got = spark.sql("SELECT COUNT(*) AS n FROM loopback_q").collect()[0].n
+        assert got == 200
+
+    def test_anchored_producer_fills_key(self, spark, env_batch, tmp_path):
+        stream_dir = str(tmp_path / "anchored")
+        producer = create_producer(spark, f"file://{stream_dir}/topic-x")
+        # drop stream_key: the anchor must supply it (producer.rs:52-66)
+        df = env_batch.limit(10).drop("stream_key")
+        producer.send_batch(df)
+        back = spark.read.parquet(stream_dir)
+        keys = {r.stream_key for r in back.select("stream_key").distinct().collect()}
+        assert keys == {"topic-x"}
+
+
+class TestResumable:
+    """redis/tests/resumable.rs analog: a Resumable consumer continues from
+    its checkpoint; already-seen data is not redelivered (D2)."""
+
+    def test_resume_after_restart(self, spark, env_batch, tmp_path):
+        stream_dir = str(tmp_path / "stream")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        first = env_batch.filter(F.col("sequence") < 100)
+        second = env_batch.filter((F.col("sequence") >= 100) & (F.col("sequence") < 250))
+        producer = create_producer(spark, f"file://{stream_dir}/")
+        producer.send_batch(first)
+
+        opts = ConsumerOptions(mode=ConsumerMode.Resumable, checkpoint_dir=ckpt)
+        c1 = create_consumer(spark, f"file://{stream_dir}/", opts)
+        c1.start_to_parquet(out)
+        n1 = spark.read.parquet(out).count()
+        assert n1 == first.count()
+
+        # "restart": produce more, run a new query on the same checkpoint —
+        # exactly-once: total output = union of both batches, no duplicates
+        producer.send_batch(second)
+        c2 = create_consumer(spark, f"file://{stream_dir}/", opts)
+        c2.start_to_parquet(out)
+        result = spark.read.parquet(out)
+        assert result.count() == first.count() + second.count()
+        assert result.select("sequence").distinct().count() == result.count()
+
+
+class TestSeekRewindAssign:
+    """redis/tests/seek-rewind.rs analog over bounded replay."""
+
+    def _consumer(self, spark, env_batch, tmp_path, name) -> Consumer:
+        stream_dir = str(tmp_path / name)
+        create_producer(spark, f"file://{stream_dir}/").send_batch(env_batch)
+        return create_consumer(spark, f"file://{stream_dir}/")
+
+    def test_seek_timestamp_exclusive(self, spark, env_batch, tmp_path):
+        c = self._consumer(spark, env_batch, tmp_path, "seek")
+        boundary = env_batch.filter(F.col("sequence") == 29).collect()[0].timestamp
+        c2 = c.seek(boundary)
+        c2.start_to_memory("seek_q")
+        got = spark.sql("SELECT MIN(timestamp) AS t FROM seek_q").collect()[0].t
+        assert got > boundary  # strictly later (messages.rs:262-279)
+
+    def test_rewind_at_inclusive(self, spark, env_batch, tmp_path):
+        c = self._consumer(spark, env_batch, tmp_path, "rewind")
+        c.rewind(500).start_to_memory("rewind_q")
+        mn = spark.sql("SELECT MIN(sequence) AS s FROM rewind_q").collect()[0].s
+        assert mn == 500  # inclusive (consumer.rs:69-75)
+
+    def test_rewind_beginning(self, spark, env_batch, tmp_path):
+        c = self._consumer(spark, env_batch, tmp_path, "rewind_b")
+        c.rewind(Beginning).start_to_memory("rewind_b_q")
+        n = spark.sql("SELECT COUNT(*) AS n FROM rewind_b_q").collect()[0].n
+        assert n == env_batch.count()
+
+    def test_assign_shard(self, spark, env_batch, tmp_path):
+        c = self._consumer(spark, env_batch, tmp_path, "assign")
+        c.assign(1, 2).start_to_memory("assign_q")
+        shards = {r.shard_id for r in spark.sql("SELECT DISTINCT shard_id FROM assign_q").collect()}
+        assert shards == {1, 2}
+
+    def test_stream_key_subscription(self, spark, env_batch, tmp_path):
+        stream_dir = str(tmp_path / "sub")
+        create_producer(spark, f"file://{stream_dir}/").send_batch(env_batch)
+        c = create_consumer(spark, f"file://{stream_dir}/click,error")
+        c.start_to_memory("sub_q")
+        keys = {r.stream_key for r in spark.sql("SELECT DISTINCT stream_key FROM sub_q").collect()}
+        assert keys == {"click", "error"}
+
+
+class TestFuseStreaming:
+    """fuse/src/lib.rs:196-314 analog: watermarked union emits in event-time
+    order within each micro-batch."""
+
+    def test_merge_order_within_batch(self, spark, env_batch, tmp_path):
+        from sea_streamer_spark.operators.fuse import mux, stream_join_batch
+
+        a = env_batch.filter(F.col("stream_key") == "click").limit(50)
+        b = env_batch.filter(F.col("stream_key") == "error").limit(50)
+        merged = stream_join_batch(mux(a, b))
+        rows = merged.orderBy("emit_index").collect()
+        ts = [r.timestamp for r in rows]
+        assert ts == sorted(ts)
+        # tie-break by key name on equal timestamps (lib.rs:71-89)
+        for r1, r2 in zip(rows, rows[1:]):
+            if r1.timestamp == r2.timestamp:
+                assert r1.stream_key <= r2.stream_key
+
+    def test_align_gating(self, spark, env_batch):
+        from sea_streamer_spark.operators.fuse import stream_join_batch
+
+        env = env_batch.filter(F.col("stream_key").isin("click", "error", "view"))
+        # gate on the slowest of click/error: nothing after its max ts is emitted
+        gated = stream_join_batch(env, align=["click", "error"])
+        gate_ts = (
+            env.filter(F.col("stream_key").isin("click", "error"))
+            .groupBy("stream_key")
+            .agg(F.max("timestamp").alias("mx"))
+            .agg(F.min("mx").alias("gate"))
+            .collect()[0]
+            .gate
+        )
+        assert gated.agg(F.max("timestamp")).collect()[0][0] <= gate_ts
+        held_back = env.filter(F.col("timestamp") > gate_ts).count()
+        assert held_back > 0  # the gate actually held something back
+
+
+class TestRedisOffsetModel:
+    """redis/src/message.rs:27-88 vectors."""
+
+    def test_pack_unpack(self):
+        seq_no = pack_message_id(1694767177912, 7)
+        assert unpack_message_id(seq_no) == (1694767177912, 7)
+        assert format_entry_id(seq_no) == "1694767177912-7"
+        assert parse_entry_id("1694767177912-7") == seq_no
+
+    def test_capacity_limits(self):
+        # ≤65,536 msgs/ms; 48-bit ms (max ts year 10889)
+        with pytest.raises(ValueError):
+            pack_message_id(1, 0x10000)
+        with pytest.raises(ValueError):
+            pack_message_id(1 << 48, 0)
+
+    def test_next_after_carries(self):
+        assert next_after(pack_message_id(5, 0xFFFF)) == pack_message_id(6, 0)
+        assert next_after(pack_message_id(5, 3)) == pack_message_id(5, 4)
+
+    def test_shard_key(self):
+        assert shard_key("events", 0) == "events"
+        assert shard_key("events", 3) == "events:3"
