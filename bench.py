@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sea_streamer_spark.plans.queries import QUERIES  # noqa: E402
 from sea_streamer_spark.session import get_spark  # noqa: E402
+from sea_streamer_spark.streaming.relay import benchmark_relay  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -38,6 +39,14 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 4)
+    # Streaming throughput: the reference's 100k x 256 B produce/relay/consume
+    # workload (benchmark/README.md:8-25) over the file backend; its 100k
+    # msgs/sec anchor (README.md:266) implies ~1 s per phase.
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="ss_relay_bench_") as td:
+        for phase, sec in benchmark_relay(spark, td).items():
+            timings[phase] = round(sec, 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -1,0 +1,102 @@
+"""Throughput benchmark workload: the reference's benchmark crate re-expressed.
+
+The reference measures wall-clock for 100,000 messages x 256-byte payload
+(~30 MB) pushed through producer / consumer / relay binaries over stdio,
+redis and file backends (benchmark/README.md:8-25,
+benchmark/src/bin/producer.rs:24-33, relay.rs:26-29), and publishes the
+"realm of 100k messages per second" anchor for the Redis backend
+(README.md:266). Here the same three phases run over the **file backend**
+(envelope parquet — the seekable-log analog of `.ss`, SURVEY §2 S8/S9):
+
+- **produce**: synthesize N envelope messages executor-side
+  (``spark.range`` — no driver-side loop) and append them as parquet.
+- **relay**: ``readStream`` the log -> ``writeStream`` a copy
+  (socket/src/bin/relay.rs analog) with an ``availableNow`` trigger.
+- **consume**: full scan + payload-size fold of the relayed copy.
+
+All three are distributed jobs: at 100 TB the same plans run unchanged, with
+parallelism = file splits (``maxPartitionBytes``) instead of 32 local cores.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import MESSAGE_SCHEMA
+
+
+def synth_messages(
+    spark: SparkSession,
+    n: int = 100_000,
+    payload_bytes: int = 256,
+    num_shards: int = 4,
+    stream_key: str = "bench",
+) -> DataFrame:
+    """N envelope messages with a payload_bytes-sized payload, built
+    executor-side from ``spark.range`` (benchmark/src/bin/producer.rs:24-33
+    builds the same loop driver-side; here it distributes)."""
+    payload = ("x" * payload_bytes).encode()
+    return spark.range(n).select(
+        F.lit(stream_key).alias("stream_key"),
+        (F.col("id") % num_shards).alias("shard_id"),
+        F.col("id").alias("sequence"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("id") / 1000.0)).alias(
+            "timestamp"
+        ),
+        F.lit(payload).alias("payload"),
+    )
+
+
+def produce(spark: SparkSession, out_dir: str, n: int, payload_bytes: int = 256) -> float:
+    """Producer phase: batch-append N messages to the envelope log."""
+    t0 = time.perf_counter()
+    synth_messages(spark, n, payload_bytes).write.mode("overwrite").parquet(out_dir)
+    return time.perf_counter() - t0
+
+
+def relay(spark: SparkSession, src_dir: str, dst_dir: str, checkpoint_dir: str) -> float:
+    """Relay phase: stream-copy the whole log A -> B (relay.rs analog)."""
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema(MESSAGE_SCHEMA)
+        .parquet(src_dir)
+        .writeStream.format("parquet")
+        .option("path", dst_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return time.perf_counter() - t0
+
+
+def consume(spark: SparkSession, src_dir: str, expect_n: int) -> float:
+    """Consumer phase: scan the relayed copy, fold payload sizes."""
+    t0 = time.perf_counter()
+    row = (
+        spark.read.schema(MESSAGE_SCHEMA)
+        .parquet(src_dir)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("payload")).alias("bytes"))
+        .collect()[0]
+    )
+    dt = time.perf_counter() - t0
+    assert row["n"] == expect_n, f"relay lost messages: {row['n']} != {expect_n}"
+    return dt
+
+
+def benchmark_relay(
+    spark: SparkSession, workdir: str, n: int = 100_000, payload_bytes: int = 256
+) -> dict[str, float]:
+    """Run produce/relay/consume; return {phase: seconds} timings."""
+    src = os.path.join(workdir, "src")
+    dst = os.path.join(workdir, "dst")
+    ckpt = os.path.join(workdir, "ckpt")
+    return {
+        "streaming_produce_100k": produce(spark, src, n, payload_bytes),
+        "streaming_relay_100k": relay(spark, src, dst, ckpt),
+        "streaming_consume_100k": consume(spark, dst, n),
+    }

@@ -192,3 +192,32 @@ class TestRedisOffsetModel:
     def test_shard_key(self):
         assert shard_key("events", 0) == "events"
         assert shard_key("events", 3) == "events:3"
+
+
+class TestRelayBenchmark:
+    """benchmark/README.md workload analog (produce/relay/consume phases)."""
+
+    def test_roundtrip_preserves_messages(self, spark, tmp_path):
+        from sea_streamer_spark.streaming.relay import benchmark_relay, synth_messages
+
+        timings = benchmark_relay(spark, str(tmp_path), n=1000, payload_bytes=64)
+        assert set(timings) == {
+            "streaming_produce_100k",
+            "streaming_relay_100k",
+            "streaming_consume_100k",
+        }
+        assert all(t > 0 for t in timings.values())
+        # the relayed copy is byte-identical to the source log
+        src = spark.read.parquet(str(tmp_path / "src"))
+        dst = spark.read.parquet(str(tmp_path / "dst"))
+        assert src.count() == dst.count() == 1000
+        assert src.exceptAll(dst).count() == 0
+
+    def test_synth_payload_size(self, spark):
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.streaming.relay import synth_messages
+
+        df = synth_messages(spark, 10, payload_bytes=256)
+        rows = df.agg(F.min(F.length("payload")), F.max(F.length("payload"))).collect()[0]
+        assert rows[0] == rows[1] == 256
