@@ -352,15 +352,19 @@ def join_semi_customers_with_f_orders(spark: SparkSession, sf_dir: str) -> DataF
     "join_anti_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_totalprice > 300000)
     """,
     tags=("relational", "join", "antijoin"),
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS)."""
+    """Left-anti join (NOT EXISTS): customers with no big-ticket orders —
+    the filtered probe keeps the result non-trivial at every SF."""
     t = load_tables(spark, sf_dir, "customer", "orders")
     return t.customer.join(
-        t.orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        t.orders.filter(F.col("o_totalprice") > 300000).select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
     ).select("c_custkey", "c_name")
 
 
@@ -554,15 +558,18 @@ def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT s_nationkey FROM supplier WHERE s_nationkey % 3 = 0
     """,
     tags=("relational", "setop"),
 )
 def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: nations with customers but no suppliers."""
+    """EXCEPT: customer nations minus a supplier-nation subset (the filter
+    keeps the difference non-empty at every SF)."""
     t = load_tables(spark, sf_dir, "customer", "supplier")
     return t.customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
-        t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+        t.supplier.filter(F.col("s_nationkey") % 3 == 0).select(
+            F.col("s_nationkey").alias("nationkey")
+        )
     )
 
 
