@@ -81,3 +81,89 @@ def stream_join_stream(muxed: DataFrame, watermark: str = "1 minute") -> DataFra
     analog of align-gating."""
     validate_envelope(muxed)
     return muxed.withWatermark("timestamp", watermark)
+
+
+def stream_join_stateful(muxed: DataFrame, align: list[str] | None = None) -> DataFrame:
+    """Streaming StreamJoin with *true* align-gating via per-shard state
+    (``applyInPandasWithState``) — the stateful-buffering path SURVEY §7
+    ranks as hard-part #3.
+
+    Faithful to fuse/src/lib.rs:66-100 per shard: messages buffer in group
+    state; the gate is the minimum of the aligned streams' observed max
+    event times (a slow peer holds everyone back); each micro-batch emits the
+    buffered prefix ``timestamp <= gate`` in merge order (ts, key, seq) with
+    a monotone per-shard ``emit_index``. Emission timestamps are therefore
+    monotone per shard across micro-batches: wave N+1 only contains rows
+    later than wave N's gate.
+
+    Scale: state is partitioned by ``shard_id`` — each shard's buffer lives
+    on one executor and is bounded by arrival skew between aligned streams
+    (as in the reference, where it is bounded by peer lag), not by stream
+    length. A global (unsharded) total order would serialize; this is the
+    distributed contract the reference actually guarantees.
+    """
+    import pickle
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    validate_envelope(muxed)
+    out_schema = StructType(
+        [
+            StructField("stream_key", StringType()),
+            StructField("shard_id", LongType()),
+            StructField("sequence", LongType()),
+            StructField("timestamp", TimestampType()),
+            StructField("payload", BinaryType()),
+            StructField("emit_index", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("blob", BinaryType())])
+    cols = ["stream_key", "shard_id", "sequence", "timestamp", "payload"]
+    aligned = sorted(align) if align else None
+
+    def gate_and_emit(key, pdfs, state: GroupState):
+        if state.exists:
+            buf, max_ts, n_emitted = pickle.loads(state.get[0])
+        else:
+            buf, max_ts, n_emitted = pd.DataFrame(columns=cols), {}, 0
+        new = pd.concat(list(pdfs), ignore_index=True)
+        if len(new):
+            buf = pd.concat([buf, new[cols]], ignore_index=True)
+            for k, ts in new.groupby("stream_key")["timestamp"].max().items():
+                if ts is not pd.NaT and (k not in max_ts or ts > max_ts[k]):
+                    max_ts[k] = ts
+        if aligned is None:
+            gate = buf["timestamp"].max() if len(buf) else None
+        elif all(k in max_ts for k in aligned):
+            gate = min(max_ts[k] for k in aligned)
+        else:  # an aligned peer has not progressed yet -> hold everything
+            gate = None
+        if gate is not None and len(buf):
+            ready = buf["timestamp"] <= gate
+            emit = (
+                buf[ready]
+                .sort_values(["timestamp", "stream_key", "sequence"])
+                .reset_index(drop=True)
+            )
+            buf = buf[~ready].reset_index(drop=True)
+            if len(emit):
+                emit["emit_index"] = range(n_emitted + 1, n_emitted + 1 + len(emit))
+                n_emitted += len(emit)
+                state.update((pickle.dumps((buf, max_ts, n_emitted)),))
+                yield emit
+                return
+        state.update((pickle.dumps((buf, max_ts, n_emitted)),))
+        yield pd.DataFrame(columns=cols + ["emit_index"])
+
+    return muxed.groupBy("shard_id").applyInPandasWithState(
+        gate_and_emit, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

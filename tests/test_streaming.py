@@ -221,3 +221,82 @@ class TestRelayBenchmark:
         df = synth_messages(spark, 10, payload_bytes=256)
         rows = df.agg(F.min(F.length("payload")), F.max(F.length("payload"))).collect()[0]
         assert rows[0] == rows[1] == 256
+
+
+class TestStatefulStreamJoin:
+    """fuse/src/lib.rs:66-100 align-gating, stateful path across micro-batches."""
+
+    def test_align_gate_across_microbatches(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.operators.fuse import stream_join_stateful
+
+        # 3 keys x 2 shards, ts = sequence seconds; delivered as 3 files
+        # (one micro-batch each via maxFilesPerTrigger=1).
+        rows = []
+        for seq in range(30):
+            key = "abc"[seq % 3]
+            rows.append((key, seq % 2, seq, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=seq), b"p"))
+        pdf = pd.DataFrame(rows, columns=["stream_key", "shard_id", "sequence", "timestamp", "payload"])
+        src = tmp_path / "src"
+        for i in range(3):  # batch i carries seqs [10i, 10i+10) — arrival in ts order
+            chunk = spark.createDataFrame(pdf.iloc[10 * i: 10 * i + 10])
+            chunk.coalesce(1).write.mode("append").parquet(str(src))
+
+        from sea_streamer_spark.model import MESSAGE_SCHEMA
+
+        stream = (
+            spark.readStream.schema(MESSAGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = stream_join_stateful(stream, align=["a", "b"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName("fuse_stateful")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT * FROM fuse_stateful").toPandas()
+
+        # expected: per shard, final gate = min(max ts of a, max ts of b)
+        for shard in (0, 1):
+            sh = pdf[pdf.shard_id == shard]
+            gate = min(
+                sh[sh.stream_key == "a"].timestamp.max(),
+                sh[sh.stream_key == "b"].timestamp.max(),
+            )
+            expect = sh[sh.timestamp <= gate]
+            g = got[got.shard_id == shard].sort_values("emit_index")
+            assert set(g.sequence) == set(expect.sequence), f"shard {shard}"
+            # emission order is the merge order: ts monotone along emit_index
+            assert g.timestamp.is_monotonic_increasing
+            assert list(g.emit_index) == list(range(1, len(g) + 1))
+
+    def test_unaligned_emits_everything(self, spark, tmp_path):
+        import pandas as pd
+
+        from sea_streamer_spark.model import MESSAGE_SCHEMA
+        from sea_streamer_spark.operators.fuse import stream_join_stateful
+
+        pdf = pd.DataFrame(
+            [("x", 0, i, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i), b"") for i in range(7)],
+            columns=["stream_key", "shard_id", "sequence", "timestamp", "payload"],
+        )
+        src = tmp_path / "src2"
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+        stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(str(src))
+        q = (
+            stream_join_stateful(stream)
+            .writeStream.format("memory")
+            .queryName("fuse_stateful_all")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT * FROM fuse_stateful_all").toPandas()
+        assert len(got) == 7 and sorted(got.sequence) == list(range(7))
