@@ -152,3 +152,85 @@ def ann_lsh(
         .filter(F.col("cosine_sim") >= threshold)
         .distinct()
     )
+
+
+def ivf_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str = "embedding") -> Column:
+    """Nearest-centroid cell id as a single projection expression.
+
+    ``centroids`` is a small driver-side list [(cell_id, vector)] (the coarse
+    quantizer); similarity to every centroid is computed inline against array
+    literals and the argmax picked with a struct ``array_max`` — fully
+    map-side, so assignment never shuffles regardless of corpus size. Ties
+    break to the smaller cell id.
+    """
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])).alias("sim"),
+                    F.lit(-cell).cast("long").alias("negcell"),
+                )
+                for cell, vec in centroids
+            ]
+        )
+    )
+    return (-best["negcell"]).cast("long")
+
+
+def ivf_centroids(
+    emb: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the n_cells lowest-id vectors serve as
+    cell centroids. (Production IVF trains k-means; a deterministic seed set
+    keeps the oracle/test story exact, and Lloyd refinement plugs in here
+    without changing the query shape.)"""
+    rows = emb.orderBy(id_col).limit(n_cells).select(id_col, vec_col).collect()
+    return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus vectors to nearest-centroid cells
+    (map-side projection), then exact-search only the query's ``nprobe``
+    closest cells.
+
+    Scale: the cell column is a cheap derived partition key — at 100 TB the
+    assignment is computed once and persisted with the table (partitionBy
+    cell), so a query touches nprobe/n_cells of the data; here it is computed
+    on the fly. The probed subset then follows the brute-force top-k plan
+    (broadcast query row + TakeOrdered)."""
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    cell = ivf_cell_expr(cents, vec_col)
+    assigned = emb.withColumn("ivf_cell", cell)
+    qrow = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec")).collect()[0]
+    qvec = list(qrow["qvec"])
+    # nprobe closest cells to the query vector (driver-side: n_cells is tiny)
+    import math
+
+    def _dot(a, b):
+        return sum(float(x) * float(y) for x, y in zip(a, b))
+
+    def _cos(a, b):
+        return _dot(a, b) / math.sqrt(_dot(a, a) * _dot(b, b))
+
+    probed = [c for c, _ in sorted(cents, key=lambda cv: (-_cos(qvec, cv[1]), cv[0]))[:nprobe]]
+    q = assigned.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
+    return (
+        assigned.filter(F.col("ivf_cell").isin(probed))
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.col("ivf_cell"),
+            cosine(F.col(vec_col), F.col("qvec")).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

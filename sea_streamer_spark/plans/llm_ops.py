@@ -292,3 +292,13 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas (deterministic stub codec; see operators/multimodal.py)."""
     t = load_tables(spark, sf_dir, "documents")
     return M.decode_media(M.attach_binary_payload(t.documents))
+
+
+@query("similarity_ann_ivf", oracle=None, tags=("llm", "similarity", "approx"))
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (deterministic coarse quantizer, nprobe=4 of 16
+    cells): the partition-pruning ANN scale path alongside the LSH variant.
+    Approximate by construction → rows-only check; recall vs brute force is
+    asserted in tests."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return S.ann_ivf_topk(t.embeddings, query_id=0, k=10)

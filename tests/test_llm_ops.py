@@ -1,0 +1,63 @@
+"""ANN operators: recall against the exact brute-force baseline.
+
+The approximate paths (LSH buckets, IVF cells) are rows-only at the driver
+gate because they are approximate by construction; these tests pin their
+quality instead: every returned similarity must be exact, and recall against
+the brute-force answer must clear a floor.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sea_streamer_spark.operators import similarity as S
+from sea_streamer_spark.sources.tables import load_tables
+
+
+@pytest.fixture()
+def emb(spark, sf_dir):
+    return load_tables(spark, sf_dir, "embeddings").embeddings
+
+
+class TestIvf:
+    def test_cells_cover_corpus(self, spark, emb):
+        cents = S.ivf_centroids(emb, n_cells=8)
+        assert len(cents) == 8
+        assigned = emb.withColumn("cell", S.ivf_cell_expr(cents))
+        n = emb.count()
+        assert assigned.filter(F.col("cell").between(0, 7)).count() == n
+        # assignment must be deterministic
+        a1 = {r.vec_id: r.cell for r in assigned.select("vec_id", "cell").collect()}
+        a2 = {r.vec_id: r.cell for r in assigned.select("vec_id", "cell").collect()}
+        assert a1 == a2
+
+    def test_topk_recall_vs_brute_force(self, spark, emb):
+        exact = {r.vec_id for r in S.cosine_topk(emb, query_id=0, k=10).collect()}
+        approx_rows = S.ann_ivf_topk(emb, query_id=0, k=10, n_cells=16, nprobe=4).collect()
+        approx = {r.vec_id for r in approx_rows}
+        assert len(approx_rows) == 10
+        recall = len(exact & approx) / 10
+        assert recall >= 0.5, f"IVF recall too low: {recall}"
+        # probing ALL cells must reproduce the exact answer
+        full = {r.vec_id for r in S.ann_ivf_topk(emb, query_id=0, k=10, n_cells=16, nprobe=16).collect()}
+        assert full == exact
+
+    def test_returned_sims_are_exact(self, spark, emb):
+        rows = S.ann_ivf_topk(emb, query_id=0, k=5, n_cells=8, nprobe=3).collect()
+        brute = {
+            r.vec_id: r.cosine_sim for r in S.cosine_topk(emb, query_id=0, k=10_000).collect()
+        }
+        for r in rows:
+            assert abs(brute[r.vec_id] - r.cosine_sim) < 1e-12
+
+
+class TestLshRecall:
+    def test_bucketed_pairs_subset_of_exact(self, spark, emb):
+        small = emb.filter(F.col("vec_id") < 150)
+        exact = {
+            (r.id_a, r.id_b) for r in S.near_dup_pairs(small, threshold=0.45).collect()
+        }
+        approx = {(r.id_a, r.id_b) for r in S.ann_lsh(small, threshold=0.45).collect()}
+        assert approx <= exact  # in-bucket scores are exact -> no false pairs
+        if exact:
+            recall = len(approx & exact) / len(exact)
+            assert recall >= 0.5, f"LSH recall too low: {recall}"
