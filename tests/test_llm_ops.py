@@ -61,3 +61,30 @@ class TestLshRecall:
         if exact:
             recall = len(approx & exact) / len(exact)
             assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+class TestSketchAccuracy:
+    """agg_approx_sketches: sketch answers must track the exact ones."""
+
+    def test_hll_and_tdigest_error_bounds(self, spark, sf_dir):
+        from sea_streamer_spark.plans.queries import QUERIES
+
+        approx = {
+            r.o_orderpriority: r
+            for r in QUERIES["agg_approx_sketches"].fn(spark, sf_dir).collect()
+        }
+        t = load_tables(spark, sf_dir, "orders")
+        exact = {
+            r.o_orderpriority: r
+            for r in t.orders.groupBy("o_orderpriority")
+            .agg(
+                F.countDistinct("o_custkey").alias("n_cust"),
+                F.expr("percentile(o_totalprice, 0.5)").alias("median"),
+            )
+            .collect()
+        }
+        assert set(approx) == set(exact)
+        for k, e in exact.items():
+            a = approx[k]
+            assert abs(a.approx_custs - e.n_cust) / max(e.n_cust, 1) < 0.05
+            assert abs(a.approx_median - e.median) / max(abs(e.median), 1) < 0.05
