@@ -300,3 +300,78 @@ class TestStatefulStreamJoin:
         q.awaitTermination()
         got = spark.sql("SELECT * FROM fuse_stateful_all").toPandas()
         assert len(got) == 7 and sorted(got.sequence) == list(range(7))
+
+
+class TestWatermarkStreaming:
+    """Late-data semantics: watermarked windowed aggregation (append mode only
+    emits closed windows) and dropDuplicatesWithinWatermark."""
+
+    def _stream(self, spark, src, files):
+        import pandas as pd
+
+        from sea_streamer_spark.model import MESSAGE_SCHEMA
+
+        for chunk in files:
+            pdf = pd.DataFrame(
+                chunk, columns=["stream_key", "shard_id", "sequence", "timestamp", "payload"]
+            )
+            spark.createDataFrame(pdf, MESSAGE_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        return (
+            spark.readStream.schema(MESSAGE_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+
+    def test_append_mode_emits_only_closed_windows(self, spark, tmp_path):
+        import pandas as pd
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        mk = lambda sec, seq: ("k", 0, seq, t0 + pd.Timedelta(seconds=sec), b"")  # noqa: E731
+        # batch 1: minutes 0 and 1; batch 2: minute 10 (advances watermark far
+        # past the first windows); the minute-10 window stays open at the end.
+        files = [
+            [mk(5, 0), mk(20, 1), mk(70, 2)],
+            [mk(600, 3), mk(610, 4)],
+        ]
+        stream = self._stream(spark, str(tmp_path / "src"), files)
+        agg = (
+            stream.withWatermark("timestamp", "30 seconds")
+            .groupBy(F.window("timestamp", "1 minute").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("w_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("wm_windows")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r.w_start.minute: r.n for r in spark.sql("SELECT * FROM wm_windows").collect()}
+        assert got == {0: 2, 1: 1}  # minute-10 window not closed -> not emitted
+
+    def test_drop_duplicates_within_watermark(self, spark, tmp_path):
+        import pandas as pd
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        mk = lambda sec, seq: ("k", 0, seq, t0 + pd.Timedelta(seconds=sec), b"")  # noqa: E731
+        # seq 1 appears in batches 1 and 2 (within the watermark): deduped.
+        files = [
+            [mk(0, 0), mk(1, 1)],
+            [mk(2, 1), mk(3, 2)],
+        ]
+        stream = self._stream(spark, str(tmp_path / "src2"), files)
+        dd = stream.withWatermark("timestamp", "1 hour").dropDuplicatesWithinWatermark(
+            ["stream_key", "sequence"]
+        )
+        q = (
+            dd.writeStream.format("memory")
+            .queryName("wm_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        seqs = sorted(r.sequence for r in spark.sql("SELECT * FROM wm_dedup").collect())
+        assert seqs == [0, 1, 2]
