@@ -68,13 +68,18 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle
     (optionally restricted to a candidate-pair DataFrame [doc_a, doc_b]).
 
+    ``shingle_df`` lets callers share one cached (id, shingle) relation with
+    the signature build (minhash_lsh_dedup does) instead of exploding the
+    corpus twice.
+
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
-    ds = shingle_sets(df, text_col, id_col, k).cache()
+    ds = shingle_df if shingle_df is not None else shingle_sets(df, text_col, id_col, k).cache()
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = ds.select(F.col(id_col).alias("doc_a"), "sh")
     b = ds.select(F.col(id_col).alias("doc_b"), "sh")
@@ -115,7 +120,11 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature (array<long> of length N_MINHASH).
 
@@ -126,9 +135,8 @@ def minhash_signatures(
     shingle+hash expression N times because Catalyst does not CSE expensive
     expressions across aliases; measured ~30x slower.)
     """
-    hashed = shingle_sets(df, text_col, id_col, k).select(
-        id_col, char_fold_hash(F.col("sh")).alias("h")
-    )
+    ds = shingle_df if shingle_df is not None else shingle_sets(df, text_col, id_col, k)
+    hashed = ds.select(id_col, char_fold_hash(F.col("sh")).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MOD).alias(f"mh_{j}")
         for j, (a, b) in enumerate(MINHASH_AB)
@@ -180,9 +188,13 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Scale-path near-dup detection: MinHash signatures → banded LSH
-    candidates → exact-Jaccard verification of candidates only."""
-    cands = lsh_candidate_pairs(minhash_signatures(df, text_col, id_col, k), id_col).cache()
-    return jaccard_pairs(df, text_col, id_col, k, threshold, candidates=cands)
+    candidates → exact-Jaccard verification of candidates only. The exploded
+    (id, shingle) relation is cached once and shared by the signature build
+    and the verification join."""
+    ds = shingle_sets(df, text_col, id_col, k).cache()
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_df=ds)
+    cands = lsh_candidate_pairs(sigs, id_col).cache()
+    return jaccard_pairs(df, text_col, id_col, k, threshold, candidates=cands, shingle_df=ds)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
