@@ -185,12 +185,82 @@ def decode_header(data: bytes) -> SsHeader:
     return SsHeader(name, created, beacon_interval)
 
 
+def _beacon_items_at(data: bytes, interval: int, k: int) -> list[dict]:
+    """Decode only the beacon block at offset k*interval."""
+    cur = _Cursor(data, interval, offset=k * interval)
+    return cur._read_beacon()
+
+
+def _skip_past_beacon(data: bytes, interval: int, k: int) -> int:
+    """Byte offset of the first *complete* message after beacon k: decode the
+    beacon, then consume its ``remaining`` in-flight bytes (beacon-aware, so
+    messages longer than an interval skip the interleaved beacons too)."""
+    cur = _Cursor(data, interval, offset=k * interval)
+    cur._raw(1)
+    remaining = int.from_bytes(cur._raw(4), "big")
+    num = cur._raw(1)[0]
+    for _ in range(num):
+        key_len = cur._raw(1)[0]
+        cur._raw(key_len + 8 + 8 + 8 + 2)
+    cur._raw(1)
+    if remaining:
+        cur.read(remaining)
+    return cur.offset
+
+
+def seek_offset(data: bytes, timestamp_ms: int | None = None, sequence: int | None = None) -> int:
+    """Surveyor seek (file/src/surveyor.rs:16-122 re-expressed): binary-search
+    the beacon index for the last beacon whose markers are all at-or-before
+    the target, and return the first message boundary after it. The caller
+    still applies the exact predicate (ts strictly greater / seq >=,
+    messages.rs:262-279) — as in the reference, the beacon jump is the scan
+    *pruning*, the linear tail finds the exact boundary.
+
+    A beacon is only trusted when its marker list is untruncated (count below
+    the writer's marker capacity for this interval — then it provably covers
+    every live (stream, shard)); once streams exceed capacity the writer
+    rotates markers and seek degrades to conservative = no skip."""
+    header = decode_header(data)
+    interval = header.beacon_interval
+    n = len(data) // interval
+    capacity = min(255, max(0, (interval - 7)) // SsWriter.MARKER_MAX_SIZE) // 2
+
+    def skippable(k: int) -> bool:
+        items = _beacon_items_at(data, interval, k)
+        if not items or len(items) >= capacity:
+            return False
+        if timestamp_ms is not None and max(i["timestamp_ms"] for i in items) > timestamp_ms:
+            return False
+        if sequence is not None and max(i["sequence"] for i in items) >= sequence:
+            return False
+        return True
+
+    lo, best = 1, 0
+    hi = n
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if skippable(mid):
+            best, lo = mid, mid + 1
+        else:
+            hi = mid - 1
+    if best == 0:
+        return HEADER_SIZE
+    return _skip_past_beacon(data, interval, best)
+
+
 def iter_messages(
-    data: bytes, verify_crc: bool = True, stop_at_eos: bool = True
+    data: bytes,
+    verify_crc: bool = True,
+    stop_at_eos: bool = True,
+    start_offset: int | None = None,
 ):
-    """Yield SsMessage from raw `.ss` bytes (beacon-aware, CRC-verified)."""
+    """Yield SsMessage from raw `.ss` bytes (beacon-aware, CRC-verified).
+    ``start_offset`` (from :func:`seek_offset`) begins mid-file at a message
+    boundary."""
     header = decode_header(data)
     cur = _Cursor(data, header.beacon_interval)
+    if start_offset is not None:
+        cur.offset = start_offset
     while True:
         cur._maybe_beacon()
         if cur.eof():
@@ -297,12 +367,22 @@ class SsWriter:
 # ------------------------------------------------------------- Spark surface
 
 
-def read_ss(spark: SparkSession, path: str) -> DataFrame:
+def read_ss(
+    spark: SparkSession,
+    path: str,
+    since_timestamp_ms: int | None = None,
+    since_sequence: int | None = None,
+) -> DataFrame:
     """Read `.ss` file(s) into the canonical envelope DataFrame.
 
     ``binaryFile`` source + Arrow-batched parse; one task per file (files are
     sequential containers — cross-file parallelism is the scale axis; for a
     single huge file, split at beacon boundaries in a follow-up).
+
+    ``since_timestamp_ms`` / ``since_sequence`` apply the Surveyor beacon-skip
+    (T1/T2, S11) inside each file's parser before the exact predicate — the
+    `.ss` analog of parquet row-group pruning: ts strictly greater, seq
+    inclusive (messages.rs:262-279).
     """
     from pyspark.sql import functions as F
 
@@ -314,7 +394,17 @@ def read_ss(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
-                for m in iter_messages(bytes(content)):
+                data = bytes(content)
+                start = None
+                if since_timestamp_ms is not None or since_sequence is not None:
+                    start = seek_offset(
+                        data, timestamp_ms=since_timestamp_ms, sequence=since_sequence
+                    )
+                for m in iter_messages(data, start_offset=start):
+                    if since_timestamp_ms is not None and m.timestamp_ms <= since_timestamp_ms:
+                        continue
+                    if since_sequence is not None and m.sequence < since_sequence:
+                        continue
                     rows.append(
                         (m.stream_key, m.shard_id, m.sequence, m.timestamp_ms, m.payload)
                     )

@@ -105,3 +105,85 @@ class TestSparkSurface:
         orig = {(r.stream_key, r.sequence) for r in env.collect()}
         got = {(r.stream_key, r.sequence) for r in back.collect()}
         assert orig == got
+
+
+class TestBeaconSeek:
+    """Surveyor analog: beacon-index binary search prunes the scan
+    (file/src/surveyor.rs:16-122; exactness rules messages.rs:262-279)."""
+
+    def _build(self, n=400, interval=2048):
+        w = SsWriter("seek.ss", beacon_interval=interval)
+        for i in range(n):
+            w.write(
+                SsMessage(
+                    stream_key="event",
+                    shard_id=i % 2,
+                    sequence=i,
+                    timestamp_ms=1_700_000_000_000 + 100 * i,
+                    payload=f"payload-{i:05d}".encode() * 3,
+                )
+            )
+        return w.end(eos=True)
+
+    def test_seek_by_timestamp_prunes_and_is_exact(self):
+        from sea_streamer_spark.sources.ss import seek_offset
+
+        data = self._build()
+        target = 1_700_000_000_000 + 100 * 250  # mid-file
+        off = seek_offset(data, timestamp_ms=target)
+        assert off > 128  # actually skipped past the header region
+        got = [m.sequence for m in iter_messages(data, start_offset=off)
+               if m.timestamp_ms > target]
+        full = [m.sequence for m in iter_messages(data) if m.timestamp_ms > target]
+        assert got == full == list(range(251, 400))
+
+    def test_seek_by_sequence_inclusive(self):
+        from sea_streamer_spark.sources.ss import seek_offset
+
+        data = self._build()
+        off = seek_offset(data, sequence=300)
+        got = [m.sequence for m in iter_messages(data, start_offset=off) if m.sequence >= 300]
+        assert got == list(range(300, 400))
+
+    def test_seek_before_everything_is_full_scan(self):
+        from sea_streamer_spark.sources.ss import seek_offset
+
+        data = self._build(n=50)
+        assert seek_offset(data, timestamp_ms=0) == 128
+        assert len(list(iter_messages(data, start_offset=128))) == 50
+
+    def test_seek_past_everything_yields_nothing(self):
+        from sea_streamer_spark.sources.ss import seek_offset
+
+        data = self._build(n=50)
+        off = seek_offset(data, timestamp_ms=2_000_000_000_000)
+        tail = [m for m in iter_messages(data, start_offset=off) if not m.is_eos]
+        # at most the messages after the final beacon remain to scan
+        assert len(tail) <= 50
+        assert [m for m in tail if m.timestamp_ms > 2_000_000_000_000] == []
+
+    def test_seek_skips_most_of_large_file(self):
+        from sea_streamer_spark.sources.ss import seek_offset
+
+        data = self._build(n=2000, interval=2048)
+        target = 1_700_000_000_000 + 100 * 1900
+        off = seek_offset(data, timestamp_ms=target)
+        assert off / len(data) > 0.9  # skipped >90% of the bytes
+
+
+class TestReadSsSeek:
+    def test_distributed_read_with_seek(self, spark, tmp_path):
+        from sea_streamer_spark.sources.ss import read_ss
+
+        w = SsWriter("d.ss", beacon_interval=2048)
+        for i in range(300):
+            w.write(SsMessage("event", 0, i, 1_700_000_000_000 + 1000 * i, b"x" * 40))
+        data = w.end(eos=True)
+        p = tmp_path / "d.ss"
+        p.write_bytes(data)
+        target = 1_700_000_000_000 + 1000 * 200
+        df = read_ss(spark, str(p), since_timestamp_ms=target)
+        seqs = sorted(r.sequence for r in df.collect())
+        assert seqs == list(range(201, 300))
+        df2 = read_ss(spark, str(p), since_sequence=250)
+        assert sorted(r.sequence for r in df2.collect()) == list(range(250, 300))
