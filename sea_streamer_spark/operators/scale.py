@@ -1,0 +1,73 @@
+"""Scale machinery: bucketed co-located joins and skew salting.
+
+These are the two techniques the 100 TB posture leans on when AQE alone is
+not enough:
+
+- **bucketing**: persist both sides of a recurring fact-fact join bucketed
+  (and sorted) on the join key — every subsequent join is a zero-Exchange
+  sort-merge join; the shuffle is paid once at write time, not per query.
+  (The reference's analog is sharded streams co-partitioned by key, SURVEY
+  §2.6 — a Kafka consumer joining two topics with aligned partitioners.)
+- **salting**: fan one hot key out into `salt_n` subkeys so a skewed
+  aggregation/join spreads across reducers; a second combine stage folds the
+  partials. AQE's skew-join handles the join case at runtime; explicit
+  salting is for aggregations and for engines/pinned-plan cases where AQE
+  can't rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (+sorted) managed table. Joins and
+    aggregations on ``bucket_cols`` against other tables bucketed the same
+    way then plan with NO Exchange on either side."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key (co-located)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_agg(
+    df: DataFrame,
+    group_col: str,
+    agg_col: Column,
+    agg_alias: str,
+    salt_n: int = 32,
+    combine: str = "sum",
+) -> DataFrame:
+    """Two-stage skew-safe aggregation: aggregate on (key, salt), then fold
+    the ``salt_n`` partials per key. Only decomposable aggregates (sum/count/
+    min/max) are valid; the pre-aggregation bounds any single reducer's input
+    to ~1/salt_n of the hot key."""
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_n).cast("int"))
+    partial = salted.groupBy(group_col, "_salt").agg(agg_col.alias("_partial"))
+    return partial.groupBy(group_col).agg(
+        getattr(F, combine)("_partial").alias(agg_alias)
+    )
+
+
+def plan_has_exchange(df: DataFrame) -> bool:
+    """True if the physical plan contains a shuffle Exchange (excluding
+    broadcast exchanges) — test helper for co-location assertions."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return any(
+        line.strip().lstrip("+-*: ").startswith("Exchange")
+        for line in plan.splitlines()
+    )

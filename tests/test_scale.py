@@ -1,0 +1,88 @@
+"""Scale machinery: bucketed joins must be Exchange-free; salted aggregation
+must be exact for decomposable aggregates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sea_streamer_spark.operators.scale import (
+    bucketed_join,
+    plan_has_exchange,
+    salted_agg,
+    write_bucketed,
+)
+from sea_streamer_spark.sources.tables import load_tables
+
+
+class TestBucketedJoin:
+    def test_colocated_join_has_no_shuffle(self, spark, sf_dir):
+        t = load_tables(spark, sf_dir, "orders", "lineitem")
+        write_bucketed(
+            t.lineitem.select("l_orderkey", "l_quantity"),
+            "li_bucketed", ["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"],
+        )
+        write_bucketed(
+            t.orders.select("o_orderkey", "o_totalprice"),
+            "ord_bucketed", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"],
+        )
+        joined = spark.table("li_bucketed").join(
+            spark.table("ord_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        joined.count()  # materialize so executedPlan is final (AQE)
+        assert not plan_has_exchange(joined), joined._jdf.queryExecution().executedPlan().toString()
+        # and it is still correct
+        expect = t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+        assert joined.count() == expect
+
+    def test_unbucketed_join_does_shuffle(self, spark, sf_dir):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            t = load_tables(spark, sf_dir, "orders", "lineitem")
+            joined = t.lineitem.select("l_orderkey").join(
+                t.orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            joined.count()
+            assert plan_has_exchange(joined)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+class TestSaltedAgg:
+    def test_salted_sum_equals_plain_sum(self, spark, sf_dir):
+        t = load_tables(spark, sf_dir, "lineitem")
+        qty = F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))"))
+        plain = {
+            r.l_returnflag: float(r.s)
+            for r in t.lineitem.groupBy("l_returnflag").agg(qty.alias("s")).collect()
+        }
+        salted = {
+            r.l_returnflag: float(r.s)
+            for r in salted_agg(
+                t.lineitem, "l_returnflag", qty, "s", salt_n=16, combine="sum"
+            ).collect()
+        }
+        assert salted == plain  # decimal partials -> exact regardless of split
+
+    def test_salted_count_and_max(self, spark, sf_dir):
+        t = load_tables(spark, sf_dir, "orders")
+        plain_n = t.orders.count()
+        salted_n = sum(
+            r.n
+            for r in salted_agg(
+                t.orders, "o_orderstatus", F.count(F.lit(1)), "n", combine="sum"
+            ).collect()
+        )
+        assert salted_n == plain_n
+        plain_mx = {
+            r.o_orderstatus: r.mx
+            for r in t.orders.groupBy("o_orderstatus").agg(F.max("o_totalprice").alias("mx")).collect()
+        }
+        salted_mx = {
+            r.o_orderstatus: r.mx
+            for r in salted_agg(
+                t.orders, "o_orderstatus", F.max("o_totalprice"), "mx", combine="max"
+            ).collect()
+        }
+        assert salted_mx == plain_mx
