@@ -17,6 +17,8 @@ not enough:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,6 +33,15 @@ def write_bucketed(
     """Persist ``df`` as a bucketed (+sorted) managed table. Joins and
     aggregations on ``bucket_cols`` against other tables bucketed the same
     way then plan with NO Exchange on either side."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # the warehouse dir outlives the (in-memory) catalog: clear any orphaned
+    # location from a previous session, or saveAsTable refuses the name
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, table_name.lower()), ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
