@@ -100,3 +100,38 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5, 10_000).cast("double").alias("approx_median"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "window_hypertable_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+             CAST(value AS DECIMAL(14,2)) AS v
+      FROM events
+    )
+    SELECT h, d,
+           CAST(GROUPING(h) AS INT) AS g_h, CAST(GROUPING(d) AS INT) AS g_d,
+           COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_v
+    FROM e GROUP BY GROUPING SETS ((h, d), (d), ())
+    """,
+    tags=("streaming", "window", "rollup"),
+)
+def window_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: hour->day->total
+    rollups of the event stream in ONE pass (grouping sets over date_trunc
+    buckets). Scale: a single Expand + one shuffle materializes every
+    granularity — the batch analog of cascading streaming window aggs."""
+    t = load_tables(spark, sf_dir, "events")
+    t.events.createOrReplaceTempView("events_htr")
+    return spark.sql("""
+        WITH e AS (
+          SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                 CAST(value AS DECIMAL(14,2)) AS v
+          FROM events_htr
+        )
+        SELECT h, d,
+               CAST(GROUPING(h) AS INT) AS g_h, CAST(GROUPING(d) AS INT) AS g_d,
+               COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_v
+        FROM e GROUP BY GROUPING SETS ((h, d), (d), ())
+    """)

@@ -35,6 +35,7 @@ from typing import Union
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..errors import StreamErr
 from ..model import MESSAGE_SCHEMA
 from ..session import prepare
 from ..uri import StreamUrl
@@ -113,8 +114,22 @@ class Consumer:
         )
 
     def assign(self, *shards: int) -> "Consumer":
+        """T3: pin this consumer to explicit shards (types/src/consumer.rs:77-81)."""
         return Consumer(
             self.spark, self.url, _replace(self.options, assigned_shards=shards), self._df
+        )
+
+    def unassign(self, *shards: int) -> "Consumer":
+        """T3: remove shards from the assignment; removing the last one
+        errors like the reference (types/src/consumer.rs:83-85 — a consumer
+        must stream from somewhere)."""
+        if not self.options.assigned_shards:
+            raise StreamErr("unassign without prior assign")
+        left = tuple(s for s in self.options.assigned_shards if s not in shards)
+        if not left:
+            raise StreamErr("cannot unassign the last shard")
+        return Consumer(
+            self.spark, self.url, _replace(self.options, assigned_shards=left), self._df
         )
 
     def start_to_memory(self, name: str, await_termination: bool = True):

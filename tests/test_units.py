@@ -128,3 +128,34 @@ class TestStdioParser:
         )
         p = parse_line(line)
         assert (p.stream_key, p.sequence, p.shard_id, p.payload) == ("topic.a", 7, 2, "hello")
+
+
+class TestErrors:
+    """types/src/error.rs taxonomy + unassign contract."""
+
+    def test_taxonomy_roots(self):
+        from sea_streamer_spark import errors as E
+
+        for exc in (E.TimedOut, E.NotAnchored, E.ConsumerGroupIsSet,
+                    E.StreamKeyEmpty, E.Backend):
+            assert issubclass(exc, E.StreamErr)
+            assert issubclass(exc, Exception)
+
+    def test_unassign_contract(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from sea_streamer_spark.errors import StreamErr
+        from sea_streamer_spark.model import envelope_from_events
+        from sea_streamer_spark.sources.tables import load_tables
+        from sea_streamer_spark.streaming import ConsumerOptions, create_consumer
+
+        d = str(tmp_path / "s")
+        env = envelope_from_events(load_tables(spark, "/root/testdata/sf0.001", "events").events)
+        env.limit(5).write.parquet(d)
+        c = create_consumer(spark, f"file://{d}/", ConsumerOptions())
+        with _pytest.raises(StreamErr):
+            c.unassign(0)  # never assigned
+        c2 = c.assign(0, 1)
+        assert c2.unassign(1).options.assigned_shards == (0,)
+        with _pytest.raises(StreamErr):
+            c2.unassign(0, 1)  # would leave nothing
