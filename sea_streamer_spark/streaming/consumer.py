@@ -197,29 +197,36 @@ def create_consumer(
     return Consumer(spark, url, options, df)
 
 
+def kafka_options(url: StreamUrl, options: ConsumerOptions) -> dict[str, str]:
+    """The D1-D3/T1-T2 → Kafka-source option mapping, as pure data (so the
+    semantics are testable without a broker): Resumable starts earliest (the
+    checkpoint owns progress), RealTime latest; rewind overrides; seek is
+    timestamp-exclusive (+1 ms, types/src/consumer.rs:62-67)."""
+    opts = {
+        "kafka.bootstrap.servers": ",".join(url.streamer.nodes),
+        "subscribe": ",".join(url.streams),
+        "startingOffsets": "earliest" if options.mode is ConsumerMode.Resumable else "latest",
+    }
+    if options.rewind_to is Beginning:
+        opts["startingOffsets"] = "earliest"
+    elif options.rewind_to is End:
+        opts["startingOffsets"] = "latest"
+    if options.seek_to is not None:
+        ms = int(options.seek_to.timestamp() * 1000) + 1  # T1 is exclusive
+        opts["startingTimestamp"] = str(ms)
+    if options.group:
+        opts["groupIdPrefix"] = options.group
+    if options.max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(options.max_offsets_per_trigger)
+    return opts
+
+
 def _kafka_reader(spark: SparkSession, url: StreamUrl, options: ConsumerOptions) -> DataFrame:
     """Built-in Kafka source → envelope columns (S1). The Kafka row schema
     (topic/partition/offset/timestamp/value) is isomorphic to the envelope."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", ",".join(url.streamer.nodes))
-        .option("subscribe", ",".join(url.streams))
-        .option(
-            "startingOffsets",
-            "earliest" if options.mode is ConsumerMode.Resumable else "latest",
-        )
-    )
-    if options.rewind_to is Beginning:
-        reader = reader.option("startingOffsets", "earliest")
-    elif options.rewind_to is End:
-        reader = reader.option("startingOffsets", "latest")
-    if options.seek_to is not None:
-        ms = int(options.seek_to.timestamp() * 1000) + 1  # T1 is exclusive
-        reader = reader.option("startingTimestamp", str(ms))
-    if options.group:
-        reader = reader.option("groupIdPrefix", options.group)
-    if options.max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(options.max_offsets_per_trigger))
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_options(url, options).items():
+        reader = reader.option(k, v)
     return reader.load().select(
         F.col("topic").alias("stream_key"),
         F.col("partition").cast("long").alias("shard_id"),

@@ -375,3 +375,43 @@ class TestWatermarkStreaming:
         q.awaitTermination()
         seqs = sorted(r.sequence for r in spark.sql("SELECT * FROM wm_dedup").collect())
         assert seqs == [0, 1, 2]
+
+
+class TestKafkaOptionMapping:
+    """S1/D1-D3/T1-T2 → Kafka source options, broker-free (pure mapping)."""
+
+    def _opts(self, **kw):
+        from datetime import datetime, timezone
+
+        from sea_streamer_spark.streaming.consumer import kafka_options
+        from sea_streamer_spark.uri import StreamUrl
+
+        url = StreamUrl.parse("kafka://node-a:9092,node-b:9092/clicks,errors")
+        return kafka_options(url, ConsumerOptions(**kw)), datetime, timezone
+
+    def test_realtime_vs_resumable_offsets(self):
+        o, *_ = self._opts(mode=ConsumerMode.RealTime)
+        assert o["startingOffsets"] == "latest"
+        assert o["kafka.bootstrap.servers"] == "node-a:9092,node-b:9092"
+        assert o["subscribe"] == "clicks,errors"
+        o, *_ = self._opts(mode=ConsumerMode.Resumable)
+        assert o["startingOffsets"] == "earliest"
+
+    def test_rewind_overrides_mode(self):
+        o, *_ = self._opts(mode=ConsumerMode.RealTime, rewind_to=Beginning)
+        assert o["startingOffsets"] == "earliest"
+        from sea_streamer_spark.streaming.consumer import End as _End
+
+        o, *_ = self._opts(mode=ConsumerMode.Resumable, rewind_to=_End)
+        assert o["startingOffsets"] == "latest"
+
+    def test_seek_is_timestamp_exclusive(self):
+        o, datetime, timezone = self._opts(
+            seek_to=__import__("datetime").datetime(2024, 1, 1, tzinfo=__import__("datetime").timezone.utc)
+        )
+        assert int(o["startingTimestamp"]) == 1_704_067_200_000 + 1  # +1ms = exclusive
+
+    def test_group_and_rate_limits(self):
+        o, *_ = self._opts(group="g1", max_offsets_per_trigger=5000)
+        assert o["groupIdPrefix"] == "g1"
+        assert o["maxOffsetsPerTrigger"] == "5000"
