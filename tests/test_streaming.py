@@ -415,3 +415,58 @@ class TestKafkaOptionMapping:
         o, *_ = self._opts(group="g1", max_offsets_per_trigger=5000)
         assert o["groupIdPrefix"] == "g1"
         assert o["maxOffsetsPerTrigger"] == "5000"
+
+
+class TestIdempotentSink:
+    """S21/D9: foreachBatch custom sink with replay-safe batch ledger."""
+
+    def test_replayed_batch_is_skipped(self, spark, env_batch, tmp_path):
+        from sea_streamer_spark.streaming.sink import (
+            idempotent_foreach_batch,
+            partitioned_parquet_sink,
+            receipts_for,
+        )
+
+        calls = []
+        inner = partitioned_parquet_sink(str(tmp_path / "out"))
+
+        def write_fn(batch, bid):
+            calls.append(bid)
+            inner(batch, bid)
+
+        wrapped = idempotent_foreach_batch(write_fn, str(tmp_path / "ledger"))
+
+        src = str(tmp_path / "src")
+        env_batch.limit(100).write.parquet(src)
+        from sea_streamer_spark.model import MESSAGE_SCHEMA
+
+        def run():
+            q = (
+                spark.readStream.schema(MESSAGE_SCHEMA)
+                .parquet(src)
+                .writeStream.foreachBatch(wrapped)
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run()
+        n_first = len(calls)
+        assert n_first >= 1
+        # simulate a replay: call the wrapped fn again with an already-done id
+        batch0 = spark.read.parquet(src)
+        wrapped(batch0, 0)
+        assert len(calls) == n_first  # skipped — ledger hit
+        wrapped(batch0, 999)
+        assert len(calls) == n_first + 1  # a new id still writes
+
+        # the sink output matches the source despite the replay attempt
+        import glob
+
+        written = spark.read.parquet(*glob.glob(str(tmp_path / "out" / "batch_id=*")))
+        assert written.count() >= 100
+
+        # receipts are the envelope minus payload
+        r = receipts_for(batch0)
+        assert r.columns == ["stream_key", "shard_id", "sequence", "timestamp"]
