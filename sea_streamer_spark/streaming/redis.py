@@ -86,3 +86,90 @@ def redis_reader(spark: SparkSession, url, options) -> DataFrame:
             "redis-py is installed."
         ) from e
     raise NotImplementedError("live Redis polling source lands with redis-py available")
+
+
+# ------------------------------------------------------------- producer side
+
+
+def xadd_commands(
+    rows,
+    explicit_ids: bool = True,
+) -> list[tuple[str, str, bytes]]:
+    """Build the pipelined XADD command list for one micro-batch of envelope
+    rows (each: .stream_key/.shard_id/.sequence/.timestamp/.payload).
+
+    Explicit entry ids come from the packed MessageId of (event-time ms,
+    sequence & 0xFFFF) — the producer-side receipt (D9). Explicit ids make
+    replays idempotent: XADD with an id at-or-below the stream's last id is
+    rejected by Redis, so a re-delivered micro-batch no-ops instead of
+    duplicating (the reference gets the same from broker-assigned ids +
+    at-least-once consumers; SURVEY §2.5).
+
+    Consecutive same-key commands group into one pipeline flush exactly like
+    the reference's producer batching (redis/src/producer.rs:403-410) —
+    returned in order so the caller's pipeline preserves per-key ordering.
+    """
+    cmds: list[tuple[str, str, bytes]] = []
+    for r in rows:
+        key = shard_key(r.stream_key, int(r.shard_id))
+        if explicit_ids:
+            ms = int(r.timestamp.timestamp() * 1000)
+            entry_id = format_entry_id(pack_message_id(ms, int(r.sequence) & MAX_SEQ16))
+        else:
+            entry_id = "*"
+        payload = bytes(r.payload) if r.payload is not None else b""
+        cmds.append((key, entry_id, payload))
+    return cmds
+
+
+def xtrim_commands(
+    stream_key: str,
+    shard_ids: list[int],
+    maxlen: int | None = None,
+    min_ts_ms: int | None = None,
+) -> list[tuple[str, str, str, int]]:
+    """S6 retention: one approximate XTRIM per shard key — ``MAXLEN ~ n``
+    (count-bounded) or ``MINID ~ ms-0`` (time-bounded), mirroring
+    redis/src/producer.rs:168-218."""
+    if (maxlen is None) == (min_ts_ms is None):
+        raise ValueError("exactly one of maxlen / min_ts_ms")
+    out = []
+    for sid in shard_ids:
+        key = shard_key(stream_key, sid)
+        if maxlen is not None:
+            out.append((key, "MAXLEN", "~", int(maxlen)))
+        else:
+            out.append((key, "MINID", "~", pack_message_id(min_ts_ms, 0) >> 16))
+    return out
+
+
+def redis_sink_foreach_batch(url, maxlen: int | None = None):
+    """foreachBatch writer: pipeline the batch's XADDs (explicit ids) and an
+    optional XTRIM per touched shard. Requires redis-py at call time."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        try:
+            import redis
+        except ImportError as e:
+            raise NotImplementedError(
+                "sea_redis sink requires the redis-py client (not in this "
+                "container). xadd_commands/xtrim_commands above build the "
+                "exact command stream and are unit-tested without a server."
+            ) from e
+        rows = batch.select(
+            "stream_key", "shard_id", "sequence", "timestamp", "payload"
+        ).collect()
+        node = url.streamer.nodes[0]
+        host, _, port = node.partition(":")
+        client = redis.Redis(host=host, port=int(port or 6379))
+        pipe = client.pipeline(transaction=False)
+        touched = set()
+        for key, entry_id, payload in xadd_commands(rows):
+            pipe.xadd(key, {"payload": payload}, id=entry_id)
+            touched.add(key)
+        if maxlen is not None:
+            for key in touched:
+                pipe.xtrim(key, maxlen=maxlen, approximate=True)
+        pipe.execute()
+
+    return write

@@ -470,3 +470,45 @@ class TestIdempotentSink:
         # receipts are the envelope minus payload
         r = receipts_for(batch0)
         assert r.columns == ["stream_key", "shard_id", "sequence", "timestamp"]
+
+
+class TestRedisProducerCommands:
+    """S5/S6: XADD/XTRIM command construction (server-free)."""
+
+    def test_xadd_explicit_ids_are_receipts(self, spark, env_batch):
+        from sea_streamer_spark.streaming.redis import (
+            parse_entry_id,
+            unpack_message_id,
+            xadd_commands,
+        )
+
+        rows = env_batch.orderBy("sequence").limit(10).collect()
+        cmds = xadd_commands(rows)
+        assert len(cmds) == 10
+        for r, (key, entry_id, payload) in zip(rows, cmds):
+            ms, seq = unpack_message_id(parse_entry_id(entry_id))
+            assert ms == int(r.timestamp.timestamp() * 1000)
+            assert seq == r.sequence & 0xFFFF
+            assert key.startswith(r.stream_key)
+            if r.shard_id:
+                assert key.endswith(f":{r.shard_id}")
+        # identical batch -> identical ids (idempotent replay)
+        assert cmds == xadd_commands(rows)
+
+    def test_xtrim_variants(self):
+        from sea_streamer_spark.streaming.redis import xtrim_commands
+
+        by_len = xtrim_commands("events", [0, 1, 2], maxlen=10_000)
+        assert by_len == [
+            ("events", "MAXLEN", "~", 10_000),
+            ("events:1", "MAXLEN", "~", 10_000),
+            ("events:2", "MAXLEN", "~", 10_000),
+        ]
+        by_ts = xtrim_commands("events", [0], min_ts_ms=1_700_000_000_000)
+        assert by_ts == [("events", "MINID", "~", 1_700_000_000_000)]
+        import pytest as _p
+
+        with _p.raises(ValueError):
+            xtrim_commands("events", [0])
+        with _p.raises(ValueError):
+            xtrim_commands("events", [0], maxlen=1, min_ts_ms=1)
