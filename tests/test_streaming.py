@@ -512,3 +512,49 @@ class TestRedisProducerCommands:
             xtrim_commands("events", [0])
         with _p.raises(ValueError):
             xtrim_commands("events", [0], maxlen=1, min_ts_ms=1)
+
+
+class TestSessionWindowStreaming:
+    """Streaming session windows (gap-based) with watermark, append mode."""
+
+    def test_sessionization(self, spark, tmp_path):
+        import pandas as pd
+
+        from sea_streamer_spark.model import MESSAGE_SCHEMA
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        mk = lambda sec, seq: ("k", 0, seq, t0 + pd.Timedelta(seconds=sec), b"")  # noqa: E731
+        # two activity bursts separated by > gap (5 min), then a watermark
+        # pusher event far in the future so both sessions close.
+        files = [
+            [mk(0, 0), mk(30, 1), mk(60, 2)],          # session 1: 3 events
+            [mk(1000, 3), mk(1020, 4)],                # session 2: 2 events
+            [mk(9000, 5)],                             # closes both sessions
+        ]
+        src = str(tmp_path / "src")
+        for chunk in files:
+            pdf = pd.DataFrame(chunk, columns=["stream_key", "shard_id", "sequence", "timestamp", "payload"])
+            spark.createDataFrame(pdf, MESSAGE_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(MESSAGE_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        sess = (
+            stream.withWatermark("timestamp", "1 minute")
+            .groupBy(F.session_window("timestamp", "5 minutes").alias("sw"), "stream_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("sw.start").alias("s"), F.col("sw.end").alias("e"), "n")
+        )
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = sorted(spark.sql("SELECT * FROM sessions").collect(), key=lambda r: r.s)
+        assert [r.n for r in rows] == [3, 2]
+        # session end = last event + gap
+        assert (rows[0].e - rows[0].s).total_seconds() == 60 + 300
+        assert (rows[1].e - rows[1].s).total_seconds() == 20 + 300
