@@ -29,5 +29,14 @@ from .model import (  # noqa: F401
     StreamKey,
     envelope_from_events,
 )
+from .errors import StreamErr  # noqa: F401
 from .session import get_spark, prepare  # noqa: F401
+from .streaming import (  # noqa: F401
+    Consumer,
+    ConsumerMode,
+    ConsumerOptions,
+    Producer,
+    create_consumer,
+    create_producer,
+)
 from .uri import StreamerUri, StreamUrl  # noqa: F401
