@@ -144,3 +144,75 @@ def q21_waiting_multi_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
     )
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    SELECT l_partkey, CAST(SUM({PRICE}) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING CAST(SUM({PRICE}) AS DOUBLE) > (
+      SELECT CAST(SUM({PRICE}) AS DOUBLE) / COUNT(DISTINCT l_partkey)
+      FROM lineitem)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    tags=("relational", "agg", "subquery"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: parts whose aggregate value exceeds the
+    per-part average (scale-stable threshold) — grouped HAVING against a scalar-subquery aggregate. The
+    schema has no partsupp, so value = lineitem extended price per part.
+    Scale: the global total is one broadcast row; the per-part agg is the
+    only keyed shuffle."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    price = F.expr(PRICE)
+    total = t.lineitem.agg(
+        (F.sum(price).cast("double") / F.countDistinct("l_partkey")).alias("threshold")
+    )
+    return (
+        t.lineitem.groupBy("l_partkey")
+        .agg(F.sum(price).cast("double").alias("part_value"))
+        .join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#45'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_name LIKE '%7%')
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("relational", "join", "antijoin", "distinct"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct supplier counts per (brand, type, size)
+    bracket, excluding a supplier denylist — NOT-IN rewritten as an anti join
+    (the denylist has no NULLs, so the semantics coincide). Scale: denylist
+    and part dimension both broadcast; one distinct-agg shuffle."""
+    t = load_tables(spark, sf_dir, "part", "lineitem", "supplier")
+    parts = t.part.filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    deny = t.supplier.filter(F.col("s_name").like("%7%")).select("s_suppkey")
+    return (
+        t.lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(deny), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )

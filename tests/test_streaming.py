@@ -558,3 +558,27 @@ class TestSessionWindowStreaming:
         # session end = last event + gap
         assert (rows[0].e - rows[0].s).total_seconds() == 60 + 300
         assert (rows[1].e - rows[1].s).total_seconds() == 20 + 300
+
+
+class TestResumableNoRedelivery:
+    """redis/tests/resumable.rs analog: same group (checkpoint) across a
+    restart consumes each message exactly once."""
+
+    def test_resume_consumes_only_new(self, spark, env_batch, tmp_path):
+        stream, sink, ckpt = (str(tmp_path / d) for d in ("stream", "sink", "ckpt"))
+        producer = create_producer(spark, f"file://{stream}/")
+        producer.send_batch(env_batch.limit(300))
+        consumer = create_consumer(
+            spark,
+            f"file://{stream}/",
+            ConsumerOptions(mode=ConsumerMode.Resumable, checkpoint_dir=ckpt),
+        )
+        consumer.start_to_parquet(sink)
+        assert spark.read.parquet(sink).count() == 300
+
+        producer.send_batch(env_batch.limit(500).subtract(env_batch.limit(300)))
+        consumer.start_to_parquet(sink)  # "restart" with the same group
+        out = spark.read.parquet(sink)
+        assert out.count() == 500
+        # exactly-once: no duplicate (stream_key, shard, sequence) identities
+        assert out.select("stream_key", "shard_id", "sequence").distinct().count() == 500
