@@ -302,3 +302,41 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests."""
     t = load_tables(spark, sf_dir, "embeddings")
     return S.ann_ivf_topk(t.embeddings, query_id=0, k=10)
+
+
+@query(
+    "multimodal_features",
+    oracle=None,
+    tags=("llm", "multimodal"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature extraction over binary payloads (real
+    computation — numpy inside Arrow batches); features feed the similarity
+    operators. Rows-only check (array<double> output); exactness is pinned
+    against a pure-python histogram in tests."""
+    t = load_tables(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_binary_payload(t.documents))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           UNNEST(generate_series(0, 3)) AS frame_idx,
+           CAST(CASE WHEN UNNEST(generate_series(0, 3)) < 3
+                     THEN length(text) // 4
+                     ELSE length(text) - 3 * (length(text) // 4)
+                END AS BIGINT) AS frame_len
+    FROM documents WHERE doc_id < 30
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: 4 equal-split chunks per payload, executor-side row
+    multiplication. The oracle reproduces the split arithmetic (chunk sizes);
+    frame bytes themselves are checked in tests."""
+    t = load_tables(spark, sf_dir, "documents")
+    frames = M.sample_frames(
+        M.attach_binary_payload(t.documents.filter(F.col("doc_id") < 30)), n_frames=4
+    )
+    return frames.select("doc_id", "frame_idx", "frame_len")

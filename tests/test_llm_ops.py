@@ -88,3 +88,52 @@ class TestSketchAccuracy:
             a = approx[k]
             assert abs(a.approx_custs - e.n_cust) / max(e.n_cust, 1) < 0.05
             assert abs(a.approx_median - e.median) / max(abs(e.median), 1) < 0.05
+
+
+class TestMultimodal:
+    """Arrow-batch plumbing: real byte-histogram features, frame splitting."""
+
+    def test_features_match_pure_python(self, spark, sf_dir):
+        from sea_streamer_spark.operators.multimodal import (
+            attach_binary_payload,
+            extract_features,
+        )
+
+        docs = load_tables(spark, sf_dir, "documents").documents.filter(F.col("doc_id") < 20)
+        feats = {
+            r.doc_id: r.features
+            for r in extract_features(attach_binary_payload(docs), n_bins=16).collect()
+        }
+        for r in docs.select("doc_id", "text").collect():
+            data = r.text.encode()
+            hist = [0] * 16
+            for b in data:
+                hist[b // 16] += 1
+            expect = [h / len(data) for h in hist]
+            assert feats[r.doc_id] == pytest.approx(expect, abs=1e-12)
+
+    def test_frames_reassemble_to_payload(self, spark, sf_dir):
+        from sea_streamer_spark.operators.multimodal import (
+            attach_binary_payload,
+            sample_frames,
+        )
+
+        docs = load_tables(spark, sf_dir, "documents").documents.filter(F.col("doc_id") < 10)
+        frames = sample_frames(attach_binary_payload(docs), n_frames=4).collect()
+        by_doc = {}
+        for f in sorted(frames, key=lambda r: (r.doc_id, r.frame_idx)):
+            by_doc.setdefault(f.doc_id, b"")
+            by_doc[f.doc_id] += bytes(f.frame)
+        for r in docs.select("doc_id", "text").collect():
+            assert by_doc[r.doc_id] == r.text.encode()  # lossless split
+
+    def test_resize_stub_schema(self, spark, sf_dir):
+        from sea_streamer_spark.operators.multimodal import (
+            attach_binary_payload,
+            resize_media,
+        )
+
+        docs = load_tables(spark, sf_dir, "documents").documents.limit(5)
+        out = resize_media(attach_binary_payload(docs), width=64, height=48).collect()
+        assert len(out) == 5
+        assert all(r.width == 64 and r.height == 48 for r in out)
