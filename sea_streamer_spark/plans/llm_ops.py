@@ -312,10 +312,18 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram feature extraction over binary payloads (real
     computation — numpy inside Arrow batches); features feed the similarity
-    operators. Rows-only check (array<double> output); exactness is pinned
-    against a pure-python histogram in tests."""
+    operators. Rows-only driver check; exactness is pinned against a
+    pure-python histogram in tests. The vector is serialized (rounded,
+    comma-joined) so every output column is hash/sort-friendly."""
     t = load_tables(spark, sf_dir, "documents")
-    return M.extract_features(M.attach_binary_payload(t.documents))
+    feats = M.extract_features(M.attach_binary_payload(t.documents))
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("n_bins"),
+        F.array_join(
+            F.transform("features", lambda x: F.format_number(x, 6)), ","
+        ).alias("features_csv"),
+    )
 
 
 @query(
