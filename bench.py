@@ -34,11 +34,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name].fn
-        # warm-up once (JIT/codegen/file listing), then measure
+        # warm-up once (JIT/codegen/file listing), then best of 2 measured
+        # runs (the steady-state number, robust to GC/compaction noise)
         fn(spark, SF_DIR).count()
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
     # Streaming throughput: the reference's 100k x 256 B produce/relay/consume
     # workload (benchmark/README.md:8-25) over the file backend; its 100k
     # msgs/sec anchor (README.md:266) implies ~1 s per phase.

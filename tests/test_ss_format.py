@@ -187,3 +187,19 @@ class TestReadSsSeek:
         assert seqs == list(range(201, 300))
         df2 = read_ss(spark, str(p), since_sequence=250)
         assert sorted(r.sequence for r in df2.collect()) == list(range(250, 300))
+
+
+class TestReadSsMultiFile:
+    def test_directory_of_ss_files_parallel_parse(self, spark, tmp_path):
+        from sea_streamer_spark.sources.ss import read_ss
+
+        for f in range(3):
+            w = SsWriter(f"part{f}.ss", beacon_interval=1024)
+            for i in range(50):
+                w.write(SsMessage("event", f, f * 1000 + i, 1_700_000_000_000 + i, b"x"))
+            (tmp_path / f"part{f}.ss").write_bytes(w.end(eos=True))
+        df = read_ss(spark, str(tmp_path))
+        assert df.count() == 150
+        # one task per file: distinct shard per file preserved
+        assert df.select("shard_id").distinct().count() == 3
+        assert df.rdd.getNumPartitions() >= 1
