@@ -582,3 +582,65 @@ class TestResumableNoRedelivery:
         assert out.count() == 500
         # exactly-once: no duplicate (stream_key, shard, sequence) identities
         assert out.select("stream_key", "shard_id", "sequence").distinct().count() == 500
+
+
+class TestBehavioralFixtures:
+    """FIXTURES.md §3: behavioral assertions mirrored from the reference's
+    integration suite, over the file replay backend."""
+
+    def _mk_stream(self, spark, tmp_path, n=100, gap_after=None):
+        import pandas as pd
+
+        from sea_streamer_spark.model import MESSAGE_SCHEMA
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        rows = []
+        for i in range(n):
+            ts = t0 + pd.Timedelta(milliseconds=i)
+            if gap_after is not None and i > gap_after:
+                ts += pd.Timedelta(milliseconds=1)  # the 1 ms gap after #29
+            rows.append(("s", 0, i, ts, str(i).encode()))
+        pdf = pd.DataFrame(rows, columns=["stream_key", "shard_id", "sequence", "timestamp", "payload"])
+        d = str(tmp_path / "stream")
+        spark.createDataFrame(pdf, MESSAGE_SCHEMA).write.parquet(d)
+        return d, pdf
+
+    def test_seek_midstream_ts_exclusive(self, spark, tmp_path):
+        """redis/tests/seek-rewind.rs:57-80: seek to the receipt timestamp of
+        message #29 -> consumption resumes at #30 (ts strictly greater)."""
+        d, pdf = self._mk_stream(spark, tmp_path, n=100, gap_after=29)
+        receipt_ts = pdf.iloc[29].timestamp.to_pydatetime()
+        consumer = create_consumer(spark, f"file://{d}/", ConsumerOptions()).seek(receipt_ts)
+        consumer.start_to_memory("seek_mid")
+        seqs = sorted(r.sequence for r in spark.sql("SELECT sequence FROM seek_mid").collect())
+        assert seqs == list(range(30, 100))
+
+    def test_rewind_at_seq_inclusive(self, spark, tmp_path):
+        d, _ = self._mk_stream(spark, tmp_path, n=50)
+        consumer = create_consumer(spark, f"file://{d}/", ConsumerOptions()).rewind(30)
+        consumer.start_to_memory("rw_at")
+        seqs = sorted(r.sequence for r in spark.sql("SELECT sequence FROM rw_at").collect())
+        assert seqs == list(range(30, 50))  # At(n) is inclusive
+
+    def test_load_balanced_pair_disjoint_union(self, spark, tmp_path):
+        """load-balanced.rs:80-92: two consumers in one group split the
+        stream — union of consumption == produced, intersection == empty.
+        Spark's partition ownership realizes the split as shard assignment."""
+        import pandas as pd
+
+        from sea_streamer_spark.model import MESSAGE_SCHEMA
+
+        t0 = pd.Timestamp("2024-01-01")
+        rows = [("s", i % 2, i, t0 + pd.Timedelta(seconds=i), b"") for i in range(10)]
+        pdf = pd.DataFrame(rows, columns=["stream_key", "shard_id", "sequence", "timestamp", "payload"])
+        d = str(tmp_path / "lb")
+        spark.createDataFrame(pdf, MESSAGE_SCHEMA).write.parquet(d)
+
+        c1 = create_consumer(spark, f"file://{d}/", ConsumerOptions()).assign(0)
+        c2 = create_consumer(spark, f"file://{d}/", ConsumerOptions()).assign(1)
+        c1.start_to_memory("lb_c1")
+        c2.start_to_memory("lb_c2")
+        got1 = {r.sequence for r in spark.sql("SELECT sequence FROM lb_c1").collect()}
+        got2 = {r.sequence for r in spark.sql("SELECT sequence FROM lb_c2").collect()}
+        assert got1 & got2 == set()
+        assert got1 | got2 == set(range(10))
