@@ -248,6 +248,46 @@ def seek_offset(data: bytes, timestamp_ms: int | None = None, sequence: int | No
     return _skip_past_beacon(data, interval, best)
 
 
+def iter_messages_range(
+    data,
+    interval: int,
+    start_offset: int,
+    end_byte: int,
+    verify_crc: bool = True,
+    stop_at_eos: bool = True,
+):
+    """Yield SsMessage for every message whose *start offset* lies in
+    [start_offset, end_byte) — the partition-read primitive for beacon-split
+    parallel parsing. ``data`` may be bytes or an mmap (pages load lazily, so
+    a range read touches ~its own bytes, not the file)."""
+    cur = _Cursor(data, interval)
+    cur.offset = start_offset
+    while True:
+        cur._maybe_beacon()
+        if cur.eof() or cur.offset >= end_byte:
+            return
+        try:
+            key_len = cur.read(1)[0]
+            key = cur.read(key_len).decode("utf-8")
+            shard = int.from_bytes(cur.read(8), "big")
+            seq = int.from_bytes(cur.read(8), "big")
+            ts = int.from_bytes(cur.read(8), "big")
+            size = int.from_bytes(cur.read(4), "big")
+            payload = cur.read(size)
+            crc = int.from_bytes(cur.read(2), "big")
+            cur.read(1)  # 0x0D
+        except EOFError:
+            return
+        if verify_crc:
+            computed = crc16_cdma2000(payload)
+            if crc != computed:
+                raise SsFormatError(f"checksum error: received {crc}, computed {computed}")
+        msg = SsMessage(key, shard, seq, ts, payload)
+        if msg.is_eos and stop_at_eos:
+            return
+        yield msg
+
+
 def iter_messages(
     data: bytes,
     verify_crc: bool = True,

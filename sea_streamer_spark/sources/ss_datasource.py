@@ -1,0 +1,116 @@
+"""`.ss` as a registered Spark Python DataSource: ``format("ss")`` with
+beacon-boundary partition splitting.
+
+``read_ss`` (mapInPandas) parallelizes across *files*; this DataSource
+parallelizes across *byte ranges of one file*: beacons occur at fixed
+interval multiples (format.rs:39-53), each records the in-flight remainder
+of any message spanning it, so any beacon index is a clean resume point
+(`_skip_past_beacon`) — the same property the reference's Surveyor uses for
+seeking is what makes a huge single `.ss` file splittable into independent
+tasks. A message belongs to the partition its *start offset* falls in, so
+every message is read exactly once.
+
+Each task mmaps the file and parses only its range — the OS pages in just
+the touched bytes, so IO stays proportional to the partition, not the file.
+
+Usage::
+
+    from sea_streamer_spark.sources.ss_datasource import SsDataSource
+    spark.dataSource.register(SsDataSource)
+    df = spark.read.format("ss").option("splits", 16).load("/path/to/file.ss")
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .ss import HEADER_SIZE, decode_header, iter_messages_range
+
+
+class SsPartition(InputPartition):
+    def __init__(self, path: str, interval: int, beacon_lo: int, beacon_hi: int | None):
+        self.path = path
+        self.interval = interval
+        self.beacon_lo = beacon_lo  # 0 = start of file (after header)
+        self.beacon_hi = beacon_hi  # None = to EOF
+
+
+class SsDataSourceReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ss datasource requires a path")
+        self.splits = int(options.get("splits", "8"))
+        self.verify_crc = options.get("verify_crc", "true").lower() != "false"
+
+    def _files(self):
+        if os.path.isdir(self.path):
+            return sorted(_glob.glob(os.path.join(self.path, "*.ss")))
+        return sorted(_glob.glob(self.path)) or [self.path]
+
+    def partitions(self):
+        parts: list[SsPartition] = []
+        for f in self._files():
+            size = os.path.getsize(f)
+            with open(f, "rb") as fh:
+                header = decode_header(fh.read(HEADER_SIZE))
+            interval = header.beacon_interval
+            n_beacons = max(0, size // interval)
+            # split the beacon index range into ~equal chunks
+            n_splits = min(self.splits, n_beacons + 1) or 1
+            bounds = [round(i * (n_beacons + 1) / n_splits) for i in range(n_splits + 1)]
+            for lo, hi in zip(bounds, bounds[1:]):
+                if lo == hi:
+                    continue
+                parts.append(
+                    SsPartition(f, interval, lo, hi if hi <= n_beacons else None)
+                )
+        return parts
+
+    def read(self, part: SsPartition):
+        import mmap
+        from datetime import datetime, timezone
+
+        from .ss import _skip_past_beacon  # executor-side import
+
+        with open(part.path, "rb") as fh:
+            with mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as data:
+                if part.beacon_lo == 0:
+                    start = HEADER_SIZE
+                else:
+                    start = _skip_past_beacon(data, part.interval, part.beacon_lo)
+                end = (
+                    len(data)
+                    if part.beacon_hi is None
+                    else min(len(data), part.beacon_hi * part.interval)
+                )
+                for m in iter_messages_range(
+                    data, part.interval, start, end, verify_crc=self.verify_crc
+                ):
+                    yield (
+                        m.stream_key,
+                        m.shard_id,
+                        m.sequence,
+                        datetime.fromtimestamp(m.timestamp_ms / 1000.0, tz=timezone.utc),
+                        m.payload,
+                    )
+
+
+class SsDataSource(DataSource):
+    """spark.dataSource.register(SsDataSource) → ``format("ss")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ss"
+
+    def schema(self) -> str:
+        return (
+            "stream_key string, shard_id bigint, sequence bigint, "
+            "timestamp timestamp, payload binary"
+        )
+
+    def reader(self, schema) -> SsDataSourceReader:
+        return SsDataSourceReader(self.options)

@@ -203,3 +203,45 @@ class TestReadSsMultiFile:
         # one task per file: distinct shard per file preserved
         assert df.select("shard_id").distinct().count() == 3
         assert df.rdd.getNumPartitions() >= 1
+
+
+class TestSsDataSource:
+    """format("ss"): beacon-split parallel read of a single container file."""
+
+    def _write(self, path, n=2000, interval=1024):
+        w = SsWriter("big.ss", beacon_interval=interval)
+        for i in range(n):
+            w.write(
+                SsMessage("event", i % 4, i, 1_700_000_000_000 + i, f"payload-{i}".encode())
+            )
+        path.write_bytes(w.end(eos=True))
+
+    def test_single_file_splits_cover_exactly(self, spark, tmp_path):
+        from sea_streamer_spark.sources.ss_datasource import SsDataSource
+
+        p = tmp_path / "big.ss"
+        self._write(p)
+        spark.dataSource.register(SsDataSource)
+        df = spark.read.format("ss").option("splits", 8).load(str(p))
+        assert df.rdd.getNumPartitions() > 1  # actually split
+        rows = df.collect()
+        assert len(rows) == 2000  # every message exactly once
+        assert sorted(r.sequence for r in rows) == list(range(2000))
+        # payloads survive intact through the split boundaries
+        by_seq = {r.sequence: bytes(r.payload) for r in rows}
+        assert by_seq[0] == b"payload-0" and by_seq[1999] == b"payload-1999"
+
+    def test_splits_equal_serial_parse(self, spark, tmp_path):
+        from sea_streamer_spark.sources.ss import iter_messages
+        from sea_streamer_spark.sources.ss_datasource import SsDataSource
+
+        p = tmp_path / "big2.ss"
+        self._write(p, n=555, interval=2048)
+        spark.dataSource.register(SsDataSource)
+        df = spark.read.format("ss").option("splits", 5).load(str(p))
+        parallel = {(r.stream_key, r.shard_id, r.sequence) for r in df.collect()}
+        serial = {
+            (m.stream_key, m.shard_id, m.sequence)
+            for m in iter_messages(p.read_bytes())
+        }
+        assert parallel == serial
