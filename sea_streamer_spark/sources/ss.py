@@ -501,3 +501,45 @@ def write_ss(
     with open(path, "wb") as f:
         f.write(data)
     return len(rows)
+
+
+def parse_complete(data, interval: int, start_offset: int, end_byte: int | None = None):
+    """Parse complete messages from ``start_offset``; return
+    ``(messages, resume_offset)`` where ``resume_offset`` is the byte
+    position after the last *fully written* message — the live-tail resume
+    point (a partially appended message or beacon leaves resume at its
+    start, to be retried when more bytes arrive)."""
+    end = len(data) if end_byte is None else min(end_byte, len(data))
+    cur = _Cursor(data, interval)
+    cur.offset = start_offset
+    out: list[SsMessage] = []
+    resume = cur.offset
+    while True:
+        try:
+            cur._maybe_beacon()
+        except EOFError:
+            break  # truncated beacon: retry from the boundary next poll
+        if cur.eof() or cur.offset >= end:
+            resume = min(cur.offset, end)
+            break
+        try:
+            key_len = cur.read(1)[0]
+            key = cur.read(key_len).decode("utf-8")
+            shard = int.from_bytes(cur.read(8), "big")
+            seq = int.from_bytes(cur.read(8), "big")
+            ts = int.from_bytes(cur.read(8), "big")
+            size = int.from_bytes(cur.read(4), "big")
+            payload = cur.read(size)
+            crc = int.from_bytes(cur.read(2), "big")
+            cur.read(1)
+        except EOFError:
+            break  # incomplete message: resume stays before it
+        computed = crc16_cdma2000(payload)
+        if crc != computed:
+            raise SsFormatError(f"checksum error: received {crc}, computed {computed}")
+        msg = SsMessage(key, shard, seq, ts, payload)
+        resume = cur.offset
+        if msg.is_eos:
+            break
+        out.append(msg)
+    return out, resume

@@ -25,7 +25,12 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from .ss import HEADER_SIZE, decode_header, iter_messages_range
 
@@ -114,3 +119,62 @@ class SsDataSource(DataSource):
 
     def reader(self, schema) -> SsDataSourceReader:
         return SsDataSourceReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SsSimpleStreamReader":
+        return SsSimpleStreamReader(self.options)
+
+
+# ---------------------------------------------------------------- live tail
+
+
+class SsSimpleStreamReader(SimpleDataSourceStreamReader):
+    """S10 live tail as a streaming Python DataSource (the notify-watcher
+    pump re-expressed): each micro-batch parses the complete messages
+    appended since the last byte offset; a partially-written message or
+    beacon at EOF is retried next poll (append-with-recovery,
+    messages.rs:419-515). Offsets are byte positions — exactly the
+    checkpointable progress the reference keeps per file."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ss stream requires a path")
+        self.verify_crc = options.get("verify_crc", "true").lower() != "false"
+
+    def initialOffset(self) -> dict:
+        return {"pos": HEADER_SIZE}
+
+    def _parse(self, start_pos: int, end_pos: int | None):
+        import mmap
+        from datetime import datetime, timezone
+
+        from .ss import parse_complete
+
+        with open(self.path, "rb") as fh:
+            with mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as data:
+                header = decode_header(data[:HEADER_SIZE])
+                msgs, resume = parse_complete(
+                    data, header.beacon_interval, start_pos, end_byte=end_pos
+                )
+        rows = [
+            (
+                m.stream_key,
+                m.shard_id,
+                m.sequence,
+                datetime.fromtimestamp(m.timestamp_ms / 1000.0, tz=timezone.utc),
+                m.payload,
+            )
+            for m in msgs
+        ]
+        return rows, resume
+
+    def read(self, start: dict):
+        rows, resume = self._parse(start["pos"], None)
+        return iter(rows), {"pos": resume}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows, _ = self._parse(start["pos"], end["pos"])
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass

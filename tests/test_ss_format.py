@@ -245,3 +245,56 @@ class TestSsDataSource:
             for m in iter_messages(p.read_bytes())
         }
         assert parallel == serial
+
+
+class TestSsLiveTail:
+    """S10: readStream.format('ss') — live tail with byte-offset progress."""
+
+    def _file_with(self, n, interval=1024):
+        w = SsWriter("tail.ss", beacon_interval=interval)
+        for i in range(n):
+            w.write(SsMessage("event", 0, i, 1_700_000_000_000 + i, f"m{i}".encode()))
+        return w.end(eos=False)
+
+    def test_append_only_new_messages_per_batch(self, spark, tmp_path):
+        from sea_streamer_spark.sources.ss_datasource import SsDataSource
+
+        p = tmp_path / "tail.ss"
+        data30 = self._file_with(30)
+        data60 = self._file_with(60)
+        assert data60[: len(data30)] == data30  # deterministic append prefix
+        p.write_bytes(data30)
+
+        spark.dataSource.register(SsDataSource)
+
+        out = str(tmp_path / "out")
+
+        def drain():
+            q = (
+                spark.readStream.format("ss")
+                .load(str(p))
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sorted(r.sequence for r in spark.read.parquet(out).collect())
+
+        assert drain() == list(range(30))
+        p.write_bytes(data60)  # "append" 30 more
+        assert drain() == list(range(60))  # exactly the new 30 added
+
+    def test_truncated_tail_is_retried(self, spark, tmp_path):
+        from sea_streamer_spark.sources.ss import decode_header, parse_complete
+
+        data = self._file_with(10)
+        cut = data[: len(data) - 5]  # last message incomplete
+        header = decode_header(cut)
+        msgs, resume = parse_complete(cut, header.beacon_interval, 128)
+        assert len(msgs) == 9
+        # completing the file resumes exactly at the partial message
+        msgs2, resume2 = parse_complete(data, header.beacon_interval, resume)
+        assert [m.sequence for m in msgs2] == [9]
+        assert resume2 == len(data)
