@@ -644,3 +644,45 @@ class TestBehavioralFixtures:
         got2 = {r.sequence for r in spark.sql("SELECT sequence FROM lb_c2").collect()}
         assert got1 & got2 == set()
         assert got1 | got2 == set(range(10))
+
+
+class TestIggyOptionMapping:
+    """S15 scaffold: Iggy option surface -> consumer facade semantics."""
+
+    def test_polling_strategies(self):
+        from sea_streamer_spark.streaming.consumer import Beginning as B
+        from sea_streamer_spark.streaming.consumer import End as E
+        from sea_streamer_spark.streaming.iggy import (
+            IggyConsumerOptions,
+            IggyPollingStrategy,
+            consumer_options_for,
+        )
+
+        o = consumer_options_for(IggyConsumerOptions(polling=IggyPollingStrategy.Next), "/tmp/ck")
+        assert o.mode is ConsumerMode.Resumable and o.checkpoint_dir == "/tmp/ck"
+        assert consumer_options_for(
+            IggyConsumerOptions(polling=IggyPollingStrategy.First)
+        ).rewind_to is B
+        assert consumer_options_for(
+            IggyConsumerOptions(polling=IggyPollingStrategy.Last)
+        ).rewind_to is E
+        assert consumer_options_for(
+            IggyConsumerOptions(polling=IggyPollingStrategy.Offset, polling_arg=42)
+        ).rewind_to == 42
+        ts = consumer_options_for(
+            IggyConsumerOptions(polling=IggyPollingStrategy.Timestamp, polling_arg=1_700_000_000_000_000)
+        ).seek_to
+        assert int(ts.timestamp() * 1e6) == 1_700_000_000_000_000
+
+    def test_partitioning_expressions(self, spark, env_batch):
+        from sea_streamer_spark.streaming.iggy import IggyPartitioning, apply_partitioning
+
+        df = env_batch.limit(50).drop("shard_id")
+        pinned = apply_partitioning(df, IggyPartitioning.PartitionId, 4, arg=2)
+        assert {r.shard_id for r in pinned.select("shard_id").distinct().collect()} == {2}
+        keyed = apply_partitioning(df, IggyPartitioning.MessageKey, 4, arg="stream_key")
+        shards = {r.shard_id for r in keyed.select("shard_id").distinct().collect()}
+        assert shards <= {0, 1, 2, 3} and len(shards) >= 1
+        # same key -> same shard (deterministic)
+        one_key = keyed.filter(F.col("stream_key") == "click").select("shard_id").distinct()
+        assert one_key.count() == 1
