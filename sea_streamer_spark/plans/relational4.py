@@ -135,3 +135,38 @@ def window_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_v
         FROM e GROUP BY GROUPING SETS ((h, d), (d), ())
     """)
+
+
+@query(
+    "set_except_all_multiset",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("relational", "setop"),
+)
+def set_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (duplicates preserved by count),
+    unlike the distinct EXCEPT in pack 1."""
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    return t.customer.select(F.col("c_nationkey").alias("nationkey")).exceptAll(
+        t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "set_intersect_all_multiset",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("relational", "setop"),
+)
+def set_intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (min of per-side counts)."""
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    return t.customer.select(F.col("c_nationkey").alias("nationkey")).intersectAll(
+        t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
