@@ -48,6 +48,8 @@ def main() -> None:
     # msgs/sec anchor (README.md:266) implies ~1 s per phase.
     import tempfile
 
+    with tempfile.TemporaryDirectory(prefix="ss_relay_warm_") as td:
+        benchmark_relay(spark, td, n=2000)  # warm the streaming machinery
     with tempfile.TemporaryDirectory(prefix="ss_relay_bench_") as td:
         for phase, sec in benchmark_relay(spark, td).items():
             timings[phase] = round(sec, 4)
