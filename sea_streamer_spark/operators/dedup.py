@@ -84,25 +84,26 @@ def jaccard_pairs(
     a = ds.select(F.col(id_col).alias("doc_a"), "sh")
     b = ds.select(F.col(id_col).alias("doc_b"), "sh")
     if candidates is not None:
-        # Prune BEFORE the pairwise intersection: only candidate docs'
-        # shingle sets enter the equi-join (candidate count ≪ all-pairs —
-        # the whole point of LSH), then keep candidate pairs only.
-        cand_ids = (
-            candidates.select(F.col("doc_a").alias(id_col))
-            .union(candidates.select(F.col("doc_b").alias(id_col)))
-            .distinct()
+        # Direct candidate-pair intersection: expand each candidate pair by
+        # doc_a's shingles, then equi-join doc_b's on (doc_b, shingle). The
+        # work is |candidates| x shingles-per-doc — linear in the LSH output,
+        # never the all-pairs bucket blow-up. No broadcast hint: AQE promotes
+        # the joins when the candidate side is small at runtime (it almost
+        # always is — that is the point of the banding), and degrades to a
+        # shuffled hash join instead of an OOM when it is not.
+        inter = (
+            candidates.join(a, "doc_a")
+            .join(b, ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        ds_c = ds.join(F.broadcast(cand_ids), id_col, "left_semi")
-        a = ds_c.select(F.col(id_col).alias("doc_a"), "sh")
-        b = ds_c.select(F.col(id_col).alias("doc_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(F.broadcast(candidates), ["doc_a", "doc_b"], "left_semi")
+    else:
+        inter = (
+            a.join(b, "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     return (
