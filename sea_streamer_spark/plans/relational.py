@@ -252,23 +252,26 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join", "semijoin", "topk", "bench"),
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18-style: aggregate-driven semi-join (large orders)."""
+    """TPC-H Q18-style: aggregate-driven semi-join (large orders).
+
+    The per-orderkey quantity sum that drives the HAVING filter IS the
+    queried sum, so it is computed once and joined through — one lineitem
+    scan and one shuffle instead of the literal scan-twice formulation the
+    SQL implies (the final re-aggregation the oracle writes is a no-op over
+    the already-unique orderkey group)."""
     t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
     big = (
         t.lineitem.groupBy("l_orderkey")
         .agg(F.sum(F.expr(QTY)).alias("sq"))
         .filter(F.col("sq") > 150)
-        .select("l_orderkey")
     )
     return (
-        t.lineitem.join(big.withColumnRenamed("l_orderkey", "bk"), F.col("l_orderkey") == F.col("bk"), "left_semi")
-        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        big.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(t.customer.select("c_custkey", "c_name")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.expr(QTY)).cast("double").alias("sum_qty"))
+        .withColumn("sum_qty", F.col("sq").cast("double"))
         .select(
             "c_name",
             "c_custkey",
