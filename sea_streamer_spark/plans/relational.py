@@ -129,7 +129,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style six-way join; all dims broadcast, facts shuffle once."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
     nr = (
         t.nation.join(
             F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
