@@ -36,6 +36,8 @@ from .streaming import (  # noqa: F401
     ConsumerMode,
     ConsumerOptions,
     Producer,
+    Streamer,
+    connect,
     create_consumer,
     create_producer,
 )

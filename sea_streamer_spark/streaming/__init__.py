@@ -1,5 +1,13 @@
 """Streaming facade: the sea-streamer consumer/producer surface on
 Structured Streaming."""
 
-from .consumer import Consumer, ConsumerMode, ConsumerOptions, SeqPos, create_consumer  # noqa: F401
+from .consumer import (  # noqa: F401
+    Consumer,
+    ConsumerMode,
+    ConsumerOptions,
+    SeqPos,
+    Streamer,
+    connect,
+    create_consumer,
+)
 from .producer import Producer, create_producer  # noqa: F401

@@ -246,3 +246,42 @@ def _file_reader(spark: SparkSession, url: StreamUrl) -> DataFrame:
         .option("maxFilesPerTrigger", "8")
         .parquet(path)
     )
+
+
+@dataclass
+class Streamer:
+    """The connected streamer handle (types/src/streamer.rs:41-86 —
+    ``SeaStreamer::connect(uri)`` → ``create_consumer``/``create_producer``).
+    Spark needs no connection state: the handle just binds (spark, url) so
+    the factory surface matches the reference 1:1."""
+
+    spark: SparkSession
+    url: StreamUrl
+
+    def _with_streams(self, streams: list[str] | None) -> StreamUrl:
+        if streams is None:
+            return self.url
+        from ..model import StreamKey
+
+        return StreamUrl(self.url.streamer, tuple(StreamKey(s) for s in streams))
+
+    def create_consumer(
+        self, streams: list[str] | None = None, options: ConsumerOptions | None = None
+    ) -> "Consumer":
+        return create_consumer(self.spark, self._with_streams(streams), options)
+
+    def create_producer(self, stream: str | None = None):
+        from .producer import create_producer as _cp
+
+        p = _cp(self.spark, self.url)
+        return p.anchor(stream) if stream else p
+
+    def disconnect(self) -> None:
+        """No-op: Spark sources connect per started query (documented
+        mapping of streamer.rs:55-58)."""
+
+
+def connect(spark: SparkSession, uri: str | StreamUrl) -> Streamer:
+    """``SeaStreamer::connect`` analog: parse the URI, return a Streamer."""
+    url = StreamUrl.parse(uri) if isinstance(uri, str) else uri
+    return Streamer(spark, url)

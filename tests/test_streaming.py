@@ -686,3 +686,29 @@ class TestIggyOptionMapping:
         # same key -> same shard (deterministic)
         one_key = keyed.filter(F.col("stream_key") == "click").select("shard_id").distinct()
         assert one_key.count() == 1
+
+
+class TestConnectFacade:
+    """S16: SeaStreamer::connect -> Streamer -> create_consumer/producer."""
+
+    def test_connect_roundtrip(self, spark, env_batch, tmp_path):
+        from sea_streamer_spark.streaming.consumer import connect
+
+        d = str(tmp_path / "s")
+        streamer = connect(spark, f"file://{d}/")
+        streamer.create_producer().send_batch(env_batch.limit(40))
+        consumer = streamer.create_consumer()
+        consumer.start_to_memory("connect_q")
+        assert spark.sql("SELECT COUNT(*) n FROM connect_q").collect()[0].n == 40
+        streamer.disconnect()  # no-op by contract
+
+    def test_connect_with_stream_selection(self, spark, env_batch, tmp_path):
+        from sea_streamer_spark.streaming.consumer import connect
+
+        d = str(tmp_path / "s2")
+        streamer = connect(spark, f"file://{d}/")
+        streamer.create_producer().send_batch(env_batch.limit(200))
+        c = streamer.create_consumer(streams=["click"])
+        c.start_to_memory("connect_click")
+        keys = {r.stream_key for r in spark.sql("SELECT stream_key FROM connect_click").collect()}
+        assert keys == {"click"}
