@@ -18,6 +18,7 @@ Determinism rules used throughout the registry:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -44,8 +45,20 @@ def query(
     """Register a named query; ``oracle=None`` → rows-only driver check."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        # Every registered query must run on an externally-created session
+        # (the correctness driver's): prepare() applies runtime confs and
+        # ships the package zip to executor workers via addPyFile — without
+        # it, any pickled-by-reference UDF fails to unpickle when the
+        # driver's cwd is not the repo root.
+        @functools.wraps(fn)
+        def prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from ..session import prepare
+
+            prepare(spark)
+            return fn(spark, sf_dir)
+
         QUERIES[name] = QueryDef(
-            name=name, fn=fn, oracle=oracle, description=(fn.__doc__ or "").strip(), tags=tags
+            name=name, fn=prepared, oracle=oracle, description=(fn.__doc__ or "").strip(), tags=tags
         )
         return fn
 

@@ -33,6 +33,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # cannot map to a Spark type; read as nanos-since-epoch longs and convert
     # explicitly (sources/tables.py) — same truncation DuckDB applies.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Python DataSource filter pushdown (the .ss reader prunes partitions
+    # from pushed sequence/timestamp bounds via its beacon index).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -221,7 +221,20 @@ def seek_offset(data: bytes, timestamp_ms: int | None = None, sequence: int | No
     every live (stream, shard)); once streams exceed capacity the writer
     rotates markers and seek degrades to conservative = no skip."""
     header = decode_header(data)
-    interval = header.beacon_interval
+    best = best_skippable_beacon(
+        data, header.beacon_interval, timestamp_ms=timestamp_ms, sequence=sequence
+    )
+    if best == 0:
+        return HEADER_SIZE
+    return _skip_past_beacon(data, header.beacon_interval, best)
+
+
+def best_skippable_beacon(
+    data, interval: int, timestamp_ms: int | None = None, sequence: int | None = None
+) -> int:
+    """Largest beacon index k such that everything before beacon k is
+    at-or-before the target (untruncated-marker rule — see seek_offset);
+    0 if none. Shared by seek and DataSource partition pruning."""
     n = len(data) // interval
     capacity = min(255, max(0, (interval - 7)) // SsWriter.MARKER_MAX_SIZE) // 2
 
@@ -243,9 +256,7 @@ def seek_offset(data: bytes, timestamp_ms: int | None = None, sequence: int | No
             best, lo = mid, mid + 1
         else:
             hi = mid - 1
-    if best == 0:
-        return HEADER_SIZE
-    return _skip_past_beacon(data, interval, best)
+    return best
 
 
 def iter_messages_range(

@@ -50,6 +50,33 @@ class SsDataSourceReader(DataSourceReader):
             raise ValueError("ss datasource requires a path")
         self.splits = int(options.get("splits", "8"))
         self.verify_crc = options.get("verify_crc", "true").lower() != "false"
+        self._seek_ts_ms: int | None = None
+        self._seek_seq: int | None = None
+
+    def pushFilters(self, filters):
+        """Surveyor pushdown (S11 at planning time): lower bounds on
+        ``sequence``/``timestamp`` prune whole partitions via the beacon
+        index. Every filter is returned as unhandled — Spark still applies
+        the exact predicate; the pushdown only shrinks the scan (the same
+        contract as parquet row-group pruning)."""
+        from pyspark.sql.datasource import GreaterThan, GreaterThanOrEqual
+
+        for f in filters:
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                col = ".".join(f.attribute)
+                if col == "sequence" and isinstance(f.value, int):
+                    tgt = f.value + 1 if isinstance(f, GreaterThan) else f.value
+                    if self._seek_seq is None or tgt > self._seek_seq:
+                        self._seek_seq = tgt
+                elif col == "timestamp":
+                    try:
+                        ms = int(f.value.timestamp() * 1000)
+                    except AttributeError:
+                        continue
+                    tgt = ms if isinstance(f, GreaterThan) else ms - 1
+                    if self._seek_ts_ms is None or tgt > self._seek_ts_ms:
+                        self._seek_ts_ms = tgt
+        return filters
 
     def _files(self):
         if os.path.isdir(self.path):
@@ -64,9 +91,22 @@ class SsDataSourceReader(DataSourceReader):
                 header = decode_header(fh.read(HEADER_SIZE))
             interval = header.beacon_interval
             n_beacons = max(0, size // interval)
-            # split the beacon index range into ~equal chunks
-            n_splits = min(self.splits, n_beacons + 1) or 1
-            bounds = [round(i * (n_beacons + 1) / n_splits) for i in range(n_splits + 1)]
+            skip_to = 0
+            if self._seek_ts_ms is not None or self._seek_seq is not None:
+                import mmap
+
+                from .ss import best_skippable_beacon
+
+                with open(f, "rb") as fh2, mmap.mmap(
+                    fh2.fileno(), 0, access=mmap.ACCESS_READ
+                ) as data:
+                    skip_to = best_skippable_beacon(
+                        data, interval, timestamp_ms=self._seek_ts_ms, sequence=self._seek_seq
+                    )
+            # split the remaining beacon index range into ~equal chunks
+            span = n_beacons + 1 - skip_to
+            n_splits = min(self.splits, span) or 1
+            bounds = [skip_to + round(i * span / n_splits) for i in range(n_splits + 1)]
             for lo, hi in zip(bounds, bounds[1:]):
                 if lo == hi:
                     continue

@@ -298,3 +298,57 @@ class TestSsLiveTail:
         msgs2, resume2 = parse_complete(data, header.beacon_interval, resume)
         assert [m.sequence for m in msgs2] == [9]
         assert resume2 == len(data)
+
+
+class TestSsDataSourcePushdown:
+    """Surveyor pushdown at planning time: sequence/timestamp lower bounds
+    prune partitions; results stay exact (Spark re-applies the predicate)."""
+
+    def _write(self, path, n=2000, interval=2048):
+        w = SsWriter("pd.ss", beacon_interval=interval)
+        for i in range(n):
+            w.write(SsMessage("event", 0, i, 1_700_000_000_000 + 1000 * i, b"x" * 24))
+        path.write_bytes(w.end(eos=True))
+
+    def test_sequence_pushdown_prunes_and_is_exact(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.sources.ss_datasource import SsDataSource
+
+        p = tmp_path / "pd.ss"
+        self._write(p)
+        spark.dataSource.register(SsDataSource)
+        base = spark.read.format("ss").option("splits", 8).load(str(p))
+        filtered = base.filter(F.col("sequence") >= 1800)
+        assert sorted(r.sequence for r in filtered.collect()) == list(range(1800, 2000))
+        # planning-level check: the pushed bound moves every partition's
+        # start past the skippable prefix of the beacon index
+        from pyspark.sql.datasource import GreaterThanOrEqual
+
+        from sea_streamer_spark.sources.ss_datasource import SsDataSourceReader
+
+        rd_full = SsDataSourceReader({"path": str(p), "splits": "8"})
+        rd_push = SsDataSourceReader({"path": str(p), "splits": "8"})
+        rd_push.pushFilters([GreaterThanOrEqual(("sequence",), 1800)])
+        lo_full = min(pt.beacon_lo for pt in rd_full.partitions())
+        lo_push = min(pt.beacon_lo for pt in rd_push.partitions())
+        assert lo_full == 0 and lo_push > 0, (lo_full, lo_push)
+
+    def test_timestamp_pushdown_exact(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.sources.ss_datasource import SsDataSource
+
+        p = tmp_path / "pd2.ss"
+        self._write(p)
+        spark.dataSource.register(SsDataSource)
+        cut = "2023-11-14"  # between ts range start and end
+        import datetime as dt
+
+        target = dt.datetime.fromtimestamp(1_700_000_000 + 1500, dt.timezone.utc)
+        got = (
+            spark.read.format("ss").load(str(p))
+            .filter(F.col("timestamp") > F.lit(target))
+            .count()
+        )
+        assert got == 2000 - 1501  # ts strictly greater
