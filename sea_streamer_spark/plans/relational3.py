@@ -521,3 +521,57 @@ def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_items") > 50)
         .orderBy("l_suppkey")
     )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_returnflag IN ('R', 'A')
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted to the driver schema (no l_shipmode /
+    l_commitdate / l_receiptdate columns): ``l_returnflag`` stands in for the
+    ship-mode IN-list and ``l_shipdate > o_orderdate + 60 days`` for the
+    late-delivery cross-table predicate. Keeps Q12's distinctive pieces —
+    fact-fact equi-join, IN filter, date arithmetic across both tables,
+    conditional (CASE) counts.
+
+    Scale: both sides are fact tables, so this is the canonical shuffled
+    join; the selective shipdate-year + returnflag filter is pushed to the
+    lineitem parquet scan before the exchange, and AQE picks merge vs
+    shuffled-hash (and splits skewed orderkeys) at runtime.
+    """
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    li = t.lineitem.filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
