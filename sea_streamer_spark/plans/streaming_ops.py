@@ -485,17 +485,68 @@ def stdio_line_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ss_file_decode", oracle=None, tags=("streaming", "ss", "file"))
+@query(
+    "ss_file_decode",
+    oracle="""
+    SELECT stream_key, CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(sequence AS BIGINT) AS sequence,
+           CAST(timestamp_ms AS BIGINT) AS timestamp_ms,
+           CAST(payload_len AS INTEGER) AS payload_len, payload_md5
+    FROM (VALUES
+        ('file', 0, 1, 1694767177912, 134, 'e829091a58f7f29dcc1a250cfb9852f3'),
+        ('breakpoint', 0, 1, 1694767177917, 159, '69ec76a43785f0671e2edf0020b459ab'),
+        ('breakpoint', 0, 2, 1694767177917, 157, 'a3e5d30327a79b44d8ca72cdcfb0e6fb'),
+        ('breakpoint', 0, 3, 1694767178487, 118, '6c8559cbb6d0a8726ebb3a90718b213e'),
+        ('event', 0, 1, 1694767178489, 44, 'ea8a998d6bd07b37a530f8cd4e231ea2'),
+        ('breakpoint', 0, 4, 1694767178493, 118, '8952eaaf92e687f493c74b94c64d19a8'),
+        ('event', 0, 2, 1694767178494, 77, '5831e04a369aa3c663a67e93317d6d6b'),
+        ('event', 0, 3, 1694767178514, 72, '80c7b5e78c253e53ba6e7be9856da141'),
+        ('event', 0, 4, 1694767178518, 77, 'adc2ff76ddbff3bb3d64045b64b56c2b'),
+        ('event', 0, 5, 1694767178520, 72, '5fba4f5c30006ef37d8d264a112f8161'),
+        ('event', 0, 6, 1694767178523, 77, '35ee652583f995248556c1166ccb274c'),
+        ('event', 0, 7, 1694767178525, 72, '88f92552b9e343535df24642a865539c'),
+        ('event', 0, 8, 1694767178527, 77, 'b51606fd0559c0e8e94fd8d495372642'),
+        ('event', 0, 9, 1694767178529, 72, '34149787087f43bd9ea7e9d8198064d4'),
+        ('event', 0, 10, 1694767178532, 77, 'b52cdef0c081d54885c7bb2cd5401743'),
+        ('event', 0, 11, 1694767178534, 72, '3ff46b58ff3d97e16feba118778c9e60'),
+        ('event', 0, 12, 1694767178536, 77, '8429454744878b9fc813098becfb26e1'),
+        ('event', 0, 13, 1694767178538, 72, '3ef5da7ab3e3b95b9df995733f51bcbf'),
+        ('event', 0, 14, 1694767178540, 77, '287a87b4408a44ac30ab3c36da4669e8'),
+        ('event', 0, 15, 1694767178543, 72, 'd934e5a28e91c243ff9daa044f01f8c2'),
+        ('event', 0, 16, 1694767178545, 78, '94a376f5f3c43f77a908d4a9f208e04d'),
+        ('event', 0, 17, 1694767178548, 73, 'af9884381b3383f3a6165cbe1528f9bc'),
+        ('event', 0, 18, 1694767178551, 78, '894ad23d2bafb416b855352e22248946'),
+        ('event', 0, 19, 1694767178553, 73, 'fadbb76f734bf812374432d773f23d15'),
+        ('event', 0, 20, 1694767178556, 78, 'b03e64cc46759ed7e8152c52b8ed0cdc'),
+        ('event', 0, 21, 1694767178559, 73, '0def358777ea101ce319fa68e9d957dd'),
+        ('event', 0, 22, 1694767178564, 53, '84138d92c00d219b767f94b256a3740a')
+    ) AS t(stream_key, shard_id, sequence, timestamp_ms, payload_len, payload_md5)
+    ORDER BY stream_key, sequence
+    """,
+    tags=("streaming", "ss", "file"),
+)
 def ss_file_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8/S18 `.ss` seekable-file decode: parse the reference's own golden
-    container (tests/data/sample-1.ss) into the envelope. Not SQL-expressible
-    → rows-only driver check; byte-level fidelity is asserted in
-    tests/test_ss_format.py against the sequences the reference's sample.rs
-    expects."""
+    container (tests/data/sample-1.ss) into the envelope, summarized as
+    (len, md5) per message so byte fidelity is value-hash checkable. The
+    oracle is the frozen golden vector (the 27 messages sample.rs expects) as
+    literal VALUES — independent of this repo's codec. Full payload bytes are
+    asserted in tests/test_ss_format.py."""
     import os
 
     from ..sources.ss import read_ss
 
     golden = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
                           "tests", "data", "sample-1.ss")
-    return read_ss(spark, golden)
+    return (
+        read_ss(spark, golden)
+        .select(
+            "stream_key",
+            "shard_id",
+            "sequence",
+            F.unix_millis("timestamp").alias("timestamp_ms"),
+            F.length("payload").alias("payload_len"),
+            F.md5("payload").alias("payload_md5"),
+        )
+        .orderBy("stream_key", "sequence")
+    )
