@@ -1,0 +1,103 @@
+"""Physical-plan quality gates for the headline queries.
+
+Correctness alone is not the bar — at the 100 TB target the *plan shape* is
+what survives a 100x scale-up. These tests pin the properties that matter:
+
+- selective predicates reach the parquet scan (``PushedFilters``), so row
+  groups are pruned before any CPU is spent;
+- dimension-side joins are broadcast (no shuffle of the fact table to
+  co-locate with a tiny dim);
+- relational hot paths run entirely JVM-side (no Python eval nodes — those
+  serialize every row through Arrow/pickle and forfeit whole-stage codegen);
+- shuffle count is the theoretical minimum for the query shape.
+
+If a refactor regresses one of these, the query still returns correct rows at
+sf0.001 — only these tests catch the 100x cliff.
+"""
+
+from __future__ import annotations
+
+from sea_streamer_spark.plans.queries import QUERIES
+
+
+def _final_plan(df) -> str:
+    # Materialize THIS plan (collect, not count — count builds a different
+    # query) so AQE's final plan (isFinalPlan=true) is what we inspect.
+    # Only the "Final Plan" section counts — the Initial Plan echo would
+    # double every node.
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==", 1)[0]
+
+
+def _shuffle_exchanges(plan: str) -> int:
+    # AQE reuse nodes and broadcast exchanges don't count as data shuffles.
+    return sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().lstrip("+-*: ").startswith("Exchange")
+        and "SinglePartition" not in line  # tiny final-agg gather
+    )
+
+
+class TestPushdown:
+    def test_q6_filters_reach_parquet_scan(self, spark, sf_dir):
+        plan = _final_plan(QUERIES["q6_forecast_revenue"].fn(spark, sf_dir))
+        assert "PushedFilters: [" in plan
+        pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        assert "l_shipdate" in pushed or "l_discount" in pushed, pushed
+
+    def test_q6_scan_prunes_columns(self, spark, sf_dir):
+        plan = _final_plan(QUERIES["q6_forecast_revenue"].fn(spark, sf_dir))
+        # ReadSchema must not contain columns the query never touches
+        read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+        assert "l_returnflag" not in read and "l_tax" not in read, read
+
+
+class TestBroadcastJoins:
+    def test_q3_broadcasts_customer(self, spark, sf_dir):
+        plan = _final_plan(QUERIES["q3_shipping_priority"].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_q5_broadcasts_dims(self, spark, sf_dir):
+        plan = _final_plan(QUERIES["q5_local_supplier_volume"].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, plan
+
+
+class TestJvmOnlyHotPath:
+    BENCH_RELATIONAL = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q18_large_orders",
+        "text_token_stats",
+        "text_fingerprint",
+        "window_tumbling_1h",
+    ]
+
+    def test_no_python_eval_nodes(self, spark, sf_dir):
+        for name in self.BENCH_RELATIONAL:
+            plan = _final_plan(QUERIES[name].fn(spark, sf_dir))
+            for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+                assert node not in plan, f"{name} has {node}"
+
+    def test_whole_stage_codegen_present(self, spark, sf_dir):
+        # codegen stages render as "*(n) Node" markers in the executed plan
+        for name in ("q1_pricing_summary", "q6_forecast_revenue"):
+            plan = _final_plan(QUERIES[name].fn(spark, sf_dir))
+            assert "*(1)" in plan, name
+
+
+class TestShuffleBudget:
+    def test_q1_single_agg_shuffle(self, spark, sf_dir):
+        """Q1: one hash-partition exchange for the groupBy; the orderBy over
+        the handful of result groups may add a range exchange, nothing else."""
+        plan = _final_plan(QUERIES["q1_pricing_summary"].fn(spark, sf_dir))
+        assert _shuffle_exchanges(plan) <= 2, plan
+
+    def test_q18_single_lineitem_scan(self, spark, sf_dir):
+        """The HAVING aggregate is reused as the queried sum — lineitem must
+        be scanned once, not twice as the literal SQL implies."""
+        plan = _final_plan(QUERIES["q18_large_orders"].fn(spark, sf_dir))
+        assert plan.count("lineitem.parquet") == 1, plan
