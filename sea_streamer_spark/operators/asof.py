@@ -1,0 +1,90 @@
+"""As-of (time-travel) join: for each left row, the latest right row whose
+event time is at-or-before (or strictly before) the left row's, per key.
+
+The reference engine has no relational join at all — this operator serves its
+*replay/correlate* use cases (consumer.seek(ts) then "what was the state
+then", types/src/consumer.rs:62-67) as a set-oriented operator, and is a
+staple of training-data pipelines (attribute an outcome to the latest
+preceding exposure).
+
+Spark-first plan: no built-in as-of join exists, but the semantics decompose
+into existing operators with exactly ONE shuffle:
+
+1. tag both inputs and ``unionByName`` them (left rows carry null right
+   payload and vice versa);
+2. one window ``partitionBy(key).orderBy(time, side)`` computes
+   ``last(right_col, ignorenulls=True)`` over the unbounded-preceding frame —
+   a running carry-forward, O(1) state per row, no group buffering;
+3. keep the left-tagged rows.
+
+At 100 TB this shuffles each side once on the key (same cost as any keyed
+join) and streams within partitions — no skew-prone build side, no UDF. A
+pathologically hot key serializes within its partition; pre-bucketing by
+(key, coarse time bucket) with per-bucket seeding is the documented fix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_TIME = "__asof_time"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+    strict: bool = False,
+    tolerance_expr: str | None = None,
+) -> DataFrame:
+    """Left as-of join: latest ``right`` row with ``right[on] <= left[on]``
+    (``<`` when ``strict``) per ``by`` key. Unmatched left rows keep nulls.
+
+    ``value_cols`` — right columns to carry (default: all but ``on``/``by``),
+    emitted as ``<col><suffix>``; the matched right time is ``<on><suffix>``.
+    ``tolerance_expr`` — SQL interval (e.g. ``"INTERVAL 1 HOUR"``): matches
+    older than ``left[on] - tolerance`` are nulled out (pandas
+    ``merge_asof(tolerance=...)`` semantics).
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, by)]
+    carried = [f"{c}{suffix}" for c in value_cols] + [f"{on}{suffix}"]
+
+    # Equal-time ordering decides inclusivity: side 0 sorts before side 1, so
+    # a right row at the exact left time is visible (<=); flip for strict (<).
+    l_tag, r_tag = (1, 0) if not strict else (0, 1)
+    l = left.withColumn(_SIDE, F.lit(l_tag)).withColumn(_TIME, F.col(on))
+    r = (
+        right.select(
+            F.col(by),
+            F.col(on).alias(_TIME),
+            F.lit(r_tag).alias(_SIDE),
+            F.col(on).alias(f"{on}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        )
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(_TIME).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}") for c in carried]
+    )
+    out = filled.filter(F.col(_SIDE) == l_tag).select(
+        *left.columns, *[F.col(f"__f_{c}").alias(c) for c in carried]
+    )
+    if tolerance_expr is not None:
+        in_tol = F.col(f"{on}{suffix}") >= F.col(on) - F.expr(tolerance_expr)
+        out = out.select(
+            *left.columns,
+            *[F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c) for c in carried],
+        )
+    return out

@@ -550,3 +550,36 @@ def ss_file_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stream_key", "sequence")
     )
+
+
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.value AS value_click, r.ts AS ts_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+    tags=("events", "asof", "join"),
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): attribute each purchase to the latest
+    at-or-before click by the same user — the set-oriented form of the
+    reference's seek(ts)-then-correlate replay (types/src/consumer.rs:62-67)
+    and the staple exposure-attribution op of training-data pipelines.
+
+    Plan: union + one window shuffle on user_id, running carry-forward —
+    no per-group buffering, no UDF; oracle is DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir, "events")
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = t.events.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return (
+        asof_join(purchases, clicks, on="ts", by="user_id", value_cols=["value"], suffix="_click")
+        .orderBy("event_id")
+    )
