@@ -583,3 +583,46 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         asof_join(purchases, clicks, on="ts", by="user_id", value_cols=["value"], suffix="_click")
         .orderBy("event_id")
     )
+
+
+@query(
+    "range_join_click_window",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts,
+           COUNT(*) AS click_cnt,
+           CAST(SUM(CAST(r.value AS DECIMAL(14,2))) AS DOUBLE) AS click_value_sum
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+    GROUP BY l.event_id, l.user_id, l.ts
+    ORDER BY l.event_id
+    """,
+    tags=("events", "range-join", "join"),
+)
+def range_join_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/range_join.py): all clicks in the hour before
+    each purchase by the same user, aggregated per purchase — the bounded
+    context-window correlation of training pipelines, generalizing the fuse
+    crate's timestamp interleaving (sea-streamer-fuse/src/lib.rs:9-151).
+
+    Plan: time-bucketed equi-join (never a nested loop) + single agg; the
+    oracle is DuckDB's native inequality join."""
+    from ..operators.range_join import range_join
+
+    t = load_tables(spark, sf_dir, "events")
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = t.events.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return (
+        range_join(purchases, clicks, on="ts", lower_seconds=3600, upper_seconds=0, by="user_id")
+        .groupBy("event_id", "user_id", "ts")
+        .agg(
+            F.count(F.lit(1)).alias("click_cnt"),
+            F.sum(F.expr("CAST(value_right AS DECIMAL(14,2))"))
+            .cast("double")
+            .alias("click_value_sum"),
+        )
+        .orderBy("event_id")
+    )
