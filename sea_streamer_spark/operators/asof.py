@@ -75,11 +75,15 @@ def asof_join(
         .orderBy(F.col(_TIME).asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}") for c in carried]
-    )
+    # Carry the whole matched row as ONE struct (non-null for every right
+    # row): a right value column that is legitimately NULL at the matched
+    # time must surface as NULL, not fall back to an older non-null value —
+    # independent per-column last(ignorenulls) would mix rows. One window
+    # function instead of len(carried) is also the cheaper plan.
+    payload = F.when(F.col(_SIDE) == r_tag, F.struct(*[F.col(c) for c in carried]))
+    filled = unioned.withColumn("__asof_m", F.last(payload, ignorenulls=True).over(w))
     out = filled.filter(F.col(_SIDE) == l_tag).select(
-        *left.columns, *[F.col(f"__f_{c}").alias(c) for c in carried]
+        *left.columns, *[F.col("__asof_m").getField(c).alias(c) for c in carried]
     )
     if tolerance_expr is not None:
         in_tol = F.col(f"{on}{suffix}") >= F.col(on) - F.expr(tolerance_expr)

@@ -88,6 +88,24 @@ def test_unmatched_left_rows_survive_with_nulls(spark):
     assert out.loc[1, "rv_right"] == 9.0
 
 
+def test_null_right_value_at_match_stays_null(spark):
+    """A matched right row whose value column is NULL must yield NULL — not
+    fall back to an older non-null value (rows must not mix)."""
+    left = pd.DataFrame(
+        {"k": [1], "ts": pd.to_datetime(["2024-01-10"]), "lv": [1.0]}
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-05"]),
+            "rv": [7.0, None],
+        }
+    )
+    out = _actual(spark, left, right)
+    assert out.loc[0, "ts_right"] == pd.Timestamp("2024-01-05")
+    assert pd.isna(out.loc[0, "rv_right"])
+
+
 def test_single_shuffle_plan(spark):
     """The operator's scale contract: one hash-partition exchange (the
     window), nothing else."""
