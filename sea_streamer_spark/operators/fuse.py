@@ -167,3 +167,41 @@ def stream_join_stateful(muxed: DataFrame, align: list[str] | None = None) -> Da
     return muxed.groupBy("shard_id").applyInPandasWithState(
         gate_and_emit, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_join_correlated(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "shard_id",
+    watermark: str = "1 minute",
+    lower_seconds: int = 0,
+    upper_seconds: int = 60,
+    suffix: str = "_r",
+) -> DataFrame:
+    """True stream-stream correlation — the "when correlating, not just
+    interleaving" half of the reference's StreamJoin mapping (SURVEY §2.3 J1):
+    inner-join two *live* streams on ``on`` plus an event-time range — right
+    rows within ``[l.timestamp - lower, l.timestamp + upper]``.
+
+    Spark-native stream-stream join: both sides carry watermarks and the
+    range condition bounds the join state, so executors evict buffered rows
+    as the watermark advances — state is O(window × rate) per key, not
+    O(stream length). At scale, state is hash-partitioned by the join key
+    across executors; the watermark delay is the knob trading completeness
+    for state size (exactly the reference's peer-lag buffer bound,
+    fuse/src/lib.rs:91-100).
+
+    Right columns (except the join key) are emitted as ``<col><suffix>``.
+    """
+    r = right.select(
+        [F.col(c).alias(c if c == on else f"{c}{suffix}") for c in right.columns]
+    )
+    l = left.withWatermark("timestamp", watermark)
+    r = r.withWatermark(f"timestamp{suffix}", watermark)
+    rts, lts = F.col(f"timestamp{suffix}"), F.col("timestamp")
+    cond = (
+        (l[on] == r[on])
+        & (rts >= lts - F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
+        & (rts <= lts + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
+    )
+    return l.join(r, cond, "inner").drop(r[on])

@@ -712,3 +712,65 @@ class TestConnectFacade:
         c.start_to_memory("connect_click")
         keys = {r.stream_key for r in spark.sql("SELECT stream_key FROM connect_click").collect()}
         assert keys == {"click"}
+
+
+class TestStreamStreamIntervalJoin:
+    """True stream-stream correlation join (fuse.stream_join_correlated):
+    two live watermarked streams, event-time range condition, inner join —
+    verified pair-for-pair against the batch equivalent."""
+
+    def test_pairs_match_batch_equivalent(self, spark, tmp_path):
+        import pandas as pd
+
+        from sea_streamer_spark.model import MESSAGE_SCHEMA
+        from sea_streamer_spark.operators.fuse import stream_join_correlated
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        mk = lambda key, shard, sec, seq: (  # noqa: E731
+            key, shard, seq, t0 + pd.Timedelta(seconds=sec), b"x"
+        )
+        cols = ["stream_key", "shard_id", "sequence", "timestamp", "payload"]
+        # left: anchors on shards 0/1; right: candidates straddling the
+        # [-0, +60s] window boundaries, plus a wrong-shard decoy and a
+        # far-future watermark pusher on each side.
+        lrows = [mk("a", 0, 100, 0), mk("a", 1, 100, 1), mk("a", 0, 9000, 99)]
+        rrows = [
+            mk("b", 0, 100, 10),   # exact lower bound: in
+            mk("b", 0, 160, 11),   # exact upper bound: in
+            mk("b", 0, 161, 12),   # just past: out
+            mk("b", 0, 99, 13),    # before anchor: out (lower=0)
+            mk("b", 1, 150, 14),   # shard 1 anchor's window: in
+            mk("b", 2, 120, 15),   # wrong shard: out
+            mk("b", 0, 9000, 98),  # watermark pusher
+        ]
+        lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+        for src, rows in [(lsrc, lrows), (rsrc, rrows)]:
+            pdf = pd.DataFrame(rows, columns=cols)
+            spark.createDataFrame(pdf, MESSAGE_SCHEMA).coalesce(1).write.parquet(src)
+
+        def join_of(ldf, rdf):
+            return stream_join_correlated(
+                ldf, rdf, on="shard_id", watermark="30 seconds",
+                lower_seconds=0, upper_seconds=60,
+            )
+
+        lstream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(lsrc)
+        rstream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(rsrc)
+        q = (
+            join_of(lstream, rstream)
+            .writeStream.format("memory")
+            .queryName("ssj")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.sequence, r.sequence_r)
+            for r in spark.sql("SELECT sequence, sequence_r FROM ssj").collect()
+        }
+        batch = join_of(spark.read.parquet(lsrc), spark.read.parquet(rsrc))
+        exp = {(r.sequence, r.sequence_r) for r in batch.collect()}
+        assert exp == {(0, 10), (0, 11), (1, 14), (99, 98)}
+        assert got == exp
