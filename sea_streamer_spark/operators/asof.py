@@ -41,22 +41,33 @@ def asof_join(
     suffix: str = "_right",
     strict: bool = False,
     tolerance_expr: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest ``right`` row with ``right[on] <= left[on]``
-    (``<`` when ``strict``) per ``by`` key. Unmatched left rows keep nulls.
+    """Left as-of join per ``by`` key. ``direction`` picks the match among
+    ``right`` rows (pandas ``merge_asof`` semantics):
 
+    - ``"backward"`` (default): latest with ``right[on] <= left[on]``;
+    - ``"forward"``: earliest with ``right[on] >= left[on]``;
+    - ``"nearest"``: whichever of the two is closer in time (ties → backward).
+
+    ``strict`` excludes exact-time matches (``<`` / ``>``). Unmatched left
+    rows keep nulls.
     ``value_cols`` — right columns to carry (default: all but ``on``/``by``),
     emitted as ``<col><suffix>``; the matched right time is ``<on><suffix>``.
     ``tolerance_expr`` — SQL interval (e.g. ``"INTERVAL 1 HOUR"``): matches
-    older than ``left[on] - tolerance`` are nulled out (pandas
-    ``merge_asof(tolerance=...)`` semantics).
+    farther than that from ``left[on]`` are nulled out.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, by)]
     carried = [f"{c}{suffix}" for c in value_cols] + [f"{on}{suffix}"]
 
-    # Equal-time ordering decides inclusivity: side 0 sorts before side 1, so
-    # a right row at the exact left time is visible (<=); flip for strict (<).
+    # Equal-time visibility is decided by the side tag's sort position: in the
+    # backward window (side ASC) the right row at the exact left time is in
+    # the preceding frame iff r_tag < l_tag; the forward window orders side
+    # DESC, so the SAME tags make it visible looking forward too. Strict
+    # flips the tags, hiding exact matches in both directions.
     l_tag, r_tag = (1, 0) if not strict else (0, 1)
     l = left.withColumn(_SIDE, F.lit(l_tag)).withColumn(_TIME, F.col(on))
     r = (
@@ -70,23 +81,48 @@ def asof_join(
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col(_TIME).asc(), F.col(_SIDE).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     # Carry the whole matched row as ONE struct (non-null for every right
     # row): a right value column that is legitimately NULL at the matched
     # time must surface as NULL, not fall back to an older non-null value —
     # independent per-column last(ignorenulls) would mix rows. One window
-    # function instead of len(carried) is also the cheaper plan.
+    # function instead of len(carried) is also the cheaper plan. Both windows
+    # share the hash partitioning on `by`: ONE Exchange regardless of
+    # direction (nearest adds a second in-partition sort, nothing more).
     payload = F.when(F.col(_SIDE) == r_tag, F.struct(*[F.col(c) for c in carried]))
-    filled = unioned.withColumn("__asof_m", F.last(payload, ignorenulls=True).over(w))
+    w_back = (
+        Window.partitionBy(by)
+        .orderBy(F.col(_TIME).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(by)
+        .orderBy(F.col(_TIME).asc(), F.col(_SIDE).desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    back = F.last(payload, ignorenulls=True).over(w_back)
+    fwd = F.first(payload, ignorenulls=True).over(w_fwd)
+    if direction == "backward":
+        match = back
+    elif direction == "forward":
+        match = fwd
+    else:
+        ts_m = lambda m: F.unix_micros(m.getField(f"{on}{suffix}"))  # noqa: E731
+        ts_l = F.unix_micros(F.col(_TIME))
+        match = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(ts_l - ts_m(back) <= ts_m(fwd) - ts_l, back)
+            .otherwise(fwd)
+        )
+    filled = unioned.withColumn("__asof_m", match)
     out = filled.filter(F.col(_SIDE) == l_tag).select(
         *left.columns, *[F.col("__asof_m").getField(c).alias(c) for c in carried]
     )
     if tolerance_expr is not None:
-        in_tol = F.col(f"{on}{suffix}") >= F.col(on) - F.expr(tolerance_expr)
+        tol = F.expr(tolerance_expr)
+        in_tol = (F.col(f"{on}{suffix}") >= F.col(on) - tol) & (
+            F.col(f"{on}{suffix}") <= F.col(on) + tol
+        )
         out = out.select(
             *left.columns,
             *[F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c) for c in carried],

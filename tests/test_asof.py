@@ -32,7 +32,7 @@ def _frames(seed=7, n_left=400, n_right=300, n_keys=13):
     return left, right
 
 
-def _expected(left, right, strict=False, tolerance=None):
+def _expected(left, right, strict=False, tolerance=None, direction="backward"):
     exp = pd.merge_asof(
         left.sort_values("ts", kind="stable"),
         right.sort_values("ts", kind="stable").rename(columns={"ts": "ts_right", "rv": "rv_right"}),
@@ -41,7 +41,7 @@ def _expected(left, right, strict=False, tolerance=None):
         by="k",
         allow_exact_matches=not strict,
         tolerance=tolerance,
-        direction="backward",
+        direction=direction,
     )
     return exp.sort_values(["k", "ts", "lv"], ignore_index=True)
 
@@ -61,8 +61,23 @@ def _actual(spark, left, right, **kw):
             {"tolerance_expr": "INTERVAL 1 DAY"},
             {"tolerance": pd.Timedelta(days=1)},
         ),
+        ({"direction": "forward"}, {"direction": "forward"}),
+        ({"direction": "forward", "strict": True}, {"direction": "forward", "strict": True}),
+        ({"direction": "nearest"}, {"direction": "nearest"}),
+        (
+            {"direction": "nearest", "tolerance_expr": "INTERVAL 6 HOURS"},
+            {"direction": "nearest", "tolerance": pd.Timedelta(hours=6)},
+        ),
     ],
-    ids=["inclusive", "strict", "tolerance"],
+    ids=[
+        "inclusive",
+        "strict",
+        "tolerance",
+        "forward",
+        "forward-strict",
+        "nearest",
+        "nearest-tolerance",
+    ],
 )
 def test_matches_pandas_merge_asof(spark, kw, pd_kw):
     left, right = _frames()
