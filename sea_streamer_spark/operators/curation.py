@@ -1,0 +1,97 @@
+"""Dataset-curation operators for training pipelines: deterministic splits
+and sequence packing.
+
+Beyond the reference's surface (it has no relational/curation layer), these
+are the two ops every large-scale training-data pipeline needs between
+"corpus" and "training run":
+
+- :func:`hash_split` — assign each document to train/val/test by a
+  *deterministic* content-independent hash of its id. Properties that matter
+  at 100 TB: pure per-row projection (zero shuffle, no global sampling
+  state), stable under re-runs and re-partitioning, and portable — the hash
+  is the same explicit polynomial fold over ``md5(id)`` used by the text
+  operators, reproducible bit-for-bit in any engine (the DuckDB oracle runs
+  the identical fold).
+- :func:`pack_token_budget` — concat-and-chunk sequence packing: documents
+  fill fixed token-budget chunks in a deterministic order; a document whose
+  first token lands in chunk *k* belongs to chunk *k* (chunks may overflow by
+  at most one document's tail — the standard streaming-concat semantic).
+  Packing is inherently sequential *within* a pack group, so the operator
+  packs per ``by`` group (e.g. ``source``): one window shuffle, parallel
+  across groups. At scale, pick the group granularity (source × date × ...)
+  so a group's documents fit one task; groups never interact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import char_fold_hash, tokens
+
+#: Number of hash buckets the split thresholds quantize over.
+SPLIT_BUCKETS = 10_000
+
+DEFAULT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def split_bucket(id_col: str, buckets: int = SPLIT_BUCKETS) -> F.Column:
+    """Deterministic bucket in ``[0, buckets)`` from a row id: polynomial
+    char fold over ``md5(cast(id as string))`` — engine-portable."""
+    return char_fold_hash(F.md5(F.col(id_col).cast("string"))) % buckets
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    buckets: int = SPLIT_BUCKETS,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add ``split_col`` assigning each row to a named split with the given
+    weights (must sum to ~1). Assignment depends only on ``id_col``."""
+    weights = weights or DEFAULT_WEIGHTS
+    b = split_bucket(id_col, buckets)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = b < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int,
+    by: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document a ``chunk_id`` within its ``by`` group: documents
+    are laid out in ``order_col`` order and a document belongs to the chunk
+    where its first token lands (``floor(tokens_before / budget)``).
+
+    Adds ``n_tokens`` and ``chunk_id``. Exactly-once, deterministic, one
+    window shuffle on ``by``.
+    """
+    n_tok = F.size(tokens(text_col)).cast("long")
+    w = (
+        Window.partitionBy(by)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("chunk_id", F.floor(cum_before / budget).cast("long"))
+    )
+
+
+def duck_split_bucket(id_expr: str, buckets: int = SPLIT_BUCKETS) -> str:
+    """DuckDB SQL fragment equivalent to :func:`split_bucket`."""
+    from .text import duck_char_fold
+
+    return f"({duck_char_fold(f'md5(CAST({id_expr} AS VARCHAR))')} % {buckets})"

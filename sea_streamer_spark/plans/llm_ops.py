@@ -348,3 +348,71 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.attach_binary_payload(t.documents.filter(F.col("doc_id") < 30)), n_frames=4
     )
     return frames.select("doc_id", "frame_idx", "frame_len")
+
+
+from ..operators import curation as C  # noqa: E402
+
+
+@query(
+    "curation_hash_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, n_chars, {C.duck_split_bucket('doc_id')} AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS n_chars_total
+    FROM b GROUP BY 1 ORDER BY split
+    """,
+    tags=("llm", "curation"),
+)
+def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/curation.py): bucket =
+    portable polynomial fold over md5(doc_id), thresholds at 80/10/10 —
+    per-row projection, zero shuffle before the tiny count agg, stable
+    under re-runs/repartitioning at any scale."""
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        C.hash_split(t.documents)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars_total"))
+        .orderBy("split")
+    )
+
+
+@query(
+    "curation_pack_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    SELECT source,
+           CAST(FLOOR(cum_before / 512) AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS chunk_tokens
+    FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id
+    """,
+    tags=("llm", "curation"),
+)
+def curation_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/curation.py): concat-and-chunk documents
+    into 512-token chunks per source — a doc belongs to the chunk where its
+    first token lands. One window shuffle on source; groups pack in
+    parallel."""
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        C.pack_token_budget(t.documents, budget=512, by="source", order_col="doc_id")
+        .groupBy("source", "chunk_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("chunk_tokens"))
+        .orderBy("source", "chunk_id")
+    )

@@ -137,3 +137,49 @@ class TestMultimodal:
         out = resize_media(attach_binary_payload(docs), width=64, height=48).collect()
         assert len(out) == 5
         assert all(r.width == 64 and r.height == 48 for r in out)
+
+
+class TestCuration:
+    """hash_split determinism/proportions; pack_token_budget invariants."""
+
+    def test_split_deterministic_and_proportional(self, spark, sf_dir):
+        from sea_streamer_spark.operators.curation import hash_split
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        a = {r.doc_id: r.split for r in hash_split(docs).select("doc_id", "split").collect()}
+        # rerun on a repartitioned input: identical assignment
+        b = {
+            r.doc_id: r.split
+            for r in hash_split(docs.repartition(7)).select("doc_id", "split").collect()
+        }
+        assert a == b
+        n = len(a)
+        from collections import Counter
+
+        frac = {k: v / n for k, v in Counter(a.values()).items()}
+        assert abs(frac["train"] - 0.8) < 0.05 and abs(frac["val"] - 0.1) < 0.03
+
+    def test_pack_chunks_invariants(self, spark, sf_dir):
+        from sea_streamer_spark.operators.curation import pack_token_budget
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        budget = 512
+        out = pack_token_budget(docs, budget=budget).select(
+            "source", "doc_id", "n_tokens", "chunk_id"
+        ).toPandas()
+        assert len(out) == docs.count()  # exactly-once
+        for _, g in out.groupby("source"):
+            g = g.sort_values("doc_id")
+            # chunk ids start at 0, are sorted along doc order, and contiguous
+            ids = g.chunk_id.to_numpy()
+            assert ids[0] == 0 and (ids[1:] >= ids[:-1]).all()
+            assert set(ids) == set(range(ids.max() + 1))
+            # a doc's chunk is where its first token lands
+            cum_before = g.n_tokens.cumsum().shift(fill_value=0)
+            assert (ids == (cum_before // budget)).all()
+            # every chunk except the last holds >= budget tokens only via the
+            # straddling doc: tokens strictly before the straddler < budget
+            sums = g.groupby("chunk_id").n_tokens.sum()
+            assert (sums.iloc[:-1] + g.n_tokens.max() >= budget).all()
