@@ -90,6 +90,37 @@ def pack_token_budget(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    buckets: int = SPLIT_BUCKETS,
+) -> DataFrame:
+    """Deterministic stratified sample: keep a row iff its id bucket falls
+    under its stratum's rate threshold. Unlike ``sampleBy`` this is exactly
+    reproducible (no RNG, no seed-per-partition coupling) and pure per-row —
+    zero shuffle at any scale; re-running or repartitioning yields the
+    identical sample."""
+    b = split_bucket(id_col, buckets)
+    thresh = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == stratum
+        lim = F.lit(int(round(rate * buckets)))
+        thresh = F.when(cond, lim) if thresh is None else thresh.when(cond, lim)
+    thresh = thresh.otherwise(int(round(default_rate * buckets)))
+    return df.filter(b < thresh)
+
+
+def shuffle_rank(id_col: str = "doc_id", salt: str = "shuf") -> F.Column:
+    """Deterministic global shuffle key: the portable fold over
+    ``md5(salt || id)``. Ordering by it is a reproducible permutation;
+    at scale Spark range-partitions the sort — fully parallel, and
+    different ``salt`` values give independent epoch orders."""
+    return char_fold_hash(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))))
+
+
 def duck_split_bucket(id_expr: str, buckets: int = SPLIT_BUCKETS) -> str:
     """DuckDB SQL fragment equivalent to :func:`split_bucket`."""
     from .text import duck_char_fold

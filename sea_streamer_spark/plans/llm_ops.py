@@ -416,3 +416,51 @@ def curation_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("chunk_tokens"))
         .orderBy("source", "chunk_id")
     )
+
+
+@query(
+    "curation_stratified_sample",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang, {C.duck_split_bucket('doc_id')} AS bucket FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_sampled
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'es' THEN 2000 ELSE 1000 END
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "curation"),
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (en 5%, es 20%, rest 10%): pure
+    per-row hash thresholding — reproducible, zero shuffle before the tiny
+    count; the scale story of sampleBy without its RNG coupling."""
+    t = load_tables(spark, sf_dir, "documents")
+    sampled = C.stratified_sample(
+        t.documents, rates={"en": 0.05, "es": 0.20}, default_rate=0.10
+    )
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")).orderBy("lang")
+
+
+@query(
+    "curation_shuffle_order",
+    oracle=f"""
+    SELECT doc_id,
+           {C.duck_split_bucket('doc_id', 1_000_000_007).replace('md5(CAST(doc_id AS VARCHAR))', "md5('ep0' || CAST(doc_id AS VARCHAR))")} AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id LIMIT 100
+    """,
+    tags=("llm", "curation"),
+)
+def curation_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: order by a salted portable hash
+    of doc_id (salt = epoch id -> independent orders per epoch). The global
+    sort range-partitions at scale; top-100 here keeps the oracle small."""
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        t.documents.select(
+            "doc_id", C.shuffle_rank("doc_id", salt="ep0").alias("shuffle_key")
+        )
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100)
+    )

@@ -101,3 +101,26 @@ class TestShuffleBudget:
         be scanned once, not twice as the literal SQL implies."""
         plan = _final_plan(QUERIES["q18_large_orders"].fn(spark, sf_dir))
         assert plan.count("lineitem.parquet") == 1, plan
+
+
+class TestCurationPlans:
+    """Scale contracts of the curation ops: split/sample are pure projections
+    (zero Exchange); packing pays exactly one window shuffle."""
+
+    def test_hash_split_is_shuffle_free(self, spark, sf_dir):
+        from sea_streamer_spark.operators.curation import hash_split, stratified_sample
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        for df in (hash_split(docs), stratified_sample(docs, rates={"en": 0.1})):
+            df.collect()
+            assert _shuffle_exchanges(_final_plan(df)) == 0
+
+    def test_pack_token_budget_single_shuffle(self, spark, sf_dir):
+        from sea_streamer_spark.operators.curation import pack_token_budget
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        df = pack_token_budget(docs, budget=512)
+        df.collect()
+        assert _shuffle_exchanges(_final_plan(df)) == 1
