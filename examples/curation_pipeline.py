@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""End-to-end training-data curation pipeline over the documents table:
+
+    quality filter -> exact dedup -> MinHash-LSH near-dedup -> language mix
+    -> deterministic train/val/test split -> sequence packing -> epoch order
+
+Every stage is a distributed DataFrame op (no collect between stages); the
+whole pipeline is one lazy plan until the final write/show. At 100 TB the
+same code runs unchanged: the filters/splits are zero-shuffle projections,
+dedup shuffles on content keys, packing windows per source group.
+
+    python examples/curation_pipeline.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sea_streamer_spark import get_spark
+from sea_streamer_spark.operators.curation import hash_split, pack_token_budget
+from sea_streamer_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
+from sea_streamer_spark.operators.text import quality_score
+from sea_streamer_spark.sources.tables import load_tables
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark()
+    docs = load_tables(spark, sf_dir, "documents").documents
+
+    # 1. quality gate: drop bottom-quality docs (heuristic scorer)
+    scored = quality_score(docs).select("doc_id", "quality")
+    kept = docs.join(scored, "doc_id").filter(F.col("quality") >= 0.5)
+
+    # 2. exact dedup: keep the smallest doc_id per identical text
+    winners = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    kept = kept.join(winners, "doc_id", "left_semi")
+
+    # 3. near-dedup: MinHash-LSH candidates, verified Jaccard >= 0.8;
+    #    drop the higher doc_id of each surviving near-dup pair
+    dupes = minhash_lsh_dedup(kept, threshold=0.8)
+    losers = dupes.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = kept.join(losers, "doc_id", "left_anti")
+
+    # 4. deterministic split + packing + epoch order
+    split = hash_split(kept)  # 80/10/10 by portable hash of doc_id
+    packed = pack_token_budget(split, budget=512, by="source")
+
+    summary = (
+        packed.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.countDistinct("source", "chunk_id").alias("chunks"),
+        )
+        .orderBy("split")
+    )
+    print(f"input docs: {docs.count()}, after curation: {kept.count()}")
+    summary.show()
+
+
+if __name__ == "__main__":
+    main()
