@@ -73,17 +73,85 @@ def shard_key(stream_key: str, shard_id: int) -> str:
     return stream_key if shard_id == 0 else f"{stream_key}:{shard_id}"
 
 
+def parse_shard_key(key: str, stream_key: str) -> int:
+    """Inverse of :func:`shard_key`: ``events:3`` → 3; bare key → shard 0."""
+    if key == stream_key:
+        return 0
+    prefix = f"{stream_key}:"
+    if not key.startswith(prefix):
+        raise ValueError(f"key {key!r} does not belong to stream {stream_key!r}")
+    return int(key[len(prefix):])
+
+
+def discover_shards(client, stream_key: str) -> list[int]:
+    """H4 shard discovery: ``SCAN MATCH key*`` → shard ids (shard.rs:38-93).
+    Works against any client exposing ``scan_iter`` (redis-py or the
+    in-process loopback model)."""
+    shards = set()
+    for key in client.scan_iter(match=f"{stream_key}*"):
+        try:
+            shards.add(parse_shard_key(key, stream_key))
+        except ValueError:
+            continue  # unrelated key sharing the prefix
+    return sorted(shards) or [0]
+
+
+def poll_shards(
+    client,
+    stream_key: str,
+    shard_ids: list[int],
+    last_seq_nos: dict[int, int] | None = None,
+    count: int = 100,
+) -> tuple[list[dict], dict[int, int]]:
+    """One micro-batch poll: per shard, ``XRANGE key <after-last> + COUNT n``
+    (node.rs:528-570's paged read, minus the blocking — the trigger provides
+    the cadence). ``last_seq_nos`` maps shard → last *consumed* packed
+    MessageId (exclusive, via :func:`next_after`); absent shard → from
+    Beginning. Returns (envelope rows, advanced offsets) — the offsets are
+    what a checkpoint persists (D2 Resumable), committed per batch rather
+    than per message (D4's mapping).
+
+    ``count`` mirrors the reference's ``batch_size`` default of 100
+    (consumer/mod.rs:74-75). Client-agnostic: redis-py or the loopback model.
+    """
+    from datetime import datetime, timezone
+
+    last_seq_nos = dict(last_seq_nos or {})
+    rows: list[dict] = []
+    for sid in shard_ids:
+        key = shard_key(stream_key, sid)
+        last = last_seq_nos.get(sid)
+        start = "-" if last is None else format_entry_id(next_after(last))
+        for entry_id, fields in client.xrange(key, min=start, max="+", count=count):
+            seq_no = parse_entry_id(entry_id)
+            ms, _ = unpack_message_id(seq_no)
+            payload = fields.get("payload", fields.get(b"payload", b""))
+            rows.append(
+                {
+                    "stream_key": stream_key,
+                    "shard_id": sid,
+                    "sequence": seq_no,
+                    "timestamp": datetime.fromtimestamp(ms / 1000, tz=timezone.utc),
+                    "payload": bytes(payload) if payload is not None else b"",
+                }
+            )
+            last_seq_nos[sid] = seq_no
+    return rows, last_seq_nos
+
+
 def redis_reader(spark: SparkSession, url, options) -> DataFrame:
-    """Live Redis Streams source. Requires redis-py (not in this container)."""
+    """Live Redis Streams source. Requires redis-py (not in this container);
+    the full polling/offset engine above is e2e-tested against the
+    in-process loopback model (fake_redis.py)."""
     try:
         import redis  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
             "sea_redis source requires the redis-py client, which is not "
-            "available in this environment. The offset model (pack/unpack "
-            "MessageId, shard discovery, XRANGE paging) is implemented and "
-            "unit-tested above; wire it to spark.dataSource.register once "
-            "redis-py is installed."
+            "available in this environment. The polling engine "
+            "(discover_shards/poll_shards + MessageId offsets) is "
+            "client-agnostic and e2e-tested against fake_redis.FakeRedis; "
+            "wire it to spark.dataSource.register once redis-py is installed."
         ) from e
     raise NotImplementedError("live Redis polling source lands with redis-py available")
 
@@ -143,33 +211,49 @@ def xtrim_commands(
     return out
 
 
-def redis_sink_foreach_batch(url, maxlen: int | None = None):
+def redis_sink_foreach_batch(url=None, maxlen: int | None = None, client_factory=None):
     """foreachBatch writer: pipeline the batch's XADDs (explicit ids) and an
-    optional XTRIM per touched shard. Requires redis-py at call time."""
+    optional XTRIM per touched shard.
 
-    def write(batch: DataFrame, batch_id: int) -> None:
+    ``client_factory`` supplies the client (e.g. the in-process loopback
+    model for tests); default builds redis-py from the URL. Duplicate-id
+    rejections are *expected* on micro-batch replay — explicit ids make the
+    rewrite a no-op (``raise_on_error=False``), which is the whole
+    idempotence story (D9)."""
+
+    def make_client():
+        if client_factory is not None:
+            return client_factory()
         try:
             import redis
         except ImportError as e:
             raise NotImplementedError(
                 "sea_redis sink requires the redis-py client (not in this "
-                "container). xadd_commands/xtrim_commands above build the "
-                "exact command stream and are unit-tested without a server."
+                "container) or an injected client_factory; the command "
+                "stream is e2e-tested against fake_redis.FakeRedis."
             ) from e
+        node = url.streamer.nodes[0]
+        host, _, port = node.partition(":")
+        return redis.Redis(host=host, port=int(port or 6379))
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        # XADD with an explicit id requires ids monotonic per key: emit the
+        # batch in (key, entry-id) order — per-shard event order, exactly the
+        # order the reference's per-key pipelining preserves
+        # (redis/src/producer.rs:403-410).
         rows = batch.select(
             "stream_key", "shard_id", "sequence", "timestamp", "payload"
         ).collect()
-        node = url.streamer.nodes[0]
-        host, _, port = node.partition(":")
-        client = redis.Redis(host=host, port=int(port or 6379))
+        client = make_client()
         pipe = client.pipeline(transaction=False)
         touched = set()
-        for key, entry_id, payload in xadd_commands(rows):
+        cmds = sorted(xadd_commands(rows), key=lambda c: (c[0], parse_entry_id(c[1])))
+        for key, entry_id, payload in cmds:
             pipe.xadd(key, {"payload": payload}, id=entry_id)
             touched.add(key)
         if maxlen is not None:
             for key in touched:
                 pipe.xtrim(key, maxlen=maxlen, approximate=True)
-        pipe.execute()
+        pipe.execute(raise_on_error=False)
 
     return write
