@@ -2,4 +2,10 @@
 text analysis, multimodal plumbing, scale helpers (bucketing/salting)."""
 
 from .asof import asof_join  # noqa: F401
+from .curation import (  # noqa: F401
+    hash_split,
+    pack_token_budget,
+    shuffle_rank,
+    stratified_sample,
+)
 from .range_join import range_join  # noqa: F401

@@ -79,8 +79,9 @@ def _actual(spark, left, right, **kw):
         "nearest-tolerance",
     ],
 )
-def test_matches_pandas_merge_asof(spark, kw, pd_kw):
-    left, right = _frames()
+@pytest.mark.parametrize("seed", [7, 23])
+def test_matches_pandas_merge_asof(spark, kw, pd_kw, seed):
+    left, right = _frames(seed=seed)
     exp = _expected(left, right, **pd_kw)
     got = _actual(spark, left, right, suffix="_right", **kw)
     assert len(got) == len(exp)
