@@ -119,3 +119,77 @@ def apply_partitioning(
     arg: int | str | None = None,
 ) -> DataFrame:
     return df.withColumn("shard_id", partition_expr(partitioning, num_partitions, arg))
+
+
+def poll_partitions(
+    client,
+    stream: str,
+    topic: str,
+    opts: IggyConsumerOptions,
+    partition_ids: list[int] | None = None,
+    consumer: str = "spark",
+) -> list[dict]:
+    """One micro-batch poll over the topic's partitions (iggy/src/consumer.rs
+    analog): each partition polls with the configured strategy; messages map
+    to the canonical envelope (stream_key = topic, shard_id = partition,
+    sequence = server offset, timestamp from the server's microsecond
+    clock). Client-agnostic — iggy-py or fake_iggy.FakeIggy.
+
+    AutoCommit semantics (options.rs:87-97): Disabled never advances the
+    server-side consumer offset; every other mode commits what was polled —
+    under Spark the checkpoint is the source of truth either way (D4's
+    batch-level mapping), the server offset is interop courtesy.
+    """
+    from datetime import datetime, timezone
+
+    strategy = opts.polling.value
+    value = opts.polling_arg
+    auto_commit = opts.auto_commit is not IggyAutoCommit.Disabled
+    if partition_ids is None:
+        partition_ids = client.partition_ids(stream, topic)
+    rows: list[dict] = []
+    for pid in partition_ids:
+        for off, ts_us, payload in client.poll_messages(
+            stream,
+            topic,
+            pid,
+            strategy=strategy,
+            value=value,
+            count=opts.batch_size,
+            consumer=consumer,
+            auto_commit=auto_commit,
+        ):
+            rows.append(
+                {
+                    "stream_key": topic,
+                    "shard_id": pid,
+                    "sequence": off,
+                    "timestamp": datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc),
+                    "payload": payload,
+                }
+            )
+    return rows
+
+
+def iggy_sink_batch(
+    client,
+    batch_rows,
+    stream: str,
+    topic: str,
+) -> dict[int, list[int]]:
+    """Producer side: group a micro-batch by shard_id and send each group
+    in (sequence) order; returns per-partition server-assigned offsets (the
+    D9 receipts). Mirrors the per-partition append the reference producer
+    performs after Partitioning resolves (iggy/src/producer.rs)."""
+    by_part: dict[int, list] = {}
+    for r in batch_rows:
+        by_part.setdefault(int(r.shard_id), []).append(r)
+    receipts: dict[int, list[int]] = {}
+    for pid, rows in sorted(by_part.items()):
+        rows.sort(key=lambda r: int(r.sequence))
+        msgs = [
+            (int(r.timestamp.timestamp() * 1_000_000), bytes(r.payload or b""))
+            for r in rows
+        ]
+        receipts[pid] = client.send_messages(stream, topic, pid, msgs)
+    return receipts

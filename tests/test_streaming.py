@@ -884,3 +884,108 @@ class TestRedisLoopbackE2E:
         )
         redis_sink_foreach_batch(maxlen=maxlen, client_factory=lambda: client)(batch, 0)
         return batch
+
+
+class TestIggyLoopbackE2E:
+    """S15 connector e2e against the in-process Iggy model (fake_iggy.py) —
+    polling strategies and auto-commit semantics of iggy/src/options.rs
+    driven through the real engine code paths (poll_partitions/iggy_sink)."""
+
+    def _client_with(self, spark, env_batch, n=200):
+        from sea_streamer_spark.streaming.fake_iggy import FakeIggy
+        from sea_streamer_spark.streaming.iggy import iggy_sink_batch
+
+        client = FakeIggy()
+        batch = env_batch.filter(
+            (F.col("stream_key") == "view") & (F.col("sequence") < n)
+        )
+        rows = batch.collect()
+        receipts = iggy_sink_batch(client, rows, stream="events", topic="view")
+        return client, rows, receipts
+
+    def test_first_roundtrip_and_receipts(self, spark, env_batch):
+        from sea_streamer_spark.streaming.iggy import (
+            IggyConsumerOptions,
+            IggyPollingStrategy,
+            poll_partitions,
+        )
+
+        client, sent, receipts = self._client_with(spark, env_batch)
+        assert sum(len(v) for v in receipts.values()) == len(sent)
+        # server offsets are dense per partition starting at 0
+        assert all(v == list(range(len(v))) for v in receipts.values())
+        got = poll_partitions(
+            client, "events", "view",
+            IggyConsumerOptions(polling=IggyPollingStrategy.First),
+        )
+        assert len(got) == len(sent)
+        assert {bytes(r.payload) for r in sent} == {r["payload"] for r in got}
+        assert {r.shard_id for r in sent} == {r["shard_id"] for r in got}
+
+    def test_offset_strategy_inclusive(self, spark, env_batch):
+        from sea_streamer_spark.streaming.iggy import (
+            IggyConsumerOptions,
+            IggyPollingStrategy,
+            poll_partitions,
+        )
+
+        client, sent, _ = self._client_with(spark, env_batch)
+        got = poll_partitions(
+            client, "events", "view",
+            IggyConsumerOptions(polling=IggyPollingStrategy.Offset, polling_arg=3),
+        )
+        per_part_min = {}
+        for r in got:
+            per_part_min.setdefault(r["shard_id"], []).append(r["sequence"])
+        for pid, seqs in per_part_min.items():
+            assert min(seqs) == 3  # inclusive at the requested offset
+
+    def test_timestamp_strategy(self, spark, env_batch):
+        from sea_streamer_spark.streaming.iggy import (
+            IggyConsumerOptions,
+            IggyPollingStrategy,
+            poll_partitions,
+        )
+
+        client, sent, _ = self._client_with(spark, env_batch)
+        mid = sorted(r.timestamp for r in sent)[len(sent) // 2]
+        cut_us = int(mid.timestamp() * 1_000_000)
+        got = poll_partitions(
+            client, "events", "view",
+            IggyConsumerOptions(polling=IggyPollingStrategy.Timestamp, polling_arg=cut_us),
+        )
+        assert got and all(
+            int(r["timestamp"].timestamp() * 1e6) >= cut_us for r in got
+        )
+        expected = sum(1 for r in sent if int(r.timestamp.timestamp() * 1e6) >= cut_us)
+        assert len(got) == expected
+
+    def test_next_auto_commit_resumes(self, spark, env_batch):
+        from sea_streamer_spark.streaming.iggy import (
+            IggyAutoCommit,
+            IggyConsumerOptions,
+            IggyPollingStrategy,
+            iggy_sink_batch,
+            poll_partitions,
+        )
+
+        client, sent, _ = self._client_with(spark, env_batch, n=150)
+        opts = IggyConsumerOptions(polling=IggyPollingStrategy.Next)
+        first = poll_partitions(client, "events", "view", opts, consumer="c1")
+        assert len(first) == len(sent)
+        # nothing new -> empty; then produce more and poll only the new tail
+        assert poll_partitions(client, "events", "view", opts, consumer="c1") == []
+        more = env_batch.filter(
+            (F.col("stream_key") == "view")
+            & (F.col("sequence") >= 150) & (F.col("sequence") < 250)
+        ).collect()
+        iggy_sink_batch(client, more, stream="events", topic="view")
+        second = poll_partitions(client, "events", "view", opts, consumer="c1")
+        assert len(second) == len(more)
+        # Disabled auto-commit never advances: two polls see the same rows
+        opts_nc = IggyConsumerOptions(
+            polling=IggyPollingStrategy.Next, auto_commit=IggyAutoCommit.Disabled
+        )
+        a = poll_partitions(client, "events", "view", opts_nc, consumer="c2")
+        b = poll_partitions(client, "events", "view", opts_nc, consumer="c2")
+        assert [r["sequence"] for r in a] == [r["sequence"] for r in b] and a
