@@ -121,6 +121,40 @@ def shuffle_rank(id_col: str = "doc_id", salt: str = "shuf") -> F.Column:
     return char_fold_hash(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))))
 
 
+def contamination(
+    df: DataFrame,
+    split_col: str = "split",
+    train: str = "train",
+    val: str = "val",
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontamination check: for each ``val`` document, how many of its
+    k-gram shingles also occur anywhere in ``train``. A nonzero count flags
+    train/eval leakage — the standard n-gram overlap test run before every
+    training launch.
+
+    Plan: one shingle explode per side, distinct train shingles, equi-join
+    on the shingle, count per val doc — shuffles scale with shingle volume,
+    not |train|×|val|. Hot shingles (stopword runs) skew the join; AQE
+    skew-splitting handles it here, and production contamination checks use
+    larger k (8-grams), which this parameterizes.
+    """
+    from .dedup import shingle_sets
+
+    ds = shingle_sets(df, text_col, id_col, k).join(
+        df.select(id_col, split_col), id_col
+    )
+    val_sh = ds.filter(F.col(split_col) == val).select(id_col, "sh")
+    train_sh = ds.filter(F.col(split_col) == train).select("sh").distinct()
+    return (
+        val_sh.join(train_sh, "sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("sh")).alias("n_shared"))
+    )
+
+
 def duck_split_bucket(id_expr: str, buckets: int = SPLIT_BUCKETS) -> str:
     """DuckDB SQL fragment equivalent to :func:`split_bucket`."""
     from .text import duck_char_fold

@@ -464,3 +464,53 @@ def curation_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("shuffle_key", "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "text_ngram_counts",
+    oracle=f"""
+    WITH {DUCK_SHINGLE_SETS}
+    SELECT sh, COUNT(*) AS doc_freq
+    FROM ds GROUP BY sh
+    ORDER BY doc_freq DESC, sh LIMIT 50
+    """,
+    tags=("llm", "text"),
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide n-gram document frequencies (top-50 3-grams): shingle
+    explode -> one count shuffle -> TakeOrdered. The LM-stats staple; at
+    100 TB the explode is map-side and the shuffle carries (shingle, partial
+    count) pairs, not documents."""
+    t = load_tables(spark, sf_dir, "documents")
+    ds = D.shingle_sets(t.documents)
+    return (
+        ds.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "sh")
+        .limit(50)
+    )
+
+
+@query(
+    "curation_contamination",
+    oracle=f"""
+    WITH {DUCK_SHINGLE_SETS},
+    b AS (SELECT doc_id, {C.duck_split_bucket('doc_id')} AS bucket FROM documents),
+    v AS (SELECT ds.doc_id, sh FROM ds JOIN b USING(doc_id)
+          WHERE bucket >= 8000 AND bucket < 9000),
+    t AS (SELECT DISTINCT sh FROM ds JOIN b USING(doc_id) WHERE bucket < 8000)
+    SELECT v.doc_id, COUNT(DISTINCT v.sh) AS n_shared
+    FROM v JOIN t ON v.sh = t.sh
+    GROUP BY v.doc_id ORDER BY v.doc_id
+    """,
+    tags=("llm", "curation"),
+)
+def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val leakage check (operators/curation.py:contamination): per
+    val doc, the count of 3-gram shingles also present anywhere in train —
+    the n-gram decontamination gate run before a training launch."""
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        C.contamination(C.hash_split(t.documents))
+        .orderBy("doc_id")
+    )
