@@ -20,7 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from sea_streamer_spark import get_spark
-from sea_streamer_spark.operators.curation import hash_split, pack_token_budget
+from sea_streamer_spark.operators.curation import (
+    contamination,
+    hash_split,
+    pack_token_budget,
+)
 from sea_streamer_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
 from sea_streamer_spark.operators.text import quality_score
 from sea_streamer_spark.sources.tables import load_tables
@@ -58,7 +62,9 @@ def main() -> None:
         )
         .orderBy("split")
     )
+    leaked = contamination(split).count()  # val docs sharing >=1 3-gram with train
     print(f"input docs: {docs.count()}, after curation: {kept.count()}")
+    print(f"decontamination gate: {leaked} val docs share a 3-gram with train")
     summary.show()
 
 
