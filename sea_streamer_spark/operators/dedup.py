@@ -57,7 +57,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct shingle sets."""
+    """(id, shingle) exploded distinct shingle sets.
+
+    The explode multiplies data ~tokens-per-doc times and the shingle
+    expression (higher-order transform) runs outside whole-stage codegen, so
+    its parallelism must not be pinned to the scan's split count: when the
+    input has fewer partitions than the session's parallelism (a small-file
+    artifact — one parquet file ⇒ one task doing ALL the shingling), pay one
+    cheap pre-explode shuffle of the raw docs to fan out. At 100 TB the scan
+    has orders of magnitude more splits than cores and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
     return df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
 
 
