@@ -67,9 +67,9 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     cheap pre-explode shuffle of the raw docs to fan out. At 100 TB the scan
     has orders of magnitude more splits than cores and this is a no-op.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, F.col(id_col))
+    from .scale import fan_out
+
+    df = fan_out(df, key=id_col)
     return df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
 
 

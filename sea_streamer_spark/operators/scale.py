@@ -23,6 +23,21 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Decouple an expensive per-row stage's parallelism from the scan's
+    split count: when the input has fewer partitions than the session's
+    default parallelism (small-file artifact — one file ⇒ one task doing all
+    the work), repartition up to it (by ``key`` when given, else round
+    robin). At production scale the scan has far more splits than cores and
+    this is a no-op. Use before wide higher-order projections (vector folds,
+    shingle transforms) and before the stream side of broadcast joins, whose
+    parallelism equals the stream side's partition count."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key)) if key else df.repartition(target)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

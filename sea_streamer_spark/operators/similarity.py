@@ -75,8 +75,11 @@ def knn_join(
 
     ``probes`` carries (probe_id, probe_vec); it is broadcast, so the corpus
     is scanned exactly once regardless of executor count."""
+    from .scale import fan_out
+
     scored = (
-        emb.crossJoin(F.broadcast(probes))
+        fan_out(emb, key=id_col)
+        .crossJoin(F.broadcast(probes))
         .filter(F.col(id_col) != F.col("probe_id"))
         .select(
             "probe_id",
@@ -92,8 +95,13 @@ def near_dup_pairs(
     emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """All pairs (a<b) with cosine >= threshold — brute force all-pairs; use
-    :func:`ann_lsh` buckets first at scale."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    :func:`ann_lsh` buckets first at scale. The stream (a) side fans out to
+    the session parallelism: a broadcast join's parallelism is the stream
+    side's partition count, and a one-file corpus would otherwise score all
+    |a|x|b| pairs on a single task."""
+    from .scale import fan_out
+
+    a = fan_out(emb, key=id_col).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
@@ -112,7 +120,12 @@ def lsh_buckets(
     emb: DataFrame, n_planes: int = N_PLANES, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Random-hyperplane signature: bit p = sign(v · plane_p). Pure
-    projection; equal buckets → likely-similar vectors."""
+    projection (fanned out to session parallelism: n_planes higher-order
+    folds per row run outside codegen); equal buckets → likely-similar
+    vectors."""
+    from .scale import fan_out
+
+    emb = fan_out(emb, key=id_col)
     dims = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
 
     def weight_fn(p: int):
