@@ -177,6 +177,7 @@ def stream_join_correlated(
     lower_seconds: int = 0,
     upper_seconds: int = 60,
     suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
     """True stream-stream correlation — the "when correlating, not just
     interleaving" half of the reference's StreamJoin mapping (SURVEY §2.3 J1):
@@ -192,7 +193,14 @@ def stream_join_correlated(
     fuse/src/lib.rs:91-100).
 
     Right columns (except the join key) are emitted as ``<col><suffix>``.
+
+    ``how``: ``"inner"`` or ``"leftOuter"``. Left-outer emits an unmatched
+    left row (right columns null) only once the watermark has passed its
+    join window — i.e. when a match has become impossible — so null-padded
+    rows appear a watermark-delay later than matches, never speculatively.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be inner|leftOuter, got {how!r}")
     r = right.select(
         [F.col(c).alias(c if c == on else f"{c}{suffix}") for c in right.columns]
     )
@@ -204,4 +212,4 @@ def stream_join_correlated(
         & (rts >= lts - F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
         & (rts <= lts + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
     )
-    return l.join(r, cond, "inner").drop(r[on])
+    return l.join(r, cond, how).drop(r[on])

@@ -989,3 +989,53 @@ class TestIggyLoopbackE2E:
         a = poll_partitions(client, "events", "view", opts_nc, consumer="c2")
         b = poll_partitions(client, "events", "view", opts_nc, consumer="c2")
         assert [r["sequence"] for r in a] == [r["sequence"] for r in b] and a
+
+
+class TestStreamStreamLeftOuter:
+    """Left-outer stream-stream interval join: unmatched left rows emit with
+    null right columns only after the watermark proves no match can arrive."""
+
+    def test_unmatched_rows_emit_after_watermark(self, spark, tmp_path):
+        import pandas as pd
+
+        from sea_streamer_spark.model import MESSAGE_SCHEMA
+        from sea_streamer_spark.operators.fuse import stream_join_correlated
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        mk = lambda key, shard, sec, seq: (  # noqa: E731
+            key, shard, seq, t0 + pd.Timedelta(seconds=sec), b"x"
+        )
+        cols = ["stream_key", "shard_id", "sequence", "timestamp", "payload"]
+        # left: one matched anchor, one unmatched anchor; right: one match
+        # + far-future watermark pushers on both sides (separate files so
+        # maxFilesPerTrigger=1 advances the watermark across micro-batches,
+        # which is what allows the outer row to emit).
+        lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+        lfiles = [[mk("a", 0, 100, 1), mk("a", 1, 100, 2)], [mk("a", 0, 99000, 99)]]
+        rfiles = [[mk("b", 0, 130, 10)], [mk("b", 0, 99000, 98)]]
+        for src, files in [(lsrc, lfiles), (rsrc, rfiles)]:
+            for i, chunk in enumerate(files):
+                pdf = pd.DataFrame(chunk, columns=cols)
+                (spark.createDataFrame(pdf, MESSAGE_SCHEMA).coalesce(1)
+                 .write.mode("append").parquet(src))
+        joined = stream_join_correlated(
+            spark.readStream.schema(MESSAGE_SCHEMA).option("maxFilesPerTrigger", 1).parquet(lsrc),
+            spark.readStream.schema(MESSAGE_SCHEMA).option("maxFilesPerTrigger", 1).parquet(rsrc),
+            on="shard_id", watermark="10 seconds",
+            lower_seconds=0, upper_seconds=60, how="leftOuter",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("sslo")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql("SELECT sequence, sequence_r FROM sslo").collect()
+        got = {(r.sequence, r.sequence_r) for r in rows}
+        # anchor 1 matched right 10; anchor 2 (shard 1, no right activity)
+        # emitted null-padded after the watermark passed its window
+        assert (1, 10) in got
+        assert (2, None) in got
