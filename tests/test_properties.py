@@ -147,3 +147,112 @@ class TestSsRoundtripProperty:
         assert len(got) == len(msgs)
         for i, ((key, shard, payload), m) in enumerate(zip(msgs, got)):
             assert (m.stream_key, m.shard_id, m.sequence, m.payload) == (key, shard, i, payload)
+
+
+class TestFakeRedisModel:
+    """The loopback broker model must obey Redis Streams invariants, since
+    the connector's e2e evidence rests on it."""
+
+    @given(
+        ids=st.lists(
+            st.tuples(st.integers(0, 1 << 20), st.integers(0, 0xFFFF)),
+            min_size=1, max_size=40, unique=True,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_xadd_accepts_exactly_strictly_increasing(self, ids):
+        from sea_streamer_spark.streaming.fake_redis import FakeRedis, ResponseError
+
+        client = FakeRedis()
+        top = None
+        accepted = 0
+        for ms, seq in ids:
+            try:
+                client.xadd("s", {"payload": b""}, id=f"{ms}-{seq}")
+                ok = True
+            except ResponseError:
+                ok = False
+            should = top is None or (ms, seq) > top
+            assert ok == should, ((ms, seq), top)
+            if ok:
+                top = (ms, seq)
+                accepted += 1
+        assert client.xlen("s") == accepted
+
+    @given(
+        n=st.integers(1, 30),
+        lo=st.integers(0, 40),
+        hi=st.integers(0, 40),
+        count=st.integers(1, 10),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_xrange_inclusive_bounds_and_count(self, n, lo, hi, count):
+        from sea_streamer_spark.streaming.fake_redis import FakeRedis
+
+        client = FakeRedis()
+        for i in range(n):
+            client.xadd("s", {"payload": b""}, id=f"{i}-0")
+        got = client.xrange("s", min=f"{lo}-0", max=f"{hi}-0", count=count)
+        expect = [i for i in range(n) if lo <= i <= hi][:count]
+        assert [int(e[0].split("-")[0]) for e in got] == expect
+
+    @given(cut=st.integers(0, 30))
+    @settings(max_examples=30, deadline=None)
+    def test_poll_resume_partition(self, cut):
+        """poll_shards from offsets == suffix of a full poll (no gap/overlap)."""
+        from sea_streamer_spark.streaming.fake_redis import FakeRedis
+        from sea_streamer_spark.streaming.redis import poll_shards
+
+        client = FakeRedis()
+        for i in range(30):
+            client.xadd("s", {"payload": bytes([i])}, id=f"{i}-0")
+        full, _ = poll_shards(client, "s", [0], count=1000)
+        head, offsets = poll_shards(client, "s", [0], count=cut or 1)
+        tail, _ = poll_shards(client, "s", [0], offsets, count=1000)
+        seqs = [r["sequence"] for r in head] + [r["sequence"] for r in tail]
+        assert seqs == [r["sequence"] for r in full]
+
+
+class TestFakeIggyModel:
+    @given(
+        lengths=st.lists(st.integers(1, 10), min_size=1, max_size=4),
+        strategy_off=st.integers(0, 12),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_offsets_dense_and_offset_poll_is_suffix(self, lengths, strategy_off):
+        from sea_streamer_spark.streaming.fake_iggy import FakeIggy
+
+        client = FakeIggy()
+        total = 0
+        for chunk_len in lengths:
+            msgs = [(1000 * (total + i), b"p") for i in range(chunk_len)]
+            offs = client.send_messages("s", "t", 0, msgs)
+            assert offs == list(range(total, total + chunk_len))
+            total += chunk_len
+        got = client.poll_messages("s", "t", 0, "offset", value=strategy_off, count=1000)
+        assert [m[0] for m in got] == list(range(min(strategy_off, total), total))
+
+    @given(data=st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_next_is_gapless_under_random_interleaving(self, data):
+        """Interleaved produce/poll("next") delivers every message exactly
+        once, in order — the Resumable contract the engine builds on."""
+        from sea_streamer_spark.streaming.fake_iggy import FakeIggy
+
+        client = FakeIggy()
+        produced = 0
+        seen = []
+        for _ in range(data.draw(st.integers(1, 12))):
+            if data.draw(st.booleans()):
+                k = data.draw(st.integers(1, 5))
+                client.send_messages("s", "t", 0, [(produced + i, b"") for i in range(k)])
+                produced += k
+            else:
+                got = client.poll_messages(
+                    "s", "t", 0, "next", count=data.draw(st.integers(1, 7)),
+                    consumer="c", auto_commit=True,
+                )
+                seen.extend(m[0] for m in got)
+        rest = client.poll_messages("s", "t", 0, "next", count=10_000, consumer="c")
+        seen.extend(m[0] for m in rest)
+        assert seen == list(range(produced))
