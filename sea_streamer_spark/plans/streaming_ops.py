@@ -626,3 +626,48 @@ def range_join_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "asof_join_forward_next_click",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, MIN(value) AS value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT p.*, (SELECT MIN(c.ts) FROM c
+                   WHERE c.user_id = p.user_id AND c.ts >= p.ts) AS ts_click
+      FROM p
+    )
+    SELECT m.event_id, m.user_id, m.ts, m.value,
+           c.value AS value_click, m.ts_click
+    FROM m LEFT JOIN c ON c.user_id = m.user_id AND c.ts = m.ts_click
+    ORDER BY m.event_id
+    """,
+    tags=("events", "asof", "join"),
+)
+def asof_join_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.py direction="forward"): the
+    EARLIEST at-or-after click per purchase — outcome attribution after an
+    anchor event. Right side pre-deduped on (user, ts) with MIN(value) so
+    Spark and the correlated-subquery oracle resolve ties identically."""
+    from ..operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir, "events")
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        t.events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("value"))
+    )
+    return (
+        asof_join(
+            purchases, clicks, on="ts", by="user_id",
+            value_cols=["value"], suffix="_click", direction="forward",
+        )
+        .orderBy("event_id")
+    )
