@@ -135,3 +135,21 @@ def test_single_shuffle_plan(spark):
         if line.strip().lstrip("+-*: ").startswith("Exchange")
     )
     assert shuffles == 1, plan
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_single_shuffle_every_direction(spark, direction):
+    """All directions share the hash partitioning on the key: one Exchange
+    (nearest adds a second in-partition sort, never a second shuffle)."""
+    left, right = _frames(n_left=40, n_right=40)
+    df = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="ts", by="k", direction=direction,
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    shuffles = sum(
+        1 for line in plan.splitlines()
+        if line.strip().lstrip("+-*: ").startswith("Exchange")
+    )
+    assert shuffles == 1, plan

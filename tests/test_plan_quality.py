@@ -124,3 +124,17 @@ class TestCurationPlans:
         df = pack_token_budget(docs, budget=512)
         df.collect()
         assert _shuffle_exchanges(_final_plan(df)) == 1
+
+
+class TestFanOut:
+    """fan_out's contract: fan up only under-parallel inputs; never touch an
+    input already at/above session parallelism (the 100 TB no-op guarantee)."""
+
+    def test_noop_when_already_parallel(self, spark):
+        target = spark.sparkContext.defaultParallelism
+        from sea_streamer_spark.operators.scale import fan_out
+
+        df = spark.range(1000).repartition(target + 4)
+        assert fan_out(df) is df
+        small = spark.range(1000).coalesce(1)
+        assert fan_out(small).rdd.getNumPartitions() == target
