@@ -30,11 +30,22 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (applicationId, sf_dir, name) -> DataFrame. Re-reading the same parquet
+# table re-fetches footers and re-runs schema resolution on every query; the
+# correctness driver runs ~115 queries against the same sf dir in one
+# session, so sharing the resolved logical plan shaves fixed per-query setup.
+# DataFrames are immutable lazy plans — reuse is safe.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     prepare(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS): read as nanos-long (nanosAsLong
@@ -44,6 +55,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
