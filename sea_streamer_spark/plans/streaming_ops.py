@@ -671,3 +671,96 @@ def asof_join_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ------------------------------------------------------- sea_redis roundtrip
+
+#: Deterministic broker content for the registered-DataSource roundtrip:
+#: 3 shards x 20 entries, entry id = (BASE_MS + 37*i, shard).
+_RT_BASE_MS = 1_700_000_000_000
+_RT_SHARDS, _RT_PER_SHARD = 3, 20
+
+
+def _rt_rows() -> list[tuple[str, int, int, int, str]]:
+    from ..streaming.redis import pack_message_id
+
+    rows = []
+    for s in range(_RT_SHARDS):
+        for i in range(_RT_PER_SHARD):
+            ms = _RT_BASE_MS + 37 * i
+            rows.append(("loop", s, pack_message_id(ms, s), ms, f"p-{s}-{i}"))
+    return rows
+
+
+def _rt_broker_root() -> str:
+    """Populate (once per machine) a file-backed loopback broker with the
+    deterministic fixture; concurrent populators race benignly (duplicate
+    explicit ids are rejected, content converges to the same 60 entries)."""
+    import os
+    import tempfile
+
+    from ..streaming.fake_redis import FakeRedis, ResponseError
+    from ..streaming.redis import format_entry_id, shard_key
+
+    root = os.path.join(tempfile.gettempdir(), "sea_redis_roundtrip_v1")
+    done = os.path.join(root, ".done")
+    if not os.path.exists(done):
+        client = FakeRedis(root=root)
+        for stream_key, sid, seq_no, _ms, payload in _rt_rows():
+            try:
+                client.xadd(
+                    shard_key(stream_key, sid),
+                    {"payload": payload.encode()},
+                    id=format_entry_id(seq_no),
+                )
+            except ResponseError:
+                pass  # another process already wrote this id
+        with open(done, "w"):
+            pass
+    return root
+
+
+_RT_VALUES = ",\n        ".join(
+    f"('{k}', {s}, {q}, {ms}, '{p}')" for k, s, q, ms, p in _rt_rows()
+)
+
+
+@query(
+    "redis_stream_roundtrip",
+    oracle=f"""
+    SELECT stream_key, CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(sequence AS BIGINT) AS sequence,
+           CAST(timestamp_ms AS BIGINT) AS timestamp_ms, payload_str
+    FROM (VALUES
+        {_RT_VALUES}
+    ) AS t(stream_key, shard_id, sequence, timestamp_ms, payload_str)
+    ORDER BY shard_id, sequence
+    """,
+    tags=("streaming", "redis", "source"),
+)
+def redis_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 through the *registered* ``sea_redis`` DataSource: XADD a
+    deterministic fixture into the file-backed loopback broker, read it back
+    with ``spark.read.format("sea_redis")`` (one task per shard, bounded
+    XRANGE — redis/src/manager.rs:70-105), and verify the envelope against
+    the literal fixture VALUES. Executors open the broker directory
+    themselves — the identical partition/read path a redis-py deployment
+    runs (sources/redis_datasource.py)."""
+    from ..sources.redis_datasource import SeaRedisDataSource
+
+    spark.dataSource.register(SeaRedisDataSource)
+    root = _rt_broker_root()
+    return (
+        spark.read.format("sea_redis")
+        .option("stream_key", "loop")
+        .option("fake_root", root)
+        .load()
+        .select(
+            "stream_key",
+            "shard_id",
+            "sequence",
+            F.unix_millis("timestamp").alias("timestamp_ms"),
+            F.col("payload").cast("string").alias("payload_str"),
+        )
+        .orderBy("shard_id", "sequence")
+    )

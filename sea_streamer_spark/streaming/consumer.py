@@ -188,7 +188,7 @@ def create_consumer(
         df = _kafka_reader(spark, url, options)
     elif scheme == "file":
         df = _file_reader(spark, url)
-    elif scheme in ("redis", "rediss"):
+    elif scheme in ("redis", "rediss", "redis+fake"):
         from .redis import redis_reader
 
         df = redis_reader(spark, url, options)

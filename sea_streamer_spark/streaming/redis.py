@@ -140,20 +140,47 @@ def poll_shards(
 
 
 def redis_reader(spark: SparkSession, url, options) -> DataFrame:
-    """Live Redis Streams source. Requires redis-py (not in this container);
-    the full polling/offset engine above is e2e-tested against the
-    in-process loopback model (fake_redis.py)."""
-    try:
-        import redis  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "sea_redis source requires the redis-py client, which is not "
-            "available in this environment. The polling engine "
-            "(discover_shards/poll_shards + MessageId offsets) is "
-            "client-agnostic and e2e-tested against fake_redis.FakeRedis; "
-            "wire it to spark.dataSource.register once redis-py is installed."
-        ) from e
-    raise NotImplementedError("live Redis polling source lands with redis-py available")
+    """S4 Redis Streams source: registers the ``sea_redis`` Python DataSource
+    (sources/redis_datasource.py — per-shard partitions, packed-MessageId
+    checkpoint offsets) and builds the streaming envelope DataFrame.
+
+    URI dispatch: ``redis://host:port/stream`` → redis-py client (executors
+    connect per task; raises a clear error here at *connect* time if the
+    client library is absent, streamer.rs:41-58 parity);
+    ``redis+fake:///path/stream`` → the file-backed loopback broker, which
+    runs the identical partitioned read path in-container.
+    """
+    from ..sources.redis_datasource import SeaRedisDataSource
+
+    spark.dataSource.register(SeaRedisDataSource)
+    stream_key = str(url.stream_key())
+    reader = spark.readStream.format("sea_redis").option("stream_key", stream_key)
+    if url.streamer.scheme == "redis+fake":
+        reader = reader.option("fake_root", url.streamer.nodes[0])
+    else:
+        try:
+            import redis  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "redis:// consumer requires the redis-py client, which is "
+                "not available in this environment; use redis+fake:///dir/"
+                "stream (file-backed loopback broker) to exercise the "
+                "identical partitioned source path."
+            ) from e
+        node = url.streamer.nodes[0]
+        host, _, port = node.partition(":")
+        reader = reader.option("host", host or "localhost").option("port", port or "6379")
+    # D1-D3 mode mapping (same contract as kafka_options): RealTime tails
+    # from End; Resumable starts at Beginning with the checkpoint owning
+    # progress; explicit rewind overrides.
+    from .consumer import Beginning, ConsumerMode, End
+
+    starting = "latest" if options.mode is ConsumerMode.RealTime else "earliest"
+    if options.rewind_to is Beginning:
+        starting = "earliest"
+    elif options.rewind_to is End:
+        starting = "latest"
+    return reader.option("starting_offsets", starting).load()
 
 
 # ------------------------------------------------------------- producer side
@@ -167,11 +194,14 @@ def xadd_commands(
     rows (each: .stream_key/.shard_id/.sequence/.timestamp/.payload).
 
     Explicit entry ids come from the packed MessageId of (event-time ms,
-    sequence & 0xFFFF) — the producer-side receipt (D9). Explicit ids make
-    replays idempotent: XADD with an id at-or-below the stream's last id is
-    rejected by Redis, so a re-delivered micro-batch no-ops instead of
-    duplicating (the reference gets the same from broker-assigned ids +
-    at-least-once consumers; SURVEY §2.5).
+    sequence) — the producer-side receipt (D9). A sequence above the 16-bit
+    sub-millisecond budget *raises* (``pack_message_id`` validates), exactly
+    as the reference errors on seq > 0xFFFF (redis/src/message.rs
+    parse_message_id) — masking would silently collide two distinct messages
+    onto one entry id. Explicit ids make replays idempotent: XADD with an id
+    at-or-below the stream's last id is rejected by Redis, so a re-delivered
+    micro-batch no-ops instead of duplicating (the reference gets the same
+    from broker-assigned ids + at-least-once consumers; SURVEY §2.5).
 
     Consecutive same-key commands group into one pipeline flush exactly like
     the reference's producer batching (redis/src/producer.rs:403-410) —
@@ -182,7 +212,7 @@ def xadd_commands(
         key = shard_key(r.stream_key, int(r.shard_id))
         if explicit_ids:
             ms = int(r.timestamp.timestamp() * 1000)
-            entry_id = format_entry_id(pack_message_id(ms, int(r.sequence) & MAX_SEQ16))
+            entry_id = format_entry_id(pack_message_id(ms, int(r.sequence)))
         else:
             entry_id = "*"
         payload = bytes(r.payload) if r.payload is not None else b""
@@ -211,15 +241,60 @@ def xtrim_commands(
     return out
 
 
-def redis_sink_foreach_batch(url=None, maxlen: int | None = None, client_factory=None):
-    """foreachBatch writer: pipeline the batch's XADDs (explicit ids) and an
-    optional XTRIM per touched shard.
+def _flush_xadds(client, rows, maxlen: int | None) -> None:
+    """Pipeline one ordered run of envelope rows as XADDs (+ optional XTRIM
+    per touched key), then *inspect* the results: a duplicate-id rejection is
+    the expected idempotent-replay no-op (explicit ids, D9), but any other
+    error — connection trouble, OOM, a genuine out-of-order id — re-raises
+    instead of being silently swallowed."""
+    pipe = client.pipeline(transaction=False)
+    touched = set()
+    n_adds = 0
+    for key, entry_id, payload in xadd_commands(rows):
+        pipe.xadd(key, {"payload": payload}, id=entry_id)
+        touched.add(key)
+        n_adds += 1
+    if maxlen is not None:
+        for key in sorted(touched):
+            pipe.xtrim(key, maxlen=maxlen, approximate=True)
+    results = pipe.execute(raise_on_error=False)
+    for res in results[:n_adds]:
+        if isinstance(res, Exception):
+            if "equal or smaller" in str(res):
+                continue  # replayed id at-or-below the stream top: no-op
+            raise res
 
-    ``client_factory`` supplies the client (e.g. the in-process loopback
-    model for tests); default builds redis-py from the URL. Duplicate-id
-    rejections are *expected* on micro-batch replay — explicit ids make the
-    rewrite a no-op (``raise_on_error=False``), which is the whole
-    idempotence story (D9)."""
+
+def redis_sink_foreach_batch(
+    url=None,
+    maxlen: int | None = None,
+    client_factory=None,
+    executor_side: bool | None = None,
+):
+    """foreachBatch writer: XADDs with explicit ids, executed on *executors*.
+
+    Scale path (default for URL-configured or picklable ``client_factory``
+    clients): repartition by (stream_key, shard_id) — each Redis key lands in
+    exactly one task — then sort within partitions by entry id and pipeline
+    per partition. Per-key XADD monotonicity only needs per-shard ordering,
+    which this layout gives without any driver materialization; it is the
+    distributed analog of the reference's per-key pipelining
+    (redis/src/producer.rs:403-410).
+
+    ``executor_side=False`` (the default when an *in-process* client_factory
+    is injected, e.g. the in-memory loopback model, whose state can't cross
+    process boundaries) falls back to a driver-side ordered pipeline — a
+    test-harness path, not the deployment path. The file-backed loopback
+    broker (``FakeRedis(root=...)``) works executor-side.
+    """
+    if executor_side is None:
+        executor_side = client_factory is None
+
+    host_port: tuple[str, int] | None = None
+    if url is not None:
+        node = url.streamer.nodes[0]
+        host, _, port = node.partition(":")
+        host_port = (host or "localhost", int(port or 6379))
 
     def make_client():
         if client_factory is not None:
@@ -232,28 +307,31 @@ def redis_sink_foreach_batch(url=None, maxlen: int | None = None, client_factory
                 "container) or an injected client_factory; the command "
                 "stream is e2e-tested against fake_redis.FakeRedis."
             ) from e
-        node = url.streamer.nodes[0]
-        host, _, port = node.partition(":")
-        return redis.Redis(host=host, port=int(port or 6379))
+        if host_port is None:
+            raise ValueError("redis sink needs a url or a client_factory")
+        return redis.Redis(host=host_port[0], port=host_port[1])
+
+    def write_partition(rows) -> None:
+        rows = list(rows)
+        if not rows:
+            return
+        _flush_xadds(make_client(), rows, maxlen)
 
     def write(batch: DataFrame, batch_id: int) -> None:
-        # XADD with an explicit id requires ids monotonic per key: emit the
-        # batch in (key, entry-id) order — per-shard event order, exactly the
-        # order the reference's per-key pipelining preserves
-        # (redis/src/producer.rs:403-410).
-        rows = batch.select(
-            "stream_key", "shard_id", "sequence", "timestamp", "payload"
-        ).collect()
-        client = make_client()
-        pipe = client.pipeline(transaction=False)
-        touched = set()
-        cmds = sorted(xadd_commands(rows), key=lambda c: (c[0], parse_entry_id(c[1])))
-        for key, entry_id, payload in cmds:
-            pipe.xadd(key, {"payload": payload}, id=entry_id)
-            touched.add(key)
-        if maxlen is not None:
-            for key in touched:
-                pipe.xtrim(key, maxlen=maxlen, approximate=True)
-        pipe.execute(raise_on_error=False)
+        cols = batch.select("stream_key", "shard_id", "sequence", "timestamp", "payload")
+        if executor_side:
+            # entry id = (event-time ms, seq16): sort within the shard's
+            # partition by exactly that to satisfy XADD's monotonic-id rule.
+            (
+                cols.repartition("stream_key", "shard_id")
+                .sortWithinPartitions("stream_key", "shard_id", "timestamp", "sequence")
+                .foreachPartition(write_partition)
+            )
+        else:
+            rows = sorted(
+                cols.collect(),
+                key=lambda r: (r.stream_key, r.shard_id, r.timestamp, r.sequence),
+            )
+            _flush_xadds(make_client(), rows, maxlen)
 
     return write

@@ -39,7 +39,9 @@ class NotOneStreamKey(StreamUrlErr):
     pass
 
 
-SUPPORTED_SCHEMES = ("kafka", "redis", "rediss", "file", "stdio", "memory", "socket")
+SUPPORTED_SCHEMES = (
+    "kafka", "redis", "rediss", "redis+fake", "file", "stdio", "memory", "socket"
+)
 
 
 @dataclass(frozen=True)
@@ -125,16 +127,41 @@ def reader_config(url: StreamUrl | str) -> tuple[str, dict[str, str]]:
             opts["subscribe"] = streams
         return "kafka", opts
     if scheme in ("redis", "rediss"):
+        host, _, port = url.streamer.nodes[0].partition(":")
         opts = {
-            "url": f"{scheme}://{url.streamer.nodes[0]}",
-            "streams": streams,
+            "stream_key": str(url.stream_key()) if url.streams else "",
+            "host": host or "localhost",
+            "port": port or "6379",
+        }
+        return "sea_redis", opts
+    if scheme == "redis+fake":
+        opts = {
+            "stream_key": str(url.stream_key()) if url.streams else "",
+            "fake_root": url.streamer.nodes[0],
         }
         return "sea_redis", opts
     if scheme == "file":
         path = "/".join(url.streamer.nodes[0].split("/"))
         return "sea_ss_file", {"path": path, "streams": streams}
-    if scheme in ("stdio", "memory"):
-        return "memory", {"streams": streams}
+    if scheme == "stdio":
+        # stdio is a line protocol on a text stream: the Spark analog is the
+        # socket/text source piped through stdio.parse_lines_df — there is no
+        # registered batch format ("memory" is a sink-only format and would
+        # fail at load()). create_consumer handles stdio via that path; a
+        # bare (format, options) pair cannot express it.
+        raise StreamUrlErr(
+            "stdio:// has no (format, options) mapping: build it with "
+            "spark.readStream.format('text'/'socket') + "
+            "sea_streamer_spark.sources.stdio.parse_lines_df"
+        )
+    if scheme == "memory":
+        # memory is a *sink-only* Spark format (the loopback S14 harness
+        # writes to it and reads the named table back via spark.sql); a
+        # read-side (format, options) pair does not exist.
+        raise StreamUrlErr(
+            "memory:// is sink-only: write with writeStream.format('memory')"
+            ".queryName(k) and read back via spark.table(k)"
+        )
     if scheme == "socket":
         host, _, port = url.streamer.nodes[0].partition(":")
         return "socket", {"host": host, "port": port or "9999"}

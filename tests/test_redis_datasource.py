@@ -1,0 +1,293 @@
+"""S4 live-source parity: the ``sea_redis`` registered DataSource driven
+end-to-end against the *file-backed* loopback broker — executor Python
+workers open the same broker directory, so the genuine partitioned read path
+(per-shard InputPartitions, packed-MessageId offsets, checkpoint resume) and
+the executor-side ``foreachPartition`` sink run exactly as they would against
+a real server (redis/src/consumer/node.rs:448-610; producer.rs:403-410).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sea_streamer_spark.sources.redis_datasource import SeaRedisDataSource
+from sea_streamer_spark.streaming.fake_redis import FakeRedis, ResponseError
+from sea_streamer_spark.streaming.redis import (
+    format_entry_id,
+    pack_message_id,
+    shard_key,
+)
+
+
+@pytest.fixture()
+def broker_root(tmp_path):
+    return str(tmp_path / "broker")
+
+
+def _populate(root: str, stream: str = "events", shards: int = 3, per_shard: int = 40):
+    """Deterministic entries: shard s gets ids (1000+i ms, s) for i<per_shard."""
+    client = FakeRedis(root=root)
+    for s in range(shards):
+        key = shard_key(stream, s)
+        for i in range(per_shard):
+            client.xadd(
+                key,
+                {"payload": f"m-{s}-{i}".encode()},
+                id=format_entry_id(pack_message_id(1_000 + i, s)),
+            )
+    return client
+
+
+def _register(spark):
+    spark.dataSource.register(SeaRedisDataSource)
+
+
+class TestFileBackedBroker:
+    """The file-backed FakeRedis keeps Redis command semantics across
+    *processes* — the property the executor-side paths depend on."""
+
+    def test_xadd_xrange_roundtrip_and_monotonic_ids(self, broker_root):
+        a = FakeRedis(root=broker_root)
+        b = FakeRedis(root=broker_root)  # a second "connection"
+        a.xadd("s", {"payload": b"\x00\xffbin"}, id="5-1")
+        assert b.xlen("s") == 1
+        [(eid, fields)] = b.xrange("s")
+        assert eid == "5-1" and fields["payload"] == b"\x00\xffbin"
+        with pytest.raises(ResponseError):
+            b.xadd("s", {"payload": b"x"}, id="5-1")  # not strictly greater
+        assert b.xrevrange("s", count=1)[0][0] == "5-1"
+        assert list(b.scan_iter(match="s*")) == ["s"]
+
+    def test_xtrim_persists(self, broker_root):
+        a = FakeRedis(root=broker_root)
+        for i in range(10):
+            a.xadd("t", {"payload": b"p"}, id=f"{i + 1}-0")
+        assert FakeRedis(root=broker_root).xtrim("t", maxlen=3) == 7
+        assert FakeRedis(root=broker_root).xlen("t") == 3
+
+
+class TestSeaRedisStreamSource:
+    def _run_to_memory(self, spark, broker_root, name, ck, starting="earliest"):
+        q = (
+            spark.readStream.format("sea_redis")
+            .option("stream_key", "events")
+            .option("fake_root", broker_root)
+            .option("starting_offsets", starting)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.sql(f"SELECT * FROM {name}")
+
+    def test_reads_all_shards_with_envelope(self, spark, broker_root, tmp_path):
+        _populate(broker_root, shards=3, per_shard=40)
+        _register(spark)
+        got = self._run_to_memory(spark, broker_root, "redis_all", str(tmp_path / "ck"))
+        rows = got.collect()
+        assert len(rows) == 120
+        assert sorted({r.shard_id for r in rows}) == [0, 1, 2]
+        by_shard = {}
+        for r in rows:
+            assert r.stream_key == "events"
+            ms = r.sequence >> 16
+            assert round(r.timestamp.timestamp() * 1000) == ms
+            by_shard.setdefault(r.shard_id, []).append(r.sequence)
+        for seqs in by_shard.values():
+            assert len(seqs) == 40 and len(set(seqs)) == 40
+        payloads = {bytes(r.payload).decode() for r in rows}
+        assert "m-2-39" in payloads and len(payloads) == 120
+
+    def _run_to_parquet(self, spark, broker_root, out, ck):
+        q = (
+            spark.readStream.format("sea_redis")
+            .option("stream_key", "events")
+            .option("fake_root", broker_root)
+            .option("starting_offsets", "earliest")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    def test_resume_from_checkpoint_reads_only_new(self, spark, broker_root, tmp_path):
+        client = _populate(broker_root, shards=2, per_shard=10)
+        _register(spark)
+        ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+        assert self._run_to_parquet(spark, broker_root, out, ck).count() == 20
+        # append 5 more to shard 1, then restart with the SAME checkpoint
+        for i in range(5):
+            client.xadd(
+                shard_key("events", 1),
+                {"payload": f"new-{i}".encode()},
+                id=format_entry_id(pack_message_id(2_000 + i, 1)),
+            )
+        total = self._run_to_parquet(spark, broker_root, out, ck)
+        rows = total.collect()
+        # 20 from the first run + ONLY the 5 new entries — offsets resumed,
+        # nothing re-delivered
+        assert len(rows) == 25
+        assert sum(bytes(r.payload).startswith(b"new-") for r in rows) == 5
+
+    def test_latest_skips_existing(self, spark, broker_root, tmp_path):
+        _populate(broker_root, shards=2, per_shard=15)
+        _register(spark)
+        got = self._run_to_memory(
+            spark, broker_root, "redis_latest", str(tmp_path / "ck"), starting="latest"
+        )
+        assert got.count() == 0  # End: only entries after the query starts
+
+    def test_mid_stream_shard_discovery(self, spark, broker_root, tmp_path):
+        client = _populate(broker_root, shards=1, per_shard=8)
+        _register(spark)
+        ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+        assert self._run_to_parquet(spark, broker_root, out, ck).count() == 8
+        # a brand-new shard appears between runs: read from its Beginning
+        for i in range(4):
+            client.xadd(
+                shard_key("events", 7),
+                {"payload": b"late-shard"},
+                id=format_entry_id(pack_message_id(100 + i, 7)),
+            )
+        rows = self._run_to_parquet(spark, broker_root, out, ck).collect()
+        assert len(rows) == 12
+        assert sum(r.shard_id == 7 for r in rows) == 4
+
+    def test_create_consumer_uri_dispatch(self, spark, broker_root, tmp_path):
+        from sea_streamer_spark.streaming.consumer import (
+            ConsumerMode,
+            ConsumerOptions,
+            create_consumer,
+        )
+
+        _populate(broker_root, shards=2, per_shard=6)
+        consumer = create_consumer(
+            spark,
+            f"redis+fake://{broker_root}/events",
+            ConsumerOptions(
+                mode=ConsumerMode.Resumable, checkpoint_dir=str(tmp_path / "ck")
+            ),
+        )
+        consumer.start_to_memory("redis_uri_q")
+        assert spark.sql("SELECT COUNT(*) n FROM redis_uri_q").collect()[0].n == 12
+
+
+class TestSeaRedisBatchSource:
+    def test_bounded_xrange_scan(self, spark, broker_root):
+        _populate(broker_root, shards=2, per_shard=30)
+        _register(spark)
+        lo = pack_message_id(1_010, 0)
+        hi = pack_message_id(1_019, 1)
+        df = (
+            spark.read.format("sea_redis")
+            .option("stream_key", "events")
+            .option("fake_root", broker_root)
+            .option("min_seq", str(lo))
+            .option("max_seq", str(hi))
+            .load()
+        )
+        rows = df.collect()
+        # shard 0: ids (1010..1019, 0) → 10; shard 1: (1010..1019, 1) → 10
+        assert len(rows) == 20
+        assert all(lo <= r.sequence <= hi for r in rows)
+        # full unbounded scan sees everything
+        full = (
+            spark.read.format("sea_redis")
+            .option("stream_key", "events")
+            .option("fake_root", broker_root)
+            .load()
+        )
+        assert full.count() == 60
+
+
+class TestExecutorSideSink:
+    def _batch(self, spark, n=60):
+        # 2 stream shards, deliberately scattered across >1 Spark partitions
+        return (
+            spark.range(n)
+            .repartition(4)
+            .select(
+                F.lit("out").alias("stream_key"),
+                (F.col("id") % 2).alias("shard_id"),
+                (F.col("id") % 1000).alias("sequence"),
+                F.timestamp_millis(F.lit(50_000) + F.col("id") * 10).alias("timestamp"),
+                F.encode(F.concat(F.lit("p-"), F.col("id")), "utf-8").alias("payload"),
+            )
+        )
+
+    def test_foreach_partition_writes_all_no_driver_collect(self, spark, broker_root):
+        from sea_streamer_spark.streaming.redis import redis_sink_foreach_batch
+
+        batch = self._batch(spark)
+        write = redis_sink_foreach_batch(
+            client_factory=lambda: FakeRedis(root=broker_root), executor_side=True
+        )
+        write(batch, batch_id=0)
+        client = FakeRedis(root=broker_root)
+        per_shard = {
+            s: client.xrange(shard_key("out", s), count=10_000) for s in (0, 1)
+        }
+        assert sum(len(v) for v in per_shard.values()) == 60
+        for entries in per_shard.values():
+            ids = [tuple(map(int, e[0].split("-"))) for e in entries]
+            assert ids == sorted(ids)  # monotonic per shard — XADD accepted all
+        # replay the same micro-batch: duplicate ids are rejected as no-ops,
+        # the inspection logic treats them as expected, nothing duplicates
+        write(batch, batch_id=0)
+        assert sum(client.xlen(shard_key("out", s)) for s in (0, 1)) == 60
+
+    def test_seq_overflow_raises_not_masks(self, spark):
+        from sea_streamer_spark.streaming.redis import xadd_commands
+
+        rows = self._batch(spark, n=1).withColumn(
+            "sequence", F.lit(0x10000).cast("long")
+        ).collect()
+        with pytest.raises(ValueError, match="out of range"):
+            xadd_commands(rows)
+
+    def test_unexpected_pipeline_error_raises(self, broker_root):
+        from sea_streamer_spark.streaming.redis import _flush_xadds
+
+        class Row:
+            def __init__(self, seq, ms):
+                self.stream_key = "err"
+                self.shard_id = 0
+                self.sequence = seq
+                from datetime import datetime, timezone
+
+                self.timestamp = datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+                self.payload = b"x"
+
+        client = FakeRedis(root=broker_root)
+        _flush_xadds(client, [Row(1, 5000)], None)  # id 5000-1
+        # same id again → duplicate rejection is tolerated (idempotent replay)
+        _flush_xadds(client, [Row(1, 5000)], None)
+        assert client.xlen("err") == 1
+
+        class BrokenPipe:
+            def __init__(self):
+                self._n = 0
+
+            def xadd(self, *a, **k):
+                self._n += 1
+
+            def xtrim(self, *a, **k):
+                self._n += 1
+
+            def execute(self, raise_on_error=True):
+                return [ConnectionError("broken pipe")] * self._n
+
+        class BrokenClient:
+            def pipeline(self, transaction=False):
+                return BrokenPipe()
+
+        with pytest.raises(ConnectionError):
+            _flush_xadds(BrokenClient(), [Row(2, 6000)], None)
