@@ -764,3 +764,47 @@ def redis_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id", "sequence")
     )
+
+
+@query(
+    "ss_write_roundtrip",
+    oracle=f"""
+    SELECT stream_key, shard_id, sequence,
+           epoch_ms(timestamp) AS timestamp_ms,
+           md5(payload_str) AS payload_md5
+    FROM ({ENVELOPE_SQL})
+    WHERE stream_key = 'purchase'
+    ORDER BY sequence
+    """,
+    tags=("streaming", "ss", "file", "sink"),
+)
+def ss_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 distributed `.ss` sink → S8 source round-trip: write the purchase
+    stream through ``write_ss_dir`` (per-partition container files built on
+    executors, messages.rs:555-609 re-expressed) and parse the directory
+    back. The oracle is the source envelope itself (ms-truncated timestamps
+    — the container's resolution), so a byte-level encode/decode defect
+    anywhere in the path breaks the value hash."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.ss import read_ss, write_ss_dir
+
+    env = _envelope(spark, sf_dir).filter(F.col("stream_key") == "purchase")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"ss_write_roundtrip_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    write_ss_dir(env, out, beacon_interval=256 * 1024, num_files=4)
+    return (
+        read_ss(spark, out)
+        .select(
+            "stream_key",
+            "shard_id",
+            "sequence",
+            F.unix_millis("timestamp").alias("timestamp_ms"),
+            F.md5(F.col("payload").cast("string")).alias("payload_md5"),
+        )
+        .orderBy("sequence")
+    )

@@ -342,26 +342,76 @@ def iter_messages(
 
 
 class SsWriter:
-    """Single-file `.ss` writer mirroring MessageSink (messages.rs:555-609):
-    chunked writes with beacons at interval boundaries, per-stream running
-    checksums, round-robin marker selection when streams > marker slots."""
+    """`.ss` writer mirroring MessageSink (messages.rs:555-609): chunked
+    writes with beacons at interval boundaries, per-stream running checksums,
+    round-robin marker selection when streams > marker slots.
+
+    ``out`` is any writable byte sink (default: in-memory). Appending to an
+    existing file goes through :meth:`append_to` (messages.rs:419-515
+    parity): reopen, trim a torn tail and any EOS marker, reconstruct the
+    beacon state from the surviving prefix, resume in place."""
 
     MARKER_MAX_SIZE = 1 + 255 + 8 + 8 + 8 + 2
 
     def __init__(self, file_name: str, beacon_interval: int = DEFAULT_BEACON_INTERVAL,
-                 created_at_ms: int = 0):
+                 created_at_ms: int = 0, out=None, _resume_state=None):
         if HEADER_SIZE > beacon_interval:
             raise SsFormatError("beacon_interval must be >= header size")
-        self.buf = io.BytesIO()
+        self.buf = out if out is not None else io.BytesIO()
         self.interval = beacon_interval
         self.offset = 0
         self.beacon_state: dict[tuple[str, int], dict] = {}
         self.beacon_count = 0
+        if _resume_state is not None:
+            self.offset, self.beacon_state, self.beacon_count = _resume_state
+            if self.offset > 0 and self.offset % self.interval == 0:
+                # resumed exactly at an interval boundary (the truncated tail
+                # took the boundary's beacon with it): re-emit it, nothing
+                # in-flight
+                self._write_beacon(0)
+            return
         self._write_raw(encode_header(SsHeader(file_name, created_at_ms, beacon_interval)))
         if self.offset == beacon_interval:
             # header exactly fills the first interval: an empty beacon follows
             # immediately (messages.rs:517-525, "a very special case")
             self._write_beacon(0)
+
+    @classmethod
+    def append_to(cls, path: str, verify_crc: bool = True):
+        """Reopen ``path`` for appending (messages.rs:419-515): parse the
+        complete prefix, drop a torn tail and any EOS marker (truncate), and
+        return ``(writer, prefix_messages)`` with per-stream seq/ts/running-
+        checksum state rebuilt so beacons continue correctly."""
+        with open(path, "rb") as fh:
+            data = fh.read()
+        header = decode_header(data)
+        interval = header.beacon_interval
+        msgs, resume, beacons = _parse_complete_ex(
+            data, interval, HEADER_SIZE, eos_resume="before", verify_crc=verify_crc
+        )
+        # markers already on disk before the resume point (beacons whose
+        # bytes survive the truncation) keep their place in the rotation
+        markers = sum(len(items) for k, items in beacons if k * interval < resume)
+        state: dict[tuple[str, int], dict] = {}
+        for m in msgs:
+            st = state.setdefault(
+                (m.stream_key, m.shard_id),
+                {"seq": m.sequence, "ts": m.timestamp_ms, "crc": RunningChecksum()},
+            )
+            st["seq"] = max(st["seq"], m.sequence)
+            st["ts"] = max(st["ts"], m.timestamp_ms)
+            st["crc"].update(crc16_cdma2000(m.payload))
+        fh = open(path, "r+b")
+        fh.truncate(resume)
+        fh.seek(resume)
+        writer = cls(
+            header.file_name,
+            interval,
+            header.created_at_ms,
+            out=fh,
+            _resume_state=(resume, state, markers),
+        )
+        return writer, msgs
 
     def _write_raw(self, b: bytes) -> None:
         self.buf.write(b)
@@ -410,9 +460,16 @@ class SsWriter:
         return crc
 
     def end(self, eos: bool = True) -> bytes:
+        """Optionally write the EOS marker (D10) and finalize. Returns the
+        container bytes for an in-memory sink; file sinks are flushed and
+        closed (their bytes are already on disk)."""
         if eos:
             self.write(SsMessage(SEA_STREAMER_INTERNAL, 0, 0, 0, EOS_PAYLOAD))
-        return self.buf.getvalue()
+        if isinstance(self.buf, io.BytesIO):
+            return self.buf.getvalue()
+        self.buf.flush()
+        self.buf.close()
+        return b""
 
 
 # ------------------------------------------------------------- Spark surface
@@ -437,6 +494,8 @@ def read_ss(
     """
     from pyspark.sql import functions as F
 
+    if os.path.isdir(path):
+        path = os.path.join(path, "*.ss")
     raw = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def parse(batches):
@@ -514,12 +573,101 @@ def write_ss(
     return len(rows)
 
 
-def parse_complete(data, interval: int, start_offset: int, end_byte: int | None = None):
-    """Parse complete messages from ``start_offset``; return
-    ``(messages, resume_offset)`` where ``resume_offset`` is the byte
-    position after the last *fully written* message — the live-tail resume
-    point (a partially appended message or beacon leaves resume at its
-    start, to be retried when more bytes arrive)."""
+def write_ss_dir(
+    df: DataFrame,
+    out_dir: str,
+    beacon_interval: int = DEFAULT_BEACON_INTERVAL,
+    eos: bool = True,
+    partition_cols: tuple[str, ...] = ("stream_key", "shard_id"),
+    num_files: int | None = None,
+) -> list:
+    """Distributed `.ss` write: one container file per Spark partition
+    (``part-NNNNN.ss``), written *on executors* — the S9 sink at scale.
+
+    Layout: repartition by ``partition_cols`` (default: each (stream, shard)
+    lands wholly in one file — the unit the format orders, matching the
+    reference's one-sink-per-file model, messages.rs:555-609) and sort within
+    partitions by (timestamp, stream_key, sequence), so every file is a
+    well-ordered standalone container. ``read_ss(out_dir)`` parses the whole
+    directory back with one task per file.
+
+    Files are staged as ``.tmp`` and atomically renamed, so a killed task
+    retried by Spark never leaves a half-written visible file. ``out_dir``
+    must be on a filesystem every executor can reach (true on local[...] and
+    on any shared-FS/NFS cluster deployment; object stores would take a
+    custom commit protocol — out of scope for an interop format).
+
+    Returns the per-file summaries ``[(path, messages, bytes), ...]``.
+    """
+    import pandas as pd  # noqa: F401 (executor-side import kept explicit)
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = df.select("stream_key", "shard_id", "sequence", "timestamp", "payload")
+    if partition_cols:
+        # an explicit num_files pins the file count (AQE coalescing would
+        # otherwise merge small shuffles down — right at scale, but callers
+        # sometimes want a fixed layout)
+        arranged = (
+            cols.repartition(num_files, *partition_cols)
+            if num_files
+            else cols.repartition(*partition_cols)
+        )
+    else:
+        arranged = cols.repartition(num_files) if num_files else cols
+    arranged = arranged.sortWithinPartitions("timestamp", "stream_key", "sequence")
+
+    def write_partition(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        final = os.path.join(out_dir, f"part-{pid:05d}.ss")
+        tmp = final + ".tmp"
+        writer = None
+        n = 0
+        for pdf in batches:
+            if writer is None and len(pdf):
+                writer = SsWriter(os.path.basename(final), beacon_interval)
+            for r in pdf.itertuples(index=False):
+                ts_ms = int(pd.Timestamp(r.timestamp).value // 1_000_000)
+                writer.write(
+                    SsMessage(
+                        r.stream_key,
+                        int(r.shard_id),
+                        int(r.sequence),
+                        ts_ms,
+                        bytes(r.payload or b""),
+                    )
+                )
+                n += 1
+        if writer is None:
+            yield pd.DataFrame([], columns=["path", "messages", "bytes"]).astype(
+                {"path": "string", "messages": "int64", "bytes": "int64"}
+            )
+            return
+        data = writer.end(eos)
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, final)
+        yield pd.DataFrame([(final, n, len(data))], columns=["path", "messages", "bytes"])
+
+    return (
+        arranged.mapInPandas(write_partition, "path string, messages long, bytes long")
+        .collect()
+    )
+
+
+def _parse_complete_ex(
+    data,
+    interval: int,
+    start_offset: int,
+    end_byte: int | None = None,
+    eos_resume: str = "after",
+    verify_crc: bool = True,
+):
+    """Core of :func:`parse_complete`; additionally returns the consumed
+    beacons and supports ``eos_resume="before"`` (resume at the EOS marker's
+    start — the append path truncates it away, messages.rs:419-515)."""
     end = len(data) if end_byte is None else min(end_byte, len(data))
     cur = _Cursor(data, interval)
     cur.offset = start_offset
@@ -533,6 +681,7 @@ def parse_complete(data, interval: int, start_offset: int, end_byte: int | None 
         if cur.eof() or cur.offset >= end:
             resume = min(cur.offset, end)
             break
+        msg_start = cur.offset
         try:
             key_len = cur.read(1)[0]
             key = cur.read(key_len).decode("utf-8")
@@ -545,12 +694,24 @@ def parse_complete(data, interval: int, start_offset: int, end_byte: int | None 
             cur.read(1)
         except EOFError:
             break  # incomplete message: resume stays before it
-        computed = crc16_cdma2000(payload)
-        if crc != computed:
-            raise SsFormatError(f"checksum error: received {crc}, computed {computed}")
+        if verify_crc:
+            computed = crc16_cdma2000(payload)
+            if crc != computed:
+                raise SsFormatError(f"checksum error: received {crc}, computed {computed}")
         msg = SsMessage(key, shard, seq, ts, payload)
-        resume = cur.offset
         if msg.is_eos:
+            resume = msg_start if eos_resume == "before" else cur.offset
             break
+        resume = cur.offset
         out.append(msg)
-    return out, resume
+    return out, resume, cur.beacons
+
+
+def parse_complete(data, interval: int, start_offset: int, end_byte: int | None = None):
+    """Parse complete messages from ``start_offset``; return
+    ``(messages, resume_offset)`` where ``resume_offset`` is the byte
+    position after the last *fully written* message — the live-tail resume
+    point (a partially appended message or beacon leaves resume at its
+    start, to be retried when more bytes arrive)."""
+    msgs, resume, _beacons = _parse_complete_ex(data, interval, start_offset, end_byte)
+    return msgs, resume

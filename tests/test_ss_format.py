@@ -352,3 +352,131 @@ class TestSsDataSourcePushdown:
             .count()
         )
         assert got == 2000 - 1501  # ts strictly greater
+
+
+class TestDistributedWrite:
+    """S9 at scale: write_ss_dir (per-partition container files, executor-side)
+    + SsWriter.append_to recovery (messages.rs:419-515 parity)."""
+
+    def test_write_dir_roundtrip_hash_equal(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.model import envelope_from_events
+        from sea_streamer_spark.sources.ss import read_ss, write_ss_dir
+        from sea_streamer_spark.sources.tables import load_tables
+
+        env = envelope_from_events(
+            load_tables(spark, "/root/testdata/sf0.001", "events").events
+        )
+        out = str(tmp_path / "dist_ss")
+        summaries = write_ss_dir(env, out, beacon_interval=64 * 1024, num_files=6)
+        n_files = len(summaries)
+        assert n_files > 1  # genuinely distributed: multiple container files
+        assert sum(s.messages for s in summaries) == env.count()
+
+        def digest(df):
+            # ms-truncate ts (the container stores millis) and hash everything
+            return df.select(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        "stream_key",
+                        "shard_id",
+                        "sequence",
+                        F.unix_millis("timestamp"),
+                        F.md5("payload"),
+                    )
+                ).alias("h")
+            ).agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("decimal(30,0)")).alias("s")).collect()[0].s
+
+        back = read_ss(spark, out)
+        assert back.count() == env.count()
+        env_ms = env.withColumn("timestamp", F.timestamp_millis(F.unix_millis("timestamp")))
+        assert digest(env_ms) == digest(back)
+
+    def test_each_partition_file_is_standalone_and_ordered(self, spark, tmp_path):
+        from sea_streamer_spark.model import envelope_from_events
+        from sea_streamer_spark.sources.ss import iter_messages, write_ss_dir
+        from sea_streamer_spark.sources.tables import load_tables
+
+        env = envelope_from_events(
+            load_tables(spark, "/root/testdata/sf0.001", "events").events
+        ).limit(500)
+        out = str(tmp_path / "dist_ss2")
+        summaries = write_ss_dir(env, out, beacon_interval=8192, num_files=5)
+        seen_groups = {}
+        for s in summaries:
+            with open(s.path, "rb") as fh:
+                msgs = list(iter_messages(fh.read()))
+            assert len(msgs) == s.messages
+            keys = [(m.timestamp_ms, m.stream_key, m.sequence) for m in msgs]
+            assert keys == sorted(keys)  # well-ordered container
+            for m in msgs:
+                # a (stream, shard) group never straddles two files
+                g = (m.stream_key, m.shard_id)
+                assert seen_groups.setdefault(g, s.path) == s.path
+
+    def test_append_to_resumes_after_eos_strip(self, tmp_path):
+        from sea_streamer_spark.sources.ss import (
+            SsMessage,
+            SsWriter,
+            iter_messages,
+        )
+
+        path = str(tmp_path / "a.ss")
+        w = SsWriter("a.ss", beacon_interval=512)
+        first = [
+            SsMessage("s", 0, i, 1_000 + i, bytes([i % 251] * 90)) for i in range(10)
+        ]
+        for m in first:
+            w.write(m)
+        with open(path, "wb") as f:
+            f.write(w.end(eos=True))  # EOS marker on disk
+
+        w2, prefix = SsWriter.append_to(path)
+        assert [(m.stream_key, m.sequence) for m in prefix] == [("s", i) for i in range(10)]
+        more = [SsMessage("s", 0, 10 + i, 2_000 + i, b"Z" * 90) for i in range(5)]
+        for m in more:
+            w2.write(m)
+        w2.end(eos=True)
+
+        with open(path, "rb") as fh:
+            msgs = list(iter_messages(fh.read()))  # CRC-verified full parse
+        assert [(m.sequence, m.timestamp_ms) for m in msgs] == [
+            (m.sequence, m.timestamp_ms) for m in first + more
+        ]
+
+    def test_torn_tail_recovery_sweep(self, tmp_path):
+        """Truncate the container at EVERY byte position; append_to must trim
+        to a complete prefix and continue to a file the strict parser accepts
+        — beacon boundaries, spliced messages, torn beacons and all."""
+        from sea_streamer_spark.sources.ss import (
+            HEADER_SIZE,
+            SsMessage,
+            SsWriter,
+            iter_messages,
+        )
+
+        w = SsWriter("t.ss", beacon_interval=256)
+        msgs = [
+            SsMessage("aa" if i % 2 else "bb", i % 2, i, 5_000 + i * 7, bytes([i] * (30 + i)))
+            for i in range(16)
+        ]
+        for m in msgs:
+            w.write(m)
+        data = w.end(eos=False)
+        tail = SsMessage("aa", 1, 99, 9_999, b"tail-msg" * 4)
+
+        for cut in range(HEADER_SIZE, len(data) + 1, 3):
+            path = str(tmp_path / f"cut.ss")
+            with open(path, "wb") as f:
+                f.write(data[:cut])
+            w2, prefix = SsWriter.append_to(path)
+            # prefix = the longest complete message run, in order
+            assert [m.sequence for m in prefix] == list(range(len(prefix)))
+            w2.write(tail)
+            w2.end(eos=True)
+            with open(path, "rb") as fh:
+                got = list(iter_messages(fh.read()))
+            assert [m.sequence for m in got] == [m.sequence for m in prefix] + [99]
+            assert got[-1].payload == tail.payload
