@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from sea_streamer_spark import envelope_from_events, get_spark
-from sea_streamer_spark.operators.fuse import mux, stream_join_batch
+from sea_streamer_spark.operators.fuse import mux, stream_join
 from sea_streamer_spark.sources.tables import load_tables
 
 
@@ -23,7 +23,9 @@ def main() -> None:
     spark = get_spark(app_name="stream-join-example")
     env = envelope_from_events(load_tables(spark, "/root/testdata/sf0.001", "events").events)
     streams = [env.filter(F.col("stream_key") == k) for k in ("click", "view", "error")]
-    merged = stream_join_batch(mux(*streams), align=["click", "view"])
+    # default scope="sharded": per-shard merge order, fully parallel — the
+    # 100 TB path; pass scope="global" to serialize into one total order.
+    merged = stream_join(mux(*streams), align=["click", "view"])
     merged.select("emit_index", "timestamp", "stream_key", "sequence").show(10)
     print(f"merged {merged.count()} messages in event-time order (gated on click+view)")
     spark.stop()

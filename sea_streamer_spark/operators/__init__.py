@@ -8,4 +8,6 @@ from .curation import (  # noqa: F401
     shuffle_rank,
     stratified_sample,
 )
+from .dedup import minhash_lsh_dedup, simhash_near_dup  # noqa: F401
+from .fuse import mux, stream_join  # noqa: F401
 from .range_join import range_join  # noqa: F401

@@ -18,8 +18,13 @@ Scale design (the 100 TB posture):
   0.9) equals the exact-Jaccard answer — which is exactly what the DuckDB
   oracle computes.
 - **simhash**: per-doc 30-bit signature by bitwise majority vote over token
-  hashes — pure projection; hamming-adjacent buckets then find near-dups
-  with no pairwise scan.
+  hashes — pure projection; :func:`simhash_near_dup` then finds near-dups
+  with no pairwise scan via the pigeonhole block join: split the signature
+  into ``d+1`` blocks — two signatures within hamming distance ``d`` must
+  agree exactly on at least one block — equi-join on (block index, block
+  value), verify candidates with ``bit_count(xor)``. Exact (full recall) by
+  construction, and the join buckets are tiny because a block match is a
+  7-8-bit exact match.
 
 All hashing uses the portable polynomial fold from operators/text.py.
 """
@@ -232,3 +237,76 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         bit = F.when(v > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp + bit
     return hashed.select(id_col, fp.alias("simhash"))
+
+
+def _signature_blocks(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """Partition [0, n_bits) into n_blocks contiguous (shift, width) spans."""
+    base, extra = divmod(n_bits, n_blocks)
+    spans, pos = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        spans.append((pos, width))
+        pos += width
+    return spans
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= ``max_distance``.
+
+    Pigeonhole block search: the 30-bit signature splits into
+    ``max_distance + 1`` contiguous blocks; if two signatures differ in at
+    most ``max_distance`` bits, the differing bits touch at most
+    ``max_distance`` blocks, so at least one block matches exactly.
+    Candidates = equi-join on (block index, block bits) — a bucketed join,
+    never all-pairs — then the exact ``bit_count(xor) <= d`` filter keeps
+    only true near-dups. Full recall by construction (no probabilistic gap).
+
+    Scale: the block join shuffles |docs| x (d+1) small rows; bucket sizes
+    are corpus-dependent (a pathological corpus where every doc shares one
+    7-bit block degrades toward that bucket's all-pairs — the standard
+    remedy is more bits, SIMHASH_BITS, which shrinks buckets
+    exponentially). Returns (doc_a, doc_b, hamming).
+    """
+    s = sigs if sigs is not None else simhash(df, text_col, id_col)
+    n_blocks = max_distance + 1
+    spans = _signature_blocks(SIMHASH_BITS, n_blocks)
+    blocks = s.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bval"),
+                    )
+                    for i, (shift, width) in enumerate(spans)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.bval").alias("bval"))
+    a = blocks.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "blk", "bval"
+    )
+    b = blocks.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "blk", "bval"
+    )
+    return (
+        a.join(b, ["blk", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )

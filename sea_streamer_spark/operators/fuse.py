@@ -41,28 +41,54 @@ def mux(*streams: DataFrame) -> DataFrame:
     return out
 
 
+def _align_gate(muxed: DataFrame, align: list[str]) -> DataFrame:
+    """Apply the align gate (fuse/src/lib.rs:91-100): emission stops at the
+    slowest aligned stream's max timestamp. When an aligned stream has NO
+    rows at all, the gate is NULL and *nothing* emits — ``check()`` in the
+    reference requires every aligned buffer non-empty, and the stateful path
+    (gate=None) does the same."""
+    n_keys = len(set(align))
+    gates = (
+        muxed.filter(F.col("stream_key").isin(align))
+        .groupBy("stream_key")
+        .agg(F.max("timestamp").alias("mx"))
+        .agg(F.when(F.count(F.lit(1)) == n_keys, F.min("mx")).alias("gate"))
+    )
+    return muxed.join(F.broadcast(gates), F.col("timestamp") <= F.col("gate")).drop("gate")
+
+
+def stream_join(
+    muxed: DataFrame, align: list[str] | None = None, scope: str = "sharded"
+) -> DataFrame:
+    """StreamJoin entry point. ``scope="sharded"`` (default) merges per
+    shard — fully parallel, the delivery order the reference actually
+    guarantees; ``scope="global"`` opts into the single total order (a
+    one-partition window: correct, deliberately serialized — replay/audit
+    use, not the 100 TB path)."""
+    if scope == "sharded":
+        return stream_join_sharded(muxed, align)
+    if scope == "global":
+        return stream_join_batch(muxed, align)
+    raise ValueError(f"scope must be sharded|global, got {scope!r}")
+
+
 def stream_join_batch(muxed: DataFrame, align: list[str] | None = None) -> DataFrame:
     """Batch StreamJoin: emit the muxed stream in global event-time order.
 
     ``align`` restricts emission to messages no later than the slowest aligned
     stream's max timestamp (the batch limit of the gate check,
     fuse/src/lib.rs:91-100): in a bounded replay every aligned stream has
-    "progressed" to its final timestamp, so the gate is the min of those maxima.
+    "progressed" to its final timestamp, so the gate is the min of those
+    maxima — and an aligned stream with no rows holds back everything.
     """
     validate_envelope(muxed)
     if align:
-        gates = (
-            muxed.filter(F.col("stream_key").isin(align))
-            .groupBy("stream_key")
-            .agg(F.max("timestamp").alias("mx"))
-            .agg(F.min("mx").alias("gate"))
-        )
-        muxed = muxed.join(F.broadcast(gates), F.col("timestamp") <= F.col("gate")).drop("gate")
+        muxed = _align_gate(muxed, align)
     w = Window.orderBy(*[F.col(c).asc() for c in MERGE_ORDER])
     return muxed.withColumn("emit_index", F.row_number().over(w))
 
 
-def stream_join_sharded(muxed: DataFrame) -> DataFrame:
+def stream_join_sharded(muxed: DataFrame, align: list[str] | None = None) -> DataFrame:
     """Scale-path StreamJoin: merge order maintained *per shard*.
 
     ``emit_index`` is computed per ``shard_id`` partition — a hash-partitioned
@@ -70,6 +96,8 @@ def stream_join_sharded(muxed: DataFrame) -> DataFrame:
     guarantee (order within a shard; cross-shard order only via timestamps).
     """
     validate_envelope(muxed)
+    if align:
+        muxed = _align_gate(muxed, align)
     w = Window.partitionBy("shard_id").orderBy(*[F.col(c).asc() for c in MERGE_ORDER])
     return muxed.withColumn("emit_index", F.row_number().over(w))
 
@@ -83,7 +111,11 @@ def stream_join_stream(muxed: DataFrame, watermark: str = "1 minute") -> DataFra
     return muxed.withWatermark("timestamp", watermark)
 
 
-def stream_join_stateful(muxed: DataFrame, align: list[str] | None = None) -> DataFrame:
+def stream_join_stateful(
+    muxed: DataFrame,
+    align: list[str] | None = None,
+    max_buffer_rows: int = 1_000_000,
+) -> DataFrame:
     """Streaming StreamJoin with *true* align-gating via per-shard state
     (``applyInPandasWithState``) — the stateful-buffering path SURVEY §7
     ranks as hard-part #3.
@@ -101,6 +133,12 @@ def stream_join_stateful(muxed: DataFrame, align: list[str] | None = None) -> Da
     (as in the reference, where it is bounded by peer lag), not by stream
     length. A global (unsharded) total order would serialize; this is the
     distributed contract the reference actually guarantees.
+
+    ``max_buffer_rows`` guards the unbounded-growth failure mode: an aligned
+    peer that never produces would otherwise buffer its shard's entire
+    history in state. Exceeding the cap fails the query with a diagnostic
+    naming the stalled peers — fail-loud beats silent executor OOM; raise the
+    cap (or drop the stalled key from ``align``) to resume.
     """
     import pickle
 
@@ -147,6 +185,15 @@ def stream_join_stateful(muxed: DataFrame, align: list[str] | None = None) -> Da
             gate = min(max_ts[k] for k in aligned)
         else:  # an aligned peer has not progressed yet -> hold everything
             gate = None
+        if len(buf) > max_buffer_rows:
+            stalled = (
+                sorted(set(aligned) - set(max_ts)) if aligned else []
+            )
+            raise RuntimeError(
+                f"stream_join_stateful: shard {key[0]} buffered {len(buf)} rows "
+                f"(max_buffer_rows={max_buffer_rows}); aligned peers never seen: "
+                f"{stalled or 'none — emission gate lagging arrivals'}"
+            )
         if gate is not None and len(buf):
             ready = buf["timestamp"] <= gate
             emit = (

@@ -158,12 +158,14 @@ def ann_lsh(
     bk = lsh_buckets(emb, n_planes, id_col, vec_col)
     a = bk.select(F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = bk.select(F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # No distinct needed: each vector lives in exactly one bucket, so a pair
+    # can meet in at most one bucket — pairs are already unique (a distinct
+    # here would be a pure wasted shuffle).
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
-        .distinct()
     )
 
 
@@ -191,14 +193,62 @@ def ivf_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str = "embe
 
 
 def ivf_centroids(
-    emb: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "kmeans",
+    sample_size: int = 4096,
+    iters: int = 8,
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic coarse quantizer: the n_cells lowest-id vectors serve as
-    cell centroids. (Production IVF trains k-means; a deterministic seed set
-    keeps the oracle/test story exact, and Lloyd refinement plugs in here
-    without changing the query shape.)"""
-    rows = emb.orderBy(id_col).limit(n_cells).select(id_col, vec_col).collect()
-    return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+    """Deterministic coarse quantizer for IVF.
+
+    ``method="kmeans"`` (default): spherical k-means on a deterministic
+    sample — the sample is the ``sample_size`` rows with the smallest
+    ``xxhash64(id)`` (a hash-ordered TakeOrdered: one pass, no full sort, and
+    unbiased w.r.t. id locality, unlike lowest-N-ids which inherits any
+    id-ordered skew in the corpus). Lloyd iterations run driver-side on the
+    sample in float64; initialization is the first ``n_cells`` sample rows in
+    hash order. Everything is seedless-deterministic: same corpus → same
+    centroids, so tests and reruns reproduce bit-for-bit.
+
+    ``method="seed"``: the previous lowest-id quantizer (kept as the cheap
+    fallback and for comparison tests).
+
+    Scale: training reads a bounded sample (TakeOrdered of ~4k rows), never
+    the corpus; assignment stays a map-side projection (ivf_cell_expr). At
+    100 TB the same sample-then-broadcast shape holds — k-means|| would only
+    change how the driver refines the sample.
+    """
+    if method == "seed":
+        rows = emb.orderBy(id_col).limit(n_cells).select(id_col, vec_col).collect()
+        return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+    if method != "kmeans":
+        raise ValueError(f"method must be kmeans|seed, got {method!r}")
+    import numpy as np
+
+    rows = (
+        emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    if len(X) < n_cells:
+        raise ValueError(f"corpus smaller than n_cells: {len(X)} < {n_cells}")
+    nrm = np.linalg.norm(X, axis=1)
+    X = X / np.where(nrm == 0, 1.0, nrm)[:, None]
+    C = X[:n_cells].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(n_cells):
+            pts = X[assign == c]
+            if len(pts):
+                v = pts.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[c] = v / nv
+    return [(i, [float(x) for x in C[i]]) for i in range(n_cells)]
 
 
 def ann_ivf_topk(

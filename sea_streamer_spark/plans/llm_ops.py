@@ -207,6 +207,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash_neardup",
+    oracle=f"""
+    WITH sh AS ({_duck_simhash_sql()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) via the pigeonhole block join —
+    candidates share at least one of 4 signature blocks, so recall is exact
+    by construction while the join stays bucketed (operators/dedup.py
+    simhash_near_dup). The oracle recomputes signatures in SQL and scans all
+    pairs — feasible only at oracle scale, which is the point."""
+    t = load_tables(spark, sf_dir, "documents")
+    return D.simhash_near_dup(t.documents).orderBy("doc_a", "doc_b")
+
+
+@query(
     "similarity_cosine_topk",
     oracle=f"""
     WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)

@@ -280,10 +280,16 @@ def stream_merge_order_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken by stream key (sea-streamer-fuse/src/lib.rs:71-89). The emit index
     encodes the merge order so the oracle hash verifies ordering, not just
     membership."""
-    from ..operators.fuse import stream_join_batch
+    from ..operators.fuse import stream_join
 
+    # scope="global" is a deliberate opt-in: this query pins the reference's
+    # single total merge order (a one-partition window — serialized by
+    # definition); the operator's default, and the 100 TB path, is the
+    # per-shard merge checked by stream_merge_sharded.
     env = _envelope(spark, sf_dir).filter(F.col("stream_key").isin("click", "error"))
-    return stream_join_batch(env).select("emit_index", "stream_key", "sequence", "timestamp")
+    return stream_join(env, scope="global").select(
+        "emit_index", "stream_key", "sequence", "timestamp"
+    )
 
 
 @query(

@@ -183,3 +183,203 @@ class TestCuration:
             # straddling doc: tokens strictly before the straddler < budget
             sums = g.groupby("chunk_id").n_tokens.sum()
             assert (sums.iloc[:-1] + g.n_tokens.max() >= budget).all()
+
+
+class TestMinHashAdversarialRecall:
+    """VERDICT r1 #5: the corpus-gap equivalence (no 0.1<j<0.9 pairs in the
+    driver corpus) proves too little — synthesize pairs at controlled
+    jaccard levels and pin LSH recall against the banding curve
+    1-(1-j^R)^B, plus exactness of the verified output."""
+
+    #: shared-shingle counts giving j = s/(60-s) for 32-token docs
+    SHARED = [10, 16, 20, 24, 27]  # j ≈ .200 .364 .500 .667 .818
+    PAIRS_PER = 40
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        L = 32
+        rows, pair_meta, doc_id = [], [], 0
+        for bi, s_sh in enumerate(self.SHARED):
+            Lc = s_sh + 2
+            for p in range(self.PAIRS_PER):
+                tag = f"b{bi}p{p}"
+                common = [f"{tag}c{i}" for i in range(Lc)]
+                ua = [f"{tag}a{i}" for i in range(L - Lc)]
+                ub = [f"{tag}b{i}" for i in range(L - Lc)]
+                rows.append((doc_id, " ".join(common + ua)))
+                rows.append((doc_id + 1, " ".join(common + ub)))
+                pair_meta.append((bi, doc_id, doc_id + 1))
+                doc_id += 2
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8).cache()
+        return df, pair_meta
+
+    def test_recall_tracks_banding_curve(self, spark, corpus):
+        import math
+
+        from sea_streamer_spark.operators.dedup import (
+            LSH_BANDS,
+            LSH_ROWS,
+            jaccard_pairs,
+            lsh_candidate_pairs,
+            minhash_signatures,
+            shingle_sets,
+        )
+
+        df, pair_meta = corpus
+        ds = shingle_sets(df).cache()
+        sigs = minhash_signatures(df, shingle_df=ds)
+        cands = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs).collect()}
+        exact = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_pairs(df, threshold=0.0, shingle_df=ds).collect()
+        }
+        by_bucket: dict[int, list] = {}
+        for bi, a, b in pair_meta:
+            by_bucket.setdefault(bi, []).append((exact.get((a, b), 0.0), (a, b) in cands))
+        assert sorted(by_bucket) == list(range(len(self.SHARED)))
+        for bi, lst in sorted(by_bucket.items()):
+            n = len(lst)
+            j = sum(x for x, _ in lst) / n
+            recall = sum(h for _, h in lst) / n
+            p = 1 - (1 - j**LSH_ROWS) ** LSH_BANDS
+            # binomial floor: 4 sigma below the curve (deterministic hashes,
+            # so once green this pins the family's quality)
+            floor = p - 4 * math.sqrt(p * (1 - p) / n) - 0.02
+            assert recall >= floor, f"bucket {bi}: j={j:.3f} recall={recall:.3f} < {floor:.3f}"
+        # high-similarity buckets (the dedup-relevant regime) must be perfect
+        for bi in (2, 3, 4):
+            assert all(h for _, h in by_bucket[bi]), f"missed a j>=0.5 pair in bucket {bi}"
+
+    def test_verified_output_is_exact_on_candidates(self, spark, corpus):
+        from sea_streamer_spark.operators.dedup import jaccard_pairs, minhash_lsh_dedup
+
+        df, _ = corpus
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in minhash_lsh_dedup(df, threshold=0.45).collect()
+        }
+        exact = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_pairs(df, threshold=0.45).collect()
+        }
+        # verification makes every emitted similarity exact; no pair below
+        # threshold survives
+        for pair, j in got.items():
+            assert abs(exact[pair] - j) < 1e-12
+            assert j >= 0.45
+        # j>=0.5 exact pairs are all recovered (recall=1 in the dedup regime)
+        high = {p for p, j in exact.items() if j >= 0.5}
+        assert high <= set(got)
+
+
+class TestSimHashNearDup:
+    def test_pigeonhole_equals_all_pairs(self, spark, sf_dir):
+        from sea_streamer_spark.operators.dedup import simhash, simhash_near_dup
+
+        docs = load_tables(spark, sf_dir, "documents").documents.limit(400)
+        sigs = simhash(docs).cache()
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_dup(docs, sigs=sigs).collect()
+        }
+        # brute-force all-pairs reference on the same signatures
+        a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+        b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+        brute = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in a.crossJoin(b)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 3)
+            .collect()
+        }
+        assert got == brute and len(got) > 0
+
+
+class TestIvfKmeansQuantizer:
+    """VERDICT r1 #7: lowest-16-ids centroids are statistically poor on
+    skewed data; the k-means quantizer must hold or beat them, stay
+    deterministic, and keep the probe-all == exact invariant."""
+
+    def _skewed(self, spark, n_clusters=8, per=40, dim=16):
+        # id-ordered skew: low ids all come from ONE cluster (the worst case
+        # for the lowest-id quantizer), clusters are well separated
+        import math
+        import random
+
+        rng = random.Random(7)
+        centers = [
+            [math.sin(c * 13.7 + d) * 2 for d in range(dim)] for c in range(n_clusters)
+        ]
+        rows = []
+        vid = 0
+        for c in range(n_clusters):
+            for _ in range(per):
+                vec = [x + rng.uniform(-0.05, 0.05) for x in centers[c]]
+                rows.append((vid, [float(x) for x in vec]))
+                vid += 1
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+    def test_kmeans_deterministic_and_separates_clusters(self, spark):
+        from sea_streamer_spark.operators import similarity as S
+
+        emb = self._skewed(spark)
+        c1 = S.ivf_centroids(emb, n_cells=8)
+        c2 = S.ivf_centroids(emb, n_cells=8)
+        assert c1 == c2  # bit-for-bit deterministic
+        assigned = emb.withColumn("cell", S.ivf_cell_expr(c1)).collect()
+        # well-separated synthetic clusters: k-means cells must align with
+        # the true clusters (every true cluster maps to exactly one cell)
+        cluster_of = {r.vec_id: r.vec_id // 40 for r in assigned}
+        cell_by_cluster = {}
+        for r in assigned:
+            cell_by_cluster.setdefault(cluster_of[r.vec_id], set()).add(r.cell)
+        assert all(len(cells) == 1 for cells in cell_by_cluster.values())
+        assert len({next(iter(c)) for c in cell_by_cluster.values()}) == 8
+
+    def test_kmeans_recall_beats_or_matches_seed_on_skew(self, spark):
+        from sea_streamer_spark.operators import similarity as S
+
+        emb = self._skewed(spark)
+        exact = {r.vec_id for r in S.cosine_topk(emb, query_id=300, k=10).collect()}
+
+        # direct comparison through the public seam
+        cents_km = S.ivf_centroids(emb, n_cells=8, method="kmeans")
+        cents_seed = S.ivf_centroids(emb, n_cells=8, method="seed")
+
+        def topk_recall(cents):
+            assigned = emb.withColumn("ivf_cell", S.ivf_cell_expr(cents))
+            import math
+
+            qvec = [
+                float(x)
+                for x in emb.filter(F.col("vec_id") == 300).collect()[0].embedding
+            ]
+
+            def cos(a, b):
+                d = sum(x * y for x, y in zip(a, b))
+                na = math.sqrt(sum(x * x for x in a))
+                nb = math.sqrt(sum(x * x for x in b))
+                return d / (na * nb)
+
+            probed = [
+                c for c, v in sorted(cents, key=lambda cv: (-cos(qvec, cv[1]), cv[0]))[:2]
+            ]
+            got = {
+                r.vec_id
+                for r in assigned.filter(F.col("ivf_cell").isin(probed))
+                .filter(F.col("vec_id") != 300)
+                .select("vec_id", S.cosine(F.col("embedding"), F.array(*[F.lit(x) for x in qvec])).alias("s"))
+                .orderBy(F.desc("s"), F.asc("vec_id"))
+                .limit(10)
+                .collect()
+            }
+            return len(got & exact) / len(exact)
+
+        r_km, r_seed = topk_recall(cents_km), topk_recall(cents_seed)
+        assert r_km >= r_seed, (r_km, r_seed)
+        assert r_km == 1.0  # separated clusters: kmeans probe finds them all

@@ -168,6 +168,35 @@ class TestFuseStreaming:
         held_back = env.filter(F.col("timestamp") > gate_ts).count()
         assert held_back > 0  # the gate actually held something back
 
+    def test_align_gate_holds_all_when_peer_absent(self, spark, env_batch):
+        """fuse/src/lib.rs check(): every aligned buffer must be non-empty —
+        an aligned stream with zero input rows holds back EVERYTHING (the
+        stateful path does the same via gate=None)."""
+        from sea_streamer_spark.operators.fuse import stream_join, stream_join_batch
+
+        env = env_batch.filter(F.col("stream_key").isin("click", "error"))
+        missing = stream_join_batch(env, align=["click", "no_such_stream"])
+        assert missing.count() == 0
+        assert stream_join(env, align=["click", "no_such_stream"]).count() == 0
+
+    def test_sharded_default_align_and_order(self, spark, env_batch):
+        from sea_streamer_spark.operators.fuse import stream_join
+
+        env = env_batch.filter(F.col("stream_key").isin("click", "error"))
+        merged = stream_join(env, align=["click", "error"])  # default: sharded
+        rows = merged.collect()
+        assert len(rows) > 0
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r.shard_id, []).append(r)
+        for shard_rows in by_shard.values():
+            shard_rows.sort(key=lambda r: r.emit_index)
+            assert [r.emit_index for r in shard_rows] == list(
+                range(1, len(shard_rows) + 1)
+            )
+            keys = [(r.timestamp, r.stream_key, r.sequence) for r in shard_rows]
+            assert keys == sorted(keys)  # per-shard merge order
+
 
 class TestRedisOffsetModel:
     """redis/src/message.rs:27-88 vectors."""
@@ -300,6 +329,36 @@ class TestStatefulStreamJoin:
         q.awaitTermination()
         got = spark.sql("SELECT * FROM fuse_stateful_all").toPandas()
         assert len(got) == 7 and sorted(got.sequence) == list(range(7))
+
+    def test_state_guard_fails_loud_on_stalled_peer(self, spark, tmp_path):
+        """A stalled aligned peer must not grow state silently: over
+        max_buffer_rows the query fails naming the absent stream."""
+        import pandas as pd
+
+        from sea_streamer_spark.model import MESSAGE_SCHEMA
+        from sea_streamer_spark.operators.fuse import stream_join_stateful
+
+        pdf = pd.DataFrame(
+            [("x", 0, i, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i), b"") for i in range(50)],
+            columns=["stream_key", "shard_id", "sequence", "timestamp", "payload"],
+        )
+        src = tmp_path / "src3"
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+        stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(str(src))
+        # align on a stream that never produces -> everything buffers
+        q = (
+            stream_join_stateful(stream, align=["x", "never"], max_buffer_rows=20)
+            .writeStream.format("memory")
+            .queryName("fuse_stateful_guard")
+            .option("checkpointLocation", str(tmp_path / "ckpt3"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        import pyspark.errors
+
+        with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException) as ei:
+            q.awaitTermination()
+        assert "never" in str(ei.value) and "max_buffer_rows" in str(ei.value)
 
 
 class TestWatermarkStreaming:
