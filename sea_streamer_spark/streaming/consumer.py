@@ -197,11 +197,19 @@ def create_consumer(
     return Consumer(spark, url, options, df)
 
 
-def kafka_options(url: StreamUrl, options: ConsumerOptions) -> dict[str, str]:
+def kafka_options(
+    url: StreamUrl, options: ConsumerOptions, client=None
+) -> dict[str, str]:
     """The D1-D3/T1-T2 → Kafka-source option mapping, as pure data (so the
     semantics are testable without a broker): Resumable starts earliest (the
     checkpoint owns progress), RealTime latest; rewind overrides; seek is
-    timestamp-exclusive (+1 ms, types/src/consumer.rs:62-67)."""
+    timestamp-exclusive (+1 ms, types/src/consumer.rs:62-67).
+
+    ``client`` optionally carries the rdkafka-level surface (a
+    :class:`..streaming.kafka.KafkaConsumerOptions` /
+    ``KafkaConnectOptions`` pair or dict) — forwarded verbatim through
+    Spark's ``kafka.`` passthrough (kafka.py:to_spark_options), byte-exact
+    with the reference's make_client_config strings."""
     opts = {
         "kafka.bootstrap.servers": ",".join(url.streamer.nodes),
         "subscribe": ",".join(url.streams),
@@ -218,6 +226,15 @@ def kafka_options(url: StreamUrl, options: ConsumerOptions) -> dict[str, str]:
         opts["groupIdPrefix"] = options.group
     if options.max_offsets_per_trigger:
         opts["maxOffsetsPerTrigger"] = str(options.max_offsets_per_trigger)
+    if client is not None:
+        from .kafka import to_spark_options
+
+        if isinstance(client, dict):
+            cfg = dict(client)
+        else:
+            cfg = {}
+            client.make_client_config(cfg)
+        opts.update(to_spark_options(cfg))
     return opts
 
 

@@ -1,0 +1,261 @@
+"""S1/S2 Kafka execution evidence without a broker.
+
+Two layers (VERDICT r1 #8):
+
+1. Option vectors — every option setter must produce the exact rdkafka
+   config strings the reference produces (kafka/src/streamer.rs:156-241,
+   consumer.rs:215-265, producer.rs:345-374), assembled in create_consumer
+   order (consumer.rs:661-687).
+2. Semantics — the mode/seek/rewind mapping in ``kafka_options`` is driven
+   against the in-process broker model (fake_kafka) and must deliver exactly
+   the message sets Kafka's documented behavior implies: earliest/latest
+   reset, committed-offset resume, range assignment load-balancing,
+   timestamp seek exclusivity.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from sea_streamer_spark.streaming.fake_kafka import FakeKafka, resolve_start_offset
+from sea_streamer_spark.streaming.kafka import (
+    AutoOffsetReset,
+    CompressionType,
+    KafkaConnectOptions,
+    KafkaConsumerOptions,
+    KafkaProducerOptions,
+    SaslMechanism,
+    SaslOptions,
+    SecurityProtocol,
+    client_config,
+    to_spark_options,
+)
+
+
+class TestOptionVectors:
+    def test_consumer_full_surface(self):
+        opts = KafkaConsumerOptions(
+            group_id="workers",
+            session_timeout=timedelta(seconds=6),
+            auto_offset_reset=AutoOffsetReset.Earliest,
+            enable_auto_commit=False,
+            auto_commit_interval=timedelta(seconds=5),
+            enable_auto_offset_store=True,
+        )
+        opts.add_custom_option("max.poll.interval.ms", "300000")
+        cfg = client_config("localhost:9092", consumer=opts)
+        assert cfg == {
+            "bootstrap.servers": "localhost:9092",
+            "group.id": "workers",
+            "session.timeout.ms": "6000",
+            "auto.offset.reset": "earliest",
+            "enable.auto.commit": "false",
+            "auto.commit.interval.ms": "5000",
+            "enable.auto.offset.store": "true",
+            "max.poll.interval.ms": "300000",
+        }
+
+    def test_group_id_placeholder_quirk(self):
+        # consumer.rs:216-222: librdkafka requires a group.id even without a
+        # consumer group -> the reference sets the placeholder "abcdefg"
+        cfg = client_config("h:1", consumer=KafkaConsumerOptions())
+        assert cfg["group.id"] == "abcdefg"
+
+    def test_auto_offset_reset_values(self):
+        # consumer.rs:257-265
+        assert AutoOffsetReset.Earliest.value == "earliest"
+        assert AutoOffsetReset.Latest.value == "latest"
+        assert AutoOffsetReset.NoReset.value == "none"
+
+    def test_base_options_and_sasl(self):
+        base = KafkaConnectOptions(
+            timeout=timedelta(milliseconds=2500),
+            security_protocol=SecurityProtocol.SaslSsl,
+            sasl_options=SaslOptions(
+                SaslMechanism.ScramSha256, username="u", password="p"
+            ),
+        )
+        cfg = client_config("n1:9092,n2:9092", base=base)
+        assert cfg == {
+            "bootstrap.servers": "n1:9092,n2:9092",
+            "socket.timeout.ms": "2500",
+            "security.protocol": "SASL_SSL",
+            "sasl.mechanism": "SCRAM-SHA-256",
+            "sasl.username": "u",
+            "sasl.password": "p",
+        }
+        # streamer.rs:220-241 value tables
+        assert [p.value for p in SecurityProtocol] == [
+            "PLAINTEXT", "SSL", "SASL_PLAINTEXT", "SASL_SSL"
+        ]
+        assert [m.value for m in SaslMechanism] == [
+            "PLAIN", "GSSAPI", "SCRAM-SHA-256", "SCRAM-SHA-512", "OAUTHBEARER"
+        ]
+
+    def test_producer_options(self):
+        opts = KafkaProducerOptions(compression_type=CompressionType.Lz4)
+        opts.add_custom_option("linger.ms", "10")
+        cfg = client_config("h:1", producer=opts)
+        assert cfg == {
+            "bootstrap.servers": "h:1",
+            "compression.type": "lz4",
+            "linger.ms": "10",
+        }
+        assert [c.value for c in CompressionType] == [
+            "none", "gzip", "snappy", "lz4", "zstd"
+        ]
+
+    def test_later_writer_wins_like_client_config_set(self):
+        base = KafkaConnectOptions().add_custom_option("socket.timeout.ms", "1000")
+        consumer = KafkaConsumerOptions().add_custom_option("socket.timeout.ms", "9000")
+        cfg = client_config("h:1", base=base, consumer=consumer)
+        assert cfg["socket.timeout.ms"] == "9000"
+
+    def test_spark_translation_is_mechanical_passthrough(self):
+        cfg = client_config(
+            "h:1", consumer=KafkaConsumerOptions(group_id="g")
+        )
+        spark_opts = to_spark_options(cfg)
+        assert spark_opts["kafka.bootstrap.servers"] == "h:1"
+        assert spark_opts["kafka.group.id"] == "g"
+        assert all(k.startswith("kafka.") for k in spark_opts)
+
+
+class TestBrokerModel:
+    def _seed(self, n=30, parts=3):
+        b = FakeKafka()
+        b.create_topic("t", partitions=parts)
+        for i in range(n):
+            b.produce("t", f"m{i}".encode(), partition=i % parts, timestamp_ms=1_000 + i)
+        return b
+
+    def test_produce_fetch_offsets(self):
+        b = self._seed()
+        assert b.partitions_for("t") == [0, 1, 2]
+        recs = b.fetch("t", 0, 0)
+        assert [r.offset for r in recs] == list(range(10))
+        assert b.end_offset("t", 0) == 10
+        assert b.fetch("t", 0, 7, max_records=2) == recs[7:9]
+
+    def test_offsets_for_times(self):
+        b = self._seed()
+        # partition 0 has timestamps 1000, 1003, 1006, ...
+        assert b.offsets_for_times("t", 0, 1_000) == 0
+        assert b.offsets_for_times("t", 0, 1_004) == 2  # first ts >= target
+        assert b.offsets_for_times("t", 0, 99_999) is None
+
+    def test_range_assignment_2_consumers_3_partitions(self):
+        # consumer.rs:649-651: one consumer gets 2 partitions, the other 1
+        a = FakeKafka.range_assign(["c1", "c2"], [0, 1, 2])
+        assert a == {"c1": [0, 1], "c2": [2]}
+
+    def test_hot_failover_single_partition(self):
+        # consumer.rs:652-654: 1 partition, extra consumers stand by
+        a = FakeKafka.range_assign(["c1", "c2", "c3"], [0])
+        assert a == {"c1": [0], "c2": [], "c3": []}
+
+    def test_load_balanced_group_covers_stream_disjointly(self):
+        b = self._seed(n=30, parts=3)
+        assign = FakeKafka.range_assign(["c1", "c2"], b.partitions_for("t"))
+        seen: dict[str, set] = {}
+        for member, parts in assign.items():
+            got = set()
+            for p in parts:
+                start = resolve_start_offset(b, "t", p, "g", "earliest")
+                got |= {r.value for r in b.fetch("t", p, start)}
+            seen[member] = got
+        assert seen["c1"] & seen["c2"] == set()
+        assert len(seen["c1"] | seen["c2"]) == 30
+
+
+class TestModeSemanticsViaModel:
+    """Drive the exact policies kafka_options encodes (consumer.py) against
+    the broker model: the delivered sets must match D1/D2/T1/T2."""
+
+    def _consume_all(self, b, group, reset, ts_ms=None):
+        out = []
+        for p in b.partitions_for("t"):
+            start = resolve_start_offset(b, "t", p, group, reset, ts_ms)
+            out += [r for r in b.fetch("t", p, start)]
+        return out
+
+    def test_realtime_latest_sees_only_new(self):
+        b = FakeKafka()
+        b.create_topic("t", 2)
+        for i in range(10):
+            b.produce("t", f"old{i}".encode(), partition=i % 2, timestamp_ms=i)
+        # RealTime (D1): startingOffsets=latest -> snapshot the high watermark
+        starts = {
+            p: resolve_start_offset(b, "t", p, None, "latest")
+            for p in b.partitions_for("t")
+        }
+        for i in range(4):
+            b.produce("t", f"new{i}".encode(), partition=i % 2, timestamp_ms=100 + i)
+        got = [r.value for p, s in starts.items() for r in b.fetch("t", p, s)]
+        assert sorted(got) == [b"new0", b"new1", b"new2", b"new3"]
+
+    def test_resumable_restarts_from_committed(self):
+        b = FakeKafka()
+        b.create_topic("t", 1)
+        for i in range(20):
+            b.produce("t", f"m{i}".encode(), timestamp_ms=i)
+        # first run: consume 12, commit next-offset (Kafka convention)
+        first = b.fetch("t", 0, resolve_start_offset(b, "t", 0, "g", "earliest"))[:12]
+        b.commit("g", "t", 0, first[-1].offset + 1)
+        # restart: only the remainder, no redelivery (D2)
+        rest = b.fetch("t", 0, resolve_start_offset(b, "t", 0, "g", "earliest"))
+        assert [r.value for r in rest] == [f"m{i}".encode() for i in range(12, 20)]
+
+    def test_seek_timestamp_is_exclusive_via_plus_1ms(self):
+        from sea_streamer_spark.streaming.consumer import ConsumerOptions, kafka_options
+        from sea_streamer_spark.uri import StreamUrl
+
+        b = FakeKafka()
+        b.create_topic("t", 1)
+        for i in range(10):
+            b.produce("t", f"m{i}".encode(), timestamp_ms=1_000 + i * 10)
+        target = datetime.fromtimestamp(1.040, tz=timezone.utc)  # ts of m4
+        opts = kafka_options(
+            StreamUrl.parse("kafka://h:1/t"), ConsumerOptions(seek_to=target)
+        )
+        # the mapping adds +1ms for T1's ts-exclusive contract
+        # (types/src/consumer.rs:62-67)
+        ts = int(opts["startingTimestamp"])
+        assert ts == 1_041
+        start = resolve_start_offset(b, "t", 0, None, "latest", ts)
+        got = [r.value for r in b.fetch("t", 0, start)]
+        assert got == [f"m{i}".encode() for i in range(5, 10)]  # strictly after m4
+
+    def test_seek_past_end_replays_nothing(self):
+        b = FakeKafka()
+        b.create_topic("t", 1)
+        b.produce("t", b"x", timestamp_ms=5)
+        start = resolve_start_offset(b, "t", 0, None, "latest", 99_999)
+        assert b.fetch("t", 0, start) == []
+
+    def test_rewind_beginning_end_mapping(self):
+        from sea_streamer_spark.streaming.consumer import (
+            Beginning,
+            ConsumerOptions,
+            End,
+            kafka_options,
+        )
+        from sea_streamer_spark.uri import StreamUrl
+
+        url = StreamUrl.parse("kafka://h:1/t")
+        assert (
+            kafka_options(url, ConsumerOptions(rewind_to=Beginning))["startingOffsets"]
+            == "earliest"
+        )
+        assert (
+            kafka_options(url, ConsumerOptions(rewind_to=End))["startingOffsets"]
+            == "latest"
+        )
+        b = FakeKafka()
+        b.create_topic("t", 1)
+        for i in range(5):
+            b.produce("t", f"m{i}".encode())
+        assert len(b.fetch("t", 0, resolve_start_offset(b, "t", 0, None, "earliest"))) == 5
+        assert len(b.fetch("t", 0, resolve_start_offset(b, "t", 0, None, "latest"))) == 0
