@@ -291,3 +291,67 @@ class TestExecutorSideSink:
 
         with pytest.raises(ConnectionError):
             _flush_xadds(BrokenClient(), [Row(2, 6000)], None)
+
+
+class TestRedisStreamsDump:
+    """S19 redis-streams-dump (redis-streams-dump/src/main.rs analog): the
+    bounded dump runs through the registered batch source with since/until
+    pushed into the XRANGE, writing a parseable .ss container."""
+
+    def test_dump_with_bounds(self, spark, broker_root, tmp_path):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "redis_streams_dump",
+            os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         "examples", "redis_streams_dump.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        client = FakeRedis(root=broker_root)
+        # entry ids at seconds 10..29 (ms 10000..29000)
+        for i in range(20):
+            client.xadd(
+                "hello",
+                {"payload": f"m{i}".encode()},
+                id=format_entry_id(pack_message_id(10_000 + i * 1000, 0)),
+            )
+        out = str(tmp_path / "dump.ss")
+        n = mod.dump(
+            spark,
+            f"redis+fake://{broker_root}/hello",
+            out,
+            since="1970-01-01 00:00:15",  # exclusive -> first kept is 16s
+            until="1970-01-01 00:00:25",  # inclusive
+        )
+        assert n == 10
+        from sea_streamer_spark.sources.ss import iter_messages
+
+        with open(out, "rb") as fh:
+            msgs = list(iter_messages(fh.read()))
+        assert [m.timestamp_ms for m in msgs] == [
+            (16 + i) * 1000 for i in range(10)
+        ]
+        assert msgs[0].payload == b"m6" and msgs[-1].payload == b"m15"
+
+    def test_dump_unbounded_parquet(self, spark, broker_root, tmp_path):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "redis_streams_dump2",
+            os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         "examples", "redis_streams_dump.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _populate(broker_root, stream="events", shards=2, per_shard=7)
+        out = str(tmp_path / "dump_pq")
+        n = mod.dump(spark, f"redis+fake://{broker_root}/events", out, fmt="parquet")
+        assert n == 14
+        back = spark.read.parquet(out)
+        assert back.count() == 14 and set(back.columns) == {
+            "stream_key", "shard_id", "sequence", "timestamp", "payload"
+        }
