@@ -223,14 +223,22 @@ class TestExecutorSideSink:
             )
         )
 
-    def test_foreach_partition_writes_all_no_driver_collect(self, spark, broker_root):
+    def test_foreach_partition_writes_all_no_driver_collect(self, spark, broker_root, monkeypatch):
+        from pyspark.sql import DataFrame
+
         from sea_streamer_spark.streaming.redis import redis_sink_foreach_batch
 
         batch = self._batch(spark)
         write = redis_sink_foreach_batch(
             client_factory=lambda: FakeRedis(root=broker_root), executor_side=True
         )
+        # the scale contract: the batch must never materialize on the driver
+        def _no_collect(self):
+            raise AssertionError("driver-side collect() in executor-side sink")
+
+        monkeypatch.setattr(DataFrame, "collect", _no_collect)
         write(batch, batch_id=0)
+        monkeypatch.undo()
         client = FakeRedis(root=broker_root)
         per_shard = {
             s: client.xrange(shard_key("out", s), count=10_000) for s in (0, 1)
