@@ -46,7 +46,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from ..streaming.redis import (
@@ -229,6 +231,60 @@ class SeaRedisBatchReader(DataSourceReader):
         )
 
 
+class RedisWriteReceipt(WriterCommitMessage):
+    """Per-task commit message: the shard keys touched + rows written (the
+    D9 receipt aggregate — the ids themselves are the per-row receipts)."""
+
+    def __init__(self, keys: list[str], rows: int):
+        self.keys = keys
+        self.rows = rows
+
+
+class SeaRedisStreamWriter(DataSourceStreamWriter):
+    """Registered streaming sink: ``writeStream.format("sea_redis")``.
+
+    Each task pipelines its partition's rows as explicit-id XADDs in (key,
+    entry-id) order — sorted in-task, so any upstream layout yields per-task
+    monotonic ids; for global per-shard monotonicity partition the query by
+    (stream_key, shard_id) upstream (what ``redis_sink_foreach_batch`` — the
+    turnkey path — does for you). Explicit ids make micro-batch replays and
+    task retries idempotent: duplicate-id rejections are the expected no-op
+    (redis/src/producer.rs:403-410 + SURVEY §2.5). ``maxlen`` retention runs
+    once per micro-batch at commit time on the driver (S6), against the keys
+    the tasks report in their commit messages."""
+
+    def __init__(self, options):
+        self.opts = _client_opts(options)
+        self.maxlen = int(options["maxlen"]) if options.get("maxlen") else None
+
+    def write(self, iterator) -> RedisWriteReceipt:
+        from ..streaming.redis import _flush_xadds
+
+        rows = sorted(
+            iterator, key=lambda r: (r.stream_key, r.shard_id, r.timestamp, r.sequence)
+        )
+        if not rows:
+            return RedisWriteReceipt([], 0)
+        client = make_client(self.opts)
+        _flush_xadds(client, rows, None)
+        keys = sorted({shard_key(r.stream_key, int(r.shard_id)) for r in rows})
+        return RedisWriteReceipt(keys, len(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        if self.maxlen is None:
+            return
+        touched = sorted({k for m in messages if m is not None for k in m.keys})
+        if touched:
+            client = make_client(self.opts)
+            for key in touched:
+                client.xtrim(key, maxlen=self.maxlen, approximate=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        # XADDs are not transactional; completed writes stay and the replay
+        # of this micro-batch no-ops on them (explicit ids). Nothing to undo.
+        pass
+
+
 class SeaRedisDataSource(DataSource):
     """spark.dataSource.register(SeaRedisDataSource) → ``format("sea_redis")``."""
 
@@ -244,3 +300,6 @@ class SeaRedisDataSource(DataSource):
 
     def streamReader(self, schema) -> SeaRedisStreamReader:
         return SeaRedisStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> SeaRedisStreamWriter:
+        return SeaRedisStreamWriter(self.options)

@@ -61,6 +61,24 @@ class Producer:
                 env.writeStream.format("parquet")
                 .option("path", self.url.streamer.nodes[0])
             )
+        elif scheme in ("redis", "rediss", "redis+fake"):
+            # S5 as a registered sink: per-(stream, shard) layout upstream so
+            # each shard's explicit XADD ids stay globally monotonic, then
+            # the sea_redis stream writer pipelines per task (executor-side).
+            from ..sources.redis_datasource import SeaRedisDataSource
+
+            self.spark.dataSource.register(SeaRedisDataSource)
+            writer = env.repartition("stream_key", "shard_id").writeStream.format(
+                "sea_redis"
+            )
+            if scheme == "redis+fake":
+                writer = writer.option("fake_root", self.url.streamer.nodes[0])
+            else:
+                node = self.url.streamer.nodes[0]
+                host, _, port = node.partition(":")
+                writer = writer.option("host", host or "localhost").option(
+                    "port", port or "6379"
+                )
         else:
             raise ValueError(f"unsupported producer scheme {scheme!r}")
         writer = writer.option("checkpointLocation", checkpoint_dir)

@@ -363,3 +363,71 @@ class TestRedisStreamsDump:
         assert back.count() == 14 and set(back.columns) == {
             "stream_key", "shard_id", "sequence", "timestamp", "payload"
         }
+
+
+class TestRegisteredStreamSink:
+    """S5 as a registered sink: writeStream.format('sea_redis') — per-task
+    ordered XADD pipelines, idempotent replay, commit-time XTRIM."""
+
+    def test_producer_send_stream_to_fake_broker(self, spark, broker_root, tmp_path):
+        import pandas as pd
+
+        from sea_streamer_spark.model import MESSAGE_SCHEMA
+        from sea_streamer_spark.streaming.producer import create_producer
+
+        pdf = pd.DataFrame(
+            [
+                ("out", i % 2, i % 100, pd.Timestamp("2024-01-01") + pd.Timedelta(milliseconds=i * 7), f"p{i}".encode())
+                for i in range(80)
+            ],
+            columns=["stream_key", "shard_id", "sequence", "timestamp", "payload"],
+        )
+        src = str(tmp_path / "src")
+        spark.createDataFrame(pdf, MESSAGE_SCHEMA).coalesce(2).write.parquet(src)
+        stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(src)
+        producer = create_producer(spark, f"redis+fake://{broker_root}/out")
+        q = producer.send_stream(stream, checkpoint_dir=str(tmp_path / "ck"))
+        q.awaitTermination()
+
+        client = FakeRedis(root=broker_root)
+        per_shard = {s: client.xrange(shard_key("out", s), count=10_000) for s in (0, 1)}
+        assert sum(len(v) for v in per_shard.values()) == 80
+        for entries in per_shard.values():
+            ids = [tuple(map(int, e[0].split("-"))) for e in entries]
+            assert ids == sorted(ids)
+        # restart with a FRESH checkpoint (a full replay): explicit ids no-op
+        q2 = create_producer(spark, f"redis+fake://{broker_root}/out").send_stream(
+            spark.readStream.schema(MESSAGE_SCHEMA).parquet(src),
+            checkpoint_dir=str(tmp_path / "ck2"),
+        )
+        q2.awaitTermination()
+        assert sum(client.xlen(shard_key("out", s)) for s in (0, 1)) == 80
+
+    def test_sink_maxlen_trims_at_commit(self, spark, broker_root, tmp_path):
+        import pandas as pd
+
+        from sea_streamer_spark.model import MESSAGE_SCHEMA
+        from sea_streamer_spark.sources.redis_datasource import SeaRedisDataSource
+
+        spark.dataSource.register(SeaRedisDataSource)
+        pdf = pd.DataFrame(
+            [
+                ("cap", 0, i, pd.Timestamp("2024-01-01") + pd.Timedelta(milliseconds=i), b"x")
+                for i in range(50)
+            ],
+            columns=["stream_key", "shard_id", "sequence", "timestamp", "payload"],
+        )
+        src = str(tmp_path / "src")
+        spark.createDataFrame(pdf, MESSAGE_SCHEMA).coalesce(1).write.parquet(src)
+        q = (
+            spark.readStream.schema(MESSAGE_SCHEMA)
+            .parquet(src)
+            .writeStream.format("sea_redis")
+            .option("fake_root", broker_root)
+            .option("maxlen", "10")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert FakeRedis(root=broker_root).xlen("cap") <= 10
