@@ -192,6 +192,8 @@ def create_consumer(
         from .redis import redis_reader
 
         df = redis_reader(spark, url, options)
+    elif scheme in ("iggy", "iggy+fake"):
+        df = _iggy_reader(spark, url, options)
     else:
         raise ValueError(f"unsupported consumer scheme {scheme!r}")
     return Consumer(spark, url, options, df)
@@ -251,6 +253,32 @@ def _kafka_reader(spark: SparkSession, url: StreamUrl, options: ConsumerOptions)
         F.col("timestamp"),
         F.col("value").alias("payload"),
     )
+
+
+def _iggy_reader(spark: SparkSession, url: StreamUrl, options: ConsumerOptions) -> DataFrame:
+    """S15 Iggy source via the registered ``sea_iggy`` DataSource (one task
+    per partition, server offsets checkpointed — sources/iggy_datasource.py).
+    ``iggy+fake:///dir/topic`` drives the file-backed loopback server; a live
+    ``iggy://host:port/topic`` needs iggy-py (clear error at connect time)."""
+    from ..sources.iggy_datasource import SeaIggyDataSource
+
+    spark.dataSource.register(SeaIggyDataSource)
+    reader = spark.readStream.format("sea_iggy").option("topic", str(url.stream_key()))
+    if url.streamer.scheme == "iggy+fake":
+        reader = reader.option("fake_root", url.streamer.nodes[0])
+    else:
+        raise NotImplementedError(
+            "iggy:// consumer requires the iggy-py client, which is not "
+            "available in this environment; use iggy+fake:///dir/topic "
+            "(file-backed loopback server) to exercise the identical "
+            "partitioned source path."
+        )
+    starting = "latest" if options.mode is ConsumerMode.RealTime else "earliest"
+    if options.rewind_to is Beginning:
+        starting = "earliest"
+    elif options.rewind_to is End:
+        starting = "latest"
+    return reader.option("starting_offsets", starting).load()
 
 
 def _file_reader(spark: SparkSession, url: StreamUrl) -> DataFrame:

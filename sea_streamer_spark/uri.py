@@ -40,7 +40,8 @@ class NotOneStreamKey(StreamUrlErr):
 
 
 SUPPORTED_SCHEMES = (
-    "kafka", "redis", "rediss", "redis+fake", "file", "stdio", "memory", "socket"
+    "kafka", "redis", "rediss", "redis+fake", "iggy", "iggy+fake",
+    "file", "stdio", "memory", "socket",
 )
 
 
@@ -140,6 +141,14 @@ def reader_config(url: StreamUrl | str) -> tuple[str, dict[str, str]]:
             "fake_root": url.streamer.nodes[0],
         }
         return "sea_redis", opts
+    if scheme in ("iggy", "iggy+fake"):
+        opts = {"topic": str(url.stream_key()) if url.streams else ""}
+        if scheme == "iggy+fake":
+            opts["fake_root"] = url.streamer.nodes[0]
+        else:
+            host, _, port = url.streamer.nodes[0].partition(":")
+            opts.update({"host": host or "localhost", "port": port or "8090"})
+        return "sea_iggy", opts
     if scheme == "file":
         path = "/".join(url.streamer.nodes[0].split("/"))
         return "sea_ss_file", {"path": path, "streams": streams}
