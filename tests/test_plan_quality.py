@@ -138,3 +138,48 @@ class TestFanOut:
         assert fan_out(df) is df
         small = spark.range(1000).coalesce(1)
         assert fan_out(small).rdd.getNumPartitions() == target
+
+
+class TestDistributedSinkPlans:
+    """Round-2 paths: the distributed .ss write and the registered redis
+    sink each pay exactly ONE data shuffle (the layout repartition)."""
+
+    def test_write_ss_dir_single_shuffle(self, spark, sf_dir):
+        from sea_streamer_spark.model import envelope_from_events
+        from sea_streamer_spark.sources.tables import load_tables
+
+        env = envelope_from_events(load_tables(spark, sf_dir, "events").events)
+        arranged = env.repartition("stream_key", "shard_id").sortWithinPartitions(
+            "timestamp", "stream_key", "sequence"
+        )
+        plan = _final_plan(arranged)
+        assert _shuffle_exchanges(plan) == 1, plan
+        # the sort is within partitions — no global Sort Exchange
+        assert "rangepartitioning" not in plan.lower(), plan
+
+    def test_redis_source_partitions_equal_shards(self, spark, tmp_path):
+        from sea_streamer_spark.sources.redis_datasource import SeaRedisDataSource
+        from sea_streamer_spark.streaming.fake_redis import FakeRedis
+        from sea_streamer_spark.streaming.redis import (
+            format_entry_id,
+            pack_message_id,
+            shard_key,
+        )
+
+        root = str(tmp_path / "broker")
+        client = FakeRedis(root=root)
+        for s in range(5):
+            client.xadd(
+                shard_key("plan", s),
+                {"payload": b"x"},
+                id=format_entry_id(pack_message_id(1_000, s)),
+            )
+        spark.dataSource.register(SeaRedisDataSource)
+        df = (
+            spark.read.format("sea_redis")
+            .option("stream_key", "plan")
+            .option("fake_root", root)
+            .load()
+        )
+        # task-parallelism = shard-parallelism, the scale contract
+        assert df.rdd.getNumPartitions() == 5

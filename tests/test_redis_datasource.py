@@ -431,3 +431,50 @@ class TestRegisteredStreamSink:
         )
         q.awaitTermination()
         assert FakeRedis(root=broker_root).xlen("cap") <= 10
+
+
+class TestCrossBackendRelay:
+    """S17 relay across backends over the new connector: file:// envelope
+    parquet -> redis+fake:// broker -> read back — the relay.py example's
+    exact call sequence."""
+
+    def test_file_to_redis_relay_roundtrip(self, spark, broker_root, tmp_path):
+        from sea_streamer_spark.model import envelope_from_events
+        from sea_streamer_spark.sources.tables import load_tables
+        from sea_streamer_spark.streaming.consumer import (
+            Beginning,
+            ConsumerMode,
+            ConsumerOptions,
+            create_consumer,
+        )
+        from sea_streamer_spark.streaming.producer import create_producer
+
+        env = envelope_from_events(
+            load_tables(spark, "/root/testdata/sf0.001", "events").events
+        ).filter((F.col("stream_key") == "click") & (F.col("sequence") < 400))
+        src = str(tmp_path / "file_backend")
+        env.write.parquet(src)
+        n = env.count()
+
+        consumer = create_consumer(spark, f"file://{src}/", ConsumerOptions()).rewind(
+            Beginning
+        )
+        producer = create_producer(spark, f"redis+fake://{broker_root}/click")
+        q = producer.send_stream(
+            consumer.dataframe(), checkpoint_dir=str(tmp_path / "relay_ck")
+        )
+        q.awaitTermination()
+
+        back = create_consumer(
+            spark,
+            f"redis+fake://{broker_root}/click",
+            ConsumerOptions(
+                mode=ConsumerMode.Resumable, checkpoint_dir=str(tmp_path / "read_ck")
+            ),
+        )
+        back.start_to_memory("relayed")
+        got = spark.sql("SELECT * FROM relayed").collect()
+        assert len(got) == n
+        # payloads survive the hop byte-exact
+        sent = {bytes(r.payload) for r in env.collect()}
+        assert {bytes(r.payload) for r in got} == sent
