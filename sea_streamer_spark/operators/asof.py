@@ -106,8 +106,12 @@ def asof_join(
     elif direction == "forward":
         match = fwd
     else:
-        ts_m = lambda m: F.unix_micros(m.getField(f"{on}{suffix}"))  # noqa: E731
-        ts_l = F.unix_micros(F.col(_TIME))
+        # cast first: unix_micros rejects TIMESTAMP_NTZ; UTC session makes the
+        # NTZ -> TZ cast a pure reinterpretation.
+        ts_m = lambda m: F.unix_micros(  # noqa: E731
+            m.getField(f"{on}{suffix}").cast("timestamp")
+        )
+        ts_l = F.unix_micros(F.col(_TIME).cast("timestamp"))
         match = (
             F.when(back.isNull(), fwd)
             .when(fwd.isNull(), back)

@@ -60,8 +60,10 @@ def range_join(
     w = max(lo_us + hi_us, 1)
 
     r = right.select([F.col(c).alias(f"{c}{suffix}") for c in right.columns])
-    l_us = F.unix_micros(F.col(on))
-    r_us = F.unix_micros(F.col(f"{on}{suffix}"))
+    # cast first: unix_micros rejects TIMESTAMP_NTZ, and the session pins UTC
+    # so NTZ -> TZ is a pure reinterpretation (no wall-clock shift).
+    l_us = F.unix_micros(F.col(on).cast("timestamp"))
+    r_us = F.unix_micros(F.col(f"{on}{suffix}").cast("timestamp"))
 
     l = left.withColumn(_LUS, l_us).withColumn(
         _BUCKET,
