@@ -10,4 +10,6 @@ from .curation import (  # noqa: F401
 )
 from .dedup import minhash_lsh_dedup, simhash_near_dup  # noqa: F401
 from .fuse import mux, stream_join  # noqa: F401
+from .graph import connected_components, dedup_clusters  # noqa: F401
+from .quality import gopher_quality_flags, pii_redact, repetition_stats  # noqa: F401
 from .range_join import range_join  # noqa: F401

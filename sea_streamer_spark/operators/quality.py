@@ -1,0 +1,138 @@
+"""Document-quality operators: Gopher-style rule filters, repetition
+detection, and PII redaction — the standard pre-training corpus gates
+(Rae et al. 2021 "Scaling Language Models" C.2; public Dolma/RefinedWeb
+pipelines run the same family of rules).
+
+Scale design: every operator here is a pure per-row projection built from
+JVM-side expressions (regexp, higher-order array lambdas) — zero shuffle,
+whole-stage codegen, linear in corpus size. Repetition's mode-of-array
+computation is O(distinct x tokens) per row, bounded by document length —
+row-local work that never touches the shuffle system. The portable-hash /
+rational-arithmetic determinism contract from operators/text.py applies:
+every number an oracle engine can reproduce exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import STOPWORDS, tokens
+
+#: Gopher-style rule thresholds (tuned to the synthetic corpus's 10-99 token
+#: range so each rule actually discriminates; the shape, not the constants,
+#: is the operator).
+MIN_WORDS = 30
+MAX_WORDS = 80
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MIN_DISTINCT_STOPWORDS = 2
+MAX_SYMBOL_RATIO = 0.1
+
+#: PII patterns: category -> (regex, replacement token). Deliberately the
+#: classic conservative trio; swap in production-grade patterns freely —
+#: the operator shape (chained JVM regexp_replace + per-category counts)
+#: is what scales.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+}
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style quality rules as boolean flag columns plus the combined
+    ``passes`` verdict: word-count bounds, mean-word-length bounds, minimum
+    distinct-stopword evidence, and symbol-to-char ratio. Keeping the flags
+    (not just the filter) is deliberate — at 100 TB you audit rule hit-rates
+    per source before committing to a filter."""
+    t = tokens(text_col)
+    n = F.size(t)
+    mean_len = (
+        F.aggregate(t, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).cast("double") / n
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(t), stop_arr)
+    )
+    symbols = F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z0-9 ]", ""))
+    symbol_ratio = symbols.cast("double") / F.length(text_col)
+    ok_words = (n >= MIN_WORDS) & (n <= MAX_WORDS)
+    ok_mean = (mean_len >= MIN_MEAN_WORD_LEN) & (mean_len <= MAX_MEAN_WORD_LEN)
+    ok_stop = n_stop_distinct >= MIN_DISTINCT_STOPWORDS
+    ok_symbol = symbol_ratio <= MAX_SYMBOL_RATIO
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        n_stop_distinct.cast("long").alias("n_distinct_stopwords"),
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_symbol.alias("ok_symbol_ratio"),
+        (ok_words & ok_mean & ok_stop & ok_symbol).alias("passes"),
+    )
+
+
+def _bigrams(t: Column) -> Column:
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), n - 2)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2))
+    )
+    return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition detection: distinct-token ratio, the most-frequent token's
+    share, and the most-frequent bigram's share — the "fraction of characters
+    in the top n-gram" family of Gopher repetition rules. All row-local array
+    arithmetic (mode = max over per-distinct-element counts); no shuffle."""
+    t = tokens(text_col)
+    n = F.size(t)
+
+    def mode_count(arr: Column) -> Column:
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(arr),
+                    lambda g: F.size(F.filter(arr, lambda x: x == g)),
+                )
+            ),
+            F.lit(0),
+        )
+
+    grams = _bigrams(t)
+    return df.select(
+        id_col,
+        (F.size(F.array_distinct(t)).cast("double") / n).alias("distinct_token_ratio"),
+        (mode_count(t).cast("double") / n).alias("top_token_frac"),
+        F.when(
+            F.size(grams) > 0, mode_count(grams).cast("double") / F.size(grams)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction: chained JVM-side ``regexp_replace`` over the pattern
+    table, with a per-category match count (``regexp_extract_all`` + size)
+    so the pipeline can report redaction rates per source. Adds
+    ``redacted`` text and ``n_<category>`` counts."""
+    out = F.col(text_col)
+    counts = []
+    for cat, (pat, repl) in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{cat}")
+        )
+        out = F.regexp_replace(out, pat, repl)
+    return df.select(id_col, *counts, out.alias("redacted"))

@@ -1,0 +1,227 @@
+"""LLM-pipeline queries, part 2: corpus quality gates (Gopher-style rules,
+repetition, PII redaction), per-source quota caps, and connected-components
+dedup clustering — the curation stages between near-dup *pairs* and a
+training-ready corpus.
+
+Oracle strategy follows llm_ops.py: portable polynomial hashing and explicit
+list-fold arithmetic so DuckDB reproduces every value bit-for-bit; the
+connected-components oracle is a recursive-CTE label propagation (feasible
+at oracle scale only — the Spark side is the distributed hash-min loop in
+operators/graph.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import curation as C
+from ..operators import dedup as D
+from ..operators import graph as G
+from ..operators import quality as Q
+from ..operators import text as T
+from ..sources.tables import load_tables
+from .llm_ops import DUCK_SHINGLE_SETS
+from .registry import query
+
+TOKS = T.duck_tokens("text")
+
+
+@query(
+    "quality_gopher_flags",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text, {TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(toks, w -> CAST(length(w) AS BIGINT))), (a,b) -> a+b)
+                  AS DOUBLE) / len(toks) AS mean_word_len,
+             CAST(len(list_intersect(list_distinct(toks), {list(T.STOPWORDS)!r}))
+                  AS BIGINT) AS n_distinct_stopwords,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                  / length(text) AS symbol_ratio
+      FROM s
+    )
+    SELECT doc_id, n_words, ROUND(mean_word_len, 6) AS mean_word_len,
+           n_distinct_stopwords,
+           n_words BETWEEN {Q.MIN_WORDS} AND {Q.MAX_WORDS} AS ok_word_count,
+           mean_word_len BETWEEN {Q.MIN_MEAN_WORD_LEN} AND {Q.MAX_MEAN_WORD_LEN}
+             AS ok_mean_word_len,
+           n_distinct_stopwords >= {Q.MIN_DISTINCT_STOPWORDS} AS ok_stopwords,
+           symbol_ratio <= {Q.MAX_SYMBOL_RATIO} AS ok_symbol_ratio,
+           (n_words BETWEEN {Q.MIN_WORDS} AND {Q.MAX_WORDS})
+             AND (mean_word_len BETWEEN {Q.MIN_MEAN_WORD_LEN} AND {Q.MAX_MEAN_WORD_LEN})
+             AND n_distinct_stopwords >= {Q.MIN_DISTINCT_STOPWORDS}
+             AND symbol_ratio <= {Q.MAX_SYMBOL_RATIO} AS passes
+    FROM m
+    """,
+    tags=("llm", "quality"),
+)
+def quality_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (operators/quality.py): word-count and
+    mean-word-length bounds, distinct-stopword evidence, symbol ratio — each
+    as an auditable flag plus the combined verdict. Pure projection, zero
+    shuffle at any scale."""
+    t = load_tables(spark, sf_dir, "documents")
+    return Q.gopher_quality_flags(t.documents)
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS grams
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_token_ratio,
+           CAST(COALESCE(list_max(list_transform(list_distinct(toks),
+                g -> len(list_filter(toks, x -> x = g)))), 0) AS DOUBLE) / len(toks)
+             AS top_token_frac,
+           CASE WHEN len(grams) > 0 THEN
+             CAST(COALESCE(list_max(list_transform(list_distinct(grams),
+                  g -> len(list_filter(grams, x -> x = g)))), 0) AS DOUBLE) / len(grams)
+           ELSE 0.0 END AS top_bigram_frac
+    FROM g
+    """,
+    tags=("llm", "quality"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (operators/quality.py): distinct-token ratio and
+    the top token/bigram share — the Gopher "fraction in top n-gram" rule
+    family. Row-local array arithmetic; no shuffle."""
+    t = load_tables(spark, sf_dir, "documents")
+    return Q.repetition_stats(t.documents)
+
+
+#: Deterministic PII synthesis (the corpus itself is a clean word salad):
+#: every doc gets an email, an IP, and a phone number derived from doc_id —
+#: both engines append the identical suffix, then redact it away.
+def _pii_suffix_spark():
+    return F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+_PII_SUFFIX_DUCK = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-' || "
+    "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _duck_pii_sql() -> str:
+    redacted = "t"
+    counts = []
+    for cat, (pat, repl) in Q.PII_PATTERNS.items():
+        counts.append(
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{cat}"
+        )
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+    WITH s AS (SELECT doc_id, text || {_PII_SUFFIX_DUCK} AS t FROM documents)
+    SELECT doc_id, {', '.join(counts)}, {redacted} AS redacted FROM s
+    """
+
+
+@query("pii_redaction", oracle=_duck_pii_sql(), tags=("llm", "quality"))
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/quality.py): email/IP/phone patterns removed
+    via chained JVM regexp_replace with per-category match counts. The corpus
+    is synthetic and PII-free, so the query deterministically injects one of
+    each per document (identically on both engines) and verifies the redacted
+    text and counts byte-for-byte."""
+    t = load_tables(spark, sf_dir, "documents")
+    seeded = t.documents.withColumn(
+        "text", F.concat(F.col("text"), _pii_suffix_spark())
+    )
+    return Q.pii_redact(seeded)
+
+
+@query(
+    "curation_source_cap",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {T.duck_char_fold("md5('cap' || CAST(doc_id AS VARCHAR))")}, doc_id
+             ) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 10 ORDER BY source, rnk
+    """,
+    tags=("llm", "curation"),
+)
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap: keep at most 10 documents per source, chosen by
+    a deterministic salted-hash order (reproducible under re-runs and
+    repartitioning — no RNG). One window shuffle on source; the standard
+    anti-domination gate when one crawl source dwarfs the rest."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        C.shuffle_rank("doc_id", salt="cap"), "doc_id"
+    )
+    return (
+        t.documents.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("doc_id", "source", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {DUCK_SHINGLE_SETS},
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    cc(node, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.v, cc.lbl FROM cc JOIN e ON e.u = cc.node
+    ),
+    lbls AS (SELECT node, MIN(lbl) AS cluster FROM cc GROUP BY node)
+    SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN lbls l ON l.node = d.doc_id
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs → distributed hash-min
+    connected components (operators/graph.py) → canonical cluster id per
+    document (singletons keep their own id). The keep-one-per-cluster step
+    that turns pairwise dedup output into an actual corpus reduction. Oracle
+    recomputes components with a recursive CTE over the exact-Jaccard pair
+    list."""
+    t = load_tables(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(t.documents, threshold=0.5).select("doc_a", "doc_b")
+    return G.dedup_clusters(t.documents, pairs).orderBy("doc_id")

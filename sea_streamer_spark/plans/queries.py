@@ -18,6 +18,7 @@ from . import streaming_ops  # noqa: F401
 
 try:  # LLM-pipeline ops land in a later milestone of each round
     from . import llm_ops  # noqa: F401
+    from . import llm_ops2  # noqa: F401
 except ImportError:
     pass
 

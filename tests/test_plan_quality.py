@@ -183,3 +183,38 @@ class TestDistributedSinkPlans:
         )
         # task-parallelism = shard-parallelism, the scale contract
         assert df.rdd.getNumPartitions() == 5
+
+
+class TestQualityPlans:
+    """Scale contracts of the quality gates: Gopher flags, repetition stats,
+    and PII redaction are pure per-row projections — zero Exchange, no
+    Python eval nodes (all JVM regexp/array lambdas)."""
+
+    def test_quality_ops_are_shuffle_free_and_jvm_only(self, spark, sf_dir):
+        from sea_streamer_spark.operators.quality import (
+            gopher_quality_flags,
+            pii_redact,
+            repetition_stats,
+        )
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        for df in (gopher_quality_flags(docs), repetition_stats(docs), pii_redact(docs)):
+            plan = _final_plan(df)
+            assert _shuffle_exchanges(plan) == 0, plan
+            assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_connected_components_rounds_scale_with_diameter(self, spark):
+        """Hash-min CC on a diameter-2 graph must converge (fixpoint) and
+        each round's lineage is cut — the final plan is a bounded join+agg,
+        not an iteration-deep tree."""
+        from sea_streamer_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+        )
+        labels = connected_components(edges)
+        plan = labels._jdf.queryExecution().executedPlan().toString()
+        # localCheckpoint per round => the returned frame reads a scan of
+        # cached partitions, not a nested re-join of every iteration.
+        assert "Scan ExistingRDD" in plan, plan

@@ -1,0 +1,84 @@
+"""Unit tests for operators/quality.py and operators/graph.py: known-answer
+graphs for connected components, synthetic PII strings, and repetition edge
+cases the corpus-level oracle queries can't isolate."""
+
+from pyspark.sql import functions as F
+
+from sea_streamer_spark.operators import graph as G
+from sea_streamer_spark.operators import quality as Q
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestConnectedComponents:
+    def test_chain_and_island(self, spark):
+        # chain 1-2-3-4 (diameter > 1 forces multiple rounds), island 7-8,
+        # singleton 9 absent from edges entirely.
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (7, 8)], "doc_a long, doc_b long"
+        )
+        cc = {r.node: r.cluster for r in G.connected_components(edges).collect()}
+        assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+    def test_edge_direction_irrelevant(self, spark):
+        fwd = spark.createDataFrame([(5, 2), (2, 9)], "doc_a long, doc_b long")
+        rev = spark.createDataFrame([(2, 5), (9, 2)], "doc_a long, doc_b long")
+        a = {r.node: r.cluster for r in G.connected_components(fwd).collect()}
+        b = {r.node: r.cluster for r in G.connected_components(rev).collect()}
+        assert a == b == {5: 2, 2: 2, 9: 2}
+
+    def test_dedup_clusters_coalesces_singletons(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+        pairs = spark.createDataFrame([(0, 3), (3, 5)], "doc_a long, doc_b long")
+        out = {r.doc_id: r.cluster_id for r in G.dedup_clusters(docs, pairs).collect()}
+        assert out == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
+        # keep-rule: one representative per cluster
+        keep = [d for d, c in out.items() if d == c]
+        assert sorted(keep) == [0, 1, 2, 4]
+
+
+class TestPiiRedact:
+    def test_patterns_redact_and_count(self, spark):
+        df = _docs(
+            spark,
+            [
+                "mail me at a.b+c@foo.org today",
+                "server 10.20.30.40 and 192.168.0.1 up",
+                "call 555-867-5309 now",
+                "clean text with nothing to hide",
+            ],
+        )
+        rows = {r.doc_id: r for r in Q.pii_redact(df).collect()}
+        assert rows[0].n_email == 1 and "<EMAIL>" in rows[0].redacted
+        assert "a.b+c@foo.org" not in rows[0].redacted
+        assert rows[1].n_ipv4 == 2 and rows[1].redacted.count("<IP>") == 2
+        assert rows[2].n_phone == 1 and "<PHONE>" in rows[2].redacted
+        assert rows[3].redacted == "clean text with nothing to hide"
+        assert rows[3].n_email == rows[3].n_ipv4 == rows[3].n_phone == 0
+
+
+class TestRepetition:
+    def test_known_fractions(self, spark):
+        df = _docs(spark, ["a a a b", "x y z w", "solo"])
+        rows = {r.doc_id: r for r in Q.repetition_stats(df).collect()}
+        assert rows[0].top_token_frac == 0.75
+        assert rows[0].distinct_token_ratio == 0.5
+        # bigrams of "a a a b": "a a","a a","a b" -> top frac 2/3
+        assert abs(rows[0].top_bigram_frac - 2 / 3) < 1e-9
+        assert rows[1].top_token_frac == 0.25 and rows[1].distinct_token_ratio == 1.0
+        # single-token doc: no bigrams -> 0.0, not null
+        assert rows[2].top_bigram_frac == 0.0
+
+    def test_gopher_flags_discriminate(self, spark):
+        long_ok = " ".join(["the", "of"] + ["word"] * 40)  # 42 words, stopwords
+        short = "tiny doc"
+        no_stop = " ".join(["zz"] * 50)
+        df = _docs(spark, [long_ok, short, no_stop])
+        rows = {r.doc_id: r for r in Q.gopher_quality_flags(df).collect()}
+        assert rows[0].passes
+        assert not rows[1].ok_word_count and not rows[1].passes
+        assert not rows[2].ok_stopwords and not rows[2].passes
