@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """End-to-end training-data curation pipeline over the documents table:
 
-    quality filter -> exact dedup -> MinHash-LSH near-dedup -> language mix
-    -> deterministic train/val/test split -> sequence packing -> epoch order
+    Gopher rules + repetition + PII redaction -> quality filter -> exact
+    dedup -> MinHash-LSH near-dedup -> cluster canonicalization -> source
+    caps -> deterministic train/val/test split -> sequence packing
 
 Every stage is a distributed DataFrame op (no collect between stages); the
 whole pipeline is one lazy plan until the final write/show. At 100 TB the
@@ -26,6 +27,8 @@ from sea_streamer_spark.operators.curation import (
     pack_token_budget,
 )
 from sea_streamer_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
+from sea_streamer_spark.operators.graph import dedup_clusters
+from sea_streamer_spark.operators.quality import gopher_quality_flags, pii_redact
 from sea_streamer_spark.operators.text import quality_score
 from sea_streamer_spark.sources.tables import load_tables
 
@@ -35,6 +38,13 @@ def main() -> None:
     spark = get_spark()
     docs = load_tables(spark, sf_dir, "documents").documents
 
+    # 0. rule gates: Gopher-style flags (auditable per rule) + PII scrub.
+    #    Both are zero-shuffle projections; redaction rewrites text in place.
+    flags = gopher_quality_flags(docs).select("doc_id", "passes")
+    docs = docs.join(flags.filter("passes"), "doc_id", "left_semi")
+    red = pii_redact(docs).select("doc_id", F.col("redacted").alias("text"))
+    docs = docs.drop("text").join(red, "doc_id")
+
     # 1. quality gate: drop bottom-quality docs (heuristic scorer)
     scored = quality_score(docs).select("doc_id", "quality")
     kept = docs.join(scored, "doc_id").filter(F.col("quality") >= 0.5)
@@ -43,11 +53,16 @@ def main() -> None:
     winners = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
     kept = kept.join(winners, "doc_id", "left_semi")
 
-    # 3. near-dedup: MinHash-LSH candidates, verified Jaccard >= 0.8;
-    #    drop the higher doc_id of each surviving near-dup pair
-    dupes = minhash_lsh_dedup(kept, threshold=0.8)
-    losers = dupes.select(F.col("doc_b").alias("doc_id")).distinct()
-    kept = kept.join(losers, "doc_id", "left_anti")
+    # 3. near-dedup: MinHash-LSH candidate pairs -> connected components ->
+    #    keep exactly one canonical representative per near-dup CLUSTER
+    #    (pairwise drop-the-larger-id under-deletes on chains A~B~C).
+    dupes = minhash_lsh_dedup(kept, threshold=0.8).select("doc_a", "doc_b")
+    clusters = dedup_clusters(kept, dupes)
+    kept = kept.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
 
     # 4. deterministic split + packing + epoch order
     split = hash_split(kept)  # 80/10/10 by portable hash of doc_id

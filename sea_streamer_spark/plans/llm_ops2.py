@@ -152,6 +152,56 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.pii_redact(seeded)
 
 
+#: BPE-style pre-tokenizer: letter runs, 1-3-digit groups, punctuation runs —
+#: the cl100k-ish split shape, restricted to constructs RE2 *and* Java regex
+#: share (no lookahead), so Spark and the oracle tokenize identically.
+BPE_RE = r" ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^a-zA-Z0-9 ]+"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             text || ' v' || CAST(doc_id AS VARCHAR) || '.0 costs $'
+                  || CAST(doc_id % 1000 AS VARCHAR) || '!' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(t), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(t, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens
+    FROM s
+    """,
+    tags=("llm", "text"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex pre-tokenizer next to the
+    whitespace count: letter runs, <=3-digit number groups, punctuation runs
+    (the shape every modern tokenizer's pre-split uses). The corpus is
+    letters-only, so the query appends a deterministic mixed-content suffix
+    (version number, price, punctuation) on both engines to make the two
+    counts genuinely diverge. Pure projection, zero shuffle."""
+    t = load_tables(spark, sf_dir, "documents")
+    seeded = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" v"),
+            F.col("doc_id").cast("string"),
+            F.lit(".0 costs $"),
+            (F.col("doc_id") % 1000).cast("string"),
+            F.lit("!"),
+        ).alias("t"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("t")), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
 @query(
     "curation_source_cap",
     oracle=f"""
