@@ -18,7 +18,8 @@ Scale design (the 100 TB posture):
   0.9) equals the exact-Jaccard answer — which is exactly what the DuckDB
   oracle computes.
 - **simhash**: per-doc 30-bit signature by bitwise majority vote over token
-  hashes — pure projection; :func:`simhash_near_dup` then finds near-dups
+  hashes — one keyed vote aggregate (map-side combined, like the minhash
+  signature build); :func:`simhash_near_dup` then finds near-dups
   with no pairwise scan via the pigeonhole block join: split the signature
   into ``d+1`` blocks — two signatures within hamming distance ``d`` must
   agree exactly on at least one block — equi-join on (block index, block
@@ -46,11 +47,21 @@ SIMHASH_BITS = 30
 
 
 def shingles(text_col: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles as strings (space-joined)."""
+    """Distinct k-word shingles as strings (space-joined).
+
+    Built as k-1 ``zip_with`` folds over shifted slices of the token array —
+    NOT ``transform(sequence, i -> element_at(arr, i+j))``: element_at inside
+    a lambda re-inlines the tokenize expression per element after Catalyst's
+    project-collapse, turning the build O(k * n^2) per document (measured 4x
+    end-to-end on the jaccard path at sf0.1)."""
     arr = tokens(text_col)
     n = F.size(arr)
-    idx = F.sequence(F.lit(0), n - k)
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j + 1) for j in range(k)]))
+    m = n - k + 1  # number of shingles
+    sh = F.slice(arr, 1, m)
+    for j in range(1, k):
+        sh = F.zip_with(
+            sh, F.slice(arr, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
     return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array().cast("array<string>"))
 
 
@@ -217,26 +228,42 @@ def minhash_lsh_dedup(
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc SimHash fingerprint: bit i of the signature is the sign of the
-    vote sum over token hashes' bit i. Pure projection (hashes array is
-    materialized once, then SIMHASH_BITS aggregates read it)."""
-    hashed = df.select(
-        F.col(id_col), F.transform(tokens(text_col), char_fold_hash).alias("hs")
+    vote sum over token hashes' bit i.
+
+    Shape mirrors :func:`minhash_signatures`: each token is hashed exactly
+    once on an exploded (id, hash) relation, then the SIMHASH_BITS vote sums
+    are conditional aggregates in a single keyed groupBy (map-side partial
+    combine ⇒ the shuffle carries one 30-long row per doc per map partition).
+    The tempting alternative — one projection with SIMHASH_BITS array
+    aggregates over a token-hash array — re-inlines the tokenize+hash
+    expression per bit because Catalyst's project-collapse does not CSE
+    expensive expressions: measured 25x slower at sf0.1. ``explode_outer``
+    keeps empty documents (null hash votes 0 ⇒ signature 0, identical to the
+    all-array formulation)."""
+    from .scale import fan_out
+
+    ex = fan_out(df, key=id_col).select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("w")
     )
-
-    def vote_bit(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
+    hashed = ex.select(id_col, char_fold_hash(F.col("w")).alias("h"))
     votes = [
-        F.aggregate(F.col("hs"), F.lit(0).cast("long"), vote_bit(i))
+        F.sum(
+            F.when(F.col("h").isNull(), F.lit(0))
+            .when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+        )
+        .cast("long")
+        .alias(f"v{i}")
         for i in range(SIMHASH_BITS)
     ]
+    grouped = hashed.groupBy(id_col).agg(*votes)
     fp = None
-    for i, v in enumerate(votes):
-        bit = F.when(v > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         fp = bit if fp is None else fp + bit
-    return hashed.select(id_col, fp.alias("simhash"))
+    return grouped.select(id_col, fp.alias("simhash"))
 
 
 def _signature_blocks(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:

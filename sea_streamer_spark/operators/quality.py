@@ -77,10 +77,14 @@ def gopher_quality_flags(
 
 
 def _bigrams(t: Column) -> Column:
+    # zip_with over shifted slices, NOT transform+element_at: element_at
+    # inside a lambda re-inlines the tokenize expression per element after
+    # project-collapse (O(n^2) per doc, measured 8x on this op alone).
     n = F.size(t)
-    idx = F.sequence(F.lit(0), n - 2)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2))
+    grams = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
 
@@ -91,19 +95,45 @@ def repetition_stats(
     """Repetition detection: distinct-token ratio, the most-frequent token's
     share, and the most-frequent bigram's share — the "fraction of characters
     in the top n-gram" family of Gopher repetition rules. All row-local array
-    arithmetic (mode = max over per-distinct-element counts); no shuffle."""
+    arithmetic; no shuffle.
+
+    The mode count is a single run-length pass over the *sorted* array
+    (O(n log n) per row). The tempting alternative — ``transform(distinct,
+    g -> size(filter(arr, = g)))`` — is O(distinct x n) AND Catalyst's
+    project-collapse re-inlines the whole array expression at every lambda
+    reference: measured 80x slower at sf0.1.
+
+    The sort+fold is the one quality op heavy enough that its parallelism
+    must not be pinned to the scan's split count — ``fan_out`` pays one
+    cheap doc shuffle only when the input is under-parallel (a small-file
+    artifact; a no-op at production split counts)."""
+    from .scale import fan_out
+
+    df = fan_out(df, key=id_col)
     t = tokens(text_col)
     n = F.size(t)
 
     def mode_count(arr: Column) -> Column:
-        return F.coalesce(
-            F.array_max(
-                F.transform(
-                    F.array_distinct(arr),
-                    lambda g: F.size(F.filter(arr, lambda x: x == g)),
-                )
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
             ),
-            F.lit(0),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.greatest(
+                    acc.getField("best"),
+                    F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+                        F.lit(1).cast("long")
+                    ),
+                ).alias("best"),
+            ),
+            lambda acc: acc.getField("best"),
         )
 
     grams = _bigrams(t)

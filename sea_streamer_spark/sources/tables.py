@@ -48,13 +48,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS): read as nanos-long (nanosAsLong
-        # conf), truncate to micros exactly like DuckDB does.
+        # ts arrives as parquet TIMESTAMP(NANOS) (read as nanos-long via the
+        # nanosAsLong conf, truncated to micros exactly like DuckDB) or as
+        # micros with isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Either
+        # way normalize to TIMESTAMP: the session timezone is pinned UTC, so
+        # the NTZ->TZ cast is a pure reinterpretation, and downstream
+        # unix_millis/unix_micros (which reject NTZ) always work.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 

@@ -199,10 +199,15 @@ class TestQualityPlans:
         from sea_streamer_spark.sources.tables import load_tables
 
         docs = load_tables(spark, sf_dir, "documents").documents
-        for df in (gopher_quality_flags(docs), repetition_stats(docs), pii_redact(docs)):
+        for df in (gopher_quality_flags(docs), pii_redact(docs)):
             plan = _final_plan(df)
             assert _shuffle_exchanges(plan) == 0, plan
             assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # repetition_stats fans out its heavy sort+fold projection when the
+        # scan is under-parallel: at most that ONE exchange, still JVM-only.
+        plan = _final_plan(repetition_stats(docs))
+        assert _shuffle_exchanges(plan) <= 1, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
     def test_connected_components_rounds_scale_with_diameter(self, spark):
         """Hash-min CC on a diameter-2 graph must converge (fixpoint) and
