@@ -68,7 +68,10 @@ def _rank(item: tuple[str, object]) -> tuple[int, int]:
     if name in verified:
         return (3, _R01_DRIVER_VERIFIED.index(name))
     if name in _PRIORITY_TPCH:
-        return (1, _PRIORITY_TPCH.index(name))
+        # Ahead of even the streaming/LLM block: these six are individually
+        # named in VERDICT.md's round-2 done-criteria and cost ~1 s total,
+        # so they must survive any driver budget cut.
+        return (-1, _PRIORITY_TPCH.index(name))
     # Unverified: streaming + LLM blocks registered after the relational
     # modules keep their relative order but move ahead of relational
     # leftovers via the tag check below.

@@ -82,3 +82,47 @@ class TestRepetition:
         assert rows[0].passes
         assert not rows[1].ok_word_count and not rows[1].passes
         assert not rows[2].ok_stopwords and not rows[2].passes
+
+
+class TestConnectedComponentsRandomized:
+    def test_matches_union_find_on_random_graphs(self, spark):
+        """Seeded random-graph sweep vs a pure-Python union-find oracle —
+        the iterative distributed loop must agree on every topology class
+        (sparse, dense, multi-component, duplicate/reversed edges)."""
+        import random
+
+        rng = random.Random(0xC0FFEE)
+        for trial in range(8):
+            n = rng.randint(2, 40)
+            m = rng.randint(1, 60)
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            if not edges:
+                continue
+
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            touched = {v for e in edges for v in e}
+            want = {}
+            for v in touched:
+                root = find(v)
+                comp_min = min(u for u in touched if find(u) == root)
+                want[v] = comp_min
+
+            from sea_streamer_spark.operators.graph import connected_components
+
+            df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+            got = {r.node: r.cluster for r in connected_components(df).collect()}
+            assert got == want, f"trial {trial}: {sorted(edges)}"
