@@ -275,3 +275,103 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_dedup(t.documents, threshold=0.5).select("doc_a", "doc_b")
     return G.dedup_clusters(t.documents, pairs).orderBy("doc_id")
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM g
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+    FROM s GROUP BY user_id, session_idx
+    """,
+    tags=("streaming", "session"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after a >30-min silence
+    per user (the batch analog of a streaming session window — Spark's
+    ``F.session_window`` implements the same semantics incrementally; this
+    formulation also yields the per-user session *index*). Plan: one window
+    shuffle on user_id computes gap + running session index; the per-session
+    aggregate reuses the same key prefix. At scale both stages hash on the
+    user key — no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_tables as _lt
+
+    t = _lt(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0).alias("new_sess"),
+    )
+    s = g.withColumn(
+        "session_idx",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("long")
+        .alias("duration_us"),
+    )
+
+
+@query(
+    "text_zipf_ranks",
+    oracle=f"""
+    WITH t AS (
+      SELECT unnest({TOKS}) AS term FROM documents
+    ), c AS (
+      SELECT term, COUNT(*) AS freq FROM t GROUP BY term
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank,
+           term, freq
+    FROM c ORDER BY rank LIMIT 100
+    """,
+    tags=("llm", "text"),
+)
+def text_zipf_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency ranks (Zipf table, top-100): token explode →
+    one count shuffle → TakeOrdered. The corpus-stats staple next to
+    text_ngram_counts; at 100 TB the shuffle carries (term, partial count)
+    pairs, never documents."""
+    from ..operators.text import tokens as _tokens
+    from ..sources.tables import load_tables as _lt
+
+    t = _lt(spark, sf_dir, "documents")
+    c = (
+        t.documents.select(F.explode(_tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("freq").desc(), "term")
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "term", "freq")
+        .orderBy("rank")
+        .limit(100)
+    )
