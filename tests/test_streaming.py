@@ -1098,3 +1098,60 @@ class TestStreamStreamLeftOuter:
         # emitted null-padded after the watermark passed its window
         assert (1, 10) in got
         assert (2, None) in got
+
+
+class TestSessionWindowStreaming:
+    """Live session windows: F.session_window (30-min dynamic gap) over a
+    watermarked stream must produce the same closed sessions as the batch
+    gap-based sessionize_events formulation (plans/llm_ops2.py)."""
+
+    def test_session_window_matches_batch_gap_logic(self, spark, tmp_path):
+        import pandas as pd
+
+        from sea_streamer_spark.model import MESSAGE_SCHEMA
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        mk = lambda mins, seq, key: (key, 0, seq, t0 + pd.Timedelta(minutes=mins), b"")  # noqa: E731
+        # user a: events at 0,10,20 (one session), then 60,65 (second session),
+        # then 300 (left open). user b: single event at 5 then silence.
+        rows = [
+            mk(0, 0, "a"), mk(10, 1, "a"), mk(20, 2, "a"),
+            mk(60, 3, "a"), mk(65, 4, "a"), mk(300, 5, "a"),
+            mk(5, 0, "b"),
+        ]
+        src = str(tmp_path / "sess_src")
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["stream_key", "shard_id", "sequence", "timestamp", "payload"]),
+            MESSAGE_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(src)
+        agg = (
+            stream.withWatermark("timestamp", "10 minutes")
+            .groupBy(F.session_window("timestamp", "30 minutes").alias("sw"), "stream_key")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "stream_key",
+                F.col("sw.start").alias("session_start"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sess_windows")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "sess_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.stream_key, r.session_start.isoformat(), r.n_events)
+            for r in spark.sql("SELECT * FROM sess_windows").collect()
+        }
+        # closed sessions only: a@0 (3 events), a@60 (2 events), b@5 (1);
+        # the a@300 session is still open at the final watermark -> withheld.
+        assert got == {
+            ("a", "2024-01-01T00:00:00", 3),
+            ("a", "2024-01-01T01:00:00", 2),
+            ("b", "2024-01-01T00:05:00", 1),
+        }
