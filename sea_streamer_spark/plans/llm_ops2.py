@@ -21,7 +21,7 @@ from ..operators import graph as G
 from ..operators import quality as Q
 from ..operators import text as T
 from ..sources.tables import load_tables
-from .llm_ops import DUCK_SHINGLE_SETS
+from .llm_ops import DUCK_SHINGLE_SETS, _duck_cosine
 from .registry import query
 
 TOKS = T.duck_tokens("text")
@@ -375,3 +375,66 @@ def text_zipf_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(100)
     )
+
+
+@query(
+    "hybrid_search_rerank",
+    oracle=f"""
+    WITH qt AS (
+      SELECT DISTINCT t.term FROM (
+        SELECT unnest({TOKS}) AS term FROM documents WHERE doc_id = 0
+      ) t
+    ), dt AS (
+      SELECT doc_id, unnest(list_distinct({TOKS})) AS term
+      FROM documents WHERE doc_id <> 0
+    ), cand AS (
+      SELECT dt.doc_id, COUNT(*) AS n_shared_tokens
+      FROM dt JOIN qt USING (term)
+      GROUP BY dt.doc_id HAVING COUNT(*) >= 2
+    ), qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT c.doc_id, c.n_shared_tokens,
+           {_duck_cosine("e.embedding", "qv.q")} AS cosine_sim
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.doc_id, qv
+    ORDER BY cosine_sim DESC, c.doc_id LIMIT 10
+    """,
+    tags=("llm", "similarity"),
+)
+def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical candidate generation (docs sharing >= 2
+    distinct tokens with the query doc, via a token equi-join — shuffle
+    scales with token volume, never all-pairs) followed by exact cosine
+    re-ranking of the candidates against the broadcast query vector, top-10.
+    The two-stage shape every production retrieval pipeline uses: cheap
+    recall stage prunes, expensive precision stage only touches candidates."""
+    from ..operators.similarity import cosine as _cosine
+    from ..operators.text import tokens as _tokens
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    toks = t.documents.select(
+        "doc_id", F.explode(F.array_distinct(_tokens("text"))).alias("term")
+    )
+    q_terms = toks.filter(F.col("doc_id") == 0).select("term").distinct()
+    cand = (
+        toks.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(q_terms), "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_tokens"))
+        .filter(F.col("n_shared_tokens") >= 2)
+    )
+    qv = t.embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    scored = (
+        cand.join(
+            t.embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "n_shared_tokens",
+            _cosine(F.col("embedding"), F.col("q")).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), "doc_id").limit(10)
