@@ -126,3 +126,78 @@ class TestConnectedComponentsRandomized:
             df = spark.createDataFrame(edges, "doc_a long, doc_b long")
             got = {r.node: r.cluster for r in connected_components(df).collect()}
             assert got == want, f"trial {trial}: {sorted(edges)}"
+
+
+class TestQualityRandomized:
+    """Seeded random-corpus sweep: the JVM-expression implementations must
+    agree with direct Python reimplementations of the same rules (tokenizer
+    = split on whitespace runs, same thresholds/patterns)."""
+
+    def _corpus(self):
+        import random
+
+        rng = random.Random(0xFEED)
+        words = ["the", "of", "zz", "word", "a", "qqq", "x1", "!!", "foo,bar"]
+        docs = []
+        for i in range(40):
+            n = rng.choice([1, 2, 3, 5, 20, 35, 60, 90])
+            docs.append((i, " ".join(rng.choice(words) for _ in range(n))))
+        docs.append((100, "a.b@foo.io 10.1.2.3 555-123-4567 end"))
+        return docs
+
+    def test_repetition_matches_python(self, spark):
+        import re
+
+        docs = self._corpus()
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r for r in Q.repetition_stats(df).collect()}
+        for doc_id, text in docs:
+            toks = re.split(r"\s+", text)
+            grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            r = got[doc_id]
+            assert abs(r.distinct_token_ratio - len(set(toks)) / len(toks)) < 1e-9
+            want_top = max(toks.count(t) for t in set(toks)) / len(toks)
+            assert abs(r.top_token_frac - want_top) < 1e-9
+            want_bg = (
+                max(grams.count(g) for g in set(grams)) / len(grams) if grams else 0.0
+            )
+            assert abs(r.top_bigram_frac - want_bg) < 1e-9, (doc_id, text)
+
+    def test_gopher_flags_match_python(self, spark):
+        import re
+
+        docs = self._corpus()
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r for r in Q.gopher_quality_flags(df).collect()}
+        from sea_streamer_spark.operators.text import STOPWORDS
+
+        for doc_id, text in docs:
+            toks = re.split(r"\s+", text)
+            r = got[doc_id]
+            assert r.n_words == len(toks)
+            mean_len = sum(len(t) for t in toks) / len(toks)
+            assert abs(r.mean_word_len - round(mean_len, 6)) < 1e-6
+            n_stop = len(set(toks) & set(STOPWORDS))
+            assert r.n_distinct_stopwords == n_stop
+            sym = len(re.sub(r"[a-zA-Z0-9 ]", "", text)) / len(text)
+            want = (
+                Q.MIN_WORDS <= len(toks) <= Q.MAX_WORDS
+                and Q.MIN_MEAN_WORD_LEN <= mean_len <= Q.MAX_MEAN_WORD_LEN
+                and n_stop >= Q.MIN_DISTINCT_STOPWORDS
+                and sym <= Q.MAX_SYMBOL_RATIO
+            )
+            assert r.passes == want, (doc_id, text)
+
+    def test_pii_matches_python(self, spark):
+        import re
+
+        docs = self._corpus()
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r for r in Q.pii_redact(df).collect()}
+        for doc_id, text in docs:
+            r = got[doc_id]
+            red = text
+            for cat, (pat, repl) in Q.PII_PATTERNS.items():
+                assert getattr(r, f"n_{cat}") == len(re.findall(pat, text)), (cat, text)
+                red = re.sub(pat, repl, red)
+            assert r.redacted == red, (doc_id, text)
