@@ -2,22 +2,19 @@
 near-dup pair list, turning pairwise "A ~ B" edges into canonical clusters
 (the keep-one-per-cluster step after MinHash/SimHash candidate generation).
 
-Algorithm: hash-min label propagation — every node starts labelled with its
-own id; each round, every node takes the min label among itself and its
-neighbors; fixpoint = every node holds the min id of its component. Rounds
-needed = graph diameter, which for dedup clusters is tiny (near-dup
-relations are dense cliques-ish, diameter 1-3), so the driver loop runs
-2-4 distributed rounds of [join, groupBy-min] — each round one shuffle of
-|edges| label pairs. Lineage is cut per round with ``localCheckpoint`` so
-the plan does not grow with iterations.
-
-At web scale with adversarial long-chain graphs, the log-round alternative
-is the large-star/small-star algorithm (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14) — same building blocks
-(join + min-agg), fewer rounds; the hash-min loop here is the simple,
-shuffle-minimal choice for the dedup-cluster regime where diameter is small.
-The per-round convergence probe is an aggregate-only action (a LIMIT 1
-count over changed labels), not a data collect.
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — each round is two
+[groupBy-min + join] passes over the edge list that rewire every node toward
+its neighborhood minimum; the edge set converges to stars centered at each
+component's minimum id in O(log n) rounds *regardless of graph diameter*.
+(The simpler hash-min label propagation needs diameter-many rounds: fine for
+clique-ish dup clusters, silently wrong on a long chain when capped — this
+implementation raises if the fixpoint is not reached instead of returning
+partial labels.) Lineage is cut per round with ``localCheckpoint`` so the
+plan stays bounded; the convergence probe is a count+hash aggregate, never a
+collect. Each round shuffles O(|edges|) pairs — the 100 TB cost model is
+rounds x one edge shuffle, with AQE coalescing as stars collapse the edge
+count.
 """
 
 from __future__ import annotations
@@ -26,29 +23,91 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(
-    edges: DataFrame,
-    src: str = "doc_a",
-    dst: str = "doc_b",
-    max_iter: int = 20,
-) -> DataFrame:
-    """Components of the undirected graph given by ``edges``.
-
-    Returns (node, cluster) where cluster = min node id in the component.
-    Only nodes appearing in at least one edge are returned — callers join
-    back to the full entity table and coalesce singletons to their own id.
-    """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+def _canonical(e: DataFrame) -> DataFrame:
+    """Undirected edge set as distinct (u, v) pairs with u > v, no loops."""
+    return (
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"),
+            F.least("u", "v").alias("v"),
+        )
+        .distinct()
     )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    d = e.select("u", "v").union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    out = (
+        d.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return _canonical(out)
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every not-larger neighbor (and u itself) to the minimum of
+    u's not-larger neighborhood. Input must be canonical (u > v)."""
+    mins = e.groupBy("u").agg(F.min("v").alias("mv"))
+    rewired = (
+        e.join(mins, "u")
+        .filter(F.col("v") != F.col("mv"))
+        .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+    )
+    self_edge = mins.select("u", F.col("mv").alias("v"))
+    return _canonical(rewired.union(self_edge))
+
+
+def _star_components(e: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star to the star-forest fixpoint; ``e`` canonical."""
+    e = e.localCheckpoint(eager=True)
+
+    def signature(frame: DataFrame):
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: order-independent AND overflow-free under
+            # ANSI mode (the edge set is distinct, and n is compared too).
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row.n, row.h)
+
+    sig = signature(e)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig2 = signature(e2)
+        e = e2
+        if sig2 == sig:
+            break
+        sig = sig2
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} star rounds"
+        )
+    # At the fixpoint the edge set is a star forest: every non-root node has
+    # exactly the edge (node, component-min); roots never appear on the u
+    # side and label themselves.
+    return e.select(F.col("u").alias("node"), F.col("v").alias("cluster")).union(
+        e.select(F.col("v").alias("node"), F.col("v").alias("cluster")).distinct()
+    )
+
+
+def _hashmin_components(e: DataFrame, max_iter: int) -> DataFrame | None:
+    """Hash-min label propagation; returns None if not converged within
+    ``max_iter`` rounds (caller falls back) — never partial labels."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "cluster", F.col("node")
     )
     for _ in range(max_iter):
-        nbr = sym.join(
-            labels.withColumnRenamed("node", "v"), "v"
-        ).select(F.col("u").alias("node"), "cluster")
+        nbr = sym.join(labels.withColumnRenamed("node", "v"), "v").select(
+            F.col("u").alias("node"), "cluster"
+        )
         new_labels = (
             labels.union(nbr).groupBy("node").agg(F.min("cluster").alias("cluster"))
         )
@@ -62,8 +121,48 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    return None
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+    algorithm: str = "auto",
+) -> DataFrame:
+    """Components of the undirected graph given by ``edges``.
+
+    Returns (node, cluster) where cluster = min node id in the component.
+    Only nodes appearing in at least one edge are returned — callers join
+    back to the full entity table and coalesce singletons to their own id.
+
+    ``algorithm``:
+
+    - ``"auto"`` (default): hash-min label propagation for up to 8 rounds —
+      one cheap shuffle per round, and near-dup graphs are clique-ish with
+      diameter 1-3 so it converges almost immediately — then, only if the
+      graph turns out to be high-diameter, falls back to the star rounds.
+      Adversarial inputs pay both phases; typical inputs pay the cheap one.
+    - ``"star"``: large-star/small-star only — O(log n) rounds at any
+      diameter, heavier per round (two groupBy+join passes).
+    - ``"hashmin"``: label propagation only; raises if ``max_iter`` rounds
+      do not reach the fixpoint (never returns partial labels).
+    """
+    e = _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    if algorithm not in ("auto", "star", "hashmin"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm in ("auto", "hashmin"):
+        rounds = 8 if algorithm == "auto" else max_iter
+        labels = _hashmin_components(e, rounds)
+        if labels is not None:
+            return labels
+        if algorithm == "hashmin":
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} hash-min rounds"
+            )
+    return _star_components(e, max_iter)
 
 
 def dedup_clusters(

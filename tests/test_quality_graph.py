@@ -201,3 +201,39 @@ class TestQualityRandomized:
                 assert getattr(r, f"n_{cat}") == len(re.findall(pat, text)), (cat, text)
                 red = re.sub(pat, repl, red)
             assert r.redacted == red, (doc_id, text)
+
+
+class TestConnectedComponentsLongChain:
+    def test_path_graph_converges_in_log_rounds(self, spark):
+        """A 200-node path graph (diameter 199) — the topology where naive
+        hash-min label propagation needs ~200 rounds; large-star/small-star
+        must converge within the 50-round cap and label every node with the
+        chain minimum."""
+        import random
+
+        rng = random.Random(7)
+        ids = list(range(1000, 1200))
+        rng.shuffle(ids)  # scatter the minimum into the middle of the chain
+        edges = list(zip(ids, ids[1:]))
+        from sea_streamer_spark.operators.graph import connected_components
+
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r.node: r.cluster for r in connected_components(df).collect()}
+        assert set(got) == set(ids)
+        assert set(got.values()) == {min(ids)}
+
+
+    def test_explicit_algorithms(self, spark):
+        """star alone handles the chain; hashmin alone refuses loudly rather
+        than returning partial labels."""
+        import pytest as _pytest
+
+        from sea_streamer_spark.operators.graph import connected_components
+
+        ids = list(range(50))
+        edges = list(zip(ids, ids[1:]))
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r.node: r.cluster for r in connected_components(df, algorithm="star").collect()}
+        assert set(got.values()) == {0}
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(df, max_iter=3, algorithm="hashmin").collect()
