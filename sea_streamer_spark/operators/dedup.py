@@ -38,8 +38,16 @@ from pyspark.sql import functions as F
 from .text import MOD, char_fold_hash, tokens
 
 #: (a, b) parameters for the MinHash permutation family h_j = (a*x+b) % MOD.
+#: Spread with large multiplicative constants (Fibonacci/murmur-style), NOT
+#: small sequential values: with a_j = 2j+3 the permutations are pairwise
+#: correlated enough that a j=0.9 pair measurably missed all 12 bands under
+#: namespace-remapped shingles (caught by tests/test_scale.py's blow-up
+#: sweep) — the banding-curve guarantee assumes independent permutations.
 N_MINHASH = 24
-MINHASH_AB = [(2 * j + 3, j * j + 7) for j in range(N_MINHASH)]
+MINHASH_AB = [
+    ((0x9E3779B1 * (2 * j + 1)) % MOD, (0x85EBCA77 * (j + 1) + 0x27D4EB2F) % MOD)
+    for j in range(N_MINHASH)
+]
 LSH_BANDS = 12
 LSH_ROWS = N_MINHASH // LSH_BANDS
 

@@ -86,3 +86,49 @@ class TestSaltedAgg:
             ).collect()
         }
         assert salted_mx == plain_mx
+
+
+class TestCorpusBlowUp:
+    """Scale-up smoke: replicate the corpus 20x into token-disjoint
+    namespaces (every token gets a replica suffix, so replicas share no
+    shingles) and run the full MinHash-LSH -> connected-components -> keep
+    rule. Pair/cluster counts must scale exactly linearly — the banding must
+    not produce cross-replica candidates, and no stage may blow up
+    quadratically with corpus size."""
+
+    def test_minhash_cluster_pipeline_scales_linearly(self, spark):
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.operators.dedup import minhash_lsh_dedup
+        from sea_streamer_spark.operators.graph import dedup_clusters
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, "/root/testdata/sf0.01", "documents").documents
+        base_pairs = minhash_lsh_dedup(docs, threshold=0.5).count()
+        assert base_pairs > 0
+
+        k = 20
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        big = (
+            docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") * k + F.col("rep")).alias("doc_id"),
+                F.regexp_replace(
+                    "text", r"(\S+)", F.concat(F.lit("$1r"), F.col("rep"))
+                ).alias("text"),
+            )
+        )
+        n_docs = big.count()
+        assert n_docs == docs.count() * k
+
+        pairs = minhash_lsh_dedup(big, threshold=0.5).select("doc_a", "doc_b")
+        assert pairs.count() == base_pairs * k
+
+        clusters = dedup_clusters(big, pairs)
+        kept = clusters.filter(F.col("doc_id") == F.col("cluster_id")).count()
+        # every near-dup pair removes at least one doc; clusters never span
+        # replica namespaces, so the reduction also scales linearly
+        base_kept = dedup_clusters(
+            docs, minhash_lsh_dedup(docs, threshold=0.5).select("doc_a", "doc_b")
+        ).filter(F.col("doc_id") == F.col("cluster_id")).count()
+        assert kept == base_kept * k
