@@ -345,3 +345,77 @@ def simhash_near_dup(
         .filter(F.col("hamming") <= max_distance)
         .distinct()
     )
+
+
+def minhash_signature_expr(text_col: Column | str, k: int = 3) -> Column:
+    """Row-local MinHash signature (array<long>, length N_MINHASH) — the
+    streaming-safe formulation: no groupBy, so it composes with watermarked
+    stateful operators downstream. The shingle-hash array is built once per
+    permutation reference; for streaming messages (small payloads) the
+    re-inline cost is bounded by message length, unlike the corpus-scale
+    batch path where :func:`minhash_signatures`'s explode+groupBy is the
+    right plan."""
+    sh = shingles(text_col, k)
+    hs = F.transform(sh, char_fold_hash)
+
+    def perm(a: int, b: int):
+        # closure, not default-args: extra lambda params would be handed to
+        # Spark as lambda variables and fail arity resolution
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MOD
+
+    mins = [F.array_min(F.transform(hs, perm(a, b))) for a, b in MINHASH_AB]
+    return F.array(*mins)
+
+
+def streaming_near_dup_new_docs(
+    stream, text_col: str = "text", id_col: str = "doc_id",
+    ts_col: str = "timestamp", watermark: str = "1 hour", k: int = 3,
+):
+    """Streaming near-dup dedup: emit only documents that are NOT a near-dup
+    of any earlier document within the watermark horizon.
+
+    Mechanics (all incremental, bounded state):
+
+    1. row-local MinHash signature (:func:`minhash_signature_expr`);
+    2. explode into LSH_BANDS (band, band-key) rows;
+    3. ``dropDuplicatesWithinWatermark`` on (band, band-key) — per bucket,
+       only the FIRST document survives; a near-dup of an earlier doc
+       collides in every band with high probability (1-(1-j^R)^B) and
+       survives in none;
+    4. watermarked count per doc: a doc that survives in ALL of its bands
+       was first everywhere → genuinely new. Docs surviving in 0 bands are
+       near-dups; partial survival (possible under same-batch ties or
+       borderline similarity) is resolved conservatively: any lost band ⇒
+       treated as a dup and withheld.
+
+    State is two watermark-bounded stores (band buckets + per-doc counts) —
+    the streaming analog of the batch LSH candidate join, with the horizon
+    as the dedup scope. Returns (doc, ts, n_first_bands) rows for new docs
+    in append mode.
+    """
+    sig = minhash_signature_expr(text_col, k)
+    bands = stream.withColumn("sig", sig).select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]
+                        ).alias("bkey"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, ts_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    first = bands.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["band", "bkey"]
+    )
+    return (
+        first.groupBy(id_col, ts_col)
+        .agg(F.count(F.lit(1)).alias("n_first_bands"))
+        .filter(F.col("n_first_bands") == LSH_BANDS)
+    )

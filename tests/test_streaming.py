@@ -1155,3 +1155,51 @@ class TestSessionWindowStreaming:
             ("a", "2024-01-01T01:00:00", 2),
             ("b", "2024-01-01T00:05:00", 1),
         }
+
+
+class TestStreamingNearDupDedup:
+    """Streaming MinHash near-dup dedup: only documents that are not a
+    near-dup of anything earlier (within the watermark horizon) are emitted.
+    Exercises chained stateful operators: dropDuplicatesWithinWatermark on
+    LSH band buckets followed by a watermarked per-doc count."""
+
+    def test_near_dups_of_earlier_docs_withheld(self, spark, tmp_path):
+        import pandas as pd
+
+        from sea_streamer_spark.operators.dedup import streaming_near_dup_new_docs
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        near = base.replace("kappa", "lambda")  # 1-token change: j ~ 0.75
+        distinct = "one two three four five six seven eight nine ten"
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        batches = [
+            [(0, base, t0), (1, distinct, t0 + pd.Timedelta(minutes=1))],
+            [(2, near, t0 + pd.Timedelta(minutes=2)),          # near-dup of 0
+             (3, base, t0 + pd.Timedelta(minutes=3)),          # exact dup of 0
+             (4, "totally different words here now ok fine yes", t0 + pd.Timedelta(minutes=4))],
+            # sentinel an hour later: advances the watermark past every doc
+            # above so their append-mode groups close; stays open itself.
+            [(5, "flush sentinel words aa bb cc dd ee ff gg", t0 + pd.Timedelta(hours=1))],
+        ]
+        src = str(tmp_path / "nd_src")
+        for chunk in batches:
+            spark.createDataFrame(
+                pd.DataFrame(chunk, columns=["doc_id", "text", "timestamp"])
+            ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, text string, timestamp timestamp"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        out = streaming_near_dup_new_docs(stream, watermark="30 seconds")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("nd_new")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "nd_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r.doc_id for r in spark.sql("SELECT * FROM nd_new").collect()}
+        # 0, 1 are first of their buckets; 4 is novel; 2 (near-dup) and
+        # 3 (exact dup) must be withheld.
+        assert got == {0, 1, 4}, got
