@@ -160,3 +160,42 @@ def duck_split_bucket(id_expr: str, buckets: int = SPLIT_BUCKETS) -> str:
     from .text import duck_char_fold
 
     return f"({duck_char_fold(f'md5(CAST({id_expr} AS VARCHAR))')} % {buckets})"
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    buckets: int = SPLIT_BUCKETS,
+) -> DataFrame:
+    """Deterministic mixture resampling: replicate each document
+    ``floor(w)`` times plus one more iff its salted hash bucket falls under
+    ``frac(w)`` — so a source with weight 2.5 contributes every doc twice
+    and half the docs (a deterministic, re-run-stable half) a third time,
+    while weight 0.25 keeps a quarter of the docs. The standard
+    epochs-per-source mixture weighting step of a training-data pipeline.
+
+    Pure map-side: weight lookup and bucket are projections and the
+    replication is ``explode(sequence)`` — zero shuffle at any scale; adds
+    ``copy_idx`` (0-based) to distinguish replicas downstream.
+    """
+    b = split_bucket(id_col, buckets)
+    # per-row weight via chained CASE; sources absent from the dict fall to
+    # the default (a broadcast-join lookup table would also work, but the
+    # mixture dict is tiny and a literal expression keeps this projection)
+    w = None
+    for s, wt in weights.items():
+        cond = F.col(source_col) == s
+        w = F.when(cond, float(wt)) if w is None else w.when(cond, float(wt))
+    w = F.lit(float(default_weight)) if w is None else w.otherwise(float(default_weight))
+    base = F.floor(w).cast("long")
+    extra = (b < (w - F.floor(w)) * buckets).cast("long")
+    n_copies = (base + extra).alias("n_copies")
+    return (
+        df.withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)))
+        .drop("n_copies")
+    )

@@ -438,3 +438,44 @@ def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("cosine_sim").desc(), "doc_id").limit(10)
+
+
+@query(
+    "curation_mixture_resample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+                  WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt,
+             {C.duck_split_bucket('doc_id')} AS bucket
+      FROM documents
+    ), n AS (
+      SELECT source,
+             CAST(FLOOR(wt) AS BIGINT)
+               + CASE WHEN bucket < (wt - FLOOR(wt)) * {C.SPLIT_BUCKETS}
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM w
+    )
+    SELECT source, SUM(n_copies) AS n_rows, COUNT(*) FILTER (n_copies > 0) AS n_docs
+    FROM n GROUP BY source HAVING SUM(n_copies) > 0 ORDER BY source
+    """,
+    tags=("llm", "curation"),
+)
+def curation_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture resampling (operators/curation.py:mixture_resample): src0
+    upweighted 2.5x (every doc twice + a deterministic half a third time),
+    src1 kept at 25%, src2 dropped, the rest at 1.0 — per-source row/doc
+    counts after replication. Pure map-side projection + explode; the
+    training-mix weighting step with zero shuffle before the tiny count."""
+    t = load_tables(spark, sf_dir, "documents")
+    out = C.mixture_resample(
+        t.documents, weights={"src0": 2.5, "src1": 0.25, "src2": 0.0}
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
