@@ -223,3 +223,16 @@ class TestQualityPlans:
         # localCheckpoint per round => the returned frame reads a scan of
         # cached partitions, not a nested re-join of every iteration.
         assert "Scan ExistingRDD" in plan, plan
+
+
+class TestMixturePlan:
+    def test_mixture_resample_is_mapside_only(self, spark, sf_dir):
+        """Replication = projection + explode: zero Exchange, no Python."""
+        from sea_streamer_spark.operators.curation import mixture_resample
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        df = mixture_resample(docs, weights={"src0": 2.5, "src1": 0.25})
+        plan = _final_plan(df)
+        assert _shuffle_exchanges(plan) == 0, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -237,3 +237,29 @@ class TestConnectedComponentsLongChain:
         assert set(got.values()) == {0}
         with _pytest.raises(RuntimeError, match="did not converge"):
             connected_components(df, max_iter=3, algorithm="hashmin").collect()
+
+
+class TestMixtureResample:
+    def test_replication_semantics(self, spark):
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.operators.curation import mixture_resample, split_bucket
+
+        df = spark.createDataFrame(
+            [(i, "s0" if i % 2 == 0 else "s1") for i in range(200)],
+            "doc_id long, source string",
+        )
+        out = mixture_resample(df, weights={"s0": 3.0, "s1": 0.5}).cache()
+        # integer weight: exactly 3 copies of every s0 doc, copy_idx 0..2
+        s0 = out.filter("source = 's0'")
+        assert s0.count() == 100 * 3
+        assert s0.groupBy("doc_id").count().filter("count != 3").count() == 0
+        assert {r.copy_idx for r in s0.select("copy_idx").distinct().collect()} == {0, 1, 2}
+        # fractional weight: subset with copy_idx 0 only, deterministic
+        s1a = {r.doc_id for r in out.filter("source = 's1'").collect()}
+        s1b = {r.doc_id for r in mixture_resample(df, weights={"s0": 3.0, "s1": 0.5})
+               .filter("source = 's1'").collect()}
+        assert s1a == s1b and 0 < len(s1a) < 100
+        # unknown sources fall to default weight 1.0: untouched single copies
+        out_def = mixture_resample(df.withColumn("source", F.lit("zz")), weights={"s0": 9.0})
+        assert out_def.count() == 200
