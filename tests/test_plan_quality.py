@@ -236,3 +236,19 @@ class TestMixturePlan:
         plan = _final_plan(df)
         assert _shuffle_exchanges(plan) == 0, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestRound2QueryPlans:
+    def test_sessionize_shuffles_on_user_key_only(self, spark, sf_dir):
+        """Both stages hash on the user key — no global sort anywhere."""
+        plan = _final_plan(QUERIES["sessionize_events"].fn(spark, sf_dir))
+        assert _shuffle_exchanges(plan) <= 2, plan
+        assert "rangepartitioning" not in plan.lower(), plan
+
+    def test_hybrid_search_broadcasts_query_side(self, spark, sf_dir):
+        """Recall stage joins the corpus against BROADCAST query terms and
+        the re-rank crosses with a broadcast 1-row vector — the corpus is
+        never shuffled to meet the query."""
+        plan = _final_plan(QUERIES["hybrid_search_rerank"].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan
