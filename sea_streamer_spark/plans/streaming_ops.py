@@ -814,3 +814,69 @@ def ss_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sequence")
     )
+
+
+def _iggy_rt_root() -> str:
+    """Populate (once per machine) a file-backed loopback Iggy server with
+    the same deterministic fixture as the Redis round-trip; appends are
+    offset-assigned so a concurrent populator is detected via end_offset."""
+    import os
+    import tempfile
+
+    from ..streaming.fake_iggy import FakeIggy
+
+    root = os.path.join(tempfile.gettempdir(), "sea_iggy_roundtrip_v1")
+    done = os.path.join(root, ".done")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        client = FakeIggy(root=root)
+        by_part: dict[int, list[tuple[int, bytes]]] = {}
+        for _k, sid, seq_no, ms, payload in _rt_rows():
+            # per-partition offset == per-shard arrival index; ts carries ms
+            by_part.setdefault(sid, []).append((ms * 1000, payload.encode()))
+        for sid, msgs in sorted(by_part.items()):
+            if client.end_offset("sea", "loop", sid) == 0:
+                client.send_messages("sea", "loop", sid, msgs)
+        with open(done, "w"):
+            pass
+    return root
+
+
+@query(
+    "iggy_stream_roundtrip",
+    oracle=f"""
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY sequence) - 1
+                AS BIGINT) AS srv_offset,
+           CAST(timestamp_ms AS BIGINT) AS timestamp_ms, payload_str
+    FROM (VALUES
+        {_RT_VALUES}
+    ) AS t(stream_key, shard_id, sequence, timestamp_ms, payload_str)
+    ORDER BY shard_id, srv_offset
+    """,
+    tags=("streaming", "iggy", "source"),
+)
+def iggy_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 through the *registered* ``sea_iggy`` DataSource: append the
+    deterministic fixture into the file-backed loopback server (offsets
+    assigned per partition like the real server, iggy/src/producer.rs),
+    read it back with ``spark.read.format("sea_iggy")`` — one task per
+    partition, bounded offset scan — and verify the envelope against the
+    fixture VALUES (server offsets = per-shard arrival order)."""
+    from ..sources.iggy_datasource import SeaIggyDataSource
+
+    spark.dataSource.register(SeaIggyDataSource)
+    root = _iggy_rt_root()
+    return (
+        spark.read.format("sea_iggy")
+        .option("topic", "loop")
+        .option("fake_root", root)
+        .load()
+        .select(
+            "shard_id",
+            F.col("sequence").alias("srv_offset"),
+            F.unix_millis("timestamp").alias("timestamp_ms"),
+            F.col("payload").cast("string").alias("payload_str"),
+        )
+        .orderBy("shard_id", "srv_offset")
+    )
