@@ -383,3 +383,69 @@ class TestIvfKmeansQuantizer:
         r_km, r_seed = topk_recall(cents_km), topk_recall(cents_seed)
         assert r_km >= r_seed, (r_km, r_seed)
         assert r_km == 1.0  # separated clusters: kmeans probe finds them all
+
+
+class TestPpmCodec:
+    """Real (no-media-lib) PPM P6 decode + nearest-neighbor resize."""
+
+    @staticmethod
+    def _ppm(w, h, comment=False):
+        import numpy as np
+
+        img = (np.arange(w * h * 3, dtype=np.uint32) % 251).astype(np.uint8)
+        head = b"P6\n" + (b"# test comment\n" if comment else b"") + f"{w} {h}\n255\n".encode()
+        return head + img.tobytes(), img.reshape(h, w, 3)
+
+    def test_header_parser_vectors(self):
+        from sea_streamer_spark.operators.multimodal import parse_ppm_header
+
+        data, _ = self._ppm(5, 3)
+        w, h, maxval, off = parse_ppm_header(data)
+        assert (w, h, maxval) == (5, 3, 255) and data[off:].startswith(b"\x00")
+        assert parse_ppm_header(b"P5\n1 1\n255\n\x00") is None  # P5 = grayscale, not P6
+        assert parse_ppm_header(b"not an image") is None
+        wc, hc, _, _ = parse_ppm_header(self._ppm(4, 2, comment=True)[0])
+        assert (wc, hc) == (4, 2)
+
+    def test_decode_reports_real_dims(self, spark):
+        from sea_streamer_spark.operators.multimodal import decode_media
+
+        data, _ = self._ppm(12, 7)
+        df = spark.createDataFrame([(1, bytearray(data)), (2, b"plain bytes")],
+                                   "doc_id long, payload binary")
+        rows = {r.doc_id: r for r in decode_media(df).collect()}
+        assert (rows[1].width, rows[1].height) == (12, 7)
+        assert rows[1].media_type == "image/x-portable-pixmap"
+        assert rows[2].media_type == "image/stub"
+
+    def test_resize_matches_numpy_oracle(self, spark):
+        import numpy as np
+
+        from sea_streamer_spark.operators.multimodal import (
+            decode_media,
+            parse_ppm_header,
+            resize_ppm,
+        )
+
+        data, img = self._ppm(8, 6)
+        df = spark.createDataFrame([(1, bytearray(data))], "doc_id long, payload binary")
+        out = resize_ppm(df, width=4, height=3).collect()[0]
+        assert (out.width, out.height) == (4, 3)
+        w, h, maxval, off = parse_ppm_header(bytes(out.payload))
+        assert (w, h, maxval) == (4, 3, 255)
+        got = np.frombuffer(bytes(out.payload), dtype=np.uint8, offset=off).reshape(3, 4, 3)
+        ys = (np.arange(3) * 6) // 3
+        xs = (np.arange(4) * 8) // 4
+        assert (got == img[ys][:, xs]).all()
+        # resized payload decodes through the main decode path with new dims
+        df2 = spark.createDataFrame([(1, bytearray(bytes(out.payload)))],
+                                    "doc_id long, payload binary")
+        d = decode_media(df2).collect()[0]
+        assert (d.width, d.height) == (4, 3)
+
+    def test_non_ppm_passthrough(self, spark):
+        from sea_streamer_spark.operators.multimodal import resize_ppm
+
+        df = spark.createDataFrame([(9, b"opaque blob")], "doc_id long, payload binary")
+        out = resize_ppm(df, 4, 4).collect()[0]
+        assert bytes(out.payload) == b"opaque blob" and out.width is None
