@@ -479,3 +479,43 @@ def curation_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "multimodal_ppm_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           'image/x-portable-pixmap' AS media_type,
+           CAST(8 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           CAST(11 + 8 * 4 * 3 AS BIGINT) AS payload_len
+    FROM documents WHERE doc_id < 40 ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal pipeline under the driver gate: synthesize a binary
+    PPM per document (16x8, pixels cycled from the text bytes), nearest-
+    neighbor resize to 8x4 (`resize_ppm` — actual pixel work in numpy inside
+    Arrow batches), then decode the resized payload (`decode_media` P6
+    branch). The oracle pins the decoded type/dimensions and the exact P6
+    payload length — any failure in header emit, pixel buffer arithmetic, or
+    the mapInPandas plumbing breaks it. Pixel-exactness vs a numpy oracle is
+    pinned in tests/test_llm_ops.py::TestPpmCodec."""
+    from ..operators import multimodal as M
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t.documents.filter(F.col("doc_id") < 40)
+    # 16x8 P6: header + 384 pixel bytes cycled from the text (text is >=10
+    # tokens, so repeat() then substring is always long enough)
+    pix = F.substring(F.repeat(F.col("text"), 8), 1, 16 * 8 * 3)
+    payload = F.concat(F.lit("P6\n16 8\n255\n"), pix).cast("binary")
+    ppm = docs.select("doc_id", payload.alias("payload"))
+    resized = M.resize_ppm(ppm, width=8, height=4).select(
+        "doc_id", "payload"
+    )
+    return (
+        M.decode_media(resized)
+        .select("doc_id", "media_type", "width", "height", "payload_len")
+        .orderBy("doc_id")
+    )
