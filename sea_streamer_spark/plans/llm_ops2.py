@@ -1,7 +1,9 @@
 """LLM-pipeline queries, part 2: corpus quality gates (Gopher-style rules,
-repetition, PII redaction), per-source quota caps, and connected-components
-dedup clustering — the curation stages between near-dup *pairs* and a
-training-ready corpus.
+repetition, PII redaction), BPE-ish token counts, per-source quota caps,
+mixture resampling, connected-components dedup clustering, gap-based
+sessionization, Zipf vocabulary ranks, hybrid lexical+vector search, and the
+real-PPM multimodal round-trip — the curation/retrieval stages between
+near-dup *pairs* and a training-ready corpus.
 
 Oracle strategy follows llm_ops.py: portable polynomial hashing and explicit
 list-fold arithmetic so DuckDB reproduces every value bit-for-bit; the
