@@ -28,7 +28,10 @@ from pyspark.sql.types import (
 
 #: Kafka topic-name rules, mirrored from sea-streamer-types/src/stream.rs:6-7.
 MAX_STREAM_KEY_LEN = 249
-_STREAM_KEY_RE = re.compile(r"^[a-zA-Z0-9._\-]+$")
+# fullmatch, and no trailing-$ anchor: Python's ``$`` matches BEFORE a final
+# newline, so ``match(...$)`` accepted "0\n" (caught by hypothesis). The
+# reference checks every char (types/src/stream.rs:89-95).
+_STREAM_KEY_RE = re.compile(r"[a-zA-Z0-9._\-]+")
 
 #: Internal control stream (EOS markers, seek latches) —
 #: sea-streamer-types/src/stream.rs (SEA_STREAMER_INTERNAL).
@@ -55,11 +58,11 @@ class StreamKey(str):
 
 
 def is_valid_stream_key(name: str) -> bool:
-    return 0 < len(name) <= MAX_STREAM_KEY_LEN and _STREAM_KEY_RE.match(name) is not None
+    return 0 < len(name) <= MAX_STREAM_KEY_LEN and _STREAM_KEY_RE.fullmatch(name) is not None
 
 
 def is_valid_stream_key_char(c: str) -> bool:
-    return _STREAM_KEY_RE.match(c) is not None
+    return len(c) == 1 and _STREAM_KEY_RE.fullmatch(c) is not None
 
 
 #: The canonical message envelope (sea-streamer-types MessageHeader + payload).
