@@ -159,3 +159,44 @@ class TestErrors:
         assert c2.unassign(1).options.assigned_shards == (0,)
         with _pytest.raises(StreamErr):
             c2.unassign(0, 1)  # would leave nothing
+
+
+class TestJsonlIngest:
+    """JSONL corpus ingestion with quarantine capture (sources/jsonl.py)."""
+
+    def test_clean_and_corrupt_split(self, spark, tmp_path):
+        p = tmp_path / "corpus.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}\n'
+            'this is not json at all\n'
+            '{"doc_id": 2, "text": "hola mundo", "lang": "es", "source": "web"}\n'
+            '{"doc_id": 3, "text": "unterminated\n'
+        )
+        from sea_streamer_spark.sources.jsonl import (
+            read_documents_jsonl,
+            split_quarantine,
+        )
+
+        df = read_documents_jsonl(spark, str(p))
+        clean, quarantine = split_quarantine(df)
+        rows = {r.doc_id: r for r in clean.collect()}
+        assert set(rows) == {1, 2}
+        assert rows[1].text == "hello world" and rows[2].lang == "es"
+        bad = [r.raw_line for r in quarantine.collect()]
+        assert len(bad) == 2
+        assert any("not json" in b for b in bad)
+        # quarantine keeps the raw line verbatim for repair
+        assert any(b.startswith('{"doc_id": 3') for b in bad)
+
+    def test_missing_fields_are_null_not_corrupt(self, spark, tmp_path):
+        p = tmp_path / "partial.jsonl"
+        p.write_text('{"doc_id": 9, "text": "no lang field"}\n')
+        from sea_streamer_spark.sources.jsonl import (
+            read_documents_jsonl,
+            split_quarantine,
+        )
+
+        clean, quarantine = split_quarantine(read_documents_jsonl(spark, str(p)))
+        assert quarantine.count() == 0
+        r = clean.collect()[0]
+        assert r.doc_id == 9 and r.lang is None
