@@ -1203,3 +1203,48 @@ class TestStreamingNearDupDedup:
         # 0, 1 are first of their buckets; 4 is novel; 2 (near-dup) and
         # 3 (exact dup) must be withheld.
         assert got == {0, 1, 4}, got
+
+
+class TestObservedMetrics:
+    """df.observe metrics ride inside the micro-batch plan and reach the
+    listener with every progress event (streaming/metrics.py)."""
+
+    def test_collector_sees_per_batch_envelope_metrics(self, spark, tmp_path):
+        import time
+
+        import pandas as pd
+
+        from sea_streamer_spark.model import MESSAGE_SCHEMA
+        from sea_streamer_spark.streaming.metrics import MetricsCollector, with_metrics
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        rows = [("k", 0, i, t0 + pd.Timedelta(seconds=i), b"x" * 10) for i in range(6)]
+        src = str(tmp_path / "obs_src")
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["stream_key", "shard_id", "sequence", "timestamp", "payload"]),
+            MESSAGE_SCHEMA,
+        ).coalesce(2).write.parquet(src)
+
+        collector = MetricsCollector()
+        spark.streams.addListener(collector)
+        try:
+            stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(src)
+            q = (
+                with_metrics(stream)
+                .writeStream.format("noop")
+                .option("checkpointLocation", str(tmp_path / "obs_ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # listener delivery is async; progress events can trail termination
+            for _ in range(40):
+                if collector.rows:
+                    break
+                time.sleep(0.25)
+        finally:
+            spark.streams.removeListener(collector)
+        got = [r for r in collector.rows if r["name"] == "envelope"]
+        assert got, "no observed metrics delivered"
+        assert sum(r["n_messages"] for r in got) == 6
+        assert sum(r["payload_bytes"] for r in got) == 60
