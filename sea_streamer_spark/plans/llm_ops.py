@@ -386,7 +386,7 @@ from ..operators import curation as C  # noqa: E402
                 WHEN bucket < 9000 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS n_chars_total
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
     FROM b GROUP BY 1 ORDER BY split
     """,
     tags=("llm", "curation"),
@@ -421,7 +421,7 @@ def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(FLOOR(cum_before / 512) AS BIGINT) AS chunk_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS chunk_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
     FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id
     """,
     tags=("llm", "curation"),

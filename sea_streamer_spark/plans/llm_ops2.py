@@ -458,7 +458,8 @@ def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 1 ELSE 0 END AS n_copies
       FROM w
     )
-    SELECT source, SUM(n_copies) AS n_rows, COUNT(*) FILTER (n_copies > 0) AS n_docs
+    SELECT source, CAST(SUM(n_copies) AS BIGINT) AS n_rows,
+           COUNT(*) FILTER (n_copies > 0) AS n_docs
     FROM n GROUP BY source HAVING SUM(n_copies) > 0 ORDER BY source
     """,
     tags=("llm", "curation"),

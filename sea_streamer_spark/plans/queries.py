@@ -1,12 +1,15 @@
 """Aggregate module: importing this populates the full query registry.
 
 Registration order matters: the correctness driver walks ``queries()`` in
-order under a fixed budget (round 1 covered exactly the first 50 entries).
-To convert builder-claimed coverage into driver-proven coverage we emit the
-never-driver-verified queries first — streaming envelope ops, LLM-pipeline
-ops, the TPC-H shapes without a round-1 row, then the remaining relational
-leftovers — and the 50 queries already green in CORRECTNESS_r01.json last
-(they are the least informative to re-check if the budget runs out).
+order under a fixed budget (rounds 1 and 2 each covered exactly the first 50
+entries of their round's ordering). To convert builder-claimed coverage into
+driver-proven coverage we emit, in order: (a) the round-2 red/err rows whose
+fixes land this round (oracle-dtype CASTs, golden-VALUES oracles for the
+approximate queries), (b) every never-driver-sampled query (the llm_ops2
+block, quality gates, dedup_clusters, contamination, pack/sample/shuffle,
+relational4/5 leftovers), then (c) the 96 queries already green in
+CORRECTNESS_r01/r02 last — they are the least informative to re-check if the
+budget runs out.
 """
 
 from . import relational  # noqa: F401
@@ -51,30 +54,52 @@ _R01_DRIVER_VERIFIED: tuple[str, ...] = (
     "agg_grouping_sets", "agg_multi_distinct",
 )
 
-#: Highest-priority unverified shapes (VERDICT.md round-1 "do this" #1):
-#: the six TPC-H queries with no driver row yet, pulled ahead of the other
-#: relational leftovers so they fit even a 50-query driver budget together
-#: with the streaming + LLM blocks.
-_PRIORITY_TPCH: tuple[str, ...] = (
+#: Queries with a green driver row in CORRECTNESS_r02.json — also demoted.
+#: Deliberately EXCLUDED from this list (they must be re-sampled in round 3):
+#: ``curation_hash_split`` (r02 hash_match=false — oracle dtype bug, fixed by
+#: CAST(SUM(..) AS BIGINT)) and ``similarity_ann_lsh`` / ``similarity_ann_ivf``
+#: / ``multimodal_features`` (r02 err=no_oracle — golden-VALUES oracles added
+#: in round 3).
+_R02_DRIVER_VERIFIED: tuple[str, ...] = (
     "q12_shipmode_priority", "q17_small_quantity_revenue",
     "q20_potential_promotion_suppliers", "q21_waiting_multi_supplier",
     "q11_important_stock", "q16_supplier_part_counts",
+    "window_hypertable_rollup", "envelope_project", "seek_timestamp",
+    "rewind_at_seqno", "assign_shard", "shard_round_robin",
+    "shard_pseudo_random", "consumer_group_round_robin", "latest_vs_earliest",
+    "xrange_bounded_scan", "relay_filtered_copy", "stream_merge_order_fuse",
+    "stream_join_correlate", "window_tumbling_1h", "window_sliding_1h_30m",
+    "window_session_30m", "dedup_events_first_per_key",
+    "stream_merge_sharded", "stdio_line_roundtrip", "ss_file_decode",
+    "asof_join_purchase_click", "range_join_click_window",
+    "asof_join_forward_next_click", "redis_stream_roundtrip",
+    "ss_write_roundtrip", "iggy_stream_roundtrip", "text_token_stats",
+    "text_quality_score", "text_lang_id", "text_fingerprint", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_neardup", "similarity_cosine_topk", "similarity_knn_join",
+    "similarity_near_dup", "multimodal_decode_stub",
+    "multimodal_frame_sample",
+)
+
+#: Round-3 must-sample set: the r02 red/err rows whose fixes land this round.
+#: Ahead of everything so they get driver rows under any budget cut.
+_PRIORITY_RESAMPLE: tuple[str, ...] = (
+    "curation_hash_split", "similarity_ann_lsh", "similarity_ann_ivf",
+    "multimodal_features", "agg_approx_sketches",
+    "curation_pack_chunks", "curation_mixture_resample",
 )
 
 
 def _rank(item: tuple[str, object]) -> tuple[int, int]:
     name = item[0]
-    verified = set(_R01_DRIVER_VERIFIED)
-    if name in verified:
+    if name in _PRIORITY_RESAMPLE:
+        return (-1, _PRIORITY_RESAMPLE.index(name))
+    if name in _R01_DRIVER_VERIFIED:
         return (3, _R01_DRIVER_VERIFIED.index(name))
-    if name in _PRIORITY_TPCH:
-        # Ahead of even the streaming/LLM block: these six are individually
-        # named in VERDICT.md's round-2 done-criteria and cost ~1 s total,
-        # so they must survive any driver budget cut.
-        return (-1, _PRIORITY_TPCH.index(name))
-    # Unverified: streaming + LLM blocks registered after the relational
-    # modules keep their relative order but move ahead of relational
-    # leftovers via the tag check below.
+    if name in _R02_DRIVER_VERIFIED:
+        return (4, _R02_DRIVER_VERIFIED.index(name))
+    # Never driver-sampled: streaming + LLM blocks keep their relative
+    # registration order but move ahead of relational leftovers.
     qd = QUERIES[name]
     if any(t in ("streaming", "llm") for t in qd.tags) or name in _STREAMING_LLM:
         return (0, 0)
@@ -85,7 +110,7 @@ def _rank(item: tuple[str, object]) -> tuple[int, int]:
 _STREAMING_LLM = {
     n for n, qd in QUERIES.items()
     if getattr(qd.fn, "__module__", "").rsplit(".", 1)[-1]
-    in ("streaming_ops", "llm_ops")
+    in ("streaming_ops", "llm_ops", "llm_ops2")
 }
 
 _ordered = sorted(QUERIES.items(), key=_rank)

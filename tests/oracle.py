@@ -38,12 +38,37 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_kind(dt) -> str:
+    """Classify a dtype the way the driver's canonical hash does: the hash
+    renders values through their container dtype, so int64 13044 and float64
+    13044.0 hash differently even though they compare numerically equal.
+    DuckDB's SUM(BIGINT) -> HUGEINT -> pandas float64 is the bug class that
+    produced the only red driver row in round 2 (curation_hash_split)."""
+    dt = np.dtype(dt) if not isinstance(dt, pd.api.types.CategoricalDtype) else np.dtype(object)
+    if dt.kind in ("i", "u"):
+        return "int"
+    if dt.kind == "f":
+        return "float"
+    if dt.kind == "b":
+        return "bool"
+    if dt.kind == "M":
+        return "datetime"
+    return "other"
+
+
 def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str, atol=1e-9, rtol=1e-9):
     s, o = canonicalize(spark_df), canonicalize(oracle_df)
     assert list(s.columns) == list(o.columns), (
         f"{name}: column mismatch spark={list(s.columns)} oracle={list(o.columns)}"
     )
     assert len(s) == len(o), f"{name}: row count spark={len(s)} oracle={len(o)}"
+    for c in s.columns:
+        sk, ok_ = _dtype_kind(s[c].dtype), _dtype_kind(o[c].dtype)
+        assert sk == ok_, (
+            f"{name}: column {c} dtype-kind mismatch spark={s[c].dtype}({sk}) "
+            f"oracle={o[c].dtype}({ok_}) — the driver hash will differ even if "
+            f"values are equal; CAST the oracle expression to the Spark type"
+        )
     for c in s.columns:
         sv, ov = s[c], o[c]
         if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
