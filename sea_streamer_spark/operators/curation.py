@@ -162,6 +162,50 @@ def duck_split_bucket(id_expr: str, buckets: int = SPLIT_BUCKETS) -> str:
     return f"({duck_char_fold(f'md5(CAST({id_expr} AS VARCHAR))')} % {buckets})"
 
 
+def mixture_thresholds(
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    buckets: int = SPLIT_BUCKETS,
+) -> dict[str | None, tuple[int, int]]:
+    """Per-source ``(base_copies, extra_bucket_threshold)`` integer pairs for
+    :func:`mixture_resample` (``None`` key = the default weight). The single
+    source of truth for the weight→integer quantization, shared by the Spark
+    operator and the DuckDB oracle so the boundary can never disagree."""
+    import math
+
+    def pair(w: float) -> tuple[int, int]:
+        base = int(math.floor(w))
+        return base, int(round((w - base) * buckets))
+
+    out: dict[str | None, tuple[int, int]] = {s: pair(w) for s, w in weights.items()}
+    out[None] = pair(default_weight)
+    return out
+
+
+def duck_mixture_copies(
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    id_expr: str = "doc_id",
+    source_col: str = "source",
+    buckets: int = SPLIT_BUCKETS,
+) -> str:
+    """DuckDB SQL fragment computing :func:`mixture_resample`'s ``n_copies``
+    with the same precomputed integer thresholds as the operator."""
+    thr = mixture_thresholds(weights, default_weight, buckets)
+    dbase, dthr = thr[None]
+    base_cases = " ".join(
+        f"WHEN '{s}' THEN {b}" for s, (b, _) in thr.items() if s is not None
+    )
+    thr_cases = " ".join(
+        f"WHEN '{s}' THEN {t}" for s, (_, t) in thr.items() if s is not None
+    )
+    return (
+        f"(CAST(CASE {source_col} {base_cases} ELSE {dbase} END AS BIGINT)"
+        f" + CASE WHEN {duck_split_bucket(id_expr, buckets)} < "
+        f"(CASE {source_col} {thr_cases} ELSE {dthr} END) THEN 1 ELSE 0 END)"
+    )
+
+
 def mixture_resample(
     df: DataFrame,
     weights: dict[str, float],
@@ -182,16 +226,26 @@ def mixture_resample(
     ``copy_idx`` (0-based) to distinguish replicas downstream.
     """
     b = split_bucket(id_col, buckets)
-    # per-row weight via chained CASE; sources absent from the dict fall to
-    # the default (a broadcast-join lookup table would also work, but the
-    # mixture dict is tiny and a literal expression keeps this projection)
-    w = None
-    for s, wt in weights.items():
+    # Integer thresholds are precomputed driver-side (weights are known):
+    # comparing bucket < int(round(frac * buckets)) instead of the per-row
+    # double expression (w - floor(w)) * buckets removes the float boundary
+    # hazard — 0.1 is not binary-representable, so the double product is
+    # 1000.0000000000002 while an engine evaluating in DECIMAL gets 1000,
+    # flipping the comparison for bucket == 1000. Integers on both engines
+    # can never disagree.
+    thr = mixture_thresholds(weights, default_weight, buckets)
+    base = None
+    extra_thr = None
+    for s, (base_s, thr_s) in thr.items():
+        if s is None:
+            continue
         cond = F.col(source_col) == s
-        w = F.when(cond, float(wt)) if w is None else w.when(cond, float(wt))
-    w = F.lit(float(default_weight)) if w is None else w.otherwise(float(default_weight))
-    base = F.floor(w).cast("long")
-    extra = (b < (w - F.floor(w)) * buckets).cast("long")
+        base = F.when(cond, base_s) if base is None else base.when(cond, base_s)
+        extra_thr = F.when(cond, thr_s) if extra_thr is None else extra_thr.when(cond, thr_s)
+    dbase, dthr = thr[None]
+    base = (F.lit(dbase) if base is None else base.otherwise(dbase)).cast("long")
+    extra_thr = F.lit(dthr) if extra_thr is None else extra_thr.otherwise(dthr)
+    extra = (b < extra_thr).cast("long")
     n_copies = (base + extra).alias("n_copies")
     return (
         df.withColumn("n_copies", n_copies)

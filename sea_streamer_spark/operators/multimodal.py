@@ -62,6 +62,11 @@ def parse_ppm_header(data: bytes) -> tuple[int, int, int, int] | None:
     no image library."""
     if data[:2] != b"P6":
         return None
+    # netpbm requires a whitespace (or comment) separator right after the
+    # magic — without this check b"P6123 45 255\n..." would parse width=123
+    # and a non-PPM binary could be misclassified.
+    if not (data[2:3].isspace() or data[2:3] == b"#"):
+        return None
     fields: list[int] = []
     i = 2
     n = len(data)
@@ -83,7 +88,16 @@ def parse_ppm_header(data: bytes) -> tuple[int, int, int, int] | None:
     if len(fields) < 3 or i >= n or not data[i : i + 1].isspace():
         return None
     w, h, maxval = fields
-    return (w, h, maxval, i + 1)  # exactly one whitespace after maxval
+    off = i + 1  # exactly one whitespace after maxval
+    # Reject malformed/truncated containers here so every consumer
+    # (decode/resize) falls through to its non-PPM branch instead of
+    # crashing mid-batch: zero/negative dims, wide-pixel maxval (>255 means
+    # 2 bytes/sample — unsupported), or fewer pixel bytes than the header
+    # promises (np.frombuffer(count=w*h*3) would raise inside mapInPandas
+    # and fail the whole job).
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255) or len(data) < off + w * h * 3:
+        return None
+    return (w, h, maxval, off)
 
 
 def decode_media(df: DataFrame) -> DataFrame:
@@ -183,11 +197,23 @@ FRAMES_SCHEMA = StructType(
 )
 
 
-def extract_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
-    """REAL (not stubbed) feature extraction: normalized byte histogram per
-    payload — a content signature computable without media codecs, vectorized
-    with numpy inside Arrow batches. Output feeds the similarity operators
-    (cosine top-k / ANN) directly."""
+FEATURES_INT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload_len", LongType()),
+        StructField("features", ArrayType(LongType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, n_bins: int = 16, normalize: bool = True) -> DataFrame:
+    """REAL (not stubbed) feature extraction: byte histogram per payload — a
+    content signature computable without media codecs, vectorized with numpy
+    inside Arrow batches. ``normalize=True`` (default) emits the fraction per
+    bin (feeds the similarity operators); ``normalize=False`` emits raw
+    integer counts plus ``payload_len`` — exact-integer output, so the DuckDB
+    driver oracle can recompute it engine-independently (the bin of a byte is
+    its high nibble when ``n_bins`` is 16, i.e. a hex-digit histogram)."""
 
     def feat_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -195,16 +221,24 @@ def extract_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
 
         for pdf in batches:
             feats = []
+            lens = []
             for payload in pdf["payload"]:
                 arr = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                lens.append(len(arr))
                 if len(arr) == 0:
-                    feats.append([0.0] * n_bins)
+                    feats.append([0.0] * n_bins if normalize else [0] * n_bins)
                     continue
                 hist = _np.bincount(arr // (256 // n_bins), minlength=n_bins)[:n_bins]
-                feats.append((hist / len(arr)).tolist())
-            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+                feats.append((hist / len(arr)).tolist() if normalize else hist.tolist())
+            if normalize:
+                yield _pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+            else:
+                yield _pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "payload_len": lens, "features": feats}
+                )
 
-    return df.select("doc_id", "payload").mapInPandas(feat_batch, FEATURES_SCHEMA)
+    out_schema = FEATURES_SCHEMA if normalize else FEATURES_INT_SCHEMA
+    return df.select("doc_id", "payload").mapInPandas(feat_batch, out_schema)
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:

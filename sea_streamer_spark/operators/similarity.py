@@ -26,6 +26,14 @@ from pyspark.sql.window import Window
 
 N_PLANES = 8
 
+#: Banded variant defaults: 8 bands × 5 planes. For hyperplane LSH the
+#: collision curve is p_band = (1 - θ/π)^R and recall = 1-(1-p_band)^B; at
+#: cosine 0.3 (θ≈72.5°) that is ≈0.47 vs ≈0.016 for one 8-plane band — the
+#: high-threshold recall lift — while 2^5 buckets/band still prunes the
+#: pairwise scan ~4× at 500 vectors (and more as the corpus grows).
+LSH_BANDS_VEC = 8
+LSH_PLANES_PER_BAND = 5
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two array<numeric> columns (double)."""
@@ -169,6 +177,83 @@ def ann_lsh(
     )
 
 
+def banded_lsh_buckets(
+    emb: DataFrame,
+    n_bands: int = LSH_BANDS_VEC,
+    planes_per_band: int = LSH_PLANES_PER_BAND,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket) rows — band ``b`` signs planes
+    ``[b*planes_per_band, (b+1)*planes_per_band)``, so bands are independent
+    hash tables. One projection computes every band's bucket (the lambdas
+    reference only the vector column, never an enclosing array expression —
+    the Catalyst re-inline trap), then a single explode emits the band rows
+    executor-side."""
+    from .scale import fan_out
+
+    emb = fan_out(emb, key=id_col)
+    dims = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
+    def weight_fn(p: int):
+        return lambda d: _plane_weight(p, d)
+
+    entries = []
+    for b in range(n_bands):
+        sig = None
+        for r in range(planes_per_band):
+            p = b * planes_per_band + r
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.transform(dims, weight_fn(p)),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj >= 0, F.lit(1 << r).cast("long")).otherwise(F.lit(0).cast("long"))
+            sig = bit if sig is None else sig + bit
+        entries.append(F.struct(F.lit(b).alias("band"), sig.alias("bucket")))
+    return emb.select(id_col, F.explode(F.array(*entries)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def ann_lsh_banded(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_bands: int = LSH_BANDS_VEC,
+    planes_per_band: int = LSH_PLANES_PER_BAND,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-band ANN near-neighbor pairs: a pair is a candidate if it shares
+    a bucket in ANY band (P[candidate] = 1-(1-(1-θ/π)^R)^B vs the single
+    band's (1-θ/π)^R — the recall lift at high cosine), then candidates are
+    verified with exact cosine. Mirrors the MinHash dedup shape
+    (dedup.py:lsh_candidate_pairs): band explode → per-band bucket equi-join
+    → DISTINCT pair (a pair can meet in several bands) → verify candidates
+    only. Never all-pairs; candidate volume ≈ B × the single-band count."""
+    bk = banded_lsh_buckets(emb, n_bands, planes_per_band, id_col, vec_col)
+    a = bk.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+    b = bk.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ivf_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str = "embedding") -> Column:
     """Nearest-centroid cell id as a single projection expression.
 
@@ -205,12 +290,16 @@ def ivf_centroids(
 
     ``method="kmeans"`` (default): spherical k-means on a deterministic
     sample — the sample is the ``sample_size`` rows with the smallest
-    ``xxhash64(id)`` (a hash-ordered TakeOrdered: one pass, no full sort, and
-    unbiased w.r.t. id locality, unlike lowest-N-ids which inherits any
-    id-ordered skew in the corpus). Lloyd iterations run driver-side on the
-    sample in float64; initialization is the first ``n_cells`` sample rows in
-    hash order. Everything is seedless-deterministic: same corpus → same
-    centroids, so tests and reruns reproduce bit-for-bit.
+    ``(char_fold_hash(md5(id)), id)`` key (a hash-ordered TakeOrdered: one
+    pass, no full sort, unbiased w.r.t. id locality — unlike lowest-N-ids,
+    which inherits any id-ordered skew in the corpus). The key is the repo's
+    engine-portable hash (operators/text.py), NOT xxhash64, precisely so the
+    DuckDB driver oracle can reproduce the exact same sample with plain SQL.
+    Lloyd iterations run driver-side on the sample in float64
+    (:func:`ivf_kmeans` — shared with the oracle builder); initialization is
+    the first ``n_cells`` sample rows in hash order. Everything is
+    seedless-deterministic: same corpus → same centroids, so tests, reruns
+    and the oracle reproduce bit-for-bit.
 
     ``method="seed"``: the previous lowest-id quantizer (kept as the cheap
     fallback and for comparison tests).
@@ -227,18 +316,48 @@ def ivf_centroids(
         raise ValueError(f"method must be kmeans|seed, got {method!r}")
     import numpy as np
 
+    from .text import char_fold_hash
+
     rows = (
-        emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        emb.orderBy(char_fold_hash(F.md5(F.col(id_col).cast("string"))), F.col(id_col))
         .limit(sample_size)
         .select(vec_col)
         .collect()
     )
     X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    C = ivf_kmeans(X, n_cells, iters)
+    return [(i, [float(x) for x in C[i]]) for i in range(n_cells)]
+
+
+def ivf_kmeans(X, n_cells: int, iters: int = 8):
+    """Seedless spherical k-means (Lloyd) on a float64 sample matrix.
+
+    Initialization is deterministic farthest-point (greedy k-center): seed
+    with the first sample row (hash order), then repeatedly take the row
+    with the lowest maximum cosine to any chosen seed (ties → smaller
+    index). Unlike "first k rows" this cannot start with k points from one
+    dense cluster, so well-separated clusters get one seed each regardless
+    of how the hash ordering interleaves them — and it stays RNG-free.
+
+    Shared by :func:`ivf_centroids` (Spark collect path) and the DuckDB
+    oracle builder (plans/llm_ops.py), which feed it the SAME sample rows in
+    the SAME hash order — identical numpy ops on identical input produce
+    bit-identical centroids in both, making the IVF query value-hash
+    checkable."""
+    import numpy as np
+
     if len(X) < n_cells:
         raise ValueError(f"corpus smaller than n_cells: {len(X)} < {n_cells}")
     nrm = np.linalg.norm(X, axis=1)
     X = X / np.where(nrm == 0, 1.0, nrm)[:, None]
-    C = X[:n_cells].copy()
+    seeds = [0]
+    # max cosine to the chosen seed set, per row; argmin = farthest point
+    best = X @ X[0]
+    for _ in range(1, n_cells):
+        nxt = int(np.argmin(best))  # argmin takes the first (smallest) index on ties
+        seeds.append(nxt)
+        best = np.maximum(best, X @ X[nxt])
+    C = X[seeds].copy()
     for _ in range(iters):
         assign = (X @ C.T).argmax(axis=1)
         for c in range(n_cells):
@@ -248,7 +367,7 @@ def ivf_centroids(
                 nv = np.linalg.norm(v)
                 if nv > 0:
                     C[c] = v / nv
-    return [(i, [float(x) for x in C[i]]) for i in range(n_cells)]
+    return C
 
 
 def ann_ivf_topk(
@@ -278,10 +397,17 @@ def ann_ivf_topk(
     import math
 
     def _dot(a, b):
-        return sum(float(x) * float(y) for x, y in zip(a, b))
+        # left-to-right fold, like the zip_with/aggregate column and the
+        # oracle's list_reduce — same order => bit-identical float64
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
 
     def _cos(a, b):
-        return _dot(a, b) / math.sqrt(_dot(a, a) * _dot(b, b))
+        # sqrt(da)*sqrt(db), NOT sqrt(da*db): mirrors cosine()/_duck_cosine
+        # so cell ranking ties break identically in every engine
+        return _dot(a, b) / (math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b)))
 
     probed = [c for c, _ in sorted(cents, key=lambda cv: (-_cos(qvec, cv[1]), cv[0]))[:nprobe]]
     q = assigned.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))

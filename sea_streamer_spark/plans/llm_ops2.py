@@ -445,18 +445,10 @@ def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "curation_mixture_resample",
     oracle=f"""
-    WITH w AS (
-      SELECT doc_id, source,
-             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
-                  WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt,
-             {C.duck_split_bucket('doc_id')} AS bucket
-      FROM documents
-    ), n AS (
+    WITH n AS (
       SELECT source,
-             CAST(FLOOR(wt) AS BIGINT)
-               + CASE WHEN bucket < (wt - FLOOR(wt)) * {C.SPLIT_BUCKETS}
-                      THEN 1 ELSE 0 END AS n_copies
-      FROM w
+             {C.duck_mixture_copies({"src0": 2.5, "src1": 0.25, "src2": 0.0})} AS n_copies
+      FROM documents
     )
     SELECT source, CAST(SUM(n_copies) AS BIGINT) AS n_rows,
            COUNT(*) FILTER (n_copies > 0) AS n_docs
@@ -509,9 +501,14 @@ def multimodal_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "documents")
     docs = t.documents.filter(F.col("doc_id") < 40)
-    # 16x8 P6: header + 384 pixel bytes cycled from the text (text is >=10
-    # tokens, so repeat() then substring is always long enough)
-    pix = F.substring(F.repeat(F.col("text"), 8), 1, 16 * 8 * 3)
+    # 16x8 P6: header + 384 pixel bytes cycled from the text. The repeat
+    # factor is computed from the actual text length (empty text falls back
+    # to a 1-char seed), so the pixel buffer is ALWAYS >= 384 bytes — a
+    # fixed repeat(,8) only covers texts >= 48 chars and silently emits a
+    # truncated container below that.
+    seed = F.when(F.length("text") > 0, F.col("text")).otherwise(F.lit("x"))
+    reps = F.ceil(F.lit(float(16 * 8 * 3)) / F.length(seed)).cast("int")
+    pix = F.substring(F.repeat(seed, reps), 1, 16 * 8 * 3)
     payload = F.concat(F.lit("P6\n16 8\n255\n"), pix).cast("binary")
     ppm = docs.select("doc_id", payload.alias("payload"))
     resized = M.resize_ppm(ppm, width=8, height=4).select(

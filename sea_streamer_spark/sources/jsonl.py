@@ -51,18 +51,34 @@ def read_documents_jsonl(
     )
 
 
-def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_quarantine(
+    df: DataFrame, storage_level: str | None = "MEMORY_AND_DISK"
+) -> tuple[DataFrame, DataFrame]:
     """(clean_docs, quarantine) from a :func:`read_documents_jsonl` frame.
     Clean rows drop the corrupt column; quarantine rows carry the raw line
     for later inspection/repair. Spark leaves non-corrupt columns null on a
     malformed line, so the corrupt column IS the partition key — a pure
     filter, no shuffle.
 
-    The parse result is cached first: Spark disallows queries that reference
-    only the corrupt-record column of a raw file scan
-    (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both outputs share one parse
-    pass this way instead of re-reading the corpus twice."""
-    df = df.cache()
+    The parse result is persisted first (``storage_level``, default
+    MEMORY_AND_DISK): Spark disallows queries that reference only the
+    corrupt-record column of a raw file scan
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both outputs share one parse pass
+    this way instead of re-reading the corpus twice.
+
+    At 100 TB a full-corpus cache is a deliberate resource decision, not a
+    default you can't escape: pass ``storage_level="DISK_ONLY"`` to keep
+    executor memory free, or ``storage_level=None`` if the caller persisted /
+    checkpointed ``df`` already (Spark rejects a corrupt-column filter over a
+    raw file scan with QUERY_ONLY_CORRUPT_RECORD_COLUMN — verified: even an
+    all-columns projection fails, so SOME materialization boundary is
+    mandatory; None just means it's yours). Whoever persists should call
+    ``df.unpersist()`` on the frame they passed in once both splits are
+    materialized — the splits themselves stay valid, they just recompute."""
+    if storage_level is not None:
+        from pyspark import StorageLevel
+
+        df = df.persist(getattr(StorageLevel, storage_level))
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")

@@ -1,9 +1,10 @@
 """ANN operators: recall against the exact brute-force baseline.
 
-The approximate paths (LSH buckets, IVF cells) are rows-only at the driver
-gate because they are approximate by construction; these tests pin their
-quality instead: every returned similarity must be exact, and recall against
-the brute-force answer must clear a floor.
+The approximate paths (LSH buckets, IVF cells) are deterministic by
+construction, so since round 3 they ARE value-hash checked at the driver
+gate (SQL-replayed planes / import-time-built centroid oracles). These
+tests pin what the oracle can't: every returned similarity must be exact,
+and recall against the brute-force answer must clear a floor.
 """
 
 import pytest
@@ -61,6 +62,39 @@ class TestLshRecall:
         if exact:
             recall = len(approx & exact) / len(exact)
             assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+    def test_banded_recall_tracks_curve_and_beats_single(self, spark, emb):
+        """The 8x5 banded variant must (a) never return a wrong pair, (b)
+        recall at least as much as the single 8-plane band, and (c) clear
+        the analytic banding-curve floor: per true pair with cosine c,
+        p_plane = 1 - acos(c)/pi and P[candidate] = 1-(1-p_plane^R)^B; with
+        >= 20 pairs the observed recall must be >= 60% of the curve's
+        prediction (slack for the deterministic planes being one fixed
+        draw)."""
+        import math
+
+        thr = 0.3
+        exact = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in S.near_dup_pairs(emb, threshold=thr).collect()
+        }
+        if len(exact) < 20:
+            pytest.skip("not enough true pairs at this sf to bound recall")
+        single = {(r.id_a, r.id_b) for r in S.ann_lsh(emb, threshold=thr).collect()}
+        banded = {(r.id_a, r.id_b) for r in S.ann_lsh_banded(emb, threshold=thr).collect()}
+        assert banded <= set(exact)  # verification is exact -> no false pairs
+        r_single = len(single & set(exact)) / len(exact)
+        r_banded = len(banded & set(exact)) / len(exact)
+        assert r_banded >= r_single, f"banded {r_banded} < single {r_single}"
+        R, B = S.LSH_PLANES_PER_BAND, S.LSH_BANDS_VEC
+        predicted = sum(
+            1 - (1 - (1 - math.acos(max(-1.0, min(1.0, c))) / math.pi) ** R) ** B
+            for c in exact.values()
+        ) / len(exact)
+        assert r_banded >= 0.6 * predicted, (
+            f"banded recall {r_banded:.3f} below curve floor "
+            f"{0.6 * predicted:.3f} (predicted {predicted:.3f})"
+        )
 
 
 class TestSketchAccuracy:
