@@ -108,17 +108,20 @@ def decode_media(df: DataFrame) -> DataFrame:
     package zip via ``session.prepare``, but UDF hot paths shouldn't depend
     on it).
 
-    REAL codec for binary PPM (``P6`` magic — netpbm spec, parseable with
-    pure bytes, no media library): actual width/height/maxval from the
-    header. Every other payload falls to the deterministic STUB path
-    (synthetic dimensions from payload length) — jpeg/png/video need PIL/
-    libav, which this container lacks; swap the stub branch for them in
-    production. The Spark-side contract (Arrow batches, schema, partition
-    parallelism) is identical for both branches.
+    REAL codecs for binary PPM (``P6`` magic — netpbm spec, parseable with
+    pure bytes) and PNG (signature + IHDR + zlib-inflated IDAT — see
+    operators/png.py; 8-bit gray/RGB/RGBA, non-interlaced): actual
+    width/height from the container. Every other payload falls to the
+    deterministic STUB path (synthetic dimensions from payload length) —
+    jpeg/video need PIL/libav, which this container lacks; swap the stub
+    branch for them in production. The Spark-side contract (Arrow batches,
+    schema, partition parallelism) is identical for all branches.
     """
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
+
+        from .png import parse_png_header
 
         def one(doc_id, payload):
             data = bytes(payload)
@@ -126,6 +129,10 @@ def decode_media(df: DataFrame) -> DataFrame:
             if hdr is not None:
                 w, h, _maxval, _off = hdr
                 return (doc_id, len(data), "image/x-portable-pixmap", w, h)
+            png = parse_png_header(data)
+            if png is not None:
+                w, h, _depth, _color = png
+                return (doc_id, len(data), "image/png", w, h)
             n = len(data)
             return (doc_id, n, "image/stub", 16 + n % 64, 16 + (n * 7) % 64)
 
@@ -178,6 +185,118 @@ def resize_ppm(df: DataFrame, width: int, height: int) -> DataFrame:
             yield _pd.DataFrame(rows, columns=["doc_id", "payload", "width", "height"])
 
     return df.select("doc_id", "payload").mapInPandas(resize_batch, RESIZED_SCHEMA)
+
+
+def synthesize_png(
+    df: DataFrame, width: int, height: int, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic PNG payload per row: RGB pixels cycled from the UTF-8
+    bytes of ``text_col`` (empty text → a 1-byte seed), encoded with the
+    pure-stdlib writer. Runs in mapInPandas because PNG needs zlib — a
+    column expression can't express the deflate — but stays Arrow-batched
+    and embarrassingly parallel like every codec here."""
+
+    def synth_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from .png import encode_png
+
+        need = width * height * 3
+
+        def one(doc_id, text):
+            seed = (text or "x").encode("utf-8") or b"x"
+            reps = -(-need // len(seed))  # ceil
+            return (doc_id, encode_png(width, height, (seed * reps)[:need]))
+
+        for pdf in batches:
+            rows = [one(d, t) for d, t in zip(pdf["doc_id"], pdf[text_col])]
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return df.select("doc_id", text_col).mapInPandas(synth_batch, schema)
+
+
+def resize_png(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor resize for PNG payloads: full decode
+    (operators/png.py — inflate + unfilter), numpy index-sample to the
+    target grid, deterministic re-encode (filter 0, fixed zlib level).
+    Non-PNG / unsupported-subset payloads pass through unchanged
+    (width/height null), mirroring :func:`resize_ppm`'s mixed-media
+    contract."""
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        from .png import decode_png, encode_png
+
+        def one(doc_id, payload):
+            data = bytes(payload)
+            dec = decode_png(data)
+            if dec is None:
+                return (doc_id, data, None, None)
+            w, h, ch, img = dec
+            ys = (_np.arange(height) * h) // height
+            xs = (_np.arange(width) * w) // width
+            out = img[ys][:, xs]
+            return (
+                doc_id,
+                encode_png(width, height, out.tobytes(), channels=ch),
+                width,
+                height,
+            )
+
+        for pdf in batches:
+            rows = [one(d, p) for d, p in zip(pdf["doc_id"], pdf["payload"])]
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload", "width", "height"])
+
+    return df.select("doc_id", "payload").mapInPandas(resize_batch, RESIZED_SCHEMA)
+
+
+DECODED_HASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("pixel_hash", LongType()),
+    ]
+)
+
+
+def decode_png_hashed(df: DataFrame) -> DataFrame:
+    """Decode PNG payloads and emit a polynomial fold hash of the raw
+    decoded pixel bytes (``h = fold(h*31 + byte) % (1e9+7)`` — the same
+    engine-portable fold as operators/text.py), so a DuckDB oracle that can
+    derive the expected pixels can value-check DECODED IMAGE CONTENT, not
+    just dimensions. Non-decodable payloads → 'image/stub' with null
+    dims/hash (mixed-media batches never fail)."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from .png import decode_png
+        from .text import BASE, MOD
+
+        def one(doc_id, payload):
+            dec = decode_png(bytes(payload))
+            if dec is None:
+                return (doc_id, "image/stub", None, None, None)
+            w, h, _ch, img = dec
+            acc = 0
+            for b in img.tobytes():
+                acc = (acc * BASE + b) % MOD
+            return (doc_id, "image/png", w, h, acc)
+
+        for pdf in batches:
+            rows = [one(d, p) for d, p in zip(pdf["doc_id"], pdf["payload"])]
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "width", "height", "pixel_hash"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batch, DECODED_HASH_SCHEMA)
 
 
 FEATURES_SCHEMA = StructType(

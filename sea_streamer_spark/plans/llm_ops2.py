@@ -519,3 +519,63 @@ def multimodal_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "media_type", "width", "height", "payload_len")
         .orderBy("doc_id")
     )
+
+
+def _png_roundtrip_oracle() -> str:
+    """Pixel-exact oracle for multimodal_png_roundtrip: the resized image's
+    decoded bytes are a pure index-sample of the cycled text bytes, so
+    DuckDB rebuilds them positionally from hex(encode(text)) and folds the
+    same polynomial hash the Spark side computes from the actually-decoded
+    PNG — any corruption anywhere in deflate/encode/decode/unfilter/resize
+    changes the hash."""
+    # nearest-neighbor 16x8 -> 8x4: ys=(i*8)//4, xs=(j*16)//8
+    ys = [(i * 8) // 4 for i in range(4)]
+    xs = [(j * 16) // 8 for j in range(8)]
+    positions = [(y * 16 + x) * 3 + k for y in ys for x in xs for k in (0, 1, 2)]
+    pos_list = "[" + ", ".join(str(p) for p in positions) + "]"
+    nib = "'123456789ABCDEF'"
+    byteval = (
+        f"(16 * strpos({nib}, substr(hx, CAST(2*(p % n) + 1 AS INTEGER), 1))"
+        f" + strpos({nib}, substr(hx, CAST(2*(p % n) + 2 AS INTEGER), 1)))"
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             hex(encode(CASE WHEN length(text) > 0 THEN text ELSE 'x' END)) AS hx,
+             octet_length(encode(CASE WHEN length(text) > 0 THEN text ELSE 'x' END)) AS n
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id, 'image/png' AS media_type,
+           CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform({pos_list}, p -> CAST({byteval} AS BIGINT))),
+             (a, b) -> (a * {T.BASE} + b) % {T.MOD}) AS pixel_hash
+    FROM h ORDER BY doc_id
+    """
+
+
+@query(
+    "multimodal_png_roundtrip",
+    oracle=_png_roundtrip_oracle(),
+    tags=("llm", "multimodal"),
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pipeline under the driver gate: synthesize a 16x8 RGB PNG
+    per document (pure-stdlib writer — zlib deflate, CRC chunks), nearest-
+    neighbor resize via full decode/re-encode (operators/png.py: inflate +
+    per-scanline unfilter), then decode the resized container and hash its
+    raw pixel bytes. The oracle (_png_roundtrip_oracle) re-derives the
+    expected pixels positionally from the text bytes — a PIXEL-EXACT
+    value-hash check of the whole codec, not just dimensions. Arrow-batched
+    mapInPandas at every step; embarrassingly parallel."""
+    from ..operators import multimodal as M
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t.documents.filter(F.col("doc_id") < 40)
+    ppm = M.synthesize_png(docs, width=16, height=8)
+    resized = M.resize_png(ppm, width=8, height=4).select("doc_id", "payload")
+    return (
+        M.decode_png_hashed(resized)
+        .select("doc_id", "media_type", "width", "height", "pixel_hash")
+        .orderBy("doc_id")
+    )

@@ -483,3 +483,129 @@ class TestPpmCodec:
         df = spark.createDataFrame([(9, b"opaque blob")], "doc_id long, payload binary")
         out = resize_ppm(df, 4, 4).collect()[0]
         assert bytes(out.payload) == b"opaque blob" and out.width is None
+
+
+class TestPngCodec:
+    """Pure-stdlib PNG codec: encode/decode roundtrip, every filter type,
+    malformed-container fallbacks, and the mapInPandas resize contract."""
+
+    def test_roundtrip_all_channel_counts(self):
+        import numpy as np
+
+        from sea_streamer_spark.operators.png import decode_png, encode_png
+
+        rng = np.random.default_rng(7)
+        for ch in (1, 2, 3, 4):
+            pix = rng.integers(0, 256, size=5 * 9 * ch, dtype=np.uint8).tobytes()
+            data = encode_png(9, 5, pix, channels=ch)
+            w, h, c, img = decode_png(data)
+            assert (w, h, c) == (9, 5, ch)
+            assert img.tobytes() == pix
+
+    def test_unfilter_every_type(self):
+        """Hand-build IDAT scanlines with filters 1-4 and check decode
+        against an independent reference unfilter."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from sea_streamer_spark.operators.png import PNG_SIG, _chunk, decode_png
+
+        rng = np.random.default_rng(11)
+        w, h, ch = 4, 5, 3
+        stride = w * ch
+        truth = rng.integers(0, 256, size=(h, stride), dtype=np.uint8)
+
+        # reference refilter (the inverse of unfiltering) per spec
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        raw = bytearray()
+        for y, ftype in enumerate([0, 1, 2, 3, 4]):
+            raw.append(ftype)
+            for x in range(stride):
+                cur = int(truth[y, x])
+                left = int(truth[y, x - ch]) if x >= ch else 0
+                up = int(truth[y - 1, x]) if y > 0 else 0
+                ul = int(truth[y - 1, x - ch]) if y > 0 and x >= ch else 0
+                if ftype == 0:
+                    enc = cur
+                elif ftype == 1:
+                    enc = cur - left
+                elif ftype == 2:
+                    enc = cur - up
+                elif ftype == 3:
+                    enc = cur - ((left + up) >> 1)
+                else:
+                    enc = cur - paeth(left, up, ul)
+                raw.append(enc & 0xFF)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (
+            PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        dec = decode_png(data)
+        assert dec is not None
+        assert dec[3].reshape(h, stride).tolist() == truth.tolist()
+
+    def test_malformed_falls_to_none_not_raise(self):
+        import numpy as np
+
+        from sea_streamer_spark.operators.png import decode_png, encode_png
+
+        pix = np.zeros(12 * 3, dtype=np.uint8).tobytes()
+        good = encode_png(4, 3, pix)
+        assert decode_png(b"") is None
+        assert decode_png(b"\x89PNG\r\n\x1a\n") is None  # signature only
+        assert decode_png(good[:30]) is None  # truncated IHDR
+        # a torn tail AFTER the complete IDAT (partial IEND) still decodes —
+        # all pixel data is present (same leniency as the .ss torn-tail
+        # recovery); a tear INSIDE the IDAT chunk must return None
+        assert decode_png(good[:-8]) is not None
+        assert decode_png(good[:-16]) is None  # cuts into IDAT's chunk body/CRC
+        corrupt_idat = bytearray(good)
+        corrupt_idat[45] ^= 0xFF  # garbage inside the deflate stream
+        assert decode_png(bytes(corrupt_idat)) is None
+        # non-PNG payloads must not be classified
+        assert decode_png(b"P6\n2 2\n255\n" + b"\x00" * 12) is None
+
+    def test_resize_png_matches_numpy_sampling(self, spark):
+        import numpy as np
+
+        from sea_streamer_spark.operators import multimodal as M
+        from sea_streamer_spark.operators.png import decode_png, encode_png
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(8, 16, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_png(16, 8, img.tobytes()))), (2, bytearray(b"not a png"))],
+            "doc_id long, payload binary",
+        )
+        rows = {r.doc_id: r for r in M.resize_png(df, width=8, height=4).collect()}
+        ys = (np.arange(4) * 8) // 4
+        xs = (np.arange(8) * 16) // 8
+        expect = img[ys][:, xs]
+        got = decode_png(bytes(rows[1].payload))
+        assert got is not None and got[3].tobytes() == expect.tobytes()
+        assert (rows[1].width, rows[1].height) == (8, 4)
+        # pass-through contract for non-PNG payloads
+        assert bytes(rows[2].payload) == b"not a png"
+        assert rows[2].width is None and rows[2].height is None
+
+    def test_decode_media_classifies_png(self, spark):
+        import numpy as np
+
+        from sea_streamer_spark.operators import multimodal as M
+        from sea_streamer_spark.operators.png import encode_png
+
+        pix = np.zeros(6 * 7 * 3, dtype=np.uint8).tobytes()
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_png(7, 6, pix)))], "doc_id long, payload binary"
+        )
+        r = M.decode_media(df).collect()[0]
+        assert r.media_type == "image/png" and (r.width, r.height) == (7, 6)
