@@ -62,10 +62,49 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # non-headline pinned metric — NOT in the total, so the
+                # headline number stays comparable round-over-round
+                "scale": scale_dedup_metric(spark),
             }
         )
     )
     spark.stop()
+
+
+def scale_dedup_metric(spark) -> dict:
+    """Pinned 100k-doc dedup scale run (re-measured every round so the
+    linearity claim in PLANS.md stays a measurement, not a memory):
+    replicate the SF's documents into token-disjoint namespaces up to
+    ~100k docs, run the full MinHash-LSH pipeline, and report wall time
+    plus the pairs-per-replica ratio — banding must not produce
+    cross-replica candidates, so pairs == base_pairs * k exactly."""
+    from pyspark.sql import functions as F
+
+    from sea_streamer_spark.operators.dedup import minhash_lsh_dedup
+    from sea_streamer_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF_DIR, "documents").documents
+    n_base = docs.count()
+    k = max(1, 100_000 // max(n_base, 1))
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") * k + F.col("rep")).alias("doc_id"),
+        F.regexp_replace("text", r"(\S+)", F.concat(F.lit("$1r"), F.col("rep"))).alias(
+            "text"
+        ),
+    )
+    base_pairs = minhash_lsh_dedup(docs, threshold=0.5).count()
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_dedup(big, threshold=0.5).count()
+    dt = time.perf_counter() - t0
+    return {
+        "dedup_minhash_lsh_scale_sec": round(dt, 4),
+        "n_docs": n_base * k,
+        "replicas": k,
+        "pairs": pairs,
+        "base_pairs": base_pairs,
+        "linear": bool(pairs == base_pairs * k),
+    }
 
 
 if __name__ == "__main__":

@@ -68,13 +68,22 @@ def produce(
 
 
 def relay(spark: SparkSession, src_dir: str, dst_dir: str, checkpoint_dir: str) -> float:
-    """Relay phase: stream-copy the whole log A -> B (relay.rs analog)."""
+    """Relay phase: stream-copy the whole log A -> B (relay.rs analog).
+
+    The sink writes UNCOMPRESSED parquet: the reference relay copies raw
+    bytes (no codec work — socket/src/bin/relay.rs frames bytes through),
+    and profiling shows the phase floor is the copy itself, not streaming
+    machinery (~0.11 s empty-batch overhead vs ~0.33 s data copy at 100k
+    msgs); snappy on the sink only adds codec time to a byte-copy workload
+    (measured 0.51 s -> 0.41 s). Output-partition coalescing was also
+    profiled and does NOT move the floor (8 tasks ≈ 4 ≈ 2; 1 is slower)."""
     t0 = time.perf_counter()
     q = (
         spark.readStream.schema(MESSAGE_SCHEMA)
         .parquet(src_dir)
         .writeStream.format("parquet")
         .option("path", dst_dir)
+        .option("compression", "uncompressed")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
