@@ -254,6 +254,174 @@ def ann_lsh_banded(
     )
 
 
+def pq_kmeans(X, k: int, iters: int = 8):
+    """Plain-L2 Lloyd k-means with the same deterministic farthest-point
+    seeding as :func:`ivf_kmeans` but NO normalization — PQ codebooks
+    minimize subvector reconstruction error, where spherical updates would
+    be wrong. Shared by :func:`pq_codebooks` and the DuckDB oracle builder
+    (identical input order ⇒ bit-identical codebooks)."""
+    import numpy as np
+
+    if len(X) < k:
+        raise ValueError(f"sample smaller than k: {len(X)} < {k}")
+    seeds = [0]
+    d2 = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d2))  # farthest point; argmax takes first on ties
+        seeds.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    C = X[seeds].copy()
+    for _ in range(iters):
+        dists = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = dists.argmin(axis=1)
+        for c in range(k):
+            pts = X[assign == c]
+            if len(pts):
+                C[c] = pts.mean(axis=0)
+    return C
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 8,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the D-dim space splits into ``m``
+    contiguous subspaces and each gets an independent ``ksub``-centroid
+    L2 k-means codebook, trained driver-side on the same engine-portable
+    hash-ordered sample as :func:`ivf_centroids` (so the DuckDB oracle can
+    re-select it with SQL). Returns ``[m][ksub][dsub]`` floats.
+
+    Scale: training reads a bounded sample; codes are 4 bits/subspace at
+    ksub=16, so a 64-dim float32 vector (256 B) compresses to 4 B — the
+    100 TB trick that lets the candidate scan live in memory."""
+    import numpy as np
+
+    from .text import char_fold_hash
+
+    rows = (
+        emb.orderBy(char_fold_hash(F.md5(F.col(id_col).cast("string"))), F.col(id_col))
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    return pq_codebooks_from_sample(X, m, ksub, iters)
+
+
+def pq_codebooks_from_sample(X, m: int, ksub: int, iters: int = 8) -> list[list[list[float]]]:
+    """Codebooks from an already-fetched float64 sample matrix — the part
+    shared with the DuckDB oracle builder (plans/llm_ops.py), which feeds it
+    the same rows in the same hash order."""
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [
+        [[float(x) for x in c] for c in pq_kmeans(X[:, s * dsub : (s + 1) * dsub], ksub, iters)]
+        for s in range(m)
+    ]
+
+
+def pq_code_expr(codebooks: list[list[list[float]]], vec_col: str = "embedding") -> Column:
+    """Array of ``m`` PQ codes as a single map-side projection: per subspace,
+    the argmin-L2 codebook entry via the same struct-max trick as
+    :func:`ivf_cell_expr` (max over (-dist, -code) ⇒ min dist, ties to the
+    smaller code). Lambdas bind only slice elements and literals — no
+    enclosing-array references (the Catalyst re-inline trap)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            -F.aggregate(
+                                F.zip_with(
+                                    sub,
+                                    F.array(*[F.lit(float(x)) for x in cvec]),
+                                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            )
+                        ).alias("negdist"),
+                        F.lit(-code).cast("long").alias("negcode"),
+                    )
+                    for code, cvec in enumerate(codebooks[s])
+                ]
+            )
+        )
+        codes.append(-best["negcode"])
+    return F.array(*codes)
+
+
+def ann_pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k with asymmetric distance computation (ADC) and
+    exact re-rank: encode the corpus map-side (4-bit codes), score every
+    vector as ``sum_m LUT[m][code_m]`` where the lookup table holds the
+    query subvector · codebook-centroid dots (driver-computed literals),
+    TakeOrdered the ``refine`` best ADC candidates, then exact-cosine
+    re-rank those and keep ``k``.
+
+    Scale: the scored representation is 4 B/vector instead of 256 B — the
+    ADC pass is a pure projection over codes (no shuffle), the refine set is
+    tiny, and only it touches full vectors. The standard IVF-PQ pairing
+    composes with :func:`ann_ivf_topk`'s cell pruning (probe cells, then ADC
+    inside them)."""
+    cbs = pq_codebooks(emb, m, ksub, id_col, vec_col)
+    dsub = len(cbs[0][0])
+    qrow = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec")).collect()[0]
+    qvec = [float(x) for x in qrow["qvec"]]
+    # LUT[m][code] = dot(q_sub, centroid) — left-to-right fold like dot()
+    lut = []
+    for s in range(m):
+        qs = qvec[s * dsub : (s + 1) * dsub]
+        row = []
+        for cvec in cbs[s]:
+            acc = 0.0
+            for x, c in zip(qs, cvec):
+                acc += x * c
+            row.append(acc)
+        lut.append(row)
+    coded = emb.withColumn("pq_codes", pq_code_expr(cbs, vec_col))
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut[s]]), F.element_at("pq_codes", s + 1).cast("int") + 1
+        )
+        adc = term if adc is None else adc + term
+    cand = (
+        coded.filter(F.col(id_col) != query_id)
+        .select(id_col, adc.alias("adc_score"), vec_col)
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(refine)
+    )
+    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(id_col, cosine(F.col(vec_col), F.col("qvec")).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str = "embedding") -> Column:
     """Nearest-centroid cell id as a single projection expression.
 

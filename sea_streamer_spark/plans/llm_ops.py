@@ -473,6 +473,92 @@ def _build_ivf_oracle() -> str | None:
     """
 
 
+def _build_pq_oracle(m: int = 8, ksub: int = 16, refine: int = 50, k: int = 10) -> str | None:
+    """DuckDB oracle for similarity_ann_pq, built at import time like
+    _build_ivf_oracle: DuckDB re-selects the portable-hash training sample,
+    the shared numpy routine (similarity.pq_codebooks_from_sample) turns it
+    into per-subspace codebooks, and the SQL — with codebooks as literals —
+    re-encodes every vector (argmin-L2 via the struct-max trick), computes
+    the ADC score against LUT expressions over the query vector from the
+    view, takes the `refine` best, exact-cosine re-ranks, keeps `k`. Same
+    fold order everywhere ⇒ bit-identical float64 ⇒ identical refine set and
+    final ranking."""
+    f = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(f):
+        return None
+    try:
+        import duckdb
+        import numpy as np
+
+        key = T.duck_char_fold("md5(CAST(vec_id AS VARCHAR))")
+        rows = duckdb.sql(
+            f"SELECT embedding FROM '{f}' ORDER BY {key}, vec_id LIMIT 4096"
+        ).fetchall()
+        X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+        cbs = S.pq_codebooks_from_sample(X, m, ksub)
+    except Exception:
+        return None
+    dsub = len(cbs[0][0])
+
+    def lit_vec(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    def sub(vec: str, s: int) -> str:
+        return f"list_slice({vec}, {s * dsub + 1}, {(s + 1) * dsub})"
+
+    def l2(sub_expr: str, cvec) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(list_zip({sub_expr}, "
+            f"{lit_vec(cvec)}), p -> (CAST(p[1] AS DOUBLE) - p[2]) * "
+            f"(CAST(p[1] AS DOUBLE) - p[2]))), (x, y) -> x + y)"
+        )
+
+    code_cols = []
+    for s in range(m):
+        structs = ", ".join(
+            "{'negdist': -(" + l2(sub("embedding", s), cvec) + f"), 'negcode': CAST({-c} AS BIGINT)}}"
+            for c, cvec in enumerate(cbs[s])
+        )
+        code_cols.append(
+            f"CAST(-(list_aggregate([{structs}], 'max').negcode) AS BIGINT) AS code_{s}"
+        )
+    lut_terms = []
+    for s in range(m):
+        luts = ", ".join(_duck_dot(sub("q.qvec", s), lit_vec(cvec)) for cvec in cbs[s])
+        lut_terms.append(f"list_extract([{luts}], CAST(a.code_{s} + 1 AS INTEGER))")
+    adc = " + ".join(lut_terms)
+    return f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    coded AS (
+      SELECT vec_id, embedding, {", ".join(code_cols)} FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id, a.embedding FROM coded a, q
+      WHERE a.vec_id <> 0
+      ORDER BY ({adc}) DESC, a.vec_id LIMIT {refine}
+    )
+    SELECT vec_id, cosine_sim FROM (
+      SELECT c.vec_id, {_duck_cosine('c.embedding', 'q.qvec')} AS cosine_sim
+      FROM cand c, q
+    ) ORDER BY cosine_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@query("similarity_ann_pq", oracle=_build_pq_oracle(), tags=("llm", "similarity", "approx"))
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k (8 subspaces × 16 codes, ADC scoring,
+    exact re-rank of the 50 best): the memory-side of the 100 TB ANN story —
+    4-bit codes shrink a 256 B float32 vector to 4 B, the ADC pass is a pure
+    projection over codes, and only the refine set touches full vectors
+    (composes with IVF cell pruning as standard IVF-PQ). Deterministic
+    end-to-end ⇒ value-hash checked by the import-time-built oracle
+    (_build_pq_oracle) at the driver's sf; recall floor pinned in tests.
+    NOTE: oracle embeds codebooks derived from ORACLE_SF_DIR data — compare
+    only at that sf (the local harness pins this)."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return S.ann_pq_topk(t.embeddings, query_id=0, k=10)
+
+
 @query("similarity_ann_ivf", oracle=_build_ivf_oracle(), tags=("llm", "similarity", "approx"))
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (deterministic coarse quantizer, nprobe=4 of 16

@@ -609,3 +609,42 @@ class TestPngCodec:
         )
         r = M.decode_media(df).collect()[0]
         assert r.media_type == "image/png" and (r.width, r.height) == (7, 6)
+
+
+class TestPq:
+    """Product quantization: codebook determinism, code validity, ADC+refine
+    recall, and exactness of returned similarities."""
+
+    def test_codebooks_deterministic(self, spark, emb):
+        c1 = S.pq_codebooks(emb, m=8, ksub=16)
+        c2 = S.pq_codebooks(emb, m=8, ksub=16)
+        assert c1 == c2
+        assert len(c1) == 8 and all(len(cb) == 16 for cb in c1)
+        assert all(len(c) == 8 for cb in c1 for c in cb)  # 64 dims / 8
+
+    def test_codes_in_range_and_deterministic(self, spark, emb):
+        cbs = S.pq_codebooks(emb, m=8, ksub=16)
+        coded = emb.withColumn("codes", S.pq_code_expr(cbs))
+        rows = coded.select("vec_id", "codes").collect()
+        assert all(len(r.codes) == 8 for r in rows)
+        assert all(0 <= c <= 15 for r in rows for c in r.codes)
+        rows2 = {r.vec_id: r.codes for r in coded.select("vec_id", "codes").collect()}
+        assert {r.vec_id: r.codes for r in rows} == rows2
+
+    def test_topk_recall_and_exact_sims(self, spark, emb):
+        exact_rows = S.cosine_topk(emb, query_id=0, k=10).collect()
+        exact = {r.vec_id for r in exact_rows}
+        brute = {r.vec_id: r.cosine_sim for r in S.cosine_topk(emb, query_id=0, k=10_000).collect()}
+        rows = S.ann_pq_topk(emb, query_id=0, k=10).collect()
+        assert len(rows) == 10
+        recall = len(exact & {r.vec_id for r in rows}) / 10
+        assert recall >= 0.5, f"PQ recall too low: {recall}"
+        # the re-rank stage computes EXACT cosines for everything it returns
+        for r in rows:
+            assert abs(brute[r.vec_id] - r.cosine_sim) < 1e-12
+
+    def test_refine_full_corpus_reproduces_exact(self, spark, emb):
+        n = emb.count()
+        full = [r.vec_id for r in S.ann_pq_topk(emb, query_id=0, k=10, refine=n).collect()]
+        exact = [r.vec_id for r in S.cosine_topk(emb, query_id=0, k=10).collect()]
+        assert full == exact
