@@ -386,30 +386,12 @@ def ann_pq_topk(
     composes with :func:`ann_ivf_topk`'s cell pruning (probe cells, then ADC
     inside them)."""
     cbs = pq_codebooks(emb, m, ksub, id_col, vec_col)
-    dsub = len(cbs[0][0])
     qrow = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec")).collect()[0]
     qvec = [float(x) for x in qrow["qvec"]]
-    # LUT[m][code] = dot(q_sub, centroid) — left-to-right fold like dot()
-    lut = []
-    for s in range(m):
-        qs = qvec[s * dsub : (s + 1) * dsub]
-        row = []
-        for cvec in cbs[s]:
-            acc = 0.0
-            for x, c in zip(qs, cvec):
-                acc += x * c
-            row.append(acc)
-        lut.append(row)
     coded = emb.withColumn("pq_codes", pq_code_expr(cbs, vec_col))
-    adc = None
-    for s in range(m):
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in lut[s]]), F.element_at("pq_codes", s + 1).cast("int") + 1
-        )
-        adc = term if adc is None else adc + term
     cand = (
         coded.filter(F.col(id_col) != query_id)
-        .select(id_col, adc.alias("adc_score"), vec_col)
+        .select(id_col, pq_adc_expr(cbs, qvec).alias("adc_score"), vec_col)
         .orderBy(F.desc("adc_score"), F.asc(id_col))
         .limit(refine)
     )
@@ -417,6 +399,88 @@ def ann_pq_topk(
     return (
         cand.crossJoin(F.broadcast(q))
         .select(id_col, cosine(F.col(vec_col), F.col("qvec")).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_adc_expr(
+    codebooks: list[list[list[float]]], qvec: list[float], codes_col: str = "pq_codes"
+) -> Column:
+    """ADC score column: ``sum_m LUT[m][code_m]`` where LUT holds the query
+    subvector · codebook-centroid dots, computed driver-side with the same
+    left-to-right fold as :func:`dot` and embedded as literals."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    adc = None
+    for s in range(m):
+        qs = qvec[s * dsub : (s + 1) * dsub]
+        lut = []
+        for cvec in codebooks[s]:
+            acc = 0.0
+            for x, c in zip(qs, cvec):
+                acc += float(x) * float(c)
+            lut.append(acc)
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut]),
+            F.element_at(codes_col, s + 1).cast("int") + 1,
+        )
+        adc = term if adc is None else adc + term
+    return adc
+
+
+def ann_ivf_pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Composed IVF-PQ — the standard 100 TB ANN architecture in one plan:
+    coarse cells prune the corpus to ``nprobe/n_cells`` (partition pruning
+    when the table is stored partitioned by cell), 4-bit PQ codes + ADC
+    score the survivors without touching full vectors, and only the
+    ``refine`` best candidates are exact-cosine re-ranked. Every stage is a
+    map-side projection; the only data movement is the two bounded
+    TakeOrdereds. Deterministic end-to-end (portable-hash sample, seedless
+    k-means for both quantizers) ⇒ value-hash checkable."""
+    import math
+
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    cbs = pq_codebooks(emb, m, ksub, id_col, vec_col)
+    assigned = emb.withColumn("ivf_cell", ivf_cell_expr(cents, vec_col))
+    qrow = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec")).collect()[0]
+    qvec = [float(x) for x in qrow["qvec"]]
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def _cos(a, b):
+        return _dot(a, b) / (math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b)))
+
+    probed = [c for c, _ in sorted(cents, key=lambda cv: (-_cos(qvec, cv[1]), cv[0]))[:nprobe]]
+    coded = (
+        assigned.filter(F.col("ivf_cell").isin(probed))
+        .filter(F.col(id_col) != query_id)
+        .withColumn("pq_codes", pq_code_expr(cbs, vec_col))
+    )
+    cand = (
+        coded.select(id_col, "ivf_cell", pq_adc_expr(cbs, qvec).alias("adc_score"), vec_col)
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(refine)
+    )
+    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(id_col, "ivf_cell", cosine(F.col(vec_col), F.col("qvec")).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )

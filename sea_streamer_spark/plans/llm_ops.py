@@ -544,6 +544,122 @@ def _build_pq_oracle(m: int = 8, ksub: int = 16, refine: int = 50, k: int = 10) 
     """
 
 
+def _build_ivf_pq_oracle(
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 50,
+    k: int = 10,
+) -> str | None:
+    """DuckDB oracle for the composed similarity_ann_ivf_pq: both quantizers
+    (IVF centroids + PQ codebooks) come from the shared numpy routines over
+    the same portable-hash sample; the SQL assigns cells, prunes to the
+    query's nprobe cells, PQ-encodes only the survivors, ADC-scores them
+    against LUT expressions over the view's query vector, refines, and
+    exact-cosine re-ranks — all with the mirrored fold order and tie-breaks,
+    so the driver hash is bit-exact."""
+    f = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(f):
+        return None
+    try:
+        import duckdb
+        import numpy as np
+
+        key = T.duck_char_fold("md5(CAST(vec_id AS VARCHAR))")
+        rows = duckdb.sql(
+            f"SELECT embedding FROM '{f}' ORDER BY {key}, vec_id LIMIT 4096"
+        ).fetchall()
+        X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+        C = S.ivf_kmeans(X, n_cells=n_cells, iters=8)
+        cbs = S.pq_codebooks_from_sample(X, m, ksub)
+    except Exception:
+        return None
+    dsub = len(cbs[0][0])
+
+    def lit_vec(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    cent_values = ",\n      ".join(
+        f"({i}, {lit_vec(C[i])}::DOUBLE[])" for i in range(n_cells)
+    )
+    cell_structs = ", ".join(
+        "{'sim': " + _duck_dot("embedding", lit_vec(C[i]))
+        + f", 'negcell': CAST({-i} AS BIGINT)}}"
+        for i in range(n_cells)
+    )
+
+    def sub(vec: str, s: int) -> str:
+        return f"list_slice({vec}, {s * dsub + 1}, {(s + 1) * dsub})"
+
+    def l2(sub_expr: str, cvec) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(list_zip({sub_expr}, "
+            f"{lit_vec(cvec)}), p -> (CAST(p[1] AS DOUBLE) - p[2]) * "
+            f"(CAST(p[1] AS DOUBLE) - p[2]))), (x, y) -> x + y)"
+        )
+
+    code_cols = []
+    for s in range(m):
+        structs = ", ".join(
+            "{'negdist': -(" + l2(sub("embedding", s), cvec) + f"), 'negcode': CAST({-c} AS BIGINT)}}"
+            for c, cvec in enumerate(cbs[s])
+        )
+        code_cols.append(
+            f"CAST(-(list_aggregate([{structs}], 'max').negcode) AS BIGINT) AS code_{s}"
+        )
+    lut_terms = []
+    for s in range(m):
+        luts = ", ".join(_duck_dot(sub("q.qvec", s), lit_vec(cvec)) for cvec in cbs[s])
+        lut_terms.append(f"list_extract([{luts}], CAST(a.code_{s} + 1 AS INTEGER))")
+    adc = " + ".join(lut_terms)
+    return f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    cent(cell, cvec) AS (VALUES
+      {cent_values}),
+    probed AS (
+      SELECT cell FROM (
+        SELECT c.cell, {_duck_cosine('q.qvec', 'c.cvec')} AS cs FROM cent c, q
+      ) ORDER BY cs DESC, cell LIMIT {nprobe}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding,
+             CAST(-(list_aggregate([{cell_structs}], 'max').negcell) AS BIGINT) AS ivf_cell
+      FROM embeddings
+    ),
+    coded AS (
+      SELECT vec_id, embedding, ivf_cell, {", ".join(code_cols)}
+      FROM assigned
+      WHERE ivf_cell IN (SELECT cell FROM probed) AND vec_id <> 0
+    ),
+    cand AS (
+      SELECT a.vec_id, a.ivf_cell, a.embedding FROM coded a, q
+      ORDER BY ({adc}) DESC, a.vec_id LIMIT {refine}
+    )
+    SELECT vec_id, ivf_cell, cosine_sim FROM (
+      SELECT c.vec_id, c.ivf_cell, {_duck_cosine('c.embedding', 'q.qvec')} AS cosine_sim
+      FROM cand c, q
+    ) ORDER BY cosine_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@query(
+    "similarity_ann_ivf_pq",
+    oracle=_build_ivf_pq_oracle(),
+    tags=("llm", "similarity", "approx"),
+)
+def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ top-k — the standard 100 TB ANN architecture end to
+    end: coarse-cell pruning (nprobe=4 of 16), ADC scoring over 4-bit PQ
+    codes inside the probed cells only, exact-cosine re-rank of the 50 best.
+    Deterministic throughout ⇒ value-hash checked by the import-time-built
+    oracle (_build_ivf_pq_oracle); recall/composition invariants pinned in
+    tests. NOTE: oracle embeds quantizers from ORACLE_SF_DIR data — compare
+    only at that sf (the local harness pins this)."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return S.ann_ivf_pq_topk(t.embeddings, query_id=0, k=10)
+
+
 @query("similarity_ann_pq", oracle=_build_pq_oracle(), tags=("llm", "similarity", "approx"))
 def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-k (8 subspaces × 16 codes, ADC scoring,

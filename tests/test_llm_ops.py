@@ -648,3 +648,38 @@ class TestPq:
         full = [r.vec_id for r in S.ann_pq_topk(emb, query_id=0, k=10, refine=n).collect()]
         exact = [r.vec_id for r in S.cosine_topk(emb, query_id=0, k=10).collect()]
         assert full == exact
+
+
+class TestIvfPq:
+    """Composed IVF-PQ: pruning+compression must still return exact sims,
+    clear a recall floor, and collapse to the exact answer when un-pruned."""
+
+    def test_topk_recall_and_exact_sims(self, spark, emb):
+        exact = {r.vec_id for r in S.cosine_topk(emb, query_id=0, k=10).collect()}
+        brute = {r.vec_id: r.cosine_sim for r in S.cosine_topk(emb, query_id=0, k=10_000).collect()}
+        rows = S.ann_ivf_pq_topk(emb, query_id=0, k=10).collect()
+        assert len(rows) == 10
+        recall = len(exact & {r.vec_id for r in rows}) / 10
+        assert recall >= 0.4, f"IVF-PQ recall too low: {recall}"
+        for r in rows:
+            assert abs(brute[r.vec_id] - r.cosine_sim) < 1e-12
+
+    def test_unpruned_reproduces_exact(self, spark, emb):
+        n = emb.count()
+        full = [
+            r.vec_id
+            for r in S.ann_ivf_pq_topk(
+                emb, query_id=0, k=10, n_cells=16, nprobe=16, refine=n
+            ).collect()
+        ]
+        exact = [r.vec_id for r in S.cosine_topk(emb, query_id=0, k=10).collect()]
+        assert full == exact
+
+    def test_recall_not_worse_than_ivf_alone_materially(self, spark, emb):
+        """PQ's ADC pass only reorders WITHIN the probed cells; with the
+        refine window >= the IVF result size, composed recall vs plain IVF
+        may differ only by what ADC drops from the refine cut."""
+        exact = {r.vec_id for r in S.cosine_topk(emb, query_id=0, k=10).collect()}
+        ivf = {r.vec_id for r in S.ann_ivf_topk(emb, query_id=0, k=10).collect()}
+        both = {r.vec_id for r in S.ann_ivf_pq_topk(emb, query_id=0, k=10, refine=100).collect()}
+        assert len(both & exact) >= len(ivf & exact) - 2

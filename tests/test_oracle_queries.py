@@ -14,7 +14,12 @@ ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
 
 #: Queries whose oracle embeds data-derived constants for the driver's gate
 #: sf (import-time builders) — compare them at that sf, not the suite's.
-_PINNED_SF = {"similarity_ann_ivf", "similarity_ann_pq", "agg_approx_sketches"}
+_PINNED_SF = {
+    "similarity_ann_ivf",
+    "similarity_ann_pq",
+    "similarity_ann_ivf_pq",
+    "agg_approx_sketches",
+}
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
