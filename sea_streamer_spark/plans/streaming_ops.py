@@ -880,3 +880,228 @@ def iggy_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id", "srv_offset")
     )
+
+
+# ------------------------------------------- consumer groups (D4-D7) e2e
+
+#: Group-scenario fixture: 2 shards x 12 entries on stream "task",
+#: entry id = (GRP_BASE_MS + 41*i)-<shard>, payload "t-<shard>-<i>".
+_GRP_BASE_MS = 1_710_000_000_000
+_GRP_SHARDS, _GRP_PER_SHARD = 2, 12
+
+
+def _grp_rows() -> list[tuple[int, int, int, str]]:
+    return [
+        (s, i, _GRP_BASE_MS + 41 * i, f"t-{s}-{i}")
+        for s in range(_GRP_SHARDS)
+        for i in range(_GRP_PER_SHARD)
+    ]
+
+
+def _grp_scenario_root(tag: str, scenario) -> str:
+    """Run a deterministic consumer-group scenario exactly once per machine
+    (exclusive flock — unlike the append-only roundtrip fixtures, group
+    state mutates, so concurrent populators must serialize, the same
+    single-writer rule Redis itself gives XREADGROUP)."""
+    import fcntl
+    import os
+    import tempfile
+
+    from ..streaming.fake_redis import FakeRedis
+    from ..streaming.redis import shard_key
+
+    root = os.path.join(tempfile.gettempdir(), f"sea_redis_{tag}_v1")
+    os.makedirs(root, exist_ok=True)
+    done = os.path.join(root, ".done")
+    with open(os.path.join(root, ".lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if not os.path.exists(done):
+            for fn in os.listdir(root):  # a failed populate can't poison state
+                if fn.endswith((".stream", ".groups.json")):
+                    os.unlink(os.path.join(root, fn))
+            clock = {"ms": 2_000_000_000_000}
+            client = FakeRedis(root=root, clock=lambda: clock["ms"])
+            for s, _i, ms, payload in _grp_rows():
+                client.xadd(
+                    shard_key("task", s), {"payload": payload.encode()}, id=f"{ms}-{s}"
+                )
+            scenario(client, clock)
+            with open(done, "w"):
+                pass
+    return root
+
+
+def _grp_consumer(client, clock, name: str):
+    from ..streaming.ack import AckOptions, AutoCommit, GroupConsumer
+
+    return GroupConsumer(
+        client,
+        "task",
+        list(range(_GRP_SHARDS)),
+        group="g",
+        consumer=name,
+        options=AckOptions(mode=AutoCommit.ROLLING, auto_commit_interval_ms=1_000),
+        clock=lambda: clock["ms"],
+    )
+
+
+def _pending_scenario(client, clock) -> None:
+    """c1 reads 4/shard and acks the even-indexed half (Rolling flush); c2
+    reads the next 4/shard and dies un-acked. Leaves a deterministic PEL:
+    c1 owns indexes {1,3}, c2 owns {4..7}, per shard."""
+    c1 = _grp_consumer(client, clock, "c1")
+    c1.create_group(from_beginning=True)
+    c2 = _grp_consumer(client, clock, "c2")
+    by_payload = {p: i for _s, i, _ms, p in _grp_rows()}
+    for sid, eid, fields in c1.read(count=4):
+        if by_payload[fields["payload"].decode()] % 2 == 0:
+            c1.ack(sid, eid)
+    c2.read(count=4)
+    clock["ms"] += 1_000
+    c1.tick()  # Rolling interval elapsed: one batched XACK per shard
+
+
+_GRP_PENDING_VALUES = ",\n        ".join(
+    f"('{c}', {n}, {lo}, {hi})"
+    for c, n, lo, hi in [
+        # consumer, n_pending, min/max pending entry index (per the scenario)
+        ("c1", 2 * _GRP_SHARDS, 1, 3),
+        ("c2", 4 * _GRP_SHARDS, 4, 7),
+    ]
+)
+
+
+@query(
+    "redis_group_pending_summary",
+    oracle=f"""
+    SELECT consumer, CAST(n_pending AS BIGINT) AS n_pending,
+           CAST(min_idx AS BIGINT) AS min_idx, CAST(max_idx AS BIGINT) AS max_idx
+    FROM (VALUES
+        {_GRP_PENDING_VALUES}
+    ) AS t(consumer, n_pending, min_idx, max_idx)
+    ORDER BY consumer
+    """,
+    tags=("streaming", "redis", "group", "ack"),
+)
+def redis_group_pending_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-D6 ack machinery, driver-checked: run the Rolling-mode scenario
+    (partial acks + a dead consumer) through the GroupConsumer engine
+    (streaming/ack.py — options.rs:15-34, node.rs:372-430 parity), then
+    aggregate the surviving PEL with Spark into the XPENDING summary
+    (per-consumer count + min/max pending entry). The oracle pins the
+    at-least-once contract: exactly the un-acked deliveries remain, per
+    consumer, across shards."""
+    from ..streaming.ack import AckOptions, AutoCommit, GroupConsumer
+    from ..streaming.fake_redis import FakeRedis
+
+    root = _grp_scenario_root("group_pending", _pending_scenario)
+    client = FakeRedis(root=root)
+    survey = GroupConsumer(
+        client, "task", list(range(_GRP_SHARDS)), "g", "survey",
+        AckOptions(mode=AutoCommit.DISABLED),
+    )
+    ms_to_idx = {ms: i for _s, i, ms, _p in _grp_rows()}
+    pel = [
+        (r["consumer"], int(r["shard_id"]),
+         ms_to_idx[int(r["message_id"].split("-")[0])])
+        for r in survey.pending()
+    ]
+    return (
+        spark.createDataFrame(pel, "consumer string, shard_id int, idx int")
+        .groupBy("consumer")
+        .agg(
+            F.count("*").alias("n_pending"),
+            F.min("idx").cast("long").alias("min_idx"),
+            F.max("idx").cast("long").alias("max_idx"),
+        )
+        .orderBy("consumer")
+    )
+
+
+def _claim_scenario(client, clock) -> None:
+    """Failover: c1 processes+acks indexes 0-3 and 8-11; c2 reads 4-7 and
+    dies; after auto_claim_idle c1's XAUTOCLAIM sweep claims them
+    (times_delivered=2), re-processes, acks. Every processed message is
+    XADDed to "task_done" with its delivery count — the failover ledger."""
+    from ..streaming.redis import shard_key
+
+    c1 = _grp_consumer(client, clock, "c1")
+    c1.create_group(from_beginning=True)
+    c2 = _grp_consumer(client, clock, "c2")
+
+    def process(sid: int, eid: str, fields: dict, times: int) -> None:
+        # Ledger ids are broker-assigned ("*"): claimed entries re-process
+        # *after* newer acked ones, so their original (lower) ids would
+        # violate XADD monotonicity — the original event time rides in the
+        # payload instead.
+        ms = eid.split("-")[0]
+        client.xadd(
+            shard_key("task_done", sid),
+            {"payload": fields["payload"] + f"|{ms}|{times}".encode()},
+        )
+
+    for sid, eid, fields in c1.read(count=4):  # idx 0-3
+        process(sid, eid, fields, 1)
+        c1.ack(sid, eid)
+    c2.read(count=4)  # idx 4-7, never acked
+    for sid, eid, fields in c1.read(count=4):  # idx 8-11
+        process(sid, eid, fields, 1)
+        c1.ack(sid, eid)
+    clock["ms"] += 1_000
+    c1.tick()
+    clock["ms"] += 61_000  # > auto_claim_idle (60 s) and claim interval (30 s)
+    for sid, eid, fields, times in c1.auto_claim():
+        process(sid, eid, fields, times)
+        c1.ack(sid, eid)
+    c1.end()  # Kill commits pending (node.rs:244-265): PEL drains to empty
+    assert c1.pending() == []
+
+
+_GRP_CLAIM_VALUES = ",\n        ".join(
+    f"({s}, {ms}, 't-{s}-{i}', {2 if 4 <= i <= 7 else 1})"
+    for s, i, ms, _p in _grp_rows()
+)
+
+
+@query(
+    "redis_group_autoclaim_failover",
+    oracle=f"""
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(timestamp_ms AS BIGINT) AS timestamp_ms,
+           payload_str, CAST(deliveries AS BIGINT) AS deliveries
+    FROM (VALUES
+        {_GRP_CLAIM_VALUES}
+    ) AS t(shard_id, timestamp_ms, payload_str, deliveries)
+    ORDER BY shard_id, timestamp_ms
+    """,
+    tags=("streaming", "redis", "group", "failover"),
+)
+def redis_group_autoclaim_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 XAUTOCLAIM failover, driver-checked end-to-end: the dead
+    consumer's un-acked entries (indexes 4-7 per shard) are claimed by the
+    survivor after ``auto_claim_idle`` (node.rs:647-744 re-expressed in
+    streaming/ack.py) and re-processed — so the "task_done" ledger contains
+    *every* message exactly once, with deliveries=2 for the claimed block
+    and 1 elsewhere. The ledger is read back through the registered
+    ``sea_redis`` DataSource (one task per shard), making this the full
+    at-least-once loop: read → die → claim → re-process → ack → drain."""
+    from ..sources.redis_datasource import SeaRedisDataSource
+
+    spark.dataSource.register(SeaRedisDataSource)
+    root = _grp_scenario_root("group_claim", _claim_scenario)
+    parsed = (
+        spark.read.format("sea_redis")
+        .option("stream_key", "task_done")
+        .option("fake_root", root)
+        .load()
+        .select("shard_id", F.col("payload").cast("string").alias("raw"))
+    )
+    return (
+        parsed.select(
+            "shard_id",
+            F.split("raw", "\\|")[1].cast("long").alias("timestamp_ms"),
+            F.split("raw", "\\|")[0].alias("payload_str"),
+            F.split("raw", "\\|")[2].cast("long").alias("deliveries"),
+        )
+        .orderBy("shard_id", "timestamp_ms")
+    )

@@ -4,10 +4,21 @@ without setting up a cluster", reference README.md:30-31).
 
 Implements the exact subset of the Redis command surface the connector uses —
 ``XADD`` (explicit monotonic ids), ``XRANGE``/``XREVRANGE`` (inclusive
-min/max, COUNT), ``XLEN``, ``XTRIM MAXLEN~/MINID~``, ``SCAN MATCH`` and
-pipelining — with Redis's documented semantics, so the polling reader and
-sink run their real code paths against it. Swapping in redis-py is a
-one-line ``client_factory`` change; no connector logic differs.
+min/max, COUNT), ``XLEN``, ``XTRIM MAXLEN~/MINID~``, ``SCAN MATCH``,
+pipelining, and the consumer-group surface the reference's ack engine needs
+(``XGROUP CREATE``, ``XREADGROUP`` incl. ``NOACK``, ``XACK``,
+``XPENDING``/``XPENDING_RANGE``, ``XAUTOCLAIM``) — with Redis's documented
+semantics, so the polling reader, sink, and ack/claim engine run their real
+code paths against it. Swapping in redis-py is a one-line
+``client_factory`` change; no connector logic differs.
+
+Group/PEL semantics follow the Redis docs: ``>`` delivers entries after the
+group's ``last_delivered_id`` and adds them to the consumer's PEL (unless
+``NOACK``); a concrete id re-delivers that consumer's own pending entries
+above it; ``XACK`` removes from the PEL; ``XAUTOCLAIM`` transfers entries
+idle ≥ ``min_idle_time`` to the claiming consumer, bumping
+``times_delivered`` and resetting the idle clock. Time is injectable
+(``clock=...``) so idle-based tests are deterministic.
 
 Two storage modes:
 
@@ -44,11 +55,21 @@ _SUFFIX = ".stream"
 class FakeRedis:
     """Minimal Redis with stream commands (see module docstring)."""
 
-    def __init__(self, root: str | None = None) -> None:
+    def __init__(self, root: str | None = None, clock=None) -> None:
         self._root = root
         self._streams: dict[str, list[tuple[tuple[int, int], dict]]] = {}
+        #: key → group → {"last": [ms, seq], "pel": {id_str: [consumer, ms, n]}}
+        self._groups: dict[str, dict[str, dict]] = {}
+        self._clock = clock
         if root is not None:
             os.makedirs(root, exist_ok=True)
+
+    def _now_ms(self) -> int:
+        if self._clock is not None:
+            return int(self._clock())
+        import time
+
+        return int(time.time() * 1000)
 
     # -- storage layer -----------------------------------------------------
     def _path(self, key: str) -> str:
@@ -162,6 +183,195 @@ class FakeRedis:
 
     def scan_iter(self, match: str = "*"):
         yield from (k for k in self._keys() if fnmatch.fnmatch(k, match))
+
+    # -- consumer groups (D4-D7 substrate) ---------------------------------
+    @contextmanager
+    def _group_state(self, key: str, write: bool = False):
+        """Yield the per-key group dict; file-backed mode persists it in a
+        sidecar JSON (own exclusive flock — group ops serialize per key,
+        which is what gives XREADGROUP its no-double-delivery guarantee
+        across processes)."""
+        if self._root is None:
+            yield self._groups.setdefault(key, {})
+            return
+        import fcntl
+
+        path = os.path.join(self._root, quote(key, safe="") + ".groups.json")
+        with open(path, "a+b") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            fh.seek(0)
+            raw = fh.read()
+            state = json.loads(raw) if raw else {}
+            yield state
+            if write:
+                fh.seek(0)
+                fh.truncate()
+                fh.write(json.dumps(state).encode())
+                fh.flush()
+
+    def xgroup_create(
+        self, name: str, groupname: str, id: str = "$", mkstream: bool = False  # noqa: A002
+    ) -> bool:
+        with self._group_state(name, write=True) as groups:
+            if groupname in groups:
+                raise ResponseError("BUSYGROUP Consumer Group name already exists")
+            if id == "$":
+                with self._entries(name) as entries:
+                    last = list(entries[-1][0]) if entries else [0, 0]
+            else:
+                last = list(_parse_id(id, 0))
+            groups[groupname] = {"last": last, "pel": {}}
+        return True
+
+    def _group(self, groups: dict, groupname: str) -> dict:
+        if groupname not in groups:
+            raise ResponseError(
+                f"NOGROUP No such consumer group '{groupname}'"
+            )
+        return groups[groupname]
+
+    def xreadgroup(
+        self,
+        groupname: str,
+        consumername: str,
+        streams: dict,
+        count: int | None = None,
+        block: int | None = None,
+        noack: bool = False,
+    ) -> list:
+        """``>`` delivers past the group cursor (into the PEL unless
+        ``noack`` — the reference's AutoCommit::Immediate, XREAD-like);
+        a concrete id re-delivers the *caller's own* pending entries with
+        id strictly greater (Redis's history-replay form)."""
+        out = []
+        now = self._now_ms()
+        for key, start in streams.items():
+            with self._group_state(key, write=True) as groups:
+                g = self._group(groups, groupname)
+                batch: list[tuple[str, dict]] = []
+                if start == ">":
+                    cursor = tuple(g["last"])
+                    with self._entries(key) as entries:
+                        for eid, fields in entries:
+                            if eid <= cursor:
+                                continue
+                            if count is not None and len(batch) >= count:
+                                break
+                            id_str = f"{eid[0]}-{eid[1]}"
+                            batch.append((id_str, dict(fields)))
+                            g["last"] = list(eid)
+                            if not noack:
+                                g["pel"][id_str] = [consumername, now, 1]
+                else:
+                    lo = _parse_id(str(start), 0)
+                    own = sorted(
+                        (_parse_id(i, 0), i)
+                        for i, (c, _, _) in g["pel"].items()
+                        if c == consumername
+                    )
+                    with self._entries(key) as entries:
+                        by_id = {i: f for i, f in entries}
+                        for eid, id_str in own:
+                            if eid <= lo:
+                                continue
+                            if count is not None and len(batch) >= count:
+                                break
+                            batch.append((id_str, dict(by_id.get(eid, {}))))
+                if batch:
+                    out.append([key, batch])
+        return out
+
+    def xack(self, name: str, groupname: str, *ids: str) -> int:
+        n = 0
+        with self._group_state(name, write=True) as groups:
+            g = self._group(groups, groupname)
+            for eid in ids:
+                ms, seq = _parse_id(str(eid), 0)
+                if g["pel"].pop(f"{ms}-{seq}", None) is not None:
+                    n += 1
+        return n
+
+    def xpending_range(
+        self,
+        name: str,
+        groupname: str,
+        min: str = "-",  # noqa: A002
+        max: str = "+",  # noqa: A002
+        count: int = 10,
+        consumername: str | None = None,
+        idle: int | None = None,
+    ) -> list[dict]:
+        now = self._now_ms()
+        lo = (0, 0) if min == "-" else _parse_id(min, 0)
+        hi = (1 << 48, 1 << 16) if max == "+" else _parse_id(max, (1 << 16) - 1)
+        with self._group_state(name) as groups:
+            g = self._group(groups, groupname)
+            rows = []
+            for id_str, (consumer, delivered_ms, times) in sorted(
+                g["pel"].items(), key=lambda kv: _parse_id(kv[0], 0)
+            ):
+                eid = _parse_id(id_str, 0)
+                if not (lo <= eid <= hi):
+                    continue
+                if consumername is not None and consumer != consumername:
+                    continue
+                since = now - delivered_ms
+                if idle is not None and since < idle:
+                    continue
+                rows.append(
+                    {
+                        "message_id": id_str,
+                        "consumer": consumer,
+                        "time_since_delivered": since,
+                        "times_delivered": times,
+                    }
+                )
+                if len(rows) >= count:
+                    break
+        return rows
+
+    def xautoclaim(
+        self,
+        name: str,
+        groupname: str,
+        consumername: str,
+        min_idle_time: int = 0,
+        start_id: str = "0-0",
+        count: int | None = None,
+        justid: bool = False,
+    ) -> list:
+        """Transfer ownership of entries idle ≥ ``min_idle_time`` to
+        ``consumername`` (delivery counter bumped, idle clock reset), as the
+        reference's dead-consumer failover polls it
+        (redis/src/consumer/node.rs:647-744). Returns
+        ``[next_cursor, claimed, deleted]`` like redis-py."""
+        now = self._now_ms()
+        lo = _parse_id(start_id, 0)
+        claimed: list = []
+        deleted: list[str] = []
+        budget = count if count is not None else 100
+        next_cursor = "0-0"
+        with self._group_state(name, write=True) as groups:
+            g = self._group(groups, groupname)
+            with self._entries(name) as entries:
+                by_id = {i: f for i, f in entries}
+            pel = sorted(g["pel"].items(), key=lambda kv: _parse_id(kv[0], 0))
+            for id_str, (consumer, delivered_ms, times) in pel:
+                eid = _parse_id(id_str, 0)
+                if eid < lo:
+                    continue
+                if len(claimed) >= budget:
+                    next_cursor = id_str
+                    break
+                if now - delivered_ms < min_idle_time:
+                    continue
+                if eid not in by_id:  # trimmed from the stream: drop from PEL
+                    del g["pel"][id_str]
+                    deleted.append(id_str)
+                    continue
+                g["pel"][id_str] = [consumername, now, times + 1]
+                claimed.append(id_str if justid else (id_str, dict(by_id[eid])))
+        return [next_cursor, claimed, deleted]
 
     # -- pipeline ----------------------------------------------------------
     def pipeline(self, transaction: bool = False) -> "FakePipeline":
