@@ -1,0 +1,360 @@
+"""LLM-pipeline queries, part 3: retrieval ranking (BM25, TF-IDF), RAG
+chunking, and semantic (embedding-cluster) dedup — the SemDeDup-shaped
+complement to the pairwise near-dup operators.
+
+Float determinism strategy: ranking scores that SUM per-term float
+contributions would differ between engines in the last ulp purely from
+summation *order*, so scores are fixed-point — each per-term contribution is
+rounded to micro-units and summed as BIGINT, which is order-independent and
+bit-exact in any engine. (Per-term products/logs are computed in float64
+from identical operand values with identical operation order, the same
+contract the cosine/LSH oracles rely on.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..operators import text as T
+from ..sources.tables import load_tables
+from .llm_ops import ORACLE_SF_DIR, _duck_cosine, _duck_dot
+from .registry import query
+
+TOKS = T.duck_tokens("text")
+
+# BM25 constants (the standard Robertson defaults)
+_K1, _B = 1.2, 0.75
+
+
+@query(
+    "search_bm25_topk",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id <> 0
+    ), qt AS (
+      SELECT DISTINCT unnest({TOKS}) AS term FROM documents WHERE doc_id = 0
+    ), dl AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM corpus
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tfq AS (
+      SELECT c.doc_id, c.term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM corpus) c
+      JOIN qt USING (term)
+      GROUP BY c.doc_id, c.term
+    ), dfq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY term
+    ), contrib AS (
+      SELECT tfq.doc_id,
+             CAST(ROUND(
+               ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tfq.tf * ({_K1} + 1))
+               / (tfq.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / stats.avgdl))
+               * 1000000) AS BIGINT) AS micro
+      FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+    )
+    SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS bm25_micro
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id LIMIT 15
+    """,
+    tags=("llm", "text", "search"),
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical ranking (k1=1.2, b=0.75) of the corpus against doc 0's
+    terms, top-15. The classic sparse-retrieval stage of a training-data /
+    RAG pipeline, JVM-side end-to-end:
+
+    - doc lengths + avgdl: a map-side ``size(tokens)`` projection — no
+      token explode, no shuffle for the per-doc half;
+    - term frequencies: tokens are *pre-filtered to query terms via a
+      broadcast semi-join before the explode's groupBy*, so the tf shuffle
+      carries only query-term hits, not the corpus vocabulary;
+    - document frequencies: derived from the already-filtered tf relation;
+    - the score is a fixed-point BIGINT sum (see module docstring), so the
+      driver's value hash is engine-independent.
+
+    At 100 TB: everything keyed by doc_id or term with the query-term side
+    broadcast; nothing materializes the full posting list."""
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t.documents.filter(F.col("doc_id") != 0)
+    toks_col = T.tokens("text")
+
+    dl = docs.select("doc_id", F.size(toks_col).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    q_terms = (
+        t.documents.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.array_distinct(toks_col)).alias("term"))
+        .distinct()
+    )
+    tfq = (
+        docs.select("doc_id", F.explode(toks_col).alias("term"))
+        .join(F.broadcast(q_terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    contrib = (
+        tfq.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (_K1 + 1))
+                / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+                * 1_000_000
+            ).cast("long").alias("micro"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("micro").cast("long").alias("bm25_micro"))
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {TOKS} AS toks FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM base
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(ROUND(tf.tf * (ln((1.0 + stats.n_docs) / (1.0 + df.df)) + 1)
+                        * 1000000) AS BIGINT) AS tfidf_micro
+      FROM tf JOIN df USING (term), stats
+    )
+    SELECT doc_id, term, tfidf_micro, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT doc_id, term, tfidf_micro,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf_micro DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    tags=("llm", "text"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by TF-IDF (sklearn-style
+    smooth idf = ln((1+N)/(1+df)) + 1), fixed-point for engine-independent
+    ranking. Two shuffles total — (doc, term) counts and term df — then a
+    per-doc window rank; at scale df is a vocabulary-sized relation,
+    broadcast after aggregation."""
+    t = load_tables(spark, sf_dir, "documents")
+    toks_col = T.tokens("text")
+    n_docs = t.documents.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tf = (
+        t.documents.select("doc_id", F.explode(toks_col).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1)
+                * 1_000_000
+            ).cast("long").alias("tfidf_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_micro").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf_micro", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+# RAG chunking geometry: 64-token windows advancing by 48 (16-token overlap).
+_CHUNK_W, _CHUNK_S = 64, 48
+
+
+@query(
+    "curation_chunk_overlap",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {TOKS} AS toks, CAST(len({TOKS}) AS BIGINT) AS n
+      FROM documents
+    ), chunked AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0,
+               GREATEST(CAST(CEIL((n - {_CHUNK_W}) / {_CHUNK_S}.0) AS BIGINT), 0)
+             )) AS k
+      FROM base
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+           CAST(k * {_CHUNK_S} AS BIGINT) AS start_idx,
+           CAST(LEAST({_CHUNK_W}, n - k * {_CHUNK_S}) AS BIGINT) AS chunk_len,
+           md5(array_to_string(
+             toks[k * {_CHUNK_S} + 1 :
+                  k * {_CHUNK_S} + LEAST({_CHUNK_W}, n - k * {_CHUNK_S})],
+             ' ')) AS chunk_md5
+    FROM chunked
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("llm", "curation"),
+)
+def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking (64-token windows, stride 48) — the
+    RAG/pretraining segmentation stage. Pure map-side: tokenization, the
+    per-document chunk-index ``sequence`` explode, the slice, and the md5
+    content digest are all row-local projections — ZERO shuffles at any
+    scale (the final orderBy exists for the deterministic oracle compare
+    only). A document always yields ≥1 chunk; the tail chunk is short
+    (``n - start``) rather than padded, and every token is covered."""
+    t = load_tables(spark, sf_dir, "documents")
+    base = t.documents.select(
+        "doc_id",
+        T.tokens("text").alias("toks"),
+        F.size(T.tokens("text")).cast("long").alias("n"),
+    )
+    chunked = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.greatest(
+                    F.ceil((F.col("n") - _CHUNK_W) / F.lit(float(_CHUNK_S))).cast("long"),
+                    F.lit(0).cast("long"),
+                ),
+            )
+        ).alias("k"),
+    )
+    clen = F.least(F.lit(_CHUNK_W).cast("long"), F.col("n") - F.col("k") * _CHUNK_S)
+    return chunked.select(
+        "doc_id",
+        F.col("k").alias("chunk_id"),
+        (F.col("k") * _CHUNK_S).cast("long").alias("start_idx"),
+        clen.cast("long").alias("chunk_len"),
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    (F.col("k") * _CHUNK_S + 1).cast("int"),
+                    clen.cast("int"),
+                ),
+                " ",
+            )
+        ).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+# SemDeDup (Abbas et al., arXiv:2303.09540): cluster embeddings with a cheap
+# quantizer, then near-dup only *within* clusters — the pruning that turns
+# O(n^2) semantic dedup into per-cell blocks.
+_SEM_CELLS, _SEM_THRESHOLD = 16, 0.45
+
+
+def _build_semantic_oracle() -> str | None:
+    """Import-time DuckDB oracle, same pattern as llm_ops._build_ivf_oracle:
+    DuckDB re-selects the portable-hash k-means sample, the shared numpy
+    routine emits centroid literals, and the SQL recomputes cell assignment
+    (struct-max argmax with the smaller-cell tie-break) plus the
+    within-cell dominated-by-smaller-id EXISTS rule — bit-exact because
+    every float expression uses the same fold order as the Spark side."""
+    f = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(f):
+        return None
+    try:
+        import duckdb
+        import numpy as np
+
+        key = T.duck_char_fold("md5(CAST(vec_id AS VARCHAR))")
+        rows = duckdb.sql(
+            f"SELECT embedding FROM '{f}' ORDER BY {key}, vec_id LIMIT 4096"
+        ).fetchall()
+        X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+        C = S.ivf_kmeans(X, n_cells=_SEM_CELLS, iters=8)
+    except Exception:
+        return None
+
+    def lit_vec(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    structs = ", ".join(
+        "{'sim': " + _duck_dot("embedding", lit_vec(C[i]))
+        + f", 'negcell': CAST({-i} AS BIGINT)}}"
+        for i in range(_SEM_CELLS)
+    )
+    return f"""
+    WITH assigned AS (
+      SELECT vec_id, embedding,
+             CAST(-(list_aggregate([{structs}], 'max').negcell) AS BIGINT) AS cell
+      FROM embeddings
+    )
+    SELECT a.vec_id, a.cell,
+           NOT EXISTS (
+             SELECT 1 FROM assigned b
+             WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+               AND {_duck_cosine('a.embedding', 'b.embedding')} >= {_SEM_THRESHOLD}
+           ) AS kept
+    FROM assigned a
+    ORDER BY vec_id
+    """
+
+
+@query(
+    "dedup_semantic_ivf",
+    oracle=_build_semantic_oracle(),
+    tags=("llm", "dedup", "similarity", "approx"),
+)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: assign every embedding to a k-means
+    cell (map-side projection against broadcast centroid literals —
+    operators/similarity.ivf_cell_expr), then drop any vector that has a
+    smaller-id neighbor with cosine ≥ 0.45 *in the same cell*. The
+    within-cell equi-join bounds candidate pairs by cell population — the
+    cluster-pruned shape that makes semantic dedup feasible where all-pairs
+    (similarity_near_dup, the exact baseline beside this) is quadratic.
+    Deterministic end-to-end (seedless quantizer), so the import-time
+    oracle value-hash checks it exactly. NOTE: oracle embeds
+    ORACLE_SF_DIR-derived centroids — compare only at that sf."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(t.embeddings, n_cells=_SEM_CELLS)
+    assigned = t.embeddings.select(
+        "vec_id", "embedding", S.ivf_cell_expr(cents).alias("cell")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(
+            S.cosine(F.col("a.embedding"), F.col("b.embedding")) >= _SEM_THRESHOLD
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("hit", F.lit(True)), "vec_id", "left")
+        .select("vec_id", "cell", F.coalesce(~F.col("hit"), F.lit(True)).alias("kept"))
+        .orderBy("vec_id")
+    )

@@ -22,6 +22,7 @@ from . import streaming_ops  # noqa: F401
 try:  # LLM-pipeline ops land in a later milestone of each round
     from . import llm_ops  # noqa: F401
     from . import llm_ops2  # noqa: F401
+    from . import llm_ops3  # noqa: F401
 except ImportError:
     pass
 
@@ -110,7 +111,7 @@ def _rank(item: tuple[str, object]) -> tuple[int, int]:
 _STREAMING_LLM = {
     n for n, qd in QUERIES.items()
     if getattr(qd.fn, "__module__", "").rsplit(".", 1)[-1]
-    in ("streaming_ops", "llm_ops", "llm_ops2")
+    in ("streaming_ops", "llm_ops", "llm_ops2", "llm_ops3")
 }
 
 _ordered = sorted(QUERIES.items(), key=_rank)

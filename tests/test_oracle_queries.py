@@ -19,6 +19,7 @@ _PINNED_SF = {
     "similarity_ann_pq",
     "similarity_ann_ivf_pq",
     "agg_approx_sketches",
+    "dedup_semantic_ivf",
 }
 
 
