@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -109,18 +110,21 @@ def decode_media(df: DataFrame) -> DataFrame:
     on it).
 
     REAL codecs for binary PPM (``P6`` magic — netpbm spec, parseable with
-    pure bytes) and PNG (signature + IHDR + zlib-inflated IDAT — see
-    operators/png.py; 8-bit gray/RGB/RGBA, non-interlaced): actual
-    width/height from the container. Every other payload falls to the
-    deterministic STUB path (synthetic dimensions from payload length) —
-    jpeg/video need PIL/libav, which this container lacks; swap the stub
-    branch for them in production. The Spark-side contract (Arrow batches,
-    schema, partition parallelism) is identical for all branches.
+    pure bytes), PNG (signature + IHDR + zlib-inflated IDAT — see
+    operators/png.py; 8-bit gray/RGB/RGBA, non-interlaced), and baseline
+    JPEG (marker walk + SOF0 — see operators/jpeg.py; full Huffman/DCT
+    decode available via :func:`jpeg_roundtrip`): actual width/height from
+    the container. Every other payload falls to the deterministic STUB path
+    (synthetic dimensions from payload length) — video needs libav, which
+    this container lacks; swap the stub branch for it in production. The
+    Spark-side contract (Arrow batches, schema, partition parallelism) is
+    identical for all branches.
     """
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
+        from .jpeg import parse_jpeg_header
         from .png import parse_png_header
 
         def one(doc_id, payload):
@@ -133,6 +137,10 @@ def decode_media(df: DataFrame) -> DataFrame:
             if png is not None:
                 w, h, _depth, _color = png
                 return (doc_id, len(data), "image/png", w, h)
+            jpg = parse_jpeg_header(data)
+            if jpg is not None:
+                w, h, _nc = jpg
+                return (doc_id, len(data), "image/jpeg", w, h)
             n = len(data)
             return (doc_id, n, "image/stub", 16 + n % 64, 16 + (n * 7) % 64)
 
@@ -253,6 +261,82 @@ def resize_png(df: DataFrame, width: int, height: int) -> DataFrame:
             yield _pd.DataFrame(rows, columns=["doc_id", "payload", "width", "height"])
 
     return df.select("doc_id", "payload").mapInPandas(resize_batch, RESIZED_SCHEMA)
+
+
+JPEG_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("ok", BooleanType()),
+    ]
+)
+
+
+def jpeg_roundtrip(
+    df: DataFrame,
+    quality: int = 90,
+    subsampling: str = "420",
+    restart_interval: int = 2,
+    max_err: int = 24,
+    text_col: str = "text",
+) -> DataFrame:
+    """Full baseline-JPEG codec loop per row (operators/jpeg.py — pure
+    numpy, ITU-T T.81): synthesize a smooth deterministic RGB image from
+    the row's text (gradients + a text-derived base color; per-doc
+    dimensions ``16 + (len%3)*8`` × ``16 + (len%5)*8`` so the MCU geometry
+    varies), encode (Annex K tables, 4:2:0 subsampling, restart markers),
+    decode (Huffman → dequant → IDCT → chroma upsample → YCbCr→RGB), and
+    report the container-classified media type + dimensions and whether the
+    decoded pixels are within ``max_err`` of the source — the lossy-codec
+    contract a byte-exact check can't express. One Arrow-batched
+    mapInPandas, embarrassingly parallel, zero shuffles."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        from .jpeg import decode_jpeg, encode_jpeg, parse_jpeg_header
+
+        def one(doc_id, text):
+            text = text or ""
+            w = 16 + (len(text) % 3) * 8
+            h = 16 + (len(text) % 5) * 8
+            base = sum(text.encode("utf-8")) % 256
+            xs = _np.linspace(0.0, 255.0, w)
+            ys = _np.linspace(0.0, 255.0, h)
+            img = _np.stack(
+                [
+                    _np.tile(xs, (h, 1)),
+                    _np.tile(ys[:, None], (1, w)),
+                    _np.full((h, w), float(base)),
+                ],
+                axis=2,
+            ).astype(_np.uint8)
+            data = encode_jpeg(
+                img, quality=quality, subsampling=subsampling,
+                restart_interval=restart_interval,
+            )
+            hdr = parse_jpeg_header(data)
+            dec = decode_jpeg(data)
+            ok = (
+                hdr == (w, h, 3)
+                and dec is not None
+                and dec[:3] == (w, h, 3)
+                and int(
+                    _np.abs(dec[3].astype(_np.int64) - img.astype(_np.int64)).max()
+                ) <= max_err
+            )
+            return (doc_id, "image/jpeg" if hdr else "invalid", w, h, bool(ok))
+
+        for pdf in batches:
+            rows = [one(d, t) for d, t in zip(pdf["doc_id"], pdf[text_col])]
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "width", "height", "ok"]
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(batch, JPEG_ROUNDTRIP_SCHEMA)
 
 
 DECODED_HASH_SCHEMA = StructType(

@@ -358,3 +358,32 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell", F.coalesce(~F.col("hit"), F.lit(True)).alias("kept"))
         .orderBy("vec_id")
     )
+
+
+@query(
+    "multimodal_jpeg_roundtrip",
+    oracle="""
+    SELECT doc_id, 'image/jpeg' AS media_type,
+           CAST(16 + (length(text) % 3) * 8 AS BIGINT) AS width,
+           CAST(16 + (length(text) % 5) * 8 AS BIGINT) AS height,
+           TRUE AS ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG codec e2e (operators/jpeg.py, pure numpy): per
+    document, synthesize a smooth text-derived RGB image with text-derived
+    MCU geometry, encode with Annex K tables + 4:2:0 subsampling + restart
+    markers, decode through the full Huffman/IDCT/upsample path, and assert
+    container dims and a lossy-roundtrip pixel bound. The oracle
+    re-derives the text-determined dimensions and pins ``ok`` — so a
+    defect anywhere in marker layout, entropy coding, DC prediction,
+    restart handling, chroma math, or the decoder's generic MCU walk flips
+    a row. (Lossy codec ⇒ pixel-exact hashing is the wrong contract; the
+    PNG/PPM round-trips beside this are the pixel-exact ones.)"""
+    from ..operators import multimodal as M
+
+    t = load_tables(spark, sf_dir, "documents")
+    return M.jpeg_roundtrip(t.documents).orderBy("doc_id")
