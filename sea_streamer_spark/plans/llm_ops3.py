@@ -101,9 +101,13 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # df as a window over tfq, NOT a second aggregation joined back: the
+    # latter re-evaluates the whole explode/join/agg subtree (the tf
+    # relation has no cache), doubling the scan and adding a join shuffle.
     contrib = (
-        tfq.join(F.broadcast(dfq), "term")
+        tfq.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
+        )
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -156,9 +160,10 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 characteristic terms by TF-IDF (sklearn-style
     smooth idf = ln((1+N)/(1+df)) + 1), fixed-point for engine-independent
-    ranking. Two shuffles total — (doc, term) counts and term df — then a
-    per-doc window rank; at scale df is a vocabulary-sized relation,
-    broadcast after aggregation."""
+    ranking. Three keyed shuffles — (doc, term) counts, the term-window for
+    df, the doc-window for rank — plus the deterministic output sort; the
+    tf relation is scanned once (df is a window over it, not a re-derived
+    aggregate)."""
     t = load_tables(spark, sf_dir, "documents")
     toks_col = T.tokens("text")
     n_docs = t.documents.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
@@ -167,9 +172,12 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # df via a term-window on tf (see search_bm25_topk: avoids re-evaluating
+    # the un-cached tf subtree for a second aggregation + join back)
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
+        )
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

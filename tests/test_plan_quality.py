@@ -252,3 +252,43 @@ class TestRound2QueryPlans:
         plan = _final_plan(QUERIES["hybrid_search_rerank"].fn(spark, sf_dir))
         assert "BroadcastHashJoin" in plan, plan
         assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+class TestRound3QueryPlans:
+    def test_chunk_overlap_is_shuffle_free(self, spark, sf_dir):
+        """Chunking is a pure projection pipeline: tokenization, the chunk
+        index sequence-explode, slices and md5 never leave the row. The
+        single allowed exchange is the deterministic output sort (oracle
+        ordering), which a production pipeline would drop."""
+        plan = _final_plan(QUERIES["curation_chunk_overlap"].fn(spark, sf_dir))
+        assert _shuffle_exchanges(plan) <= 1, plan
+        assert "rangepartitioning" in plan.lower(), plan  # ...and it's the sort
+        assert "EvalPython" not in plan, plan
+
+    def test_bm25_minimum_shuffles_and_broadcasts(self, spark, sf_dir):
+        """Query terms + scalar stats are broadcast; tf/df/doc-agg are the
+        only keyed shuffles (df is a term-window over the tf relation, NOT
+        a re-derived aggregate joined back — that shape re-evaluates the
+        whole explode subtree twice)."""
+        plan = _final_plan(QUERIES["search_bm25_topk"].fn(spark, sf_dir))
+        assert _shuffle_exchanges(plan) <= 5, plan
+        assert "BroadcastExchange" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_tfidf_single_tf_scan(self, spark, sf_dir):
+        """(doc,term) agg + term window + doc window + output sort — four
+        exchanges, one pass over the exploded tokens."""
+        plan = _final_plan(QUERIES["text_tfidf_topterms"].fn(spark, sf_dir))
+        assert _shuffle_exchanges(plan) <= 4, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_semantic_dedup_mapside_cells_no_cartesian(self, spark, sf_dir):
+        """Cell assignment is a projection against broadcast centroid
+        literals (never a shuffle); the candidate join is a cell equi-join,
+        not an all-pairs product."""
+        plan = _final_plan(QUERIES["dedup_semantic_ivf"].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "EvalPython" not in plan, plan
+        assert _shuffle_exchanges(plan) <= 4, plan
