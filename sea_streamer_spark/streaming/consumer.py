@@ -107,6 +107,22 @@ class Consumer:
             self.spark, self.url, _replace(self.options, seek_to=to, rewind_to=None), self._df
         )
 
+    def seek_running(self, query, to: datetime) -> "Consumer":
+        """T5 seek latch: re-seek while a query is RUNNING. The reference
+        must drain in-flight messages until a sentinel round-trips its
+        internal stream before the new position takes effect
+        (redis/src/consumer/mod.rs:169-184, node.rs:221-243; file pulse
+        file/src/consumer/mod.rs:134-155) because its pull loop buffers
+        ahead. On Spark the micro-batch boundary IS the latch: ``stop()``
+        ends the in-flight batch (committed = delivered *before* the seek,
+        which the latch permits; uncommitted = never observed), and every
+        batch of the restarted query carries the new exclusive-timestamp
+        predicate — no stale message can be delivered after this returns.
+        The caller starts a new sink query from the returned consumer."""
+        query.stop()
+        query.awaitTermination()
+        return self.seek(to)
+
     def rewind(self, pos: SeqPos) -> "Consumer":
         """T2: Beginning replays all; End = only new data; At(n) inclusive."""
         return Consumer(

@@ -123,6 +123,29 @@ class TestSeekRewindAssign:
         shards = {r.shard_id for r in spark.sql("SELECT DISTINCT shard_id FROM assign_q").collect()}
         assert shards == {1, 2}
 
+    def test_seek_latch_on_running_query(self, spark, env_batch, tmp_path):
+        """T5: re-seek a live (processingTime) query. The latch guarantee —
+        nothing at-or-before the seek position is delivered *after* the
+        seek returns — holds because stop() bounds the old query at a
+        batch boundary and the restarted query filters every batch."""
+        c = self._consumer(spark, env_batch, tmp_path, "latch")
+        q1 = (
+            c.dataframe()
+            .writeStream.format("memory")
+            .queryName("latch_pre")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        q1.processAllAvailable()  # the query is live and has delivered
+        boundary = env_batch.filter(F.col("sequence") == 29).collect()[0].timestamp
+        c2 = c.seek_running(q1, boundary)
+        assert not q1.isActive  # the latch: old delivery stream is closed
+        c2.start_to_memory("latch_post")
+        post = spark.sql("SELECT MIN(timestamp) AS t, COUNT(*) AS n FROM latch_post").collect()[0]
+        assert post.t > boundary  # zero stale messages after the seek
+        expected = env_batch.filter(F.col("timestamp") > F.lit(boundary)).count()
+        assert post.n == expected
+
     def test_stream_key_subscription(self, spark, env_batch, tmp_path):
         stream_dir = str(tmp_path / "sub")
         create_producer(spark, f"file://{stream_dir}/").send_batch(env_batch)
