@@ -1105,3 +1105,54 @@ def redis_group_autoclaim_failover(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("shard_id", "timestamp_ms")
     )
+
+
+# ----------------------------------------------------- Kafka transactions (S3)
+
+
+@query(
+    "kafka_txn_visibility",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('committed-1',  0, 'read_committed'),
+        ('committed-2',  2, 'read_committed'),
+        ('plain',        3, 'read_committed'),
+        ('committed-1',  0, 'read_uncommitted'),
+        ('aborted-1',    1, 'read_uncommitted'),
+        ('committed-2',  2, 'read_uncommitted'),
+        ('plain',        3, 'read_uncommitted')
+    ) AS t(value_str, rec_offset, isolation)
+    ORDER BY isolation, rec_offset
+    """,
+    tags=("streaming", "kafka", "transaction"),
+)
+def kafka_txn_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 Kafka transactions, driver-checked: run the reference's
+    transactional-producer state machine (streaming/kafka_txn.py —
+    producer.rs:236-290) through a commit / abort / epoch-bump sequence
+    against the in-process broker, then read the topic under BOTH isolation
+    levels. The oracle pins the visibility contract: ``read_committed``
+    sees committed-txn + plain records only (the aborted record's offset 1
+    is skipped but later offsets still appear — committed batches survive
+    the id's next epoch); ``read_uncommitted`` sees the aborted record
+    too. Atomic offset staging is covered by
+    tests/test_kafka.py::TestKafkaTransactions."""
+    from ..streaming.fake_kafka import FakeKafka
+    from ..streaming.kafka_txn import TransactionalProducer
+
+    b = FakeKafka()
+    b.create_topic("out", 1)
+    p = TransactionalProducer(b, "tx-q").init_transactions()
+    p.begin_transaction(); p.send("out", b"committed-1"); p.commit_transaction()
+    p.begin_transaction(); p.send("out", b"aborted-1"); p.abort_transaction()
+    p.begin_transaction(); p.send("out", b"committed-2"); p.commit_transaction()
+    b.produce("out", b"plain")
+    rows = [
+        (r.value.decode(), r.offset, iso)
+        for iso in ("read_committed", "read_uncommitted")
+        for r in b.fetch("out", 0, 0, isolation=iso)
+    ]
+    return (
+        spark.createDataFrame(rows, "value_str string, rec_offset int, isolation string")
+        .orderBy("isolation", "rec_offset")
+    )

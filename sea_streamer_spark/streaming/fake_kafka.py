@@ -32,16 +32,37 @@ class FakeRecord:
     timestamp_ms: int
     key: bytes | None
     value: bytes
+    txn_id: str | None = None
 
 
 class FakeKafka:
-    """Minimal in-memory Kafka broker (see module docstring)."""
+    """Minimal in-memory Kafka broker (see module docstring).
+
+    Transactions (S3 substrate): records produced under an open
+    transactional id are appended to the log immediately (real Kafka does
+    the same — transactional records occupy offsets) but are invisible to
+    ``read_committed`` fetches until the txn commits; aborted records stay
+    in the log and remain visible only to ``read_uncommitted``. Offsets
+    sent to a transaction commit atomically with it (EOS
+    consume-transform-produce). Simplification vs the real broker: we
+    filter per record by final txn state instead of modeling the LSO
+    watermark + abort markers — same visibility outcome for this model's
+    single-broker tests.
+    """
 
     def __init__(self) -> None:
         self._logs: dict[tuple[str, int], list[FakeRecord]] = {}
         self._partitions: dict[str, int] = {}
         self._committed: dict[tuple[str, str, int], int] = {}
         self._rr: dict[str, int] = {}
+        #: txn INSTANCE ("id#epoch") → state: "open" | "committed" | "aborted"
+        #: — per-instance so a committed batch stays committed when the same
+        #: transactional id begins its next transaction (Kafka epoch bump)
+        self._txns: dict[str, str] = {}
+        self._txn_epoch: dict[str, int] = {}
+        self._txn_instance: dict[str, str] = {}  # txn_id → current instance
+        #: offsets staged by an open txn: instance → {(group, topic, part): off}
+        self._txn_offsets: dict[str, dict[tuple[str, str, int], int]] = {}
 
     # -- topics ------------------------------------------------------------
     def create_topic(self, topic: str, partitions: int = 1) -> None:
@@ -62,10 +83,17 @@ class FakeKafka:
         key: bytes | None = None,
         partition: int | None = None,
         timestamp_ms: int = 0,
+        txn_id: str | None = None,
     ) -> tuple[int, int]:
         """Append one record; returns (partition, offset) — the receipt.
         Partitioning: explicit > hash(key) % n > round-robin (the rdkafka
-        default partitioner family)."""
+        default partitioner family). ``txn_id`` must name an OPEN
+        transaction (begin_transaction first)."""
+        if txn_id is not None:
+            inst = self._txn_instance.get(txn_id)
+            if inst is None or self._txns.get(inst) != "open":
+                raise RuntimeError(f"transaction not open: {txn_id!r}")
+            txn_id = inst  # records reference the instance, not the bare id
         if topic not in self._partitions:
             self.create_topic(topic, 1)
         n = self._partitions[topic]
@@ -76,16 +104,27 @@ class FakeKafka:
                 partition = self._rr.get(topic, 0) % n
                 self._rr[topic] = partition + 1
         log = self._logs[(topic, partition)]
-        rec = FakeRecord(topic, partition, len(log), timestamp_ms, key, value)
+        rec = FakeRecord(topic, partition, len(log), timestamp_ms, key, value, txn_id)
         log.append(rec)
         return partition, rec.offset
 
     # -- consumer ----------------------------------------------------------
     def fetch(
-        self, topic: str, partition: int, offset: int, max_records: int | None = None
+        self,
+        topic: str,
+        partition: int,
+        offset: int,
+        max_records: int | None = None,
+        isolation: str = "read_uncommitted",
     ) -> list[FakeRecord]:
         out = self._logs.get((topic, partition), [])[max(offset, 0) :]
-        return out[:max_records] if max_records is not None else out
+        if isolation == "read_committed":
+            out = [
+                r for r in out
+                if r.txn_id is None or self._txns.get(r.txn_id) == "committed"
+            ]
+        out = out if max_records is None else out[:max_records]
+        return out
 
     def beginning_offset(self, topic: str, partition: int) -> int:
         return 0
@@ -101,6 +140,46 @@ class FakeKafka:
             if rec.timestamp_ms >= timestamp_ms:
                 return rec.offset
         return None
+
+    # -- transactions (S3) -------------------------------------------------
+    def begin_txn(self, txn_id: str) -> None:
+        """Open the next transaction for a transactional id (epoch bump —
+        earlier committed/aborted batches keep their state); a
+        concurrently-open same-id txn errors like producer fencing."""
+        inst = self._txn_instance.get(txn_id)
+        if inst is not None and self._txns.get(inst) == "open":
+            raise RuntimeError(f"transaction already open: {txn_id!r}")
+        epoch = self._txn_epoch.get(txn_id, -1) + 1
+        self._txn_epoch[txn_id] = epoch
+        inst = f"{txn_id}#{epoch}"
+        self._txn_instance[txn_id] = inst
+        self._txns[inst] = "open"
+        self._txn_offsets[inst] = {}
+
+    def _open_instance(self, txn_id: str) -> str:
+        inst = self._txn_instance.get(txn_id)
+        if inst is None or self._txns.get(inst) != "open":
+            raise RuntimeError(f"transaction not open: {txn_id!r}")
+        return inst
+
+    def stage_txn_offset(
+        self, txn_id: str, group: str, topic: str, partition: int, offset: int
+    ) -> None:
+        """send_offsets_to_transaction: the group offset commits if and only
+        if the transaction commits (EOS consume-transform-produce)."""
+        inst = self._open_instance(txn_id)
+        self._txn_offsets[inst][(group, topic, partition)] = offset
+
+    def commit_txn(self, txn_id: str) -> None:
+        inst = self._open_instance(txn_id)
+        self._txns[inst] = "committed"
+        for (group, topic, part), off in self._txn_offsets.pop(inst).items():
+            self._committed[(group, topic, part)] = off
+
+    def abort_txn(self, txn_id: str) -> None:
+        inst = self._open_instance(txn_id)
+        self._txns[inst] = "aborted"
+        self._txn_offsets.pop(inst)  # staged offsets die with the txn
 
     # -- consumer groups ---------------------------------------------------
     def commit(self, group: str, topic: str, partition: int, offset: int) -> None:

@@ -259,3 +259,130 @@ class TestModeSemanticsViaModel:
             b.produce("t", f"m{i}".encode())
         assert len(b.fetch("t", 0, resolve_start_offset(b, "t", 0, None, "earliest"))) == 5
         assert len(b.fetch("t", 0, resolve_start_offset(b, "t", 0, None, "latest"))) == 0
+
+
+class TestKafkaTransactions:
+    """S3: transactional producer state machine + read_committed visibility
+    + atomic offset staging (kafka/src/producer.rs:236-290 semantics over
+    the in-process broker model)."""
+
+    def _producer(self, broker=None):
+        from sea_streamer_spark.streaming.kafka_txn import TransactionalProducer
+
+        b = broker or FakeKafka()
+        return b, TransactionalProducer(b, "tx-1").init_transactions()
+
+    def test_state_machine_errors(self):
+        from sea_streamer_spark.streaming.kafka_txn import TransactionalProducer
+
+        b = FakeKafka()
+        p = TransactionalProducer(b, "tx-1")
+        with pytest.raises(RuntimeError, match="begin_transaction in state"):
+            p.begin_transaction()  # init first (producer.rs:236-244)
+        p.init_transactions()
+        with pytest.raises(RuntimeError, match="twice"):
+            p.init_transactions()
+        with pytest.raises(RuntimeError, match="commit without begin"):
+            p.commit_transaction()
+        p.begin_transaction()
+        with pytest.raises(RuntimeError, match="already open"):
+            b.begin_txn("tx-1")  # producer fencing at the broker
+        p.commit_transaction()
+        with pytest.raises(RuntimeError, match="abort without begin"):
+            p.abort_transaction()
+
+    def test_commit_gates_read_committed_visibility(self):
+        b, p = self._producer()
+        b.create_topic("out", 1)
+        b.produce("out", b"plain")  # non-transactional: always visible
+        p.begin_transaction()
+        p.send("out", b"tx-msg")
+        assert [r.value for r in b.fetch("out", 0, 0, isolation="read_committed")] == [b"plain"]
+        assert [r.value for r in b.fetch("out", 0, 0)] == [b"plain", b"tx-msg"]
+        p.commit_transaction()
+        assert [r.value for r in b.fetch("out", 0, 0, isolation="read_committed")] == [
+            b"plain", b"tx-msg",
+        ]
+
+    def test_abort_hides_forever_and_epoch_preserves_older_commits(self):
+        b, p = self._producer()
+        b.create_topic("out", 1)
+        p.begin_transaction(); p.send("out", b"first"); p.commit_transaction()
+        p.begin_transaction(); p.send("out", b"poison"); p.abort_transaction()
+        p.begin_transaction(); p.send("out", b"second"); p.commit_transaction()
+        vis = [r.value for r in b.fetch("out", 0, 0, isolation="read_committed")]
+        assert vis == [b"first", b"second"]  # committed batches survive epochs
+        assert [r.value for r in b.fetch("out", 0, 0)] == [b"first", b"poison", b"second"]
+
+    def test_offsets_commit_atomically_with_txn(self):
+        b, p = self._producer()
+        p.begin_transaction()
+        p.send_offsets_to_transaction("g", {("src", 0): 42})
+        assert b.committed("g", "src", 0) is None  # staged, not visible
+        p.commit_transaction()
+        assert b.committed("g", "src", 0) == 42
+        p.begin_transaction()
+        p.send_offsets_to_transaction("g", {("src", 0): 99})
+        p.abort_transaction()
+        assert b.committed("g", "src", 0) == 42  # staged offsets died
+
+    def test_interleaved_producers(self):
+        from sea_streamer_spark.streaming.kafka_txn import TransactionalProducer
+
+        b = FakeKafka()
+        b.create_topic("out", 1)
+        p1 = TransactionalProducer(b, "tx-a").init_transactions()
+        p2 = TransactionalProducer(b, "tx-b").init_transactions()
+        p1.begin_transaction(); p1.send("out", b"a1")
+        p2.begin_transaction(); p2.send("out", b"b1")
+        p1.commit_transaction()
+        vis = [r.value for r in b.fetch("out", 0, 0, isolation="read_committed")]
+        assert vis == [b"a1"]  # p2 still open
+        p2.commit_transaction()
+        vis = [r.value for r in b.fetch("out", 0, 0, isolation="read_committed")]
+        assert vis == [b"a1", b"b1"]
+
+    @staticmethod
+    def _env_batch(spark, sf_dir):
+        from sea_streamer_spark.sources.tables import load_tables
+        from sea_streamer_spark.model import envelope_from_events
+
+        return envelope_from_events(load_tables(spark, sf_dir, "events").events)
+
+    def test_foreach_batch_eos_replay_noop(self, spark, sf_dir):
+        from sea_streamer_spark.streaming.kafka_txn import (
+            BATCH_LEDGER_TOPIC,
+            kafka_txn_foreach_batch,
+        )
+
+        env_batch = self._env_batch(spark, sf_dir)
+
+        b, p = self._producer()
+        b.create_topic("out", 1)
+        write = kafka_txn_foreach_batch(p, "out", "spark-sink")
+        batch = env_batch.limit(10)
+        write(batch, 0)
+        n0 = len(b.fetch("out", 0, 0, isolation="read_committed"))
+        assert n0 == 10
+        write(batch, 0)  # checkpoint replay of a committed batch: no-op
+        assert len(b.fetch("out", 0, 0, isolation="read_committed")) == n0
+        assert b.committed("spark-sink", BATCH_LEDGER_TOPIC, 0) == 1
+        write(batch, 1)  # the next batch appends
+        assert len(b.fetch("out", 0, 0, isolation="read_committed")) == 2 * n0
+
+    def test_foreach_batch_abort_leaves_nothing_visible(self, spark, sf_dir):
+        from sea_streamer_spark.streaming.kafka_txn import kafka_txn_foreach_batch
+
+        env_batch = self._env_batch(spark, sf_dir)
+
+        b, p = self._producer()
+        b.create_topic("out", 1)
+        poisoned = env_batch.limit(5).drop("payload")  # send() will fail
+        write = kafka_txn_foreach_batch(p, "out", "spark-sink")
+        with pytest.raises(AttributeError):
+            write(poisoned, 0)
+        assert b.fetch("out", 0, 0, isolation="read_committed") == []
+        assert b.committed("spark-sink", "__spark_batches", 0) is None
+        # the producer is reusable after the abort
+        write(env_batch.limit(5), 0)
+        assert len(b.fetch("out", 0, 0, isolation="read_committed")) == 5
