@@ -130,3 +130,77 @@ class TestMalformed:
         data[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
         assert decode_jpeg(bytes(data)) is None
         assert parse_jpeg_header(bytes(data)) is None
+
+
+class TestEntropyCoderProperty:
+    """Coefficient-level Huffman roundtrip: random legal quantized blocks
+    through _encode_block → bit stream → _decode_block must reproduce the
+    coefficients and the DC predictor chain exactly. This pins the entropy
+    layer (categories, run-lengths, ZRL, EOB, byte stuffing, DC diffs)
+    independently of the DCT math."""
+
+    def test_random_blocks_roundtrip(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from sea_streamer_spark.operators.jpeg import (
+            AC_LUMA_SPEC,
+            DC_LUMA_SPEC,
+            _BitReader,
+            _BitWriter,
+            _decode_block,
+            _encode_block,
+            _huff_codes,
+            _huff_decode_map,
+            _split_scan,
+            ZIGZAG,
+        )
+
+        dc_enc, ac_enc = _huff_codes(DC_LUMA_SPEC), _huff_codes(AC_LUMA_SPEC)
+        dc_dec, ac_dec = _huff_decode_map(DC_LUMA_SPEC), _huff_decode_map(AC_LUMA_SPEC)
+        unit_qt = np.ones(64, dtype=np.int64)
+
+        # sparse blocks: a few nonzero coefficients at random zigzag slots
+        # (DC magnitude ≤ 2047 = category 11, the table's ceiling for
+        # baseline; AC ≤ 1023 = category 10)
+        block_strategy = st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=63),
+                st.integers(min_value=-1023, max_value=1023),
+            ),
+            min_size=0,
+            max_size=20,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(block_strategy, min_size=1, max_size=4))
+        def roundtrip(blocks_spec):
+            blocks = []
+            for spec in blocks_spec:
+                b = np.zeros(64, dtype=np.int64)
+                for k, v in spec:
+                    b[k] = v
+                blocks.append(b)
+            w = _BitWriter()
+            pred = 0
+            for b in blocks:
+                pred = _encode_block(w, b, pred, dc_enc, ac_enc)
+            # the writer stuffs 0x00 after 0xFF (F.1.2.3); the scan-layer
+            # de-stuffing (_split_scan) is part of the path under test
+            r = _BitReader(_split_scan(w.flush(), 0)[0][0])
+            pred2 = 0
+            for b in blocks:
+                pix, pred2 = _decode_block(r, dc_dec, ac_dec, pred2, unit_qt)
+                # invert the IDCT+shift to recover the raw coefficients
+                import numpy as _np
+                from sea_streamer_spark.operators.jpeg import _D
+
+                F = _D @ (pix - 128.0) @ _D.T
+                got = _np.round(F).astype(_np.int64).reshape(64)
+                want = _np.zeros(64, dtype=_np.int64)
+                want[ZIGZAG] = b
+                assert (got == want).all()
+            assert pred2 == pred
+
+        roundtrip()
