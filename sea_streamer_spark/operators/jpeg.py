@@ -585,3 +585,26 @@ def _decode_scan(data, start, frame, scan_tabs, qts, dc_tabs, ac_tabs, restart):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return (w, h, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8))
+
+
+def split_mjpeg(data: bytes) -> list[bytes]:
+    """Split a raw MJPEG stream (concatenated baseline JPEGs — the common
+    wire format of motion-JPEG cameras/muxers) into per-frame byte ranges.
+
+    Sound for baseline streams because a bare ``FF D9`` cannot occur inside
+    entropy-coded data: every 0xFF there is either stuffed (``FF 00``) or a
+    RST0-7 marker, so the next ``FF D9`` after an ``FF D8`` is that frame's
+    EOI. Frames that never close (truncated tail) are dropped — the honest
+    contract for a torn stream."""
+    frames: list[bytes] = []
+    i, n = 0, len(data)
+    while True:
+        start = data.find(b"\xff\xd8", i)
+        if start < 0:
+            break
+        end = data.find(b"\xff\xd9", start + 2)
+        if end < 0:
+            break  # torn tail: no EOI
+        frames.append(data[start : end + 2])
+        i = end + 2
+    return frames

@@ -124,6 +124,7 @@ def decode_media(df: DataFrame) -> DataFrame:
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
+        from .audio import parse_wav_header
         from .jpeg import parse_jpeg_header
         from .png import parse_png_header
 
@@ -141,6 +142,10 @@ def decode_media(df: DataFrame) -> DataFrame:
             if jpg is not None:
                 w, h, _nc = jpg
                 return (doc_id, len(data), "image/jpeg", w, h)
+            wav = parse_wav_header(data)
+            if wav is not None:  # audio: width=frames, height=channels
+                channels, _rate, _bits, n_frames, _off = wav
+                return (doc_id, len(data), "audio/wav", n_frames, channels)
             n = len(data)
             return (doc_id, n, "image/stub", 16 + n % 64, 16 + (n * 7) % 64)
 
@@ -337,6 +342,124 @@ def jpeg_roundtrip(
             )
 
     return df.select("doc_id", text_col).mapInPandas(batch, JPEG_ROUNDTRIP_SCHEMA)
+
+
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak", LongType()),
+        StructField("rms_floor", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def wav_roundtrip_features(df: DataFrame, rate: int = 16_000) -> DataFrame:
+    """Audio modality e2e (operators/audio.py — pure-stdlib RIFF/PCM-16):
+    per row, synthesize a deterministic mono PCM signal from ``doc_id``
+    (``n = 800 + (doc_id%5)*160`` frames, sample_i =
+    ``((doc_id*7919 + i*104729) % 65536) - 32768``), encode a real WAV,
+    decode it back, and emit integer features (duration, peak, floor-RMS,
+    strict zero-crossings) — every one SQL-recomputable from the synthesis
+    rule, so a defect anywhere in the RIFF layout, chunk walk, PCM
+    (de)serialization, or the feature math flips a driver row. One
+    Arrow-batched mapInPandas; embarrassingly parallel."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        from .audio import encode_wav, wav_features
+
+        def one(doc_id):
+            doc_id = int(doc_id)
+            n = 800 + (doc_id % 5) * 160
+            i = _np.arange(n, dtype=_np.int64)
+            samples = ((doc_id * 7919 + i * 104729) % 65536 - 32768).astype("<i2")
+            feats = wav_features(encode_wav(samples, rate=rate))
+            assert feats is not None  # our own writer must parse
+            return (doc_id, *feats)
+
+        for pdf in batches:
+            rows = [one(d) for d in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_frames", "duration_ms",
+                    "peak", "rms_floor", "zero_crossings",
+                ],
+            )
+
+    return df.select("doc_id").mapInPandas(batch, WAV_FEATURES_SCHEMA)
+
+
+MJPEG_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("ok", BooleanType()),
+    ]
+)
+
+
+def mjpeg_frame_extract(df: DataFrame, quality: int = 85) -> DataFrame:
+    """Video-stream path with a REAL codec: per row, synthesize an MJPEG
+    stream (``2 + doc_id%3`` concatenated baseline JPEGs — the raw wire
+    format of motion-JPEG sources; frame f is a uniform
+    ``(40f+10, 40f+20, 40f+30)`` RGB card of text-derived width), split it
+    back into frames (operators/jpeg.py:split_mjpeg — sound because bare
+    FFD9 cannot occur inside entropy-coded data), decode every frame, and
+    emit per-frame rows with dims + a lossy-bound pixel check (uniform
+    frames round-trip near-exactly). This upgrades frame sampling from the
+    synthetic-stub path to a real demux+decode; sampling every-k-th frame
+    is a trivial ``filter(frame_idx % k == 0)`` on the result."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        from .jpeg import decode_jpeg, encode_jpeg, split_mjpeg
+
+        def one(doc_id, text):
+            doc_id = int(doc_id)
+            w = 16 + (len(text or "") % 2) * 8
+            h = 16
+            n_frames = 2 + doc_id % 3
+            frames = []
+            for f in range(n_frames):
+                img = _np.zeros((h, w, 3), dtype=_np.uint8)
+                img[:, :] = (40 * f + 10, 40 * f + 20, 40 * f + 30)
+                frames.append(img)
+            stream = b"".join(encode_jpeg(im, quality=quality) for im in frames)
+            rows = []
+            for idx, frame_bytes in enumerate(split_mjpeg(stream)):
+                dec = decode_jpeg(frame_bytes)
+                ok = (
+                    dec is not None
+                    and dec[:3] == (w, h, 3)
+                    and int(
+                        _np.abs(
+                            dec[3].astype(_np.int64) - frames[idx].astype(_np.int64)
+                        ).max()
+                    ) <= 4
+                )
+                rows.append((doc_id, idx, w, h, bool(ok)))
+            return rows
+
+        for pdf in batches:
+            out = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                out.extend(one(d, t))
+            yield _pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "width", "height", "ok"]
+            )
+
+    return df.select("doc_id", "text").mapInPandas(batch, MJPEG_FRAMES_SCHEMA)
 
 
 DECODED_HASH_SCHEMA = StructType(

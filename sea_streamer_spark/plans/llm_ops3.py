@@ -395,3 +395,85 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "documents")
     return M.jpeg_roundtrip(t.documents).orderBy("doc_id")
+
+
+@query(
+    "multimodal_wav_features",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 800 + (doc_id % 5) * 160 AS n FROM documents
+    ), s AS (
+      SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM base
+    ), v AS (
+      SELECT doc_id, n, i,
+             ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS smp
+      FROM s
+    ), agg AS (
+      SELECT doc_id,
+             CAST(MAX(ABS(smp)) AS BIGINT) AS peak,
+             CAST(FLOOR(SQRT(CAST(SUM(smp * smp) AS DOUBLE) / COUNT(*))) AS BIGINT)
+               AS rms_floor
+      FROM v GROUP BY doc_id
+    ), zc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS zero_crossings FROM (
+        SELECT doc_id, sgn, LAG(sgn) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM (
+          SELECT doc_id, i, CASE WHEN smp > 0 THEN 1 ELSE -1 END AS sgn
+          FROM v WHERE smp <> 0
+        )
+      ) WHERE prev IS NOT NULL AND sgn <> prev
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(b.n AS BIGINT) AS n_frames,
+           CAST(b.n * 1000 // 16000 AS BIGINT) AS duration_ms,
+           agg.peak, agg.rms_floor,
+           COALESCE(zc.zero_crossings, 0) AS zero_crossings
+    FROM base b
+    JOIN agg USING (doc_id)
+    LEFT JOIN zc USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality through a REAL codec (operators/audio.py RIFF/PCM-16):
+    deterministic per-doc PCM synthesis → encode → decode → integer
+    features, with the oracle recomputing every feature from the synthesis
+    rule in plain SQL (exact: integer sums, IEEE-correctly-rounded sqrt,
+    strict-sign-flip window count). See
+    operators/multimodal.py:wav_roundtrip_features."""
+    from ..operators import multimodal as M
+
+    t = load_tables(spark, sf_dir, "documents")
+    return M.wav_roundtrip_features(t.documents).orderBy("doc_id")
+
+
+@query(
+    "multimodal_mjpeg_frames",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(16 + (length(text) % 2) * 8 AS BIGINT) AS width,
+             2 + doc_id % 3 AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, width,
+           CAST(16 AS BIGINT) AS height, TRUE AS ok
+    FROM (SELECT doc_id, width, unnest(generate_series(0, n_frames - 1)) AS f
+          FROM base)
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video (MJPEG) demux + per-frame decode through the real JPEG codec:
+    the oracle re-derives the frame count and geometry from the synthesis
+    rule and pins the lossy-bound pixel check — a defect in stream
+    splitting, frame boundaries (EOI scanning), or any per-frame decode
+    stage drops/flips rows. See
+    operators/multimodal.py:mjpeg_frame_extract."""
+    from ..operators import multimodal as M
+
+    t = load_tables(spark, sf_dir, "documents")
+    return M.mjpeg_frame_extract(t.documents).orderBy("doc_id", "frame_idx")
