@@ -199,10 +199,15 @@ def duck_mixture_copies(
     thr_cases = " ".join(
         f"WHEN '{s}' THEN {t}" for s, (_, t) in thr.items() if s is not None
     )
+    if not base_cases:  # weights={}: a zero-WHEN CASE is a parse error
+        base_expr, thr_expr = str(dbase), str(dthr)
+    else:
+        base_expr = f"CASE {source_col} {base_cases} ELSE {dbase} END"
+        thr_expr = f"CASE {source_col} {thr_cases} ELSE {dthr} END"
     return (
-        f"(CAST(CASE {source_col} {base_cases} ELSE {dbase} END AS BIGINT)"
+        f"(CAST({base_expr} AS BIGINT)"
         f" + CASE WHEN {duck_split_bucket(id_expr, buckets)} < "
-        f"(CASE {source_col} {thr_cases} ELSE {dthr} END) THEN 1 ELSE 0 END)"
+        f"({thr_expr}) THEN 1 ELSE 0 END)"
     )
 
 

@@ -37,7 +37,6 @@ for _s in range(15):
     for _r in (_rs if _s % 2 == 1 else reversed(list(_rs))):
         ZIGZAG.append(_r * 8 + (_s - _r))
 ZIGZAG = np.array(ZIGZAG, dtype=np.int64)
-UNZIGZAG = np.argsort(ZIGZAG)
 
 #: Annex K (K.1/K.2) quantization tables, raster order
 QT_LUMA = np.array([
@@ -591,20 +590,59 @@ def split_mjpeg(data: bytes) -> list[bytes]:
     """Split a raw MJPEG stream (concatenated baseline JPEGs — the common
     wire format of motion-JPEG cameras/muxers) into per-frame byte ranges.
 
-    Sound for baseline streams because a bare ``FF D9`` cannot occur inside
-    entropy-coded data: every 0xFF there is either stuffed (``FF 00``) or a
-    RST0-7 marker, so the next ``FF D9`` after an ``FF D8`` is that frame's
-    EOI. Frames that never close (truncated tail) are dropped — the honest
-    contract for a torn stream."""
+    This is a marker-aware walk, NOT a naive ``find(FF D9)``: a bare
+    ``FF D9`` can legitimately occur *inside marker segment payloads*
+    (e.g. an EXIF APP1 whose embedded thumbnail is itself a JPEG ending in
+    EOI, or as a byte pair in DQT/DHT tables), so segments are skipped by
+    their declared lengths and only *entropy-coded data* is scanned — where
+    every 0xFF is stuffed (``FF 00``) or RST0-7, making the next real
+    marker unambiguous. Frames that never close (truncated tail) or are
+    structurally broken are dropped — the honest contract for a torn
+    stream."""
     frames: list[bytes] = []
     i, n = 0, len(data)
     while True:
         start = data.find(b"\xff\xd8", i)
         if start < 0:
             break
-        end = data.find(b"\xff\xd9", start + 2)
-        if end < 0:
-            break  # torn tail: no EOI
-        frames.append(data[start : end + 2])
-        i = end + 2
+        pos = start + 2
+        end = None
+        while pos + 1 < n:
+            if data[pos] != 0xFF:
+                break  # structure violated: abandon this frame
+            marker = data[pos + 1]
+            if marker == 0xD9:  # EOI before any scan (header-only frame)
+                end = pos + 2
+                break
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if pos + 4 > n:
+                break
+            (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            pos += 2 + seg_len
+            if marker != 0xDA:
+                continue
+            # entropy-coded data: skip stuffed FFs and RSTn until a marker
+            while pos + 1 < n:
+                if data[pos] != 0xFF:
+                    pos += 1
+                    continue
+                nxt = data[pos + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    pos += 2
+                    continue
+                break
+            if pos + 1 < n and data[pos] == 0xFF and data[pos + 1] == 0xD9:
+                end = pos + 2
+            break  # single-scan baseline: scan ends the frame either way
+        if end is None:
+            # torn/garbled frame: resynchronize at the next SOI
+            nxt_soi = data.find(b"\xff\xd8", start + 2)
+            if nxt_soi < 0:
+                break
+            i = nxt_soi
+            continue
+        frames.append(data[start:end])
+        i = end
     return frames

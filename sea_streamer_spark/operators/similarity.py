@@ -52,6 +52,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_py(a, b) -> float:
+    """Driver-side dot with the SAME left-to-right fold as :func:`dot`'s
+    zip_with/aggregate column and the oracle's list_reduce — one source of
+    truth so every engine produces bit-identical float64."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def cos_py(a, b) -> float:
+    """Driver-side cosine mirroring :func:`cosine`/_duck_cosine exactly:
+    sqrt(da)*sqrt(db), NOT sqrt(da*db), so rankings tie-break identically
+    in every engine."""
+    import math
+
+    return dot_py(a, b) / (math.sqrt(dot_py(a, a)) * math.sqrt(dot_py(b, b)))
+
+
 def cosine_topk(
     emb: DataFrame,
     query_id: int,
@@ -130,7 +149,12 @@ def lsh_buckets(
     """Random-hyperplane signature: bit p = sign(v · plane_p). Pure
     projection (fanned out to session parallelism: n_planes higher-order
     folds per row run outside codegen); equal buckets → likely-similar
-    vectors."""
+    vectors.
+
+    Data contract: vectors are non-empty fixed-dimension arrays (the
+    embeddings schema). A zero-length vector would make ``sequence(0,-1)``
+    yield [0,-1] here (bucket 0) while the SQL oracle's empty-list fold
+    yields proj=0.0 → all bits set — don't feed ragged/empty vectors."""
     from .scale import fan_out
 
     emb = fan_out(emb, key=id_col)
@@ -449,24 +473,12 @@ def ann_ivf_pq_topk(
     map-side projection; the only data movement is the two bounded
     TakeOrdereds. Deterministic end-to-end (portable-hash sample, seedless
     k-means for both quantizers) ⇒ value-hash checkable."""
-    import math
-
     cents = ivf_centroids(emb, n_cells, id_col, vec_col)
     cbs = pq_codebooks(emb, m, ksub, id_col, vec_col)
     assigned = emb.withColumn("ivf_cell", ivf_cell_expr(cents, vec_col))
     qrow = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec")).collect()[0]
     qvec = [float(x) for x in qrow["qvec"]]
-
-    def _dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += float(x) * float(y)
-        return acc
-
-    def _cos(a, b):
-        return _dot(a, b) / (math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b)))
-
-    probed = [c for c, _ in sorted(cents, key=lambda cv: (-_cos(qvec, cv[1]), cv[0]))[:nprobe]]
+    probed = [c for c, _ in sorted(cents, key=lambda cv: (-cos_py(qvec, cv[1]), cv[0]))[:nprobe]]
     coded = (
         assigned.filter(F.col("ivf_cell").isin(probed))
         .filter(F.col(id_col) != query_id)
@@ -625,23 +637,9 @@ def ann_ivf_topk(
     assigned = emb.withColumn("ivf_cell", cell)
     qrow = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec")).collect()[0]
     qvec = list(qrow["qvec"])
-    # nprobe closest cells to the query vector (driver-side: n_cells is tiny)
-    import math
-
-    def _dot(a, b):
-        # left-to-right fold, like the zip_with/aggregate column and the
-        # oracle's list_reduce — same order => bit-identical float64
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += float(x) * float(y)
-        return acc
-
-    def _cos(a, b):
-        # sqrt(da)*sqrt(db), NOT sqrt(da*db): mirrors cosine()/_duck_cosine
-        # so cell ranking ties break identically in every engine
-        return _dot(a, b) / (math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b)))
-
-    probed = [c for c, _ in sorted(cents, key=lambda cv: (-_cos(qvec, cv[1]), cv[0]))[:nprobe]]
+    # nprobe closest cells to the query vector (driver-side: n_cells is
+    # tiny; cos_py mirrors cosine()/_duck_cosine bit-for-bit)
+    probed = [c for c, _ in sorted(cents, key=lambda cv: (-cos_py(qvec, cv[1]), cv[0]))[:nprobe]]
     q = assigned.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
     return (
         assigned.filter(F.col("ivf_cell").isin(probed))

@@ -410,6 +410,107 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bakes quantizer centroids for exactly this data (see _build_ivf_oracle).
 ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
+#: Shared, process-wide cache for the import-time ANN oracle builders: ONE
+#: DuckDB sample scan and ONE training per (kind, params) — four builders
+#: (IVF, PQ, IVF-PQ, semantic-dedup) previously each re-scanned the parquet
+#: and re-ran identical k-means/PQ trainings at every import.
+_ORACLE_TRAIN: dict = {}
+
+
+def oracle_sample():
+    """The 4096-row portable-hash training sample from ORACLE_SF_DIR (the
+    exact rows every quantizer trains on — smallest (char_fold(md5(id)), id)
+    keys), or None when the gate parquet is absent/unreadable."""
+    if "X" not in _ORACLE_TRAIN:
+        X = None
+        f = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
+        if os.path.exists(f):
+            try:
+                import duckdb
+                import numpy as np
+
+                key = T.duck_char_fold("md5(CAST(vec_id AS VARCHAR))")
+                rows = duckdb.sql(
+                    f"SELECT embedding FROM '{f}' ORDER BY {key}, vec_id LIMIT 4096"
+                ).fetchall()
+                X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+            except Exception:
+                X = None
+        _ORACLE_TRAIN["X"] = X
+    return _ORACLE_TRAIN["X"]
+
+
+def oracle_ivf_centroids(n_cells: int = 16, iters: int = 8):
+    """Memoized spherical-k-means centroids over :func:`oracle_sample`."""
+    key = ("cent", n_cells, iters)
+    if key not in _ORACLE_TRAIN:
+        X = oracle_sample()
+        _ORACLE_TRAIN[key] = (
+            None if X is None else S.ivf_kmeans(X, n_cells=n_cells, iters=iters)
+        )
+    return _ORACLE_TRAIN[key]
+
+
+def oracle_pq_codebooks(m: int = 8, ksub: int = 16):
+    """Memoized per-subspace PQ codebooks over :func:`oracle_sample`."""
+    key = ("pq", m, ksub)
+    if key not in _ORACLE_TRAIN:
+        X = oracle_sample()
+        _ORACLE_TRAIN[key] = (
+            None if X is None else S.pq_codebooks_from_sample(X, m, ksub)
+        )
+    return _ORACLE_TRAIN[key]
+
+
+def lit_vec(v) -> str:
+    """A float64 vector as a DuckDB list literal (repr round-trips bits)."""
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+def cell_structs_sql(C, vec: str = "embedding") -> str:
+    """The struct-max argmax snippet assigning ``vec`` to its nearest
+    centroid (smaller-cell tie-break via (sim, -cell)); shared verbatim by
+    the IVF, IVF-PQ and semantic-dedup oracles so the assignment SQL cannot
+    drift between them."""
+    return ", ".join(
+        "{'sim': " + _duck_dot(vec, lit_vec(C[i]))
+        + f", 'negcell': CAST({-i} AS BIGINT)}}"
+        for i in range(len(C))
+    )
+
+
+def _pq_sql_parts(cbs) -> tuple[list[str], str]:
+    """(code column exprs, ADC sum expr) for a PQ codebook set — shared by
+    _build_pq_oracle and _build_ivf_pq_oracle (the bit-exact encoding SQL
+    must be single-sourced)."""
+    m, dsub = len(cbs), len(cbs[0][0])
+
+    def sub(vec: str, s: int) -> str:
+        return f"list_slice({vec}, {s * dsub + 1}, {(s + 1) * dsub})"
+
+    def l2(sub_expr: str, cvec) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(list_zip({sub_expr}, "
+            f"{lit_vec(cvec)}), p -> (CAST(p[1] AS DOUBLE) - p[2]) * "
+            f"(CAST(p[1] AS DOUBLE) - p[2]))), (x, y) -> x + y)"
+        )
+
+    code_cols = []
+    for s in range(m):
+        structs = ", ".join(
+            "{'negdist': -(" + l2(sub("embedding", s), cvec)
+            + f"), 'negcode': CAST({-c} AS BIGINT)}}"
+            for c, cvec in enumerate(cbs[s])
+        )
+        code_cols.append(
+            f"CAST(-(list_aggregate([{structs}], 'max').negcode) AS BIGINT) AS code_{s}"
+        )
+    lut_terms = []
+    for s in range(m):
+        luts = ", ".join(_duck_dot(sub("q.qvec", s), lit_vec(cvec)) for cvec in cbs[s])
+        lut_terms.append(f"list_extract([{luts}], CAST(a.code_{s} + 1 AS INTEGER))")
+    return code_cols, " + ".join(lut_terms)
+
 
 def _build_ivf_oracle() -> str | None:
     """DuckDB oracle for similarity_ann_ivf, built at import time.
@@ -426,31 +527,11 @@ def _build_ivf_oracle() -> str | None:
     order, so the driver's value hash matches bit-for-bit. Returns None (→
     rows-only check, the pre-round-3 status) if the gate's parquet is absent.
     """
-    f = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
-    if not os.path.exists(f):
+    C = oracle_ivf_centroids(n_cells=16, iters=8)
+    if C is None:
         return None
-    try:
-        import duckdb
-        import numpy as np
-
-        key = T.duck_char_fold("md5(CAST(vec_id AS VARCHAR))")
-        rows = duckdb.sql(
-            f"SELECT embedding FROM '{f}' ORDER BY {key}, vec_id LIMIT 4096"
-        ).fetchall()
-        X = np.array([list(r[0]) for r in rows], dtype=np.float64)
-        C = S.ivf_kmeans(X, n_cells=16, iters=8)
-    except Exception:
-        return None
-
-    def lit_vec(v) -> str:
-        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
-
     cent_values = ",\n      ".join(f"({i}, {lit_vec(C[i])}::DOUBLE[])" for i in range(16))
-    structs = ", ".join(
-        "{'sim': " + _duck_dot("embedding", lit_vec(C[i]))
-        + f", 'negcell': CAST({-i} AS BIGINT)}}"
-        for i in range(16)
-    )
+    structs = cell_structs_sql(C)
     return f"""
     WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
     cent(cell, cvec) AS (VALUES
@@ -483,50 +564,10 @@ def _build_pq_oracle(m: int = 8, ksub: int = 16, refine: int = 50, k: int = 10) 
     view, takes the `refine` best, exact-cosine re-ranks, keeps `k`. Same
     fold order everywhere ⇒ bit-identical float64 ⇒ identical refine set and
     final ranking."""
-    f = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
-    if not os.path.exists(f):
+    cbs = oracle_pq_codebooks(m, ksub)
+    if cbs is None:
         return None
-    try:
-        import duckdb
-        import numpy as np
-
-        key = T.duck_char_fold("md5(CAST(vec_id AS VARCHAR))")
-        rows = duckdb.sql(
-            f"SELECT embedding FROM '{f}' ORDER BY {key}, vec_id LIMIT 4096"
-        ).fetchall()
-        X = np.array([list(r[0]) for r in rows], dtype=np.float64)
-        cbs = S.pq_codebooks_from_sample(X, m, ksub)
-    except Exception:
-        return None
-    dsub = len(cbs[0][0])
-
-    def lit_vec(v) -> str:
-        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
-
-    def sub(vec: str, s: int) -> str:
-        return f"list_slice({vec}, {s * dsub + 1}, {(s + 1) * dsub})"
-
-    def l2(sub_expr: str, cvec) -> str:
-        return (
-            f"list_reduce(list_prepend(0.0, list_transform(list_zip({sub_expr}, "
-            f"{lit_vec(cvec)}), p -> (CAST(p[1] AS DOUBLE) - p[2]) * "
-            f"(CAST(p[1] AS DOUBLE) - p[2]))), (x, y) -> x + y)"
-        )
-
-    code_cols = []
-    for s in range(m):
-        structs = ", ".join(
-            "{'negdist': -(" + l2(sub("embedding", s), cvec) + f"), 'negcode': CAST({-c} AS BIGINT)}}"
-            for c, cvec in enumerate(cbs[s])
-        )
-        code_cols.append(
-            f"CAST(-(list_aggregate([{structs}], 'max').negcode) AS BIGINT) AS code_{s}"
-        )
-    lut_terms = []
-    for s in range(m):
-        luts = ", ".join(_duck_dot(sub("q.qvec", s), lit_vec(cvec)) for cvec in cbs[s])
-        lut_terms.append(f"list_extract([{luts}], CAST(a.code_{s} + 1 AS INTEGER))")
-    adc = " + ".join(lut_terms)
+    code_cols, adc = _pq_sql_parts(cbs)
     return f"""
     WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
     coded AS (
@@ -559,60 +600,15 @@ def _build_ivf_pq_oracle(
     against LUT expressions over the view's query vector, refines, and
     exact-cosine re-ranks — all with the mirrored fold order and tie-breaks,
     so the driver hash is bit-exact."""
-    f = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
-    if not os.path.exists(f):
+    C = oracle_ivf_centroids(n_cells=n_cells, iters=8)
+    cbs = oracle_pq_codebooks(m, ksub)
+    if C is None or cbs is None:
         return None
-    try:
-        import duckdb
-        import numpy as np
-
-        key = T.duck_char_fold("md5(CAST(vec_id AS VARCHAR))")
-        rows = duckdb.sql(
-            f"SELECT embedding FROM '{f}' ORDER BY {key}, vec_id LIMIT 4096"
-        ).fetchall()
-        X = np.array([list(r[0]) for r in rows], dtype=np.float64)
-        C = S.ivf_kmeans(X, n_cells=n_cells, iters=8)
-        cbs = S.pq_codebooks_from_sample(X, m, ksub)
-    except Exception:
-        return None
-    dsub = len(cbs[0][0])
-
-    def lit_vec(v) -> str:
-        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
-
     cent_values = ",\n      ".join(
         f"({i}, {lit_vec(C[i])}::DOUBLE[])" for i in range(n_cells)
     )
-    cell_structs = ", ".join(
-        "{'sim': " + _duck_dot("embedding", lit_vec(C[i]))
-        + f", 'negcell': CAST({-i} AS BIGINT)}}"
-        for i in range(n_cells)
-    )
-
-    def sub(vec: str, s: int) -> str:
-        return f"list_slice({vec}, {s * dsub + 1}, {(s + 1) * dsub})"
-
-    def l2(sub_expr: str, cvec) -> str:
-        return (
-            f"list_reduce(list_prepend(0.0, list_transform(list_zip({sub_expr}, "
-            f"{lit_vec(cvec)}), p -> (CAST(p[1] AS DOUBLE) - p[2]) * "
-            f"(CAST(p[1] AS DOUBLE) - p[2]))), (x, y) -> x + y)"
-        )
-
-    code_cols = []
-    for s in range(m):
-        structs = ", ".join(
-            "{'negdist': -(" + l2(sub("embedding", s), cvec) + f"), 'negcode': CAST({-c} AS BIGINT)}}"
-            for c, cvec in enumerate(cbs[s])
-        )
-        code_cols.append(
-            f"CAST(-(list_aggregate([{structs}], 'max').negcode) AS BIGINT) AS code_{s}"
-        )
-    lut_terms = []
-    for s in range(m):
-        luts = ", ".join(_duck_dot(sub("q.qvec", s), lit_vec(cvec)) for cvec in cbs[s])
-        lut_terms.append(f"list_extract([{luts}], CAST(a.code_{s} + 1 AS INTEGER))")
-    adc = " + ".join(lut_terms)
+    cell_structs = cell_structs_sql(C)
+    code_cols, adc = _pq_sql_parts(cbs)
     return f"""
     WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
     cent(cell, cvec) AS (VALUES

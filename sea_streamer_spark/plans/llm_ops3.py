@@ -13,15 +13,13 @@ contract the cosine/LSH oracles rely on.)
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
 from ..operators import text as T
 from ..sources.tables import load_tables
-from .llm_ops import ORACLE_SF_DIR, _duck_cosine, _duck_dot
+from .llm_ops import _duck_cosine
 from .registry import query
 
 TOKS = T.duck_tokens("text")
@@ -51,11 +49,17 @@ _K1, _B = 1.2, 0.75
     ), dfq AS (
       SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY term
     ), contrib AS (
+      -- constants are CAST to DOUBLE: DuckDB would otherwise evaluate
+      -- tf*(1.2+1) in exact DECIMAL and round to double ONCE, while Spark
+      -- rounds 2.2 to double first and then multiplies — a ~2-ulp skew
+      -- that can flip a micro-unit rounding boundary
       SELECT tfq.doc_id,
              CAST(ROUND(
                ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
-               * (tfq.tf * ({_K1} + 1))
-               / (tfq.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / stats.avgdl))
+               * (tfq.tf * CAST({_K1 + 1!r} AS DOUBLE))
+               / (tfq.tf + CAST({_K1!r} AS DOUBLE)
+                  * (1 - CAST({_B!r} AS DOUBLE)
+                     + CAST({_B!r} AS DOUBLE) * dl.dl / stats.avgdl))
                * 1000000) AS BIGINT) AS micro
       FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id), stats
     )
@@ -281,35 +285,19 @@ _SEM_CELLS, _SEM_THRESHOLD = 16, 0.45
 
 def _build_semantic_oracle() -> str | None:
     """Import-time DuckDB oracle, same pattern as llm_ops._build_ivf_oracle:
-    DuckDB re-selects the portable-hash k-means sample, the shared numpy
-    routine emits centroid literals, and the SQL recomputes cell assignment
-    (struct-max argmax with the smaller-cell tie-break) plus the
-    within-cell dominated-by-smaller-id EXISTS rule — bit-exact because
-    every float expression uses the same fold order as the Spark side."""
-    f = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
-    if not os.path.exists(f):
+    the shared memoized quantizer (llm_ops.oracle_ivf_centroids — one sample
+    scan + one training per process across all ANN oracles) emits centroid
+    literals, and the SQL recomputes cell assignment (struct-max argmax with
+    the smaller-cell tie-break, the single-sourced cell_structs_sql snippet)
+    plus the within-cell dominated-by-smaller-id EXISTS rule — bit-exact
+    because every float expression uses the same fold order as the Spark
+    side."""
+    from .llm_ops import cell_structs_sql, oracle_ivf_centroids
+
+    C = oracle_ivf_centroids(n_cells=_SEM_CELLS, iters=8)
+    if C is None:
         return None
-    try:
-        import duckdb
-        import numpy as np
-
-        key = T.duck_char_fold("md5(CAST(vec_id AS VARCHAR))")
-        rows = duckdb.sql(
-            f"SELECT embedding FROM '{f}' ORDER BY {key}, vec_id LIMIT 4096"
-        ).fetchall()
-        X = np.array([list(r[0]) for r in rows], dtype=np.float64)
-        C = S.ivf_kmeans(X, n_cells=_SEM_CELLS, iters=8)
-    except Exception:
-        return None
-
-    def lit_vec(v) -> str:
-        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
-
-    structs = ", ".join(
-        "{'sim': " + _duck_dot("embedding", lit_vec(C[i]))
-        + f", 'negcell': CAST({-i} AS BIGINT)}}"
-        for i in range(_SEM_CELLS)
-    )
+    structs = cell_structs_sql(C)
     return f"""
     WITH assigned AS (
       SELECT vec_id, embedding,

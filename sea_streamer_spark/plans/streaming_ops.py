@@ -1156,3 +1156,80 @@ def kafka_txn_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(rows, "value_str string, rec_offset int, isolation string")
         .orderBy("isolation", "rec_offset")
     )
+
+
+# ------------------------------------------------- RESP wire-protocol e2e
+
+_WIRE: dict = {}
+
+
+def _wire_server() -> tuple[str, int]:
+    """One RESP TCP listener per process (alive until process exit), fronting
+    an in-memory broker — what lets a registry query exercise the real
+    redis:// wire path (executors connect per task) under the driver's
+    correctness gate."""
+    if "addr" not in _WIRE:
+        from ..streaming.fake_redis import FakeRedis
+        from ..streaming.resp_server import RespServer
+
+        srv = RespServer(FakeRedis())
+        _WIRE["srv"] = srv
+        _WIRE["addr"] = srv.serve_background()
+    return _WIRE["addr"]
+
+
+@query(
+    "redis_wire_roundtrip",
+    oracle=f"""
+    SELECT 'wire' AS stream_key, CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(sequence AS BIGINT) AS sequence,
+           CAST(timestamp_ms AS BIGINT) AS timestamp_ms, payload_str
+    FROM (VALUES
+        {_RT_VALUES}
+    ) AS t(loop_key, shard_id, sequence, timestamp_ms, payload_str)
+    ORDER BY shard_id, sequence
+    """,
+    tags=("streaming", "redis", "wire"),
+)
+def redis_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 over the WIRE: the deterministic fixture is XADDed through the
+    in-repo RESP2 client into a real TCP listener (streaming/resp.py /
+    resp_server.py), then read back with ``spark.read.format("sea_redis")``
+    pointing at host:port — each executor task opens its own socket and
+    runs the bounded XRANGE scan through the same client a redis://
+    deployment without redis-py uses. Distinct from
+    ``redis_stream_roundtrip`` (file-backed loopback): this one proves the
+    protocol layer — command framing, bulk binary payloads, pipelining,
+    error passthrough — not just the command semantics."""
+    from ..sources.redis_datasource import SeaRedisDataSource
+    from ..streaming.fake_redis import ResponseError
+    from ..streaming.redis import format_entry_id, shard_key
+    from ..streaming.resp import RespClient
+
+    host, port = _wire_server()
+    seed = RespClient(host, port)
+    for _k, sid, seq_no, _ms, payload in _rt_rows():
+        try:
+            seed.xadd(
+                shard_key("wire", sid), {"payload": payload.encode()},
+                id=format_entry_id(seq_no),
+            )
+        except ResponseError:
+            pass  # re-run within the process: ids already present
+    seed.close()
+    spark.dataSource.register(SeaRedisDataSource)
+    return (
+        spark.read.format("sea_redis")
+        .option("stream_key", "wire")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+        .select(
+            "stream_key",
+            "shard_id",
+            "sequence",
+            F.unix_millis("timestamp").alias("timestamp_ms"),
+            F.col("payload").cast("string").alias("payload_str"),
+        )
+        .orderBy("shard_id", "sequence")
+    )

@@ -67,24 +67,27 @@ ENVELOPE_DDL = (
 
 def make_client(opts: dict):
     """Build the Redis client from plain string options — callable on the
-    driver (offset planning) and on executors (partition reads)."""
+    driver (offset planning) and on executors (partition reads).
+
+    Dispatch: ``fake_root`` → the file-backed loopback broker; ``host`` /
+    ``port`` → redis-py when installed, else the in-repo RESP2 wire client
+    (:mod:`..streaming.resp` — speaks the real protocol, so it talks to a
+    real Redis identically; in-container it is e2e-proven against the RESP
+    TCP server fronting the broker model)."""
     root = opts.get("fake_root")
     if root:
         from ..streaming.fake_redis import FakeRedis
 
         return FakeRedis(root=root)
+    host = opts.get("host", "localhost")
+    port = int(opts.get("port", "6379"))
     try:
         import redis
-    except ImportError as e:  # pragma: no cover - redis-py not in container
-        raise NotImplementedError(
-            "sea_redis needs either the fake_root loopback broker or the "
-            "redis-py client (not available in this environment)."
-        ) from e
-    return redis.Redis(
-        host=opts.get("host", "localhost"),
-        port=int(opts.get("port", "6379")),
-        decode_responses=False,
-    )
+    except ImportError:
+        from ..streaming.resp import RespClient
+
+        return RespClient(host=host, port=port)
+    return redis.Redis(host=host, port=port, decode_responses=False)
 
 
 def _as_str(v) -> str:

@@ -214,12 +214,22 @@ class GroupConsumer:
                     start_id=cursor,
                     count=self.opts.batch_size,
                 )
-                for entry_id, fields in claimed:
+                if claimed:
+                    # ONE XPENDING per page (not per entry) for the delivery
+                    # counters: all just-claimed ids belong to this consumer
+                    # with idle ~0, so a range scan over the page's id span
+                    # returns them all in a single round-trip
+                    ids = [entry_id for entry_id, _ in claimed]
+                    # count is padded: the id span may interleave this
+                    # consumer's other (earlier-read, un-acked) entries
                     pend = self.client.xpending_range(
-                        key, self.group, min=entry_id, max=entry_id, count=1
+                        key, self.group,
+                        min=ids[0], max=ids[-1],
+                        count=len(ids) + 1000, consumername=self.consumer,
                     )
-                    times = pend[0]["times_delivered"] if pend else 1
-                    out.append((sid, entry_id, fields, times))
+                    times_by_id = {p["message_id"]: p["times_delivered"] for p in pend}
+                    for entry_id, fields in claimed:
+                        out.append((sid, entry_id, fields, times_by_id.get(entry_id, 1)))
                 if cursor == "0-0":
                     break
         return out

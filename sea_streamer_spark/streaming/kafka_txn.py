@@ -121,10 +121,11 @@ def kafka_txn_foreach_batch(
         try:
             for row in batch_df.toLocalIterator():
                 ts = getattr(row, timestamp_col, None)
+                key = getattr(row, key_col, None) if key_col else None
                 producer.send(
                     topic,
                     bytes(getattr(row, value_col) or b""),
-                    key=(getattr(row, key_col).encode() if key_col else None),
+                    key=key.encode() if key is not None else None,
                     timestamp_ms=int(ts.timestamp() * 1000) if ts else 0,
                 )
             producer.send_offsets_to_transaction(

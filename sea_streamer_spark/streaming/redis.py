@@ -3,8 +3,9 @@
 The genuinely custom piece of the reference is its Redis consumer engine
 (SURVEY §3.1); on Spark the equivalent is a connector whose *offset model*
 feeds the checkpoint contract. That model is implemented and unit-tested
-here; the live wire protocol is gated on ``redis-py`` (not available in this
-container) and stubbed with a clear error.
+here; the live wire protocol uses ``redis-py`` when installed and otherwise
+the in-repo RESP2 client (:mod:`.resp` — the real protocol, e2e-proven
+against the RESP TCP server in :mod:`.resp_server`).
 
 Offset model (redis/src/message.rs:27-88): a Redis stream entry id is
 ``<ms>-<seq>``; the reference packs it into a single u64 SeqNo as
@@ -158,15 +159,8 @@ def redis_reader(spark: SparkSession, url, options) -> DataFrame:
     if url.streamer.scheme == "redis+fake":
         reader = reader.option("fake_root", url.streamer.nodes[0])
     else:
-        try:
-            import redis  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "redis:// consumer requires the redis-py client, which is "
-                "not available in this environment; use redis+fake:///dir/"
-                "stream (file-backed loopback broker) to exercise the "
-                "identical partitioned source path."
-            ) from e
+        # redis-py when installed; otherwise the in-repo RESP2 wire client
+        # (streaming/resp.py) — make_client dispatches per task
         node = url.streamer.nodes[0]
         host, _, port = node.partition(":")
         reader = reader.option("host", host or "localhost").option("port", port or "6379")
@@ -299,16 +293,14 @@ def redis_sink_foreach_batch(
     def make_client():
         if client_factory is not None:
             return client_factory()
-        try:
-            import redis
-        except ImportError as e:
-            raise NotImplementedError(
-                "sea_redis sink requires the redis-py client (not in this "
-                "container) or an injected client_factory; the command "
-                "stream is e2e-tested against fake_redis.FakeRedis."
-            ) from e
         if host_port is None:
             raise ValueError("redis sink needs a url or a client_factory")
+        try:
+            import redis
+        except ImportError:
+            from .resp import RespClient
+
+            return RespClient(host=host_port[0], port=host_port[1])
         return redis.Redis(host=host_port[0], port=host_port[1])
 
     def write_partition(rows) -> None:

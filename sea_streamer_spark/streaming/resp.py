@@ -1,0 +1,270 @@
+"""Minimal RESP2 wire client for Redis Streams — the in-repo answer to
+"no redis-py in this container".
+
+This speaks the real Redis Serialization Protocol (RESP2: arrays of bulk
+strings out, simple/bulk/integer/array/error frames back), implementing
+exactly the command subset the ``sea_redis`` connector and the D4-D7 ack
+engine use: XADD/XRANGE/XREVRANGE/XLEN/XTRIM/SCAN, XGROUP CREATE /
+XREADGROUP / XACK / XPENDING / XAUTOCLAIM, PING, and true pipelining
+(batched writes, batched reads — one round-trip per pipeline, the same
+batching the reference's producer does over rdkafka/fred). Method
+signatures mirror redis-py's so the client drops into every
+``client_factory`` seam unchanged.
+
+Because it speaks the actual protocol, it works against a real Redis
+server byte-for-byte; in-container it is exercised end-to-end against
+:mod:`.resp_server` (the loopback broker behind a real TCP listener), which
+is what upgrades the connector evidence from "engine parity with an
+injected fake" to "wire parity over a socket".
+"""
+
+from __future__ import annotations
+
+import socket
+
+from .fake_redis import ResponseError
+
+
+def encode_command(*args) -> bytes:
+    """RESP array-of-bulk-strings request frame."""
+    out = [b"*%d\r\n" % len(args)]
+    for a in args:
+        if isinstance(a, (bytes, bytearray)):
+            b = bytes(a)
+        elif isinstance(a, (int, float)):
+            b = str(a).encode()
+        else:
+            b = str(a).encode()
+        out.append(b"$%d\r\n%s\r\n" % (len(b), b))
+    return b"".join(out)
+
+
+class _SockReader:
+    """Buffered line/exact reads over a socket (RESP frames are \\r\\n
+    delimited with declared bulk lengths)."""
+
+    def __init__(self, sock: socket.socket) -> None:
+        self.sock = sock
+        self.buf = b""
+
+    def read_line(self) -> bytes:
+        while b"\r\n" not in self.buf:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("connection closed mid-reply")
+            self.buf += chunk
+        line, self.buf = self.buf.split(b"\r\n", 1)
+        return line
+
+    def read_exact(self, n: int) -> bytes:
+        while len(self.buf) < n + 2:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("connection closed mid-bulk")
+            self.buf += chunk
+        data, self.buf = self.buf[:n], self.buf[n + 2 :]  # strip trailing \r\n
+        return data
+
+
+def read_reply(r: _SockReader):
+    """One RESP2 reply frame → Python value (errors → ResponseError
+    *instances*, raised or collected by the caller — redis-py's model)."""
+    line = r.read_line()
+    t, rest = line[:1], line[1:]
+    if t == b"+":
+        return rest.decode()
+    if t == b"-":
+        return ResponseError(rest.decode())
+    if t == b":":
+        return int(rest)
+    if t == b"$":
+        n = int(rest)
+        if n < 0:
+            return None
+        return r.read_exact(n)
+    if t == b"*":
+        n = int(rest)
+        if n < 0:
+            return None
+        return [read_reply(r) for _ in range(n)]
+    raise ConnectionError(f"bad RESP type byte: {line!r}")
+
+
+def _s(v) -> str:
+    return v.decode() if isinstance(v, (bytes, bytearray)) else str(v)
+
+
+def _fields_dict(flat) -> dict:
+    return {_s(flat[i]): flat[i + 1] for i in range(0, len(flat), 2)}
+
+
+class RespClient:
+    """One TCP connection speaking RESP2 (see module docstring)."""
+
+    def __init__(self, host: str = "localhost", port: int = 6379, timeout: float = 30.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self.reader = _SockReader(self.sock)
+
+    def close(self) -> None:
+        self.sock.close()
+
+    def execute(self, *args):
+        self.sock.sendall(encode_command(*args))
+        reply = read_reply(self.reader)
+        if isinstance(reply, ResponseError):
+            raise reply
+        return reply
+
+    # -- commands (redis-py signatures) ------------------------------------
+    def ping(self) -> bool:
+        return self.execute("PING") == "PONG"
+
+    def xadd(self, key, fields: dict, id="*", maxlen=None, approximate=True):  # noqa: A002
+        args = ["XADD", key]
+        if maxlen is not None:
+            args += ["MAXLEN"] + (["~"] if approximate else []) + [int(maxlen)]
+        args.append(id)
+        for k, v in fields.items():
+            args += [k, v]
+        return _s(self.execute(*args))
+
+    def xrange(self, key, min="-", max="+", count=None):  # noqa: A002
+        args = ["XRANGE", key, min, max]
+        if count is not None:
+            args += ["COUNT", int(count)]
+        return [(_s(i), _fields_dict(f)) for i, f in self.execute(*args)]
+
+    def xrevrange(self, key, max="+", min="-", count=None):  # noqa: A002
+        args = ["XREVRANGE", key, max, min]
+        if count is not None:
+            args += ["COUNT", int(count)]
+        return [(_s(i), _fields_dict(f)) for i, f in self.execute(*args)]
+
+    def xlen(self, key) -> int:
+        return self.execute("XLEN", key)
+
+    def xtrim(self, key, maxlen=None, minid=None, approximate=True) -> int:
+        if maxlen is not None:
+            args = ["XTRIM", key, "MAXLEN"] + (["~"] if approximate else []) + [int(maxlen)]
+        else:
+            args = ["XTRIM", key, "MINID"] + (["~"] if approximate else []) + [minid]
+        return self.execute(*args)
+
+    def scan_iter(self, match: str = "*"):
+        cursor = "0"
+        while True:
+            cursor_reply, keys = self.execute("SCAN", cursor, "MATCH", match, "COUNT", 1000)
+            for k in keys:
+                yield _s(k)
+            cursor = _s(cursor_reply)
+            if cursor == "0":
+                break
+
+    # -- consumer groups ---------------------------------------------------
+    def xgroup_create(self, name, groupname, id="$", mkstream=False) -> bool:  # noqa: A002
+        args = ["XGROUP", "CREATE", name, groupname, id]
+        if mkstream:
+            args.append("MKSTREAM")
+        return self.execute(*args) == "OK"
+
+    def xreadgroup(self, groupname, consumername, streams: dict, count=None, noack=False):
+        args = ["XREADGROUP", "GROUP", groupname, consumername]
+        if count is not None:
+            args += ["COUNT", int(count)]
+        if noack:
+            args.append("NOACK")
+        args.append("STREAMS")
+        args += list(streams.keys()) + list(streams.values())
+        reply = self.execute(*args)
+        if reply is None:
+            return []
+        return [
+            [_s(key), [(_s(i), _fields_dict(f)) for i, f in batch]]
+            for key, batch in reply
+        ]
+
+    def xack(self, name, groupname, *ids) -> int:
+        return self.execute("XACK", name, groupname, *ids)
+
+    def xpending_range(
+        self, name, groupname, min="-", max="+", count=10,  # noqa: A002
+        consumername=None, idle=None,
+    ):
+        args = ["XPENDING", name, groupname]
+        if idle is not None:
+            args += ["IDLE", int(idle)]
+        args += [min, max, int(count)]
+        if consumername is not None:
+            args.append(consumername)
+        return [
+            {
+                "message_id": _s(i),
+                "consumer": _s(c),
+                "time_since_delivered": t,
+                "times_delivered": n,
+            }
+            for i, c, t, n in self.execute(*args)
+        ]
+
+    def xautoclaim(
+        self, name, groupname, consumername, min_idle_time=0,
+        start_id="0-0", count=None, justid=False,
+    ):
+        args = ["XAUTOCLAIM", name, groupname, consumername, int(min_idle_time), start_id]
+        if count is not None:
+            args += ["COUNT", int(count)]
+        if justid:
+            args.append("JUSTID")
+        cursor, entries, *rest = self.execute(*args)
+        deleted = [_s(d) for d in rest[0]] if rest else []
+        if justid:
+            return [_s(cursor), [_s(i) for i in entries], deleted]
+        return [_s(cursor), [(_s(i), _fields_dict(f)) for i, f in entries], deleted]
+
+    # -- pipeline ----------------------------------------------------------
+    def pipeline(self, transaction: bool = False) -> "RespPipeline":
+        return RespPipeline(self)
+
+
+class RespPipeline:
+    """True RESP pipelining: all request frames in one send, all replies in
+    one read pass (what makes the reference's pipelined XADD fast,
+    redis/src/producer.rs:403-439)."""
+
+    def __init__(self, client: RespClient) -> None:
+        self._client = client
+        self._cmds: list[tuple] = []
+
+    def xadd(self, key, fields, id="*", maxlen=None, approximate=True):  # noqa: A002
+        args = ["XADD", key]
+        if maxlen is not None:
+            args += ["MAXLEN"] + (["~"] if approximate else []) + [int(maxlen)]
+        args.append(id)
+        for k, v in fields.items():
+            args += [k, v]
+        self._cmds.append(tuple(args))
+        return self
+
+    def xtrim(self, key, maxlen=None, minid=None, approximate=True):
+        if maxlen is not None:
+            args = ["XTRIM", key, "MAXLEN"] + (["~"] if approximate else []) + [int(maxlen)]
+        else:
+            args = ["XTRIM", key, "MINID"] + (["~"] if approximate else []) + [minid]
+        self._cmds.append(tuple(args))
+        return self
+
+    def execute(self, raise_on_error: bool = True) -> list:
+        if not self._cmds:
+            return []
+        payload = b"".join(encode_command(*c) for c in self._cmds)
+        self._client.sock.sendall(payload)
+        out = []
+        for _ in self._cmds:
+            reply = read_reply(self._client.reader)
+            if isinstance(reply, ResponseError) and raise_on_error:
+                self._cmds.clear()
+                raise reply
+            out.append(_s(reply) if isinstance(reply, bytes) else reply)
+        self._cmds.clear()
+        return out
