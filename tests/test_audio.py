@@ -92,3 +92,52 @@ class TestMjpegSplit:
         stream = encode_jpeg(img) + encode_jpeg(img)[: -3]
         assert len(split_mjpeg(stream)) == 1
         assert split_mjpeg(b"junk no markers") == []
+
+
+class TestCodecProperties:
+    def test_wav_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.lists(st.integers(min_value=-32768, max_value=32767),
+                     min_size=1, max_size=400),
+            st.sampled_from([8_000, 16_000, 44_100]),
+            st.integers(min_value=1, max_value=3),
+        )
+        def roundtrip(vals, rate, channels):
+            frames = len(vals) // channels
+            if frames == 0:
+                return
+            s = np.array(vals[: frames * channels], dtype="<i2").reshape(
+                frames, channels
+            )
+            r, ch, out = decode_wav(encode_wav(s, rate=rate))
+            assert (r, ch) == (rate, channels)
+            assert (out == s).all()
+
+        roundtrip()
+
+    def test_png_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from sea_streamer_spark.operators.png import decode_png, encode_png
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            st.integers(min_value=1, max_value=24),
+            st.integers(min_value=1, max_value=24),
+            st.sampled_from([1, 2, 3, 4]),
+            st.randoms(use_true_random=False),
+        )
+        def roundtrip(w, h, channels, rnd):
+            pixels = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+            dec = decode_png(encode_png(w, h, pixels, channels=channels))
+            assert dec is not None
+            dw, dh, dch, img = dec
+            assert (dw, dh, dch) == (w, h, channels)
+            assert img.tobytes() == pixels  # PNG is lossless
+
+        roundtrip()
