@@ -125,6 +125,7 @@ def decode_media(df: DataFrame) -> DataFrame:
         import pandas as _pd
 
         from .audio import parse_wav_header
+        from .gif import parse_gif_header
         from .jpeg import parse_jpeg_header
         from .png import parse_png_header
 
@@ -146,6 +147,10 @@ def decode_media(df: DataFrame) -> DataFrame:
             if wav is not None:  # audio: width=frames, height=channels
                 channels, _rate, _bits, n_frames, _off = wav
                 return (doc_id, len(data), "audio/wav", n_frames, channels)
+            gif = parse_gif_header(data)
+            if gif is not None:
+                w, h, _nf = gif
+                return (doc_id, len(data), "image/gif", w, h)
             n = len(data)
             return (doc_id, n, "image/stub", 16 + n % 64, 16 + (n * 7) % 64)
 
@@ -460,6 +465,63 @@ def mjpeg_frame_extract(df: DataFrame, quality: int = 85) -> DataFrame:
             )
 
     return df.select("doc_id", "text").mapInPandas(batch, MJPEG_FRAMES_SCHEMA)
+
+
+GIF_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+#: 4-color palette for the GIF roundtrip: per-pixel RGB sum = 180c + 60.
+_GIF_PALETTE = [(60 * c + 10, 60 * c + 20, 60 * c + 30) for c in range(4)]
+
+
+def gif_frame_extract(df: DataFrame) -> DataFrame:
+    """Animated-GIF path through the real LZW codec (operators/gif.py):
+    per row, synthesize ``2 + doc_id%2`` paletted frames (pixel index =
+    ``(x+y+f) % 4`` on a ``(13 + doc_id%3) × 11`` grid), encode an animated
+    GIF89a (global color table, NETSCAPE loop, graphic-control blocks),
+    decode through the full block-walk + LZW path, and emit per-frame
+    pixel checksums — each SQL-recomputable from the synthesis rule, so a
+    defect anywhere in the container layout, code widths, dictionary
+    growth/reset, or palette mapping flips a driver row."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        from .gif import decode_gif, encode_gif, parse_gif_header
+
+        def one(doc_id):
+            doc_id = int(doc_id)
+            w = 13 + doc_id % 3
+            h = 11
+            nf = 2 + doc_id % 2
+            y, x = _np.mgrid[0:h, 0:w]
+            frames = [((x + y + f) % 4).astype(_np.uint8) for f in range(nf)]
+            data = encode_gif(frames, _GIF_PALETTE)
+            assert parse_gif_header(data) == (w, h, nf)
+            dec = decode_gif(data)
+            assert dec is not None and (dec[0], dec[1]) == (w, h)
+            return [
+                (doc_id, f, w, h, int(img.astype(_np.int64).sum()))
+                for f, img in enumerate(dec[2])
+            ]
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                rows.extend(one(d))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "width", "height", "checksum"]
+            )
+
+    return df.select("doc_id").mapInPandas(batch, GIF_FRAMES_SCHEMA)
 
 
 DECODED_HASH_SCHEMA = StructType(

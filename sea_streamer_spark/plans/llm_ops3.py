@@ -465,3 +465,37 @@ def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "documents")
     return M.mjpeg_frame_extract(t.documents).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "multimodal_gif_frames",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 13 + doc_id % 3 AS w, 11 AS h, 2 + doc_id % 2 AS nf
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS f FROM base
+    ), px AS (
+      SELECT doc_id, w, h, f, unnest(generate_series(0, h * w - 1)) AS p
+      FROM fr
+    )
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(SUM(180 * ((p % w + p // w + f) % 4) + 60) AS BIGINT)
+             AS checksum
+    FROM px
+    GROUP BY doc_id, f, w, h
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated GIF through the real LZW codec: the oracle re-derives every
+    frame's pixel checksum from the synthesis rule (pixel index
+    (x+y+f)%4, per-pixel RGB sum 180c+60) with a generate_series grid —
+    fully independent of the codec. See
+    operators/multimodal.py:gif_frame_extract and operators/gif.py."""
+    from ..operators import multimodal as M
+
+    t = load_tables(spark, sf_dir, "documents")
+    return M.gif_frame_extract(t.documents).orderBy("doc_id", "frame_idx")
