@@ -38,8 +38,8 @@ def parse_wav_header(data: bytes):
             audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", data[body : body + 16]
             )
-            if audio_fmt != 1 or bits != 16 or channels == 0:
-                return None  # non-PCM / non-16-bit out of subset
+            if audio_fmt != 1 or bits != 16 or channels == 0 or rate == 0:
+                return None  # non-PCM / non-16-bit / zero-rate out of subset
             fmt = (channels, rate, bits)
         elif cid == b"data":
             if fmt is None:

@@ -196,7 +196,9 @@ def _decode_gif_strict(data: bytes):
                 grid = de
             if int(grid.max()) >= len(ct):
                 return None
-            before = canvas.copy()
+            # the pre-draw canvas is only needed for disposal 3 (and the
+            # GCE precedes the descriptor, so disposal is already known)
+            before = canvas.copy() if disposal == 3 else None
             region = canvas[top : top + ih, left : left + iw]
             rgb = ct[grid]
             if transparent is not None:
@@ -205,9 +207,11 @@ def _decode_gif_strict(data: bytes):
             else:
                 region[:, :] = rgb
             frames.append(canvas.copy())
-            if disposal == 2:  # restore background
+            if disposal == 2:
+                # restore background: bg_idx refers to the GLOBAL color
+                # table per spec, not a frame's local table
                 canvas[top : top + ih, left : left + iw] = (
-                    ct[bg_idx] if bg_idx < len(ct) else 0
+                    gct[bg_idx] if gct is not None and bg_idx < len(gct) else 0
                 )
             elif disposal == 3:  # restore previous
                 canvas = before

@@ -341,6 +341,9 @@ def parse_jpeg_header(data: bytes) -> tuple[int, int, int] | None:
         if data[i] != 0xFF:
             return None
         marker = data[i + 1]
+        if marker == 0xFF:  # spec-legal fill byte before a marker
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -478,6 +481,9 @@ def _decode_jpeg_strict(data: bytes):
         if data[i] != 0xFF:
             return None
         marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
             i += 2
             continue
@@ -610,6 +616,10 @@ def split_mjpeg(data: bytes) -> list[bytes]:
         while pos + 1 < n:
             if data[pos] != 0xFF:
                 break  # structure violated: abandon this frame
+            while pos + 1 < n and data[pos + 1] == 0xFF:
+                pos += 1  # spec-legal FF fill bytes before a marker
+            if pos + 1 >= n:
+                break
             marker = data[pos + 1]
             if marker == 0xD9:  # EOI before any scan (header-only frame)
                 end = pos + 2

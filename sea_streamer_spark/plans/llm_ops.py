@@ -441,24 +441,34 @@ def oracle_sample():
 
 
 def oracle_ivf_centroids(n_cells: int = 16, iters: int = 8):
-    """Memoized spherical-k-means centroids over :func:`oracle_sample`."""
+    """Memoized spherical-k-means centroids over :func:`oracle_sample`.
+    Degenerate gate data (too few rows, ragged dims) yields None — the
+    builders fall back to rows-only checks instead of crashing the import
+    (the @query decorators evaluate these at module load)."""
     key = ("cent", n_cells, iters)
     if key not in _ORACLE_TRAIN:
         X = oracle_sample()
-        _ORACLE_TRAIN[key] = (
-            None if X is None else S.ivf_kmeans(X, n_cells=n_cells, iters=iters)
-        )
+        try:
+            _ORACLE_TRAIN[key] = (
+                None if X is None else S.ivf_kmeans(X, n_cells=n_cells, iters=iters)
+            )
+        except Exception:
+            _ORACLE_TRAIN[key] = None
     return _ORACLE_TRAIN[key]
 
 
 def oracle_pq_codebooks(m: int = 8, ksub: int = 16):
-    """Memoized per-subspace PQ codebooks over :func:`oracle_sample`."""
+    """Memoized per-subspace PQ codebooks over :func:`oracle_sample` (same
+    degenerate-data → None contract as :func:`oracle_ivf_centroids`)."""
     key = ("pq", m, ksub)
     if key not in _ORACLE_TRAIN:
         X = oracle_sample()
-        _ORACLE_TRAIN[key] = (
-            None if X is None else S.pq_codebooks_from_sample(X, m, ksub)
-        )
+        try:
+            _ORACLE_TRAIN[key] = (
+                None if X is None else S.pq_codebooks_from_sample(X, m, ksub)
+            )
+        except Exception:
+            _ORACLE_TRAIN[key] = None
     return _ORACLE_TRAIN[key]
 
 

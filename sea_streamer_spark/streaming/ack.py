@@ -215,21 +215,32 @@ class GroupConsumer:
                     count=self.opts.batch_size,
                 )
                 if claimed:
-                    # ONE XPENDING per page (not per entry) for the delivery
-                    # counters: all just-claimed ids belong to this consumer
-                    # with idle ~0, so a range scan over the page's id span
-                    # returns them all in a single round-trip
+                    # XPENDING per page (not per entry) for the delivery
+                    # counters; paginate until every claimed id is resolved —
+                    # the id span may interleave arbitrarily many of this
+                    # consumer's other un-acked entries, so a single capped
+                    # call could miss claimed ids (and silently reporting
+                    # times_delivered=1 would let poison messages evade
+                    # delivery-count thresholds)
                     ids = [entry_id for entry_id, _ in claimed]
-                    # count is padded: the id span may interleave this
-                    # consumer's other (earlier-read, un-acked) entries
-                    pend = self.client.xpending_range(
-                        key, self.group,
-                        min=ids[0], max=ids[-1],
-                        count=len(ids) + 1000, consumername=self.consumer,
-                    )
-                    times_by_id = {p["message_id"]: p["times_delivered"] for p in pend}
+                    times_by_id: dict[str, int] = {}
+                    lo = ids[0]
+                    while True:
+                        pend = self.client.xpending_range(
+                            key, self.group, min=lo, max=ids[-1],
+                            count=1000, consumername=self.consumer,
+                        )
+                        for p in pend:
+                            times_by_id[p["message_id"]] = p["times_delivered"]
+                        if len(pend) < 1000 or all(i in times_by_id for i in ids):
+                            break
+                        from .redis import format_entry_id, next_after, parse_entry_id
+
+                        lo = format_entry_id(
+                            next_after(parse_entry_id(pend[-1]["message_id"]))
+                        )
                     for entry_id, fields in claimed:
-                        out.append((sid, entry_id, fields, times_by_id.get(entry_id, 1)))
+                        out.append((sid, entry_id, fields, times_by_id[entry_id]))
                 if cursor == "0-0":
                     break
         return out

@@ -29,12 +29,7 @@ def encode_command(*args) -> bytes:
     """RESP array-of-bulk-strings request frame."""
     out = [b"*%d\r\n" % len(args)]
     for a in args:
-        if isinstance(a, (bytes, bytearray)):
-            b = bytes(a)
-        elif isinstance(a, (int, float)):
-            b = str(a).encode()
-        else:
-            b = str(a).encode()
+        b = bytes(a) if isinstance(a, (bytes, bytearray)) else str(a).encode()
         out.append(b"$%d\r\n%s\r\n" % (len(b), b))
     return b"".join(out)
 
@@ -259,12 +254,17 @@ class RespPipeline:
             return []
         payload = b"".join(encode_command(*c) for c in self._cmds)
         self._client.sock.sendall(payload)
+        # ALWAYS drain every pipelined reply before raising: aborting early
+        # would leave the later replies in the socket and desync every
+        # subsequent command on this connection (redis-py drains too)
         out = []
+        first_err: ResponseError | None = None
         for _ in self._cmds:
             reply = read_reply(self._client.reader)
-            if isinstance(reply, ResponseError) and raise_on_error:
-                self._cmds.clear()
-                raise reply
+            if isinstance(reply, ResponseError) and first_err is None:
+                first_err = reply
             out.append(_s(reply) if isinstance(reply, bytes) else reply)
         self._cmds.clear()
+        if raise_on_error and first_err is not None:
+            raise first_err
         return out

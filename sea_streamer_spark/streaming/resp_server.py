@@ -30,7 +30,11 @@ class Simple(str):
 def _enc(value) -> bytes:
     """Python value → RESP2 reply frame."""
     if isinstance(value, ResponseError):
-        return b"-%s\r\n" % str(value).encode()
+        # error text rides in a line-delimited frame: strip embedded CR/LF
+        # (e.g. from an int() message quoting binary input) or the client's
+        # read_line would split mid-message and desync the connection
+        msg = str(value).replace("\r", " ").replace("\n", " ")
+        return b"-%s\r\n" % msg.encode("utf-8", "replace")
     if isinstance(value, Simple):
         return b"+%s\r\n" % value.encode()
     if value is None:
@@ -57,47 +61,28 @@ def _entry(eid: str, fields: dict) -> list:
 
 
 class _Handler(socketserver.BaseRequestHandler):
-    def handle(self) -> None:  # noqa: C901 — a command switch
+    def handle(self) -> None:
         server: RespServer = self.server  # type: ignore[assignment]
-        buf = b""
+        from .resp import _SockReader  # single-source the RESP framing
 
-        def read_line():
-            nonlocal buf
-            while b"\r\n" not in buf:
-                chunk = self.request.recv(65536)
-                if not chunk:
-                    return None
-                buf += chunk
-            line, buf = buf.split(b"\r\n", 1)
-            return line
-
-        def read_exact(n):
-            nonlocal buf
-            while len(buf) < n + 2:
-                chunk = self.request.recv(65536)
-                if not chunk:
-                    return None
-                buf += chunk
-            data, buf = buf[:n], buf[n + 2 :]
-            return data
-
+        reader = _SockReader(self.request)
         while True:
-            line = read_line()
-            if line is None:
-                return
-            if not line.startswith(b"*"):
-                self.request.sendall(_enc(ResponseError("ERR protocol: expected array")))
-                return
-            argc = int(line[1:])
-            args: list[bytes] = []
-            for _ in range(argc):
-                hdr = read_line()
-                if hdr is None or not hdr.startswith(b"$"):
+            try:
+                line = reader.read_line()
+                if not line.startswith(b"*"):
+                    self.request.sendall(
+                        _enc(ResponseError("ERR protocol: expected array"))
+                    )
                     return
-                data = read_exact(int(hdr[1:]))
-                if data is None:
-                    return
-                args.append(data)
+                argc = int(line[1:])
+                args: list[bytes] = []
+                for _ in range(argc):
+                    hdr = reader.read_line()
+                    if not hdr.startswith(b"$"):
+                        return
+                    args.append(reader.read_exact(int(hdr[1:])))
+            except ConnectionError:  # client hung up: normal end of session
+                return
             try:
                 reply = server.dispatch(args)
             except ResponseError as e:

@@ -166,3 +166,74 @@ class TestConnectorOverTcp:
         write(env, 1)  # replayed batch: duplicate explicit ids rejected
         total2 = sum(check.xlen(k) for k in check.scan_iter(match="*"))
         assert total2 == n
+
+
+class TestWireRegressions:
+    def test_pipeline_error_does_not_desync_connection(self, server):
+        """A mid-pipeline error must not leave undrained replies: the next
+        command on the same connection gets ITS reply, not a stale one."""
+        _, host, port, _ = server
+        c = RespClient(host, port)
+        c.xadd("s", {"p": b"x"}, id="10-0")
+        p = c.pipeline()
+        p.xadd("s", {"p": b"dup"}, id="10-0")  # -ERR
+        p.xadd("s", {"p": b"a"}, id="11-0")
+        with pytest.raises(ResponseError):
+            p.execute(raise_on_error=True)
+        assert c.xlen("s") == 2  # connection still in sync
+        assert c.xrange("s")[-1][0] == "11-0"  # later cmds DID apply
+
+    def test_error_with_crlf_payload_keeps_framing(self, server):
+        _, host, port, _ = server
+        c = RespClient(host, port)
+        with pytest.raises(ResponseError):
+            c.execute("XTRIM", "k", "MAXLEN", "12\r\n34")
+        assert c.ping()  # next reply parses cleanly
+
+
+class TestCodecRegressions:
+    def test_wav_zero_sample_rate_is_none(self):
+        import struct
+
+        import numpy as np
+
+        from sea_streamer_spark.operators.audio import encode_wav, parse_wav_header, wav_features
+
+        data = bytearray(encode_wav(np.zeros(10, dtype="<i2")))
+        struct.pack_into("<I", data, 24, 0)  # fmt.sample_rate = 0
+        assert parse_wav_header(bytes(data)) is None
+        assert wav_features(bytes(data)) is None  # no ZeroDivisionError
+
+    def test_mjpeg_split_survives_ff_fill_bytes(self):
+        import numpy as np
+
+        from sea_streamer_spark.operators.jpeg import decode_jpeg, encode_jpeg, split_mjpeg
+
+        img = np.full((8, 8, 3), 120, dtype=np.uint8)
+        f = encode_jpeg(img, 85)
+        # inject spec-legal FF fill bytes before the SOF0 marker
+        i = f.find(b"\xff\xc0")
+        padded = f[:i] + b"\xff\xff\xff" + f[i:]
+        frames = split_mjpeg(padded + f)
+        assert len(frames) == 2
+        assert decode_jpeg(frames[0]) is not None
+
+    def test_gif_disposal2_restores_global_background(self):
+        import numpy as np
+
+        from sea_streamer_spark.operators.gif import decode_gif, encode_gif
+
+        pal = [(60 * c + 10, 60 * c + 20, 60 * c + 30) for c in range(4)]
+        f1 = np.full((8, 8), 3, dtype=np.uint8)
+        f2 = np.zeros((8, 8), dtype=np.uint8)
+        f2[:4] = 1
+        data = bytearray(encode_gif([f1, f2], pal))
+        first_gce = data.index(b"\x21\xf9\x04")
+        data[first_gce + 3] = 0x08  # frame 1 disposal = 2 (restore bg)
+        second_gce = data.index(b"\x21\xf9\x04", first_gce + 1)
+        data[second_gce + 3] = 0x05  # frame 2 transparent idx 0
+        data[second_gce + 6] = 0
+        _, _, out = decode_gif(bytes(data))
+        # frame 2's transparent half shows the restored BACKGROUND
+        # (global palette entry 0), not frame 1's color
+        assert (out[1][4:] == np.array(pal, dtype=np.uint8)[0]).all()
