@@ -237,3 +237,36 @@ class TestCodecRegressions:
         # frame 2's transparent half shows the restored BACKGROUND
         # (global palette entry 0), not frame 1's color
         assert (out[1][4:] == np.array(pal, dtype=np.uint8)[0]).all()
+
+
+class TestWireConcurrency:
+    def test_concurrent_clients_consistent(self, server):
+        """16 threads × 50 pipelined XADDs against one listener: every add
+        lands exactly once and XLEN agrees — the lock gives Redis's
+        single-threaded command semantics over concurrent connections."""
+        import threading
+
+        _, host, port, _ = server
+        n_threads, per = 16, 50
+        errs = []
+
+        def worker(t):
+            try:
+                c = RespClient(host, port)
+                p = c.pipeline()
+                for i in range(per):
+                    p.xadd(f"cc:{t}", {"payload": f"{t}-{i}".encode()}, id=f"{100 + i}-0")
+                ids = p.execute()
+                assert len(ids) == per
+                c.close()
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        check = RespClient(host, port)
+        assert sum(check.xlen(f"cc:{t}") for t in range(n_threads)) == n_threads * per
