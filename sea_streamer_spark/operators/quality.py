@@ -166,3 +166,84 @@ def pii_redact(
         )
         out = F.regexp_replace(out, pat, repl)
     return df.select(id_col, *counts, out.alias("redacted"))
+
+
+# ------------------------------------------- character-LM quality scoring
+
+
+def char_bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus character-bigram counts: one explode over character positions
+    → one count shuffle. The model table is at most |alphabet|² rows —
+    broadcastable at any corpus size (the CCNet/Gopher-style perplexity
+    filter's statistics, with a char-bigram LM standing in for KenLM)."""
+    pos = F.sequence(F.lit(0), F.greatest(F.length(text_col) - 2, F.lit(-1)))
+    bg = df.select(
+        F.explode(
+            F.filter(
+                F.transform(pos, lambda i: F.col(text_col).substr(i + 1, F.lit(2))),
+                lambda s: F.length(s) == 2,
+            )
+        ).alias("bigram")
+    )
+    return bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def char_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha_v: int = 256,
+) -> DataFrame:
+    """Per-document mean character-bigram log-likelihood under a Laplace-
+    smoothed LM trained on the corpus itself — the classic LM quality
+    signal: natural prose scores high, mojibake/boilerplate/random bytes
+    score low. ln p(b|a) = ln((c(ab)+1) / (c(a·)+V)), V=``alpha_v``.
+
+    Plan: ONE bigram explode feeding both the model (bigram-count shuffle;
+    prefix counts derived by a window over it, not a second scan) and the
+    per-doc means (doc-key shuffle); the model table joins back broadcast.
+    The output is fixed-point BIGINT micro-units. Registry note:
+    deliberately NOT a registered query in round 3 — the 50-query driver
+    budget exactly covers the unsampled backlog; this registers in round 4.
+    At registration time, switch the mean from ``avg(logp)`` to a
+    per-bigram micro-rounded SUM divided by the count (the BM25/TF-IDF
+    fixed-point convention) so the driver hash is immune to float
+    summation order.
+    """
+    from pyspark.sql import Window
+
+    pos = F.sequence(F.lit(0), F.greatest(F.length(text_col) - 2, F.lit(-1)))
+    doc_bg = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.transform(pos, lambda i: F.col(text_col).substr(i + 1, F.lit(2))),
+                lambda s: F.length(s) == 2,
+            )
+        ).alias("bigram"),
+    )
+    model = (
+        doc_bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .withColumn(
+            "n_a",
+            F.sum("n_ab").over(Window.partitionBy(F.substring("bigram", 1, 1))).cast("long"),
+        )
+        .withColumn(
+            "logp",
+            F.log((F.col("n_ab") + 1).cast("double") / (F.col("n_a") + alpha_v)),
+        )
+    )
+    scored = (
+        doc_bg.join(F.broadcast(model.select("bigram", "logp")), "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("logp") * 1_000_000).cast("long").alias("mean_logp_micro"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("mean_logp_micro", F.lit(0)).alias("mean_logp_micro"),
+    )

@@ -51,3 +51,53 @@ class TestSemanticDedupRecall:
                 and S.cos_py(vecs[v], vecs[d.vec_id]) >= 0.45
             ]
             assert witnesses, f"orphan drop: {d.vec_id}"
+
+
+class TestCharLmScore:
+    """Round-4-ready (registry-deferred) LM quality scorer: exactness vs a
+    pure-python reference + the monotonicity that makes it a filter."""
+
+    def test_matches_reference_and_ranks_naturalness(self, spark):
+        import math
+        from collections import Counter
+
+        from sea_streamer_spark.operators.quality import char_lm_score
+
+        rows = [
+            (0, "the cat sat on the mat and then the cat slept"),
+            (1, "the dog sat on the log"),
+            (2, "zxqj vkw qjzx wkv zzzz"),
+            (3, "x"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_bigrams, r.mean_logp_micro)
+            for r in char_lm_score(df).collect()
+        }
+        bg, pre = Counter(), Counter()
+        for _, t in rows:
+            for i in range(len(t) - 1):
+                bg[t[i : i + 2]] += 1
+                pre[t[i]] += 1
+
+        def ref(t):
+            lps = [
+                math.log((bg[t[i : i + 2]] + 1) / (pre[t[i]] + 256))
+                for i in range(len(t) - 1)
+            ]
+            return (len(lps), round(sum(lps) / len(lps) * 1e6) if lps else 0)
+
+        for d, t in rows:
+            assert got[d] == ref(t), (d, got[d], ref(t))
+        # the signal: natural prose above consonant junk; degenerate docs 0
+        assert got[0][1] > got[2][1]
+        assert got[3] == (0, 0) and got[4] == (0, 0)
+
+    def test_corpus_run_is_total(self, spark, sf_dir):
+        from sea_streamer_spark.operators.quality import char_lm_score
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        out = char_lm_score(docs)
+        assert out.count() == docs.count()  # every doc scored, none dropped
