@@ -419,3 +419,84 @@ def streaming_near_dup_new_docs(
         .agg(F.count(F.lit(1)).alias("n_first_bands"))
         .filter(F.col("n_first_bands") == LSH_BANDS)
     )
+
+
+def positional_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, pos, shingle) with 0-based token position — the positional
+    variant of :func:`shingle_sets` (NOT distinct: every occurrence keeps
+    its position, so within-doc repetition is visible). Shingle at ``pos``
+    covers tokens ``pos .. pos+k-1``. Same zip_with fold as
+    :func:`shingles` (the element_at-in-lambda O(k*n^2) trap applies here
+    identically), same :func:`..scale.fan_out` guard before the explode."""
+    from .scale import fan_out
+
+    df = fan_out(df, key=id_col)
+    arr = tokens(text_col)
+    n = F.size(arr)
+    m = n - k + 1
+    sh = F.slice(arr, 1, m)
+    for j in range(1, k):
+        sh = F.zip_with(
+            sh, F.slice(arr, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    sh = F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.posexplode(sh).alias("pos", "sh"))
+
+
+def duplicated_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-text coverage (the exact-substring-dedup
+    metric of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499 — their suffix-array substring scan
+    re-expressed as the k-gram corpus join used by Dolma/RefinedWeb):
+
+    a token position is *covered* when some k-gram through it occurs >=
+    ``min_occurrences`` times corpus-wide (any doc, including repeats
+    inside the same doc). Returns per-doc ``n_tokens``, ``covered_tokens``
+    and ``dup_permille`` = floor(1000 * covered / n) — integer fixed-point
+    so the result hashes engine-exactly.
+
+    Plan shape (the 100 TB posture): positional k-gram explode → one
+    count shuffle keyed by the k-gram → equi-join back (same key — no
+    pairwise or cross-doc join ever forms) → covered positions =
+    ``sequence(pos, pos+k-1)`` explode, distinct per (doc, idx), one
+    doc-keyed count. Every shuffle is keyed by k-gram or doc id; the
+    candidate volume scales with *duplicated* text, not corpus^2. Keys are
+    the shingle strings (exact; a 128-bit hash is the production swap —
+    the 1e9+7 polynomial fold would already birthday-collide at ~30k
+    distinct shingles, so it is deliberately NOT used as the join key).
+    """
+    pos_sh = positional_shingles(df, text_col, id_col, k)
+    dup = (
+        pos_sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occurrences)
+        .select("sh")
+    )
+    covered = (
+        pos_sh.join(dup, "sh")
+        .select(F.col(id_col), F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("idx"))
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    base = df.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
+    return (
+        base.join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias("covered_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor(F.coalesce(F.col("covered_tokens"), F.lit(0)) * 1000 / F.col("n_tokens")),
+            ).otherwise(F.lit(0)).cast("long").alias("dup_permille"),
+        )
+    )

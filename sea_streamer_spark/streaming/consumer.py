@@ -135,6 +135,51 @@ class Consumer:
             self.spark, self.url, _replace(self.options, assigned_shards=shards), self._df
         )
 
+    def discover_shards(self) -> list[int] | None:
+        """Fetch shard metadata for this consumer's stream — the metadata
+        half of T4 (kafka/src/consumer.rs:426-445 fetches topic metadata to
+        learn the partition list). Redis backends enumerate ``key:N``
+        sub-streams via SCAN (H4, shard.rs:38-93); the file/envelope backend
+        reads the distinct ``shard_id``s from the log (a bounded
+        metadata-scale scan of one column, never the payloads). Kafka
+        returns ``None``: Spark's source owns partition metadata natively,
+        so there is nothing to fetch driver-side."""
+        scheme = self.url.streamer.scheme
+        if scheme in ("redis", "rediss", "redis+fake"):
+            from ..sources.redis_datasource import make_client
+            from ..uri import reader_config
+            from .redis import discover_shards
+
+            _, opts = reader_config(self.url)
+            return discover_shards(make_client(opts), opts["stream_key"])
+        if scheme == "file":
+            path = self.url.streamer.nodes[0]
+            rows = (
+                self.spark.read.schema(MESSAGE_SCHEMA)
+                .parquet(path)
+                .select("shard_id")
+                .distinct()
+                .collect()
+            )
+            return sorted(int(r.shard_id) for r in rows) or [0]
+        return None
+
+    def reassign(self) -> "Consumer":
+        """T4 ``reassign_partitions``: fetch metadata and self-assign ALL
+        shards (kafka/src/consumer.rs:426-452 — the reference's recovery
+        move after manual assignment narrowed the consumer). Where the
+        backend exposes shard metadata the assignment is explicit (so a
+        subsequent ``unassign`` can narrow it again); on Kafka it clears
+        the manual assignment and lets the source's native subscription
+        own every partition — the same observable semantics."""
+        shards = self.discover_shards()
+        return Consumer(
+            self.spark,
+            self.url,
+            _replace(self.options, assigned_shards=tuple(shards) if shards else ()),
+            self._df,
+        )
+
     def unassign(self, *shards: int) -> "Consumer":
         """T3: remove shards from the assignment; removing the last one
         errors like the reference (types/src/consumer.rs:83-85 — a consumer

@@ -101,3 +101,146 @@ class TestCharLmScore:
         docs = load_tables(spark, sf_dir, "documents").documents
         out = char_lm_score(docs)
         assert out.count() == docs.count()  # every doc scored, none dropped
+
+
+class TestDuplicatedSpanCoverage:
+    """duplicated_span_coverage vs a pure-python positional reference
+    (the Lee et al. exact-substring-dedup metric; registry-deferred to
+    round 4 so round 3's driver budget keeps its exact backlog fit)."""
+
+    CORPUS = [
+        # (doc_id, text) — crafted so coverage exercises: overlapping dup
+        # spans (union, not sum), within-doc repetition, cross-doc spans,
+        # docs with zero dups, and docs shorter than k.
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a quick brown fox runs fast"),           # shares "quick brown fox"
+        (2, "the quick brown fox jumps high today"),  # shares 4-token span -> overlap union
+        (3, "entirely unique words appear here only"),
+        (4, "rep rep rep rep"),                       # within-doc repeated 3-gram
+        (5, "two words"),                             # shorter than k -> 0/0
+    ]
+
+    @staticmethod
+    def _reference(corpus, k=3, min_occ=2):
+        from collections import Counter
+
+        toks = {i: t.split() for i, t in corpus}
+        occ = Counter()
+        for i, tk in toks.items():
+            for p in range(len(tk) - k + 1):
+                occ[" ".join(tk[p : p + k])] += 1
+        out = {}
+        for i, tk in toks.items():
+            covered = set()
+            for p in range(len(tk) - k + 1):
+                if occ[" ".join(tk[p : p + k])] >= min_occ:
+                    covered.update(range(p, p + k))
+            n = len(tk)
+            out[i] = (n, len(covered), (len(covered) * 1000 // n) if n else 0)
+        return out
+
+    def test_matches_pure_python_reference(self, spark):
+        from sea_streamer_spark.operators.dedup import duplicated_span_coverage
+
+        df = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.n_tokens, r.covered_tokens, r.dup_permille)
+            for r in duplicated_span_coverage(df).collect()
+        }
+        assert got == self._reference(self.CORPUS)
+        # sanity on the fixture itself: overlap-union cases really occur
+        assert got[0][1] > 0 and got[3][1] == 0 and got[5] == (2, 0, 0)
+        assert got[4][1] == 4  # within-doc repetition covers the whole doc
+
+    def test_on_documents_table_and_plan_shape(self, spark, sf_dir):
+        """Runs on the driver corpus; plan must contain no cartesian/BNLJ
+        (every join is keyed by shingle or doc id)."""
+        from sea_streamer_spark.operators.dedup import duplicated_span_coverage
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        out = duplicated_span_coverage(docs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        rows = out.collect()
+        assert len(rows) == docs.count()
+        for r in rows:
+            assert 0 <= r.covered_tokens <= max(r.n_tokens, 1)
+            assert 0 <= r.dup_permille <= 1000
+
+
+class TestBloomIncrementalDedup:
+    """operators/bloom.py: the broadcastable-membership incremental dedup
+    gate (registry-deferred to round 4 with a plain anti-join oracle)."""
+
+    def _frames(self, spark, n_corpus=2000, overlap=500, n_new=1500):
+        corpus = spark.createDataFrame(
+            [(f"doc-{i}",) for i in range(n_corpus)], ["fp"]
+        )
+        new = spark.createDataFrame(
+            [(f"doc-{i}",) for i in range(n_corpus - overlap, n_corpus - overlap + n_new)],
+            ["fp"],
+        )
+        return corpus, new
+
+    def test_no_false_negatives_ever(self, spark):
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.operators.bloom import bloom_build, bloom_might_contain
+
+        corpus, _ = self._frames(spark)
+        model = bloom_build(corpus, "fp", m_bits=1 << 15, g=5)
+        misses = (
+            corpus.select(bloom_might_contain(model, F.col("fp")).alias("c"))
+            .filter(~F.col("c"))
+            .count()
+        )
+        assert misses == 0  # the Bloom invariant the exactness proof rests on
+
+    def test_fp_rate_within_occupancy_bound(self, spark):
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.operators.bloom import bloom_build, bloom_might_contain
+
+        corpus, _ = self._frames(spark)
+        model = bloom_build(corpus, "fp", m_bits=1 << 15, g=5)
+        probe = spark.createDataFrame(
+            [(f"other-{i}",) for i in range(4000)], ["fp"]
+        )
+        fps = (
+            probe.select(bloom_might_contain(model, F.col("fp")).alias("c"))
+            .filter(F.col("c"))
+            .count()
+        )
+        # (set_bits/m)^g is the expected rate; allow 3x slack for variance
+        assert fps / 4000 <= 3 * model.fp_rate() + 1e-3, (fps, model.fp_rate())
+
+    def test_result_equals_exact_anti_join(self, spark):
+        from sea_streamer_spark.operators.bloom import bloom_incremental_dedup
+
+        corpus, new = self._frames(spark)
+        got = sorted(r.fp for r in bloom_incremental_dedup(new, corpus, "fp").collect())
+        want = sorted(
+            r.fp for r in new.join(corpus, "fp", "left_anti").collect()
+        )
+        assert got == want and len(got) == 1000
+
+    def test_model_reuse_and_probe_plan_is_join_free(self, spark):
+        """The steady-state path: a persisted model probes map-side — the
+        definite-new branch's plan must contain no join at all."""
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.operators.bloom import (
+            bloom_build,
+            bloom_incremental_dedup,
+            bloom_might_contain,
+        )
+
+        corpus, new = self._frames(spark)
+        model = bloom_build(corpus, "fp", m_bits=1 << 15, g=5)
+        definite = new.filter(~bloom_might_contain(model, F.col("fp")))
+        plan = definite._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "Exchange" not in plan
+        out = bloom_incremental_dedup(new, corpus, "fp", model=model)
+        assert out.count() == 1000

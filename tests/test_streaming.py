@@ -123,6 +123,33 @@ class TestSeekRewindAssign:
         shards = {r.shard_id for r in spark.sql("SELECT DISTINCT shard_id FROM assign_q").collect()}
         assert shards == {1, 2}
 
+    def test_reassign_all_shards_file(self, spark, env_batch, tmp_path):
+        """T4 (kafka/src/consumer.rs:426-452): after narrowing to one
+        shard, reassign() fetches shard metadata and restores ALL of
+        them — discovery reads the log's distinct shard ids."""
+        c = self._consumer(spark, env_batch, tmp_path, "reassign")
+        all_shards = {r.shard_id for r in env_batch.select("shard_id").distinct().collect()}
+        narrowed = c.assign(1)
+        assert narrowed.discover_shards() == sorted(all_shards)
+        narrowed.reassign().start_to_memory("reassign_q")
+        got = {r.shard_id for r in spark.sql("SELECT DISTINCT shard_id FROM reassign_q").collect()}
+        assert got == all_shards
+
+    def test_reassign_all_shards_redis(self, spark, tmp_path):
+        """T4 over the redis backend: discovery is the SCAN sub-stream
+        enumeration (H4), so shards created after the narrow are found."""
+        from sea_streamer_spark.streaming.fake_redis import FakeRedis
+        from sea_streamer_spark.streaming.redis import shard_key
+
+        root = str(tmp_path / "broker")
+        broker = FakeRedis(root=root)
+        for shard in (0, 1, 2):
+            for i in range(3):
+                broker.xadd(shard_key("ev", shard), {b"v": str(i).encode()})
+        c = create_consumer(spark, f"redis+fake://{root}/ev").assign(0)
+        assert c.discover_shards() == [0, 1, 2]
+        assert c.reassign().options.assigned_shards == (0, 1, 2)
+
     def test_seek_latch_on_running_query(self, spark, env_batch, tmp_path):
         """T5: re-seek a live (processingTime) query. The latch guarantee —
         nothing at-or-before the seek position is delivered *after* the

@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Driver-replica sweep: run EVERY oracle-backed registered query on Spark
+and its DuckDB oracle at the driver's gate scale factor (sf0.01), through
+the strict local comparator (dtype-KIND gate included). Prints one line per
+query and a final summary; exits non-zero on any mismatch.
+
+Usage: python tools/sweep_oracle.py [sf_dir] [first_n]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+FIRST_N = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+
+from sea_streamer_spark.plans.queries import QUERIES  # noqa: E402
+from sea_streamer_spark.session import get_spark  # noqa: E402
+from tests.oracle import check_query  # noqa: E402
+
+
+def main() -> int:
+    spark = get_spark(app_name="oracle-sweep")
+    names = [n for n, q in QUERIES.items() if q.oracle is not None]
+    if FIRST_N:
+        names = names[:FIRST_N]
+    failed: list[str] = []
+    t_all = time.perf_counter()
+    for i, name in enumerate(names):
+        t0 = time.perf_counter()
+        try:
+            rows = check_query(spark, name, SF_DIR)
+            print(f"[{i+1}/{len(names)}] PASS {name} rows={rows} "
+                  f"({time.perf_counter()-t0:.2f}s)", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            failed.append(name)
+            print(f"[{i+1}/{len(names)}] FAIL {name}: {exc}", flush=True)
+            traceback.print_exc()
+    print(f"TOTAL {len(names)} queries, {len(failed)} failed, "
+          f"{time.perf_counter()-t_all:.1f}s", flush=True)
+    if failed:
+        print("FAILED:", failed, flush=True)
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
