@@ -124,7 +124,10 @@ class TestDuplicatedSpanCoverage:
     def _reference(corpus, k=3, min_occ=2):
         from collections import Counter
 
-        toks = {i: t.split() for i, t in corpus}
+        import re
+
+        # split semantics: '' -> [''] — matches Spark split / DuckDB string_split
+        toks = {i: re.split(r"\s+", t) for i, t in corpus}
         occ = Counter()
         for i, tk in toks.items():
             for p in range(len(tk) - k + 1):
@@ -138,6 +141,29 @@ class TestDuplicatedSpanCoverage:
             n = len(tk)
             out[i] = (n, len(covered), (len(covered) * 1000 // n) if n else 0)
         return out
+
+
+    # --- randomized sweep (fixed seeds — Spark jobs are too heavy for
+    # per-example hypothesis, so this is the bounded-fuzz equivalent) ---
+
+    def test_randomized_corpora_match_reference(self, spark):
+        import random
+
+        from sea_streamer_spark.operators.dedup import duplicated_span_coverage
+
+        vocab = [f"w{i}" for i in range(12)]  # small vocab -> dense collisions
+        for seed in (7, 42, 1337):
+            rng = random.Random(seed)
+            corpus = [
+                (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+                for i in range(40)
+            ]
+            df = spark.createDataFrame(corpus, ["doc_id", "text"])
+            got = {
+                r.doc_id: (r.n_tokens, r.covered_tokens, r.dup_permille)
+                for r in duplicated_span_coverage(df).collect()
+            }
+            assert got == self._reference(corpus), seed
 
     def test_matches_pure_python_reference(self, spark):
         from sea_streamer_spark.operators.dedup import duplicated_span_coverage
@@ -244,3 +270,71 @@ class TestBloomIncrementalDedup:
         assert "Join" not in plan and "Exchange" not in plan
         out = bloom_incremental_dedup(new, corpus, "fp", model=model)
         assert out.count() == 1000
+
+
+
+class TestEmbeddingWhitening:
+    """operators/embedding.py: one-pass distributed PCA whitening."""
+
+    def test_matches_single_machine_numpy(self, spark, sf_dir):
+        """The distributed sufficient-statistic reduction must agree with
+        plain numpy PCA on the collected matrix (float tolerance — the
+        partition-order of the float sums differs, nothing else may)."""
+        import numpy as np
+
+        from sea_streamer_spark.operators.embedding import fit_whiten, whiten
+        from sea_streamer_spark.sources.tables import load_tables
+
+        emb = load_tables(spark, sf_dir, "embeddings").embeddings.repartition(7)
+        model = fit_whiten(emb, "embedding")
+        x = np.asarray(
+            [r.embedding for r in emb.select("embedding").collect()], dtype=np.float64
+        )
+        mu = x.mean(axis=0)
+        cov = (x - mu).T @ (x - mu) / x.shape[0]
+        lam = np.sort(np.linalg.eigvalsh(cov))[::-1]
+        np.testing.assert_allclose(np.asarray(model.mean), mu, rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(model.eigvals), np.maximum(lam, 0), rtol=1e-6, atol=1e-8
+        )
+
+    def test_whitened_covariance_is_identity(self, spark, sf_dir):
+        import numpy as np
+
+        from sea_streamer_spark.operators.embedding import fit_whiten, whiten
+        from sea_streamer_spark.sources.tables import load_tables
+
+        emb = load_tables(spark, sf_dir, "embeddings").embeddings
+        model = fit_whiten(emb, "embedding", k=16)
+        out = whiten(emb, model, "embedding")
+        assert out.columns == emb.columns + ["whitened"]  # carries all cols
+        y = np.asarray(
+            [r.whitened for r in out.select("whitened").collect()], dtype=np.float64
+        )
+        cov = (y - y.mean(axis=0)).T @ (y - y.mean(axis=0)) / y.shape[0]
+        np.testing.assert_allclose(cov, np.eye(16), atol=5e-3)
+
+    def test_deterministic_across_partitionings(self, spark, sf_dir):
+        """Model reproducibility: the sign convention + eigh must give the
+        same components regardless of how the data was partitioned (float
+        sums reorder, so exact equality is on the rounded model)."""
+        import numpy as np
+
+        from sea_streamer_spark.operators.embedding import fit_whiten
+        from sea_streamer_spark.sources.tables import load_tables
+
+        emb = load_tables(spark, sf_dir, "embeddings").embeddings
+        m1 = fit_whiten(emb.repartition(3), "embedding", k=8)
+        m2 = fit_whiten(emb.repartition(11), "embedding", k=8)
+        np.testing.assert_allclose(
+            np.asarray(m1.components), np.asarray(m2.components), atol=1e-6
+        )
+
+    def test_plan_is_map_only(self, spark, sf_dir):
+        from sea_streamer_spark.operators.embedding import fit_whiten, whiten
+        from sea_streamer_spark.sources.tables import load_tables
+
+        emb = load_tables(spark, sf_dir, "embeddings").embeddings
+        model = fit_whiten(emb, "embedding", k=4)
+        plan = whiten(emb, model, "embedding")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
