@@ -147,3 +147,105 @@ def bloom_incremental_dedup(
         .join(corpus_df.select(key_col).distinct(), key_col, "left_anti")
     )
     return definite.unionByName(verified)
+
+
+# -------------------------------------------------- streaming / incremental
+
+
+def save_model(model: BloomModel, path: str) -> None:
+    """Persist a filter atomically (tmp + rename) as JSON — m/64 longs,
+    ~128 KB at m=2^20; any atomic-rename filesystem keeps readers
+    consistent with a concurrent update."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"m_bits": model.m_bits, "g": model.g, "words": list(model.words)}, f)
+    os.replace(tmp, path)
+
+
+def load_model(path: str) -> BloomModel | None:
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return BloomModel(m_bits=d["m_bits"], g=d["g"], words=tuple(d["words"]))
+
+
+def merge_models(a: BloomModel, b: BloomModel) -> BloomModel:
+    """Union of two filters over the same geometry — the property that makes
+    the filter *incrementally updatable*: OR-ing each batch's word deltas
+    into the persisted filter is exactly a rebuild over corpus ∪ batch."""
+    if (a.m_bits, a.g) != (b.m_bits, b.g):
+        raise ValueError("bloom geometries differ")
+    return BloomModel(
+        m_bits=a.m_bits, g=a.g, words=tuple(x | y for x, y in zip(a.words, b.words))
+    )
+
+
+def streaming_bloom_dedup_sink(
+    out_dir: str,
+    state_dir: str,
+    key_col: str = "fp",
+    m_bits: int = 1 << 18,
+    g: int = 5,
+):
+    """A ``foreachBatch`` sink deduplicating a document firehose against
+    ALL history — the streaming face of :func:`bloom_incremental_dedup`.
+
+    Per micro-batch: (1) probe the persisted filter map-side — rows it
+    cannot clear are verified against the key ledger (a parquet of every
+    key ever admitted; the anti-join's left side is only the maybe-dup
+    sliver); (2) batch-internal dups collapse via ``dropDuplicates`` on the
+    key; (3) survivors append to ``out_dir`` and the ledger, and their bits
+    OR into the filter (:func:`merge_models` — an incremental update IS a
+    rebuild, so no re-scan of history ever happens).
+
+    Crash contract: the batch-id marker is written only after data, ledger
+    and filter all publish (atomic renames). A replayed batch is a no-op at
+    the marker; a crash mid-batch re-runs it — the data/ledger writes are
+    overwrite-by-batch-path (idempotent), and re-OR-ing bits is idempotent
+    by construction. State scales with the filter geometry + one key row
+    per admitted doc; the stream itself is never joined against history.
+    Wrap with ``sink.idempotent_foreach_batch`` for the marker ledger."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(state_dir, exist_ok=True)
+    model_path = os.path.join(state_dir, "bloom.json")
+    ledger_dir = os.path.join(state_dir, "keys")
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates([key_col])
+        model = load_model(model_path)
+        if model is None:
+            model = BloomModel(m_bits=m_bits, g=g, words=(0,) * (m_bits // 64))
+        flagged = batch.withColumn("__maybe", bloom_might_contain(model, F.col(key_col)))
+        definite = flagged.filter(~F.col("__maybe")).drop("__maybe")
+        maybe = flagged.filter(F.col("__maybe")).drop("__maybe")
+        if os.path.exists(ledger_dir) and os.listdir(ledger_dir):
+            # exclude THIS batch's own ledger partition: on crash-replay the
+            # first attempt's keys are already there and would make every
+            # replayed row look like history (data loss on the rewrite)
+            seen = (
+                spark.read.parquet(ledger_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .select(key_col)
+            )
+            maybe = maybe.join(seen, key_col, "left_anti")
+        new = definite.unionByName(maybe).localCheckpoint(eager=True)
+        # overwrite-by-batch-path: replay rewrites identical content
+        new.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        new.select(key_col).write.mode("overwrite").parquet(
+            os.path.join(ledger_dir, f"batch_id={batch_id}")
+        )
+        delta = bloom_build(new, key_col, m_bits=model.m_bits, g=model.g)
+        save_model(merge_models(model, delta), model_path)
+
+    return write

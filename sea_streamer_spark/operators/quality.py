@@ -202,13 +202,11 @@ def char_lm_score(
     Plan: ONE bigram explode feeding both the model (bigram-count shuffle;
     prefix counts derived by a window over it, not a second scan) and the
     per-doc means (doc-key shuffle); the model table joins back broadcast.
-    The output is fixed-point BIGINT micro-units. Registry note:
-    deliberately NOT a registered query in round 3 — the 50-query driver
-    budget exactly covers the unsampled backlog; this registers in round 4.
-    At registration time, switch the mean from ``avg(logp)`` to a
-    per-bigram micro-rounded SUM divided by the count (the BM25/TF-IDF
-    fixed-point convention) so the driver hash is immune to float
-    summation order.
+    The output is fixed-point BIGINT micro-units; ``sum_logp_micro`` sums
+    per-bigram micro-rounded contributions (the BM25/TF-IDF fixed-point
+    convention — order-independent, so the driver hash is immune to float
+    summation order; it is what the registered query ``quality_char_lm``
+    exposes), ``mean_logp_micro`` is the float mean for human use.
     """
     from pyspark.sql import Window
 
@@ -240,10 +238,14 @@ def char_lm_score(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             F.round(F.avg("logp") * 1_000_000).cast("long").alias("mean_logp_micro"),
+            F.sum(F.round(F.col("logp") * 1_000_000).cast("long"))
+            .cast("long")
+            .alias("sum_logp_micro"),
         )
     )
     return df.select(id_col).join(scored, id_col, "left").select(
         id_col,
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.coalesce("mean_logp_micro", F.lit(0)).alias("mean_logp_micro"),
+        F.coalesce("sum_logp_micro", F.lit(0).cast("long")).alias("sum_logp_micro"),
     )

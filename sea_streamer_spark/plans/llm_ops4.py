@@ -1,0 +1,253 @@
+"""LLM-pipeline queries, part 4 (registered late in round 3, ranked AFTER
+the driver's 50-query backlog window — see plans/queries.py `_POST_BUDGET`):
+exact-substring dedup coverage, Bloom-gated incremental dedup, the corpus
+char-bigram LM quality score, and PCA-whitening projection.
+
+Float determinism follows the part-3 convention: any per-row float
+contribution that gets summed is micro-rounded to BIGINT first
+(order-independent), and any float expression shared with the oracle uses
+the identical operand types and fold order.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..operators.bloom import bloom_incremental_dedup
+from ..operators.dedup import duplicated_span_coverage
+from ..operators.quality import char_lm_score
+from ..sources.tables import load_tables
+from .llm_ops import ORACLE_SF_DIR, lit_vec
+from .registry import query
+
+_TOKS = "string_split_regex(text, '\\s+')"
+
+
+@query(
+    "dedup_span_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), pos AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+      FROM toks WHERE len(tk) >= 3
+    ), sh AS (
+      SELECT doc_id, i - 1 AS pos,
+             tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS sh
+      FROM pos
+    ), dup AS (
+      SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, idx FROM (
+        SELECT s.doc_id, s.pos + unnest([0, 1, 2]) AS idx
+        FROM sh s JOIN dup USING (sh)
+      )
+    ), covered AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           CAST(CASE WHEN len(t.tk) > 0
+                THEN FLOOR(COALESCE(c.covered_tokens, 0) * 1000.0 / len(t.tk))
+                ELSE 0 END AS BIGINT) AS dup_permille
+    FROM toks t LEFT JOIN covered c USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage (Lee et al. arXiv:2107.06499,
+    the exact-substring dedup metric as a k-gram corpus join) — see
+    operators/dedup.duplicated_span_coverage for the plan shape (positional
+    k-gram explode, one k-gram-keyed count shuffle, same-key join back,
+    doc-keyed distinct-covered-index count; never corpus²)."""
+    t = load_tables(spark, sf_dir, "documents")
+    return duplicated_span_coverage(t.documents).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "covered_tokens",
+        "dup_permille",
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_bloom_incremental",
+    oracle="""
+    SELECT n.doc_id, md5(n.text) AS fp
+    FROM documents n
+    WHERE n.doc_id >= 300
+      AND NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.doc_id < 350 AND md5(c.text) = md5(n.text)
+      )
+    ORDER BY n.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup through the Bloom membership gate
+    (operators/bloom.py): docs ≥300 are the fresh batch, docs <350 the
+    historical corpus (fingerprint = md5(text)). The registered result is
+    EXACT — identical to the plain anti-join the oracle runs — because the
+    filter has no false negatives and maybe-dups are verified; the Bloom's
+    only job is keeping the corpus join off the provably-new rows."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    corpus = docs.filter(F.col("doc_id") < 350).select(F.md5("text").alias("fp"))
+    new = docs.filter(F.col("doc_id") >= 300).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    return (
+        bloom_incremental_dedup(new, corpus, "fp", m_bits=1 << 16, g=5)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "quality_char_lm",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text) - 1)) AS i
+      FROM documents WHERE length(text) >= 2
+    ), bg AS (
+      SELECT doc_id, substr(text, i, 2) AS bigram FROM pos
+    ), model AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bg GROUP BY bigram
+    ), model2 AS (
+      SELECT bigram, n_ab,
+             SUM(n_ab) OVER (PARTITION BY substr(bigram, 1, 1)) AS n_a
+      FROM model
+    ), logp AS (
+      SELECT bigram, ln(CAST(n_ab + 1 AS DOUBLE) / (n_a + 256)) AS lp FROM model2
+    ), scored AS (
+      SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(ROUND(lp * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_logp_micro
+      FROM bg JOIN logp USING (bigram) GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(s.sum_logp_micro, 0) AS BIGINT) AS sum_logp_micro
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def quality_char_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained Laplace char-bigram LM quality score
+    (operators/quality.char_lm_score — one bigram explode feeds both the
+    broadcastable model and the per-doc aggregates). The registered columns
+    are the fixed-point order-independent pair (n_bigrams,
+    sum_logp_micro); per-bigram log-probs are micro-rounded BEFORE the sum
+    so the hash is immune to float summation order."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    return char_lm_score(docs).select(
+        "doc_id", "n_bigrams", "sum_logp_micro"
+    ).orderBy("doc_id")
+
+
+# ----------------------------------------------------------- whitening query
+
+_WHITEN_K = 4
+_whiten_cache: dict[str, object] = {}
+
+
+def whiten_fit_np(parquet_path: str, k: int = _WHITEN_K):
+    """Deterministic single-order numpy PCA fit over an embeddings parquet
+    (the oracle-trainer replica of operators/embedding.fit_whiten — the
+    distributed sufficient-statistic fit is float-partition-order dependent
+    in the last ulp, so the REGISTERED query and its oracle share this
+    driver-side fit; the distributed op is the 100 TB fitting path).
+    Returns (mu, W) or None when the file is absent/degenerate."""
+    key = f"{parquet_path}|{k}"
+    if key not in _whiten_cache:
+        model = None
+        try:
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            x = np.asarray(
+                pq.read_table(parquet_path, columns=["embedding"])
+                .column("embedding")
+                .to_pylist(),
+                dtype=np.float64,
+            )
+            if x.ndim == 2 and x.shape[0] >= 2:
+                mu = x.mean(axis=0)
+                xc = x - mu
+                lam, vec = np.linalg.eigh(xc.T @ xc / x.shape[0])
+                order = np.argsort(lam)[::-1][:k]
+                lam, vec = np.maximum(lam[order], 0.0), vec[:, order]
+                for j in range(vec.shape[1]):
+                    i = int(np.argmax(np.abs(vec[:, j])))
+                    if vec[i, j] < 0:
+                        vec[:, j] = -vec[:, j]
+                w = vec / np.sqrt(lam + 1e-6)
+                model = (mu, w)
+        except Exception:
+            model = None
+        _whiten_cache[key] = model
+    return _whiten_cache[key]
+
+
+def _duck_diff_dot(mu_lit: str, w_lit: str) -> str:
+    """DuckDB fold for (embedding - mu)·w — operand types and fold order
+    identical to the Spark side (zip, cast-to-double, left-to-right sum)."""
+    diff = (
+        f"list_transform(list_zip(embedding, {mu_lit}), "
+        f"s -> CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
+    )
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({diff}, {w_lit}), "
+        f"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _build_whiten_oracle() -> str | None:
+    model = whiten_fit_np(os.path.join(ORACLE_SF_DIR, "embeddings.parquet"))
+    if model is None:
+        return None
+    mu, w = model
+    mu_lit = lit_vec(mu)
+    cols = ", ".join(
+        f"CAST(ROUND({_duck_diff_dot(mu_lit, lit_vec(w[:, j]))} * 1000000.0) "
+        f"AS BIGINT) AS y{j}"
+        for j in range(w.shape[1])
+    )
+    return f"SELECT vec_id, {cols} FROM embeddings ORDER BY vec_id"
+
+
+@query(
+    "embedding_whiten_project",
+    oracle=_build_whiten_oracle(),
+    tags=("llm", "similarity"),
+)
+def embedding_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitening projection onto the top-4 principal directions
+    (operators/embedding.py rationale): model fitted once driver-side from
+    the sf's embeddings parquet (numpy, deterministic — see whiten_fit_np;
+    fit_whiten is the distributed-fit path), μ/W shipped as column
+    literals, projection = JVM-side zip_with/aggregate folds (the
+    similarity.dot contract — bit-identical to the oracle's list_reduce),
+    outputs micro-rounded BIGINT. Map-only at any scale. NOTE: oracle
+    embeds ORACLE_SF_DIR-derived literals — compare only at that sf."""
+    model = whiten_fit_np(os.path.join(sf_dir, "embeddings.parquet"))
+    if model is None:
+        raise FileNotFoundError(f"no embeddings parquet under {sf_dir}")
+    mu, w = model
+    t = load_tables(spark, sf_dir, "embeddings")
+    mu_lit = F.lit([float(v) for v in mu])
+    diff = F.zip_with(
+        F.col("embedding"), mu_lit, lambda x, y: x.cast("double") - y.cast("double")
+    )
+    cols = [
+        F.round(S.dot(diff, F.lit([float(v) for v in w[:, j]])) * 1_000_000)
+        .cast("long")
+        .alias(f"y{j}")
+        for j in range(w.shape[1])
+    ]
+    return t.embeddings.select("vec_id", *cols).orderBy("vec_id")

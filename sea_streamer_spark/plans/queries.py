@@ -23,6 +23,7 @@ try:  # LLM-pipeline ops land in a later milestone of each round
     from . import llm_ops  # noqa: F401
     from . import llm_ops2  # noqa: F401
     from . import llm_ops3  # noqa: F401
+    from . import llm_ops4  # noqa: F401
 except ImportError:
     pass
 
@@ -91,10 +92,23 @@ _PRIORITY_RESAMPLE: tuple[str, ...] = (
 )
 
 
-def _rank(item: tuple[str, object]) -> tuple[int, int]:
+#: Registered AFTER the round-3 driver-budget window was frozen: ranked
+#: right behind the 50-query backlog (positions 51+), so the driver's
+#: budget still covers the backlog exactly; these get rows next round (or
+#: this round, if the budget turns out to exceed 50 — they pass the same
+#: strict local sweep as everything else).
+_POST_BUDGET: tuple[str, ...] = (
+    "dedup_span_coverage", "dedup_bloom_incremental", "quality_char_lm",
+    "embedding_whiten_project",
+)
+
+
+def _rank(item: tuple[str, object]) -> tuple[float, int]:
     name = item[0]
     if name in _PRIORITY_RESAMPLE:
         return (-1, _PRIORITY_RESAMPLE.index(name))
+    if name in _POST_BUDGET:
+        return (2.5, _POST_BUDGET.index(name))
     if name in _R01_DRIVER_VERIFIED:
         return (3, _R01_DRIVER_VERIFIED.index(name))
     if name in _R02_DRIVER_VERIFIED:

@@ -72,7 +72,7 @@ class TestCharLmScore:
         ]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = {
-            r.doc_id: (r.n_bigrams, r.mean_logp_micro)
+            r.doc_id: (r.n_bigrams, r.mean_logp_micro, r.sum_logp_micro)
             for r in char_lm_score(df).collect()
         }
         bg, pre = Counter(), Counter()
@@ -86,13 +86,17 @@ class TestCharLmScore:
                 math.log((bg[t[i : i + 2]] + 1) / (pre[t[i]] + 256))
                 for i in range(len(t) - 1)
             ]
-            return (len(lps), round(sum(lps) / len(lps) * 1e6) if lps else 0)
+            return (
+                len(lps),
+                round(sum(lps) / len(lps) * 1e6) if lps else 0,
+                sum(round(lp * 1e6) for lp in lps),
+            )
 
         for d, t in rows:
             assert got[d] == ref(t), (d, got[d], ref(t))
         # the signal: natural prose above consonant junk; degenerate docs 0
         assert got[0][1] > got[2][1]
-        assert got[3] == (0, 0) and got[4] == (0, 0)
+        assert got[3] == (0, 0, 0) and got[4] == (0, 0, 0)
 
     def test_corpus_run_is_total(self, spark, sf_dir):
         from sea_streamer_spark.operators.quality import char_lm_score
@@ -338,3 +342,74 @@ class TestEmbeddingWhitening:
         model = fit_whiten(emb, "embedding", k=4)
         plan = whiten(emb, model, "embedding")._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestStreamingBloomDedup:
+    """streaming_bloom_dedup_sink: firehose-vs-all-history dedup with a
+    persisted, incrementally-updated filter."""
+
+    def _run_batch(self, spark, sink, rows, batch_id):
+        df = spark.createDataFrame(rows, ["doc_id", "fp"])
+        sink(df, batch_id)
+
+    def test_cross_batch_and_within_batch_dedup(self, spark, tmp_path):
+        from sea_streamer_spark.operators.bloom import streaming_bloom_dedup_sink
+
+        out = str(tmp_path / "out")
+        state = str(tmp_path / "state")
+        sink = streaming_bloom_dedup_sink(out, state, key_col="fp")
+        self._run_batch(spark, sink, [(1, "a"), (2, "b"), (3, "b")], 0)
+        self._run_batch(spark, sink, [(4, "b"), (5, "c"), (6, "a")], 1)
+        self._run_batch(spark, sink, [(7, "d"), (8, "c")], 2)
+        got = sorted(r.fp for r in spark.read.parquet(out).collect())
+        # one survivor per distinct key, ever
+        assert got == ["a", "b", "c", "d"]
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        from sea_streamer_spark.operators.bloom import streaming_bloom_dedup_sink
+
+        out = str(tmp_path / "out")
+        state = str(tmp_path / "state")
+        sink = streaming_bloom_dedup_sink(out, state, key_col="fp")
+        self._run_batch(spark, sink, [(1, "a"), (2, "b")], 0)
+        self._run_batch(spark, sink, [(3, "c")], 1)
+        # crash-replay of batch 1: overwrite-by-batch-path + idempotent OR
+        self._run_batch(spark, sink, [(3, "c")], 1)
+        got = sorted(r.fp for r in spark.read.parquet(out).collect())
+        assert got == ["a", "b", "c"]
+
+    def test_streaming_end_to_end(self, spark, tmp_path):
+        """Through a real streaming query (availableNow, rate-limited file
+        source standing in for the firehose)."""
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.operators.bloom import streaming_bloom_dedup_sink
+        from sea_streamer_spark.streaming.sink import idempotent_foreach_batch
+
+        src = str(tmp_path / "src")
+        # 3 files -> 3 micro-batches (maxFilesPerTrigger=1); keys overlap
+        for i, keys in enumerate((["x", "y"], ["y", "z"], ["z", "x", "w"])):
+            spark.createDataFrame(
+                [(i * 10 + j, k) for j, k in enumerate(keys)], ["doc_id", "fp"]
+            ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+        out = str(tmp_path / "out")
+        state = str(tmp_path / "state")
+        stream = (
+            spark.readStream.schema("doc_id long, fp string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                idempotent_foreach_batch(
+                    streaming_bloom_dedup_sink(out, state, key_col="fp"),
+                    str(tmp_path / "marker"),
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(r.fp for r in spark.read.parquet(out).collect())
+        assert got == ["w", "x", "y", "z"]

@@ -20,6 +20,7 @@ _PINNED_SF = {
     "similarity_ann_ivf_pq",
     "agg_approx_sketches",
     "dedup_semantic_ivf",
+    "embedding_whiten_project",
 }
 
 
