@@ -26,7 +26,11 @@ from sea_streamer_spark.operators.curation import (
     hash_split,
     pack_token_budget,
 )
-from sea_streamer_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
+from sea_streamer_spark.operators.dedup import (
+    duplicated_span_coverage,
+    exact_dedup,
+    minhash_lsh_dedup,
+)
 from sea_streamer_spark.operators.graph import dedup_clusters
 from sea_streamer_spark.operators.quality import gopher_quality_flags, pii_redact
 from sea_streamer_spark.operators.text import quality_score
@@ -48,6 +52,12 @@ def main() -> None:
     # 1. quality gate: drop bottom-quality docs (heuristic scorer)
     scored = quality_score(docs).select("doc_id", "quality")
     kept = docs.join(scored, "doc_id").filter(F.col("quality") >= 0.5)
+
+    # 1b. duplicated-span gate (Lee et al. exact-substring metric): drop
+    #     docs that are mostly corpus-duplicated text even when no whole-doc
+    #     duplicate exists — catches boilerplate the doc-level dedups miss
+    cov = duplicated_span_coverage(kept).select("doc_id", "dup_permille")
+    kept = kept.join(cov.filter(F.col("dup_permille") <= 800), "doc_id", "left_semi")
 
     # 2. exact dedup: keep the smallest doc_id per identical text
     winners = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
