@@ -193,25 +193,34 @@ def streaming_bloom_dedup_sink(
     key_col: str = "fp",
     m_bits: int = 1 << 18,
     g: int = 5,
+    n_buckets: int = 64,
 ):
     """A ``foreachBatch`` sink deduplicating a document firehose against
     ALL history — the streaming face of :func:`bloom_incremental_dedup`.
 
     Per micro-batch: (1) probe the persisted filter map-side — rows it
-    cannot clear are verified against the key ledger (a parquet of every
-    key ever admitted; the anti-join's left side is only the maybe-dup
-    sliver); (2) batch-internal dups collapse via ``dropDuplicates`` on the
-    key; (3) survivors append to ``out_dir`` and the ledger, and their bits
-    OR into the filter (:func:`merge_models` — an incremental update IS a
-    rebuild, so no re-scan of history ever happens).
+    cannot clear are verified against the key ledger; (2) batch-internal
+    dups collapse via ``dropDuplicates`` on the key; (3) survivors append
+    to ``out_dir`` and the ledger, and their bits OR into the filter
+    (:func:`merge_models` — an incremental update IS a rebuild, so the
+    filter never re-scans history).
+
+    The ledger is **bucket-partitioned** by a key hash (``n_buckets``
+    hive-style partitions inside each batch directory), so the per-batch
+    verification reads only the buckets the maybe-dup sliver actually
+    touches — partition pruning bounds the history scanned per batch by
+    ``(corpus / n_buckets) × |distinct maybe buckets|`` instead of the full
+    corpus. Size ``n_buckets`` so a bucket fits an executor's working set
+    (thousands at 100 TB); with a well-sized filter the sliver is tiny, so
+    most batches read a handful of buckets or none.
 
     Crash contract: the batch-id marker is written only after data, ledger
     and filter all publish (atomic renames). A replayed batch is a no-op at
     the marker; a crash mid-batch re-runs it — the data/ledger writes are
-    overwrite-by-batch-path (idempotent), and re-OR-ing bits is idempotent
-    by construction. State scales with the filter geometry + one key row
-    per admitted doc; the stream itself is never joined against history.
-    Wrap with ``sink.idempotent_foreach_batch`` for the marker ledger."""
+    overwrite-by-batch-path (idempotent), re-OR-ing bits is idempotent by
+    construction, and verification excludes the batch's own ledger
+    partition (a replay must not see its first attempt as history). Wrap
+    with ``sink.idempotent_foreach_batch`` for the marker ledger."""
     import os
 
     from pyspark.sql import functions as F
@@ -219,6 +228,9 @@ def streaming_bloom_dedup_sink(
     os.makedirs(state_dir, exist_ok=True)
     model_path = os.path.join(state_dir, "bloom.json")
     ledger_dir = os.path.join(state_dir, "keys")
+
+    def bucket_of(col):
+        return F.pmod(F.xxhash64(col, F.lit(0x42)), F.lit(n_buckets))
 
     def write(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -228,21 +240,33 @@ def streaming_bloom_dedup_sink(
             model = BloomModel(m_bits=m_bits, g=g, words=(0,) * (m_bits // 64))
         flagged = batch.withColumn("__maybe", bloom_might_contain(model, F.col(key_col)))
         definite = flagged.filter(~F.col("__maybe")).drop("__maybe")
-        maybe = flagged.filter(F.col("__maybe")).drop("__maybe")
+        maybe = (
+            flagged.filter(F.col("__maybe"))
+            .drop("__maybe")
+            .withColumn("__bucket", bucket_of(F.col(key_col)))
+            .localCheckpoint(eager=True)  # probed twice (bucket set + join)
+        )
         if os.path.exists(ledger_dir) and os.listdir(ledger_dir):
-            # exclude THIS batch's own ledger partition: on crash-replay the
-            # first attempt's keys are already there and would make every
-            # replayed row look like history (data loss on the rewrite)
-            seen = (
-                spark.read.parquet(ledger_dir)
-                .filter(F.col("batch_id") != batch_id)
-                .select(key_col)
-            )
-            maybe = maybe.join(seen, key_col, "left_anti")
-        new = definite.unionByName(maybe).localCheckpoint(eager=True)
+            buckets = [r[0] for r in maybe.select("__bucket").distinct().collect()]
+            if buckets:
+                seen = (
+                    spark.read.parquet(ledger_dir)
+                    # partition pruning: only the sliver's buckets are read,
+                    # and never this batch's own partition (crash-replay
+                    # must not see its first attempt as history)
+                    .filter(
+                        (F.col("batch_id") != batch_id)
+                        & F.col("bucket").isin(buckets)
+                    )
+                    .select(key_col)
+                )
+                maybe = maybe.join(seen, key_col, "left_anti")
+        new = definite.unionByName(maybe.drop("__bucket")).localCheckpoint(eager=True)
         # overwrite-by-batch-path: replay rewrites identical content
         new.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
-        new.select(key_col).write.mode("overwrite").parquet(
+        new.select(
+            key_col, bucket_of(F.col(key_col)).alias("bucket")
+        ).write.partitionBy("bucket").mode("overwrite").parquet(
             os.path.join(ledger_dir, f"batch_id={batch_id}")
         )
         delta = bloom_build(new, key_col, m_bits=model.m_bits, g=model.g)
