@@ -251,3 +251,81 @@ def embedding_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(w.shape[1])
     ]
     return t.embeddings.select("vec_id", *cols).orderBy("vec_id")
+
+
+# ------------------------------------------------------ count-min heavy hitters
+
+from ..operators import text as T  # noqa: E402
+from ..operators.sketch import CMS_AB, cms_build, cms_estimate_expr  # noqa: E402
+
+_CMS_W = 1024
+
+
+def _cms_oracle() -> str:
+    fold = T.duck_char_fold("token")
+    kcols = ", ".join(
+        f"(({a} * h + {b}) % 1000000007) % {_CMS_W} AS k{j}"
+        for j, (a, b) in enumerate(CMS_AB)
+    )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {j} AS j, k{j} AS k, n_exact FROM buckets" for j in range(len(CMS_AB))
+    )
+    joins = "\n    ".join(
+        f"JOIN grid g{j} ON g{j}.j = {j} AND g{j}.k = t.k{j}" for j in range(len(CMS_AB))
+    )
+    least = ", ".join(f"g{j}.c" for j in range(len(CMS_AB)))
+    return f"""
+    WITH tf AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM (SELECT unnest({T.duck_tokens('text')}) AS token FROM documents)
+      GROUP BY token
+    ), h AS (
+      SELECT token, n_exact, {fold} AS h FROM tf
+    ), buckets AS (
+      SELECT token, n_exact, {kcols} FROM h
+    ), grid AS (
+      SELECT j, k, CAST(SUM(n_exact) AS BIGINT) AS c
+      FROM ({unions})
+      GROUP BY j, k
+    ), topk AS (
+      SELECT * FROM buckets ORDER BY n_exact DESC, token LIMIT 20
+    )
+    SELECT t.token, t.n_exact, LEAST({least}) AS n_est
+    FROM topk t
+    {joins}
+    ORDER BY t.n_exact DESC, t.token
+    """
+
+
+@query(
+    "sketch_heavy_hitters",
+    oracle=_cms_oracle(),
+    tags=("llm", "sketch"),
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens with exact counts AND their Count-Min sketch
+    estimates (operators/sketch.py — d×w counter grid, geometry-bounded
+    build, map-side literal-lookup probe). The exact counts are the truth
+    the sketch is judged against; the DuckDB oracle REBUILDS the entire
+    grid in SQL (the portable polynomial hash makes every bucket index
+    replayable), so est>=exact one-sidedness and the exact estimates are
+    both value-hash checked. The sketch is the bounded-memory path for
+    live token-frequency tracking (cms_merge of per-batch deltas == one
+    big build); this query is its audit."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    tf = (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    model = cms_build(tf, "token", width=_CMS_W, weight_col="n_exact")
+    return (
+        tf.orderBy(F.desc("n_exact"), "token")
+        .limit(20)
+        .select(
+            "token",
+            "n_exact",
+            cms_estimate_expr(model, F.col("token")).alias("n_est"),
+        )
+        .orderBy(F.desc("n_exact"), "token")
+    )

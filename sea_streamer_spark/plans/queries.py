@@ -99,7 +99,7 @@ _PRIORITY_RESAMPLE: tuple[str, ...] = (
 #: strict local sweep as everything else).
 _POST_BUDGET: tuple[str, ...] = (
     "dedup_span_coverage", "dedup_bloom_incremental", "quality_char_lm",
-    "embedding_whiten_project",
+    "embedding_whiten_project", "sketch_heavy_hitters",
 )
 
 

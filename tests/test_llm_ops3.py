@@ -433,3 +433,66 @@ class TestStreamingBloomDedup:
         self._run_batch(spark, sink, [(200, "k0"), (201, "fresh")], 2)
         got = sorted(r.fp for r in spark.read.parquet(out).collect())
         assert got == sorted([f"k{i}" for i in range(40)] + ["fresh"])
+
+
+class TestCountMinSketch:
+    """operators/sketch.py: bounded-memory frequency estimation."""
+
+    def test_one_sided_error_and_bound(self, spark):
+        import random
+
+        from sea_streamer_spark.operators.sketch import CMS_DEPTH, cms_build
+
+        rng = random.Random(11)
+        # zipf-ish: key i appears ~ 1000/i times
+        rows = [(f"key{i}",) for i in range(1, 200) for _ in range(1000 // i)]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, ["k"])
+        model = cms_build(df, "k", width=512)
+        from collections import Counter
+
+        true = Counter(r[0] for r in rows)
+        n = len(rows)
+        eps = 2.718 / 512  # e/w
+        over = 0
+        for k, t in true.items():
+            est = model.estimate(k)
+            assert est >= t, (k, est, t)  # one-sided, always
+            if est > t + eps * n:
+                over += 1
+        # est <= true + eps*N holds w.p. 1-exp(-d) per key
+        assert over <= len(true) * (2.72 ** -CMS_DEPTH) * 3 + 1, over
+        assert model.total == n
+
+    def test_merge_equals_rebuild(self, spark):
+        from sea_streamer_spark.operators.sketch import cms_build, cms_merge
+
+        a = spark.createDataFrame([(f"a{i % 7}",) for i in range(50)], ["k"])
+        b = spark.createDataFrame([(f"a{i % 5}",) for i in range(30)], ["k"])
+        merged = cms_merge(cms_build(a, "k", 256), cms_build(b, "k", 256))
+        rebuilt = cms_build(a.unionByName(b), "k", 256)
+        assert merged == rebuilt  # the streaming-accumulator property
+
+    def test_expr_matches_python_estimate(self, spark):
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.operators.sketch import cms_build, cms_estimate_expr
+
+        df = spark.createDataFrame([(f"t{i % 9}",) for i in range(90)], ["k"])
+        model = cms_build(df, "k", width=128)
+        got = {
+            r.k: r.est
+            for r in df.distinct()
+            .select("k", cms_estimate_expr(model, F.col("k")).alias("est"))
+            .collect()
+        }
+        for k, est in got.items():
+            assert est == model.estimate(k)
+        # probe plan is join- and shuffle-free (literal grid lookups)
+        plan = (
+            df.select(cms_estimate_expr(model, F.col("k")))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan and "Exchange" not in plan
