@@ -329,3 +329,86 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_exact"), "token")
     )
+
+
+# ------------------------------------------------- trailing z-score anomalies
+
+_Z_TRAIL = 24  # trailing windows in the baseline
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS w,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), trail AS (
+      SELECT event_type, w, c,
+             CAST(COUNT(*)  OVER t AS BIGINT) AS n_hist,
+             CAST(SUM(c)    OVER t AS BIGINT) AS s1,
+             CAST(SUM(c*c)  OVER t AS BIGINT) AS s2
+      FROM hourly
+      WINDOW t AS (PARTITION BY event_type ORDER BY w
+                   ROWS BETWEEN {_Z_TRAIL} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, w AS window_start, c,
+           CAST(ROUND(
+             (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n_hist)
+             / SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_hist)
+                    / n_hist + 1.0)
+             * 1000000.0) AS BIGINT) AS z_micro
+    FROM trail
+    WHERE n_hist = {_Z_TRAIL}
+    ORDER BY event_type, window_start
+    """,
+    tags=("streaming", "window", "llm"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection over the event stream:
+    per (event_type, 1 h tumbling window) counts scored against the mean/
+    stddev of the previous 24 fully-observed windows — the classic
+    stream-analytics anomaly primitive (the processor-loop pattern P1 with
+    state expressed as window frames instead of an imperative buffer).
+
+    Plan: one keyed count shuffle + one window shuffle per event_type —
+    both scale with distinct (type, hour) cardinality, not event volume
+    (counts pre-aggregate map-side). Engine-exact: the trailing stats are
+    INTEGER sums (s1, s2) folded into one double expression with identical
+    operand order in both engines, then micro-rounded; +1.0 variance floor
+    keeps constant-rate series finite. In streaming mode the same hourly
+    counts come from the watermark windowed agg and the z-score joins
+    against the persisted trailing table."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "events")
+    hourly = (
+        t.events.groupBy("event_type", F.window("ts", "1 hour").alias("wd"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select("event_type", F.col("wd.start").alias("window_start"), "c")
+    )
+    trail = Window.partitionBy("event_type").orderBy("window_start").rowsBetween(
+        -_Z_TRAIL, -1
+    )
+    scored = hourly.select(
+        "event_type",
+        "window_start",
+        "c",
+        F.count(F.lit(1)).over(trail).cast("long").alias("n_hist"),
+        F.sum("c").over(trail).cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(trail).cast("long").alias("s2"),
+    ).filter(F.col("n_hist") == _Z_TRAIL)
+    z = (
+        (F.col("c").cast("double") - F.col("s1").cast("double") / F.col("n_hist"))
+        / F.sqrt(
+            (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n_hist"))
+            / F.col("n_hist")
+            + F.lit(1.0)
+        )
+    )
+    return scored.select(
+        "event_type",
+        "window_start",
+        "c",
+        F.round(z * 1_000_000).cast("long").alias("z_micro"),
+    ).orderBy("event_type", "window_start")
