@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from sea_streamer_spark import get_spark
 from sea_streamer_spark.operators.bloom import load_model, streaming_bloom_dedup_sink
+from sea_streamer_spark.operators.sketch import cms_build, cms_merge, load_cms, save_cms
 from sea_streamer_spark.sources.tables import load_tables
 from sea_streamer_spark.streaming.sink import idempotent_foreach_batch
 
@@ -54,10 +55,18 @@ def main() -> None:
     state = os.path.join(work, "state")
     sink = streaming_bloom_dedup_sink(out, state, key_col="fp")
 
+    cms_path = os.path.join(state, "tokens.cms.json")
+
     def gated(batch, batch_id):
         # per-batch fingerprint + cheap quality gate, then the dedup sink
         batch = batch.withColumn("fp", F.md5("text")).filter(F.length("text") > 0)
         sink(batch, batch_id)
+        # live token-frequency tracking: per-batch CMS delta OR'd into the
+        # persisted grid (merge == rebuild; geometry-bounded, like the filter)
+        toks = batch.select(F.explode(F.split("text", r"\s+")).alias("tok"))
+        delta = cms_build(toks, "tok", width=1024)
+        prev = load_cms(cms_path)
+        save_cms(cms_merge(prev, delta) if prev else delta, cms_path)
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -81,6 +90,10 @@ def main() -> None:
     print(f"admitted (distinct content, ever): {admitted.count()}")
     print(f"filter occupancy: {model.set_bits}/{model.m_bits} bits, "
           f"expected fp rate {model.fp_rate():.2e}")
+    cms = load_cms(cms_path)
+    probe = ["the", "data", "spark"]
+    ests = {t: cms.estimate(t) for t in probe}
+    print(f"live token-frequency sketch (N={cms.total}): {ests}")
     print(f"state dir: {state} — re-running this script admits 0 new docs")
     spark.stop()
 

@@ -122,3 +122,26 @@ def cms_merge(a: CmsModel, b: CmsModel) -> CmsModel:
             tuple(x + y for x, y in zip(ra, rb)) for ra, rb in zip(a.grid, b.grid)
         ),
     )
+
+
+def save_cms(model: CmsModel, path: str) -> None:
+    """Atomic JSON persistence (tmp + rename), like bloom.save_model — the
+    grid is d·w longs, a few tens of KB at the default geometry."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"width": model.width, "grid": [list(g) for g in model.grid]}, f)
+    os.replace(tmp, path)
+
+
+def load_cms(path: str) -> CmsModel | None:
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return CmsModel(width=d["width"], grid=tuple(tuple(g) for g in d["grid"]))

@@ -292,3 +292,37 @@ class TestRound3QueryPlans:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "EvalPython" not in plan, plan
         assert _shuffle_exchanges(plan) <= 4, plan
+
+
+class TestPostBudgetQueryPlans:
+    """Round-3 post-budget registrations: the plan properties their 100 TB
+    stories rest on."""
+
+    def test_anomaly_zscore_shuffle_budget(self, spark, sf_dir):
+        """One keyed count shuffle, one per-type window shuffle, the output
+        sort — nothing scales with event volume past the map-side count."""
+        plan = _final_plan(QUERIES["events_anomaly_zscore"].fn(spark, sf_dir))
+        assert _shuffle_exchanges(plan) <= 3, plan
+        assert "EvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_char_lm_model_join_is_broadcast(self, spark, sf_dir):
+        """The bigram->logp model table is bounded by alphabet² — it must
+        broadcast back onto the bigram stream, never shuffle it."""
+        plan = _final_plan(QUERIES["quality_char_lm"].fn(spark, sf_dir))
+        assert "BroadcastExchange" in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_span_coverage_no_pairwise_join(self, spark, sf_dir):
+        """Every join is keyed by shingle or doc id — a cartesian/BNLJ here
+        would mean the corpus² trap the k-gram shape exists to avoid."""
+        plan = _final_plan(QUERIES["dedup_span_coverage"].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_whiten_projection_is_map_only_plus_sort(self, spark, sf_dir):
+        """Literal-model folds: the only exchange is the output ordering."""
+        plan = _final_plan(QUERIES["embedding_whiten_project"].fn(spark, sf_dir))
+        assert _shuffle_exchanges(plan) <= 1, plan
+        assert "Join" not in plan, plan
+        assert "EvalPython" not in plan, plan
