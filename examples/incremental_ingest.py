@@ -3,9 +3,10 @@
 history with bounded state — the steady-state companion to the one-shot
 curation_pipeline.py.
 
-    waves of documents --> readStream --> quality gate (char-bigram LM)
+    waves of documents --> readStream --> non-empty gate
         --> streaming Bloom dedup (persisted filter + key ledger)
         --> admitted docs appended per batch under out/
+        --> live token-frequency CMS (persisted, replay-safe)
 
 Why this shape at 100 TB: the history is never re-read — corpus membership
 lives in a ~KBs-to-MBs packed Bloom filter (no false negatives, so
@@ -28,7 +29,13 @@ from pyspark.sql import functions as F
 
 from sea_streamer_spark import get_spark
 from sea_streamer_spark.operators.bloom import load_model, streaming_bloom_dedup_sink
-from sea_streamer_spark.operators.sketch import cms_build, cms_merge, load_cms, save_cms
+from sea_streamer_spark.operators.sketch import (
+    cms_build,
+    cms_merge,
+    load_cms,
+    load_cms_applied,
+    save_cms,
+)
 from sea_streamer_spark.sources.tables import load_tables
 from sea_streamer_spark.streaming.sink import idempotent_foreach_batch
 
@@ -61,12 +68,18 @@ def main() -> None:
         # per-batch fingerprint + cheap quality gate, then the dedup sink
         batch = batch.withColumn("fp", F.md5("text")).filter(F.length("text") > 0)
         sink(batch, batch_id)
-        # live token-frequency tracking: per-batch CMS delta OR'd into the
-        # persisted grid (merge == rebuild; geometry-bounded, like the filter)
-        toks = batch.select(F.explode(F.split("text", r"\s+")).alias("tok"))
-        delta = cms_build(toks, "tok", width=1024)
-        prev = load_cms(cms_path)
-        save_cms(cms_merge(prev, delta) if prev else delta, cms_path)
+        # live token-frequency tracking: per-batch CMS delta summed into
+        # the persisted grid (merge == rebuild; geometry-bounded, like the
+        # filter). Counter addition is NOT idempotent, so the applied-batch
+        # set rides in the SAME atomic file as the grid — a crash-replayed
+        # batch is skipped instead of double-counted.
+        applied = load_cms_applied(cms_path)
+        if batch_id not in applied:
+            toks = batch.select(F.explode(F.split("text", r"\s+")).alias("tok"))
+            delta = cms_build(toks, "tok", width=1024)
+            prev = load_cms(cms_path)
+            merged = cms_merge(prev, delta) if prev else delta
+            save_cms(merged, cms_path, applied=[*applied, batch_id])
 
     stream = (
         spark.readStream.schema(docs.schema)

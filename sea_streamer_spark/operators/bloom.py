@@ -153,26 +153,19 @@ def bloom_incremental_dedup(
 
 
 def save_model(model: BloomModel, path: str) -> None:
-    """Persist a filter atomically (tmp + rename) as JSON — m/64 longs,
-    ~128 KB at m=2^20; any atomic-rename filesystem keeps readers
-    consistent with a concurrent update."""
-    import json
-    import os
+    """Persist a filter atomically — m/64 longs, ~128 KB at m=2^20
+    (functions/statefile.py owns the tmp+rename contract)."""
+    from ..functions.statefile import save_json
 
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"m_bits": model.m_bits, "g": model.g, "words": list(model.words)}, f)
-    os.replace(tmp, path)
+    save_json(path, {"m_bits": model.m_bits, "g": model.g, "words": list(model.words)})
 
 
 def load_model(path: str) -> BloomModel | None:
-    import json
-    import os
+    from ..functions.statefile import load_json
 
-    if not os.path.exists(path):
+    d = load_json(path)
+    if d is None:
         return None
-    with open(path) as f:
-        d = json.load(f)
     return BloomModel(m_bits=d["m_bits"], g=d["g"], words=tuple(d["words"]))
 
 
@@ -233,8 +226,26 @@ def streaming_bloom_dedup_sink(
         return F.pmod(F.xxhash64(col, F.lit(0x42)), F.lit(n_buckets))
 
     def write(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
         spark = batch.sparkSession
-        batch = batch.dropDuplicates([key_col])
+        # batch-internal dedup with a DETERMINISTIC representative (the
+        # row whose JSON serialization sorts first) — dropDuplicates keeps
+        # an arbitrary row per key, so a crash-replayed batch could write
+        # different content than its first attempt and break the
+        # overwrite-by-batch-path replay contract
+        batch = (
+            batch.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(key_col).orderBy(
+                        F.to_json(F.struct(*batch.columns))
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         model = load_model(model_path)
         if model is None:
             model = BloomModel(m_bits=m_bits, g=g, words=(0,) * (m_bits // 64))

@@ -54,14 +54,17 @@ LSH_ROWS = N_MINHASH // LSH_BANDS
 SIMHASH_BITS = 30
 
 
-def shingles(text_col: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles as strings (space-joined).
+def _shingle_array(text_col: Column | str, k: int = 3) -> Column:
+    """Positional k-word shingle array (index i = token window starting at
+    token i; NOT distinct; empty for docs shorter than k).
 
     Built as k-1 ``zip_with`` folds over shifted slices of the token array —
     NOT ``transform(sequence, i -> element_at(arr, i+j))``: element_at inside
     a lambda re-inlines the tokenize expression per element after Catalyst's
     project-collapse, turning the build O(k * n^2) per document (measured 4x
-    end-to-end on the jaccard path at sf0.1)."""
+    end-to-end on the jaccard path at sf0.1). Single-sourced here so the
+    distinct (:func:`shingles`) and positional (:func:`positional_shingles`)
+    views cannot drift."""
     arr = tokens(text_col)
     n = F.size(arr)
     m = n - k + 1  # number of shingles
@@ -70,7 +73,12 @@ def shingles(text_col: Column | str, k: int = 3) -> Column:
         sh = F.zip_with(
             sh, F.slice(arr, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array().cast("array<string>"))
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles as strings (space-joined)."""
+    return F.array_distinct(_shingle_array(text_col, k))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -433,16 +441,9 @@ def positional_shingles(
     from .scale import fan_out
 
     df = fan_out(df, key=id_col)
-    arr = tokens(text_col)
-    n = F.size(arr)
-    m = n - k + 1
-    sh = F.slice(arr, 1, m)
-    for j in range(1, k):
-        sh = F.zip_with(
-            sh, F.slice(arr, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
-        )
-    sh = F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col), F.posexplode(sh).alias("pos", "sh"))
+    return df.select(
+        F.col(id_col), F.posexplode(_shingle_array(text_col, k)).alias("pos", "sh")
+    )
 
 
 def duplicated_span_coverage(
@@ -473,7 +474,10 @@ def duplicated_span_coverage(
     the 1e9+7 polynomial fold would already birthday-collide at ~30k
     distinct shingles, so it is deliberately NOT used as the join key).
     """
-    pos_sh = positional_shingles(df, text_col, id_col, k)
+    # the positional relation feeds BOTH the dup-count aggregate and the
+    # coverage join — cache it so the explode pipeline runs once (the
+    # jaccard_pairs convention for shared shingle relations)
+    pos_sh = positional_shingles(df, text_col, id_col, k).cache()
     dup = (
         pos_sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("n_occ"))

@@ -98,7 +98,10 @@ def fit_whiten(
 ) -> WhitenModel:
     """Fit PCA-whitening from the full corpus in one pass (never sampled —
     the sufficient-statistic reduction is already O(partitions·d²))."""
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("whitening needs at least 2 vectors")
+    dim = len(first[0])
     n, s, g = _suff_stats(df, vec_col, dim)
     if n < 2:
         raise ValueError("whitening needs at least 2 vectors")

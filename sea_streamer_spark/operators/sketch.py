@@ -124,24 +124,35 @@ def cms_merge(a: CmsModel, b: CmsModel) -> CmsModel:
     )
 
 
-def save_cms(model: CmsModel, path: str) -> None:
-    """Atomic JSON persistence (tmp + rename), like bloom.save_model — the
-    grid is d·w longs, a few tens of KB at the default geometry."""
-    import json
-    import os
+def save_cms(model: CmsModel, path: str, applied: list[int] | None = None) -> None:
+    """Atomic persistence (functions/statefile.py owns the tmp+rename
+    contract) — the grid is d·w longs, a few tens of KB at the default
+    geometry. ``applied`` optionally records the micro-batch ids already
+    merged into the grid IN THE SAME atomic file: counter addition is not
+    idempotent (unlike the Bloom's bit-OR), so a crash-replaying sink must
+    check membership before re-merging a batch's delta — the applied set
+    and the grid move together or not at all."""
+    from ..functions.statefile import save_json
 
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"width": model.width, "grid": [list(g) for g in model.grid]}, f)
-    os.replace(tmp, path)
+    obj = {"width": model.width, "grid": [list(g) for g in model.grid]}
+    if applied is not None:
+        obj["applied"] = sorted(set(applied))
+    save_json(path, obj)
 
 
 def load_cms(path: str) -> CmsModel | None:
-    import json
-    import os
+    from ..functions.statefile import load_json
 
-    if not os.path.exists(path):
+    d = load_json(path)
+    if d is None:
         return None
-    with open(path) as f:
-        d = json.load(f)
     return CmsModel(width=d["width"], grid=tuple(tuple(g) for g in d["grid"]))
+
+
+def load_cms_applied(path: str) -> set[int]:
+    """The batch ids already merged into the persisted grid (empty when the
+    file is absent or was saved without an applied set)."""
+    from ..functions.statefile import load_json
+
+    d = load_json(path)
+    return set(d.get("applied", [])) if d else set()

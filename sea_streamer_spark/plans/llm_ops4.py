@@ -176,7 +176,7 @@ def whiten_fit_np(parquet_path: str, k: int = _WHITEN_K):
                 .to_pylist(),
                 dtype=np.float64,
             )
-            if x.ndim == 2 and x.shape[0] >= 2:
+            if x.ndim == 2 and x.shape[0] >= 2:  # else fall through to None
                 mu = x.mean(axis=0)
                 xc = x - mu
                 lam, vec = np.linalg.eigh(xc.T @ xc / x.shape[0])
@@ -189,7 +189,13 @@ def whiten_fit_np(parquet_path: str, k: int = _WHITEN_K):
                 w = vec / np.sqrt(lam + 1e-6)
                 model = (mu, w)
         except Exception:
+            # degrade like llm_ops.oracle_sample: absent/unreadable gate
+            # data yields no model (→ oracle=None, query raises clearly)
             model = None
+        if model is None:
+            # do NOT cache failures — the file may appear later in the
+            # process (testdata generated after import); re-check each call
+            return None
         _whiten_cache[key] = model
     return _whiten_cache[key]
 
