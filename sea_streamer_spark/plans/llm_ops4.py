@@ -235,13 +235,17 @@ def _build_whiten_oracle() -> str | None:
 def embedding_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA-whitening projection onto the top-4 principal directions
     (operators/embedding.py rationale): model fitted once driver-side from
-    the sf's embeddings parquet (numpy, deterministic — see whiten_fit_np;
-    fit_whiten is the distributed-fit path), μ/W shipped as column
-    literals, projection = JVM-side zip_with/aggregate folds (the
+    the ORACLE_SF_DIR gate corpus (numpy, deterministic — see
+    whiten_fit_np; fit_whiten is the distributed-fit path), μ/W shipped as
+    column literals, projection = JVM-side zip_with/aggregate folds (the
     similarity.dot contract — bit-identical to the oracle's list_reduce),
-    outputs micro-rounded BIGINT. Map-only at any scale. NOTE: oracle
-    embeds ORACLE_SF_DIR-derived literals — compare only at that sf."""
-    model = whiten_fit_np(os.path.join(sf_dir, "embeddings.parquet"))
+    outputs micro-rounded BIGINT. Map-only at any scale. The fit is
+    PINNED to the gate corpus (train-once, apply-at-any-scale — the
+    ann_ivf convention), so query and oracle agree at EVERY sf; falls
+    back to the query sf's parquet only when the gate file is absent."""
+    model = whiten_fit_np(os.path.join(ORACLE_SF_DIR, "embeddings.parquet"))
+    if model is None:
+        model = whiten_fit_np(os.path.join(sf_dir, "embeddings.parquet"))
     if model is None:
         raise FileNotFoundError(f"no embeddings parquet under {sf_dir}")
     mu, w = model
@@ -418,3 +422,129 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.round(z * 1_000_000).cast("long").alias("z_micro"),
     ).orderBy("event_type", "window_start")
+
+
+# ------------------------------------------------- DSIR importance selection
+
+_DSIR_M = 512
+_DSIR_K = 200
+_dsir_cache: dict[str, object] = {}
+
+
+def _duck_ngram_rel(where: str = "") -> str:
+    """DuckDB relation yielding one row per token n-gram occurrence
+    (unigrams + space-joined bigrams) — the SQL replay of
+    operators/selection.token_ngrams."""
+    return f"""
+    WITH toks AS (
+      SELECT string_split_regex(text, '\\s+') AS tk FROM documents {where}
+    ), uni AS (
+      SELECT unnest(tk) AS ng FROM toks
+    ), bi AS (
+      SELECT tk[i] || ' ' || tk[i + 1] AS ng
+      FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+            FROM toks WHERE len(tk) >= 2)
+    )
+    SELECT ng FROM uni UNION ALL SELECT ng FROM bi"""
+
+
+def dsir_grid_np(parquet_path: str, m: int = _DSIR_M):
+    """Import-time DSIR fit from the gate corpus: target = ``lang='en'``
+    documents, raw = all documents. Two m-bounded bucket-count grids via
+    DuckDB (the oracle-trainer), log-ratios micro-rounded in Python by the
+    SAME operators/selection.dsir_logratio_grid the operator exposes — the
+    registered query and its oracle then share the grid as literals, so
+    scoring is engine-exact integer arithmetic (whiten_fit_np rationale).
+    Returns the m-int grid or None when the gate parquet is absent."""
+    key = f"{parquet_path}|{m}"
+    if key not in _dsir_cache:
+        grid = None
+        try:
+            import duckdb
+
+            from ..operators.selection import dsir_logratio_grid
+            from ..operators.text import duck_char_fold
+
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW documents AS SELECT * FROM '{parquet_path}'"
+            )
+
+            def counts(where: str) -> list[int]:
+                rows = con.execute(
+                    f"SELECT ({duck_char_fold('ng')}) % {m} AS bucket, "
+                    f"COUNT(*) AS n FROM ({_duck_ngram_rel(where)}) GROUP BY 1"
+                ).fetchall()
+                out = [0] * m
+                for b, n in rows:
+                    out[int(b)] = int(n)
+                return out
+
+            grid = dsir_logratio_grid(
+                counts("WHERE lang = 'en'"), counts(""), m
+            )
+        except Exception:
+            grid = None
+        if grid is None:
+            return None  # don't cache absence — testdata may appear later
+        _dsir_cache[key] = grid
+    return _dsir_cache[key]
+
+
+def _build_dsir_oracle() -> str | None:
+    grid = dsir_grid_np(os.path.join(ORACLE_SF_DIR, "documents.parquet"))
+    if grid is None:
+        return None
+    from ..operators.text import duck_char_fold
+
+    glit = "[" + ", ".join(str(v) for v in grid) + "]"
+    return f"""
+    WITH ng AS (
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents
+      ), uni AS (
+        SELECT doc_id, unnest(tk) AS ng FROM toks
+      ), bi AS (
+        SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS ng
+        FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+              FROM toks WHERE len(tk) >= 2)
+      )
+      SELECT doc_id, ng FROM uni UNION ALL SELECT doc_id, ng FROM bi
+    ), scored AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(SUM(({glit})[(({duck_char_fold('ng')}) % {_DSIR_M}) + 1])
+                  AS BIGINT) AS logw_micro
+      FROM ng GROUP BY doc_id
+    )
+    SELECT doc_id, n_ngrams, logw_micro
+    FROM scored ORDER BY logw_micro DESC, doc_id LIMIT {_DSIR_K}"""
+
+
+@query(
+    "curation_dsir_select",
+    oracle=_build_dsir_oracle(),
+    tags=("llm", "curation"),
+)
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169,
+    operators/selection.py): hashed-n-gram importance weights against an
+    English-target / full-corpus pair of bucket distributions fitted ONCE
+    from the ORACLE_SF_DIR gate corpus (train-once-apply-at-any-scale —
+    the whiten/ann_ivf convention, so query and oracle agree at every sf),
+    then the deterministic top-k resampling cut. All-JVM scoring: bucket
+    assignment and the literal-grid lookup are pure projections; the only
+    shuffles are the doc-keyed sum and the TakeOrdered gather."""
+    from ..operators.selection import dsir_score
+
+    grid = dsir_grid_np(os.path.join(ORACLE_SF_DIR, "documents.parquet"))
+    if grid is None:
+        grid = dsir_grid_np(os.path.join(sf_dir, "documents.parquet"))
+    if grid is None:
+        raise FileNotFoundError(f"no documents parquet under {sf_dir}")
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        dsir_score(t.documents, grid)
+        .orderBy(F.col("logw_micro").desc(), F.col("doc_id"))
+        .limit(_DSIR_K)
+    )

@@ -100,7 +100,7 @@ _PRIORITY_RESAMPLE: tuple[str, ...] = (
 _POST_BUDGET: tuple[str, ...] = (
     "dedup_span_coverage", "dedup_bloom_incremental", "quality_char_lm",
     "embedding_whiten_project", "sketch_heavy_hitters",
-    "events_anomaly_zscore",
+    "events_anomaly_zscore", "curation_dsir_select",
 )
 
 
