@@ -183,3 +183,69 @@ def dedup_clusters(
         F.col(id_col),
         F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster_id"),
     )
+
+
+def pagerank_fixed(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    iters: int = 4,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Fixed-point PageRank centrality over an undirected pair list — the
+    canonical-representative signal for dedup clusters (the most-connected
+    member of a near-dup family is the best doc to keep; min-id is
+    arbitrary). Pregel-style: ``iters`` synchronous push rounds of
+    ``s' = (1-d) + d * Σ_incoming s/deg`` with d = 0.85.
+
+    **Engine-exact by construction**: scores are BIGINT micro-units seeded
+    at 1_000_000 and every per-edge contribution is the INTEGER quotient
+    ``(s*17) div (20*deg)`` — no float ever enters, the per-node sum is
+    order-independent, and an unrolled SQL replay (one CTE pair per round)
+    reproduces the result bit-for-bit. The deliberate variant choice
+    (documented, not a bug): no dangling-mass redistribution — isolated
+    docs sit at the (1-d) floor, which is exactly the semantics wanted for
+    "rank within your dup family".
+
+    Plan, 100 TB-first: the symmetrized edge list (the big side) is
+    hash-partitioned by ``u`` ONCE and cached; each round re-keys only the
+    per-node score relation (one row per node — the small side) to join
+    edges, then one ``groupBy(v)`` sum. Cost model = iters × (score shuffle
+    + contribution shuffle), edges never re-shuffle. ``localCheckpoint``
+    per round cuts the iterative lineage (the connected_components
+    contract).
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    e = e.repartition("u").cache()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ed = e.join(deg, "u").select("u", "v", "deg").cache()
+    base = nodes.select(F.col(id_col).alias("node"))
+    s = base.select("node", F.lit(1_000_000).cast("long").alias("s"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(s.withColumnRenamed("node", "u"), "u")
+            .select(
+                F.col("v").alias("node"),
+                F.expr("(s * 17) div (20 * deg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("inc"))
+        )
+        s = base.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(150_000) + F.coalesce(F.col("inc"), F.lit(0)))
+            .cast("long")
+            .alias("s"),
+        ).localCheckpoint(eager=False)
+    out_deg = base.join(deg.withColumnRenamed("u", "node"), "node", "left")
+    return (
+        s.join(out_deg, "node")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("deg"), F.lit(0).cast("long")).alias("degree"),
+            F.col("s").alias("score_micro"),
+        )
+    )

@@ -548,3 +548,74 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("logw_micro").desc(), F.col("doc_id"))
         .limit(_DSIR_K)
     )
+
+
+# ---------------------------------------------- near-dup PageRank centrality
+
+_PR_ITERS = 4
+
+
+def _build_pagerank_oracle() -> str:
+    from .llm_ops import DUCK_SHINGLE_SETS
+
+    rounds = []
+    for k in range(1, _PR_ITERS + 1):
+        rounds.append(f"""
+    c{k} AS (
+      SELECT e.v AS node, SUM((p.s * 17) // (20 * d.deg)) AS inc
+      FROM e JOIN it{k-1} p ON p.node = e.u JOIN deg d ON d.u = e.u
+      GROUP BY e.v
+    ), it{k} AS (
+      SELECT n.node, CAST(150000 + COALESCE(c.inc, 0) AS BIGINT) AS s
+      FROM n LEFT JOIN c{k} c USING (node)
+    )""")
+    return f"""
+    WITH {DUCK_SHINGLE_SETS},
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY u),
+    n AS (SELECT doc_id AS node FROM documents),
+    it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM n),
+    {",".join(rounds)}
+    SELECT n.node AS doc_id,
+           CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+           f.s AS score_micro
+    FROM n LEFT JOIN deg d ON d.u = n.node
+    JOIN it{_PR_ITERS} f USING (node)
+    ORDER BY doc_id"""
+
+
+@query(
+    "graph_neardup_pagerank",
+    oracle=_build_pagerank_oracle(),
+    tags=("llm", "dedup", "graph"),
+)
+def graph_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup graph
+    (operators/graph.pagerank_fixed): MinHash-LSH verified pairs as the
+    edge list, 4 synchronous integer-fixed-point push rounds — the
+    canonical-representative signal that upgrades dedup_clusters' min-id
+    keep-rule to "keep the most-connected member of each dup family".
+    Engine-exact: BIGINT micro scores, integer-quotient contributions, so
+    the unrolled-CTE DuckDB replay matches bit-for-bit. Edges partition
+    once and stay put; each round shuffles only the per-node score row."""
+    from ..operators import dedup as D
+    from ..operators import graph as G
+
+    t = load_tables(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(t.documents, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    return G.pagerank_fixed(t.documents, pairs, iters=_PR_ITERS).orderBy(
+        "doc_id"
+    )
