@@ -396,6 +396,7 @@ def ann_pq_topk(
     refine: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: list | None = None,
 ) -> DataFrame:
     """PQ approximate top-k with asymmetric distance computation (ADC) and
     exact re-rank: encode the corpus map-side (4-bit codes), score every
@@ -409,7 +410,7 @@ def ann_pq_topk(
     tiny, and only it touches full vectors. The standard IVF-PQ pairing
     composes with :func:`ann_ivf_topk`'s cell pruning (probe cells, then ADC
     inside them)."""
-    cbs = pq_codebooks(emb, m, ksub, id_col, vec_col)
+    cbs = codebooks if codebooks is not None else pq_codebooks(emb, m, ksub, id_col, vec_col)
     qrow = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec")).collect()[0]
     qvec = [float(x) for x in qrow["qvec"]]
     coded = emb.withColumn("pq_codes", pq_code_expr(cbs, vec_col))
@@ -464,6 +465,8 @@ def ann_ivf_pq_topk(
     refine: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list | None = None,
+    codebooks: list | None = None,
 ) -> DataFrame:
     """Composed IVF-PQ — the standard 100 TB ANN architecture in one plan:
     coarse cells prune the corpus to ``nprobe/n_cells`` (partition pruning
@@ -473,8 +476,8 @@ def ann_ivf_pq_topk(
     map-side projection; the only data movement is the two bounded
     TakeOrdereds. Deterministic end-to-end (portable-hash sample, seedless
     k-means for both quantizers) ⇒ value-hash checkable."""
-    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
-    cbs = pq_codebooks(emb, m, ksub, id_col, vec_col)
+    cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
+    cbs = codebooks if codebooks is not None else pq_codebooks(emb, m, ksub, id_col, vec_col)
     assigned = emb.withColumn("ivf_cell", ivf_cell_expr(cents, vec_col))
     qrow = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec")).collect()[0]
     qvec = [float(x) for x in qrow["qvec"]]
@@ -622,6 +625,7 @@ def ann_ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus vectors to nearest-centroid cells
     (map-side projection), then exact-search only the query's ``nprobe``
@@ -632,7 +636,7 @@ def ann_ivf_topk(
     cell), so a query touches nprobe/n_cells of the data; here it is computed
     on the fly. The probed subset then follows the brute-force top-k plan
     (broadcast query row + TakeOrdered)."""
-    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
     cell = ivf_cell_expr(cents, vec_col)
     assigned = emb.withColumn("ivf_cell", cell)
     qrow = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec")).collect()[0]

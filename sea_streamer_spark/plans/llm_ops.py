@@ -472,6 +472,19 @@ def oracle_pq_codebooks(m: int = 8, ksub: int = 16):
     return _ORACLE_TRAIN[key]
 
 
+def gate_ivf_centroids(n_cells: int = 16):
+    """Gate-pinned quantizer for the REGISTERED ANN queries, as the
+    (cell, vec) list the operators take. Training is pinned to the
+    ORACLE_SF_DIR sample (train-once-apply-at-any-scale — the whiten
+    convention), so each query matches its centroid-literal oracle at
+    EVERY sf, not just the gate. Returns None when gate data is absent
+    (queries then fall back to training on their own sf)."""
+    C = oracle_ivf_centroids(n_cells)
+    if C is None:
+        return None
+    return [(i, [float(x) for x in C[i]]) for i in range(len(C))]
+
+
 def lit_vec(v) -> str:
     """A float64 vector as a DuckDB list literal (repr round-trips bits)."""
     return "[" + ", ".join(repr(float(x)) for x in v) + "]"
@@ -663,7 +676,10 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests. NOTE: oracle embeds quantizers from ORACLE_SF_DIR data — compare
     only at that sf (the local harness pins this)."""
     t = load_tables(spark, sf_dir, "embeddings")
-    return S.ann_ivf_pq_topk(t.embeddings, query_id=0, k=10)
+    return S.ann_ivf_pq_topk(
+        t.embeddings, query_id=0, k=10,
+        centroids=gate_ivf_centroids(), codebooks=oracle_pq_codebooks(),
+    )
 
 
 @query("similarity_ann_pq", oracle=_build_pq_oracle(), tags=("llm", "similarity", "approx"))
@@ -678,7 +694,9 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOTE: oracle embeds codebooks derived from ORACLE_SF_DIR data — compare
     only at that sf (the local harness pins this)."""
     t = load_tables(spark, sf_dir, "embeddings")
-    return S.ann_pq_topk(t.embeddings, query_id=0, k=10)
+    return S.ann_pq_topk(
+        t.embeddings, query_id=0, k=10, codebooks=oracle_pq_codebooks(),
+    )
 
 
 @query("similarity_ann_ivf", oracle=_build_ivf_oracle(), tags=("llm", "similarity", "approx"))
@@ -688,10 +706,12 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Despite being \"approximate\", the whole pipeline is deterministic, so the
     import-time-built DuckDB oracle value-hash checks it exactly at the
     driver's sf (see _build_ivf_oracle); recall vs brute force is asserted in
-    tests. NOTE: the oracle embeds centroids derived from ORACLE_SF_DIR data —
-    compare only at that sf (the local harness pins this query to it)."""
+    tests. Quantizer pinned to the ORACLE_SF_DIR sample (gate_ivf_centroids), so
+    the centroid-literal oracle matches at EVERY sf."""
     t = load_tables(spark, sf_dir, "embeddings")
-    return S.ann_ivf_topk(t.embeddings, query_id=0, k=10)
+    return S.ann_ivf_topk(
+        t.embeddings, query_id=0, k=10, centroids=gate_ivf_centroids(),
+    )
 
 
 @query(

@@ -329,10 +329,15 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-pruned shape that makes semantic dedup feasible where all-pairs
     (similarity_near_dup, the exact baseline beside this) is quadratic.
     Deterministic end-to-end (seedless quantizer), so the import-time
-    oracle value-hash checks it exactly. NOTE: oracle embeds
-    ORACLE_SF_DIR-derived centroids — compare only at that sf."""
+    oracle value-hash checks it exactly. Quantizer pinned to the
+    ORACLE_SF_DIR sample (gate_ivf_centroids), so the centroid-literal
+    oracle matches at EVERY sf."""
+    from .llm_ops import gate_ivf_centroids
+
     t = load_tables(spark, sf_dir, "embeddings")
-    cents = S.ivf_centroids(t.embeddings, n_cells=_SEM_CELLS)
+    cents = gate_ivf_centroids(n_cells=_SEM_CELLS)
+    if cents is None:
+        cents = S.ivf_centroids(t.embeddings, n_cells=_SEM_CELLS)
     assigned = t.embeddings.select(
         "vec_id", "embedding", S.ivf_cell_expr(cents).alias("cell")
     )

@@ -619,3 +619,116 @@ def graph_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank_fixed(t.documents, pairs, iters=_PR_ITERS).orderBy(
         "doc_id"
     )
+
+
+# ------------------------------------------------------------- BPE tokenizer
+
+_BPE_MERGES = 24
+_bpe_cache: dict[str, object] = {}
+
+
+def bpe_train_py(parquet_path: str, n_merges: int = _BPE_MERGES):
+    """Import-time oracle-trainer: DuckDB word counts from the gate corpus
+    → the pure-python BPE trainer (operators/bpe.py_train_bpe, byte-level
+    contract-identical to the distributed trainer). Returns the merge list
+    or None when the gate parquet is absent."""
+    key = f"{parquet_path}|{n_merges}"
+    if key not in _bpe_cache:
+        merges = None
+        try:
+            import duckdb
+
+            from ..operators.bpe import py_train_bpe
+
+            rows = duckdb.sql(
+                f"SELECT w, COUNT(*) AS n FROM (SELECT unnest("
+                f"string_split_regex(text, '\\s+')) AS w FROM "
+                f"'{parquet_path}') WHERE len(w) > 0 GROUP BY w"
+            ).fetchall()
+            merges = py_train_bpe({w: int(n) for w, n in rows}, n_merges)
+        except Exception:
+            merges = None
+        if merges is None:
+            return None  # gate data may appear later in the process
+        _bpe_cache[key] = merges
+    return _bpe_cache[key]
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _build_bpe_oracle() -> str | None:
+    merges = bpe_train_py(os.path.join(ORACLE_SF_DIR, "documents.parquet"))
+    if merges is None:
+        return None
+    s = "s0"
+    for left, right, _ in merges:
+        s = f"replace({s}, ' {_sq(left)} {_sq(right)} ', ' {_sq(left)}{_sq(right)} ')"
+    return f"""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents
+      ) WHERE len(w) > 0
+    ), ap AS (
+      SELECT doc_id, {s} AS s FROM (
+        SELECT doc_id,
+               ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s0
+        FROM words
+      )
+    ), tok AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT)
+               AS n_bpe_tokens
+      FROM ap GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(t.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(t.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN tok t USING (doc_id)
+    ORDER BY d.doc_id"""
+
+
+def bpe_train_spark(spark: SparkSession, sf_dir: str):
+    """Memoized DISTRIBUTED training run (operators/bpe.train_bpe) over the
+    gate corpus — the registered query uses this, so the driver's value
+    hash checks the distributed trainer end-to-end against the oracle's
+    pure-python trainer: if any round's pair count, argmax tie-break, or
+    merge application diverged, the learned merges — and hence every
+    token count — would differ."""
+    key = f"spark|{sf_dir}|{_BPE_MERGES}"
+    if key not in _bpe_cache:
+        from ..operators.bpe import train_bpe
+
+        t = load_tables(spark, sf_dir, "documents")
+        _bpe_cache[key] = train_bpe(t.documents, _BPE_MERGES)
+    return _bpe_cache[key]
+
+
+@query(
+    "tokenizer_bpe_counts",
+    oracle=_build_bpe_oracle(),
+    tags=("llm", "text"),
+)
+def tokenizer_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer (arXiv:1508.07909, operators/bpe.py): train 24 merges
+    DISTRIBUTED on the gate corpus (word-frequency table → per-round
+    pair-count shuffle + 1-row argmax + map-side merge; memoized
+    per-process), then apply corpus-wide as a pure projection (merge list
+    baked into the expression tree — zero shuffles, zero Python). Output =
+    per-doc whitespace-word and BPE-token counts; the oracle retrains with
+    the pure-python reference trainer and re-applies in SQL, so the driver
+    hash proves trainer parity end-to-end."""
+    from ..operators.bpe import bpe_token_count
+
+    merges = bpe_train_spark(spark, ORACLE_SF_DIR)
+    t = load_tables(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0
+    )
+    return t.documents.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        bpe_token_count("text", merges).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")

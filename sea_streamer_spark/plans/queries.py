@@ -101,7 +101,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "dedup_span_coverage", "dedup_bloom_incremental", "quality_char_lm",
     "embedding_whiten_project", "sketch_heavy_hitters",
     "events_anomaly_zscore", "curation_dsir_select",
-    "graph_neardup_pagerank",
+    "graph_neardup_pagerank", "tokenizer_bpe_counts",
 )
 
 

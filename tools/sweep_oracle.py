@@ -24,9 +24,22 @@ from sea_streamer_spark.session import get_spark  # noqa: E402
 from tests.oracle import check_query  # noqa: E402
 
 
+# Queries whose oracle pins GOLDEN values measured on the gate corpus
+# (ORACLE_SF_DIR): correct there, definitionally different elsewhere.
+# Everything else — including the gate-TRAINED models (whiten, ANN
+# quantizers, BPE, DSIR), whose fixed model applies at any sf — must pass
+# at every sf.
+GATE_ONLY = {"agg_approx_sketches"}
+GATE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
 def main() -> int:
     spark = get_spark(app_name="oracle-sweep")
     names = [n for n, q in QUERIES.items() if q.oracle is not None]
+    if os.path.abspath(SF_DIR) != os.path.abspath(GATE_SF_DIR):
+        for n in sorted(GATE_ONLY & set(names)):
+            print(f"SKIP {n}: golden-pinned to the gate sf", flush=True)
+        names = [n for n in names if n not in GATE_ONLY]
     if FIRST_N:
         names = names[:FIRST_N]
     failed: list[str] = []
