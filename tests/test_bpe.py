@@ -92,3 +92,47 @@ class TestBpeApply:
         plan = plan.split("== Initial Plan ==", 1)[0]
         assert "Exchange" not in plan, plan
         assert "PythonEval" not in plan
+
+
+class TestBpeRandomized:
+    def test_random_corpora_trainer_parity(self, spark):
+        """Seeded-random corpora over a tiny alphabet (maximally collided
+        pair counts ⇒ the tie-break carries the determinism) — distributed
+        trainer vs the pure-python reference, merges AND applied counts."""
+        import random
+
+        from sea_streamer_spark.operators import bpe as B
+
+        rng = random.Random(1)
+        for trial in range(4):
+            rows = [
+                (
+                    i,
+                    " ".join(
+                        "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                        for _ in range(rng.randint(0, 8))
+                    ),
+                )
+                for i in range(rng.randint(2, 6))
+            ]
+            df = spark.createDataFrame(rows, ["doc_id", "text"])
+            n_merges = rng.choice([3, 5, 8])
+            merges = B.train_bpe(df, n_merges)
+            assert merges == B.py_train_bpe(_py_wc(rows), n_merges), (trial, rows)
+
+            def py_apply(t: str) -> int:
+                n = 0
+                for w in t.split():
+                    s = f" {' '.join(w)} "
+                    for left, right, _ in merges:
+                        s = s.replace(f" {left} {right} ", f" {left}{right} ")
+                    n += len(s.strip().split(" "))
+                return n
+
+            got = {
+                r.doc_id: r.t
+                for r in df.select(
+                    "doc_id", B.bpe_token_count("text", merges).alias("t")
+                ).collect()
+            }
+            assert got == {i: py_apply(t) for i, t in rows}, (trial, rows)

@@ -76,3 +76,37 @@ class TestPagerankFixed:
         pdf = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
         rows = pagerank_fixed(ndf, pdf, iters=0).collect()
         assert {r.score_micro for r in rows} == {1_000_000}
+
+
+class TestPagerankRandomized:
+    def test_random_graphs_match_python(self, spark):
+        """Seeded-random Erdős–Rényi-ish graphs (dense, sparse, with
+        self-contained components and isolated nodes) vs the reference —
+        sweeps tie-breaks and degree skews fixed shapes can miss."""
+        import random
+
+        from sea_streamer_spark.operators.graph import pagerank_fixed
+
+        rng = random.Random(0)
+        for trial in range(6):
+            n = rng.randint(4, 18)
+            nodes = list(range(n))
+            pairs = sorted(
+                {
+                    (a, b)
+                    for a in nodes
+                    for b in nodes
+                    if a < b and rng.random() < rng.choice([0.15, 0.45])
+                }
+            )
+            ndf = spark.createDataFrame([(x,) for x in nodes], ["doc_id"])
+            if pairs:
+                pdf = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+            else:
+                pdf = spark.createDataFrame([], "doc_a long, doc_b long")
+            iters = rng.choice([1, 3, 5])
+            got = {
+                r.doc_id: (r.degree, r.score_micro)
+                for r in pagerank_fixed(ndf, pdf, iters=iters).collect()
+            }
+            assert got == py_pagerank(nodes, pairs, iters), (trial, n, pairs)
