@@ -732,3 +732,67 @@ def tokenizer_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words).cast("long").alias("n_words"),
         bpe_token_count("text", merges).alias("n_bpe_tokens"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------ leakage-safe split
+
+from ..operators import curation as C  # noqa: E402
+from ..operators import dedup as D  # noqa: E402
+from ..operators import graph as G  # noqa: E402
+from .llm_ops import DUCK_SHINGLE_SETS  # noqa: E402
+
+
+@query(
+    "curation_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {DUCK_SHINGLE_SETS},
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    cc(node, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.v, cc.lbl FROM cc JOIN e ON e.u = cc.node
+    ),
+    lbls AS (SELECT node, MIN(lbl) AS cluster FROM cc GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN lbls l ON l.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN {C.duck_split_bucket('cluster_id')} < 8000 THEN 'train'
+                WHEN {C.duck_split_bucket('cluster_id')} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned ORDER BY doc_id
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hash-split on the DEDUP-CLUSTER
+    id, not the document id, so near-duplicates can never straddle splits
+    (the eval-contamination failure mode of naive per-doc splitting). The
+    composition is three existing primitives — MinHash-LSH pairs →
+    large/small-star connected components → the portable-hash 80/10/10
+    bucket rule applied to the cluster id. One extra shuffle versus the
+    per-doc split (the CC rounds); the split assignment itself stays a
+    pure projection."""
+    t = load_tables(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(t.documents, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    clustered = G.dedup_clusters(t.documents, pairs)
+    return (
+        C.hash_split(clustered, id_col="cluster_id")
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    )

@@ -496,3 +496,32 @@ class TestCountMinSketch:
             .toString()
         )
         assert "Join" not in plan and "Exchange" not in plan
+
+
+class TestLeakageSafeSplit:
+    def test_clusters_never_straddle_splits(self, spark, sf_dir):
+        """The whole point: every near-dup pair (and transitively every
+        cluster) lands in ONE split; the marginal split ratios stay close
+        to 80/10/10."""
+        from sea_streamer_spark.plans.queries import QUERIES
+
+        rows = QUERIES["curation_leakage_safe_split"].fn(spark, sf_dir).collect()
+        split_of = {}
+        by_cluster = {}
+        for r in rows:
+            split_of[r.doc_id] = r.split
+            by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_cluster.values())
+
+        from sea_streamer_spark.operators import dedup as D
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        pairs = D.minhash_lsh_dedup(docs, threshold=0.5).collect()
+        assert pairs, "fixture should contain near-dup pairs"
+        for p in pairs:
+            assert split_of[p.doc_a] == split_of[p.doc_b], (p.doc_a, p.doc_b)
+
+        n = len(rows)
+        frac_train = sum(1 for r in rows if r.split == "train") / n
+        assert 0.6 < frac_train < 0.95, frac_train
