@@ -102,7 +102,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "embedding_whiten_project", "sketch_heavy_hitters",
     "events_anomaly_zscore", "curation_dsir_select",
     "graph_neardup_pagerank", "tokenizer_bpe_counts",
-    "curation_leakage_safe_split",
+    "curation_leakage_safe_split", "layout_zorder_events",
 )
 
 
