@@ -62,9 +62,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # non-headline pinned metric — NOT in the total, so the
+                # non-headline pinned metrics — NOT in the total, so the
                 # headline number stays comparable round-over-round
                 "scale": scale_dedup_metric(spark),
+                "new_ops": new_ops_metric(spark),
             }
         )
     )
@@ -105,6 +106,31 @@ def scale_dedup_metric(spark) -> dict:
         "base_pairs": base_pairs,
         "linear": bool(pairs == base_pairs * k),
     }
+
+
+def new_ops_metric(spark) -> dict:
+    """Non-headline timings for the round-3 late-wave operators (best of 2
+    after a warm-up, same protocol as the headline set) — perf visibility
+    for the new surface without disturbing the frozen headline total."""
+    out: dict[str, float] = {}
+    for name in (
+        "curation_dsir_select",
+        "graph_neardup_pagerank",
+        "tokenizer_bpe_counts",
+        "curation_leakage_safe_split",
+        "layout_zorder_events",
+    ):
+        if name not in QUERIES:
+            continue
+        fn = QUERIES[name].fn
+        fn(spark, SF_DIR).count()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
+    return out
 
 
 if __name__ == "__main__":
