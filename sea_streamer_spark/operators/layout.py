@@ -64,15 +64,22 @@ def bucket_expr(col: Column | str, boundaries: list) -> Column:
     )
 
 
-def zvalue_expr(bx: Column, by: Column, bits: int = DEFAULT_BITS) -> Column:
-    """Morton interleave of two bucket indices: bit i of ``bx`` lands at
-    position 2i, bit i of ``by`` at 2i+1. Pure integer arithmetic."""
+def zvalue_expr(*buckets: Column, bits: int = DEFAULT_BITS) -> Column:
+    """Morton interleave of k bucket indices: bit i of dimension d lands at
+    position ``i*k + d`` (round-robin from the low bits, so every dimension
+    contributes to every significance level). Pure integer arithmetic; with
+    k dims × ``bits`` bits the z-value needs k·bits ≤ 63 bits."""
+    k = len(buckets)
+    if k < 2:
+        raise ValueError("zvalue_expr interleaves at least 2 dimensions")
+    if k * bits > 63:
+        raise ValueError(f"{k} dims x {bits} bits overflows a signed long")
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = z + (
-            F.shiftleft(F.shiftright(bx.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
-            + F.shiftleft(F.shiftright(by.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+        for d, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)), i * k + d
+            )
     return z
 
 
@@ -86,12 +93,10 @@ def zorder_by(
     """Attach the z-value and lay the frame out for writing: range-partition
     on the curve (sampled boundaries — one shuffle, no global sort) and
     sort within partitions so every parquet row group covers a tight curve
-    segment. ``dims`` = [(column, boundaries), (column, boundaries)]."""
-    if len(dims) != 2:
-        raise ValueError("zorder_by interleaves exactly 2 dimensions")
-    (c0, b0), (c1, b1) = dims
+    segment. ``dims`` = [(column, boundaries), ...] for 2+ dimensions."""
     out = df.withColumn(
-        zval_col, zvalue_expr(bucket_expr(c0, b0), bucket_expr(c1, b1), bits)
+        zval_col,
+        zvalue_expr(*[bucket_expr(c, b) for c, b in dims], bits=bits),
     )
     parts = n_files if n_files is not None else df.sparkSession.sparkContext.defaultParallelism
     return out.repartitionByRange(parts, F.col(zval_col)).sortWithinPartitions(zval_col)

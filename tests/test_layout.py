@@ -150,3 +150,44 @@ class TestZorderPruning:
         a = spark.read.parquet(lin_dir).filter(pred).count()
         b = spark.read.parquet(z_dir).filter(pred).count()
         assert a == b and a > 0
+
+
+class TestZvalueKDims:
+    def test_three_dims_match_python(self, spark):
+        from sea_streamer_spark.operators import layout as L
+
+        def py_z(bs, bits=8):
+            k = len(bs)
+            z = 0
+            for i in range(bits):
+                for d, b in enumerate(bs):
+                    z += ((b >> i) & 1) << (i * k + d)
+            return z
+
+        rows = [(i, i % 7, (i * 3) % 11, (i * 5) % 13) for i in range(150)]
+        df = spark.createDataFrame(rows, ["id", "a", "b", "c"])
+        ba, bb, bc = [2, 4], [3, 6, 9], [1, 5, 8, 12]
+        got = {
+            r.id: r.z
+            for r in df.select(
+                "id",
+                L.zvalue_expr(
+                    L.bucket_expr("a", ba),
+                    L.bucket_expr("b", bb),
+                    L.bucket_expr("c", bc),
+                ).alias("z"),
+            ).collect()
+        }
+        want = {
+            i: py_z([py_bucket(a, ba), py_bucket(b, bb), py_bucket(c, bc)])
+            for i, a, b, c in rows
+        }
+        assert got == want
+
+    def test_overflow_guard(self, spark):
+        import pytest
+
+        from sea_streamer_spark.operators import layout as L
+
+        with pytest.raises(ValueError):
+            L.zvalue_expr(*[F.lit(1)] * 8, bits=8)
