@@ -70,9 +70,12 @@ def main() -> None:
     cov = duplicated_span_coverage(kept).select("doc_id", "dup_permille")
     kept = kept.join(cov.filter(F.col("dup_permille") <= 800), "doc_id", "left_semi")
 
-    # 2. exact dedup: keep the smallest doc_id per identical text
+    # 2. exact dedup: keep the smallest doc_id per identical text.
+    #    Materialize here — everything below (MinHash, CC rounds, PageRank,
+    #    DSIR, BPE) re-drives this frame several times; without the cache
+    #    each consumer re-runs the whole quality/span/dedup prefix.
     winners = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
-    kept = kept.join(winners, "doc_id", "left_semi")
+    kept = kept.join(winners, "doc_id", "left_semi").cache()
 
     # 3. near-dedup: MinHash-LSH candidate pairs -> connected components ->
     #    keep exactly one representative per near-dup CLUSTER (pairwise
@@ -95,9 +98,6 @@ def main() -> None:
         .filter(F.col("rk") == 1)
         .select("doc_id", "cluster_id")
     )
-    # Materialize before the iterative consumers below (PageRank/DSIR/BPE
-    # each re-drive their input several times; at any scale you cut the
-    # re-derivation here — cache locally, a checkpoint/table at 100 TB)
     kept = kept.join(best.select("doc_id"), "doc_id", "left_semi").cache()
 
     # 3b. DSIR importance selection: score every surviving doc against an

@@ -70,10 +70,17 @@ def train_bpe(
     """Distributed BPE training: returns up to ``n_merges`` merges as
     ``(left, right, weighted_pair_count)`` in rank order. Stops early when
     no pair occurs twice (nothing left to compress)."""
+    # One round = one localCheckpoint(eager=True): the vocab-bounded word
+    # table materializes IMMEDIATELY (so the corpus word-count shuffle runs
+    # exactly once) and the logical lineage is severed per round. Chained
+    # .cache() is the wrong tool here — each round's captured plan would
+    # nest the previous round's InMemoryRelation, and 24 nested cached
+    # plans blow up plan-string rendering exponentially (observed
+    # OutOfMemoryError in QueryExecution.explainString).
     wc = (
         word_counts(df, text_col)
         .select(spaced(F.col("word")).alias("s"), "n")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -100,10 +107,9 @@ def train_bpe(
             break
         left, right, c = best[0]["p"]["l"], best[0]["p"]["r"], best[0]["c"]
         merges.append((left, right, int(c)))
-        nxt = wc.select(_apply_merge(F.col("s"), left, right).alias("s"), "n").cache()
-        wc.unpersist()
-        wc = nxt
-    wc.unpersist()
+        wc = wc.select(
+            _apply_merge(F.col("s"), left, right).alias("s"), "n"
+        ).localCheckpoint(eager=True)
     return merges
 
 
@@ -140,7 +146,8 @@ def bpe_token_count(
 ) -> Column:
     """Per-document BPE token count after applying ``merges`` in rank order
     — a pure projection (the merge list is baked into the expression tree;
-    zero shuffles, zero Python, whole-stage codegen end to end)."""
+    zero shuffles, zero Python, whole-stage codegen end to end). NULL text
+    counts as empty (0 tokens) — the oracle's COALESCE semantics."""
 
     def apply_word(w: Column) -> Column:
         s = F.concat(F.lit(" "), F.array_join(F.split(w, ""), " "), F.lit(" "))
@@ -148,8 +155,9 @@ def bpe_token_count(
             s = _apply_merge(s, left, right)
         return F.size(F.split(F.trim(s), " "))
 
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.filter(
-        F.split(F.col(text_col) if isinstance(text_col, str) else text_col, r"\s+"),
+        F.split(F.coalesce(t, F.lit("")), r"\s+"),
         lambda x: F.length(x) > 0,
     )
     return F.aggregate(

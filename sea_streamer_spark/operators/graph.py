@@ -219,7 +219,9 @@ def pagerank_fixed(
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
-    e = e.repartition("u").cache()
+    # e itself needs no cache: the repartition shuffle's map output is
+    # shared by both consumers (deg and the join) via shuffle reuse
+    e = e.repartition("u")
     deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     ed = e.join(deg, "u").select("u", "v", "deg").cache()
     base = nodes.select(F.col(id_col).alias("node"))
@@ -240,12 +242,21 @@ def pagerank_fixed(
             .cast("long")
             .alias("s"),
         ).localCheckpoint(eager=False)
-    out_deg = base.join(deg.withColumnRenamed("u", "node"), "node", "left")
-    return (
+    out_deg = base.join(
+        ed.select("u", "deg").distinct().withColumnRenamed("u", "node"),
+        "node",
+        "left",
+    )
+    result = (
         s.join(out_deg, "node")
         .select(
             F.col("node").alias(id_col),
             F.coalesce(F.col("deg"), F.lit(0).cast("long")).alias("degree"),
             F.col("s").alias("score_micro"),
         )
+        # one row per node: materialize eagerly so the edge cache can be
+        # dropped without the caller's first action recomputing the rounds
+        .localCheckpoint(eager=True)
     )
+    ed.unpersist()
+    return result

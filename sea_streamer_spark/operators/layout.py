@@ -93,10 +93,21 @@ def zorder_by(
     """Attach the z-value and lay the frame out for writing: range-partition
     on the curve (sampled boundaries — one shuffle, no global sort) and
     sort within partitions so every parquet row group covers a tight curve
-    segment. ``dims`` = [(column, boundaries), ...] for 2+ dimensions."""
-    out = df.withColumn(
-        zval_col,
-        zvalue_expr(*[bucket_expr(c, b) for c, b in dims], bits=bits),
+    segment. ``dims`` = [(column, boundaries), ...] for 2+ dimensions.
+
+    The bucket folds are projected into named columns BEFORE the
+    interleave: zvalue_expr references each bucket ``bits`` times, and
+    Catalyst does not CSE lambda-bearing expressions (the simhash lesson,
+    operators/dedup.py) — inlining the 255-literal fold would replicate it
+    8x per dimension per row on the write path. CollapseProject keeps the
+    two projections separate because the bucket outputs are non-cheap and
+    multiply referenced."""
+    bcols = [f"__zb{i}" for i in range(len(dims))]
+    staged = df.select(
+        "*", *[bucket_expr(c, b).alias(a) for (c, b), a in zip(dims, bcols)]
     )
+    out = staged.withColumn(
+        zval_col, zvalue_expr(*[F.col(a) for a in bcols], bits=bits)
+    ).drop(*bcols)
     parts = n_files if n_files is not None else df.sparkSession.sparkContext.defaultParallelism
     return out.repartitionByRange(parts, F.col(zval_col)).sortWithinPartitions(zval_col)

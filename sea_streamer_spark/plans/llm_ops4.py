@@ -516,9 +516,16 @@ def _build_dsir_oracle() -> str | None:
              CAST(SUM(({glit})[(({duck_char_fold('ng')}) % {_DSIR_M}) + 1])
                   AS BIGINT) AS logw_micro
       FROM ng GROUP BY doc_id
+    ), alldocs AS (
+      -- NULL-text docs yield no ng rows but must still compete at logw 0
+      -- (the Spark side's left-join-back-with-COALESCE contract)
+      SELECT d.doc_id,
+             CAST(COALESCE(s.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+             CAST(COALESCE(s.logw_micro, 0) AS BIGINT) AS logw_micro
+      FROM documents d LEFT JOIN scored s USING (doc_id)
     )
     SELECT doc_id, n_ngrams, logw_micro
-    FROM scored ORDER BY logw_micro DESC, doc_id LIMIT {_DSIR_K}"""
+    FROM alldocs ORDER BY logw_micro DESC, doc_id LIMIT {_DSIR_K}"""
 
 
 @query(
@@ -535,7 +542,7 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the deterministic top-k resampling cut. All-JVM scoring: bucket
     assignment and the literal-grid lookup are pure projections; the only
     shuffles are the doc-keyed sum and the TakeOrdered gather."""
-    from ..operators.selection import dsir_score
+    from ..operators.selection import dsir_select
 
     grid = dsir_grid_np(os.path.join(ORACLE_SF_DIR, "documents.parquet"))
     if grid is None:
@@ -543,11 +550,7 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     if grid is None:
         raise FileNotFoundError(f"no documents parquet under {sf_dir}")
     t = load_tables(spark, sf_dir, "documents")
-    return (
-        dsir_score(t.documents, grid)
-        .orderBy(F.col("logw_micro").desc(), F.col("doc_id"))
-        .limit(_DSIR_K)
-    )
+    return dsir_select(t.documents, grid, _DSIR_K)
 
 
 # ---------------------------------------------- near-dup PageRank centrality
@@ -722,10 +725,14 @@ def tokenizer_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash proves trainer parity end-to-end."""
     from ..operators.bpe import bpe_token_count
 
-    merges = bpe_train_spark(spark, ORACLE_SF_DIR)
+    gate = ORACLE_SF_DIR if os.path.exists(
+        os.path.join(ORACLE_SF_DIR, "documents.parquet")
+    ) else sf_dir
+    merges = bpe_train_spark(spark, gate)
     t = load_tables(spark, sf_dir, "documents")
     words = F.filter(
-        F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda x: F.length(x) > 0,
     )
     return t.documents.select(
         "doc_id",

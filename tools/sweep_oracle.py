@@ -30,7 +30,7 @@ from tests.oracle import check_query  # noqa: E402
 # quantizers, BPE, DSIR), whose fixed model applies at any sf — must pass
 # at every sf.
 GATE_ONLY = {"agg_approx_sketches"}
-GATE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+from sea_streamer_spark.plans.llm_ops import ORACLE_SF_DIR as GATE_SF_DIR  # noqa: E402
 
 
 def main() -> int:
