@@ -902,3 +902,65 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ------------------------------------------------------------ table profiling
+
+_PROFILE_COLS = ["doc_id", "lang", "n_chars", "source", "text"]
+
+
+def _duck_profile_row(c: str) -> str:
+    return (
+        f"SELECT '{c}' AS column_name,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,"
+        f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+        f" CAST(MIN({c}) AS VARCHAR) AS min_str,"
+        f" CAST(MAX({c}) AS VARCHAR) AS max_str"
+        f" FROM documents"
+    )
+
+
+@query(
+    "profile_documents",
+    oracle="\nUNION ALL ".join(_duck_profile_row(c) for c in _PROFILE_COLS)
+    + "\nORDER BY column_name",
+    tags=("llm", "quality"),
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile of the documents table — the data-quality
+    report every ingest gate starts with: row/null/exact-distinct counts
+    and lexicographic min/max per column, ONE aggregation pass over the
+    table (5 columns × 4 aggregates in a single groupBy-less agg; the
+    5-row reshape explodes the 1-row aggregate, never re-scans). At scale
+    swap exact COUNT(DISTINCT) for approx_count_distinct per tolerance —
+    the exact form is the oracle-checkable contract."""
+    t = load_tables(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("long").alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = t.documents.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("column_name")
+    )
