@@ -132,3 +132,63 @@ class TestCorpusBlowUp:
             docs, minhash_lsh_dedup(docs, threshold=0.5).select("doc_a", "doc_b")
         ).filter(F.col("doc_id") == F.col("cluster_id")).count()
         assert kept == base_kept * k
+
+
+class TestGeometryBoundedModels:
+    """The late-wave operators' 100 TB contract: model/driver state is
+    bounded by configuration GEOMETRY (buckets, vocab, boundaries), never
+    by corpus size. Verified by blowing the corpus up and asserting the
+    bounded artifacts stay fixed-size and replica-invariant."""
+
+    def _blown_up(self, spark, sf_dir, k=5):
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        return docs, docs.crossJoin(reps).select(
+            (F.col("doc_id") * k + F.col("rep")).alias("doc_id"), "text"
+        )
+
+    def test_dsir_fit_grid_is_replica_invariant(self, spark, sf_dir):
+        """k exact replicas multiply every bucket count by exactly k — the
+        fit stays an m-int array and the log-ratio grid is IDENTICAL
+        (Laplace smoothing aside), because p̂(b) is scale-free."""
+        from sea_streamer_spark.operators import selection as SEL
+
+        base, big = self._blown_up(spark, sf_dir)
+        m = 128
+        c1 = SEL.fit_bucket_counts(base, m=m)
+        c5 = SEL.fit_bucket_counts(big, m=m)
+        assert len(c1) == len(c5) == m
+        assert c5 == [5 * v for v in c1]
+
+    def test_bpe_merges_are_replica_invariant(self, spark, sf_dir):
+        """Exact replicas scale every pair count by k without changing the
+        argmax order ⇒ the learned merge SEQUENCE is identical and the
+        counts are exactly k×. (Training state = the word table — replicas
+        dedupe into it, so corpus blow-up does not grow it at all.)"""
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.operators import bpe as B
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents.limit(200)
+        m1 = B.train_bpe(docs, 6)
+        reps = spark.range(5).select(F.col("id").alias("rep"))
+        big200 = docs.crossJoin(reps).select(
+            (F.col("doc_id") * 5 + F.col("rep")).alias("doc_id"), "text"
+        )
+        m5 = B.train_bpe(big200, 6)
+        assert [(l, r) for l, r, _ in m5] == [(l, r) for l, r, _ in m1]
+        assert [c for _, _, c in m5] == [5 * c for _, _, c in m1]
+
+    def test_zorder_boundaries_fixed_size_any_corpus(self, spark, sf_dir):
+        from sea_streamer_spark.operators import layout as L
+        from sea_streamer_spark.sources.tables import load_tables
+
+        ev = load_tables(spark, sf_dir, "events").events
+        for bits in (4, 8):
+            bs = L.quantile_boundaries(ev, "user_id", bits=bits)
+            assert len(bs) == (1 << bits) - 1
