@@ -657,3 +657,67 @@ def ann_ivf_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def contrastive_triples(
+    emb: DataFrame,
+    pos_thresh: float = 0.45,
+    neg_lo: float = 0.15,
+    neg_hi: float = 0.35,
+    n_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(anchor, positive, hard negatives) triples — the contrastive-training
+    data op: for every anchor, the single most-similar vector at
+    ``cos >= pos_thresh`` (the positive) and the ``n_neg`` most-similar
+    vectors inside the ``[neg_lo, neg_hi)`` band (HARD negatives — similar
+    enough to be informative, dissimilar enough to be wrong). Anchors
+    lacking either side emit nothing. Deterministic: ranking ties break on
+    candidate id.
+
+    This exact form scores all pairs (the oracle-checkable contract, like
+    :func:`near_dup_pairs`); at scale the candidate relation swaps to the
+    banded-LSH buckets for positives and to band-mismatch sampling for
+    negatives — the windows and thresholds are unchanged.
+    """
+    from pyspark.sql import Window
+
+    from .scale import fan_out
+
+    a = fan_out(emb, key=id_col).select(
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("va")
+    )
+    b = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("vb"))
+    pairs = a.join(
+        F.broadcast(b), F.col("anchor_id") != F.col("cand_id")
+    ).select(
+        "anchor_id", "cand_id", cosine(F.col("va"), F.col("vb")).alias("s")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("s").desc(), F.col("cand_id")
+    )
+    pos = (
+        pairs.filter(F.col("s") >= pos_thresh)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("pos_id"),
+            F.col("s").alias("pos_sim"),
+        )
+    )
+    neg = (
+        pairs.filter((F.col("s") >= neg_lo) & (F.col("s") < neg_hi))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_neg)
+        .select(
+            "anchor_id",
+            F.col("rk").cast("int").alias("neg_rank"),
+            F.col("cand_id").alias("neg_id"),
+            F.col("s").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "pos_id", "pos_sim", "neg_rank", "neg_id", "neg_sim"
+    )

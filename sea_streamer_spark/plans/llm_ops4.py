@@ -964,3 +964,53 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("column_name")
     )
+
+
+# -------------------------------------------------- contrastive triple mining
+
+from .llm_ops import _duck_cosine  # noqa: E402
+
+_TRIP = dict(pos=0.45, lo=0.15, hi=0.35, n_neg=3)
+
+
+@query(
+    "triples_hard_negatives",
+    oracle=f"""
+    WITH p AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+             {_duck_cosine('a.embedding', 'b.embedding')} AS s
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), pos AS (
+      SELECT anchor_id, cand_id AS pos_id, s AS pos_sim,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY s DESC, cand_id) AS rk
+      FROM p WHERE s >= {_TRIP['pos']}
+    ), neg AS (
+      SELECT anchor_id, cand_id AS neg_id, s AS neg_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY s DESC, cand_id) AS INT) AS neg_rank
+      FROM p WHERE s >= {_TRIP['lo']} AND s < {_TRIP['hi']}
+    )
+    SELECT pos.anchor_id, pos_id, pos_sim, neg_rank, neg_id, neg_sim
+    FROM pos JOIN neg USING (anchor_id)
+    WHERE pos.rk = 1 AND neg_rank <= {_TRIP['n_neg']}
+    ORDER BY anchor_id, neg_rank
+    """,
+    tags=("llm", "similarity"),
+)
+def triples_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triples (operators/similarity.contrastive_triples):
+    per anchor, the top positive at cos ≥ 0.45 plus the 3 hardest negatives
+    in [0.15, 0.35) — the (anchor, positive, hard-negative) mining step of
+    embedding-model training data. Exact all-pairs is the oracle contract
+    (near_dup_pairs convention); the banded-LSH candidate swap is the
+    documented scale path. Cosines are the shared JVM fold, bit-identical
+    to the oracle's list_reduce."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return S.contrastive_triples(
+        t.embeddings,
+        pos_thresh=_TRIP["pos"],
+        neg_lo=_TRIP["lo"],
+        neg_hi=_TRIP["hi"],
+        n_neg=_TRIP["n_neg"],
+    ).orderBy("anchor_id", "neg_rank")

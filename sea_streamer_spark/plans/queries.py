@@ -103,7 +103,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "events_anomaly_zscore", "curation_dsir_select",
     "graph_neardup_pagerank", "tokenizer_bpe_counts",
     "curation_leakage_safe_split", "layout_zorder_events",
-    "profile_documents",
+    "profile_documents", "triples_hard_negatives",
 )
 
 

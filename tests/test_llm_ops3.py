@@ -525,3 +525,45 @@ class TestLeakageSafeSplit:
         n = len(rows)
         frac_train = sum(1 for r in rows if r.split == "train") / n
         assert 0.6 < frac_train < 0.95, frac_train
+
+
+class TestContrastiveTriples:
+    def test_triple_invariants(self, spark, sf_dir):
+        """Positive is the anchor's TOP match above threshold; negatives
+        sit strictly inside the hard band, ranked by similarity; every
+        anchor emits at most n_neg rows."""
+        from sea_streamer_spark.plans.queries import QUERIES
+
+        rows = QUERIES["triples_hard_negatives"].fn(spark, sf_dir).collect()
+        assert rows, "fixture should yield triples"
+        by_anchor: dict = {}
+        for r in rows:
+            assert r.pos_sim >= 0.45
+            assert 0.15 <= r.neg_sim < 0.35
+            assert r.pos_sim > r.neg_sim
+            by_anchor.setdefault(r.anchor_id, []).append(r)
+        for a, rs in by_anchor.items():
+            rs = sorted(rs, key=lambda r: r.neg_rank)
+            assert [r.neg_rank for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= 3
+            sims = [r.neg_sim for r in rs]
+            assert sims == sorted(sims, reverse=True)
+            # one positive per anchor
+            assert len({(r.pos_id, r.pos_sim) for r in rs}) == 1
+
+    def test_positive_is_true_argmax(self, spark, sf_dir):
+        """Cross-check the positive against brute-force near_dup_pairs."""
+        from sea_streamer_spark.operators import similarity as S
+        from sea_streamer_spark.plans.queries import QUERIES
+        from sea_streamer_spark.sources.tables import load_tables
+
+        emb = load_tables(spark, sf_dir, "embeddings").embeddings
+        best: dict = {}
+        for p in S.near_dup_pairs(emb, threshold=0.45).collect():
+            for a, b in ((p.id_a, p.id_b), (p.id_b, p.id_a)):
+                cur = best.get(a)
+                if cur is None or (p.cosine_sim, -b) > (cur[1], -cur[0]):
+                    best[a] = (b, p.cosine_sim)
+        rows = QUERIES["triples_hard_negatives"].fn(spark, sf_dir).collect()
+        for r in rows:
+            assert best[r.anchor_id][0] == r.pos_id, r
