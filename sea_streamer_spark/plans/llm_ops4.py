@@ -1014,3 +1014,50 @@ def triples_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         neg_hi=_TRIP["hi"],
         n_neg=_TRIP["n_neg"],
     ).orderBy("anchor_id", "neg_rank")
+
+
+# -------------------------------------------------- cross-source contamination
+
+@query(
+    "contamination_matrix_sources",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, {_TOKS} AS tk FROM documents
+    ), pos AS (
+      SELECT source, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+      FROM toks WHERE len(tk) >= 3
+    ), sh AS (
+      SELECT source, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS sh
+      FROM pos
+    ), ds AS (SELECT DISTINCT source, sh FROM sh)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_shingles
+    FROM ds a JOIN ds b ON a.sh = b.sh AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def contamination_matrix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct shared 3-gram shingles
+    per source pair — the corpus-audit view of decontamination (which
+    sources copy from which). One distinct (source, shingle) relation, one
+    shingle-keyed self-join (volume scales with shared text, never
+    sources²×docs²), one pair-keyed count; the 20×20 output is trivially
+    collectable at any corpus size."""
+    from ..operators.dedup import shingles
+
+    t = load_tables(spark, sf_dir, "documents")
+    ds = (
+        t.documents.select(
+            "source", F.explode(shingles("text")).alias("sh")
+        ).distinct()
+    )
+    a = ds.select(F.col("source").alias("source_a"), "sh")
+    b = ds.select(F.col("source").alias("source_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_shingles"))
+        .orderBy("source_a", "source_b")
+    )
