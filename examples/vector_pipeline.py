@@ -39,7 +39,11 @@ def main() -> None:
     # 1. decorrelate: one-pass distributed PCA whitening (the cosine/ANN
     #    quality prep) — keep the top 8 directions
     model = fit_whiten(emb, k=8)
-    white = whiten(emb, model).cache()
+    white = (
+        whiten(emb, model)
+        .select("vec_id", F.col("whitened").alias("embedding"))
+        .cache()
+    )
 
     # 2. quantizer + persisted IVF store over the whitened space
     cents = S.ivf_centroids(white, n_cells=8)
@@ -63,7 +67,10 @@ def main() -> None:
     trip = S.contrastive_triples(emb, n_neg=2)
     print(f"triples: {trip.count()} rows")
 
-    # 5. SemDeDup drop list: same-cell near-dups (smaller id survives)
+    # 5. SemDeDup drop list: same-cell near-dups (smaller id survives).
+    #    NOTE the threshold is space-specific: 8-dim whitened vectors
+    #    concentrate cosine mass far above the raw-space 0.45 (fewer,
+    #    decorrelated dimensions) — recalibrate per space, here 0.9.
     assigned = white.select("vec_id", "embedding", S.ivf_cell_expr(cents).alias("cell"))
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
@@ -72,7 +79,7 @@ def main() -> None:
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("b.vec_id") < F.col("a.vec_id")),
         )
-        .filter(S.cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.45)
+        .filter(S.cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.9)
         .select(F.col("a.vec_id").alias("vec_id"))
         .distinct()
     )

@@ -70,10 +70,13 @@ def file_manifest(
                 return v.decode("utf-8", "replace")
             return str(v)
 
+        from urllib.parse import unquote, urlparse
+
         for pdf in batches:
             out: list[dict] = []
             for p in pdf["path"]:
-                local = p[len("file:"):] if p.startswith("file:") else p
+                u = urlparse(p)
+                local = unquote(u.path) if u.scheme else p
                 md = pq.ParquetFile(local).metadata
                 idx = {
                     md.schema.column(i).name: i for i in range(md.num_columns)
@@ -84,14 +87,18 @@ def file_manifest(
                         if c not in idx:
                             continue
                         st = rg.column(idx[c]).statistics
+                        # has_min_max guards the all-null / stats-less
+                        # cases: a literal "None" string would masquerade
+                        # as a real lexicographic bound
+                        has_mm = st is not None and st.has_min_max
                         out.append(
                             {
                                 "file": local,
                                 "row_group": g,
                                 "n_rows": rg.num_rows,
                                 "column": c,
-                                "min_val": None if st is None else canon(st.min),
-                                "max_val": None if st is None else canon(st.max),
+                                "min_val": canon(st.min) if has_mm else None,
+                                "max_val": canon(st.max) if has_mm else None,
                                 "n_nulls": None if st is None else st.null_count,
                             }
                         )
@@ -113,14 +120,19 @@ def pruned_files(
     ``col: (lo, hi)`` keep groups whose [min, max] box intersects it —
     the data-skipping decision as a DataFrame filter over the manifest
     (numeric columns; values cast from the canonical strings). Returns
-    distinct (file, row_group) — everything absent is provably skippable."""
+    distinct (file, row_group) — everything absent is provably skippable.
+    SOUNDNESS: a group with NO recorded min/max (stats disabled, foreign
+    writer, all-null group) can never be proven disjoint, so it is KEPT."""
     m = manifest
     keep = None
     for c, (lo, hi) in ranges.items():
-        cond = (
-            (F.col("column") == c)
-            & (F.col("min_val").cast("double") <= F.lit(float(hi)))
-            & (F.col("max_val").cast("double") >= F.lit(float(lo)))
+        cond = (F.col("column") == c) & (
+            F.col("min_val").isNull()
+            | F.col("max_val").isNull()
+            | (
+                (F.col("min_val").cast("double") <= F.lit(float(hi)))
+                & (F.col("max_val").cast("double") >= F.lit(float(lo)))
+            )
         )
         hit = m.filter(cond).select("file", "row_group").distinct()
         keep = hit if keep is None else keep.join(hit, ["file", "row_group"])

@@ -689,10 +689,18 @@ def contrastive_triples(
         F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("va")
     )
     b = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("vb"))
-    pairs = a.join(
-        F.broadcast(b), F.col("anchor_id") != F.col("cand_id")
-    ).select(
-        "anchor_id", "cand_id", cosine(F.col("va"), F.col("vb")).alias("s")
+    # Score the all-pairs relation ONCE, pre-filtered to the union of both
+    # bands, and cache it: the pos/neg branches would otherwise each
+    # re-execute the O(n²) broadcast join + cosine folds (no exchange
+    # reuse across their different filters) — the dominant cost, paid
+    # twice. The cached slice is only the in-band pairs, tiny vs n².
+    pairs = (
+        a.join(F.broadcast(b), F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id", "cand_id", cosine(F.col("va"), F.col("vb")).alias("s")
+        )
+        .filter(F.col("s") >= min(neg_lo, pos_thresh))
+        .cache()
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("s").desc(), F.col("cand_id")

@@ -343,7 +343,9 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- trailing z-score anomalies
 
-_Z_TRAIL = 24  # trailing windows in the baseline
+from ..streaming.anomaly import TRAIL as _Z_TRAIL  # noqa: E402 — shared
+# trailing-window count: the streaming operator (streaming/anomaly.py) and
+# this batch query must score identically, so the constant lives once
 
 
 @query(

@@ -19,7 +19,7 @@ aggregation emits them that way); within a batch the processor sorts.
 
 from __future__ import annotations
 
-TRAIL = 24  # == plans.llm_ops4._Z_TRAIL — the baseline window count
+TRAIL = 24  # single source of truth — plans.llm_ops4 imports this as _Z_TRAIL
 
 OUTPUT_SCHEMA = (
     "event_type string, window_start timestamp, c long, z_micro long"
@@ -65,14 +65,22 @@ def make_processor():
 
             counts = list(self._buf.get()[0]) if self._buf.exists() else []
             out: list[tuple] = []
-            for pdf in rows:
-                for _, r in pdf.sort_values("window_start").iterrows():
-                    c = int(r["c"])
-                    if len(counts) >= trail:
-                        out.append(
-                            (key[0], r["window_start"], c, score(c, counts[-trail:]))
-                        )
-                    counts.append(c)
+            # a key's micro-batch may span several Arrow chunks in
+            # shuffle-arbitrary order — concat THEN sort, or the trailing
+            # buffer builds out of event-time order on large batches
+            chunks = [pdf for pdf in rows if len(pdf)]
+            batch = (
+                pd.concat(chunks).sort_values("window_start")
+                if chunks
+                else pd.DataFrame(columns=["window_start", "c"])
+            )
+            for _, r in batch.iterrows():
+                c = int(r["c"])
+                if len(counts) >= trail:
+                    out.append(
+                        (key[0], r["window_start"], c, score(c, counts[-trail:]))
+                    )
+                counts.append(c)
             self._buf.update((counts[-trail:],))  # geometry-bounded state
             if out:
                 yield pd.DataFrame(
@@ -133,14 +141,19 @@ def streaming_zscore_legacy(hourly_stream):
 
         counts = list(state.get[0]) if state.exists else []
         out: list[tuple] = []
-        for pdf in pdfs:
-            for _, r in pdf.sort_values("window_start").iterrows():
-                c = int(r["c"])
-                if len(counts) >= trail:
-                    out.append(
-                        (key[0], r["window_start"], c, score(c, counts[-trail:]))
-                    )
-                counts.append(c)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks).sort_values("window_start")
+            if chunks
+            else pd.DataFrame(columns=["window_start", "c"])
+        )
+        for _, r in batch.iterrows():
+            c = int(r["c"])
+            if len(counts) >= trail:
+                out.append(
+                    (key[0], r["window_start"], c, score(c, counts[-trail:]))
+                )
+            counts.append(c)
         state.update((counts[-trail:],))
         if out:
             yield pd.DataFrame(

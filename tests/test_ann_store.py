@@ -69,16 +69,17 @@ class TestAnnStore:
             e for e in os.listdir(d) if e.startswith("ivf_cell=")
         }
         assert len(cells_on_disk) > 2  # several cells materialized
-        # the executed scan must report fewer files than the full store
+        # PartitionFilters drive FileSourceScanExec's directory listing:
+        # the IN-list must name exactly nprobe cells, strictly fewer than
+        # the store holds — the I/O bound, asserted from the plan itself
+        # (loud failure if the rendering ever changes)
         import re
 
-        m = re.findall(r"files: (\d+)", plan)
-        # fallback: assert via partition count in the scan node text
-        if m:
-            total_files = sum(
-                len(os.listdir(os.path.join(d, c))) for c in cells_on_disk
-            )
-            assert int(m[0]) < total_files, (m, total_files)
+        m = re.search(r"PartitionFilters: \[ivf_cell#\d+ IN \(([^)]*)\)\]", plan)
+        assert m, f"no ivf_cell IN PartitionFilters in scan plan:\n{plan}"
+        probed = {c.strip() for c in m.group(1).split(",")}
+        assert len(probed) == 2, probed  # nprobe=2 in this test
+        assert len(probed) < len(cells_on_disk), (probed, cells_on_disk)
 
     def test_all_cells_present_round_trip(self, spark, sf_dir, tmp_path):
         """No vectors lost in the partitioned rewrite."""
