@@ -97,6 +97,13 @@ _PRIORITY_RESAMPLE: tuple[str, ...] = (
 #: budget still covers the backlog exactly; these get rows next round (or
 #: this round, if the budget turns out to exceed 50 — they pass the same
 #: strict local sweep as everything else).
+#:
+#: ROUND-4 RE-RANK TODO (first thing next round, after reading
+#: CORRECTNESS_r03): append round-3's green names to a new
+#: _R03_DRIVER_VERIFIED demotion list and promote THIS bucket to the
+#: front (these 14 have tri-scale local proof but zero driver rows), plus
+#: any round-3 red/err rows with fixes. All entries here also pass the
+#: sf0.1 sweep, so only driver sampling is outstanding.
 _POST_BUDGET: tuple[str, ...] = (
     "dedup_span_coverage", "dedup_bloom_incremental", "quality_char_lm",
     "embedding_whiten_project", "sketch_heavy_hitters",
