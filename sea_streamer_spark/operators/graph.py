@@ -242,11 +242,9 @@ def pagerank_fixed(
             .cast("long")
             .alias("s"),
         ).localCheckpoint(eager=False)
-    out_deg = base.join(
-        ed.select("u", "deg").distinct().withColumnRenamed("u", "node"),
-        "node",
-        "left",
-    )
+    # deg recomputes off e's reusable shuffle output — cheaper than a
+    # distinct over the cached edge×deg relation (an extra full shuffle)
+    out_deg = base.join(deg.withColumnRenamed("u", "node"), "node", "left")
     result = (
         s.join(out_deg, "node")
         .select(
