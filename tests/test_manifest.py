@@ -116,3 +116,49 @@ class TestFileManifest:
         df = file_manifest(spark, d, ["event_id"])
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" in plan, plan
+
+
+class TestManifestSoundnessEdges:
+    def test_statless_row_groups_are_always_kept(self, spark, tmp_path):
+        """Files written WITHOUT column statistics cannot be pruned — the
+        manifest must keep them for every range (the soundness contract),
+        with NULL min/max rather than bogus canonical strings."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sea_streamer_spark.operators.manifest import file_manifest, pruned_files
+
+        d = str(tmp_path / "nostats")
+        os.makedirs(d)
+        t = pa.table({"x": list(range(100)), "y": [float(i) for i in range(100)]})
+        pq.write_table(t, os.path.join(d, "a.parquet"), write_statistics=False)
+        pq.write_table(t, os.path.join(d, "b.parquet"))  # stats on
+
+        man = file_manifest(spark, d, ["x"]).cache()
+        rows = {r.file: r for r in man.collect()}
+        a = [r for f, r in rows.items() if f.endswith("a.parquet")][0]
+        b = [r for f, r in rows.items() if f.endswith("b.parquet")][0]
+        assert a.min_val is None and a.max_val is None
+        assert b.min_val == "0" and b.max_val == "99"
+
+        # a disjoint range prunes ONLY the stats-bearing file
+        kept = {
+            r.file for r in pruned_files(man, {"x": (1000, 2000)}).collect()
+        }
+        assert any(f.endswith("a.parquet") for f in kept)
+        assert not any(f.endswith("b.parquet") for f in kept)
+        man.unpersist()
+
+    def test_all_null_group_reports_null_bounds(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sea_streamer_spark.operators.manifest import file_manifest
+
+        d = str(tmp_path / "allnull")
+        os.makedirs(d)
+        t = pa.table({"x": pa.array([None, None, None], type=pa.int64())})
+        pq.write_table(t, os.path.join(d, "n.parquet"))
+        r = file_manifest(spark, d, ["x"]).collect()[0]
+        assert r.min_val is None and r.max_val is None
+        assert r.n_nulls == 3

@@ -194,3 +194,32 @@ class TestDsirPlanShape:
         )
         base = en.count() / n
         assert frac_en > min(0.9, base * 1.5), (frac_en, base)
+
+
+class TestNullTextRobustness:
+    def test_dsir_and_bpe_handle_null_text(self, spark):
+        """NULL text must score logw 0 (DSIR) and count 0 tokens (BPE) —
+        the oracle-parity contract for degenerate rows, not a crash."""
+        from sea_streamer_spark.operators import bpe as B
+        from sea_streamer_spark.operators import selection as SEL
+
+        df = spark.createDataFrame(
+            [(0, "hello world"), (1, None), (2, "")],
+            "doc_id long, text string",
+        )
+        grid = [7] * 32
+        got = {
+            r.doc_id: (r.n_ngrams, r.logw_micro)
+            for r in SEL.dsir_score(df, grid).collect()
+        }
+        assert got[1] == (0, 0)
+        assert got[0][0] == 3  # 2 unigrams + 1 bigram
+
+        merges = [("l", "o", 2)]
+        counts = {
+            r.doc_id: r.t
+            for r in df.select(
+                "doc_id", B.bpe_token_count("text", merges).alias("t")
+            ).collect()
+        }
+        assert counts[1] == 0 and counts[2] == 0 and counts[0] > 0
