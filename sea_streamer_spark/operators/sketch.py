@@ -156,3 +156,100 @@ def load_cms_applied(path: str) -> set[int]:
 
     d = load_json(path)
     return set(d.get("applied", [])) if d else set()
+
+
+# ------------------------------------------------------------- portable HLL
+
+HLL_M = 256  # registers (8-bit bucket); standard error 1.04/sqrt(m) ≈ 6.5%
+HLL_W = 22  # remaining-hash bit width: MOD < 2^30, w = h div 256 < 2^22
+
+
+def hll_rho(w: Column) -> Column:
+    """Leading-zeros-plus-one rank of the W-bit remainder hash, as the
+    bit-length identity ``rho = W - bitlen(w) + 1`` (``W+1`` for w=0) —
+    expressed through ``length(bin(w))``, which Spark and DuckDB render
+    identically, so the whole register build replays in SQL bit-for-bit
+    (the CMS portability contract; Spark's own approx_count_distinct can
+    only be golden-pinned because xxhash64 has no SQL replay)."""
+    return (
+        F.when(w == 0, F.lit(HLL_W + 1))
+        .otherwise(F.lit(HLL_W + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+
+
+def hll_registers(
+    df: DataFrame, key: Column | str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(group..., bucket, r) register table: bucket = fold % m, r = max rho.
+    ONE aggregate whose map-side combine caps the shuffle at m rows per
+    group per task — the geometry-bounded sketch-build shape shared with
+    cms_build/bloom_build. Registers are mergeable by construction
+    (max is associative): union of corpora == max over their register
+    tables, which is what makes the sketch a valid streaming accumulator.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    gb = list(group_cols or [])
+    # fold over md5(key), not the raw key: HLL needs avalanche (the
+    # leading-zero rank must be geometric), and the bare polynomial fold
+    # maps similar keys to DENSE h runs whose shared high bits wreck the
+    # estimate ~10x (measured on sequential ids). md5 + fold is the repo's
+    # portable-avalanche pattern (split_bucket / oracle_sample).
+    # Projected ONCE into a named column: bucket and rho both read it, and
+    # CollapseProject keeps the stage separate for multiply-referenced
+    # lambda expressions (the zorder_by lesson).
+    hashed = df.select(*gb, char_fold_hash(F.md5(k.cast("string"))).alias("_h"))
+    rel = hashed.select(
+        *gb,
+        (F.col("_h") % HLL_M).cast("int").alias("bucket"),
+        hll_rho(F.expr(f"_h div {HLL_M}")).alias("_r_tmp"),
+    )
+    return rel.groupBy(*gb, "bucket").agg(F.max("_r_tmp").alias("r"))
+
+
+def hll_summary(
+    regs: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-group exact-integer HLL summary: ``denom_q32`` = Σ 2^(32-rho)
+    over all m registers (empty registers contribute 2^32) and
+    ``zero_registers`` — the two numbers the standard estimate (raw +
+    linear-counting correction) derives from, kept integral so the driver
+    hash is engine-exact; the float estimate is a trivial driver-side
+    formula over them (see tests/test_sketch_hll.py)."""
+    gb = list(group_cols or [])
+    present = regs.groupBy(*gb).agg(
+        # F.shiftleft's python signature takes an int shift; the SQL
+        # function accepts a column (same workaround as bloom._pack)
+        F.sum(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.lit(32) - F.col("r")).cast("int"),
+            )
+        )
+        .cast("long")
+        .alias("present_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+    )
+    return present.select(
+        *gb,
+        (
+            F.col("present_sum")
+            + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << 32).cast("long")
+        )
+        .cast("long")
+        .alias("denom_q32"),
+        (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("zero_registers"),
+    )
+
+
+def hll_estimate(denom_q32: int, zero_registers: int, m: int = HLL_M) -> float:
+    """Driver-side estimate from the integral summary: the standard raw
+    HLL formula with the small-range linear-counting correction."""
+    import math
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m * float(1 << 32) / float(denom_q32)
+    if raw <= 2.5 * m and zero_registers > 0:
+        return m * math.log(m / zero_registers)
+    return raw

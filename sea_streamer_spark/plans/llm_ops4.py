@@ -1063,3 +1063,67 @@ def contamination_matrix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("shared_shingles"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ------------------------------------------------------------- portable HLL
+
+from ..operators.sketch import HLL_M, HLL_W  # noqa: E402
+
+
+@query(
+    "sketch_hll_per_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({T.duck_tokens('text')}) AS token FROM documents
+    ), h AS (
+      SELECT source, {T.duck_char_fold("md5(token)")} AS h FROM tok
+    ), br AS (
+      SELECT source, CAST(h % {HLL_M} AS INT) AS bucket,
+             CASE WHEN h // {HLL_M} = 0 THEN {HLL_W + 1}
+                  ELSE {HLL_W + 1} - length(bin(h // {HLL_M})) END AS rho
+      FROM h
+    ), regs AS (
+      SELECT source, bucket, MAX(rho) AS r FROM br GROUP BY source, bucket
+    ), summ AS (
+      SELECT source,
+             CAST(SUM(CAST(1 AS BIGINT) << (32 - r)) AS BIGINT) AS present_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_present
+      FROM regs GROUP BY source
+    ), ex AS (
+      SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_exact
+      FROM tok GROUP BY source
+    )
+    SELECT s.source,
+           CAST(s.present_sum + ({HLL_M} - s.n_present) * (CAST(1 AS BIGINT) << 32)
+                AS BIGINT) AS denom_q32,
+           CAST({HLL_M} - s.n_present AS BIGINT) AS zero_registers,
+           e.n_exact
+    FROM summ s JOIN ex e USING (source)
+    ORDER BY s.source""",
+    tags=("llm", "sketch"),
+)
+def sketch_hll_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog per source (operators/sketch.hll_registers):
+    approximate distinct-token cardinality whose ENTIRE register build —
+    fold, bucket, leading-zeros rank via bin-length — replays in SQL, so
+    the sketch itself is value-hash checked at any sf (unlike Spark's
+    xxhash64-based approx_count_distinct, which only a golden can pin).
+    Output is the exact-integer summary (denom_q32, zero_registers) the
+    float estimate derives from, plus the true distinct count the accuracy
+    tests compare against. Build = one geometry-bounded register
+    aggregate; registers merge by max ⇒ valid streaming accumulator."""
+    from ..operators.sketch import hll_registers, hll_summary
+    from ..operators.text import tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+    tok = t.documents.select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    regs = hll_registers(tok, "token", group_cols=["source"])
+    summ = hll_summary(regs, group_cols=["source"])
+    exact = tok.groupBy("source").agg(
+        F.countDistinct("token").cast("long").alias("n_exact")
+    )
+    return summ.join(exact, "source").select(
+        "source", "denom_q32", "zero_registers", "n_exact"
+    ).orderBy("source")

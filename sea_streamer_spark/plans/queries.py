@@ -111,7 +111,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "graph_neardup_pagerank", "tokenizer_bpe_counts",
     "curation_leakage_safe_split", "layout_zorder_events",
     "profile_documents", "triples_hard_negatives",
-    "contamination_matrix_sources",
+    "contamination_matrix_sources", "sketch_hll_per_source",
 )
 
 
