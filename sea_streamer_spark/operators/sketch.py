@@ -253,3 +253,80 @@ def hll_estimate(denom_q32: int, zero_registers: int, m: int = HLL_M) -> float:
     if raw <= 2.5 * m and zero_registers > 0:
         return m * math.log(m / zero_registers)
     return raw
+
+
+# ------------------------------------------------------------- portable KMV
+
+KMV_K = 256  # sketch size; Jaccard stderr ≈ 1/sqrt(k) ≈ 6.3%
+
+
+def kmv_sketch(
+    df: DataFrame, key: Column | str, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """K-minimum-values sketch per group: the ``k`` smallest DISTINCT
+    portable hash values of the group's keys — the member of the sketch
+    family that supports SET OPERATIONS (union = merge-and-truncate,
+    intersection/Jaccard via the combined top-k), which HLL cannot.
+    Deterministic by construction (exact k smallest of an exact hash set),
+    so sketches — and every estimate derived from them — are value-hash
+    oracle-checkable, like the CMS grid and the HLL registers.
+
+    Build: distinct (group, h) → one windowed rank per group, keeping ≤ k
+    rows — the shuffle is keyed by group and the output is geometry-
+    bounded (k rows per group)."""
+    from pyspark.sql import Window
+
+    kc = F.col(key) if isinstance(key, str) else key
+    hashed = df.select(
+        F.col(group_col), char_fold_hash(F.md5(kc.cast("string"))).alias("h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(group_col, "h")
+    )
+
+
+def kmv_pair_overlap(
+    kmv: DataFrame, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Pairwise Jaccard ingredients from per-group KMV sketches, all
+    integers: for every group pair (a < b), rank the UNION of their sketch
+    values, keep the k smallest, and count how many appear in BOTH — the
+    classic KMV Jaccard estimator ``shared_in_topk / k_used`` (Beyer et
+    al. 2007), engine-exact because every step is integer set algebra.
+    Output: (group_a, group_b, k_used, shared_in_topk)."""
+    from pyspark.sql import Window
+
+    g = group_col
+    a = kmv.select(F.col(g).alias("ga"), "h")
+    b = kmv.select(F.col(g).alias("gb"), "h")
+    # one row per (pair, h, side): equi-joins only — the pair relation
+    # materializes through the shared hash space, never a cross join
+    both = a.join(b, "h").filter(F.col("ga") < F.col("gb")).select(
+        "ga", "gb", "h", F.lit(2).alias("sides")
+    )
+    groups = kmv.select(F.col(g).alias("ga")).distinct()
+    pairs = groups.join(
+        groups.select(F.col("ga").alias("gb")), F.col("ga") < F.col("gb")
+    )
+    only_a = (
+        pairs.join(a, "ga")
+        .join(both.select("ga", "gb", "h"), ["ga", "gb", "h"], "left_anti")
+        .select("ga", "gb", "h", F.lit(1).alias("sides"))
+    )
+    only_b = (
+        pairs.join(b, "gb")
+        .join(both.select("ga", "gb", "h"), ["ga", "gb", "h"], "left_anti")
+        .select("ga", "gb", "h", F.lit(1).alias("sides"))
+    )
+    uni = both.unionByName(only_a).unionByName(only_b)
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    top = uni.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return top.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.sum(F.when(F.col("sides") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("shared_in_topk"),
+    )

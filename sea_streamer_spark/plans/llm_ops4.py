@@ -1127,3 +1127,73 @@ def sketch_hll_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summ.join(exact, "source").select(
         "source", "denom_q32", "zero_registers", "n_exact"
     ).orderBy("source")
+
+
+# ------------------------------------------------------------- portable KMV
+
+from ..operators.sketch import KMV_K  # noqa: E402
+
+
+@query(
+    "sketch_kmv_jaccard_sources",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT source, unnest({T.duck_tokens('text')}) AS token
+      FROM documents
+    ), hs AS (
+      SELECT DISTINCT source, {T.duck_char_fold("md5(token)")} AS h FROM tok
+    ), kmv AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM hs
+      ) WHERE rk <= {KMV_K}
+    ), srcs AS (SELECT DISTINCT source FROM kmv),
+    pairs AS (
+      SELECT a.source AS ga, b.source AS gb
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ), uni AS (
+      SELECT p.ga, p.gb, k.h, COUNT(DISTINCT k.source) AS sides
+      FROM pairs p JOIN kmv k ON k.source = p.ga OR k.source = p.gb
+      GROUP BY p.ga, p.gb, k.h
+    ), top AS (
+      SELECT ga, gb, h, sides,
+             ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+      FROM uni
+    )
+    SELECT ga AS source_a, gb AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS k_used,
+           CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS shared_in_topk
+    FROM top WHERE rk <= {KMV_K}
+    GROUP BY ga, gb ORDER BY source_a, source_b""",
+    tags=("llm", "sketch"),
+)
+def sketch_kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard via KMV sketches
+    (operators/sketch.kmv_sketch / kmv_pair_overlap, Beyer et al. 2007):
+    the set-operation sketch — per source the k=256 smallest distinct
+    md5-fold hash values, pairwise estimate = shared-in-top-k of the
+    union, ALL integer set algebra ⇒ the oracle replays every step and
+    the driver hash checks the sketches themselves. The scale story: the
+    exact pairwise computation (contamination_matrix_sources) touches the
+    full shared-token volume; this touches k rows per source regardless
+    of corpus size."""
+    from ..operators.sketch import kmv_pair_overlap, kmv_sketch
+    from ..operators.text import tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+    tok = t.documents.select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    kmv = kmv_sketch(tok, "token", "source")
+    return (
+        kmv_pair_overlap(kmv, "source")
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            "k_used",
+            "shared_in_topk",
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -76,3 +76,63 @@ class TestHllMerge:
 
         df = spark.range(200_000).select(F.col("id").cast("string").alias("k"))
         assert hll_registers(df, "k").count() <= HLL_M
+
+
+class TestKmvJaccard:
+    def test_estimator_accuracy_on_known_overlap(self, spark):
+        """Two synthetic vocabularies with engineered overlap: the KMV
+        estimate shared_in_topk/k_used must sit within the 1/sqrt(k)
+        error band of the true Jaccard."""
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.operators.sketch import (
+            kmv_pair_overlap,
+            kmv_sketch,
+        )
+
+        # |A|=6000, |B|=6000, |A∩B|=2000 → J = 2000/10000 = 0.2
+        a = spark.range(0, 6000).select(
+            F.lit("A").alias("g"), F.col("id").cast("string").alias("k")
+        )
+        b = spark.range(4000, 10000).select(
+            F.lit("B").alias("g"), F.col("id").cast("string").alias("k")
+        )
+        kmv = kmv_sketch(a.union(b), "k", "g")
+        r = kmv_pair_overlap(kmv, "g").collect()[0]
+        est = r.shared_in_topk / r.k_used
+        assert abs(est - 0.2) < 0.08, (est, r.k_used, r.shared_in_topk)
+
+    def test_disjoint_and_identical_sets(self, spark):
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.operators.sketch import (
+            kmv_pair_overlap,
+            kmv_sketch,
+        )
+
+        a = spark.range(0, 3000).select(
+            F.lit("A").alias("g"), F.col("id").cast("string").alias("k")
+        )
+        c = spark.range(5000, 8000).select(
+            F.lit("C").alias("g"), F.col("id").cast("string").alias("k")
+        )
+        d = spark.range(0, 3000).select(
+            F.lit("D").alias("g"), F.col("id").cast("string").alias("k")
+        )
+        kmv = kmv_sketch(a.union(c).union(d), "k", "g")
+        rows = {(r.ga, r.gb): r for r in kmv_pair_overlap(kmv, "g").collect()}
+        assert rows[("A", "C")].shared_in_topk == 0
+        r = rows[("A", "D")]
+        assert r.shared_in_topk == r.k_used  # identical sets → J = 1
+
+    def test_sketch_is_geometry_bounded(self, spark):
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.operators.sketch import KMV_K, kmv_sketch
+
+        df = spark.range(100_000).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.col("id").cast("string").alias("k"),
+        )
+        counts = kmv_sketch(df, "k", "g").groupBy("g").count().collect()
+        assert all(r["count"] == KMV_K for r in counts)
