@@ -1197,3 +1197,45 @@ def sketch_kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ----------------------------------------------------------- text normalize
+
+@query(
+    "text_normalize_stats",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS ntext
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS raw_chars,
+           CAST(length(n.ntext) AS BIGINT) AS norm_chars,
+           md5(n.ntext) AS norm_fp
+    FROM documents d JOIN norm n USING (doc_id)
+    ORDER BY d.doc_id""",
+    tags=("llm", "text"),
+)
+def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the dedup-key preprocessing step:
+    casefold → strip non-alphanumerics → squash whitespace → trim) as pure
+    chained JVM regexp projections — zero shuffle, zero Python — with the
+    md5 of the normalized form as the canonical fingerprint (what
+    normalization-aware exact dedup keys on). Oracle replays the identical
+    regex pipeline in DuckDB."""
+    t = load_tables(spark, sf_dir, "documents")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return t.documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("raw_chars"),
+        F.length(ntext).cast("long").alias("norm_chars"),
+        F.md5(ntext).alias("norm_fp"),
+    ).orderBy("doc_id")

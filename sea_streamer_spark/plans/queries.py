@@ -112,7 +112,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "curation_leakage_safe_split", "layout_zorder_events",
     "profile_documents", "triples_hard_negatives",
     "contamination_matrix_sources", "sketch_hll_per_source",
-    "sketch_kmv_jaccard_sources",
+    "sketch_kmv_jaccard_sources", "text_normalize_stats",
 )
 
 
