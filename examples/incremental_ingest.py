@@ -29,9 +29,13 @@ from pyspark.sql import functions as F
 
 from sea_streamer_spark import get_spark
 from sea_streamer_spark.operators.bloom import load_model, streaming_bloom_dedup_sink
+from sea_streamer_spark.functions.statefile import load_json, save_json
 from sea_streamer_spark.operators.sketch import (
+    HLL_M,
     cms_build,
     cms_merge,
+    hll_estimate,
+    hll_registers,
     load_cms,
     load_cms_applied,
     save_cms,
@@ -63,6 +67,7 @@ def main() -> None:
     sink = streaming_bloom_dedup_sink(out, state, key_col="fp")
 
     cms_path = os.path.join(state, "tokens.cms.json")
+    hll_path = os.path.join(state, "tokens.hll.json")
 
     def gated(batch, batch_id):
         # per-batch fingerprint + cheap quality gate, then the dedup sink
@@ -80,6 +85,23 @@ def main() -> None:
             prev = load_cms(cms_path)
             merged = cms_merge(prev, delta) if prev else delta
             save_cms(merged, cms_path, applied=[*applied, batch_id])
+        # live distinct-token tracking: per-batch HLL registers merged by
+        # MAX into the persisted table. Unlike the CMS counters, max IS
+        # idempotent — a crash-replayed batch merges to a no-op, so no
+        # applied-set is needed (the Bloom bit-OR argument).
+        regs = {
+            (r.bucket, r.r)
+            for r in hll_registers(
+                batch.select(F.explode(F.split("text", r"\s+")).alias("tok")),
+                "tok",
+            ).collect()
+        }
+        prev_regs = load_json(hll_path) or {}
+        merged_regs = dict(prev_regs)
+        for b, r in regs:
+            k = str(b)
+            merged_regs[k] = max(merged_regs.get(k, 0), r)
+        save_json(hll_path, merged_regs)
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -107,6 +129,16 @@ def main() -> None:
     probe = ["the", "data", "spark"]
     ests = {t: cms.estimate(t) for t in probe}
     print(f"live token-frequency sketch (N={cms.total}): {ests}")
+    regs = load_json(hll_path) or {}
+    denom = sum(1 << (32 - r) for r in regs.values()) + (HLL_M - len(regs)) * (1 << 32)
+    est_distinct = hll_estimate(denom, HLL_M - len(regs))
+    exact_distinct = (
+        admitted.select(F.explode(F.split("text", r"\s+")).alias("t"))
+        .distinct()
+        .count()
+    )
+    print(f"live distinct-token HLL estimate: {est_distinct:.0f} "
+          f"(exact over admitted: {exact_distinct})")
     print(f"state dir: {state} — re-running this script admits 0 new docs")
     spark.stop()
 
