@@ -24,6 +24,7 @@ try:  # LLM-pipeline ops land in a later milestone of each round
     from . import llm_ops2  # noqa: F401
     from . import llm_ops3  # noqa: F401
     from . import llm_ops4  # noqa: F401
+    from . import llm_ops5  # noqa: F401
 except ImportError:
     pass
 
@@ -113,6 +114,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "profile_documents", "triples_hard_negatives",
     "contamination_matrix_sources", "sketch_hll_per_source",
     "sketch_kmv_jaccard_sources", "text_normalize_stats",
+    "text_lang_id_ngram",
 )
 
 
@@ -138,7 +140,7 @@ def _rank(item: tuple[str, object]) -> tuple[float, int]:
 _STREAMING_LLM = {
     n for n, qd in QUERIES.items()
     if getattr(qd.fn, "__module__", "").rsplit(".", 1)[-1]
-    in ("streaming_ops", "llm_ops", "llm_ops2", "llm_ops3")
+    in ("streaming_ops", "llm_ops", "llm_ops2", "llm_ops3", "llm_ops4", "llm_ops5")
 }
 
 _ordered = sorted(QUERIES.items(), key=_rank)
