@@ -330,3 +330,84 @@ def kmv_pair_overlap(
         .cast("long")
         .alias("shared_in_topk"),
     )
+
+
+# ------------------------------------------- portable bottom-k quantile sample
+
+QSK_K = 256  # sample size; quantile stderr ≈ sqrt(q(1-q)/k) ≤ ~3.1% in rank space
+QSK_QS = (10, 25, 50, 75, 90)  # percent points reported by the summary
+
+
+def bottomk_value_sample(
+    df: DataFrame,
+    key: Column | str,
+    value_col: str,
+    group_col: str,
+    k: int = QSK_K,
+) -> DataFrame:
+    """Bottom-k-by-hash VALUE sample per group — the quantile member of the
+    portable sketch family (Bloom = membership, CMS = frequency, HLL =
+    distinct, KMV = set ops, this = distribution): keeping the ``k`` rows
+    whose portable key hash is smallest is a uniform random sample without
+    replacement of the group (the hash is the fixed public coin), and it
+    MERGES — bottom-k of a union is the re-ranked truncation of the per-part
+    bottom-k's, so per-shard/per-batch samples fold into the corpus sample
+    without revisiting history (the same accumulator contract as the CMS
+    grid and the HLL registers).
+
+    Deterministic by construction ⇒ the sample AND every quantile estimate
+    derived from it replay exactly in SQL (no goldens). Build cost: one
+    group-keyed window rank; output is geometry-bounded at k rows/group at
+    any corpus size — the at-scale alternative to exact percentiles
+    (agg_percentile_cont's documented weakness) that, unlike
+    approx_percentile, is engine-exactly checkable.
+
+    Total tie-break (h, v) makes the kept multiset a pure function of the
+    group's (h, v) multiset — the merge==rebuild pin relies on it."""
+    from pyspark.sql import Window
+
+    kc = F.col(key) if isinstance(key, str) else key
+    hashed = df.select(
+        F.col(group_col),
+        char_fold_hash(F.md5(kc.cast("string"))).alias("h"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    w = Window.partitionBy(group_col).orderBy("h", "v")
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(group_col, "h", "v")
+    )
+
+
+def quantiles_from_sample(
+    sample: DataFrame, group_col: str, qs: tuple[int, ...] = QSK_QS
+) -> DataFrame:
+    """Quantile summary from a bottom-k sample: estimate at percent q =
+    the sample value at rank ceil(k_used * q / 100) (1-based) in
+    (value, hash) order. The rank test is the division-free integer form
+    ``(vrk-1)*100 < k_used*q <= vrk*100`` — no float ever touches the
+    result, so the summary is engine-exact.
+
+    Both windows partition by the group, so the value-rank sort reuses the
+    build's Exchange (one group-keyed shuffle end-to-end)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("v", "h")
+    wcnt = Window.partitionBy(group_col)
+    ranked = sample.withColumn("vrk", F.row_number().over(w)).withColumn(
+        "k_used", F.count(F.lit(1)).over(wcnt)
+    )
+    aggs = [F.max("k_used").cast("long").alias("k_used")] + [
+        F.max(
+            F.when(
+                (F.col("vrk") * 100 >= F.col("k_used") * q)
+                & ((F.col("vrk") - 1) * 100 < F.col("k_used") * q),
+                F.col("v"),
+            )
+        )
+        .cast("long")
+        .alias(f"p{q}")
+        for q in qs
+    ]
+    return ranked.groupBy(group_col).agg(*aggs)

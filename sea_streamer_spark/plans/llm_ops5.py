@@ -90,3 +90,53 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast profile join; geometry-bounded everywhere."""
     docs = load_tables(spark, sf_dir, "documents").documents
     return L.lang_id_ngram(docs)
+
+
+def _qsk_oracle() -> str:
+    from ..operators import text as T
+    from ..operators.sketch import QSK_K, QSK_QS
+
+    p_exprs = ",\n           ".join(
+        f"CAST(MAX(CASE WHEN vrk * 100 >= k_used * {q}"
+        f" AND (vrk - 1) * 100 < k_used * {q} THEN v END) AS BIGINT) AS p{q}"
+        for q in QSK_QS
+    )
+    return f"""
+    WITH hs AS (
+      SELECT source,
+             {T.duck_char_fold("md5(CAST(doc_id AS VARCHAR))")} AS h,
+             CAST(n_chars AS BIGINT) AS v
+      FROM documents
+    ), bk AS (
+      SELECT source, h, v FROM (
+        SELECT source, h, v,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, v) AS rk
+        FROM hs
+      ) WHERE rk <= {QSK_K}
+    ), ranked AS (
+      SELECT source, v,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, h) AS vrk,
+             COUNT(*) OVER (PARTITION BY source) AS k_used
+      FROM bk
+    )
+    SELECT source,
+           CAST(MAX(k_used) AS BIGINT) AS k_used,
+           {p_exprs}
+    FROM ranked GROUP BY source ORDER BY source"""
+
+
+@query("sketch_quantile_bottomk", oracle=_qsk_oracle(), tags=("llm", "sketch"))
+def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n_chars quantile summary from the portable bottom-k
+    uniform sample (operators/sketch.bottomk_value_sample): the sketch
+    family's distribution member — geometry-bounded (k rows/source at any
+    corpus size), mergeable (bottom-k of a union == re-ranked truncation
+    of per-part bottom-k's), and — unlike approx_percentile — replayable
+    bit-for-bit in SQL, so the driver hash checks the estimates
+    themselves. The engine-exact at-scale alternative to the exact
+    percentile operator's full-group buffering."""
+    from ..operators.sketch import bottomk_value_sample, quantiles_from_sample
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    sample = bottomk_value_sample(docs, "doc_id", "n_chars", "source")
+    return quantiles_from_sample(sample, "source")
