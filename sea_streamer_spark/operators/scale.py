@@ -97,3 +97,40 @@ def plan_has_exchange(df: DataFrame) -> bool:
         line.strip().lstrip("+-*: ").startswith("Exchange")
         for line in plan.splitlines()
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+    entropy: Column | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join: fan each hot join key of the BIG side across
+    ``n_salts`` sub-keys and replicate the SMALL side once per salt, so no
+    single reducer owns a hot key's full row set. Result is row-for-row
+    identical to ``big.join(small, on, how)`` — each big row carries exactly
+    one salt and meets exactly one replica of its matching small rows.
+
+    This is the explicit form of what AQE's skew-join rewrite does at
+    runtime; use it when the skew is known ahead of time (a head-heavy key
+    distribution that every batch shares), when the join must keep a pinned
+    shape, or on engines/paths AQE cannot rewrite (streaming micro-batches
+    disable AQE).
+
+    ``entropy`` seeds the big side's salt; it must be deterministic per row
+    (task retries must re-derive the same salt) — default is a hash of ALL
+    big-side columns. Cost: small side grows ×n_salts (keep it
+    broadcast-small or modest); only inner/left/semi/anti joins preserve
+    multiplicity under replication (unmatched SMALL rows would surface once
+    per salt in right/full joins), so others raise."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(f"salted_join does not support how={how!r}")
+    e = entropy if entropy is not None else F.xxhash64(*[F.col(c) for c in big.columns])
+    big_s = big.withColumn("__salt", F.pmod(e, F.lit(n_salts)).cast("int"))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_s.join(small_s, on + ["__salt"], how).drop("__salt")

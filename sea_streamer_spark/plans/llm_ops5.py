@@ -11,6 +11,7 @@ tie-breaks on every ranking.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import langid as L
 from ..sources.tables import load_tables
@@ -140,3 +141,73 @@ def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents").documents
     sample = bottomk_value_sample(docs, "doc_id", "n_chars", "source")
     return quantiles_from_sample(sample, "source")
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name""",
+    tags=("relational", "scale"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier revenue through the EXPLICIT skew machinery
+    (operators/scale.py): `salted_join` fans each l_suppkey across 8
+    sub-keys (supplier side replicated x8, still broadcast-small) and the
+    nation rollup runs as a two-stage (key, salt) -> key aggregation —
+    no reducer ever owns a hot key's full row set, even with AQE off
+    (streaming micro-batches) or a pinned plan. Result is row-identical
+    to the plain join+agg, which is exactly what the oracle asserts;
+    DECIMAL partials keep the two-stage sum order-independent."""
+    from ..operators.scale import salted_join
+
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    li = t.lineitem.select(
+        F.col("l_suppkey").alias("suppkey"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+        ).alias("rev"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    sup = t.supplier.select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = salted_join(
+        li,
+        sup,
+        ["suppkey"],
+        n_salts=8,
+        entropy=F.xxhash64("l_orderkey", "l_linenumber"),
+    )
+    # two-stage skew-safe rollup: (nation, salt-of-row) partials -> nation
+    partial = (
+        joined.withColumn(
+            "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(32))
+        )
+        .groupBy("s_nationkey", "_salt")
+        .agg(F.sum("rev").alias("_rev"), F.count(F.lit(1)).alias("_cnt"))
+    )
+    per_nation = partial.groupBy("s_nationkey").agg(
+        F.sum("_rev").alias("_revtot"), F.sum("_cnt").cast("long").alias("n_lineitems")
+    )
+    nation = t.nation.select("n_nationkey", "n_name")
+    return (
+        per_nation.join(
+            F.broadcast(nation),
+            per_nation["s_nationkey"] == nation["n_nationkey"],
+        )
+        .select(
+            "n_name",
+            F.col("_revtot").cast("double").alias("revenue"),
+            "n_lineitems",
+        )
+    )

@@ -114,7 +114,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "profile_documents", "triples_hard_negatives",
     "contamination_matrix_sources", "sketch_hll_per_source",
     "sketch_kmv_jaccard_sources", "text_normalize_stats",
-    "text_lang_id_ngram", "sketch_quantile_bottomk",
+    "text_lang_id_ngram", "sketch_quantile_bottomk", "join_skew_salted",
 )
 
 

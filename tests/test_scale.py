@@ -192,3 +192,72 @@ class TestGeometryBoundedModels:
         for bits in (4, 8):
             bs = L.quantile_boundaries(ev, "user_id", bits=bits)
             assert len(bs) == (1 << bits) - 1
+
+
+class TestSaltedJoin:
+    def _skewed(self, spark):
+        from pyspark.sql import Row
+
+        # 2000 rows on one hot key + a tail, small side with a duplicate key
+        big = spark.createDataFrame(
+            [Row(k=1, rid=i, v=i % 7) for i in range(2000)]
+            + [Row(k=2, rid=10_000, v=3), Row(k=3, rid=10_001, v=4)]
+        )
+        small = spark.createDataFrame(
+            [Row(k=1, tag="hot"), Row(k=1, tag="hot2"), Row(k=2, tag="cold")]
+        )
+        return big, small
+
+    def test_inner_identical_to_plain_join(self, spark):
+        from sea_streamer_spark.operators.scale import salted_join
+
+        big, small = self._skewed(spark)
+        got = sorted(
+            (r.k, r.rid, r.v, r.tag)
+            for r in salted_join(big, small, ["k"], n_salts=8).collect()
+        )
+        want = sorted(
+            (r.k, r.rid, r.v, r.tag) for r in big.join(small, ["k"]).collect()
+        )
+        assert got == want and len(got) == 2 * 2000 + 1
+
+    def test_left_and_semi_identical(self, spark):
+        from sea_streamer_spark.operators.scale import salted_join
+
+        big, small = self._skewed(spark)
+        for how in ("left", "left_semi", "left_anti"):
+            got = sorted(
+                tuple(r) for r in salted_join(big, small, ["k"], 4, how).collect()
+            )
+            want = sorted(tuple(r) for r in big.join(small, ["k"], how).collect())
+            assert got == want, how
+
+    def test_rejects_multiplicity_breaking_how(self, spark):
+        from sea_streamer_spark.operators.scale import salted_join
+
+        big, small = self._skewed(spark)
+        for how in ("right", "full", "full_outer"):
+            with pytest.raises(ValueError):
+                salted_join(big, small, ["k"], 4, how)
+
+    def test_hot_key_actually_spreads(self, spark):
+        """The point of the salt: the hot key's rows land on n_salts
+        distinct sub-keys (so no reducer sees them all)."""
+        from sea_streamer_spark.operators.scale import salted_join  # noqa: F401
+        from pyspark.sql import Row
+
+        big = spark.createDataFrame([Row(k=1, rid=i) for i in range(2000)])
+        n = (
+            big.withColumn(
+                "__salt", F.pmod(F.xxhash64("k", "rid"), F.lit(8)).cast("int")
+            )
+            .select("k", "__salt")
+            .distinct()
+            .count()
+        )
+        assert n == 8
+
+    def test_registered_query_oracle(self, spark):
+        from tests.oracle import check_query
+
+        assert check_query(spark, "join_skew_salted", "/root/testdata/sf0.001") > 0
