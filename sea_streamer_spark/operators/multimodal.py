@@ -688,3 +688,106 @@ def resize_media(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(resize_batch, DECODED_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("dhash", LongType())]
+)
+
+#: dHash geometry: decode to (DHASH_W+1) x DHASH_H grayscale, one bit per
+#: horizontally-adjacent comparison -> DHASH_W*DHASH_H = 56 bits (< 63, so
+#: the hash is always a non-negative BIGINT on every engine).
+DHASH_W = 8
+DHASH_H = 7
+
+
+def dhash_png(df: DataFrame) -> DataFrame:
+    """Perceptual gradient hash (dHash) of PNG payloads through the REAL
+    codec: decode (inflate + unfilter), integer luma
+    ``(299R + 587G + 114B) // 1000``, bit ``r*8+c`` set iff
+    ``gray[r][c] > gray[r][c+1]``. All-integer after decode, so an oracle
+    that can derive the expected pixels (our synthesized images are
+    positional samples of the text bytes) replays the hash exactly.
+    Non-decodable payloads -> null hash (mixed-media contract)."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        from .png import decode_png
+
+        def one(doc_id, payload):
+            dec = decode_png(bytes(payload))
+            if dec is None:
+                return (doc_id, None)
+            w, h, ch, img = dec
+            if w != DHASH_W + 1 or h != DHASH_H or ch < 3:
+                return (doc_id, None)
+            px = _np.asarray(img, dtype=_np.int64).reshape(h, w, ch)
+            gray = (
+                299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+            ) // 1000
+            bits = gray[:, :-1] > gray[:, 1:]
+            acc = 0
+            for r in range(DHASH_H):
+                for c in range(DHASH_W):
+                    if bits[r, c]:
+                        acc |= 1 << (r * DHASH_W + c)
+            return (doc_id, acc)
+
+        for pdf in batches:
+            rows = [one(d, p) for d, p in zip(pdf["doc_id"], pdf["payload"])]
+            yield _pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    return df.select("doc_id", "payload").mapInPandas(batch, DHASH_SCHEMA)
+
+
+def dhash_near_dup(
+    hashes: DataFrame, max_hamming: int = 6, n_blocks: int = 7
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash hamming distance, bucketed: the
+    56 hash bits split into ``n_blocks`` 8-bit blocks; hamming ≤
+    ``n_blocks - 1`` implies (pigeonhole) at least one block matches
+    exactly, so candidates come from per-block equi-joins — never all
+    pairs. Verification XOR+bit_count runs on candidates only. Same shape
+    as the SimHash pigeonhole search (operators/dedup.simhash_near_dup);
+    at larger corpora widen blocks / raise n_blocks so per-block collision
+    volume stays bounded (block width should track log2(n_docs)).
+
+    Requires ``max_hamming < n_blocks`` (the pigeonhole guarantee) and
+    ``n_blocks * 8 >= 56``."""
+    if max_hamming >= n_blocks:
+        raise ValueError("pigeonhole needs max_hamming < n_blocks")
+    h = hashes.filter(F.col("dhash").isNotNull())
+    blocks = h.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(n_blocks)])
+        ).alias("blk"),
+    ).withColumn(
+        # SQL shiftright: the Python F.shiftright only takes a literal
+        # shift, but the shift here is the exploded block index
+        "blk_val",
+        F.expr("shiftright(dhash, blk * 8) & 255"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("dhash").alias("ha"), "blk", "blk_val"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("dhash").alias("hb"), "blk", "blk_val"
+    )
+    cand = (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

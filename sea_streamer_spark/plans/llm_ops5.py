@@ -271,3 +271,86 @@ def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, ["doc_id"])
+
+
+def _dhash_oracle() -> str:
+    """Positional replay of the dHash pipeline: the synthesized 18x14 PNG's
+    pixels are cycled text bytes, nearest-neighbor 9x7 sampling picks
+    source pixel (2r, 2c), so every grayscale value — and therefore every
+    gradient bit, the 56-bit hash, the pigeonhole blocks, and the hamming
+    verification — is closed-form integer arithmetic over
+    hex(encode(text))."""
+    from ..operators.multimodal import DHASH_H, DHASH_W
+
+    grid = []
+    for r in range(DHASH_H):
+        for c in range(DHASH_W + 1):
+            base = ((2 * r) * 18 + 2 * c) * 3
+            grid.append(
+                f"{{'r':{r},'c':{c},'p0':{base},'p1':{base+1},'p2':{base+2}}}"
+            )
+    grid_list = "[" + ", ".join(grid) + "]"
+    nib = "'123456789ABCDEF'"
+
+    def bv(p: str) -> str:
+        return (
+            f"(16 * strpos({nib}, substr(hx, CAST(2*({p} % n) + 1 AS INTEGER), 1))"
+            f" + strpos({nib}, substr(hx, CAST(2*({p} % n) + 2 AS INTEGER), 1)))"
+        )
+
+    blks = ", ".join(str(b) for b in range(7))
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             hex(encode(CASE WHEN length(text) > 0 THEN text ELSE 'x' END)) AS hx,
+             octet_length(encode(CASE WHEN length(text) > 0 THEN text ELSE 'x' END)) AS n
+      FROM documents
+    ), g AS (
+      SELECT doc_id, u.r AS r, u.c AS c,
+             (299 * {bv("u.p0")} + 587 * {bv("u.p1")} + 114 * {bv("u.p2")}) // 1000
+               AS gray
+      FROM h, unnest({grid_list}) AS t(u)
+    ), bits AS (
+      SELECT a.doc_id, a.r, a.c,
+             CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+      FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.r = a.r AND b.c = a.c + 1
+      WHERE a.c < {DHASH_W}
+    ), hs AS (
+      SELECT doc_id,
+             CAST(SUM(bit * (1::BIGINT << (r * {DHASH_W} + c))) AS BIGINT) AS dhash
+      FROM bits GROUP BY doc_id
+    ), blk AS (
+      SELECT doc_id, dhash, b AS blk, (dhash >> (b * 8)) & 255 AS blk_val
+      FROM hs, unnest([{blks}]) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.dhash AS ha, b.dhash AS hb
+      FROM blk a JOIN blk b
+        ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+    ORDER BY doc_a, doc_b"""
+
+
+@query(
+    "multimodal_dhash_neardup",
+    oracle=_dhash_oracle(),
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate search through the real codec path: synthesize
+    an 18x14 RGB PNG per document, nearest-neighbor resize to 9x7 (full
+    decode/re-encode), 56-bit perceptual gradient hash (dHash) from the
+    decoded pixels, then pigeonhole-bucketed pairing at hamming ≤ 6
+    (operators/multimodal.dhash_png/dhash_near_dup) — the image-modality
+    member of the near-dup family next to MinHash (text) and SimHash
+    (tokens). The oracle replays pixels positionally from the text bytes,
+    so any corruption in deflate/unfilter/resize/luma/bit packing changes
+    the driver hash."""
+    from ..operators import multimodal as M
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    png = M.synthesize_png(docs, width=18, height=14)
+    small = M.resize_png(png, width=9, height=7).select("doc_id", "payload")
+    return M.dhash_near_dup(M.dhash_png(small))

@@ -1,0 +1,113 @@
+"""Perceptual dHash + pigeonhole near-dup (operators/multimodal.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sea_streamer_spark.operators import multimodal as M
+from sea_streamer_spark.operators.png import decode_png, encode_png
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def dhash_py(payload: bytes) -> int | None:
+    """Pure-python reference of M.dhash_png's per-row computation."""
+    dec = decode_png(payload)
+    if dec is None:
+        return None
+    w, h, ch, img = dec
+    if w != M.DHASH_W + 1 or h != M.DHASH_H or ch < 3:
+        return None
+    import numpy as np
+
+    px = np.asarray(img, dtype=np.int64).reshape(h, w, ch)
+    gray = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    acc = 0
+    for r in range(M.DHASH_H):
+        for c in range(M.DHASH_W):
+            if gray[r, c] > gray[r, c + 1]:
+                acc |= 1 << (r * M.DHASH_W + c)
+    return acc
+
+
+def _img(seed: bytes, w=9, h=7) -> bytes:
+    need = w * h * 3
+    reps = -(-need // len(seed))
+    return encode_png(w, h, (seed * reps)[:need])
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from sea_streamer_spark.session import get_spark
+
+    return get_spark(app_name="test-dhash")
+
+
+class TestDhash:
+    def test_spark_matches_python_reference(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+        png = M.synthesize_png(docs, width=18, height=14)
+        small = M.resize_png(png, width=9, height=7).select("doc_id", "payload")
+        got = {r["doc_id"]: r["dhash"] for r in M.dhash_png(small).collect()}
+        for r in small.collect():
+            assert got[r["doc_id"]] == dhash_py(bytes(r["payload"])), r["doc_id"]
+
+    def test_hash_fits_nonneg_bigint(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+        png = M.synthesize_png(docs, width=18, height=14)
+        small = M.resize_png(png, width=9, height=7).select("doc_id", "payload")
+        vals = [r["dhash"] for r in M.dhash_png(small).collect()]
+        assert all(v is not None and 0 <= v < 1 << 56 for v in vals)
+
+    def test_non_png_payload_yields_null(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, payload=bytearray(b"not a png"))]
+        )
+        out = M.dhash_png(df).collect()
+        assert out[0]["dhash"] is None
+        # and null hashes never reach the pair search
+        assert M.dhash_near_dup(M.dhash_png(df)).count() == 0
+
+    def test_pigeonhole_matches_brute_force(self, spark):
+        """Bucketed pair search finds EXACTLY the brute-force hamming<=d
+        set — pigeonhole blocks guarantee recall, the verify step
+        precision."""
+        import itertools
+
+        seeds = [bytes([40 + i, 90, 160 + (i % 5)]) * 3 for i in range(12)]
+        payloads = [_img(s) for s in seeds]
+        hashes_py = {i: dhash_py(p) for i, p in enumerate(payloads)}
+        brute = {
+            (a, b, bin(hashes_py[a] ^ hashes_py[b]).count("1"))
+            for a, b in itertools.combinations(range(len(seeds)), 2)
+            if bin(hashes_py[a] ^ hashes_py[b]).count("1") <= 6
+        }
+        df = spark.createDataFrame(
+            [Row(doc_id=i, payload=bytearray(p)) for i, p in enumerate(payloads)]
+        )
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in M.dhash_near_dup(M.dhash_png(df)).collect()
+        }
+        assert got == brute
+        assert brute, "engineered set must actually contain near-dup pairs"
+
+    def test_identical_images_hamming_zero(self, spark):
+        p = _img(b"\x10\x80\x30")
+        df = spark.createDataFrame(
+            [Row(doc_id=0, payload=bytearray(p)), Row(doc_id=1, payload=bytearray(p))]
+        )
+        out = M.dhash_near_dup(M.dhash_png(df)).collect()
+        assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in out] == [(0, 1, 0)]
+
+    def test_guard_rejects_bad_pigeonhole_config(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(b"x"))])
+        with pytest.raises(ValueError):
+            M.dhash_near_dup(M.dhash_png(df), max_hamming=7, n_blocks=7)
+
+    def test_registered_query_oracle(self, spark):
+        from tests.oracle import check_query
+
+        assert check_query(spark, "multimodal_dhash_neardup", SF_DIR) > 0
