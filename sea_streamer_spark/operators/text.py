@@ -124,3 +124,42 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whole-document rolling-hash fingerprint (exact-dup detection key)."""
     return df.select(id_col, char_fold_hash(F.col(text_col)).alias("fingerprint"))
+
+
+def edit1_pairs(vocab: DataFrame, token_col: str = "token") -> DataFrame:
+    """Edit-distance-1 token pairs via deletion-neighborhood blocking
+    (the SymSpell/FastSS family): every token emits itself plus its
+    single-character deletions as block keys; two tokens at edit distance
+    1 (insert/delete/substitute) provably share at least one key, so
+    candidates come from a key equi-join — never the vocabulary cross
+    product — and the `levenshtein` verification runs on candidates only.
+    Blocking volume = Σ(len+1) per DISTINCT token: scales with vocabulary,
+    not corpus. Output: (token_a, token_b) with token_a < token_b.
+
+    Correctness of the block cover: |a|=|b|+1 ⇒ some deletion of a equals
+    b (b's own key); |a|=|b| differing at one position i ⇒ deleting i
+    from each yields the same string."""
+    t = vocab.select(F.col(token_col).alias("tok")).distinct()
+    dels = (
+        t.select(
+            "tok",
+            F.explode(F.sequence(F.lit(1), F.length("tok"))).alias("i"),
+        )
+        .select(
+            "tok",
+            F.concat(
+                F.expr("substring(tok, 1, i - 1)"),
+                F.expr("substring(tok, i + 1, length(tok))"),
+            ).alias("k"),
+        )
+    )
+    keys = t.select("tok", F.col("tok").alias("k")).unionByName(dels)
+    a = keys.select(F.col("tok").alias("token_a"), "k")
+    b = keys.select(F.col("tok").alias("token_b"), "k")
+    cand = (
+        a.join(b, "k")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .select("token_a", "token_b")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("token_a", "token_b") == 1)

@@ -354,3 +354,149 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     png = M.synthesize_png(docs, width=18, height=14)
     small = M.resize_png(png, width=9, height=7).select("doc_id", "payload")
     return M.dhash_near_dup(M.dhash_png(small))
+
+
+@query(
+    "text_typo_pairs",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT lower(unnest(string_split_regex(text, '\\s+'))) AS tok
+      FROM documents WHERE length(text) > 0
+    ), clean AS (
+      SELECT tok FROM base WHERE length(tok) >= 4
+    ), typos AS (
+      -- deterministic injected corruption: drop the middle character of
+      -- every token whose fold-parity selects it (both engines replay)
+      SELECT DISTINCT
+             substr(tok, 1, (length(tok) / 2)::INTEGER - 1)
+             || substr(tok, (length(tok) / 2)::INTEGER + 1,
+                       length(tok)) AS tok
+      FROM clean WHERE length(tok) % 2 = 0
+    ), vocab AS (
+      SELECT tok FROM clean UNION SELECT tok FROM typos
+    ), keys AS (
+      SELECT tok, tok AS k FROM vocab
+      UNION ALL
+      SELECT tok,
+             substr(tok, 1, i - 1) || substr(tok, i + 1, length(tok)) AS k
+      FROM vocab, LATERAL unnest(generate_series(1, length(tok))) AS t(i)
+    ), cand AS (
+      SELECT DISTINCT a.tok AS token_a, b.tok AS token_b
+      FROM keys a JOIN keys b ON a.k = b.k AND a.tok < b.tok
+    )
+    SELECT token_a, token_b FROM cand
+    WHERE levenshtein(token_a, token_b) = 1
+    ORDER BY token_a, token_b""",
+    tags=("llm", "text"),
+)
+def text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo/spell-variant mining (operators/text.edit1_pairs): the
+    SymSpell-style deletion-neighborhood join finds every token pair at
+    edit distance exactly 1 without a vocabulary cross product. The clean
+    corpus vocabulary contains no such pairs, so — the pii_redaction
+    convention — the query deterministically injects middle-character
+    deletions for even-length tokens on BOTH engines and mines them back;
+    blocking volume scales with vocabulary size, never corpus size."""
+    from ..operators.text import edit1_pairs, tokens
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    base = (
+        docs.filter(F.length("text") > 0)
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .filter(F.length("tok") >= 4)
+        .distinct()
+    )
+    typos = (
+        base.filter(F.length("tok") % 2 == 0)
+        .select(
+            F.concat(
+                F.expr("substring(tok, 1, CAST(length(tok) / 2 AS INT) - 1)"),
+                F.expr(
+                    "substring(tok, CAST(length(tok) / 2 AS INT) + 1, length(tok))"
+                ),
+            ).alias("tok")
+        )
+        .distinct()
+    )
+    vocab = base.unionByName(typos).distinct()
+    return edit1_pairs(vocab, "tok")
+
+
+@query(
+    "events_funnel_stages",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN u USING (user_id)
+      WHERE e.event_type = 'click' AND u.t_view IS NOT NULL
+        AND e.ts > u.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                     WHEN c.t_click IS NOT NULL THEN 2
+                     WHEN u.t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage
+    FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    ORDER BY user_id""",
+    tags=("llm", "events"),
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis per user (view -> first click AFTER that
+    view -> first purchase AFTER that click — order matters, not mere
+    presence): three stacked conditional-min window expressions over ONE
+    user-keyed partitioning, so the whole funnel costs a single shuffle
+    at any event volume. funnel_stage = deepest stage reached (0-3)."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, "events").events.select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & F.col("t_view").isNotNull()
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & F.col("t_click").isNotNull()
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        staged.select("user_id", stage.cast("long").alias("funnel_stage"))
+        .distinct()
+    )

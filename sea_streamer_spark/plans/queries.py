@@ -115,7 +115,8 @@ _POST_BUDGET: tuple[str, ...] = (
     "contamination_matrix_sources", "sketch_hll_per_source",
     "sketch_kmv_jaccard_sources", "text_normalize_stats",
     "text_lang_id_ngram", "sketch_quantile_bottomk", "join_skew_salted",
-    "dataset_snapshot_diff", "multimodal_dhash_neardup",
+    "dataset_snapshot_diff", "multimodal_dhash_neardup", "text_typo_pairs",
+    "events_funnel_stages",
 )
 
 
