@@ -119,6 +119,11 @@ def new_ops_metric(spark) -> dict:
         "tokenizer_bpe_counts",
         "curation_leakage_safe_split",
         "layout_zorder_events",
+        # round-3 continuation wave
+        "text_lang_id_ngram",
+        "multimodal_dhash_neardup",
+        "dataset_snapshot_diff",
+        "sketch_quantile_bottomk",
     ):
         if name not in QUERIES:
             continue

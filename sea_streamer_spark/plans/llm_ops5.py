@@ -500,3 +500,41 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged.select("user_id", stage.cast("long").alias("funnel_stage"))
         .distinct()
     )
+
+
+@query(
+    "profile_incremental_merge",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s1,
+           CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT) AS s2,
+           CAST(MIN(n_chars) AS BIGINT) AS mn,
+           CAST(MAX(n_chars) AS BIGINT) AS mx,
+           CAST((SUM(CAST(n_chars AS BIGINT)) * 1000000)
+                // COUNT(*) AS BIGINT) AS mean_micro,
+           CAST(((COUNT(*) * SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                  - SUM(CAST(n_chars AS BIGINT)) * SUM(CAST(n_chars AS BIGINT)))
+                 * 1000000) // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_micro
+    FROM documents GROUP BY source ORDER BY source""",
+    tags=("llm", "profile"),
+)
+def profile_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental profiling via mergeable moments (operators/stats.py):
+    the corpus is profiled as TWO independent ingest waves (hash-split
+    halves), each reduced to per-source sufficient statistics
+    (n, Σv, Σv², min, max — exact BIGINTs), then MERGED — never
+    re-scanning wave 1 — and the derived mean/variance come out of
+    integer formulas. The oracle computes the same stats DIRECTLY over
+    the whole corpus: the driver hash therefore proves merge == direct,
+    the invariant that lets a 100 TB ingest keep running profiles at
+    per-batch cost."""
+    from ..operators.stats import derive_stats, merge_moments, moment_stats
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1)
+    p1 = moment_stats(wave1, "n_chars", ["source"])
+    p2 = moment_stats(wave2, "n_chars", ["source"])
+    merged = merge_moments(p1, p2, group_cols=["source"])
+    return derive_stats(merged)

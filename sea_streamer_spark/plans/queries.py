@@ -116,7 +116,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "sketch_kmv_jaccard_sources", "text_normalize_stats",
     "text_lang_id_ngram", "sketch_quantile_bottomk", "join_skew_salted",
     "dataset_snapshot_diff", "multimodal_dhash_neardup", "text_typo_pairs",
-    "events_funnel_stages",
+    "events_funnel_stages", "profile_incremental_merge",
 )
 
 

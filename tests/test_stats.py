@@ -1,0 +1,77 @@
+"""Mergeable moment statistics (operators/stats.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sea_streamer_spark.operators.stats import (
+    derive_stats,
+    merge_moments,
+    moment_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from sea_streamer_spark.session import get_spark
+
+    return get_spark(app_name="test-stats")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+class TestMergeableMoments:
+    def test_merge_equals_direct(self, docs):
+        direct = moment_stats(docs, "n_chars", ["source"])
+        parts = [
+            moment_stats(docs.filter(F.col("doc_id") % 3 == i), "n_chars", ["source"])
+            for i in range(3)
+        ]
+        merged = merge_moments(*parts, group_cols=["source"])
+        assert _rows(merged) == _rows(direct)
+
+    def test_merge_is_order_insensitive(self, docs):
+        a = moment_stats(docs.filter(F.col("doc_id") % 2 == 0), "n_chars", ["source"])
+        b = moment_stats(docs.filter(F.col("doc_id") % 2 == 1), "n_chars", ["source"])
+        assert _rows(merge_moments(a, b, group_cols=["source"])) == _rows(
+            merge_moments(b, a, group_cols=["source"])
+        )
+
+    def test_derived_match_python(self, docs):
+        import collections
+
+        vals = collections.defaultdict(list)
+        for r in docs.collect():
+            vals[r["source"]].append(r["n_chars"])
+        got = {
+            r["source"]: (r["n"], r["s1"], r["s2"], r["mn"], r["mx"],
+                          r["mean_micro"], r["var_micro"])
+            for r in derive_stats(
+                moment_stats(docs, "n_chars", ["source"])
+            ).collect()
+        }
+        for src, vs in vals.items():
+            n, s1, s2 = len(vs), sum(vs), sum(v * v for v in vs)
+            expect = (
+                n, s1, s2, min(vs), max(vs),
+                (s1 * 1_000_000) // n,
+                ((n * s2 - s1 * s1) * 1_000_000) // (n * n),
+            )
+            assert got[src] == expect, src
+
+    def test_registered_query_oracle(self, spark):
+        from tests.oracle import check_query
+
+        assert check_query(spark, "profile_incremental_merge", SF_DIR) > 0
