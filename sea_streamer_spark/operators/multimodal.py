@@ -742,26 +742,32 @@ def dhash_png(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(batch, DHASH_SCHEMA)
 
 
-def dhash_near_dup(
-    hashes: DataFrame, max_hamming: int = 6, n_blocks: int = 7
+def hamming_block_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    max_hamming: int,
+    n_blocks: int,
+    bits_per_block: int,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-duplicate image pairs by dHash hamming distance, bucketed: the
-    56 hash bits split into ``n_blocks`` 8-bit blocks; hamming ≤
-    ``n_blocks - 1`` implies (pigeonhole) at least one block matches
-    exactly, so candidates come from per-block equi-joins — never all
-    pairs. Verification XOR+bit_count runs on candidates only. Same shape
-    as the SimHash pigeonhole search (operators/dedup.simhash_near_dup);
-    at larger corpora widen blocks / raise n_blocks so per-block collision
-    volume stays bounded (block width should track log2(n_docs)).
-
-    Requires ``max_hamming < n_blocks`` (the pigeonhole guarantee) and
-    ``n_blocks * 8 >= 56``."""
+    """Generic pigeonhole hamming-pair search over an integer hash column:
+    the hash splits into ``n_blocks`` blocks of ``bits_per_block`` bits;
+    hamming ≤ ``n_blocks - 1`` implies at least one block matches exactly,
+    so candidates come from per-block equi-joins — never all pairs — and
+    the XOR+bit_count verification runs on candidates only. Shared engine
+    for the image dHash and audio fingerprint near-dup (same shape as the
+    SimHash pigeonhole search, operators/dedup.simhash_near_dup). At
+    larger corpora widen blocks / raise n_blocks so per-block collision
+    volume stays bounded (block width should track log2(n_docs))."""
     if max_hamming >= n_blocks:
         raise ValueError("pigeonhole needs max_hamming < n_blocks")
-    h = hashes.filter(F.col("dhash").isNotNull())
+    mask = (1 << bits_per_block) - 1
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_hid"), F.col(hash_col).alias("_h")
+    )
     blocks = h.select(
-        "doc_id",
-        "dhash",
+        "_hid",
+        "_h",
         F.explode(
             F.array(*[F.lit(b) for b in range(n_blocks)])
         ).alias("blk"),
@@ -769,13 +775,13 @@ def dhash_near_dup(
         # SQL shiftright: the Python F.shiftright only takes a literal
         # shift, but the shift here is the exploded block index
         "blk_val",
-        F.expr("shiftright(dhash, blk * 8) & 255"),
+        F.expr(f"shiftright(_h, blk * {bits_per_block}) & {mask}"),
     )
     a = blocks.select(
-        F.col("doc_id").alias("doc_a"), F.col("dhash").alias("ha"), "blk", "blk_val"
+        F.col("_hid").alias("doc_a"), F.col("_h").alias("ha"), "blk", "blk_val"
     )
     b = blocks.select(
-        F.col("doc_id").alias("doc_b"), F.col("dhash").alias("hb"), "blk", "blk_val"
+        F.col("_hid").alias("doc_b"), F.col("_h").alias("hb"), "blk", "blk_val"
     )
     cand = (
         a.join(b, ["blk", "blk_val"])
@@ -790,4 +796,72 @@ def dhash_near_dup(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def dhash_near_dup(
+    hashes: DataFrame, max_hamming: int = 6, n_blocks: int = 7
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash hamming distance: the 56 hash
+    bits through :func:`hamming_block_pairs` with 8-bit blocks."""
+    return hamming_block_pairs(
+        hashes, "dhash", max_hamming, n_blocks, bits_per_block=8
+    )
+
+
+WAV_FP_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("afp", LongType())]
+)
+
+#: audio fingerprint geometry: the PCM stream framed into AFP_FRAMES
+#: windows, one bit per adjacent-frame energy comparison -> 31 bits.
+AFP_FRAMES = 32
+
+
+def wav_fingerprint(df: DataFrame, rate: int = 16_000) -> DataFrame:
+    """Audio perceptual fingerprint through the REAL WAV codec: the same
+    deterministic per-doc PCM synthesis as :func:`wav_roundtrip_features`
+    (n = 800 + doc_id%5*160 samples — always divisible by AFP_FRAMES),
+    encoded to RIFF/PCM-16 and decoded back, then the energy-envelope
+    gradient: frame f's energy = Σ|sample| (exact integer), bit f set iff
+    energy[f] > energy[f+1] — the audio analog of the image dHash, and
+    like it fully SQL-replayable from the synthesis rule. A defect in the
+    RIFF layout, chunk walk, or PCM (de)serialization flips bits."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        from .audio import decode_wav, encode_wav
+
+        def one(doc_id):
+            n = 800 + (doc_id % 5) * 160
+            i = _np.arange(n, dtype=_np.int64)
+            samples = ((doc_id * 7919 + i * 104729) % 65536 - 32768).astype("<i2")
+            dec = decode_wav(encode_wav(samples, rate))
+            if dec is None:
+                return (doc_id, None)
+            _rate, _ch, pcm = dec
+            v = _np.abs(pcm.astype(_np.int64))
+            fr = v.reshape(AFP_FRAMES, n // AFP_FRAMES).sum(axis=1)
+            acc = 0
+            for f in range(AFP_FRAMES - 1):
+                if fr[f] > fr[f + 1]:
+                    acc |= 1 << f
+            return (doc_id, acc)
+
+        for pdf in batches:
+            rows = [one(int(d)) for d in pdf["doc_id"]]
+            yield _pd.DataFrame(rows, columns=["doc_id", "afp"])
+
+    return df.select("doc_id").mapInPandas(batch, WAV_FP_SCHEMA)
+
+
+def audio_near_dup(
+    fps: DataFrame, max_hamming: int = 5, n_blocks: int = 6
+) -> DataFrame:
+    """Near-duplicate audio pairs by fingerprint hamming distance: the 31
+    bits through :func:`hamming_block_pairs` with 6-bit blocks."""
+    return hamming_block_pairs(
+        fps, "afp", max_hamming, n_blocks, bits_per_block=6
     )

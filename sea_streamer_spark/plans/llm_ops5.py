@@ -538,3 +538,60 @@ def profile_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     p2 = moment_stats(wave2, "n_chars", ["source"])
     merged = merge_moments(p1, p2, group_cols=["source"])
     return derive_stats(merged)
+
+
+@query(
+    "multimodal_audio_neardup",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 800 + (doc_id % 5) * 160 AS n FROM documents
+      WHERE doc_id < 200
+    ), s AS (
+      SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM base
+    ), v AS (
+      SELECT doc_id, n, i,
+             ABS(((doc_id * 7919 + i * 104729) % 65536) - 32768) AS av
+      FROM s
+    ), eng AS (
+      SELECT doc_id, i // (n // 32) AS f, CAST(SUM(av) AS BIGINT) AS e
+      FROM v GROUP BY doc_id, i // (n // 32)
+    ), bits AS (
+      SELECT a.doc_id, a.f, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+      FROM eng a JOIN eng b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+    ), hs AS (
+      SELECT doc_id,
+             CAST(SUM(bit * (1::BIGINT << CAST(f AS INTEGER))) AS BIGINT) AS afp
+      FROM bits GROUP BY doc_id
+    ), blk AS (
+      SELECT doc_id, afp, b AS blk, (afp >> (b * 6)) & 63 AS bv
+      FROM hs, unnest([0, 1, 2, 3, 4, 5]) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.afp AS ha, b.afp AS hb
+      FROM blk a JOIN blk b
+        ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 5
+    ORDER BY doc_a, doc_b""",
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate search through the real WAV codec: per-doc
+    deterministic PCM synthesis -> RIFF/PCM-16 encode -> decode -> 31-bit
+    energy-envelope gradient fingerprint
+    (operators/multimodal.wav_fingerprint), then pigeonhole 6-bit-block
+    pairing at hamming ≤ 5 — completing the near-dup modality family
+    (MinHash text, SimHash tokens, cosine embeddings, dHash images, this
+    for audio), all through the shared hamming_block_pairs engine. The
+    oracle recomputes every frame energy from the synthesis rule in SQL,
+    so a codec defect anywhere flips the driver hash. Bounded to the
+    doc_id<200 slice (the png_roundtrip convention): the synthesis depends
+    only on doc_id, so an unbounded slice just grows near-identical
+    families quadratically without exercising anything new."""
+    from ..operators import multimodal as M
+
+    docs = load_tables(spark, sf_dir, "documents").documents.filter(
+        F.col("doc_id") < 200
+    )
+    return M.audio_near_dup(M.wav_fingerprint(docs))

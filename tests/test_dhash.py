@@ -111,3 +111,47 @@ class TestDhash:
         from tests.oracle import check_query
 
         assert check_query(spark, "multimodal_dhash_neardup", SF_DIR) > 0
+
+
+def afp_py(doc_id: int) -> int:
+    """Pure-python reference of M.wav_fingerprint's per-row computation."""
+    import numpy as np
+
+    n = 800 + (doc_id % 5) * 160
+    i = np.arange(n, dtype=np.int64)
+    s = (doc_id * 7919 + i * 104729) % 65536 - 32768
+    fr = np.abs(s).reshape(M.AFP_FRAMES, n // M.AFP_FRAMES).sum(axis=1)
+    return sum(1 << f for f in range(M.AFP_FRAMES - 1) if fr[f] > fr[f + 1])
+
+
+class TestAudioFingerprint:
+    def test_spark_matches_python_reference(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+        got = {r["doc_id"]: r["afp"] for r in M.wav_fingerprint(docs).collect()}
+        for d in got:
+            assert got[d] == afp_py(d), d
+        assert all(v is not None and 0 <= v < 1 << 31 for v in got.values())
+
+    def test_pigeonhole_matches_brute_force(self, spark):
+        import itertools
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+            F.col("doc_id") < 60
+        )
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+        brute = {
+            (a, b, bin(afp_py(a) ^ afp_py(b)).count("1"))
+            for a, b in itertools.combinations(sorted(ids), 2)
+            if bin(afp_py(a) ^ afp_py(b)).count("1") <= 5
+        }
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in M.audio_near_dup(M.wav_fingerprint(docs)).collect()
+        }
+        assert got == brute
+        assert brute  # the synthesis rule genuinely produces near-dups
+
+    def test_registered_query_oracle(self, spark):
+        from tests.oracle import check_query
+
+        assert check_query(spark, "multimodal_audio_neardup", SF_DIR) > 0
