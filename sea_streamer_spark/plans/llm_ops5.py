@@ -595,3 +595,49 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 200
     )
     return M.audio_near_dup(M.wav_fingerprint(docs))
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+    tags=("relational", "scale"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join — the explicit form of Spark's runtime
+    bloom filter / Iceberg's bloom pushdown: the selective dimension
+    subset (BUILDING customers with high balance) builds a packed-word
+    Bloom filter (operators/bloom.py — driver state = m_bits/64 longs at
+    ANY table size), the FACT side drops provably-non-matching rows
+    MAP-SIDE before its shuffle (whole-stage-codegen bit tests, no join),
+    and only the surviving sliver pays the real join — which also removes
+    the filter's false positives, so the result is exactly the plain
+    join's (what the oracle asserts). At 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the matching
+    fraction."""
+    from ..operators.bloom import bloom_build, bloom_might_contain
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    dim = t.customer.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    ).select("c_custkey")
+    model = bloom_build(dim, "c_custkey", m_bits=1 << 14)
+    # probe column must carry the SAME TYPE as the build column — the
+    # xxhash64 probes are type-sensitive (long 5 != string '5')
+    fact = t.orders.filter(bloom_might_contain(model, F.col("o_custkey")))
+    joined = fact.join(
+        F.broadcast(dim), fact["o_custkey"] == dim["c_custkey"], "left_semi"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -261,3 +261,37 @@ class TestSaltedJoin:
         from tests.oracle import check_query
 
         assert check_query(spark, "join_skew_salted", "/root/testdata/sf0.001") > 0
+
+
+class TestBloomPrefilterJoin:
+    def test_prefilter_keeps_all_matches_and_prunes(self, spark, sf_dir):
+        from sea_streamer_spark.operators.bloom import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        t = load_tables(spark, sf_dir, "orders", "customer")
+        dim = t.customer.filter(
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+        ).select("c_custkey")
+        model = bloom_build(dim, "c_custkey", m_bits=1 << 14)
+        survivors = t.orders.filter(
+            bloom_might_contain(model, F.col("o_custkey"))
+        )
+        # no false negatives: every truly-matching order survives
+        true_match = t.orders.join(
+            dim, t.orders["o_custkey"] == dim["c_custkey"], "left_semi"
+        )
+        assert true_match.exceptAll(
+            survivors.join(dim, survivors["o_custkey"] == dim["c_custkey"], "left_semi")
+        ).count() == 0
+        # and the prefilter actually prunes (the point of the technique)
+        n_all, n_kept, n_true = (
+            t.orders.count(), survivors.count(), true_match.count(),
+        )
+        assert n_true <= n_kept < n_all / 2, (n_all, n_kept, n_true)
+
+    def test_registered_query_oracle(self, spark):
+        from tests.oracle import check_query
+
+        assert check_query(spark, "join_bloom_prefilter", "/root/testdata/sf0.001") > 0
