@@ -641,3 +641,73 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "events_value_trend",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS h,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS ym
+      FROM events
+    ), c AS (
+      SELECT event_type, h - MIN(h) OVER (PARTITION BY event_type) AS x, ym
+      FROM b
+    ), s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(ym) AS BIGINT) AS sy,
+             CAST(SUM(x * ym) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, sx, sy, sxy, sxx,
+           CAST((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                AS DOUBLE) AS slope_milli_per_hour
+    FROM s ORDER BY event_type""",
+    tags=("llm", "events", "stats"),
+)
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of event value over time — drift detection for a
+    live metric, the regression member of the exact-stats family
+    (variance/corr from exact sums): x = hour index centered per type
+    (keeps every BIGINT sum far from overflow), y = milli-fixed-point
+    value (float64 ``value*1000`` truncation is bit-identical on both
+    engines), all five sufficient sums are EXACT BIGINTs riding one
+    map-side-combined shuffle (plus one per-type min-hour window), and the
+    slope is the identical double formula over them (the agg_corr_exact
+    convention)."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, "events").events
+    b = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        F.expr("CAST(value * 1000 AS BIGINT)").alias("ym"),
+    )
+    w = Window.partitionBy("event_type")
+    c = b.select(
+        "event_type", (F.col("h") - F.min("h").over(w)).alias("x"), "ym"
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("long")
+    sy = F.sum("ym").cast("long")
+    sxy = F.sum(F.col("x") * F.col("ym")).cast("long")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("long")
+    s = c.groupBy("event_type").agg(
+        n.cast("long").alias("n"), sx.alias("sx"), sy.alias("sy"),
+        sxy.alias("sxy"), sxx.alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy").cast("double")
+         - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (F.col("n") * F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    ).cast("double")
+    return s.select(
+        "event_type", "n", "sx", "sy", "sxy", "sxx",
+        slope.alias("slope_milli_per_hour"),
+    )

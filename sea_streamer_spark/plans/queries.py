@@ -117,7 +117,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "text_lang_id_ngram", "sketch_quantile_bottomk", "join_skew_salted",
     "dataset_snapshot_diff", "multimodal_dhash_neardup", "text_typo_pairs",
     "events_funnel_stages", "profile_incremental_merge",
-    "multimodal_audio_neardup", "join_bloom_prefilter",
+    "multimodal_audio_neardup", "join_bloom_prefilter", "events_value_trend",
 )
 
 

@@ -75,3 +75,40 @@ class TestMergeableMoments:
         from tests.oracle import check_query
 
         assert check_query(spark, "profile_incremental_merge", SF_DIR) > 0
+
+
+class TestEventsValueTrend:
+    def test_slope_matches_numpy_ols(self, spark):
+        """The exact-sum slope equals numpy's least-squares fit on the
+        same fixed-point inputs."""
+        import numpy as np
+
+        from sea_streamer_spark.plans.queries import QUERIES
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        got = {
+            r["event_type"]: (r["n"], r["slope_milli_per_hour"])
+            for r in QUERIES["events_value_trend"].fn(spark, SF_DIR).collect()
+        }
+        rows = ev.select("event_type", "ts", "value").collect()
+        import collections
+
+        by_type = collections.defaultdict(list)
+        for r in rows:
+            us = int(r["ts"].timestamp() * 1_000_000)
+            by_type[r["event_type"]].append(
+                (us // 3_600_000_000, int(r["value"] * 1000))
+            )
+        for ty, pts in by_type.items():
+            h0 = min(h for h, _ in pts)
+            x = np.array([h - h0 for h, _ in pts], dtype=float)
+            y = np.array([ym for _, ym in pts], dtype=float)
+            slope = np.polyfit(x, y, 1)[0]
+            n, got_slope = got[ty]
+            assert n == len(pts)
+            assert abs(slope - got_slope) < 1e-6 * max(1.0, abs(slope)), ty
+
+    def test_registered_query_oracle(self, spark):
+        from tests.oracle import check_query
+
+        assert check_query(spark, "events_value_trend", SF_DIR) > 0
