@@ -151,3 +151,66 @@ def whiten(
             yield pdf
 
     return df.mapInPandas(project, schema=schema)
+
+
+# ----------------------------------------------------- scalar quantization
+
+def sq8_fit_np(parquet_path: str):
+    """Per-dimension (min, scale) for 8-bit scalar quantization, fitted
+    driver-side over the GATE embeddings (train-once-apply-at-any-sf, the
+    whiten/DSIR/BPE convention): ``scale_d = 255 / (max_d - min_d)``,
+    degenerate dimensions (max == min) get scale 0 so every code is 0.
+    The FAISS-SQ8 storage story next to the PQ codebooks: 4x smaller than
+    float32 at ~1% recall cost, codes decodable map-side."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    emb = np.asarray(
+        pq.read_table(parquet_path, columns=["embedding"])
+        .column("embedding")
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    mins = emb.min(axis=0)
+    maxs = emb.max(axis=0)
+    rng = maxs - mins
+    scales = np.where(rng > 0, 255.0 / np.where(rng > 0, rng, 1.0), 0.0)
+    return mins, scales
+
+
+def sq8_encode(df: DataFrame, mins, scales, vec_col: str = "embedding") -> Column:
+    """JVM-side code array: ``clamp(floor((double(x_d) - min_d) * scale_d),
+    0, 255)`` per dimension — zero Python, zero shuffle; the literal
+    model arrays ride into whole-stage codegen. float32 inputs are cast
+    to double (exact), after which every operation is IEEE-identical in
+    DuckDB, so the codes value-hash replay."""
+    mn = F.lit([float(v) for v in mins])
+    sc = F.lit([float(v) for v in scales])
+    idx = F.sequence(F.lit(1), F.size(F.col(vec_col)))
+    return F.transform(
+        idx,
+        lambda i: F.least(
+            F.lit(255).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor(
+                    (
+                        F.element_at(F.col(vec_col), i).cast("double")
+                        - F.element_at(mn, i)
+                    )
+                    * F.element_at(sc, i)
+                    # +1e-9 bucket-boundary convention: DuckDB's vectorized
+                    # codegen fuses (x-mn)*sc into one FMA (single
+                    # rounding) while the JVM rounds the subtraction and
+                    # multiplication separately — a <=1-ulp product
+                    # difference that flips floor() exactly at integer
+                    # boundaries (hit by construction: the fit maximum of
+                    # every dimension lands on 255.0). The nudge assigns
+                    # the boundary to the upper bucket on BOTH engines;
+                    # values within 1e-9 below an integer (never at ulp
+                    # scale ~3e-14) would be the only semantic change.
+                    + F.lit(1e-9)
+                ).cast("long"),
+            ),
+        ),
+    )

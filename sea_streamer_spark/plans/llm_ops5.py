@@ -711,3 +711,77 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", "sx", "sy", "sxy", "sxx",
         slope.alias("slope_milli_per_hour"),
     )
+
+
+def _sq8_oracle() -> str:
+    import os
+
+    from ..operators.embedding import sq8_fit_np
+    from ..operators.text import BASE, MOD
+    from .llm_ops import ORACLE_SF_DIR
+
+    mins, scales = sq8_fit_np(os.path.join(ORACLE_SF_DIR, "embeddings.parquet"))
+
+    def dlist(v):
+        # element-wise ::DOUBLE — a bare 64-element decimal-literal list
+        # would first take a COMMON DECIMAL type (losing ulps) before any
+        # outer CAST(.. AS DOUBLE[]) could run
+        return "[" + ", ".join(f"{float(x)!r}::DOUBLE" for x in v) + "]"
+
+    idx = "[" + ", ".join(str(i) for i in range(1, 65)) + "]"
+    code = (
+        "LEAST(255, GREATEST(0, CAST(FLOOR((CAST(embedding[i] AS DOUBLE)"
+        f" - mn[i]) * sc[i] + 1e-9) AS BIGINT)))"
+    )
+    return f"""
+    WITH m AS (
+      SELECT {dlist(mins)} AS mn, {dlist(scales)} AS sc
+    ), c AS (
+      SELECT vec_id,
+             list_transform({idx}, i -> {code}) AS codes
+      FROM embeddings, m
+    )
+    SELECT vec_id,
+           CAST(list_reduce(codes, (a, b) -> a + b) AS BIGINT) AS code_sum,
+           CAST(list_min(codes) AS BIGINT) AS code_min,
+           CAST(list_max(codes) AS BIGINT) AS code_max,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                (a, b) -> (a * {BASE} + b) % {MOD}) AS BIGINT) AS code_hash
+    FROM c ORDER BY vec_id"""
+
+
+@query("embedding_quantize_sq8", oracle=_sq8_oracle(), tags=("llm", "embedding"))
+def embedding_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization of the embedding column (the FAISS-SQ8
+    storage path, completing the vector-compression family next to the PQ
+    codebooks and IVF cells): per-dim (min, scale) fitted ONCE on the gate
+    corpus (train-once-apply-at-any-sf), codes = clamp(floor((x-mn)*s))
+    as a pure JVM projection — zero Python, zero shuffle, 4x smaller
+    at-rest vectors. The driver hash checks the code arrays themselves
+    via the polynomial fold; float32 -> double casts are exact, so both
+    engines compute bit-identical codes."""
+    import os
+
+    from ..operators.embedding import sq8_encode, sq8_fit_np
+    from .llm_ops import ORACLE_SF_DIR
+    from ..operators.text import BASE, MOD
+
+    mins, scales = sq8_fit_np(os.path.join(ORACLE_SF_DIR, "embeddings.parquet"))
+    emb = load_tables(spark, sf_dir, "embeddings").embeddings
+    codes = sq8_encode(emb, mins, scales)
+    withc = emb.select("vec_id", codes.alias("codes"))
+    return withc.select(
+        "vec_id",
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, c: a + c)
+        .cast("long")
+        .alias("code_sum"),
+        F.array_min("codes").cast("long").alias("code_min"),
+        F.array_max("codes").cast("long").alias("code_max"),
+        F.aggregate(
+            "codes",
+            F.lit(0).cast("long"),
+            lambda a, c: (a * BASE + c) % MOD,
+        )
+        .cast("long")
+        .alias("code_hash"),
+    )

@@ -112,3 +112,66 @@ class TestEventsValueTrend:
         from tests.oracle import check_query
 
         assert check_query(spark, "events_value_trend", SF_DIR) > 0
+
+
+class TestSq8Quantization:
+    def test_codes_match_python_reference(self, spark):
+        import numpy as np
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.operators.embedding import sq8_encode, sq8_fit_np
+
+        path = f"{SF_DIR}/embeddings.parquet"
+        mins, scales = sq8_fit_np(path)
+        emb = spark.read.parquet(path).limit(60)
+        got = {
+            r["vec_id"]: r["c"]
+            for r in emb.select(
+                "vec_id", sq8_encode(emb, mins, scales).alias("c")
+            ).collect()
+        }
+        tab = pq.read_table(path).to_pandas().set_index("vec_id")
+        for v, codes in got.items():
+            x = np.asarray(tab.loc[v, "embedding"], dtype=np.float64)
+            expect = np.clip(
+                np.floor((x - mins) * scales + 1e-9), 0, 255
+            ).astype(int)
+            assert list(codes) == list(expect), v
+
+    def test_fit_properties(self):
+        import numpy as np
+
+        from sea_streamer_spark.operators.embedding import sq8_fit_np
+
+        mins, scales = sq8_fit_np(f"{SF_DIR}/embeddings.parquet")
+        assert mins.shape == scales.shape == (64,)
+        assert (scales >= 0).all()
+        # the fit max of every dim must land exactly in bucket 255
+        import pyarrow.parquet as pq
+
+        emb = np.asarray(
+            pq.read_table(f"{SF_DIR}/embeddings.parquet")
+            .column("embedding").to_pylist(), dtype=np.float64,
+        )
+        top = np.floor((emb.max(axis=0) - mins) * scales + 1e-9)
+        assert (top[scales > 0] == 255).all()
+
+    def test_out_of_range_values_clamp(self, spark):
+        from pyspark.sql import Row
+        import numpy as np
+
+        from sea_streamer_spark.operators.embedding import sq8_encode
+
+        mins = np.zeros(4)
+        scales = np.full(4, 255.0)  # range [0, 1]
+        df = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[-5.0, 0.0, 0.5, 99.0])]
+        )
+        codes = df.select(sq8_encode(df, mins, scales).alias("c")).collect()[0]["c"]
+        assert codes == [0, 0, 127, 255]
+
+    def test_registered_query_oracle(self, spark):
+        from tests.oracle import check_query
+
+        assert check_query(spark, "embedding_quantize_sq8", SF_DIR) > 0
