@@ -326,3 +326,82 @@ class TestPostBudgetQueryPlans:
         assert _shuffle_exchanges(plan) <= 1, plan
         assert "Join" not in plan, plan
         assert "EvalPython" not in plan, plan
+
+
+class TestContinuationWaveQueryPlans:
+    def test_langid_broadcast_profile_no_python(self, spark, sf_dir):
+        """Trigram LID: profile relation broadcast, doc pipeline = explode
+        → count → window → final agg, all JVM-side."""
+        plan = _final_plan(QUERIES["text_lang_id_ngram"].fn(spark, sf_dir))
+        assert "BroadcastExchange" in plan, plan
+        assert "EvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_quantile_sketch_one_group_keyed_chain(self, spark, sf_dir):
+        """Bottom-k build and the value-rank window both key by source —
+        two group-keyed exchanges (build + rank), nothing else."""
+        plan = _final_plan(QUERIES["sketch_quantile_bottomk"].fn(spark, sf_dir))
+        assert _shuffle_exchanges(plan) <= 2, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_skew_salted_join_has_salt_in_keys(self, spark, sf_dir):
+        """The salt must actually reach the join keys (the point of the
+        operator), and the replicated dim side must never nested-loop."""
+        plan = _final_plan(QUERIES["join_skew_salted"].fn(spark, sf_dir))
+        assert "__salt" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_snapshot_diff_digests_are_mapside(self, spark, sf_dir):
+        """One full-outer key join over md5 digests: no Python, no
+        nested-loop, digest projection inside the scan stage."""
+        plan = _final_plan(QUERIES["dataset_snapshot_diff"].fn(spark, sf_dir))
+        assert "EvalPython" not in plan, plan
+        assert "md5" in plan.lower(), plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_funnel_single_user_exchange(self, spark, sf_dir):
+        """Three stacked conditional-min windows share ONE user-keyed
+        Exchange (plus the final distinct)."""
+        plan = _final_plan(QUERIES["events_funnel_stages"].fn(spark, sf_dir))
+        n_user = sum(
+            1
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line and "user_id" in line
+        )
+        assert n_user == 1, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_bloom_prefilter_is_a_scan_filter(self, spark, sf_dir):
+        """The membership probe must be a Filter over the fact scan (word
+        array literal, bit tests), not a join; the only join left is the
+        broadcast semi-join that removes false positives."""
+        plan = _final_plan(QUERIES["join_bloom_prefilter"].fn(spark, sf_dir))
+        assert "EvalPython" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "shiftleft" in plan.lower() or "shiftright" in plan.lower(), plan
+
+    def test_trend_sums_single_pass(self, spark, sf_dir):
+        """Centering window + final agg: two event_type-keyed exchanges at
+        most, exact sums map-side combined."""
+        plan = _final_plan(QUERIES["events_value_trend"].fn(spark, sf_dir))
+        assert _shuffle_exchanges(plan) <= 2, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_sq8_is_pure_projection(self, spark, sf_dir):
+        """Quantization = zero shuffles, zero Python — the model rides as
+        array literals inside the projection."""
+        plan = _final_plan(QUERIES["embedding_quantize_sq8"].fn(spark, sf_dir))
+        assert _shuffle_exchanges(plan) == 0, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_neardup_pair_searches_never_all_pairs(self, spark, sf_dir):
+        """Image dHash and audio fingerprint pairing: block equi-joins
+        only — no cartesian, no nested loop (the mapInPandas stages are the
+        codec decode, which IS the Python work by design)."""
+        for name in ("multimodal_dhash_neardup", "multimodal_audio_neardup"):
+            plan = _final_plan(QUERIES[name].fn(spark, sf_dir))
+            assert "CartesianProduct" not in plan, (name, plan)
+            assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
