@@ -134,7 +134,25 @@ def streaming_zscore_legacy(hourly_stream):
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     trail = TRAIL
-    score = z_micro
+
+    # by-value copy of z_micro (same float-op order): capturing the
+    # module-level function would pickle it BY REFERENCE and require the
+    # package importable on executors — a bare driver session without
+    # addPyFile could not run the query (the distinct.py/decode_media
+    # convention; equality with z_micro is pinned in the tests)
+    def score(c: int, hist: list[int]) -> int:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        n = len(hist)
+        s1 = sum(hist)
+        s2 = sum(v * v for v in hist)
+        z = (float(c) - float(s1) / n) / math.sqrt(
+            (float(s2) - float(s1) * s1 / n) / n + 1.0
+        )
+        return int(
+            Decimal(repr(z * 1e6)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
 
     def fn(key, pdfs, state):
         import pandas as pd
