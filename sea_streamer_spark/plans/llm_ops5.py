@@ -785,3 +785,64 @@ def embedding_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("code_hash"),
     )
+
+
+@query(
+    "dedup_crossmodal_agreement",
+    oracle=f"""
+    WITH txt AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b
+        ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)
+    ), img AS (
+      SELECT doc_a, doc_b FROM ({_dhash_oracle()})
+    )
+    SELECT COALESCE(t.doc_a, i.doc_a) AS doc_a,
+           COALESCE(t.doc_b, i.doc_b) AS doc_b,
+           CASE WHEN t.doc_a IS NOT NULL AND i.doc_a IS NOT NULL THEN 'both'
+                WHEN i.doc_a IS NOT NULL THEN 'image_only'
+                ELSE 'text_only' END AS agreement
+    FROM txt t FULL OUTER JOIN img i
+      ON t.doc_a = i.doc_a AND t.doc_b = i.doc_b
+    ORDER BY doc_a, doc_b""",
+    tags=("llm", "multimodal", "dedup"),
+)
+def dedup_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup consistency — which near-dup pairs do the TEXT
+    and IMAGE modalities agree on: exact-text pairs (md5 equality) full-
+    outer-joined with the perceptual dHash pairs. Because every image is
+    synthesized from its text, identical text ⇒ identical image ⇒
+    hamming 0, so 'text_only' rows are IMPOSSIBLE unless something in the
+    synthesize/resize/decode/hash chain breaks determinism — the driver
+    hash checks that invariant corpus-wide, plus the image-only fuzzy
+    matches the text modality cannot see."""
+    from ..operators import multimodal as M
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    txt = (
+        a.join(b, "fp").filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    png = M.synthesize_png(docs, width=18, height=14)
+    small = M.resize_png(png, width=9, height=7).select("doc_id", "payload")
+    img = M.dhash_near_dup(M.dhash_png(small)).select("doc_a", "doc_b")
+    agreement = (
+        F.when(txt["doc_a"].isNotNull() & img["doc_a"].isNotNull(), "both")
+        .when(img["doc_a"].isNotNull(), "image_only")
+        .otherwise("text_only")
+    )
+    return (
+        txt.join(
+            img,
+            (txt["doc_a"] == img["doc_a"]) & (txt["doc_b"] == img["doc_b"]),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(txt["doc_a"], img["doc_a"]).alias("doc_a"),
+            F.coalesce(txt["doc_b"], img["doc_b"]).alias("doc_b"),
+            agreement.alias("agreement"),
+        )
+    )

@@ -118,7 +118,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "dataset_snapshot_diff", "multimodal_dhash_neardup", "text_typo_pairs",
     "events_funnel_stages", "profile_incremental_merge",
     "multimodal_audio_neardup", "join_bloom_prefilter", "events_value_trend",
-    "embedding_quantize_sq8",
+    "embedding_quantize_sq8", "dedup_crossmodal_agreement",
 )
 
 

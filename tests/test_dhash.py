@@ -155,3 +155,46 @@ class TestAudioFingerprint:
         from tests.oracle import check_query
 
         assert check_query(spark, "multimodal_audio_neardup", SF_DIR) > 0
+
+
+class TestCrossModalAgreement:
+    def test_no_text_only_rows_and_engineered_both(self, spark):
+        """Identical text must surface as 'both' (identical synthesized
+        images => hamming 0); 'text_only' is impossible by construction."""
+        from sea_streamer_spark.plans.queries import QUERIES
+
+        out = QUERIES["dedup_crossmodal_agreement"].fn(spark, SF_DIR).collect()
+        kinds = {r["agreement"] for r in out}
+        assert "text_only" not in kinds, out
+        # engineered: two docs with identical text -> 'both'
+        import pandas as pd  # noqa: F401 (parity of environment)
+
+        from sea_streamer_spark.operators import multimodal as M2
+        from pyspark.sql import functions as F2
+
+        docs = spark.createDataFrame(
+            [(1, "same text body here"), (2, "same text body here"),
+             (3, "a completely different document")],
+            ["doc_id", "text"],
+        )
+        fp = docs.select("doc_id", F2.md5("text").alias("fp"))
+        txt = (
+            fp.alias("a").join(fp.alias("b"), "fp")
+            .filter(F2.col("a.doc_id") < F2.col("b.doc_id"))
+            .select(
+                F2.col("a.doc_id").alias("doc_a"),
+                F2.col("b.doc_id").alias("doc_b"),
+            )
+        )
+        png = M2.synthesize_png(docs, width=18, height=14)
+        small = M2.resize_png(png, width=9, height=7).select("doc_id", "payload")
+        img = M2.dhash_near_dup(M2.dhash_png(small))
+        t_pairs = {(r["doc_a"], r["doc_b"]) for r in txt.collect()}
+        i_pairs = {(r["doc_a"], r["doc_b"]) for r in img.collect()}
+        assert (1, 2) in t_pairs
+        assert t_pairs <= i_pairs  # every text dup is an image dup
+
+    def test_registered_crossmodal_oracle(self, spark):
+        from tests.oracle import check_query
+
+        assert check_query(spark, "dedup_crossmodal_agreement", SF_DIR) > 0
