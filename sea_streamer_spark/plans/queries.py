@@ -102,7 +102,7 @@ _PRIORITY_RESAMPLE: tuple[str, ...] = (
 #: ROUND-4 RE-RANK TODO (first thing next round, after reading
 #: CORRECTNESS_r03): append round-3's green names to a new
 #: _R03_DRIVER_VERIFIED demotion list and promote THIS bucket to the
-#: front (all 25 have tri-scale local proof but zero driver rows), plus
+#: front (all 30 have tri-scale local proof but zero driver rows), plus
 #: any round-3 red/err rows with fixes. All entries here also pass the
 #: sf0.1 sweep, so only driver sampling is outstanding.
 _POST_BUDGET: tuple[str, ...] = (
