@@ -846,3 +846,76 @@ def dedup_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             agreement.alias("agreement"),
         )
     )
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, v,
+             CASE v WHEN 1 THEN DATE '1990-01-01'
+                    WHEN 2 THEN DATE '1997-01-01' + CAST(c_custkey % 365 AS INTEGER)
+                    ELSE DATE '1999-01-01' + CAST((c_custkey * 7) % 365 AS INTEGER)
+             END AS valid_from,
+             CASE v WHEN 1 THEN DATE '1997-01-01' + CAST(c_custkey % 365 AS INTEGER)
+                    WHEN 2 THEN DATE '1999-01-01' + CAST((c_custkey * 7) % 365 AS INTEGER)
+                    ELSE DATE '2005-01-01'
+             END AS valid_to
+      FROM customer, unnest([1, 2, 3]) AS t(v)
+    )
+    SELECT d.v AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o
+    JOIN dim d ON o.o_custkey = d.c_custkey
+      AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+      AND CAST(o.o_orderdate AS DATE) < d.valid_to
+    GROUP BY d.v ORDER BY version""",
+    tags=("relational", "temporal"),
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2) enrichment — the feature-store join that
+    prevents temporal leakage in training data: every order joins the
+    dimension VERSION that was valid at its order date, never a later
+    one. The versioned dimension is synthesized deterministically from
+    customer (3 validity windows with per-customer boundaries); the join
+    is custkey-equi + validity-range filter, so per-key fan-out is
+    bounded by the version count (never a range-only nested loop), and
+    exactly one version matches each order by construction — an
+    every-order-joins-once invariant the totals expose."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    v = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("v")
+    b1 = F.expr("date_add(DATE'1997-01-01', CAST(c_custkey % 365 AS INT))")
+    b2 = F.expr("date_add(DATE'1999-01-01', CAST((c_custkey * 7) % 365 AS INT))")
+    dim = t.customer.select("c_custkey", v).select(
+        "c_custkey",
+        "v",
+        F.when(F.col("v") == 1, F.lit("1990-01-01").cast("date"))
+        .when(F.col("v") == 2, b1)
+        .otherwise(b2)
+        .alias("valid_from"),
+        F.when(F.col("v") == 1, b1)
+        .when(F.col("v") == 2, b2)
+        .otherwise(F.lit("2005-01-01").cast("date"))
+        .alias("valid_to"),
+    )
+    od = F.col("o_orderdate").cast("date")
+    joined = t.orders.join(
+        dim,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (od >= F.col("valid_from"))
+        & (od < F.col("valid_to")),
+    )
+    return (
+        joined.groupBy(F.col("v").alias("version"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("version")
+    )

@@ -119,6 +119,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "events_funnel_stages", "profile_incremental_merge",
     "multimodal_audio_neardup", "join_bloom_prefilter", "events_value_trend",
     "embedding_quantize_sq8", "dedup_crossmodal_agreement",
+    "join_point_in_time",
 )
 
 

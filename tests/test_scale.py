@@ -295,3 +295,22 @@ class TestBloomPrefilterJoin:
         from tests.oracle import check_query
 
         assert check_query(spark, "join_bloom_prefilter", "/root/testdata/sf0.001") > 0
+
+
+class TestPointInTimeJoin:
+    def test_every_order_joins_exactly_once(self, spark, sf_dir):
+        """The SCD2 validity windows partition the timeline per customer,
+        so the per-version order counts must sum to the order count —
+        no order is dropped, none joins two versions (temporal-leakage
+        safety is exactly this invariant)."""
+        from sea_streamer_spark.plans.queries import QUERIES
+
+        out = QUERIES["join_point_in_time"].fn(spark, sf_dir).collect()
+        total = load_tables(spark, sf_dir, "orders").orders.count()
+        assert sum(r["n_orders"] for r in out) == total
+        assert len(out) == 3 and all(r["n_orders"] > 0 for r in out)
+
+    def test_registered_query_oracle(self, spark):
+        from tests.oracle import check_query
+
+        assert check_query(spark, "join_point_in_time", "/root/testdata/sf0.001") > 0
