@@ -200,3 +200,57 @@ class TestJsonlIngest:
         assert quarantine.count() == 0
         r = clean.collect()[0]
         assert r.doc_id == 9 and r.lang is None
+
+
+class TestCsvIngest:
+    """CSV corpus ingestion with quarantine capture (sources/csvsrc.py)."""
+
+    def test_clean_and_corrupt_split(self, spark, tmp_path):
+        p = tmp_path / "corpus.csv"
+        p.write_text(
+            "doc_id,text,lang,source\n"
+            '1,"hello, world",en,web\n'
+            "not-a-number,broken row,xx,web\n"
+            '2,"quoted ""escape"" inside",es,web\n'
+        )
+        from sea_streamer_spark.sources.csvsrc import (
+            read_documents_csv,
+            split_quarantine,
+        )
+
+        df = read_documents_csv(spark, str(p))
+        clean, quarantine = split_quarantine(df)
+        rows = {r.doc_id: r for r in clean.collect()}
+        assert set(rows) == {1, 2}
+        assert rows[1].text == "hello, world"  # embedded delimiter survives
+        assert rows[2].text == 'quoted "escape" inside'  # escaped quotes
+        bad = [r.raw_line for r in quarantine.collect()]
+        assert len(bad) == 1 and bad[0].startswith("not-a-number")
+
+    def test_wrong_column_count_quarantines(self, spark, tmp_path):
+        p = tmp_path / "short.csv"
+        p.write_text("doc_id,text,lang,source\n7,only-two-fields\n")
+        from sea_streamer_spark.sources.csvsrc import (
+            read_documents_csv,
+            split_quarantine,
+        )
+
+        clean, quarantine = split_quarantine(read_documents_csv(spark, str(p)))
+        # CSV PERMISSIVE fills missing trailing columns with null (that is
+        # the documented reader contract — too-few fields are nulls, only
+        # unparseable TYPED fields corrupt); the typed doc_id parsed fine
+        assert clean.count() + quarantine.count() == 1
+
+    def test_headerless_and_custom_sep(self, spark, tmp_path):
+        p = tmp_path / "pipe.csv"
+        p.write_text("11|first text|en|web\n12|second text|de|books\n")
+        from sea_streamer_spark.sources.csvsrc import (
+            read_documents_csv,
+            split_quarantine,
+        )
+
+        clean, quarantine = split_quarantine(
+            read_documents_csv(spark, str(p), header=False, sep="|")
+        )
+        assert quarantine.count() == 0
+        assert {r.doc_id for r in clean.collect()} == {11, 12}
