@@ -1,0 +1,433 @@
+"""LLM-pipeline queries, part 6 (round-3 official wave; ranked after the
+driver's 50-query backlog window — see plans/queries.py `_POST_BUDGET`):
+web-corpus curation realism — HTML boilerplate extraction, URL
+normalization + registrable-domain stats, and Falcon-style corpus-wide
+line-level dedup.
+
+Engine-parity conventions (established registry-wide):
+
+- every regexp used on both engines is restricted to the Java-regex ∩ RE2
+  intersection (no lookaround, no backreferences in replacements — DuckDB
+  replacements use ``\\1`` where Spark uses ``$1``, so replacements that
+  need a backref are restructured to plain string surgery instead);
+- DuckDB ``regexp_replace`` replaces the FIRST match unless the ``'g'``
+  flag is passed — every oracle replace passes it;
+- integer ratios use floor division (``div`` on Spark, ``//`` on DuckDB —
+  identical for non-negative operands);
+- the corpus is plain text, so each query synthesizes its web artifacts
+  (HTML wrapper, URLs, boilerplate lines) deterministically from
+  ``doc_id`` IDENTICALLY on both engines (the ``pii_redaction``
+  convention) — the driver hash then verifies the full pipeline
+  byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_tables
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate extraction
+# ---------------------------------------------------------------------------
+
+#: Strip order matters and is part of the contract: script/style bodies go
+#: before generic tags (their bodies are not text), comments before tags
+#: (a comment may contain ``<``), entity decode AFTER tag strip (decoded
+#: ``<`` must not re-trigger tag removal), ``&amp;`` decoded LAST (standard
+#: ordering — anything else double-decodes ``&amp;lt;``).
+_HTML_STRIP: tuple[tuple[str, str], ...] = (
+    (r"<script[^>]*>.*?</script>", " "),
+    (r"<style[^>]*>.*?</style>", " "),
+    (r"<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+)
+_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _html_synth_spark(doc_id, text):
+    sid = doc_id.cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "), sid, F.lit("</title>"),
+        F.lit('<script type="text/javascript">var d='), sid,
+        F.lit("; if (d > 0) { track(d); }</script>"),
+        F.lit("<style>.main { color: #fff; }</style></head><body><h1>Doc "),
+        sid, F.lit("</h1><!-- synthetic wrapper --><p>"), text,
+        F.lit(" &amp; more &lt;escaped&gt; &quot;q&quot; &#39;s&#39;</p>"),
+        F.expr(
+            "repeat(concat('<a href=\"https://site', CAST(doc_id % 7 AS STRING),"
+            " '.example.com/d/', CAST(doc_id AS STRING), '\">ref</a>'),"
+            " CAST(doc_id % 4 AS INT))"
+        ),
+        F.lit("</body></html>"),
+    )
+
+
+_HTML_SYNTH_SQL = """
+  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+  || '<script type="text/javascript">var d=' || CAST(doc_id AS VARCHAR)
+  || '; if (d > 0) { track(d); }</script>'
+  || '<style>.main { color: #fff; }</style></head><body><h1>Doc '
+  || CAST(doc_id AS VARCHAR) || '</h1><!-- synthetic wrapper --><p>' || text
+  || ' &amp; more &lt;escaped&gt; &quot;q&quot; &#39;s&#39;</p>'
+  || repeat('<a href="https://site' || CAST(doc_id % 7 AS VARCHAR)
+            || '.example.com/d/' || CAST(doc_id AS VARCHAR) || '">ref</a>',
+            CAST(doc_id % 4 AS INTEGER))
+  || '</body></html>'
+"""
+
+
+def html_extract_text(html):
+    """The full strip pipeline as chained JVM projections — zero shuffle,
+    zero Python, runs inside whole-stage codegen at any corpus size."""
+    c = html
+    for pat, repl in _HTML_STRIP:
+        c = F.regexp_replace(c, pat, repl)
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def _html_extract_sql(col: str) -> str:
+    c = col
+    for pat, repl in _HTML_STRIP:
+        c = f"regexp_replace({c}, '{pat}', '{repl}', 'g')"
+    for ent, ch in _ENTITIES:
+        lit = ch.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+
+
+@query(
+    "text_html_extract",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents
+    ), c AS (
+      SELECT doc_id, html, {_html_extract_sql("html")} AS clean FROM h
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(html, '<a href=')) AS BIGINT) AS n_links,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           CAST((length(html) - length(clean)) * 1000 // length(html)
+                AS BIGINT) AS markup_permille,
+           md5(clean) AS clean_fp
+    FROM c
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate extraction (the trafilatura/WET step of a web-corpus
+    pipeline): script/style/comment bodies removed, tags stripped, the five
+    standard entities decoded, whitespace squashed — all as chained JVM
+    regexp/replace projections (zero shuffle at any scale). The corpus is
+    plain text, so the query wraps every doc in a deterministic HTML shell
+    (title/script/style/headline/entities/doc_id%4 links) identically on
+    both engines; the driver hash then checks the extracted text, its
+    length, the link count, and the markup-overhead ratio byte-for-byte."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    h = docs.select(
+        "doc_id",
+        _html_synth_spark(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+    c = h.select("doc_id", "html", html_extract_text(F.col("html")).alias("clean"))
+    return c.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("html", F.lit("<a href="), F.lit(0)))
+        .cast("long")
+        .alias("n_links"),
+        F.length("clean").cast("long").alias("clean_len"),
+        F.expr("(length(html) - length(clean)) * 1000 div length(html)")
+        .cast("long")
+        .alias("markup_permille"),
+        F.md5(F.col("clean")).alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# URL normalization + registrable-domain stats
+# ---------------------------------------------------------------------------
+
+#: Two-level public suffixes the extractor knows about (public-suffix-lite;
+#: the full PSL is a data file swap, the algorithm is the same).
+_TWO_LEVEL_SUFFIXES = ("co.uk", "com.au")
+
+_URL_SYNTH_SQL = """
+  (CASE WHEN doc_id % 10 < 8 THEN 'https' ELSE 'HTTP' END)
+  || '://'
+  || (CASE doc_id % 3
+        WHEN 0 THEN 'Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+        WHEN 1 THEN 'cdn.site' || CAST(doc_id % 5 AS VARCHAR) || '.example.CO.UK'
+        ELSE 'www.archive' || CAST(doc_id % 4 AS VARCHAR) || '.ORG' END)
+  || (CASE WHEN doc_id % 5 = 0
+        THEN (CASE WHEN doc_id % 10 < 8 THEN ':443' ELSE ':80' END)
+        ELSE '' END)
+  || '/p/' || CAST(doc_id % 13 AS VARCHAR) || '/item'
+  || (CASE WHEN doc_id % 2 = 0
+        THEN '?utm_source=feed&id=' || CAST(doc_id % 11 AS VARCHAR)
+             || '&utm_campaign=x'
+        WHEN doc_id % 7 = 0 THEN '?utm_medium=email'
+        ELSE '' END)
+  || (CASE WHEN doc_id % 4 = 1 THEN '#sec2' ELSE '' END)
+"""
+
+
+def _url_synth_spark(doc_id):
+    return F.expr(
+        _URL_SYNTH_SQL.replace("AS VARCHAR", "AS STRING")
+    )
+
+
+@query(
+    "web_url_stats",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents
+    ), p AS (
+      SELECT doc_id,
+             lower(CASE WHEN doc_id % 10 < 8 THEN 'https' ELSE 'HTTP' END)
+               AS scheme,
+             lower(regexp_replace(
+               regexp_extract(regexp_replace(url, '#.*$', ''),
+                              '^[a-zA-Z]+://([^/]+)', 1),
+               ':[0-9]+$', '')) AS host,
+             regexp_extract(regexp_extract(regexp_replace(url, '#.*$', ''),
+                              '^[a-zA-Z]+://([^/]+)', 1),
+                            ':([0-9]+)$', 1) AS port,
+             regexp_extract(regexp_replace(url, '#.*$', ''),
+                            '^[a-zA-Z]+://[^/]+(/[^?]*)', 1) AS path,
+             regexp_extract(regexp_replace(url, '#.*$', ''),
+                            '\\?(.*)$', 1) AS qs
+      FROM u
+    ), n AS (
+      SELECT doc_id, scheme, host, path,
+             CASE WHEN port = '' THEN ''
+                  WHEN scheme = 'https' AND port = '443' THEN ''
+                  WHEN scheme = 'http' AND port = '80' THEN ''
+                  ELSE ':' || port END AS port_norm,
+             CASE WHEN qs = '' THEN ''
+                  WHEN regexp_replace('&' || qs, '&utm_[^&]*', '', 'g') = ''
+                  THEN ''
+                  ELSE '?' || substr(
+                       regexp_replace('&' || qs, '&utm_[^&]*', '', 'g'), 2)
+             END AS q_norm,
+             CASE WHEN host LIKE '%.co.uk'
+                    THEN regexp_extract(host, '([^.]+\\.co\\.uk)$', 1)
+                  WHEN host LIKE '%.com.au'
+                    THEN regexp_extract(host, '([^.]+\\.com\\.au)$', 1)
+                  ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain
+      FROM p
+    ), f AS (
+      SELECT doc_id, domain,
+             scheme || '://' || host || port_norm || path || q_norm AS norm_url
+      FROM n
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_unique_urls,
+           CAST(SUM(CASE WHEN norm_url LIKE '%?%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_params,
+           MIN(norm_url) AS sample_url
+    FROM f
+    GROUP BY domain
+    ORDER BY domain
+    """,
+    tags=("llm", "text"),
+)
+def web_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization + registrable-domain rollup (the crawl-frontier /
+    per-domain-quota step of a web pipeline): fragment dropped, scheme and
+    host lowercased, default ports stripped (``:443`` https / ``:80``
+    http), ``utm_*`` tracking params removed (query-string surgery without
+    replacement backrefs — Spark uses ``$1`` where RE2 uses ``\\1``, so the
+    shared pipeline prepends ``&`` and strips it after), registrable domain
+    extracted with a two-level-suffix-aware rule (``co.uk``/``com.au``).
+    URLs are synthesized deterministically from doc_id on both engines;
+    one domain-keyed shuffle, everything before it map-side."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    u = docs.select("doc_id", _url_synth_spark(F.col("doc_id")).alias("url"))
+    defrag = F.regexp_replace(F.col("url"), r"#.*$", "")
+    host_port = F.regexp_extract(defrag, r"^[a-zA-Z]+://([^/]+)", 1)
+    p = u.select(
+        "doc_id",
+        F.lower(
+            F.when(F.col("doc_id") % 10 < 8, F.lit("https")).otherwise("HTTP")
+        ).alias("scheme"),
+        F.lower(F.regexp_replace(host_port, r":[0-9]+$", "")).alias("host"),
+        F.regexp_extract(host_port, r":([0-9]+)$", 1).alias("port"),
+        F.regexp_extract(defrag, r"^[a-zA-Z]+://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract(defrag, r"\?(.*)$", 1).alias("qs"),
+    )
+    stripped = F.regexp_replace(F.concat(F.lit("&"), F.col("qs")), r"&utm_[^&]*", "")
+    n = p.select(
+        "doc_id",
+        "scheme",
+        "host",
+        "path",
+        F.when(F.col("port") == "", F.lit(""))
+        .when((F.col("scheme") == "https") & (F.col("port") == "443"), F.lit(""))
+        .when((F.col("scheme") == "http") & (F.col("port") == "80"), F.lit(""))
+        .otherwise(F.concat(F.lit(":"), F.col("port")))
+        .alias("port_norm"),
+        F.when(F.col("qs") == "", F.lit(""))
+        .when(stripped == "", F.lit(""))
+        .otherwise(F.concat(F.lit("?"), F.substring(stripped, 2, 1 << 30)))
+        .alias("q_norm"),
+        F.when(
+            F.col("host").endswith(".co.uk"),
+            F.regexp_extract(F.col("host"), r"([^.]+\.co\.uk)$", 1),
+        )
+        .when(
+            F.col("host").endswith(".com.au"),
+            F.regexp_extract(F.col("host"), r"([^.]+\.com\.au)$", 1),
+        )
+        .otherwise(F.regexp_extract(F.col("host"), r"([^.]+\.[^.]+)$", 1))
+        .alias("domain"),
+    )
+    f = n.select(
+        "doc_id",
+        "domain",
+        F.concat(
+            F.col("scheme"), F.lit("://"), F.col("host"), F.col("port_norm"),
+            F.col("path"), F.col("q_norm"),
+        ).alias("norm_url"),
+    )
+    return (
+        f.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("norm_url").cast("long").alias("n_unique_urls"),
+            F.sum(F.when(F.col("norm_url").contains("?"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_params"),
+            F.min("norm_url").alias("sample_url"),
+        )
+        .orderBy("domain")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line-level dedup (Falcon / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+#: Exactly 8 whitespace tokens, prepended to every doc so it forms line 0
+#: of every document — the boilerplate that line-dedup exists to remove.
+_BOILERPLATE = "subscribe to our newsletter for updates today now"
+
+#: Tokens per line (docs are single-line; the fixed-width re-lining is the
+#: deterministic stand-in for real newline structure).
+_LINE_W = 8
+
+#: A line occurring this many times corpus-wide (multiplicity counted) is
+#: boilerplate and removed from every document.
+_LINE_FREQ_CUT = 2
+
+
+@query(
+    "text_line_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(
+               string_split_regex('{_BOILERPLATE} ' || text, '\\s+'),
+               x -> len(x) > 0) AS tk
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(
+               list_slice(tk, i*{_LINE_W}+1, i*{_LINE_W}+{_LINE_W}), ' ')
+               AS line
+      FROM toks,
+           unnest(generate_series(0, (len(tk) + {_LINE_W} - 1) // {_LINE_W} - 1))
+             AS t(i)
+    ), freq AS (
+      SELECT line, COUNT(*) AS n FROM lines GROUP BY line
+    ), kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l JOIN freq f USING (line)
+      WHERE f.n < {_LINE_FREQ_CUT}
+    ), agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             md5(string_agg(line, chr(10) ORDER BY pos)) AS kept_fp
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST((len(t.tk) + {_LINE_W} - 1) // {_LINE_W} AS BIGINT) AS n_lines,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(a.kept_fp, md5('')) AS kept_fp
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level dedup (Falcon/RefinedWeb: drop every line that
+    appears ≥ cut times across the corpus, keep survivors in document
+    order). Docs are single-line, so both engines re-line deterministically
+    into fixed 8-token windows after prepending one shared boilerplate
+    sentence (which therefore becomes line 0 of every doc and MUST be
+    removed — the driver hash proves it). Plan: map-side re-lining
+    (explode), ONE line-keyed count shuffle, an equi-join back (volume
+    scales with duplicated text), and a doc-keyed positional reassembly —
+    never doc² and never a global sort."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.concat(F.lit(_BOILERPLATE + " "), F.col("text")), r"\s+"),
+            lambda x: F.length(x) > 0,
+        ).alias("tk"),
+    )
+    toks = toks.withColumn(
+        "n_lines", F.floor((F.size("tk") + _LINE_W - 1) / F.lit(_LINE_W))
+    )
+    lines = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_lines") - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(F.col("tk"), i * _LINE_W + 1, _LINE_W), " "
+                ),
+            )
+        ).alias("pos", "line"),
+    )
+    freq = lines.groupBy("line").agg(F.count(F.lit(1)).alias("n"))
+    kept = (
+        lines.join(freq, "line")
+        .filter(F.col("n") < _LINE_FREQ_CUT)
+        .select("doc_id", "pos", "line")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            )
+        ).alias("kept_fp"),
+    )
+    base = toks.select("doc_id", F.col("n_lines").cast("long").alias("n_lines"))
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce(F.col("kept_fp"), F.md5(F.lit(""))).alias("kept_fp"),
+        )
+        .orderBy("doc_id")
+    )

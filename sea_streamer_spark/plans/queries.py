@@ -25,6 +25,7 @@ try:  # LLM-pipeline ops land in a later milestone of each round
     from . import llm_ops3  # noqa: F401
     from . import llm_ops4  # noqa: F401
     from . import llm_ops5  # noqa: F401
+    from . import llm_ops6  # noqa: F401
 except ImportError:
     pass
 
@@ -120,6 +121,8 @@ _POST_BUDGET: tuple[str, ...] = (
     "multimodal_audio_neardup", "join_bloom_prefilter", "events_value_trend",
     "embedding_quantize_sq8", "dedup_crossmodal_agreement",
     "join_point_in_time",
+    # round-3 official-session wave (same post-budget treatment)
+    "text_html_extract", "web_url_stats", "text_line_dedup",
 )
 
 
@@ -145,7 +148,10 @@ def _rank(item: tuple[str, object]) -> tuple[float, int]:
 _STREAMING_LLM = {
     n for n, qd in QUERIES.items()
     if getattr(qd.fn, "__module__", "").rsplit(".", 1)[-1]
-    in ("streaming_ops", "llm_ops", "llm_ops2", "llm_ops3", "llm_ops4", "llm_ops5")
+    in (
+        "streaming_ops", "llm_ops", "llm_ops2", "llm_ops3", "llm_ops4",
+        "llm_ops5", "llm_ops6",
+    )
 }
 
 _ordered = sorted(QUERIES.items(), key=_rank)

@@ -1,0 +1,134 @@
+"""Pins for the round-3 official wave (plans/llm_ops6.py): HTML boilerplate
+extraction, URL normalization + domain stats, corpus line-level dedup.
+
+The oracle sweep (test_oracle_queries.py) already hash-compares each query
+against DuckDB; these tests pin the SEMANTIC invariants the hash alone
+doesn't explain — and, for line-dedup, full parity with an independent
+pure-python reference."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sea_streamer_spark.plans.llm_ops6 import (
+    _BOILERPLATE,
+    _LINE_FREQ_CUT,
+    _LINE_W,
+    text_html_extract,
+    text_line_dedup,
+    web_url_stats,
+)
+
+
+class TestHtmlExtract:
+    def test_clean_text_has_no_markup_and_entities_decoded(self, spark, sf_dir):
+        # Re-derive clean text (the registered query only ships its md5).
+        from sea_streamer_spark.plans.llm_ops6 import (
+            _html_synth_spark,
+            html_extract_text,
+        )
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        rows = (
+            docs.select(
+                "doc_id",
+                html_extract_text(
+                    _html_synth_spark(F.col("doc_id"), F.col("text"))
+                ).alias("clean"),
+            )
+            .orderBy("doc_id")
+            .limit(50)
+            .collect()
+        )
+        assert rows
+        for r in rows:
+            c = r["clean"]
+            # tags stripped, script/style bodies gone
+            assert "<script" not in c and "track(" not in c
+            assert "color: #fff" not in c
+            assert "<p>" not in c and "</body>" not in c
+            # entities decoded exactly once
+            assert '& more <escaped> "q" \'s\'' in c
+            assert "&amp;" not in c and "&lt;" not in c
+
+    def test_link_count_matches_synthesis(self, spark, sf_dir):
+        rows = text_html_extract(spark, sf_dir).limit(100).collect()
+        for r in rows:
+            assert r["n_links"] == r["doc_id"] % 4
+            assert 0 < r["markup_permille"] < 1000
+
+
+class TestUrlStats:
+    def test_normalization_contract(self, spark, sf_dir):
+        rows = web_url_stats(spark, sf_dir).collect()
+        domains = {r["domain"] for r in rows}
+        # two-level-suffix rule: co.uk host yields example.co.uk, never co.uk
+        assert "example.co.uk" in domains
+        assert "co.uk" not in domains
+        assert "example.com" in domains
+        for r in rows:
+            u = r["sample_url"]
+            assert "utm_" not in u, u  # tracking params stripped
+            assert "#" not in u, u  # fragment dropped
+            assert ":443" not in u and ":80" not in u, u  # default ports
+            assert u.startswith(("http://", "https://")), u  # lowercased
+            assert not u.endswith("?"), u  # no dangling separator
+            assert r["n_unique_urls"] <= r["n_urls"]
+
+    def test_total_urls_is_corpus_size(self, spark, sf_dir):
+        rows = web_url_stats(spark, sf_dir).collect()
+        from sea_streamer_spark.sources.tables import load_tables
+
+        n_docs = load_tables(spark, sf_dir, "documents").documents.count()
+        assert sum(r["n_urls"] for r in rows) == n_docs
+
+
+def _py_line_dedup(texts: dict[int, str]):
+    """Independent reference: same re-lining + corpus-frequency rule."""
+    lines_by_doc: dict[int, list[str]] = {}
+    freq: dict[str, int] = {}
+    for doc_id, text in texts.items():
+        tk = [t for t in (_BOILERPLATE + " " + text).split() if t]
+        n_lines = (len(tk) + _LINE_W - 1) // _LINE_W
+        ls = [
+            " ".join(tk[i * _LINE_W : i * _LINE_W + _LINE_W])
+            for i in range(n_lines)
+        ]
+        lines_by_doc[doc_id] = ls
+        for l in ls:
+            freq[l] = freq.get(l, 0) + 1
+    out = {}
+    for doc_id, ls in lines_by_doc.items():
+        kept = [l for l in ls if freq[l] < _LINE_FREQ_CUT]
+        fp = hashlib.md5("\n".join(kept).encode()).hexdigest()
+        out[doc_id] = (len(ls), len(kept), fp)
+    return out
+
+
+class TestLineDedup:
+    def test_matches_pure_python_reference(self, spark, sf_dir):
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        ref = _py_line_dedup(texts)
+        rows = text_line_dedup(spark, sf_dir).collect()
+        assert len(rows) == len(ref)
+        for r in rows:
+            n_lines, n_kept, fp = ref[r["doc_id"]]
+            assert (r["n_lines"], r["n_kept"], r["kept_fp"]) == (
+                n_lines,
+                n_kept,
+                fp,
+            ), r["doc_id"]
+
+    def test_boilerplate_line_always_removed(self, spark, sf_dir):
+        rows = text_line_dedup(spark, sf_dir).collect()
+        # line 0 of every doc is the shared boilerplate sentence -> its
+        # corpus frequency is n_docs >= cut, so every doc loses >= 1 line.
+        for r in rows:
+            assert r["n_kept"] < r["n_lines"], r
