@@ -431,3 +431,108 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC merge upsert (the MERGE INTO / changelog-compaction analog)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text AS base_text FROM documents WHERE doc_id % 4 <> 3
+    ), ch AS (
+      SELECT doc_id, 1 AS seq, 'U' AS op, 'rev1: ' || text AS new_text
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, 2 AS seq, 'U' AS op, 'rev2: ' || text AS new_text
+      FROM documents WHERE doc_id % 6 = 0
+      UNION ALL
+      SELECT doc_id, 3 AS seq, 'D' AS op, CAST(NULL AS VARCHAR) AS new_text
+      FROM documents WHERE doc_id % 9 = 0
+    ), latest AS (
+      SELECT doc_id, op, new_text FROM (
+        SELECT doc_id, op, new_text,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.doc_id, l.doc_id) AS doc_id,
+           CASE WHEN l.op IS NULL THEN 'kept'
+                WHEN b.doc_id IS NOT NULL THEN 'updated'
+                ELSE 'inserted' END AS action,
+           md5(CASE WHEN l.op = 'U' THEN l.new_text ELSE b.base_text END) AS fp
+    FROM base b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
+    WHERE l.op IS NULL OR l.op <> 'D'
+    ORDER BY doc_id
+    """,
+    tags=("llm", "curation"),
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog merge — the MERGE INTO / upsert-compaction op every
+    lakehouse ingest needs: a base snapshot (docs with id%4≠3) merged with
+    a multi-version changelog (seq-ordered U/U/D records synthesized
+    deterministically on both engines). Latest-wins per key via one
+    key-partitioned ROW_NUMBER window; the merge itself is one full-outer
+    key join: latest 'D' deletes, latest 'U' updates in-place or inserts,
+    untouched keys keep the base row. At scale: write the base bucketed by
+    key and the changelog (normally ≪ base) sort-merges co-located or
+    broadcasts — never more than the one join; per-key window state is the
+    version count, not the corpus. The driver hash checks every surviving
+    row's provenance tag and final text."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    base = docs.filter(F.col("doc_id") % 4 != 3).select(
+        "doc_id", F.col("text").alias("base_text")
+    )
+    mk = lambda seq, op, txt: F.struct(  # noqa: E731
+        F.lit(seq).alias("seq"), F.lit(op).alias("op"), txt.alias("new_text")
+    )
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(
+                        F.col("doc_id") % 3 == 0,
+                        mk(1, "U", F.concat(F.lit("rev1: "), F.col("text"))),
+                    ),
+                    F.when(
+                        F.col("doc_id") % 6 == 0,
+                        mk(2, "U", F.concat(F.lit("rev2: "), F.col("text"))),
+                    ),
+                    F.when(
+                        F.col("doc_id") % 9 == 0,
+                        mk(3, "D", F.lit(None).cast("string")),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.seq", "c.op", "c.new_text")
+    w = Window.partitionBy("doc_id").orderBy(F.col("seq").desc())
+    latest = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "op", "new_text")
+    )
+    merged = base.join(latest, "doc_id", "full_outer")
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "doc_id",
+            F.when(F.col("op").isNull(), F.lit("kept"))
+            .when(F.col("base_text").isNotNull(), F.lit("updated"))
+            .otherwise(F.lit("inserted"))
+            .alias("action"),
+            F.md5(
+                F.when(F.col("op") == "U", F.col("new_text")).otherwise(
+                    F.col("base_text")
+                )
+            ).alias("fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -132,3 +132,31 @@ class TestLineDedup:
         # corpus frequency is n_docs >= cut, so every doc loses >= 1 line.
         for r in rows:
             assert r["n_kept"] < r["n_lines"], r
+
+
+class TestCdcMergeUpsert:
+    def test_action_provenance(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import cdc_merge_upsert
+
+        rows = cdc_merge_upsert(spark, sf_dir).collect()
+        by_id = {r["doc_id"]: r["action"] for r in rows}
+        acts = set(by_id.values())
+        assert acts == {"kept", "updated", "inserted"}
+        for doc_id, action in by_id.items():
+            in_base = doc_id % 4 != 3
+            has_change = doc_id % 3 == 0  # seq-1 'U' implies any change
+            latest_is_delete = doc_id % 9 == 0
+            # deletes never survive
+            assert not latest_is_delete, (doc_id, action)
+            if action == "kept":
+                assert in_base and not has_change
+            elif action == "updated":
+                assert in_base and has_change
+            else:  # inserted
+                assert (not in_base) and has_change
+
+    def test_deleted_keys_absent(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import cdc_merge_upsert
+
+        ids = {r["doc_id"] for r in cdc_merge_upsert(spark, sf_dir).collect()}
+        assert not any(i % 9 == 0 for i in ids)
