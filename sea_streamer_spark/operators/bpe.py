@@ -165,3 +165,121 @@ def bpe_token_count(
         F.lit(0).cast("long"),
         lambda acc, w: acc + apply_word(w).cast("long"),
     )
+
+
+#: Fixed-point resolution for the WordPiece likelihood score
+#: ``count(ab) / (count(a)·count(b))``: the ratio is scaled by 1e12 and
+#: floor-divided, so the argmax is exact integer arithmetic on every
+#: engine. Bounds (documented, ANSI-safe): pair counts ≤ total symbol
+#: occurrences S, so the numerator is ≤ S·1e12 — S stays below ~9.2e6 at
+#: BIGINT range, far above any vocabulary-bounded word table this trains
+#: on (the corpus itself never enters the per-round relations).
+WP_SCALE = 10**12
+
+
+def train_wordpiece(
+    df: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Distributed WordPiece training (Schuster & Nakajima 2012; the
+    likelihood-gain variant of the BPE loop): each round scores every
+    adjacent symbol pair by ``count(ab) / (count(a)·count(b))`` — the
+    pair whose merge most increases a unigram-LM likelihood — instead of
+    BPE's raw ``count(ab)``. Ranking uses the exact fixed-point integer
+    ``count(ab)·WP_SCALE div (count(a)·count(b))`` with the (left, right)
+    lexicographic tie-break, so training is deterministic and replayable
+    by the pure-python reference. Same plan economics as ``train_bpe``:
+    the corpus is touched once (word-count shuffle); each round is one
+    pair-count + one symbol-count aggregation over the vocabulary-bounded
+    word table, a 1-row argmax collect, and a map-side replace.
+
+    Returns ``(left, right, score_scaled)`` per merge in rank order; stops
+    early when no pair occurs twice."""
+    wc = (
+        word_counts(df, text_col)
+        .select(spaced(F.col("word")).alias("s"), "n")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        syms = wc.select(F.split(F.trim(F.col("s")), " ").alias("a"), "n")
+        sym_counts = (
+            syms.select(F.explode(F.col("a")).alias("sym"), "n")
+            .groupBy("sym")
+            .agg(F.sum("n").cast("long").alias("sc"))
+        )
+        k = F.size(F.col("a")) - 1
+        pairs = (
+            syms.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("a"), F.lit(1), k),
+                        F.slice(F.col("a"), F.lit(2), k),
+                        lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").cast("long").alias("pc"))
+        )
+        lc = sym_counts.select(F.col("sym").alias("l"), F.col("sc").alias("lsc"))
+        rc = sym_counts.select(F.col("sym").alias("r"), F.col("sc").alias("rsc"))
+        best = (
+            pairs.filter(F.col("pc") >= 2)
+            .join(lc, "l")
+            .join(rc, "r")
+            .select(
+                "l",
+                "r",
+                "pc",
+                F.expr(f"pc * {WP_SCALE} div (lsc * rsc)")
+                .cast("long")
+                .alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, score = best[0]["l"], best[0]["r"], int(best[0]["score"])
+        merges.append((left, right, score))
+        wc = wc.select(
+            _apply_merge(F.col("s"), left, right).alias("s"), "n"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def py_train_wordpiece(
+    wc: dict[str, int], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Pure-python reference WordPiece trainer — the oracle replica of
+    :func:`train_wordpiece` (identical fixed-point score, tie-break, stop
+    rule, and merge application)."""
+    table = {f" {' '.join(w)} ": n for w, n in wc.items() if w}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        sym_counts: dict[str, int] = {}
+        for s, n in table.items():
+            a = s.strip().split(" ")
+            for x in a:
+                sym_counts[x] = sym_counts.get(x, 0) + n
+            for x, y in zip(a, a[1:]):
+                pair_counts[(x, y)] = pair_counts.get((x, y), 0) + n
+        scored = {
+            (x, y): (c * WP_SCALE) // (sym_counts[x] * sym_counts[y])
+            for (x, y), c in pair_counts.items()
+            if c >= 2
+        }
+        if not scored:
+            break
+        (left, right), score = min(
+            scored.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, score))
+        table = {
+            s.replace(f" {left} {right} ", f" {left}{right} "): n
+            for s, n in table.items()
+        }
+    return merges

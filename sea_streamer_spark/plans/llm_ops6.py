@@ -536,3 +536,122 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (the likelihood-gain sibling of tokenizer_bpe_counts)
+# ---------------------------------------------------------------------------
+
+import os as _os  # noqa: E402
+
+from .llm_ops import ORACLE_SF_DIR as _GATE  # noqa: E402
+
+_WP_MERGES = 24
+_wp_cache: dict = {}
+
+
+def _wp_train_py(parquet_path: str):
+    key = f"{parquet_path}|{_WP_MERGES}"
+    if key not in _wp_cache:
+        try:
+            import duckdb
+
+            from ..operators.bpe import py_train_wordpiece
+
+            rows = duckdb.sql(
+                f"SELECT w, COUNT(*) AS n FROM (SELECT unnest("
+                f"string_split_regex(text, '\\s+')) AS w FROM "
+                f"'{parquet_path}') WHERE len(w) > 0 GROUP BY w"
+            ).fetchall()
+            merges = py_train_wordpiece({w: int(n) for w, n in rows}, _WP_MERGES)
+        except Exception:
+            return None  # gate data may appear later in the process
+        _wp_cache[key] = merges
+    return _wp_cache[key]
+
+
+def _wp_sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _build_wp_oracle() -> str | None:
+    merges = _wp_train_py(_os.path.join(_GATE, "documents.parquet"))
+    if merges is None:
+        return None
+    s = "s0"
+    for left, right, _ in merges:
+        s = (
+            f"replace({s}, ' {_wp_sq(left)} {_wp_sq(right)} ',"
+            f" ' {_wp_sq(left)}{_wp_sq(right)} ')"
+        )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents
+      ) WHERE len(w) > 0
+    ), ap AS (
+      SELECT doc_id, {s} AS s FROM (
+        SELECT doc_id,
+               ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s0
+        FROM words
+      )
+    ), tok AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT)
+               AS n_wp_tokens
+      FROM ap GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(t.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(t.n_wp_tokens, 0) AS BIGINT) AS n_wp_tokens
+    FROM documents d LEFT JOIN tok t USING (doc_id)
+    ORDER BY d.doc_id"""
+
+
+def _wp_train_spark(spark: SparkSession, sf_dir: str):
+    """Memoized DISTRIBUTED WordPiece training over the gate corpus — the
+    registered query uses this, so the driver hash proves the distributed
+    likelihood-scored trainer equals the pure-python reference (any
+    divergence in a round's pair/symbol counts, fixed-point score, or
+    tie-break changes the merges and every downstream count)."""
+    key = f"spark|{sf_dir}|{_WP_MERGES}"
+    if key not in _wp_cache:
+        from ..operators.bpe import train_wordpiece
+
+        t = load_tables(spark, sf_dir, "documents")
+        _wp_cache[key] = train_wordpiece(t.documents, _WP_MERGES)
+    return _wp_cache[key]
+
+
+@query(
+    "tokenizer_wordpiece_counts",
+    oracle=_build_wp_oracle(),
+    tags=("llm", "text"),
+)
+def tokenizer_wordpiece_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer (Schuster & Nakajima 2012; operators/bpe.py
+    `train_wordpiece`): the likelihood-gain selection rule —
+    ``count(ab)/(count(a)·count(b))`` as exact fixed-point integers —
+    trained DISTRIBUTED on the gate corpus, applied corpus-wide as a pure
+    projection (merge list baked into the expression tree; zero shuffles,
+    zero Python). Completes the tokenizer-trainer family next to BPE: same
+    word-table economics, different (and provably different — see the
+    pytest pin) argmax. The oracle retrains with the pure-python reference
+    and re-applies in SQL."""
+    from ..operators.bpe import bpe_token_count
+
+    gate = _GATE if _os.path.exists(
+        _os.path.join(_GATE, "documents.parquet")
+    ) else sf_dir
+    merges = _wp_train_spark(spark, gate)
+    t = load_tables(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    return t.documents.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        bpe_token_count("text", merges).alias("n_wp_tokens"),
+    ).orderBy("doc_id")

@@ -123,7 +123,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "join_point_in_time",
     # round-3 official-session wave (same post-budget treatment)
     "text_html_extract", "web_url_stats", "text_line_dedup",
-    "cdc_merge_upsert",
+    "cdc_merge_upsert", "tokenizer_wordpiece_counts",
 )
 
 

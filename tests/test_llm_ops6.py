@@ -160,3 +160,56 @@ class TestCdcMergeUpsert:
 
         ids = {r["doc_id"] for r in cdc_merge_upsert(spark, sf_dir).collect()}
         assert not any(i % 9 == 0 for i in ids)
+
+
+class TestWordPiece:
+    def test_distributed_trainer_matches_python_reference(self, spark, sf_dir):
+        import duckdb
+
+        from sea_streamer_spark.operators.bpe import (
+            py_train_wordpiece,
+            train_wordpiece,
+        )
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        got = train_wordpiece(docs, 12)
+        rows = duckdb.sql(
+            f"SELECT w, COUNT(*) AS n FROM (SELECT unnest("
+            f"string_split_regex(text, '\\s+')) AS w FROM "
+            f"'{sf_dir}/documents.parquet') WHERE len(w) > 0 GROUP BY w"
+        ).fetchall()
+        want = py_train_wordpiece({w: int(n) for w, n in rows}, 12)
+        assert got == want
+
+    def test_likelihood_rule_differs_from_bpe(self, spark, sf_dir):
+        # The two trainers share machinery but not the argmax: on the same
+        # corpus their merge sequences must diverge somewhere (if they never
+        # did, the likelihood score would be vacuous here).
+        import duckdb
+
+        from sea_streamer_spark.operators.bpe import (
+            py_train_bpe,
+            py_train_wordpiece,
+        )
+
+        rows = duckdb.sql(
+            f"SELECT w, COUNT(*) AS n FROM (SELECT unnest("
+            f"string_split_regex(text, '\\s+')) AS w FROM "
+            f"'{sf_dir}/documents.parquet') WHERE len(w) > 0 GROUP BY w"
+        ).fetchall()
+        wc = {w: int(n) for w, n in rows}
+        bpe = [(l, r) for l, r, _ in py_train_bpe(wc, 24)]
+        wp = [(l, r) for l, r, _ in py_train_wordpiece(wc, 24)]
+        assert bpe != wp
+
+    def test_rare_pairs_never_selected(self):
+        # pc < 2 pairs are excluded BEFORE ranking (a once-seen pair with a
+        # tiny denominator must not beat a frequent pair, and must not stop
+        # training while compressible pairs remain).
+        from sea_streamer_spark.operators.bpe import py_train_wordpiece
+
+        wc = {"zq": 1, "ab": 50, "abab": 10}
+        merges = py_train_wordpiece(wc, 4)
+        assert ("z", "q") not in [(l, r) for l, r, _ in merges]
+        assert merges, "frequent pairs must still merge"
