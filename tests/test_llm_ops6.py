@@ -213,3 +213,58 @@ class TestWordPiece:
         merges = py_train_wordpiece(wc, 4)
         assert ("z", "q") not in [(l, r) for l, r, _ in merges]
         assert merges, "frequent pairs must still merge"
+
+
+class TestClassifierProbe:
+    def test_distributed_trainer_matches_python_reference(self, spark, sf_dir):
+        import duckdb
+
+        from sea_streamer_spark.operators.classifier import (
+            py_features,
+            py_label,
+            py_train,
+            spark_train,
+        )
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        got = spark_train(docs, iters=10)
+        rows = duckdb.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        want = py_train([(py_features(t), py_label(t)) for (t,) in rows], iters=10)
+        assert got == want
+
+    def test_training_learns_the_topic(self):
+        import duckdb
+
+        from sea_streamer_spark.operators.classifier import (
+            py_features,
+            py_label,
+            py_train,
+        )
+        from sea_streamer_spark.plans.llm_ops import ORACLE_SF_DIR
+
+        rows = duckdb.sql(
+            f"SELECT text FROM '{ORACLE_SF_DIR}/documents.parquet'"
+        ).fetchall()
+        samples = [(py_features(t), py_label(t)) for (t,) in rows]
+        w = py_train(samples)
+        acc = sum(
+            1
+            for xs, y in samples
+            if (sum(a * b for a, b in zip(w, xs)) > 0) == (y == 1)
+        ) / len(samples)
+        assert acc >= 0.95, acc
+        # sign structure: positive markers learned positive, negative negative
+        assert all(wj > 0 for wj in w[1:5]), w
+        assert all(wj < 0 for wj in w[5:9]), w
+
+    def test_scoring_is_shuffle_free(self, spark, sf_dir):
+        from sea_streamer_spark.operators.classifier import score_col
+        from sea_streamer_spark.sources.tables import load_tables
+        from tests.test_plan_quality import _final_plan, _shuffle_exchanges
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        df = docs.select(score_col(F.col("text"), [1] * 9).alias("z"))
+        assert _shuffle_exchanges(_final_plan(df)) == 0
