@@ -751,3 +751,109 @@ def quality_classifier_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.cast("long").alias("logit"),
         (z > 0).cast("long").alias("pred"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution (dirty-duplicate record linkage over customers)
+# ---------------------------------------------------------------------------
+
+#: Dirty-copy synthesis: every 5th customer gets a corrupted duplicate
+#: (one char deleted at a key-dependent position inside the name's prefix —
+#: the last 3 chars are never touched, so they remain a valid blocking
+#: key); every 15th gets the deletion applied twice (distance 2 ⇒ must
+#: come out an orphan). Dirty keys live in a disjoint id space.
+_ER_DIRTY_BASE = 10_000_000
+
+
+@query(
+    "entity_resolution_customers",
+    oracle=f"""
+    WITH clean AS (
+      SELECT c_custkey AS clean_key, c_nationkey AS nation, c_name AS name
+      FROM customer
+    ), d1 AS (
+      SELECT c_custkey + {_ER_DIRTY_BASE} AS dirty_key,
+             c_nationkey AS nation,
+             substr(c_name, 1, 9 + c_custkey % 6)
+               || substr(c_name, 11 + c_custkey % 6) AS name,
+             c_custkey % 15 = 0 AS twice
+      FROM customer WHERE c_custkey % 5 = 0
+    ), dirty AS (
+      SELECT dirty_key, nation,
+             CASE WHEN twice
+                  THEN substr(name, 1, 9) || substr(name, 11)
+                  ELSE name END AS name
+      FROM d1
+    ), cand AS (
+      SELECT d.dirty_key, c.clean_key, d.name AS dname, c.name AS cname
+      FROM dirty d JOIN clean c
+        ON d.nation = c.nation
+       AND substr(d.name, length(d.name) - 2) = substr(c.name, length(c.name) - 2)
+    ), matched AS (
+      SELECT dirty_key, clean_key FROM cand
+      WHERE levenshtein(dname, cname) = 1
+        AND length(cname) - length(dname) = 1
+    )
+    SELECT d.dirty_key,
+           m.clean_key,
+           CAST(m.clean_key IS NOT NULL AS BIGINT) AS matched
+    FROM dirty d LEFT JOIN matched m USING (dirty_key)
+    ORDER BY d.dirty_key, m.clean_key
+    """,
+    tags=("llm", "dedup"),
+)
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage (the Fellegi-Sunter
+    block-then-verify shape): dirty duplicates synthesized deterministically
+    (single-char-deleted names, every 15th corrupted twice), blocked on
+    (nation, name-suffix) — an equi-join whose candidate volume scales with
+    block sizes, never |clean|x|dirty| — then verified with an exact edit
+    distance + deletion-signature rule (length must differ by exactly 1, so
+    substitution-distance-1 CLEAN pairs can never cross-match). Output =
+    every dirty record with its resolved clean key, or NULL for the
+    engineered orphans; the driver hash checks the full match relation."""
+    cust = load_tables(spark, sf_dir, "customer").customer
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_key"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_name").alias("name"),
+    )
+    del1 = F.concat(
+        F.expr("substr(c_name, 1, 9 + c_custkey % 6)"),
+        F.expr("substr(c_name, 11 + c_custkey % 6)"),
+    )
+    dirty = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            (F.col("c_custkey") + _ER_DIRTY_BASE).alias("dirty_key"),
+            F.col("c_nationkey").alias("nation"),
+            F.when(
+                F.col("c_custkey") % 15 == 0,
+                # second deletion at position 10 of the already-shortened name
+                F.concat(
+                    F.substring(del1, 1, 9), F.substring(del1, 11, 1 << 30)
+                ),
+            )
+            .otherwise(del1)
+            .alias("name"),
+        )
+    )
+    blk = lambda c: F.substring(c, -3, 3)  # noqa: E731
+    cand = dirty.alias("d").join(
+        clean.alias("c"),
+        (F.col("d.nation") == F.col("c.nation"))
+        & (blk(F.col("d.name")) == blk(F.col("c.name"))),
+    )
+    matched = cand.filter(
+        (F.levenshtein(F.col("d.name"), F.col("c.name")) == 1)
+        & (F.length(F.col("c.name")) - F.length(F.col("d.name")) == 1)
+    ).select("dirty_key", "clean_key")
+    return (
+        dirty.join(matched, "dirty_key", "left")
+        .select(
+            "dirty_key",
+            "clean_key",
+            F.col("clean_key").isNotNull().cast("long").alias("matched"),
+        )
+        .orderBy("dirty_key", "clean_key")
+    )

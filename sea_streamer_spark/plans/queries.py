@@ -124,7 +124,7 @@ _POST_BUDGET: tuple[str, ...] = (
     # round-3 official-session wave (same post-budget treatment)
     "text_html_extract", "web_url_stats", "text_line_dedup",
     "cdc_merge_upsert", "tokenizer_wordpiece_counts",
-    "quality_classifier_probe",
+    "quality_classifier_probe", "entity_resolution_customers",
 )
 
 

@@ -268,3 +268,35 @@ class TestClassifierProbe:
         docs = load_tables(spark, sf_dir, "documents").documents
         df = docs.select(score_col(F.col("text"), [1] * 9).alias("z"))
         assert _shuffle_exchanges(_final_plan(df)) == 0
+
+
+class TestEntityResolution:
+    def test_match_and_orphan_structure(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import (
+            _ER_DIRTY_BASE,
+            entity_resolution_customers,
+        )
+
+        rows = entity_resolution_customers(spark, sf_dir).collect()
+        assert rows
+        by_dirty: dict[int, list] = {}
+        for r in rows:
+            by_dirty.setdefault(r["dirty_key"], []).append(r["clean_key"])
+        for dk, cleans in by_dirty.items():
+            src = dk - _ER_DIRTY_BASE
+            if src % 15 == 0:
+                # double deletion -> distance 2 -> engineered orphan
+                assert cleans == [None], (dk, cleans)
+            else:
+                # single deletion must at least re-find its own source
+                assert src in cleans, (dk, cleans)
+
+    def test_blocking_join_is_not_a_nested_loop(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import (
+            entity_resolution_customers,
+        )
+        from tests.test_plan_quality import _final_plan
+
+        plan = _final_plan(entity_resolution_customers(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
