@@ -857,3 +857,121 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dirty_key", "clean_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention + key-skew profile (events analytics block)
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "events_cohort_retention",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           d.day - c.cohort_day AS offset_days,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+    FROM days d JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_day, offset_days
+    ORDER BY c.cohort_day, offset_days
+    """,
+    tags=("streaming", "events"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (the activation/retention report every
+    product-analytics pipeline runs): users cohorted by first-active epoch
+    day, activity re-expressed as day offsets from the cohort day. Days are
+    exact integer epoch-day quotients (UTC), so the matrix is
+    engine-exact. Plan: one distinct on (user, day) — volume bounded by
+    users x days, not events — one user-keyed min, a user-keyed join back,
+    and the final (cohort, offset)-keyed count; every shuffle keys on
+    bounded-cardinality relations."""
+    t = load_tables(spark, sf_dir, "events")
+    days = t.events.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
+    ).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+@query(
+    "profile_key_skew",
+    oracle="""
+    WITH kc AS (
+      SELECT event_type, user_id, COUNT(*) AS n
+      FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+      SELECT event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n, user_id) AS i,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id) AS ri
+      FROM kc
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_rows,
+           CAST(SUM(CASE WHEN ri <= 5 THEN n ELSE 0 END) * 1000 // SUM(n)
+                AS BIGINT) AS top5_share_permille,
+           CAST((2 * SUM(i * n) - (COUNT(*) + 1) * SUM(n)) * 1000000
+                // (COUNT(*) * SUM(n)) AS BIGINT) AS gini_micro
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "events"),
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics (what you run BEFORE picking a partitioning /
+    salting strategy — the measurement side of `join_skew_salted`): per
+    event type, the per-key row counts summarized as max, top-5 share, and
+    an exact fixed-point Gini coefficient (the standard skew index,
+    ``(2·Σi·x_i − (n+1)·Σx)/(n·Σx)`` over ascending counts — all BIGINT,
+    and invariant to tie order because equal counts contribute equally
+    under any permutation of their contiguous rank block). Plan: one
+    (type,key) count shuffle, one type-keyed window over the KEY relation
+    (bounded by key cardinality, not row count), one final aggregate."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "events")
+    kc = t.events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wa = Window.partitionBy("event_type").orderBy("n", "user_id")
+    wd = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "user_id")
+    ranked = kc.select(
+        "event_type",
+        "n",
+        F.row_number().over(wa).alias("i"),
+        F.row_number().over(wd).alias("ri"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_rows"),
+            F.expr(
+                "CAST(SUM(CASE WHEN ri <= 5 THEN n ELSE 0 END) * 1000"
+                " div SUM(n) AS BIGINT)"
+            ).alias("top5_share_permille"),
+            F.expr(
+                "CAST((2 * SUM(i * n) - (COUNT(1) + 1) * SUM(n)) * 1000000"
+                " div (COUNT(1) * SUM(n)) AS BIGINT)"
+            ).alias("gini_micro"),
+        )
+        .orderBy("event_type")
+    )

@@ -125,6 +125,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "text_html_extract", "web_url_stats", "text_line_dedup",
     "cdc_merge_upsert", "tokenizer_wordpiece_counts",
     "quality_classifier_probe", "entity_resolution_customers",
+    "events_cohort_retention", "profile_key_skew",
 )
 
 

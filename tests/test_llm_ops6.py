@@ -300,3 +300,64 @@ class TestEntityResolution:
         plan = _final_plan(entity_resolution_customers(spark, sf_dir))
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestEventsAnalytics:
+    def test_retention_offset_zero_is_cohort_size(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import events_cohort_retention
+
+        rows = events_cohort_retention(spark, sf_dir).collect()
+        assert rows
+        by_cohort: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_cohort.setdefault(r["cohort_day"], {})[r["offset_days"]] = r[
+                "n_users"
+            ]
+        for cohort, offs in by_cohort.items():
+            assert 0 in offs, cohort  # day-0 row always present
+            assert all(o >= 0 for o in offs)
+            # retention never exceeds the cohort's size
+            assert max(offs.values()) <= offs[0] or offs[0] >= max(
+                v for o, v in offs.items() if o > 0
+            )
+
+    def test_gini_bounds_and_skew_ordering(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import profile_key_skew
+
+        rows = profile_key_skew(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["gini_micro"] < 1_000_000, r
+            assert 0 < r["top5_share_permille"] <= 1000, r
+            assert r["max_rows"] <= r["n_rows"]
+            assert r["n_keys"] <= r["n_rows"]
+
+    def test_gini_detects_engineered_skew(self, spark):
+        from pyspark.sql import Window
+
+        # uniform keys vs one hot key: gini must rank them correctly
+        from sea_streamer_spark.plans.llm_ops6 import profile_key_skew
+
+        uniform = spark.createDataFrame(
+            [("u", i % 10, i) for i in range(100)],
+            "event_type string, user_id long, event_id long",
+        )
+        skewed = spark.createDataFrame(
+            [("s", 0 if i < 91 else i % 10, i) for i in range(100)],
+            "event_type string, user_id long, event_id long",
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            uniform.union(skewed).withColumn(
+                "ts", F.timestamp_micros(F.lit(0))
+            ).withColumn("value", F.lit(0.0)).withColumn(
+                "props", F.lit("{}")
+            ).write.parquet(td + "/events.parquet")
+            rows = {
+                r["event_type"]: r
+                for r in profile_key_skew(spark, td).collect()
+            }
+        assert rows["u"]["gini_micro"] == 0  # perfectly uniform
+        assert rows["s"]["gini_micro"] > 500_000  # one key holds 91%
+        assert rows["s"]["top5_share_permille"] > 900
