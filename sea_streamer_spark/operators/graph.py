@@ -258,3 +258,35 @@ def pagerank_fixed(
     )
     ed.unpersist()
     return result
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    node: str = "node",
+    cluster: str = "cluster",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    **kwargs,
+) -> DataFrame:
+    """Incrementally maintain connected components when a batch of NEW
+    edges arrives (the ingest-time form of dedup clustering: yesterday's
+    cluster labels + today's near-dup pairs, without re-running CC over
+    the full historical edge set).
+
+    The previous labeling is itself a connectivity-preserving compression
+    of the old graph: replacing every old edge with the STAR edge
+    (node → its cluster representative) keeps the equivalence classes and
+    shrinks the relation to one row per previously-paired node. Running
+    :func:`connected_components` over ``star(labels) ∪ new_edges``
+    therefore yields exactly the labels a full rebuild over
+    ``old_edges ∪ new_edges`` would produce — including the min-id
+    representative rule, because every old node is present via its star
+    edge. Cost scales with |labels| + |delta|, never with the historical
+    edge volume; label relations persist bucketed by node for a
+    shuffle-free star side."""
+    star = labels.select(F.col(node).alias("u"), F.col(cluster).alias("v"))
+    delta = new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    return connected_components(
+        star.unionByName(delta), src="u", dst="v", **kwargs
+    )

@@ -975,3 +975,75 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup-cluster maintenance (graph.incremental_components)
+# ---------------------------------------------------------------------------
+
+from .llm_ops import DUCK_SHINGLE_SETS as _DSS  # noqa: E402
+
+
+@query(
+    "dedup_clusters_incremental",
+    oracle=f"""
+    WITH RECURSIVE {_DSS},
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    cc(node, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.v, cc.lbl FROM cc JOIN e ON e.u = cc.node
+    ),
+    lbls AS (SELECT node, MIN(lbl) AS cluster FROM cc GROUP BY node)
+    SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN lbls l ON l.node = d.doc_id
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-cluster maintenance
+    (operators/graph.incremental_components): the corpus is split into a
+    historical batch (doc_id below the 60th-percentile cut) and a fresh
+    ingest batch; historical pairs are clustered once, then ONLY the
+    delta pairs (≥1 new endpoint) plus the old labels-as-star-edges are
+    re-clustered. The oracle is the FULL-REBUILD recursive-CTE clustering
+    over all pairs — the driver hash therefore proves
+    ``incremental == rebuild`` end to end (labels, min-id reps,
+    cross-batch cluster merges, everything). Cost of the incremental step
+    scales with |old labels| + |delta pairs|, never the historical edge
+    volume."""
+    from ..operators import dedup as _D
+    from ..operators import graph as _G
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t.documents
+    cut = docs.agg((F.max("doc_id") * 3 / 5).cast("long")).collect()[0][0]
+    # One threshold-exact pair discovery (LSH + verify); batch membership
+    # just filters it — identical to running discovery per batch because
+    # the verified pair set is exactly {J >= 0.5}.
+    pairs = _D.minhash_lsh_dedup(docs, threshold=0.5).select("doc_a", "doc_b")
+    old_pairs = pairs.filter((F.col("doc_a") <= cut) & (F.col("doc_b") <= cut))
+    delta = pairs.filter((F.col("doc_a") > cut) | (F.col("doc_b") > cut))
+    old_labels = _G.connected_components(old_pairs)
+    inc = _G.incremental_components(old_labels, delta)
+    return (
+        docs.select("doc_id")
+        .join(inc, docs["doc_id"] == inc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )

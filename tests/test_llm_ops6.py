@@ -361,3 +361,72 @@ class TestEventsAnalytics:
         assert rows["u"]["gini_micro"] == 0  # perfectly uniform
         assert rows["s"]["gini_micro"] > 500_000  # one key holds 91%
         assert rows["s"]["top5_share_permille"] > 900
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    return {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+
+class TestIncrementalComponents:
+    def test_incremental_equals_rebuild_randomized(self, spark):
+        import random
+
+        from sea_streamer_spark.operators.graph import (
+            connected_components,
+            incremental_components,
+        )
+
+        rng = random.Random(7)
+        for trial in range(3):
+            nodes = list(range(40))
+            all_edges = [
+                (rng.randrange(40), rng.randrange(40)) for _ in range(45)
+            ]
+            all_edges = [(u, v) for u, v in all_edges if u != v]
+            cut = 20
+            old = [(u, v) for u, v in all_edges if u < cut and v < cut]
+            delta = [(u, v) for u, v in all_edges if u >= cut or v >= cut]
+            if not old or not delta:
+                continue
+            old_df = spark.createDataFrame(old, "doc_a long, doc_b long")
+            delta_df = spark.createDataFrame(delta, "doc_a long, doc_b long")
+            old_labels = connected_components(old_df)
+            inc = {
+                r["node"]: r["cluster"]
+                for r in incremental_components(old_labels, delta_df).collect()
+            }
+            touched = sorted({n for e in all_edges for n in e})
+            want = _uf_components(all_edges, touched)
+            want = {n: c for n, c in want.items() if n in inc}
+            assert inc == want, trial
+
+    def test_cross_batch_cluster_merge(self, spark):
+        from sea_streamer_spark.operators.graph import (
+            connected_components,
+            incremental_components,
+        )
+
+        # two old clusters {1,2} and {5,6}; a delta edge through a NEW node
+        # merges them -> every member must relabel to the global min (1)
+        old = spark.createDataFrame([(1, 2), (5, 6)], "doc_a long, doc_b long")
+        labels = connected_components(old)
+        delta = spark.createDataFrame(
+            [(2, 100), (100, 6)], "doc_a long, doc_b long"
+        )
+        inc = {
+            r["node"]: r["cluster"]
+            for r in incremental_components(labels, delta).collect()
+        }
+        assert inc == {1: 1, 2: 1, 5: 1, 6: 1, 100: 1}
