@@ -729,3 +729,103 @@ def contrastive_triples(
     return pos.join(neg, "anchor_id").select(
         "anchor_id", "pos_id", "pos_sim", "neg_rank", "neg_id", "neg_sim"
     )
+
+
+# ------------------------------------------------------------------- MMR
+
+#: Maximal-marginal-relevance defaults (Carbonell & Goldstein 1998): the
+#: relevance/diversity trade-off and the candidate pool the greedy runs on.
+MMR_LAMBDA = 0.7
+MMR_POOL = 32
+
+
+def mmr_select(
+    df: DataFrame,
+    query_vec,
+    k: int,
+    pool: int = MMR_POOL,
+    lam: float = MMR_LAMBDA,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-aware top-k via Maximal Marginal Relevance: greedily pick
+    the candidate maximizing ``λ·sim(q,d) − (1−λ)·max_{s∈selected}
+    sim(d,s)`` (ties → lower id; the first pick has no diversity term).
+
+    Plan shape: ONE distributed scan scores the corpus against the
+    broadcast query vector and TakeOrdered keeps the ``pool`` candidates —
+    the only stage that sees the corpus. The greedy then runs ``k`` tiny
+    jobs over two cached pool-bounded relations (candidates, and the
+    pool² pairwise-sim matrix) — never the corpus again. Every float is
+    produced by the module's shared fold (cosine/`_duck_cosine`/cos_py),
+    and the λ-combination is kept as two separately-projected products
+    joined by a plain subtraction, so no engine can fuse a
+    multiply-subtract into an FMA (the SQ8 lesson) — scores are
+    bit-identical across Spark, DuckDB, and the python reference.
+
+    Returns (rank, id, simq, score) for the k selections in pick order.
+    """
+    # 1.0 - 0.7 is 0.30000000000000004 in float64; the oracle (and every
+    # written-down λ-complement) means 0.3 — round so both engines multiply
+    # by the SAME double (a 1-ulp score skew here flips the driver hash).
+    one_m = round(1.0 - lam, 10)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cands = (
+        df.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("emb"),
+            cosine(F.col(vec_col), q).alias("simq"),
+        )
+        .orderBy(F.col("simq").desc(), F.col("cid"))
+        .limit(pool)
+        .cache()
+    )
+    psim = (
+        cands.alias("a")
+        .join(cands.alias("b"), F.col("a.cid") != F.col("b.cid"))
+        .select(
+            F.col("a.cid").alias("pa"),
+            F.col("b.cid").alias("pb"),
+            cosine(F.col("a.emb"), F.col("b.emb")).alias("sim"),
+        )
+        .cache()
+    )
+    picked: list[tuple] = []  # (rank, cid, simq, score)
+    for rank in range(1, k + 1):
+        sel_ids = [p[1] for p in picked]
+        rel = cands.select(
+            "cid", "simq", (F.lit(lam) * F.col("simq")).alias("t_rel")
+        )
+        if sel_ids:
+            div = (
+                psim.filter(F.col("pb").isin(sel_ids))
+                .groupBy("pa")
+                .agg(F.max("sim").alias("maxsim"))
+                .select(
+                    F.col("pa").alias("cid"),
+                    (F.lit(one_m) * F.col("maxsim")).alias("t_div"),
+                )
+            )
+            scored = (
+                rel.filter(~F.col("cid").isin(sel_ids))
+                .join(div, "cid")
+                .select(
+                    "cid", "simq", (F.col("t_rel") - F.col("t_div")).alias("score")
+                )
+            )
+        else:
+            scored = rel.select(
+                "cid", "simq", (F.col("t_rel") - F.lit(0.0)).alias("score")
+            )
+        best = scored.orderBy(F.col("score").desc(), F.col("cid")).limit(1).collect()
+        if not best:
+            break
+        b = best[0]
+        picked.append((rank, b["cid"], b["simq"], b["score"]))
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        picked, "rank long, vec_id long, simq double, score double"
+    )
+    cands.unpersist()
+    psim.unpersist()
+    return out

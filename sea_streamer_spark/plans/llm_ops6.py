@@ -1047,3 +1047,86 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse top-k (similarity.mmr_select)
+# ---------------------------------------------------------------------------
+
+from .llm_ops import _duck_cosine as _dcos  # noqa: E402
+
+_MMR_K = 8
+_MMR_POOL = 32
+_MMR_LAM = 0.7
+
+
+def _build_mmr_oracle(k: int = _MMR_K, pool: int = _MMR_POOL) -> str:
+    """Unrolled-greedy SQL replay of the MMR selection (the PageRank
+    unrolled-CTE convention): candidate scoring, the pool² pairwise-sim
+    matrix, then k argmax steps. λ-products are projected as separate
+    columns (t_rel / t_div) in MATERIALIZED CTEs and combined by a plain
+    column subtraction so DuckDB's expression vectorizer cannot fuse a
+    multiply-subtract into a single-rounding FMA (the SQ8 divergence
+    class)."""
+    lam, one_m = _MMR_LAM, round(1.0 - _MMR_LAM, 10)
+    parts = [
+        f"""WITH q AS MATERIALIZED (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), cands AS MATERIALIZED (
+      SELECT e.vec_id AS cid, e.embedding AS emb,
+             {_dcos('e.embedding', 'q.qe')} AS simq
+      FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY simq DESC, e.vec_id LIMIT {pool}
+    ), psim AS MATERIALIZED (
+      SELECT a.cid AS pa, b.cid AS pb, {_dcos('a.emb', 'b.emb')} AS sim
+      FROM cands a JOIN cands b ON a.cid <> b.cid
+    ), sel1 AS MATERIALIZED (
+      SELECT cid, simq, {lam} * simq AS t_rel, CAST(0.0 AS DOUBLE) AS t_div
+      FROM cands ORDER BY simq DESC, cid LIMIT 1
+    ), selset1 AS (SELECT cid FROM sel1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""", sc{i} AS MATERIALIZED (
+      SELECT c.cid, c.simq, {lam} * c.simq AS t_rel,
+             {one_m} * (SELECT MAX(p.sim) FROM psim p
+                        WHERE p.pa = c.cid
+                          AND p.pb IN (SELECT cid FROM selset{i-1})) AS t_div
+      FROM cands c WHERE c.cid NOT IN (SELECT cid FROM selset{i-1})
+    ), sel{i} AS MATERIALIZED (
+      SELECT cid, simq, t_rel, t_div FROM sc{i}
+      ORDER BY t_rel - t_div DESC, cid LIMIT 1
+    ), selset{i} AS (
+      SELECT cid FROM selset{i-1} UNION ALL SELECT cid FROM sel{i}
+    )"""
+        )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, cid AS vec_id, simq,"
+        f" t_rel - t_div AS score FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f"\n    SELECT * FROM ({finals}) ORDER BY rank")
+    return "".join(parts)
+
+
+@query("mmr_diverse_topk", oracle=_build_mmr_oracle(), tags=("llm", "similarity"))
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    1998; operators/similarity.mmr_select): one distributed scan scores the
+    corpus against the broadcast query vector and keeps a 32-candidate
+    pool; the greedy λ·rel − (1−λ)·max-sim-to-selected selection then runs
+    k tiny jobs over pool-bounded cached relations. The oracle replays the
+    ENTIRE greedy in unrolled SQL (shared cosine folds, FMA-safe split
+    λ-products), so the driver hash proves every pick, not just the final
+    set."""
+    from ..operators import similarity as _S
+
+    emb = load_tables(spark, sf_dir, "embeddings").embeddings
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return _S.mmr_select(
+        emb.filter(F.col("vec_id") != 0),
+        qv,
+        k=_MMR_K,
+        pool=_MMR_POOL,
+        lam=_MMR_LAM,
+    )

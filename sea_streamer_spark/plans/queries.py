@@ -126,7 +126,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "cdc_merge_upsert", "tokenizer_wordpiece_counts",
     "quality_classifier_probe", "entity_resolution_customers",
     "events_cohort_retention", "profile_key_skew",
-    "dedup_clusters_incremental",
+    "dedup_clusters_incremental", "mmr_diverse_topk",
 )
 
 

@@ -430,3 +430,66 @@ class TestIncrementalComponents:
             for r in incremental_components(labels, delta).collect()
         }
         assert inc == {1: 1, 2: 1, 5: 1, 6: 1, 100: 1}
+
+
+class TestMmrDiverseTopk:
+    def _py_mmr(self, embs: dict[int, list], qv, k, pool, lam):
+        from sea_streamer_spark.operators.similarity import cos_py
+
+        simq = {i: cos_py(v, qv) for i, v in embs.items()}
+        cands = sorted(simq, key=lambda i: (-simq[i], i))[:pool]
+        picked: list[int] = []
+        out = []
+        for rank in range(1, k + 1):
+            best = None
+            for c in cands:
+                if c in picked:
+                    continue
+                t_rel = lam * simq[c]
+                t_div = (
+                    round(1.0 - lam, 10)
+                    * max(cos_py(embs[c], embs[s]) for s in picked)
+                    if picked
+                    else 0.0
+                )
+                key = (-(t_rel - t_div), c)
+                if best is None or key < best[0]:
+                    best = (key, c, simq[c], t_rel - t_div)
+            picked.append(best[1])
+            out.append((rank, best[1], best[2], best[3]))
+        return out
+
+    def test_matches_pure_python_greedy(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import (
+            _MMR_K,
+            _MMR_LAM,
+            _MMR_POOL,
+            mmr_diverse_topk,
+        )
+        from sea_streamer_spark.sources.tables import load_tables
+
+        emb = load_tables(spark, sf_dir, "embeddings").embeddings
+        embs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+        qv = embs.pop(0)
+        want = self._py_mmr(embs, qv, _MMR_K, _MMR_POOL, _MMR_LAM)
+        got = [
+            (r["rank"], r["vec_id"], r["simq"], r["score"])
+            for r in mmr_diverse_topk(spark, sf_dir).collect()
+        ]
+        assert got == want  # exact float equality — shared folds
+
+    def test_diversity_changes_the_selection(self, spark, sf_dir):
+        from sea_streamer_spark.operators.similarity import cosine_topk
+        from sea_streamer_spark.plans.llm_ops6 import mmr_diverse_topk
+        from sea_streamer_spark.sources.tables import load_tables
+
+        emb = load_tables(spark, sf_dir, "embeddings").embeddings
+        plain = [
+            r["vec_id"] for r in cosine_topk(emb, query_id=0, k=8).collect()
+        ]
+        mmr_rows = mmr_diverse_topk(spark, sf_dir).collect()
+        mmr = [r["vec_id"] for r in sorted(mmr_rows, key=lambda r: r["rank"])]
+        # rank 1 is always the plain cosine argmax...
+        assert mmr[0] == plain[0]
+        # ...but the diversity term must reorder or replace later picks
+        assert mmr != plain
