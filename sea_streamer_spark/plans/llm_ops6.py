@@ -1130,3 +1130,162 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pool=_MMR_POOL,
         lam=_MMR_LAM,
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP-style sequence pattern matching + time-series gap fill
+# ---------------------------------------------------------------------------
+
+#: Event sequence pattern (MATCH_RECOGNIZE-lite): one or more views, then
+#: one or more clicks, then a purchase — encoded over the per-user event
+#: string (first letter of each type: e/v/c/s/p are distinct). The regex is
+#: alternation-free and anchored only by adjacency, so Java's
+#: leftmost-greedy and RE2's leftmost matching produce identical
+#: non-overlapping match sets.
+_CEP_PATTERN = "v+c+p"
+
+
+@query(
+    "events_pattern_match",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(s, '{_CEP_PATTERN}')) AS BIGINT)
+             AS n_matches,
+           CAST(COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(regexp_extract_all(s, '{_CEP_PATTERN}'),
+                                 m -> CAST(length(m) AS BIGINT))),
+                  (a, b) -> a + b), 0) AS BIGINT) AS matched_chars
+    FROM seq
+    ORDER BY user_id
+    """,
+    tags=("streaming", "events"),
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern detection (the MATCH_RECOGNIZE
+    analog Spark lacks): each user's event history becomes a character
+    sequence (one char per event, (ts, event_id)-ordered), and the
+    behavioral pattern ``view+ click+ purchase`` is a REGEX over that
+    string — pattern counts and matched extents fall out of
+    regexp_extract_all with zero iterative logic. Plan: ONE user-keyed
+    aggregate builds the sequences (positional array_sort inside the
+    aggregate — no global sort); the regex scan is a pure projection over
+    the user relation (bounded by users, not events). The
+    sequence-as-string trick is the scalable CEP encoding: state per user
+    is one string, and any Kleene pattern the Java∩RE2 dialect supports
+    works unchanged."""
+    t = load_tables(spark, sf_dir, "events")
+    seq = (
+        t.events.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c")).alias(
+                "e"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("e")), lambda s: s["c"]),
+                "",
+            ).alias("s")
+        )
+    )
+    matches = F.regexp_extract_all(F.col("s"), F.lit(_CEP_PATTERN), F.lit(0))
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("seq_len"),
+        F.size(matches).cast("long").alias("n_matches"),
+        F.aggregate(
+            matches,
+            F.lit(0).cast("long"),
+            lambda acc, m: acc + F.length(m).cast("long"),
+        ).alias("matched_chars"),
+    ).orderBy("user_id")
+
+
+_Q15 = 900_000_000  # 15 minutes in microseconds
+
+
+@query(
+    "events_gapfill_15m",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) // {_Q15} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS revenue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b
+      GROUP BY event_type
+    ), grid AS (
+      SELECT bounds.event_type, unnest(generate_series(lo, hi)) AS bucket
+      FROM bounds
+    )
+    SELECT g.event_type, g.bucket,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n,
+           CAST(b.n IS NULL AS BIGINT) AS filled,
+           last_value(b.revenue IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_locf
+    FROM grid g LEFT JOIN b ON b.event_type = g.event_type
+                           AND b.bucket = g.bucket
+    ORDER BY g.event_type, g.bucket
+    """,
+    tags=("streaming", "events"),
+)
+def events_gapfill_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with last-observation-carried-forward (the
+    TimescaleDB ``time_bucket_gapfill``/``locf`` analog, the read-side
+    companion of the hypertable rollup): purchase revenue per 15-minute
+    bucket (exact DECIMAL sums ⇒ order-independent), a dense bucket grid
+    synthesized per type via sequence-explode (volume = time range /
+    bucket width, independent of event count), empty buckets flagged and
+    their revenue carried forward by an ignore-nulls window. Plan: one
+    (type, bucket) aggregate over the filtered scan, a two-row bounds
+    aggregate, the grid explode map-side, one type-keyed window."""
+    t = load_tables(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    b = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_Q15}").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    bounds = b.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(b, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+            F.col("n").isNull().cast("long").alias("filled"),
+            F.last("revenue", ignorenulls=True).over(w).alias("revenue_locf"),
+        )
+        .orderBy("event_type", "bucket")
+    )

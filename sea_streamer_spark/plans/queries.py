@@ -127,6 +127,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "quality_classifier_probe", "entity_resolution_customers",
     "events_cohort_retention", "profile_key_skew",
     "dedup_clusters_incremental", "mmr_diverse_topk",
+    "events_pattern_match", "events_gapfill_15m",
 )
 
 

@@ -493,3 +493,72 @@ class TestMmrDiverseTopk:
         assert mmr[0] == plain[0]
         # ...but the diversity term must reorder or replace later picks
         assert mmr != plain
+
+
+class TestPatternMatch:
+    def test_matches_python_re(self, spark, sf_dir):
+        import re as _re
+
+        from sea_streamer_spark.plans.llm_ops6 import (
+            _CEP_PATTERN,
+            events_pattern_match,
+        )
+        from sea_streamer_spark.sources.tables import load_tables
+
+        ev = load_tables(spark, sf_dir, "events").events
+        rows = ev.select("user_id", "ts", "event_id", "event_type").collect()
+        seqs: dict[int, list] = {}
+        for r in rows:
+            seqs.setdefault(r["user_id"], []).append(
+                (r["ts"], r["event_id"], r["event_type"][0])
+            )
+        got = {
+            r["user_id"]: (r["seq_len"], r["n_matches"], r["matched_chars"])
+            for r in events_pattern_match(spark, sf_dir).collect()
+        }
+        assert set(got) == set(seqs)
+        any_match = False
+        for uid, evs in seqs.items():
+            s = "".join(c for _, _, c in sorted(evs))
+            ms = _re.findall(_CEP_PATTERN, s)
+            assert got[uid] == (len(s), len(ms), sum(len(m) for m in ms)), uid
+            any_match |= bool(ms)
+        assert any_match  # the corpus actually contains the funnel pattern
+
+    def test_hand_cases(self):
+        import re as _re
+
+        from sea_streamer_spark.plans.llm_ops6 import _CEP_PATTERN
+
+        assert _re.findall(_CEP_PATTERN, "vvccp") == ["vvccp"]
+        assert _re.findall(_CEP_PATTERN, "vcpvcp") == ["vcp", "vcp"]
+        assert _re.findall(_CEP_PATTERN, "vvcc") == []  # no purchase
+        assert _re.findall(_CEP_PATTERN, "vpc") == []  # wrong order
+        assert _re.findall(_CEP_PATTERN, "vcvcp") == ["vcp"]  # restart
+
+
+class TestGapFill:
+    def test_corpus_has_gaps_and_locf_is_total_after_first(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import events_gapfill_15m
+
+        rows = events_gapfill_15m(spark, sf_dir).collect()
+        assert rows
+        assert any(r["filled"] == 1 for r in rows)  # real gaps at this sf
+        seen_obs = False
+        prev = None
+        for r in rows:  # already ordered by bucket
+            if r["filled"] == 0:
+                seen_obs = True
+                prev = r["revenue_locf"]
+            else:
+                assert r["n"] == 0
+                if seen_obs:
+                    assert r["revenue_locf"] == prev  # carried forward
+        assert seen_obs
+
+    def test_grid_is_dense(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import events_gapfill_15m
+
+        rows = events_gapfill_15m(spark, sf_dir).collect()
+        buckets = [r["bucket"] for r in rows]
+        assert buckets == list(range(min(buckets), max(buckets) + 1))
