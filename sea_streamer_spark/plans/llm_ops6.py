@@ -1289,3 +1289,146 @@ def events_gapfill_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-contract validation (expectations suite)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "validate_expectations",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_keys,
+             CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 450000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS price_oob,
+             CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '2001-01-01'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS late_dates,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+      FROM orders
+    ), fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS orphans FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    ), d AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS bad_nchars,
+             CAST(SUM(CASE WHEN lang NOT IN ('en','de','es','fr','zh')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang
+      FROM documents
+    )
+    SELECT * FROM (
+      SELECT 'orderkey_unique_not_null' AS rule_id, 'orders' AS table_name,
+             o.n AS n_checked, o.dup_keys + o.null_keys AS n_violations
+      FROM o
+      UNION ALL
+      SELECT 'custkey_fk_valid', 'orders', o.n, fk.orphans FROM o, fk
+      UNION ALL
+      SELECT 'totalprice_in_range', 'orders', o.n, o.price_oob FROM o
+      UNION ALL
+      SELECT 'orderdate_before_2001', 'orders', o.n, o.late_dates FROM o
+      UNION ALL
+      SELECT 'status_enum_of', 'orders', o.n, o.bad_status FROM o
+      UNION ALL
+      SELECT 'nchars_matches_text', 'documents', d.n, d.bad_nchars FROM d
+      UNION ALL
+      SELECT 'lang_enum_known', 'documents', d.n, d.bad_lang FROM d
+    )
+    ORDER BY rule_id
+    """,
+    tags=("llm", "quality"),
+)
+def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (the Great-Expectations/dbt-test shape):
+    uniqueness, null, range, enum, freshness-bound, cross-column
+    consistency, and referential-integrity rules evaluated as ONE
+    conditional-aggregate pass per table (never one scan per rule) plus a
+    single FK probe; rule rows are reshaped from the aggregate, so adding
+    a rule adds a column to the agg, not a scan. Deliberately mixed
+    outcome on this corpus: the enum/range/freshness rules FAIL (status
+    'P', prices > 450k, orders in 2001) while key/FK/consistency rules
+    pass — the driver hash checks exact violation counts either way."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "documents")
+    o = t.orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("dup_keys"),
+        F.sum(F.col("o_orderkey").isNull().cast("long"))
+        .cast("long")
+        .alias("null_keys"),
+        F.sum(
+            ((F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 450000))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("price_oob"),
+        F.sum(
+            (F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("late_dates"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F")).cast("long"))
+        .cast("long")
+        .alias("bad_status"),
+    )
+    fk = (
+        t.orders.join(
+            t.customer,
+            t.orders["o_custkey"] == t.customer["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("orphans"))
+    )
+    d = t.documents.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("n_chars") != F.length("text")).cast("long"))
+        .cast("long")
+        .alias("bad_nchars"),
+        F.sum(
+            (~F.col("lang").isin("en", "de", "es", "fr", "zh")).cast("long")
+        )
+        .cast("long")
+        .alias("bad_lang"),
+    )
+    ocols = o.crossJoin(fk)  # two 1-row frames
+
+    def mk_rule(rid, tbl, n_col, v_col):
+        return F.struct(
+            F.lit(rid).alias("rule_id"),
+            F.lit(tbl).alias("table_name"),
+            F.col(n_col).alias("n_checked"),
+            v_col.alias("n_violations"),
+        )
+
+    # Reshape each 1-row aggregate into rule rows via explode (the
+    # profile_documents convention) — a unionByName of per-rule selects
+    # would make Catalyst recompute the aggregate (and re-scan the table)
+    # once per branch: measured 7 orders scans vs 2 here.
+    o_rules = ocols.select(
+        F.explode(
+            F.array(
+                mk_rule("orderkey_unique_not_null", "orders", "n",
+                        F.col("dup_keys") + F.col("null_keys")),
+                mk_rule("custkey_fk_valid", "orders", "n", F.col("orphans")),
+                mk_rule("totalprice_in_range", "orders", "n", F.col("price_oob")),
+                mk_rule("orderdate_before_2001", "orders", "n", F.col("late_dates")),
+                mk_rule("status_enum_of", "orders", "n", F.col("bad_status")),
+            )
+        ).alias("r")
+    ).select("r.*")
+    d_rules = d.select(
+        F.explode(
+            F.array(
+                mk_rule("nchars_matches_text", "documents", "n", F.col("bad_nchars")),
+                mk_rule("lang_enum_known", "documents", "n", F.col("bad_lang")),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return o_rules.unionByName(d_rules).orderBy("rule_id")

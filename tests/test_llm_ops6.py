@@ -562,3 +562,30 @@ class TestGapFill:
         rows = events_gapfill_15m(spark, sf_dir).collect()
         buckets = [r["bucket"] for r in rows]
         assert buckets == list(range(min(buckets), max(buckets) + 1))
+
+
+class TestValidateExpectations:
+    def test_mixed_outcomes_and_scan_economy(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import validate_expectations
+
+        rows = {r["rule_id"]: r for r in validate_expectations(spark, sf_dir).collect()}
+        assert len(rows) == 7
+        # clean rules stay clean
+        assert rows["orderkey_unique_not_null"]["n_violations"] == 0
+        assert rows["custkey_fk_valid"]["n_violations"] == 0
+        assert rows["nchars_matches_text"]["n_violations"] == 0
+        # engineered-reality rules genuinely fail on this corpus
+        assert rows["status_enum_of"]["n_violations"] > 0
+        assert rows["orderdate_before_2001"]["n_violations"] > 0
+        for r in rows.values():
+            assert 0 <= r["n_violations"] <= r["n_checked"]
+
+    def test_single_scan_per_table(self, spark, sf_dir):
+        # all 5 orders rules share one aggregate: the plan must scan the
+        # orders parquet at most twice (agg + FK probe), not once per rule
+        from sea_streamer_spark.plans.llm_ops6 import validate_expectations
+        from tests.test_plan_quality import _final_plan
+
+        plan = _final_plan(validate_expectations(spark, sf_dir))
+        assert plan.count("orders.parquet") <= 2, plan
+        assert plan.count("documents.parquet") <= 1, plan
