@@ -589,3 +589,32 @@ class TestValidateExpectations:
         plan = _final_plan(validate_expectations(spark, sf_dir))
         assert plan.count("orders.parquet") <= 2, plan
         assert plan.count("documents.parquet") <= 1, plan
+
+
+class TestWebPipelineExample:
+    def test_example_runs_end_to_end(self, spark, sf_dir, capsys, monkeypatch):
+        import importlib.util
+        import os as _os
+
+        spec = importlib.util.spec_from_file_location(
+            "web_pipeline",
+            _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                "examples",
+                "web_pipeline.py",
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        monkeypatch.setattr(sys, "argv", ["web_pipeline.py", sf_dir])
+        # main() calls get_spark (returns the active session) + stop();
+        # keep the shared fixture session alive
+        monkeypatch.setattr(type(spark), "stop", lambda self: None)
+        mod.main()
+        out = capsys.readouterr().out
+        assert "after quota+dedup+probe" in out
+        assert "snapshot merge" in out
+        assert "incremental" in out
+
+
+import sys  # noqa: E402
