@@ -411,3 +411,23 @@ def quantiles_from_sample(
         for q in qs
     ]
     return ranked.groupBy(group_col).agg(*aggs)
+
+
+def cms_inner_products(a: CmsModel, b: CmsModel) -> list[int]:
+    """Per-depth inner products ``Σ_k a[j][k]·b[j][k]`` — each is an
+    UPPER bound on the true join size Σ_key f_a(key)·f_b(key) (colliding
+    keys only ever add mass), so the estimate takes the min."""
+    if a.width != b.width:
+        raise ValueError("sketch widths differ")
+    return [
+        sum(x * y for x, y in zip(ra, rb)) for ra, rb in zip(a.grid, b.grid)
+    ]
+
+
+def cms_join_size(a: CmsModel, b: CmsModel) -> int:
+    """AMS/CMS equi-join cardinality estimate (Alon-Matias-Szegedy via the
+    CMS grid): ``min_j Σ_k a[j][k]·b[j][k]``. One-sided (never
+    underestimates); expected excess ≤ N_a·N_b/width per row, and the min
+    over d rows concentrates it. The optimizer's join-size estimation as
+    two geometry-bounded single-pass sketches — no join executed."""
+    return min(cms_inner_products(a, b))

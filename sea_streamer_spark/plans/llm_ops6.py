@@ -1432,3 +1432,94 @@ def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.*")
     return o_rules.unionByName(d_rules).orderBy("rule_id")
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation (CMS/AMS inner product; operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+from ..operators import text as _T  # noqa: E402
+from ..operators.sketch import CMS_AB as _CMS_AB  # noqa: E402
+
+_JC_W = 512
+
+
+def _jc_grid_sql(table: str, keyexpr: str, name: str) -> str:
+    fold = _T.duck_char_fold("key")
+    kcols = ", ".join(
+        f"(({a} * h + {b}) % 1000000007) % {_JC_W} AS k{j}"
+        for j, (a, b) in enumerate(_CMS_AB)
+    )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {j} AS j, k{j} AS k, n FROM {name}_buckets"
+        for j in range(len(_CMS_AB))
+    )
+    return f"""{name}_keys AS (
+      SELECT CAST({keyexpr} AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {table} GROUP BY 1
+    ), {name}_h AS (
+      SELECT key, n, {fold} AS h FROM {name}_keys
+    ), {name}_buckets AS (
+      SELECT key, n, {kcols} FROM {name}_h
+    ), {name}_grid AS (
+      SELECT j, k, CAST(SUM(n) AS BIGINT) AS c FROM ({unions}) GROUP BY j, k
+    )"""
+
+
+@query(
+    "sketch_join_cardinality",
+    oracle=f"""
+    WITH {_jc_grid_sql("orders", "o_orderkey", "a")},
+    {_jc_grid_sql("lineitem", "l_orderkey", "b")},
+    ip AS (
+      SELECT a.j, CAST(SUM(a.c * b.c) AS BIGINT) AS ip
+      FROM a_grid a JOIN b_grid b ON a.j = b.j AND a.k = b.k
+      GROUP BY a.j
+    ), exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT stat, value FROM (
+      SELECT 'exact' AS stat, c AS value FROM exact
+      UNION ALL
+      SELECT 'estimate', MIN(ip) FROM ip
+      UNION ALL
+      SELECT 'ip_row_' || CAST(j AS VARCHAR), ip FROM ip
+    ) ORDER BY stat
+    """,
+    tags=("llm", "sketch"),
+)
+def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join cardinality estimation WITHOUT executing the join — the
+    AMS/CMS inner-product estimator every cost-based optimizer carries
+    (operators/sketch.cms_inner_products): one single-pass geometry-bounded
+    CMS per side (collect ≤ d·w longs at any table size), then
+    ``min_j Σ_k a[j][k]·b[j][k]`` upper-bounds Σ_key f_a·f_b = |A ⋈ B|.
+    All-integer, so the DuckDB oracle rebuilds BOTH grids in SQL and the
+    driver hash checks every per-depth inner product, the min-estimate,
+    and the true join count it is judged against (the exact count is the
+    only stage that runs the join — it is the audit, not the estimator)."""
+    from ..operators.sketch import cms_build, cms_inner_products
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    ka = t.orders.groupBy(
+        F.col("o_orderkey").cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    kb = t.lineitem.groupBy(
+        F.col("l_orderkey").cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ga = cms_build(ka, "key", width=_JC_W, weight_col="n")
+    gb = cms_build(kb, "key", width=_JC_W, weight_col="n")
+    ips = cms_inner_products(ga, gb)
+    exact = (
+        t.orders.join(
+            t.lineitem,
+            t.orders["o_orderkey"] == t.lineitem["l_orderkey"],
+        ).count()
+    )
+    rows = [("exact", int(exact)), ("estimate", min(ips))] + [
+        (f"ip_row_{j}", int(v)) for j, v in enumerate(ips)
+    ]
+    return (
+        spark.createDataFrame(rows, "stat string, value long").orderBy("stat")
+    )

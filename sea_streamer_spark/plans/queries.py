@@ -128,7 +128,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "events_cohort_retention", "profile_key_skew",
     "dedup_clusters_incremental", "mmr_diverse_topk",
     "events_pattern_match", "events_gapfill_15m",
-    "validate_expectations",
+    "validate_expectations", "sketch_join_cardinality",
 )
 
 

@@ -618,3 +618,67 @@ class TestWebPipelineExample:
 
 
 import sys  # noqa: E402
+
+
+class TestJoinCardinality:
+    def test_one_sided_and_tight(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import (
+            _JC_W,
+            sketch_join_cardinality,
+        )
+
+        rows = {r["stat"]: r["value"] for r in
+                sketch_join_cardinality(spark, sf_dir).collect()}
+        exact, est = rows["exact"], rows["estimate"]
+        assert est >= exact  # colliding keys only ever ADD mass
+        for j in range(4):
+            assert rows[f"ip_row_{j}"] >= est  # estimate is the min
+        # accuracy: expected excess per row is Na*Nb/width; the min over
+        # 4 rows should land well inside 3x that bound on this data
+        import duckdb
+
+        na = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/orders.parquet'"
+        ).fetchone()[0]
+        nb = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/lineitem.parquet'"
+        ).fetchone()[0]
+        assert est - exact <= 3 * na * nb // _JC_W, (est, exact)
+
+    def test_python_model_matches_query(self, spark, sf_dir):
+        from sea_streamer_spark.operators.sketch import (
+            CMS_DEPTH,
+            CmsModel,
+            cms_inner_products,
+        )
+
+        # independent python build of both grids from raw keys
+        import duckdb
+
+        from sea_streamer_spark.plans.llm_ops6 import (
+            _JC_W,
+            sketch_join_cardinality,
+        )
+
+        def build(sql):
+            grid = [[0] * _JC_W for _ in range(CMS_DEPTH)]
+            from sea_streamer_spark.operators.sketch import CMS_AB, MOD
+
+            for (key, n) in duckdb.sql(sql).fetchall():
+                h = 0
+                for ch in str(key):
+                    h = (h * 31 + ord(ch)) % MOD
+                for j, (a, b) in enumerate(CMS_AB):
+                    grid[j][((a * h + b) % MOD) % _JC_W] += n
+            return CmsModel(width=_JC_W, grid=tuple(tuple(g) for g in grid))
+
+        ga = build(
+            f"SELECT o_orderkey, COUNT(*) FROM '{sf_dir}/orders.parquet' GROUP BY 1"
+        )
+        gb = build(
+            f"SELECT l_orderkey, COUNT(*) FROM '{sf_dir}/lineitem.parquet' GROUP BY 1"
+        )
+        want = cms_inner_products(ga, gb)
+        rows = {r["stat"]: r["value"] for r in
+                sketch_join_cardinality(spark, sf_dir).collect()}
+        assert [rows[f"ip_row_{j}"] for j in range(4)] == want
