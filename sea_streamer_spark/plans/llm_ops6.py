@@ -1523,3 +1523,75 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.createDataFrame(rows, "stat string, value long").orderBy("stat")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitor (chi-square between ingest waves)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "profile_drift_chisq",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_old,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+      FROM documents GROUP BY source, lang
+    ), tot AS (
+      SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+             CAST(SUM(n_new) AS BIGINT) AS t_new
+      FROM cells
+    )
+    SELECT c.source, c.lang, c.n_old, c.n_new,
+           CAST(CASE WHEN c.n_old = 0 THEN -1 ELSE FLOOR(
+             (CAST((c.n_new * t.t_old - c.n_old * t.t_new)
+                   * (c.n_new * t.t_old - c.n_old * t.t_new) AS DOUBLE)
+              / CAST(c.n_old * t.t_new * t.t_old AS DOUBLE)) * 1000000 + 0.5
+           ) END AS BIGINT) AS chi_micro
+    FROM cells c, tot t
+    ORDER BY c.source, c.lang
+    """,
+    tags=("llm", "quality"),
+)
+def profile_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two ingest waves (the PSI/χ²
+    check a continuous pipeline runs before accepting a batch): per
+    (source, lang) cell, the χ² contribution of the new wave against the
+    old wave's distribution — numerator and denominator assembled as EXACT
+    BIGINTs, one correctly-rounded double division (bit-identical on every
+    engine), micro-rounded per cell so any downstream total is an
+    order-independent integer sum. Unseen-in-old cells flag -1 (the
+    new-category signal χ² cannot price). Plan: one (source,lang)
+    conditional aggregate + a broadcast 1-row totals join — cell
+    cardinality bounds everything after the scan."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    cells = docs.groupBy("source", "lang").agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).cast("long").alias("n_old"),
+        F.sum((F.col("doc_id") % 2 == 1).cast("long")).cast("long").alias("n_new"),
+    )
+    tot = cells.agg(
+        F.sum("n_old").cast("long").alias("t_old"),
+        F.sum("n_new").cast("long").alias("t_new"),
+    )
+    num = (
+        F.col("n_new") * F.col("t_old") - F.col("n_old") * F.col("t_new")
+    )
+    chi = (num * num).cast("double") / (
+        F.col("n_old") * F.col("t_new") * F.col("t_old")
+    ).cast("double")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_old",
+            "n_new",
+            F.when(F.col("n_old") == 0, F.lit(-1).cast("long"))
+            .otherwise(F.floor(chi * 1_000_000 + 0.5).cast("long"))
+            .alias("chi_micro"),
+        )
+        .orderBy("source", "lang")
+    )

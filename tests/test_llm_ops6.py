@@ -682,3 +682,71 @@ class TestJoinCardinality:
         rows = {r["stat"]: r["value"] for r in
                 sketch_join_cardinality(spark, sf_dir).collect()}
         assert [rows[f"ip_row_{j}"] for j in range(4)] == want
+
+
+class TestDriftChisq:
+    def test_matches_scipy_style_reference(self, spark, sf_dir):
+        import duckdb
+        import math
+
+        from sea_streamer_spark.plans.llm_ops6 import profile_drift_chisq
+
+        rows = duckdb.sql(
+            f"""SELECT source, lang,
+                 SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_old,
+                 SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_new
+               FROM '{sf_dir}/documents.parquet' GROUP BY 1, 2"""
+        ).fetchall()
+        t_old = sum(int(r[2]) for r in rows)
+        t_new = sum(int(r[3]) for r in rows)
+        want = {}
+        for src, lang, n_old, n_new in rows:
+            n_old, n_new = int(n_old), int(n_new)
+            if n_old == 0:
+                want[(src, lang)] = -1
+            else:
+                # classic chi^2 cell: (observed - expected)^2 / expected
+                e = n_old * t_new / t_old
+                want[(src, lang)] = math.floor(
+                    ((n_new - e) ** 2 / e) * 1_000_000 + 0.5
+                )
+        got = {
+            (r["source"], r["lang"]): r["chi_micro"]
+            for r in profile_drift_chisq(spark, sf_dir).collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            # the integer-assembled formula equals the float textbook one
+            # to within 1 micro (double rounding differences only)
+            assert abs(got[k] - want[k]) <= 1, (k, got[k], want[k])
+
+    def test_engineered_drift_is_flagged(self, spark):
+        import tempfile
+
+        from sea_streamer_spark.plans.llm_ops6 import profile_drift_chisq
+
+        # source 'stable' identical across waves; 'drifted' doubles in the
+        # new wave; 'fresh' appears only in the new wave
+        rows = []
+        did = 0
+        for _ in range(50):  # stable: 1 old + 1 new alternating ids
+            rows += [(did, "x", "en", "stable", 1), (did + 1, "x", "en", "stable", 1)]
+            did += 2
+        for _ in range(10):
+            rows += [(did, "x", "en", "drifted", 1)]
+            did += 2  # old only
+        for _ in range(40):
+            rows += [(did + 1, "x", "en", "drifted", 1)]
+            did += 2  # new only
+        rows += [(did + 1, "x", "en", "fresh", 1)]
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows, "doc_id long, text string, lang string, source string, n_chars long"
+            ).write.parquet(td + "/documents.parquet")
+            got = {
+                r["source"]: r["chi_micro"]
+                for r in profile_drift_chisq(spark, td).collect()
+            }
+        assert got["fresh"] == -1  # unseen category
+        assert got["drifted"] > got["stable"]
+        assert got["drifted"] > 1_000_000  # chi > 1: real drift
