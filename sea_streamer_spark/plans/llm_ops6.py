@@ -1595,3 +1595,117 @@ def profile_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (near-dup graph cohesion) + k-anonymity audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_triangle_counts",
+    oracle=f"""
+    WITH {_DSS},
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    pernode AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT node, n_triangles FROM pernode ORDER BY node
+    """,
+    tags=("llm", "dedup"),
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the near-dup pair graph (the cohesion
+    metric that separates tight duplicate cliques from chains of borderline
+    matches — a high-triangle cluster is a true template family, a
+    triangle-free chain is transitive-closure noise). The canonical
+    oriented-edge algorithm: with edges directed low→high id, each
+    triangle is counted exactly once by joining e(a,b)⋈e(b,c)⋈e(a,c) — two
+    equi-joins whose volume scales with Σ deg², never nodes³. Pairs are
+    the threshold-exact MinHash-LSH relation (the dedup_clusters
+    convention); the oracle recomputes from exact-Jaccard pairs."""
+    from ..operators import dedup as _D
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    pairs = _D.minhash_lsh_dedup(docs, threshold=0.5).select("doc_a", "doc_b")
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("node")
+    )
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT nation, segment, class_size,
+           CAST(class_size < 5 AS BIGINT) AS at_risk
+    FROM classes
+    ORDER BY nation, segment
+    """,
+    tags=("llm", "quality"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (nation, market segment): equivalence-class sizes and the classes
+    below k=5 that would need suppression/generalization before release —
+    the data-governance gate a curation pipeline runs before publishing
+    attributes alongside text. One conditional aggregate; class
+    cardinality bounds everything after the scan."""
+    cust = load_tables(spark, sf_dir, "customer").customer
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .select(
+            "nation",
+            "segment",
+            "class_size",
+            (F.col("class_size") < 5).cast("long").alias("at_risk"),
+        )
+        .orderBy("nation", "segment")
+    )

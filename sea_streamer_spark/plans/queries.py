@@ -129,7 +129,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "dedup_clusters_incremental", "mmr_diverse_topk",
     "events_pattern_match", "events_gapfill_15m",
     "validate_expectations", "sketch_join_cardinality",
-    "profile_drift_chisq",
+    "profile_drift_chisq", "graph_triangle_counts", "privacy_k_anonymity",
 )
 
 

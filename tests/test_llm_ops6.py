@@ -750,3 +750,67 @@ class TestDriftChisq:
         assert got["fresh"] == -1  # unseen category
         assert got["drifted"] > got["stable"]
         assert got["drifted"] > 1_000_000  # chi > 1: real drift
+
+
+class TestTrianglesAndKAnon:
+    def test_triangles_match_brute_force(self, spark, sf_dir):
+        from itertools import combinations
+
+        from sea_streamer_spark.operators.dedup import minhash_lsh_dedup
+        from sea_streamer_spark.plans.llm_ops6 import graph_triangle_counts
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_dedup(docs, threshold=0.5)
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+        nodes = sorted({n for p in pairs for n in p})
+        per_node: dict[int, int] = {}
+        for a, b, c in combinations(nodes, 3):
+            if (a, b) in pairs and (b, c) in pairs and (a, c) in pairs:
+                for n in (a, b, c):
+                    per_node[n] = per_node.get(n, 0) + 1
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in graph_triangle_counts(spark, sf_dir).collect()
+        }
+        assert got == per_node
+
+    def test_engineered_triangle_graph(self, spark):
+        # clique{1,2,3,4} has 4 triangles (3 per node); path 5-6-7 has none
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.plans import llm_ops6  # noqa: F401
+
+        edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges += [(5, 6), (6, 7)]
+        e = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+            .join(
+                e3,
+                (F.col("e3.doc_a") == F.col("e1.doc_a"))
+                & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+            )
+            .select(
+                F.col("e1.doc_a").alias("a"),
+                F.col("e1.doc_b").alias("b"),
+                F.col("e2.doc_b").alias("c"),
+            )
+        )
+        rows = tri.collect()
+        assert len(rows) == 4  # C(4,3), each counted exactly once
+        assert not any(5 in r or 6 in r or 7 in r for r in
+                       [(x["a"], x["b"], x["c"]) for x in rows])
+
+    def test_k_anonymity_flags(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import privacy_k_anonymity
+
+        rows = privacy_k_anonymity(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert (r["class_size"] < 5) == bool(r["at_risk"])
