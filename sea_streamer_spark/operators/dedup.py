@@ -504,3 +504,63 @@ def duplicated_span_coverage(
             ).otherwise(F.lit(0)).cast("long").alias("dup_permille"),
         )
     )
+
+
+def duplicated_span_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The REMOVAL half of :func:`duplicated_span_coverage` (Lee et al.
+    arXiv:2107.06499 apply-side): rewrite every document with its covered
+    token positions cut out, keeping survivors in original order. Same
+    plan economics as the metric — k-gram count shuffle, same-key join,
+    plus one (doc, idx)-keyed anti-join against the positional token
+    relation and a doc-keyed positional reassembly; nothing ever scales
+    with corpus². Returns (id, n_tokens, n_removed, clean_fp)."""
+    pos_sh = positional_shingles(df, text_col, id_col, k).cache()
+    dup = (
+        pos_sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occurrences)
+        .select("sh")
+    )
+    covered = (
+        pos_sh.join(dup, "sh")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+                "idx"
+            ),
+        )
+        .distinct()
+    )
+    toks_pos = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("idx", "tok")
+    )
+    kept = toks_pos.join(covered, [id_col, "idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("clean_fp"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_fp"), F.md5(F.lit(""))).alias("clean_fp"),
+    )

@@ -1709,3 +1709,62 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span removal (the apply side of dedup_span_coverage)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents
+    ), pos AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+      FROM toks WHERE len(tk) >= 3
+    ), sh AS (
+      SELECT doc_id, i - 1 AS pos,
+             tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS sh
+      FROM pos
+    ), dup AS (
+      SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, idx FROM (
+        SELECT s.doc_id, s.pos + unnest([0, 1, 2]) AS idx
+        FROM sh s JOIN dup USING (sh)
+      )
+    ), tp AS (
+      SELECT t.doc_id, i - 1 AS idx, t.tk[i] AS tok
+      FROM toks t, unnest(generate_series(1, len(t.tk))) AS u(i)
+    ), kept AS (
+      SELECT tp.doc_id, tp.idx, tp.tok
+      FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.idx = tp.idx
+      WHERE cov.doc_id IS NULL
+    ), rebuilt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             md5(string_agg(tok, ' ' ORDER BY idx)) AS clean_fp
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(len(t.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.clean_fp, md5('')) AS clean_fp
+    FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL (Lee et al. arXiv:2107.06499 — the
+    rewrite that `dedup_span_coverage` only measures): every token lying
+    under a corpus-duplicated 3-gram is cut, survivors keep document
+    order. One k-gram count shuffle + same-key join + a (doc,idx)-keyed
+    anti-join + positional reassembly — volume scales with duplicated
+    text, never corpus². The driver hash checks every rewritten document
+    byte-for-byte (md5 of the rebuilt text)."""
+    from ..operators.dedup import duplicated_span_removal
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    return duplicated_span_removal(docs).orderBy("doc_id")

@@ -814,3 +814,50 @@ class TestTrianglesAndKAnon:
         assert rows
         for r in rows:
             assert (r["class_size"] < 5) == bool(r["at_risk"])
+
+
+class TestSpanRemoval:
+    def test_removal_count_equals_coverage_metric(self, spark, sf_dir):
+        from sea_streamer_spark.operators.dedup import (
+            duplicated_span_coverage,
+        )
+        from sea_streamer_spark.plans.llm_ops6 import dedup_span_removal
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        cov = {
+            r["doc_id"]: r["covered_tokens"]
+            for r in duplicated_span_coverage(docs).collect()
+        }
+        rem = {r["doc_id"]: r for r in dedup_span_removal(spark, sf_dir).collect()}
+        assert set(cov) == set(rem)
+        for did, r in rem.items():
+            # the apply removes exactly what the metric measures
+            assert r["n_removed"] == cov[did], did
+            assert 0 <= r["n_removed"] <= r["n_tokens"]
+
+    def test_survivors_contain_no_duplicated_trigram_fully_inside(self, spark):
+        # engineered corpus: a shared sentence between two docs must vanish
+        import tempfile
+
+        from sea_streamer_spark.plans.llm_ops6 import dedup_span_removal
+
+        shared = "alpha beta gamma delta"
+        rows = [
+            (0, f"unique one two {shared}", "en", "s", 1),
+            (1, f"{shared} other tail words", "en", "s", 1),
+            (2, "totally fresh text here now", "en", "s", 1),
+        ]
+        with tempfile.TemporaryDirectory() as td:
+            import hashlib
+
+            spark.createDataFrame(
+                rows, "doc_id long, text string, lang string, source string, n_chars long"
+            ).write.parquet(td + "/documents.parquet")
+            got = {r["doc_id"]: r for r in dedup_span_removal(spark, td).collect()}
+        # docs 0/1 lose the 4 shared tokens; doc 2 is untouched
+        assert got[0]["n_removed"] == 4
+        assert got[1]["n_removed"] == 4
+        assert got[2]["n_removed"] == 0
+        assert got[0]["clean_fp"] == hashlib.md5(b"unique one two").hexdigest()
+        assert got[1]["clean_fp"] == hashlib.md5(b"other tail words").hexdigest()
