@@ -1768,3 +1768,134 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, "documents").documents
     return duplicated_span_removal(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (lexical ∪ vector retrieval)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_POOL = 50
+
+
+@query(
+    "search_rrf_fusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+')))
+               AS term
+      FROM documents
+    ), qterms AS (
+      SELECT DISTINCT term FROM toks WHERE doc_id = 0
+    ), lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n DESC, doc_id) AS lex_rank
+      FROM (
+        SELECT t.doc_id, COUNT(*) AS n
+        FROM toks t JOIN qterms q USING (term)
+        WHERE t.doc_id <> 0 GROUP BY t.doc_id
+      ) ORDER BY n DESC, doc_id LIMIT {_RRF_POOL}
+    ), qv AS (
+      SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+    ), vec AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS vec_rank
+      FROM (
+        SELECT e.vec_id AS doc_id, {_dcos('e.embedding', 'qv.q')} AS sim
+        FROM embeddings e, qv WHERE e.vec_id <> 0
+      ) ORDER BY sim DESC, doc_id LIMIT {_RRF_POOL}
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+             CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+             COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + v.vec_rank), 0.0) AS score
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank,
+           CAST(FLOOR(score * 1000000000 + 0.5) AS BIGINT) AS rrf_nano
+    FROM fused
+    ORDER BY rrf_nano DESC, doc_id LIMIT 10
+    """,
+    tags=("llm", "similarity"),
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a vector ranking (the
+    standard zero-tuning hybrid-retrieval combiner; Cormack et al. 2009):
+    top-50 by shared-query-terms and top-50 by cosine are fused with
+    ``Σ 1/(60+rank)``. Ranks come from totally-ordered (score, id) sorts;
+    the two reciprocal terms are correctly-rounded double divisions added
+    in a fixed order, then nano-rounded — bit-identical on every engine.
+    Plan: the term join broadcasts the query's terms, the cosine scan
+    broadcasts one query vector, both rankings are TakeOrdered pools, the
+    fusion is a pool-bounded full-outer join."""
+    from ..operators.similarity import cosine as _cosine
+    from ..operators.text import tokens as _tokens
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    toks = t.documents.select(
+        "doc_id", F.explode(F.array_distinct(_tokens("text"))).alias("term")
+    )
+    q_terms = toks.filter(F.col("doc_id") == 0).select("term").distinct()
+    lex = (
+        toks.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(q_terms), "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "doc_id")
+        .limit(_RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "doc_id"))
+            .cast("long")
+            .alias("lex_rank"),
+        )
+    )
+    qv = t.embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    vec = (
+        t.embeddings.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _cosine(F.col("embedding"), F.col("q")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "doc_id")
+        .limit(_RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("sim").desc(), "doc_id"))
+            .cast("long")
+            .alias("vec_rank"),
+        )
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lex_rank"), F.lit(0).cast("long")).alias("lex_rank"),
+            F.coalesce(F.col("vec_rank"), F.lit(0).cast("long")).alias("vec_rank"),
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)
+                )
+            ).alias("score"),
+        )
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.floor(F.col("score") * 1_000_000_000 + 0.5)
+            .cast("long")
+            .alias("rrf_nano"),
+        )
+        .orderBy(F.col("rrf_nano").desc(), "doc_id")
+        .limit(10)
+    )

@@ -130,7 +130,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "events_pattern_match", "events_gapfill_15m",
     "validate_expectations", "sketch_join_cardinality",
     "profile_drift_chisq", "graph_triangle_counts", "privacy_k_anonymity",
-    "dedup_span_removal",
+    "dedup_span_removal", "search_rrf_fusion",
 )
 
 

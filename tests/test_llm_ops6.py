@@ -861,3 +861,25 @@ class TestSpanRemoval:
         assert got[2]["n_removed"] == 0
         assert got[0]["clean_fp"] == hashlib.md5(b"unique one two").hexdigest()
         assert got[1]["clean_fp"] == hashlib.md5(b"other tail words").hexdigest()
+
+
+class TestRrfFusion:
+    def test_formula_and_fusion_structure(self, spark, sf_dir):
+        import math
+
+        from sea_streamer_spark.plans.llm_ops6 import _RRF_K, search_rrf_fusion
+
+        rows = search_rrf_fusion(spark, sf_dir).collect()
+        assert len(rows) == 10
+        both = [r for r in rows if r["lex_rank"] > 0 and r["vec_rank"] > 0]
+        assert both, "top-10 should contain docs found by BOTH rankers"
+        for r in rows:
+            want = 0.0
+            if r["lex_rank"] > 0:
+                want += 1.0 / (_RRF_K + r["lex_rank"])
+            if r["vec_rank"] > 0:
+                want += 1.0 / (_RRF_K + r["vec_rank"])
+            assert r["rrf_nano"] == math.floor(want * 1e9 + 0.5), r
+        # ordering is by fused score
+        nanos = [r["rrf_nano"] for r in rows]
+        assert nanos == sorted(nanos, reverse=True)
