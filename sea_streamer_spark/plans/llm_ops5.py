@@ -664,8 +664,8 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n, sx, sy, sxy, sxx,
-           CAST((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
                 AS DOUBLE) AS slope_milli_per_hour
     FROM s ORDER BY event_type""",
     tags=("llm", "events", "stats"),
@@ -701,11 +701,13 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n"), sx.alias("sx"), sy.alias("sy"),
         sxy.alias("sxy"), sxx.alias("sxx"),
     )
+    # numerator/denominator assembled as EXACT BIGINTs (bounds: |n·sxy| and
+    # |sx·sy| stay ≤ ~1e17 at sf0.1 — documented, ANSI-pinned; the
+    # double-product variant had the FMA-fusion hazard: DuckDB can fuse
+    # a·b − c·d into one rounding, the JVM never does)
     slope = (
-        (F.col("n") * F.col("sxy").cast("double")
-         - F.col("sx").cast("double") * F.col("sy").cast("double"))
-        / (F.col("n") * F.col("sxx").cast("double")
-           - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     ).cast("double")
     return s.select(
         "event_type", "n", "sx", "sy", "sxy", "sxx",

@@ -324,20 +324,37 @@ def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_corr_exact",
     oracle="""
-    SELECT l_returnflag,
-           COUNT(*) AS n,
-           CAST((COUNT(*) * CAST(SUM(q * p) AS DOUBLE)
-                 - CAST(SUM(q) AS DOUBLE) * CAST(SUM(p) AS DOUBLE))
-                / SQRT((COUNT(*) * CAST(SUM(q * q) AS DOUBLE)
-                        - CAST(SUM(q) AS DOUBLE) * CAST(SUM(q) AS DOUBLE))
-                       * (COUNT(*) * CAST(SUM(p * p) AS DOUBLE)
-                          - CAST(SUM(p) AS DOUBLE) * CAST(SUM(p) AS DOUBLE)))
-                AS DOUBLE) AS corr_qp
-    FROM (SELECT l_returnflag,
-                 CAST(l_quantity AS DECIMAL(12,2)) AS q,
-                 CAST(l_extendedprice AS DECIMAL(12,2)) AS p
-          FROM lineitem) x
-    GROUP BY l_returnflag
+    WITH sums AS MATERIALIZED (
+      -- DECIMAL(38,·) → DOUBLE through VARCHAR: DuckDB's direct cast
+      -- double-rounds (int128→double, then /10^scale) and lands 1 ulp off
+      -- the correctly-rounded value the JVM's BigDecimal→double produces
+      -- (observed on spp at sf0.001); the string parse rounds once
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(q * p) AS VARCHAR) AS DOUBLE) AS sqp,
+             CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) AS sq,
+             CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS sp,
+             CAST(CAST(SUM(q * q) AS VARCHAR) AS DOUBLE) AS sqq,
+             CAST(CAST(SUM(p * p) AS VARCHAR) AS DOUBLE) AS spp
+      FROM (SELECT l_returnflag,
+                   CAST(l_quantity AS DECIMAL(12,2)) AS q,
+                   CAST(l_extendedprice AS DECIMAL(12,2)) AS p
+            FROM lineitem) x
+      GROUP BY l_returnflag
+    ), prods AS MATERIALIZED (
+      -- each product in its own projection: DuckDB's vectorizer may fuse
+      -- a·b − c·d into a single-rounding FMA (the JVM rounds each product),
+      -- which flipped corr_qp by 1 ulp at sf0.001; materializing the
+      -- products forces the JVM's two-rounding arithmetic
+      SELECT l_returnflag, n,
+             n * sqp AS t1, sq * sp AS t2,
+             n * sqq AS t3, sq * sq AS t4,
+             n * spp AS t5, sp * sp AS t6
+      FROM sums
+    )
+    SELECT l_returnflag, n,
+           CAST((t1 - t2) / SQRT((t3 - t4) * (t5 - t6)) AS DOUBLE) AS corr_qp
+    FROM prods
     """,
     tags=("relational", "agg", "stats"),
 )
