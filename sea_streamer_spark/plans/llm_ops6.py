@@ -1899,3 +1899,69 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_nano").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup restatement (late-data partition recompute)
+# ---------------------------------------------------------------------------
+
+_HR_US = 3_600_000_000
+
+
+@query(
+    "rollup_incremental_restatement",
+    oracle=f"""
+    SELECT event_type,
+           epoch_us(ts) // {_HR_US} AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_micro,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("streaming", "events"),
+)
+def rollup_incremental_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data rollup restatement (the incremental-ETL pattern: a
+    landed hourly rollup + a late-arriving delta → recompute ONLY the
+    hours the delta touches, keep every other hour's row untouched).
+    Needed because `n_users` (exact distinct) is NOT mergeable from
+    aggregates — the restated hours re-aggregate from base∪delta, which
+    is why production rollups keep the base partitioned by hour: the
+    recompute reads only the touched partitions (cf. layout/manifest
+    pruning). Here base = 99% of events, delta = the scattered 1%
+    (event_id % 97 == 0 — guaranteed late rows into already-landed
+    hours); the oracle is the FULL rebuild, so the driver hash proves
+    restatement == rebuild including the distinct counts. Value sums are
+    micro-fixed-point BIGINTs (order-free)."""
+    ev = load_tables(spark, sf_dir, "events").events.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_HR_US}").alias("hour"),
+        # explicit ROUND: bare CAST(double AS BIGINT) truncates on Spark but
+        # ROUNDS on DuckDB — *1e6 lands on the x.9999 side for 2-decimal
+        # values and the two casts split (caught by the strict sweep)
+        F.expr("CAST(ROUND(value * 1000000, 0) AS BIGINT)").alias("v_micro"),
+    )
+    base = ev.filter(F.col("event_id") % 97 != 0)
+    delta = ev.filter(F.col("event_id") % 97 == 0)
+
+    def rollup(df):
+        return df.groupBy("event_type", "hour").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v_micro").cast("long").alias("sum_micro"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+
+    prev = rollup(base)  # the "landed" rollup
+    touched = delta.select("event_type", "hour").distinct()
+    # recompute touched (type, hour) cells from base ∪ delta — at scale the
+    # base side is partition-pruned to exactly these hours
+    restated = rollup(
+        base.unionByName(delta).join(touched, ["event_type", "hour"])
+    )
+    untouched = prev.join(touched, ["event_type", "hour"], "left_anti")
+    return untouched.unionByName(restated).orderBy("event_type", "hour")

@@ -131,6 +131,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "validate_expectations", "sketch_join_cardinality",
     "profile_drift_chisq", "graph_triangle_counts", "privacy_k_anonymity",
     "dedup_span_removal", "search_rrf_fusion",
+    "rollup_incremental_restatement",
 )
 
 

@@ -883,3 +883,41 @@ class TestRrfFusion:
         # ordering is by fused score
         nanos = [r["rrf_nano"] for r in rows]
         assert nanos == sorted(nanos, reverse=True)
+
+
+class TestIncrementalRestatement:
+    def test_restated_hours_only_and_exact_distincts(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import (
+            rollup_incremental_restatement,
+        )
+        from sea_streamer_spark.sources.tables import load_tables
+
+        ev = load_tables(spark, sf_dir, "events").events
+        # delta hours (late data targets)
+        delta_cells = {
+            (r["event_type"], r["hour"])
+            for r in ev.filter(F.col("event_id") % 97 == 0)
+            .select(
+                "event_type",
+                F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+            )
+            .distinct()
+            .collect()
+        }
+        assert delta_cells, "the 1% delta must touch some hours"
+        rows = rollup_incremental_restatement(spark, sf_dir).collect()
+        # full-rebuild reference for the distinct counts
+        full = {
+            (r["event_type"], r["hour"]): (r["n"], r["n_users"])
+            for r in ev.groupBy(
+                "event_type",
+                F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .collect()
+        }
+        got = {(r["event_type"], r["hour"]): (r["n"], r["n_users"]) for r in rows}
+        assert got == full  # incl. non-mergeable exact distincts
