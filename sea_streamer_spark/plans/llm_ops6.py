@@ -1965,3 +1965,161 @@ def rollup_incremental_restatement(spark: SparkSession, sf_dir: str) -> DataFram
     )
     untouched = prev.join(touched, ["event_type", "hour"], "left_anti")
     return untouched.unionByName(restated).orderBy("event_type", "hour")
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style statistics: equi-height histogram + MAD robust outliers
+# ---------------------------------------------------------------------------
+
+_HIST_B = 8
+
+
+@query(
+    "profile_equiheight_histogram",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c, o_orderkey
+      FROM orders
+    ), r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM v
+    )
+    SELECT CAST((rn - 1) * {_HIST_B} // n AS BIGINT) AS bucket,
+           CAST(MIN(c) AS BIGINT) AS lo_cents,
+           CAST(MAX(c) AS BIGINT) AS hi_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM r
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "stats"),
+)
+def profile_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height (height-balanced) histogram over order totals — the
+    ANALYZE-TABLE statistic a cost-based optimizer feeds selectivity
+    estimation from (the companion of `sketch_join_cardinality`'s
+    frequency grids). Values are exact integer cents; bucket assignment is
+    the deterministic integer rank formula ``(rn-1)·B div n`` over the
+    totally-ordered (value, key) sequence, so boundaries and counts are
+    engine-exact. The global row_number is the textbook single-column
+    stats pass — at 100 TB you run it per range-partition on a sample
+    (the documented swap); bucket count is fixed, output is B rows."""
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, "orders").orders
+    v = orders.select(
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("c"),
+        "o_orderkey",
+    )
+    w = Window.orderBy("c", "o_orderkey")
+    r = v.select(
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        r.groupBy(
+            F.expr(f"CAST((rn - 1) * {_HIST_B} div n AS BIGINT)").alias("bucket")
+        )
+        .agg(
+            F.min("c").cast("long").alias("lo_cents"),
+            F.max("c").cast("long").alias("hi_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+      FROM events
+    ), med AS (
+      SELECT event_type, vm AS med FROM (
+        SELECT event_type, vm,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY vm, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+      ) WHERE rn = (n + 1) // 2
+    ), d AS (
+      SELECT v.event_type, v.event_id, v.vm, ABS(v.vm - m.med) AS dev
+      FROM v JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, dev AS mad FROM (
+        SELECT event_type, dev,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY dev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM d
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(m.med) AS BIGINT) AS median_micro,
+           CAST(MIN(a.mad) AS BIGINT) AS mad_micro,
+           CAST(SUM(CASE WHEN d.dev > 3 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d
+    JOIN med m USING (event_type)
+    JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation (the
+    robust-statistics member next to the z-score: immune to the outliers
+    it hunts). Medians are EXACT order-statistic selections — the value at
+    rank ``(n+1) div 2`` of the totally-ordered integer-micro sequence —
+    never interpolation, so everything stays engine-exact integers; the
+    3·MAD rule is an integer comparison. Plan: two per-type window passes
+    (value ranks, then deviation ranks) + broadcastable per-type medians;
+    both windows key on event_type and scale with per-type volume."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, "events").events
+    v = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(ROUND(value * 1000000, 0) AS BIGINT)").alias("vm"),
+    )
+
+    def per_type_median(df, col):
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wn = Window.partitionBy("event_type")
+        return (
+            df.select(
+                "event_type",
+                F.col(col),
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(wn).alias("n"),
+            )
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col(col).alias("m"))
+        )
+
+    med = per_type_median(v, "vm").withColumnRenamed("m", "med")
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "vm",
+        F.abs(F.col("vm") - F.col("med")).alias("dev"),
+    )
+    mad = per_type_median(d, "dev").withColumnRenamed("m", "mad")
+    return (
+        d.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("med").cast("long").alias("median_micro"),
+            F.min("mad").cast("long").alias("mad_micro"),
+            F.sum((F.col("dev") > 3 * F.col("mad")).cast("long"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -131,7 +131,8 @@ _POST_BUDGET: tuple[str, ...] = (
     "validate_expectations", "sketch_join_cardinality",
     "profile_drift_chisq", "graph_triangle_counts", "privacy_k_anonymity",
     "dedup_span_removal", "search_rrf_fusion",
-    "rollup_incremental_restatement",
+    "rollup_incremental_restatement", "profile_equiheight_histogram",
+    "events_mad_outliers",
 )
 
 

@@ -921,3 +921,51 @@ class TestIncrementalRestatement:
         }
         got = {(r["event_type"], r["hour"]): (r["n"], r["n_users"]) for r in rows}
         assert got == full  # incl. non-mergeable exact distincts
+
+
+class TestStatsFamily:
+    def test_histogram_heights_balanced_and_boundaries_ordered(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import (
+            _HIST_B,
+            profile_equiheight_histogram,
+        )
+
+        rows = profile_equiheight_histogram(spark, sf_dir).collect()
+        assert len(rows) == _HIST_B
+        total = sum(r["n_rows"] for r in rows)
+        for r in rows:
+            # equi-height: every bucket within 1 row of n/B
+            assert abs(r["n_rows"] - total / _HIST_B) <= 1, r
+            assert r["lo_cents"] <= r["hi_cents"]
+        for a, b in zip(rows, rows[1:]):
+            assert a["hi_cents"] <= b["lo_cents"]  # ordered, non-overlapping
+
+    def test_mad_matches_numpy_reference(self, spark, sf_dir):
+        import duckdb
+        import numpy as np
+
+        from sea_streamer_spark.plans.llm_ops6 import events_mad_outliers
+
+        got = {r["event_type"]: r for r in events_mad_outliers(spark, sf_dir).collect()}
+        rows = duckdb.sql(
+            f"SELECT event_type, CAST(ROUND(value*1000000) AS BIGINT) "
+            f"FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+        by_type: dict[str, list[int]] = {}
+        for t, vm in rows:
+            by_type.setdefault(t, []).append(int(vm))
+        for t, vs in by_type.items():
+            vs.sort()
+            # lower median (rank (n+1)//2, 1-indexed) — the query's contract
+            med = vs[(len(vs) + 1) // 2 - 1]
+            devs = sorted(abs(v - med) for v in vs)
+            mad = devs[(len(devs) + 1) // 2 - 1]
+            n_out = sum(1 for v in vs if abs(v - med) > 3 * mad)
+            r = got[t]
+            assert (r["median_micro"], r["mad_micro"], r["n_outliers"]) == (
+                med,
+                mad,
+                n_out,
+            ), t
+            # robustness sanity: MAD flags a small minority, never most
+            assert n_out < len(vs) * 0.2
