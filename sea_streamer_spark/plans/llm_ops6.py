@@ -2123,3 +2123,126 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B funnel conversion with a two-proportion z statistic
+# ---------------------------------------------------------------------------
+
+from ..operators.text import duck_char_fold as _dfold  # noqa: E402
+
+
+@query(
+    "events_ab_conversion",
+    oracle=f"""
+    WITH fv AS (
+      SELECT user_id,
+             {_dfold("md5(CAST(user_id AS VARCHAR))")} % 2 AS arm,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               AS first_view
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT f.user_id, f.arm,
+             CASE WHEN f.first_view IS NOT NULL THEN 1 ELSE 0 END AS exposed,
+             CASE WHEN f.first_view IS NOT NULL AND EXISTS (
+               SELECT 1 FROM events e
+               WHERE e.user_id = f.user_id AND e.event_type = 'purchase'
+                 AND epoch_us(e.ts) > f.first_view
+                 AND epoch_us(e.ts) <= f.first_view + 3600000000
+             ) THEN 1 ELSE 0 END AS conv
+      FROM fv f
+    ), arms AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN exposed ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN exposed ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+      FROM conv
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           CAST(CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0
+                ELSE FLOOR(
+             ((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+              / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                     * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                     * (1.0 / n_a + 1.0 / n_b)))
+             * 1000000 + 0.5) END AS BIGINT) AS z_micro
+    FROM arms
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split into two arms with the
+    registry's portable bucket hash (assignment reproducible across runs
+    and engines — the experimentation requirement), per-arm view→purchase
+    conversion (ordered: a purchase must FOLLOW the first view), and the
+    classic two-proportion pooled z statistic. Exact integer counts; the
+    z formula is correctly-rounded double ops in one fixed order (divides
+    and a sub-of-divides — no FMA-fusable product-pair anywhere),
+    micro-rounded. Plan: one user-keyed conditional aggregate, then a
+    1-row arm rollup."""
+    from ..operators.curation import split_bucket
+
+    ev = load_tables(spark, sf_dir, "events").events
+    fv = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+            ).alias("first_view")
+        )
+        .withColumn("arm", split_bucket("user_id", 2))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("pts")
+    )
+    hits = (
+        fv.join(purch, "user_id", "left")
+        .filter(
+            F.col("pts").isNotNull()
+            & (F.col("pts") > F.col("first_view"))
+            & (F.col("pts") <= F.col("first_view") + 3_600_000_000)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_user = fv.join(hits, "user_id", "left").select(
+        "arm",
+        F.col("first_view").isNotNull().cast("long").alias("exposed"),
+        (F.col("first_view").isNotNull() & F.col("hit").isNotNull())
+        .cast("long")
+        .alias("conv"),
+    )
+    arms = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("exposed")).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("exposed")).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a")
+    pb = F.col("c_b").cast("double") / F.col("n_b")
+    pp = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (pa - pb) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    degenerate = (F.col("c_a") + F.col("c_b") == 0) | (
+        F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")
+    )
+    return arms.select(
+        "n_a", "c_a", "n_b", "c_b",
+        F.when(degenerate, F.lit(0))
+        .otherwise(F.floor(z * 1_000_000 + 0.5))
+        .cast("long")
+        .alias("z_micro"),
+    )

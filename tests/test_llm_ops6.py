@@ -969,3 +969,43 @@ class TestStatsFamily:
             ), t
             # robustness sanity: MAD flags a small minority, never most
             assert n_out < len(vs) * 0.2
+
+
+class TestAbConversion:
+    def test_z_matches_python_reference(self, spark, sf_dir):
+        import math
+
+        from sea_streamer_spark.plans.llm_ops6 import events_ab_conversion
+
+        r = events_ab_conversion(spark, sf_dir).collect()[0]
+        n_a, c_a, n_b, c_b = r["n_a"], r["c_a"], r["n_b"], r["c_b"]
+        assert n_a > 0 and n_b > 0
+        total_c = c_a + c_b
+        if total_c == 0 or total_c == n_a + n_b:
+            assert r["z_micro"] == 0  # degenerate guard
+        else:
+            pa, pb = c_a / n_a, c_b / n_b
+            pp = total_c / (n_a + n_b)
+            z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))
+            assert r["z_micro"] == math.floor(z * 1_000_000 + 0.5)
+
+    def test_arm_assignment_is_portable_hash(self, spark, sf_dir):
+        # arms must be the registry's split_bucket(user_id, 2) — stable
+        # across engines/runs (the experimentation requirement)
+        from sea_streamer_spark.operators.curation import split_bucket
+        from sea_streamer_spark.plans.llm_ops6 import events_ab_conversion
+        from sea_streamer_spark.sources.tables import load_tables
+
+        ev = load_tables(spark, sf_dir, "events").events
+        arms = (
+            ev.select("user_id")
+            .distinct()
+            .withColumn("arm", split_bucket("user_id", 2))
+            .groupBy("arm")
+            .count()
+            .collect()
+        )
+        sizes = {r["arm"]: r["count"] for r in arms}
+        r = events_ab_conversion(spark, sf_dir).collect()[0]
+        assert r["n_a"] == sizes.get(0, 0)
+        assert r["n_b"] == sizes.get(1, 0)
