@@ -2246,3 +2246,78 @@ def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("z_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quantile normalization of quality scores
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_rank_normalize",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS BIGINT)
+               * CAST(len(list_distinct(string_split_regex(text, '\\s+')))
+                      AS BIGINT) AS raw_score
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, raw_score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY raw_score, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM s
+    )
+    SELECT doc_id, source, raw_score,
+           CAST(CASE WHEN n > 1 THEN (rn - 1) * 1000 // (n - 1)
+                ELSE 500 END AS BIGINT) AS permille,
+           CAST(CASE WHEN (CASE WHEN n > 1 THEN (rn - 1) * 1000 // (n - 1)
+                           ELSE 500 END) >= 300
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM r
+    ORDER BY doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def quality_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of a quality score (the
+    FineWeb/CCNet practice: a single global threshold over raw scores
+    systematically biases against whole crawls/dumps, so each SOURCE is
+    ranked internally and the cut applies to the percentile, not the raw
+    value). Score = length × distinct-token count (any raw signal works —
+    the op is the normalization); permille = the exact integer rank
+    transform ``(rn−1)·1000 div (n−1)`` over a totally-ordered (score,
+    id) sequence; keep = bottom-30 % dropped PER SOURCE. One source-keyed
+    window shuffle; every source keeps ~70 % regardless of its raw-score
+    distribution (the fairness property, pinned)."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    s = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.length("text").cast("long")
+            * F.size(F.array_distinct(F.split("text", r"\s+"))).cast("long")
+        ).alias("raw_score"),
+    )
+    w = Window.partitionBy("source").orderBy("raw_score", "doc_id")
+    wn = Window.partitionBy("source")
+    r = s.select(
+        "doc_id",
+        "source",
+        "raw_score",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    permille = F.when(
+        F.col("n") > 1, F.expr("(rn - 1) * 1000 div (n - 1)")
+    ).otherwise(F.lit(500))
+    return r.select(
+        "doc_id",
+        "source",
+        "raw_score",
+        permille.cast("long").alias("permille"),
+        (permille >= 300).cast("long").alias("keep"),
+    ).orderBy("doc_id")

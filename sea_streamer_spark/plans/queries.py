@@ -132,7 +132,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "profile_drift_chisq", "graph_triangle_counts", "privacy_k_anonymity",
     "dedup_span_removal", "search_rrf_fusion",
     "rollup_incremental_restatement", "profile_equiheight_histogram",
-    "events_mad_outliers", "events_ab_conversion",
+    "events_mad_outliers", "events_ab_conversion", "quality_rank_normalize",
 )
 
 

@@ -1009,3 +1009,47 @@ class TestAbConversion:
         r = events_ab_conversion(spark, sf_dir).collect()[0]
         assert r["n_a"] == sizes.get(0, 0)
         assert r["n_b"] == sizes.get(1, 0)
+
+
+class TestRankNormalize:
+    def test_per_source_fairness(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import quality_rank_normalize
+
+        rows = quality_rank_normalize(spark, sf_dir).collect()
+        by_src: dict[str, list] = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        for src, rs in by_src.items():
+            kept = sum(r["keep"] for r in rs)
+            n = len(rs)
+            if n > 1:
+                # every source keeps ~70% regardless of raw distribution
+                assert abs(kept / n - 0.7) < 0.15, (src, kept, n)
+            # permille spans [0, 1000] and is monotone in raw_score
+            ordered = sorted(rs, key=lambda r: (r["raw_score"], r["doc_id"]))
+            pms = [r["permille"] for r in ordered]
+            assert pms == sorted(pms)
+            if n > 1:
+                assert pms[0] == 0 and pms[-1] == 1000
+
+    def test_normalization_beats_global_threshold_on_skewed_sources(self, spark):
+        # a "low-scoring" source under a global cut loses everything; under
+        # rank normalization it keeps its own top 70%
+        import tempfile
+
+        from sea_streamer_spark.plans.llm_ops6 import quality_rank_normalize
+
+        rows = []
+        for i in range(20):  # rich source: long texts
+            rows.append((i, "alpha beta gamma delta " * (10 + i), "en", "rich", 1))
+        for i in range(20, 40):  # poor source: short texts
+            rows.append((i, "x y " * (1 + i % 3), "en", "poor", 1))
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows, "doc_id long, text string, lang string, source string, n_chars long"
+            ).write.parquet(td + "/documents.parquet")
+            out = quality_rank_normalize(spark, td).collect()
+        poor_kept = sum(r["keep"] for r in out if r["source"] == "poor")
+        rich_kept = sum(r["keep"] for r in out if r["source"] == "rich")
+        assert poor_kept > 0  # a global raw cut would have zeroed this
+        assert abs(poor_kept - rich_kept) <= 2  # both keep ~the same share
