@@ -103,9 +103,12 @@ _PRIORITY_RESAMPLE: tuple[str, ...] = (
 #: ROUND-4 RE-RANK TODO (first thing next round, after reading
 #: CORRECTNESS_r03): append round-3's green names to a new
 #: _R03_DRIVER_VERIFIED demotion list and promote THIS bucket to the
-#: front (all 30 have tri-scale local proof but zero driver rows), plus
-#: any round-3 red/err rows with fixes. All entries here also pass the
-#: sf0.1 sweep, so only driver sampling is outstanding.
+#: front (all 50 entries — the round-2 continuation waves AND the round-3
+#: official-session wave — have tri-scale local proof but zero driver
+#: rows; at 50 per round the driver needs two more rounds to cover them,
+#: so keep the never-sampled ones ahead of re-verification), plus any
+#: round-3 red/err rows with fixes. All entries here also pass the sf0.1
+#: sweep, so only driver sampling is outstanding.
 _POST_BUDGET: tuple[str, ...] = (
     "dedup_span_coverage", "dedup_bloom_incremental", "quality_char_lm",
     "embedding_whiten_project", "sketch_heavy_hitters",
