@@ -2321,3 +2321,68 @@ def quality_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         permille.cast("long").alias("permille"),
         (permille >= 300).cast("long").alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Collection-function breadth: maps + exists/forall/flatten
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_collection_functions",
+    oracle="""
+    WITH m AS (
+      SELECT event_id,
+             MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)} AS mp,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+             generate_series(1, 1 + CAST(event_id % 5 AS INTEGER)) AS arr
+      FROM events
+    )
+    SELECT event_id,
+           CAST(cardinality(mp) AS BIGINT) AS n_keys,
+           array_to_string(list_sort(map_keys(mp)), ',') AS keys_csv,
+           map_extract(mp, 'type')[1] AS type_val,
+           k_val,
+           CAST(len(list_filter(arr, x -> x % 4 = 0)) > 0 AS BIGINT)
+             AS has_mult4,
+           CAST(len(list_filter(arr, x -> x < 5)) = len(arr) AS BIGINT)
+             AS all_below5,
+           CAST(len(flatten([arr, list_reverse(arr)])) AS BIGINT)
+             AS flat_len,
+           CAST(list_reduce(flatten([arr, list_reverse(arr)]),
+                            (a, b) -> a + b) AS BIGINT) AS flat_sum
+    FROM m
+    ORDER BY event_id
+    """,
+    tags=("relational", "scalar"),
+)
+def scalar_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-type breadth: MAP construction/inspection
+    (create_map/map_concat/map_keys/element_at — the typed-metadata columns
+    multimodal tables carry), JSON→typed-map parsing, and the higher-order
+    trio the array family was missing (exists / forall / flatten). Every
+    output is scalarized deterministically (sorted key lists, fold sums) so
+    the map's internal ordering never reaches the hash. Pure projection —
+    zero shuffle beyond the presentation sort."""
+    ev = load_tables(spark, sf_dir, "events").events
+    mp = F.map_concat(
+        F.create_map(F.lit("type"), F.col("event_type")),
+        F.create_map(F.lit("uid"), F.col("user_id").cast("string")),
+    )
+    arr = F.sequence(F.lit(1), (F.lit(1) + F.col("event_id") % 5).cast("int"))
+    flat = F.flatten(F.array(arr, F.reverse(arr)))
+    return ev.select(
+        "event_id",
+        F.size(mp).cast("long").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(mp)), ",").alias("keys_csv"),
+        F.element_at(mp, F.lit("type")).alias("type_val"),
+        F.element_at(
+            F.from_json(F.col("props"), "map<string,bigint>"), F.lit("k")
+        ).alias("k_val"),
+        F.exists(arr, lambda x: x % 4 == 0).cast("long").alias("has_mult4"),
+        F.forall(arr, lambda x: x < 5).cast("long").alias("all_below5"),
+        F.size(flat).cast("long").alias("flat_len"),
+        F.aggregate(
+            flat, F.lit(0).cast("long"), lambda a, b: a + b.cast("long")
+        ).alias("flat_sum"),
+    ).orderBy("event_id")
