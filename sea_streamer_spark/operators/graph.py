@@ -290,3 +290,51 @@ def incremental_components(
     return connected_components(
         star.unionByName(delta), src="u", dst="v", **kwargs
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    roots: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    node: str = "node",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Hop distance from each node to its designated root — distributed
+    BFS as iterative frontier expansion (the remaining member of the
+    graph family: components → representatives, PageRank → centrality,
+    triangles → cohesion, THIS → radius/eccentricity structure).
+
+    Per round: frontier ⋈ edges → unseen neighbors at level+1; the
+    undirected edge relation is partitioned once and stays put, the
+    frontier/visited relations carry one row per reached node, and
+    ``localCheckpoint`` cuts the iterative lineage (the
+    connected_components convention). Rounds = graph eccentricity from
+    the roots; raises on non-convergence rather than returning partial
+    levels. Returns (node, level)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    visited = (
+        roots.select(F.col(node).alias("n"), F.lit(0).alias("level"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for _ in range(max_iter):
+        nxt = (
+            frontier.join(und, frontier["n"] == und["u"])
+            .select(F.col("v").alias("n"), (F.col("level") + 1).alias("level"))
+            .distinct()
+            .join(visited.select(F.col("n").alias("seen")),
+                  F.col("n") == F.col("seen"), "left_anti")
+            .groupBy("n")
+            .agg(F.min("level").alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            return visited.select(F.col("n").alias(node), "level")
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    raise RuntimeError(f"bfs_levels did not converge in {max_iter} rounds")

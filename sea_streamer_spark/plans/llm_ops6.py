@@ -2386,3 +2386,60 @@ def scalar_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             flat, F.lit(0).cast("long"), lambda a, b: a + b.cast("long")
         ).alias("flat_sum"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances from cluster representatives (graph.bfs_levels)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE {_DSS},
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    cc(node, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.v, cc.lbl FROM cc JOIN e ON e.u = cc.node
+    ),
+    lbls AS (SELECT node, MIN(lbl) AS cluster FROM cc GROUP BY node),
+    roots AS (SELECT DISTINCT cluster AS n FROM lbls),
+    bfs(n, level) AS (
+      SELECT n, 0 FROM roots
+      UNION
+      SELECT e.v, bfs.level + 1 FROM bfs JOIN e ON e.u = bfs.n
+      WHERE bfs.level < 30
+    )
+    SELECT n AS node, CAST(MIN(level) AS BIGINT) AS level
+    FROM bfs GROUP BY n ORDER BY node
+    """,
+    tags=("llm", "dedup"),
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from every near-dup-graph node to its cluster's
+    min-id representative (operators/graph.bfs_levels): the radius
+    structure that distinguishes a clique (everything at hop 1) from a
+    borderline-match chain (deep levels) — the diagnostic behind choosing
+    a dedup keep-rule. Iterative frontier expansion with edges partitioned
+    once; the oracle replays BFS as a recursive CTE with MIN-level
+    aggregation over the exact-Jaccard graph."""
+    from ..operators import dedup as _D
+    from ..operators import graph as _G
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    pairs = _D.minhash_lsh_dedup(docs, threshold=0.5).select("doc_a", "doc_b")
+    labels = _G.connected_components(pairs)
+    roots = labels.select(F.col("cluster").alias("node")).distinct()
+    return _G.bfs_levels(pairs, roots).orderBy("node")

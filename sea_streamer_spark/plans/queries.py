@@ -136,7 +136,7 @@ _POST_BUDGET: tuple[str, ...] = (
     "dedup_span_removal", "search_rrf_fusion",
     "rollup_incremental_restatement", "profile_equiheight_histogram",
     "events_mad_outliers", "events_ab_conversion", "quality_rank_normalize",
-    "scalar_collection_functions",
+    "scalar_collection_functions", "graph_bfs_levels",
 )
 
 

@@ -1053,3 +1053,55 @@ class TestRankNormalize:
         rich_kept = sum(r["keep"] for r in out if r["source"] == "rich")
         assert poor_kept > 0  # a global raw cut would have zeroed this
         assert abs(poor_kept - rich_kept) <= 2  # both keep ~the same share
+
+
+class TestBfsLevels:
+    def test_engineered_chain_and_clique(self, spark):
+        from sea_streamer_spark.operators.graph import bfs_levels
+
+        # chain 1-2-3-4-5 rooted at 1 -> levels 0..4; clique {10,11,12}
+        # rooted at 10 -> everything at level <= 1
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (11, 12)]
+        e = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        roots = spark.createDataFrame([(1,), (10,)], "node long")
+        got = {r["node"]: r["level"] for r in bfs_levels(e, roots).collect()}
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 10: 0, 11: 1, 12: 1}
+
+    def test_levels_match_python_bfs(self, spark, sf_dir):
+        from collections import deque
+
+        from sea_streamer_spark.operators.dedup import minhash_lsh_dedup
+        from sea_streamer_spark.operators.graph import connected_components
+        from sea_streamer_spark.plans.llm_ops6 import graph_bfs_levels
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        pairs = [
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_dedup(docs, threshold=0.5)
+            .select("doc_a", "doc_b")
+            .collect()
+        ]
+        adj: dict[int, set] = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        roots = {
+            r["cluster"]
+            for r in connected_components(
+                spark.createDataFrame(pairs, "doc_a long, doc_b long")
+            ).collect()
+        }
+        want: dict[int, int] = {}
+        for root in roots:
+            q = deque([(root, 0)])
+            while q:
+                n, lvl = q.popleft()
+                if n in want and want[n] <= lvl:
+                    continue
+                want[n] = lvl
+                for m in adj.get(n, ()):
+                    if m not in want or want[m] > lvl + 1:
+                        q.append((m, lvl + 1))
+        got = {r["node"]: r["level"] for r in graph_bfs_levels(spark, sf_dir).collect()}
+        assert got == want
