@@ -2442,4 +2442,8 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _D.minhash_lsh_dedup(docs, threshold=0.5).select("doc_a", "doc_b")
     labels = _G.connected_components(pairs)
     roots = labels.select(F.col("cluster").alias("node")).distinct()
-    return _G.bfs_levels(pairs, roots).orderBy("node")
+    out = _G.bfs_levels(pairs, roots)
+    # int64 level: the driver hash renders through the container dtype
+    return out.select("node", F.col("level").cast("long").alias("level")).orderBy(
+        "node"
+    )
