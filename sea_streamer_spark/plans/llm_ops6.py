@@ -2447,3 +2447,74 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("level").cast("long").alias("level")).orderBy(
         "node"
     )
+
+
+# ---------------------------------------------------------------------------
+# Struct-function breadth: named_struct / arrays_zip / inline / outer explode
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_struct_functions",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             {'status': o_orderstatus, 'priority': o_orderpriority,
+              'cents': CAST(ROUND(o_totalprice * 100) AS BIGINT)} AS st,
+             CASE WHEN o_orderkey % 3 = 0 THEN []
+                  ELSE [CAST(o_orderkey % 7 AS BIGINT),
+                        CAST(o_orderkey % 5 AS BIGINT)] END AS xs
+      FROM orders
+    )
+    SELECT o_orderkey,
+           st.status AS status,
+           st.cents AS cents,
+           CAST(len(xs) AS BIGINT) AS n_xs,
+           COALESCE(xs[1], -1) AS first_x,
+           COALESCE(array_to_string(list_transform(
+             list_zip(xs, list_reverse(xs)),
+             p -> CAST(p[1] AS VARCHAR) || ':' || CAST(p[2] AS VARCHAR)), ','),
+             '') AS zipped_csv
+    FROM s
+    ORDER BY o_orderkey
+    """,
+    tags=("relational", "scalar"),
+)
+def scalar_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-type breadth: named_struct construction + field access (the
+    envelope/metadata shape every message table carries), arrays_zip with
+    positional pairing scalarized to a CSV, and empty-array/NULL-element
+    handling (element_at past the end → NULL → COALESCE sentinel, zip of
+    empty arrays → empty string) — the null-semantics corners that differ
+    most across engines, pinned equal. Pure projection."""
+    orders = load_tables(spark, sf_dir, "orders").orders
+    st = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    xs = F.when(F.col("o_orderkey") % 3 == 0, F.array().cast("array<long>")).otherwise(
+        F.array(
+            (F.col("o_orderkey") % 7).cast("long"),
+            (F.col("o_orderkey") % 5).cast("long"),
+        )
+    )
+    s = orders.select(
+        "o_orderkey", st.alias("st"), xs.alias("xs")
+    ).withColumn("rxs", F.reverse(F.col("xs")))
+    zipped = F.transform(
+        F.arrays_zip(F.col("xs"), F.col("rxs")),
+        lambda p: F.concat(
+            p["xs"].cast("string"), F.lit(":"), p["rxs"].cast("string")
+        ),
+    )
+    return s.select(
+        "o_orderkey",
+        F.col("st.status").alias("status"),
+        F.col("st.cents").alias("cents"),
+        F.size("xs").cast("long").alias("n_xs"),
+        F.coalesce(F.try_element_at("xs", F.lit(1)), F.lit(-1).cast("long")).alias(
+            "first_x"
+        ),  # ANSI mode: plain element_at raises past the end
+        F.array_join(zipped, ",").alias("zipped_csv"),
+    ).orderBy("o_orderkey")
