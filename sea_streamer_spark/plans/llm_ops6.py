@@ -2518,3 +2518,97 @@ def scalar_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),  # ANSI mode: plain element_at raises past the end
         F.array_join(zipped, ",").alias("zipped_csv"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence association mining (integer lift)
+# ---------------------------------------------------------------------------
+
+_LIFT_MIN_CO = 5
+_LIFT_TOPK = 50
+
+
+@query(
+    "text_token_lift",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, tk FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tk
+        FROM documents
+      ) WHERE len(tk) > 0
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt
+    ), df AS (
+      SELECT tk, CAST(COUNT(*) AS BIGINT) AS c FROM dt GROUP BY tk
+    ), co AS (
+      SELECT a.tk AS t1, b.tk AS t2, CAST(COUNT(*) AS BIGINT) AS co
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tk < b.tk
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_LIFT_MIN_CO}
+    )
+    SELECT t1, t2, co,
+           CAST(co * n.n_docs * 1000 // (d1.c * d2.c) AS BIGINT) AS lift_milli
+    FROM co
+    JOIN df d1 ON d1.tk = co.t1
+    JOIN df d2 ON d2.tk = co.t2
+    CROSS JOIN n
+    ORDER BY lift_milli DESC, t1, t2
+    LIMIT {_LIFT_TOPK}
+    """,
+    tags=("llm", "text"),
+)
+def text_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence association mining — market-basket lift
+    ``P(a,b)/(P(a)·P(b))`` as the exact integer ``co·N·1000 div
+    (df_a·df_b)`` (the log-free PMI stand-in, so the ranking is
+    engine-exact). Plan: distinct (doc, token) relation → ONE doc-keyed
+    self-join bounded by per-doc distinct-token counts (with the support
+    floor pruning the pair tail — the apriori trick), document
+    frequencies from the same relation, broadcastable N. Top-k by lift
+    with a total tie-break."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split("text", r"\s+"), lambda t: F.length(t) > 0
+                    )
+                )
+            ).alias("tk"),
+        )
+        .distinct()
+        .cache()
+    )
+    n_docs = dt.select("doc_id").distinct().count()
+    df_rel = dt.groupBy("tk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tk") < F.col("b.tk")),
+        )
+        .groupBy(F.col("a.tk").alias("t1"), F.col("b.tk").alias("t2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        .filter(F.col("co") >= _LIFT_MIN_CO)
+    )
+    d1 = df_rel.select(F.col("tk").alias("t1"), F.col("c").alias("c1"))
+    d2 = df_rel.select(F.col("tk").alias("t2"), F.col("c").alias("c2"))
+    out = (
+        co.join(F.broadcast(d1), "t1")
+        .join(F.broadcast(d2), "t2")
+        .select(
+            "t1",
+            "t2",
+            "co",
+            F.expr(f"co * {n_docs}L * 1000 div (c1 * c2)")
+            .cast("long")
+            .alias("lift_milli"),
+        )
+        .orderBy(F.col("lift_milli").desc(), "t1", "t2")
+        .limit(_LIFT_TOPK)
+    )
+    return out
