@@ -2612,3 +2612,146 @@ def text_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_LIFT_TOPK)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty + vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_novelty_score",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+            FROM documents)
+      WHERE len(tk) >= 3
+    ), sh AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+      FROM pos
+    ), firsts AS (
+      SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh
+    ), per_doc AS (
+      SELECT s.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM sh s JOIN firsts f USING (sh)
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           CAST(n_novel * 1000 // n_shingles AS BIGINT) AS novelty_permille
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's 3-grams whose FIRST
+    corpus occurrence (by doc order) is in this doc — the
+    curriculum/ordering signal that separates fresh material from
+    recombinations of earlier text (the streaming-ingest complement of
+    duplicated-span coverage: coverage asks "is it repeated anywhere",
+    novelty asks "who said it first"). Plan: positional shingles →
+    shingle-keyed MIN(doc_id) → same-key join back → doc-keyed counts;
+    shuffle volume scales with shingle volume, never docs². Integer
+    permille — engine-exact."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    from ..operators.dedup import positional_shingles
+
+    sh = positional_shingles(docs).select("doc_id", "sh")
+    firsts = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.expr("n_novel * 1000 div n_shingles").cast("long").alias(
+            "novelty_permille"
+        ),
+    ).orderBy("doc_id")
+
+
+_GROWTH_CUTS = (50, 100, 200, 400, 800, 1600, 3200, 6400)
+
+
+@query(
+    "corpus_growth_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, tk FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tk
+        FROM documents
+      ) WHERE len(tk) > 0
+    ), firsts AS (
+      SELECT tk, MIN(doc_id) AS first_doc FROM tok GROUP BY tk
+    ), cuts AS (
+      SELECT unnest([{", ".join(str(c) for c in _GROWTH_CUTS)}]) AS cut
+    )
+    SELECT c.cut,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tok WHERE doc_id < c.cut)
+             AS n_tokens,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+             WHERE first_doc < c.cut) AS n_vocab
+    FROM cuts c
+    ORDER BY c.cut
+    """,
+    tags=("llm", "text"),
+)
+def corpus_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law measurement behind
+    tokenizer-vocab and dedup-rate planning): cumulative token count and
+    DISTINCT-vocabulary size at doc-count checkpoints. Computed WITHOUT
+    re-scanning per checkpoint: one token-keyed MIN(first_doc) aggregate
+    turns every cumulative-distinct question into a threshold count — the
+    same single-pass trick the novelty score uses. Conditional sums over
+    two bounded relations; checkpoints beyond the corpus report the full
+    corpus (curve flattens, correctly)."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("tk"),
+    )
+    firsts = tok.groupBy("tk").agg(F.min("doc_id").alias("first_doc"))
+    tok_counts = tok.agg(
+        *[
+            F.sum((F.col("doc_id") < c).cast("long")).cast("long").alias(f"t{c}")
+            for c in _GROWTH_CUTS
+        ]
+    )
+    vocab_counts = firsts.agg(
+        *[
+            F.sum((F.col("first_doc") < c).cast("long"))
+            .cast("long")
+            .alias(f"v{c}")
+            for c in _GROWTH_CUTS
+        ]
+    )
+    row = tok_counts.crossJoin(vocab_counts)
+    cuts = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).cast("long").alias("cut"),
+                        F.col(f"t{c}").alias("n_tokens"),
+                        F.col(f"v{c}").alias("n_vocab"),
+                    )
+                    for c in _GROWTH_CUTS
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return cuts.orderBy("cut")

@@ -137,7 +137,8 @@ _POST_BUDGET: tuple[str, ...] = (
     "rollup_incremental_restatement", "profile_equiheight_histogram",
     "events_mad_outliers", "events_ab_conversion", "quality_rank_normalize",
     "scalar_collection_functions", "graph_bfs_levels",
-    "scalar_struct_functions", "text_token_lift",
+    "scalar_struct_functions", "text_token_lift", "text_novelty_score",
+    "corpus_growth_curve",
 )
 
 

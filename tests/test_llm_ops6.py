@@ -1105,3 +1105,27 @@ class TestBfsLevels:
                         q.append((m, lvl + 1))
         got = {r["node"]: r["level"] for r in graph_bfs_levels(spark, sf_dir).collect()}
         assert got == want
+
+
+class TestNoveltyAndGrowth:
+    def test_first_doc_has_full_novelty(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import text_novelty_score
+
+        rows = {r["doc_id"]: r for r in text_novelty_score(spark, sf_dir).collect()}
+        first = rows[min(rows)]
+        # every shingle of the earliest doc first-occurs there
+        assert first["novelty_permille"] == 1000
+        for r in rows.values():
+            assert 0 <= r["novelty_permille"] <= 1000
+            assert r["n_novel"] <= r["n_shingles"]
+
+    def test_growth_curve_is_monotone_and_concave_ish(self, spark, sf_dir):
+        from sea_streamer_spark.plans.llm_ops6 import corpus_growth_curve
+
+        rows = corpus_growth_curve(spark, sf_dir).collect()
+        toks = [r["n_tokens"] for r in rows]
+        vocab = [r["n_vocab"] for r in rows]
+        assert toks == sorted(toks) and vocab == sorted(vocab)
+        assert all(v <= t for v, t in zip(vocab, toks))
+        # the tiny fixed vocabulary saturates early: final checkpoints flat
+        assert vocab[-1] == vocab[-2]
