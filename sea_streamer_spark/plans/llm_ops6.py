@@ -2698,7 +2698,7 @@ _GROWTH_CUTS = (50, 100, 200, 400, 800, 1600, 3200, 6400)
     ), cuts AS (
       SELECT unnest([{", ".join(str(c) for c in _GROWTH_CUTS)}]) AS cut
     )
-    SELECT c.cut,
+    SELECT CAST(c.cut AS BIGINT) AS cut,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM tok WHERE doc_id < c.cut)
              AS n_tokens,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
