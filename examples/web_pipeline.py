@@ -79,7 +79,11 @@ def main() -> None:
         "source",
         F.filter(F.split("text", r"\s+"), lambda x: F.length(x) > 0).alias("tk"),
     ).withColumn("n_lines", F.floor((F.size("tk") + 7) / F.lit(8)))
-    lines = toks.select(
+    # n_lines >= 1 guard: for an empty doc sequence(0, -1) auto-negates the
+    # step and yields [0, -1] — two phantom empty "lines" that would poison
+    # the corpus-wide frequency counts (r3 ADVICE #2). Empty docs emit no
+    # line rows at all (matching DuckDB's empty generate_series(0, -1)).
+    lines = toks.filter(F.col("n_lines") >= 1).select(
         "doc_id",
         "source",
         F.posexplode(

@@ -464,28 +464,27 @@ def duplicated_span_coverage(
     and ``dup_permille`` = floor(1000 * covered / n) — integer fixed-point
     so the result hashes engine-exactly.
 
-    Plan shape (the 100 TB posture): positional k-gram explode → one
-    count shuffle keyed by the k-gram → equi-join back (same key — no
-    pairwise or cross-doc join ever forms) → covered positions =
-    ``sequence(pos, pos+k-1)`` explode, distinct per (doc, idx), one
-    doc-keyed count. Every shuffle is keyed by k-gram or doc id; the
-    candidate volume scales with *duplicated* text, not corpus^2. Keys are
-    the shingle strings (exact; a 128-bit hash is the production swap —
-    the 1e9+7 polynomial fold would already birthday-collide at ~30k
-    distinct shingles, so it is deliberately NOT used as the join key).
+    Plan shape (the 100 TB posture): positional k-gram explode → ONE
+    count window keyed by the k-gram (corpus-wide occurrence count lands
+    on every positional row in the same shuffle that a groupBy would pay,
+    with no join-back and no cached shingle relation — r3 ADVICE #3
+    removed the never-unpersisted cache the join formulation needed) →
+    covered positions = ``sequence(pos, pos+k-1)`` explode, distinct per
+    (doc, idx), one doc-keyed count. Every shuffle is keyed by k-gram or
+    doc id; the candidate volume scales with *duplicated* text, not
+    corpus^2. Keys are the shingle strings (exact; a 128-bit hash is the
+    production swap — the 1e9+7 polynomial fold would already
+    birthday-collide at ~30k distinct shingles, so it is deliberately NOT
+    used as the join key).
     """
-    # the positional relation feeds BOTH the dup-count aggregate and the
-    # coverage join — cache it so the explode pipeline runs once (the
-    # jaccard_pairs convention for shared shingle relations)
-    pos_sh = positional_shingles(df, text_col, id_col, k).cache()
-    dup = (
-        pos_sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") >= min_occurrences)
-        .select("sh")
-    )
+    from pyspark.sql.window import Window
+
+    pos_sh = positional_shingles(df, text_col, id_col, k)
     covered = (
-        pos_sh.join(dup, "sh")
+        pos_sh.withColumn(
+            "n_occ", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
+        .filter(F.col("n_occ") >= min_occurrences)
         .select(F.col(id_col), F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("idx"))
         .distinct()
         .groupBy(id_col)
@@ -516,19 +515,17 @@ def duplicated_span_removal(
     """The REMOVAL half of :func:`duplicated_span_coverage` (Lee et al.
     arXiv:2107.06499 apply-side): rewrite every document with its covered
     token positions cut out, keeping survivors in original order. Same
-    plan economics as the metric — k-gram count shuffle, same-key join,
-    plus one (doc, idx)-keyed anti-join against the positional token
-    relation and a doc-keyed positional reassembly; nothing ever scales
-    with corpus². Returns (id, n_tokens, n_removed, clean_fp)."""
-    pos_sh = positional_shingles(df, text_col, id_col, k).cache()
-    dup = (
-        pos_sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") >= min_occurrences)
-        .select("sh")
-    )
+    plan economics as the metric — one k-gram-keyed count window (no
+    cache, no join-back; r3 ADVICE #3), plus one (doc, idx)-keyed
+    anti-join against the positional token relation and a doc-keyed
+    positional reassembly; nothing ever scales with corpus². Returns
+    (id, n_tokens, n_removed, clean_fp)."""
+    from pyspark.sql.window import Window
+
     covered = (
-        pos_sh.join(dup, "sh")
+        positional_shingles(df, text_col, id_col, k)
+        .withColumn("n_occ", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .filter(F.col("n_occ") >= min_occurrences)
         .select(
             F.col(id_col),
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(

@@ -425,17 +425,16 @@ def oracle_sample():
         X = None
         f = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
         if os.path.exists(f):
-            try:
-                import duckdb
-                import numpy as np
+            # read errors on PRESENT gate data propagate — swallowing them
+            # would silently drop every ANN oracle from sweeps (r3 ADVICE #1)
+            import duckdb
+            import numpy as np
 
-                key = T.duck_char_fold("md5(CAST(vec_id AS VARCHAR))")
-                rows = duckdb.sql(
-                    f"SELECT embedding FROM '{f}' ORDER BY {key}, vec_id LIMIT 4096"
-                ).fetchall()
-                X = np.array([list(r[0]) for r in rows], dtype=np.float64)
-            except Exception:
-                X = None
+            key = T.duck_char_fold("md5(CAST(vec_id AS VARCHAR))")
+            rows = duckdb.sql(
+                f"SELECT embedding FROM '{f}' ORDER BY {key}, vec_id LIMIT 4096"
+            ).fetchall()
+            X = np.array([list(r[0]) for r in rows], dtype=np.float64)
         _ORACLE_TRAIN["X"] = X
     return _ORACLE_TRAIN["X"]
 

@@ -165,38 +165,34 @@ def whiten_fit_np(parquet_path: str, k: int = _WHITEN_K):
     Returns (mu, W) or None when the file is absent/degenerate."""
     key = f"{parquet_path}|{k}"
     if key not in _whiten_cache:
-        model = None
-        try:
-            import numpy as np
-            import pyarrow.parquet as pq
-
-            x = np.asarray(
-                pq.read_table(parquet_path, columns=["embedding"])
-                .column("embedding")
-                .to_pylist(),
-                dtype=np.float64,
-            )
-            if x.ndim == 2 and x.shape[0] >= 2:  # else fall through to None
-                mu = x.mean(axis=0)
-                xc = x - mu
-                lam, vec = np.linalg.eigh(xc.T @ xc / x.shape[0])
-                order = np.argsort(lam)[::-1][:k]
-                lam, vec = np.maximum(lam[order], 0.0), vec[:, order]
-                for j in range(vec.shape[1]):
-                    i = int(np.argmax(np.abs(vec[:, j])))
-                    if vec[i, j] < 0:
-                        vec[:, j] = -vec[:, j]
-                w = vec / np.sqrt(lam + 1e-6)
-                model = (mu, w)
-        except Exception:
-            # degrade like llm_ops.oracle_sample: absent/unreadable gate
-            # data yields no model (→ oracle=None, query raises clearly)
-            model = None
-        if model is None:
-            # do NOT cache failures — the file may appear later in the
-            # process (testdata generated after import); re-check each call
+        # Only an ABSENT gate parquet is an expected skip (don't cache —
+        # testdata may appear later in the process). Fit errors on present
+        # data must propagate: swallowing them silently registers
+        # oracle=None and drops the query from sweeps (r3 ADVICE #1).
+        if not os.path.exists(parquet_path):
             return None
-        _whiten_cache[key] = model
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        x = np.asarray(
+            pq.read_table(parquet_path, columns=["embedding"])
+            .column("embedding")
+            .to_pylist(),
+            dtype=np.float64,
+        )
+        if x.ndim != 2 or x.shape[0] < 2:  # degenerate gate data
+            return None
+        mu = x.mean(axis=0)
+        xc = x - mu
+        lam, vec = np.linalg.eigh(xc.T @ xc / x.shape[0])
+        order = np.argsort(lam)[::-1][:k]
+        lam, vec = np.maximum(lam[order], 0.0), vec[:, order]
+        for j in range(vec.shape[1]):
+            i = int(np.argmax(np.abs(vec[:, j])))
+            if vec[i, j] < 0:
+                vec[:, j] = -vec[:, j]
+        w = vec / np.sqrt(lam + 1e-6)
+        _whiten_cache[key] = (mu, w)
     return _whiten_cache[key]
 
 
@@ -460,36 +456,32 @@ def dsir_grid_np(parquet_path: str, m: int = _DSIR_M):
     Returns the m-int grid or None when the gate parquet is absent."""
     key = f"{parquet_path}|{m}"
     if key not in _dsir_cache:
-        grid = None
-        try:
-            import duckdb
+        if not os.path.exists(parquet_path):
+            return None  # expected skip (absent gate data, not cached);
+            # training errors on present data propagate (r3 ADVICE #1)
+        import duckdb
 
-            from ..operators.selection import dsir_logratio_grid
-            from ..operators.text import duck_char_fold
+        from ..operators.selection import dsir_logratio_grid
+        from ..operators.text import duck_char_fold
 
-            con = duckdb.connect()
-            con.execute(
-                f"CREATE VIEW documents AS SELECT * FROM '{parquet_path}'"
-            )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{parquet_path}'"
+        )
 
-            def counts(where: str) -> list[int]:
-                rows = con.execute(
-                    f"SELECT ({duck_char_fold('ng')}) % {m} AS bucket, "
-                    f"COUNT(*) AS n FROM ({_duck_ngram_rel(where)}) GROUP BY 1"
-                ).fetchall()
-                out = [0] * m
-                for b, n in rows:
-                    out[int(b)] = int(n)
-                return out
+        def counts(where: str) -> list[int]:
+            rows = con.execute(
+                f"SELECT ({duck_char_fold('ng')}) % {m} AS bucket, "
+                f"COUNT(*) AS n FROM ({_duck_ngram_rel(where)}) GROUP BY 1"
+            ).fetchall()
+            out = [0] * m
+            for b, n in rows:
+                out[int(b)] = int(n)
+            return out
 
-            grid = dsir_logratio_grid(
-                counts("WHERE lang = 'en'"), counts(""), m
-            )
-        except Exception:
-            grid = None
-        if grid is None:
-            return None  # don't cache absence — testdata may appear later
-        _dsir_cache[key] = grid
+        _dsir_cache[key] = dsir_logratio_grid(
+            counts("WHERE lang = 'en'"), counts(""), m
+        )
     return _dsir_cache[key]
 
 
@@ -639,23 +631,19 @@ def bpe_train_py(parquet_path: str, n_merges: int = _BPE_MERGES):
     or None when the gate parquet is absent."""
     key = f"{parquet_path}|{n_merges}"
     if key not in _bpe_cache:
-        merges = None
-        try:
-            import duckdb
+        if not os.path.exists(parquet_path):
+            return None  # absent gate data: expected skip, not cached;
+            # training errors on present data propagate (r3 ADVICE #1)
+        import duckdb
 
-            from ..operators.bpe import py_train_bpe
+        from ..operators.bpe import py_train_bpe
 
-            rows = duckdb.sql(
-                f"SELECT w, COUNT(*) AS n FROM (SELECT unnest("
-                f"string_split_regex(text, '\\s+')) AS w FROM "
-                f"'{parquet_path}') WHERE len(w) > 0 GROUP BY w"
-            ).fetchall()
-            merges = py_train_bpe({w: int(n) for w, n in rows}, n_merges)
-        except Exception:
-            merges = None
-        if merges is None:
-            return None  # gate data may appear later in the process
-        _bpe_cache[key] = merges
+        rows = duckdb.sql(
+            f"SELECT w, COUNT(*) AS n FROM (SELECT unnest("
+            f"string_split_regex(text, '\\s+')) AS w FROM "
+            f"'{parquet_path}') WHERE len(w) > 0 GROUP BY w"
+        ).fetchall()
+        _bpe_cache[key] = py_train_bpe({w: int(n) for w, n in rows}, n_merges)
     return _bpe_cache[key]
 
 
@@ -823,22 +811,18 @@ def zorder_boundaries_np(parquet_path: str, bits: int = _Z_BITS):
     train-once convention so the oracle holds at every sf."""
     key = f"{parquet_path}|{bits}"
     if key not in _zorder_cache:
-        bounds = None
-        try:
-            import duckdb
+        if not os.path.exists(parquet_path):
+            return None  # absent gate data: expected skip, not cached;
+            # errors on present data propagate (r3 ADVICE #1)
+        import duckdb
 
-            n = (1 << bits) - 1
-            qs = ", ".join(str(i / (n + 1)) for i in range(1, n + 1))
-            u, t = duckdb.sql(
-                f"SELECT quantile_disc(user_id, [{qs}]), "
-                f"quantile_disc(epoch_us(ts), [{qs}]) FROM '{parquet_path}'"
-            ).fetchone()
-            bounds = ([int(x) for x in u], [int(x) for x in t])
-        except Exception:
-            bounds = None
-        if bounds is None:
-            return None
-        _zorder_cache[key] = bounds
+        n = (1 << bits) - 1
+        qs = ", ".join(str(i / (n + 1)) for i in range(1, n + 1))
+        u, t = duckdb.sql(
+            f"SELECT quantile_disc(user_id, [{qs}]), "
+            f"quantile_disc(epoch_us(ts), [{qs}]) FROM '{parquet_path}'"
+        ).fetchone()
+        _zorder_cache[key] = ([int(x) for x in u], [int(x) for x in t])
     return _zorder_cache[key]
 
 

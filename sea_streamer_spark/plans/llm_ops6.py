@@ -391,7 +391,12 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = toks.withColumn(
         "n_lines", F.floor((F.size("tk") + _LINE_W - 1) / F.lit(_LINE_W))
     )
-    lines = toks.select(
+    # n_lines >= 1 guard (r3 ADVICE #2): sequence(0, -1) on an empty doc
+    # auto-negates the step into [0, -1] — two phantom empty lines. The
+    # boilerplate prefix makes n_lines >= 1 here by construction, but the
+    # guard keeps the shared re-lining pattern safe for arbitrary corpora
+    # (and matches DuckDB, whose generate_series(0, -1) is empty).
+    lines = toks.filter(F.col("n_lines") >= 1).select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -553,19 +558,22 @@ _wp_cache: dict = {}
 def _wp_train_py(parquet_path: str):
     key = f"{parquet_path}|{_WP_MERGES}"
     if key not in _wp_cache:
-        try:
-            import duckdb
+        # Only a MISSING gate parquet is an expected skip (fresh checkout
+        # without testdata). Any error raised by actual training must
+        # propagate — swallowing it would silently register oracle=None and
+        # drop the query from every sweep (r3 ADVICE.md item #1).
+        if not _os.path.exists(parquet_path):
+            return None
+        import duckdb
 
-            from ..operators.bpe import py_train_wordpiece
+        from ..operators.bpe import py_train_wordpiece
 
-            rows = duckdb.sql(
-                f"SELECT w, COUNT(*) AS n FROM (SELECT unnest("
-                f"string_split_regex(text, '\\s+')) AS w FROM "
-                f"'{parquet_path}') WHERE len(w) > 0 GROUP BY w"
-            ).fetchall()
-            merges = py_train_wordpiece({w: int(n) for w, n in rows}, _WP_MERGES)
-        except Exception:
-            return None  # gate data may appear later in the process
+        rows = duckdb.sql(
+            f"SELECT w, COUNT(*) AS n FROM (SELECT unnest("
+            f"string_split_regex(text, '\\s+')) AS w FROM "
+            f"'{parquet_path}') WHERE len(w) > 0 GROUP BY w"
+        ).fetchall()
+        merges = py_train_wordpiece({w: int(n) for w, n in rows}, _WP_MERGES)
         _wp_cache[key] = merges
     return _wp_cache[key]
 
@@ -666,18 +674,19 @@ _clf_cache: dict = {}
 
 def _clf_train_py(parquet_path: str):
     if parquet_path not in _clf_cache:
-        try:
-            import duckdb
+        # Missing gate parquet ⇒ expected skip; training errors propagate
+        # (silent oracle=None drops the query from sweeps — r3 ADVICE #1).
+        if not _os.path.exists(parquet_path):
+            return None
+        import duckdb
 
-            from ..operators.classifier import py_features, py_label, py_train
+        from ..operators.classifier import py_features, py_label, py_train
 
-            rows = duckdb.sql(
-                f"SELECT text FROM '{parquet_path}'"
-            ).fetchall()
-            samples = [(py_features(t), py_label(t)) for (t,) in rows]
-            _clf_cache[parquet_path] = py_train(samples)
-        except Exception:
-            return None  # gate data may appear later in the process
+        rows = duckdb.sql(
+            f"SELECT text FROM '{parquet_path}'"
+        ).fetchall()
+        samples = [(py_features(t), py_label(t)) for (t,) in rows]
+        _clf_cache[parquet_path] = py_train(samples)
     return _clf_cache[parquet_path]
 
 
@@ -2567,6 +2576,13 @@ def text_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies from the same relation, broadcastable N. Top-k by lift
     with a total tie-break."""
     docs = load_tables(spark, sf_dir, "documents").documents
+    # localCheckpoint, not cache(): the relation is consumed four times
+    # (eager N, document frequencies, both self-join sides), but a cache()
+    # here would pin storage for the whole session — the returned plan is
+    # lazy, so there is no safe unpersist point (r3 ADVICE #3). Checkpoint
+    # blocks are released by the ContextCleaner once the query's RDDs are
+    # GC'd; the scale caveat (no lineage to recompute a lost executor's
+    # blocks) is acceptable for a top-k report query.
     dt = (
         docs.select(
             "doc_id",
@@ -2579,7 +2595,7 @@ def text_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tk"),
         )
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     n_docs = dt.select("doc_id").distinct().count()
     df_rel = dt.groupBy("tk").agg(F.count(F.lit(1)).cast("long").alias("c"))

@@ -85,30 +85,36 @@ _R02_DRIVER_VERIFIED: tuple[str, ...] = (
     "multimodal_frame_sample",
 )
 
-#: Round-3 must-sample set: the r02 red/err rows whose fixes land this round.
-#: Ahead of everything so they get driver rows under any budget cut.
-_PRIORITY_RESAMPLE: tuple[str, ...] = (
+#: Queries with a green driver row in CORRECTNESS_r03.json (50/50 green,
+#: including all round-2 red/err resamples) — demoted to re-verification.
+_R03_DRIVER_VERIFIED: tuple[str, ...] = (
     "curation_hash_split", "similarity_ann_lsh", "similarity_ann_ivf",
-    "multimodal_features", "agg_approx_sketches",
-    "curation_pack_chunks", "curation_mixture_resample",
+    "multimodal_features", "agg_approx_sketches", "curation_pack_chunks",
+    "curation_mixture_resample", "redis_group_pending_summary",
+    "redis_group_autoclaim_failover", "kafka_txn_visibility",
+    "redis_wire_roundtrip", "similarity_ann_lsh_banded",
+    "similarity_ann_ivf_pq", "similarity_ann_pq", "curation_stratified_sample",
+    "curation_shuffle_order", "text_ngram_counts", "curation_contamination",
+    "quality_gopher_flags", "text_repetition_stats", "pii_redaction",
+    "text_bpe_token_count", "curation_source_cap", "dedup_clusters",
+    "sessionize_events", "text_zipf_ranks", "hybrid_search_rerank",
+    "multimodal_ppm_roundtrip", "multimodal_png_roundtrip", "search_bm25_topk",
+    "text_tfidf_topterms", "curation_chunk_overlap", "dedup_semantic_ivf",
+    "multimodal_jpeg_roundtrip", "multimodal_wav_features",
+    "multimodal_mjpeg_frames", "multimodal_gif_frames", "agg_percentile_cont",
+    "agg_corr_exact", "array_lambda_functions", "array_explode_stats",
+    "regexp_functions", "in_subquery_segment", "values_inline_dim_join",
+    "agg_having_filter", "unpivot_part_measures", "generate_sequence_explode",
+    "sort_nulls_ordering", "set_except_all_multiset",
+    "set_intersect_all_multiset",
 )
 
 
-#: Registered AFTER the round-3 driver-budget window was frozen: ranked
-#: right behind the 50-query backlog (positions 51+), so the driver's
-#: budget still covers the backlog exactly; these get rows next round (or
-#: this round, if the budget turns out to exceed 50 — they pass the same
-#: strict local sweep as everything else).
-#:
-#: ROUND-4 RE-RANK TODO (first thing next round, after reading
-#: CORRECTNESS_r03): append round-3's green names to a new
-#: _R03_DRIVER_VERIFIED demotion list and promote THIS bucket to the
-#: front (all 50 entries — the round-2 continuation waves AND the round-3
-#: official-session wave — have tri-scale local proof but zero driver
-#: rows; at 50 per round the driver needs two more rounds to cover them,
-#: so keep the never-sampled ones ahead of re-verification), plus any
-#: round-3 red/err rows with fixes. All entries here also pass the sf0.1
-#: sweep, so only driver sampling is outstanding.
+#: Round-4 front of the line: every query with tri-scale local proof but
+#: ZERO driver rows — the round-2/round-3 post-budget waves, promoted per
+#: the round-3 re-rank TODO (and VERDICT.md r3 "Next round" #1). 61 entries
+#: at a 50-slot budget: slots 1-50 get rows this round, the tail plus any
+#: round-4 additions next round. Order preserved from registration.
 _POST_BUDGET: tuple[str, ...] = (
     "dedup_span_coverage", "dedup_bloom_incremental", "quality_char_lm",
     "embedding_whiten_project", "sketch_heavy_hitters",
@@ -144,31 +150,19 @@ _POST_BUDGET: tuple[str, ...] = (
 
 def _rank(item: tuple[str, object]) -> tuple[float, int]:
     name = item[0]
-    if name in _PRIORITY_RESAMPLE:
-        return (-1, _PRIORITY_RESAMPLE.index(name))
     if name in _POST_BUDGET:
-        return (2.5, _POST_BUDGET.index(name))
+        return (-1, _POST_BUDGET.index(name))
+    if name in _R03_DRIVER_VERIFIED:
+        return (3, _R03_DRIVER_VERIFIED.index(name))
     if name in _R01_DRIVER_VERIFIED:
-        return (3, _R01_DRIVER_VERIFIED.index(name))
+        return (4, _R01_DRIVER_VERIFIED.index(name))
     if name in _R02_DRIVER_VERIFIED:
-        return (4, _R02_DRIVER_VERIFIED.index(name))
-    # Never driver-sampled: streaming + LLM blocks keep their relative
-    # registration order but move ahead of relational leftovers.
-    qd = QUERIES[name]
-    if any(t in ("streaming", "llm") for t in qd.tags) or name in _STREAMING_LLM:
-        return (0, 0)
-    return (2, 0)
+        return (5, _R02_DRIVER_VERIFIED.index(name))
+    # Never driver-sampled and not in the promoted backlog: round-4
+    # additions land here, right behind the backlog, ahead of
+    # re-verification. Registration order preserved (sort is stable).
+    return (0, 0)
 
-
-# Tag metadata is sparse; classify by defining module instead.
-_STREAMING_LLM = {
-    n for n, qd in QUERIES.items()
-    if getattr(qd.fn, "__module__", "").rsplit(".", 1)[-1]
-    in (
-        "streaming_ops", "llm_ops", "llm_ops2", "llm_ops3", "llm_ops4",
-        "llm_ops5", "llm_ops6",
-    )
-}
 
 _ordered = sorted(QUERIES.items(), key=_rank)
 _snapshot = dict(_ordered)

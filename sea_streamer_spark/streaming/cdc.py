@@ -79,11 +79,22 @@ def cdc_apply_foreach_batch(root: str, key: str = "doc_id"):
             )
         else:
             payload_cols = [c for c in latest.columns if c not in (key, "op")]
+            # Schema-narrowing guard (r3 ADVICE #4): a snapshot column the
+            # changelog batch doesn't carry would previously be DROPPED
+            # from the newly published version — silent data loss. Snapshot
+            # columns absent from the batch now pass through unchanged;
+            # batch columns absent from the snapshot are new (widening,
+            # allowed — full-outer rows from cur get NULL for them).
+            carry_cols = [
+                c for c in cur.columns
+                if c != key and c not in payload_cols
+            ]
             l = latest.select(
                 F.col(key),
                 F.col("op"),
                 *[F.col(c).alias(f"__new_{c}") for c in payload_cols],
             )
+            new_cols = [c for c in payload_cols if c not in cur.columns]
             merged = (
                 cur.join(l, key, "full_outer")
                 .filter(F.col("op").isNull() | (F.col("op") != "D"))
@@ -92,9 +103,12 @@ def cdc_apply_foreach_batch(root: str, key: str = "doc_id"):
                     *[
                         F.when(
                             F.col("op") == "U", F.col(f"__new_{c}")
-                        ).otherwise(F.col(c)).alias(c)
+                        ).otherwise(
+                            F.col(c) if c not in new_cols else F.lit(None)
+                        ).alias(c)
                         for c in payload_cols
                     ],
+                    *[F.col(c) for c in carry_cols],
                 )
             )
         version = 0 if meta is None else meta["version"] + 1

@@ -97,6 +97,7 @@ def kafka_txn_foreach_batch(
     timestamp_col: str = "timestamp",
     value_col: str = "payload",
     key_col: str | None = "stream_key",
+    partition_col: str | None = None,
 ):
     """foreachBatch body with Kafka-transaction EOS: each micro-batch is one
     transaction whose messages and batch-id offset commit atomically.
@@ -122,10 +123,19 @@ def kafka_txn_foreach_batch(
             for row in batch_df.toLocalIterator():
                 ts = getattr(row, timestamp_col, None)
                 key = getattr(row, key_col, None) if key_col else None
+                # partition_col pins placement per row (send_message's
+                # explicit-partition mode, kafka/src/producer.rs:171-185);
+                # None keeps the broker's key-hash default partitioner.
+                part = (
+                    int(getattr(row, partition_col))
+                    if partition_col is not None
+                    else None
+                )
                 producer.send(
                     topic,
                     bytes(getattr(row, value_col) or b""),
                     key=key.encode() if key is not None else None,
+                    partition=part,
                     timestamp_ms=int(ts.timestamp() * 1000) if ts else 0,
                 )
             producer.send_offsets_to_transaction(

@@ -24,6 +24,23 @@ from ..session import prepare
 from ..uri import StreamUrl
 
 
+def kafka_sink_projection(env: DataFrame, pin_partitions: bool = False) -> DataFrame:
+    """Envelope → the Kafka sink's column contract (topic, value, key[,
+    partition]). Factored out so the mapping is testable without a broker:
+    Spark's kafka writer reads an optional int ``partition`` column per row
+    (the sink-side analog of rdkafka's explicit-partition send,
+    kafka/src/producer.rs:171-185); when absent the broker's default
+    partitioner places by key hash."""
+    cols = [
+        F.col("stream_key").alias("topic"),
+        F.col("payload").alias("value"),
+        F.col("sequence").cast("string").cast("binary").alias("key"),
+    ]
+    if pin_partitions:
+        cols.append(F.col("shard_id").cast("int").alias("partition"))
+    return env.select(*cols)
+
+
 @dataclass
 class Producer:
     spark: SparkSession
@@ -42,17 +59,27 @@ class Producer:
             raise ValueError(f"producer needs envelope columns; missing {missing}")
         return df.select(*ENVELOPE_COLUMNS)
 
-    def send_stream(self, df: DataFrame, checkpoint_dir: str, trigger_available_now: bool = True):
-        """Start a streaming write (send_to, S2/S9). Returns the query."""
+    def send_stream(
+        self,
+        df: DataFrame,
+        checkpoint_dir: str,
+        trigger_available_now: bool = True,
+        pin_partitions: bool = False,
+    ):
+        """Start a streaming write (send_to, S2/S9). Returns the query.
+
+        ``pin_partitions=True`` is ``send_message``'s explicit-partition
+        mode (kafka/src/producer.rs:171-185: a message may carry a pinned
+        partition instead of the key-hash default): the envelope's
+        ``shard_id`` is projected as the Kafka sink's ``partition`` column,
+        which Spark's kafka writer honors row-by-row. Off by default —
+        the reference's default path lets the broker partitioner place by
+        key (producer.rs:155-169), and so do we."""
         env = self._prepare_df(df)
         scheme = self.url.streamer.scheme
         if scheme == "kafka":
             writer = (
-                env.select(
-                    F.col("stream_key").alias("topic"),
-                    F.col("payload").alias("value"),
-                    F.col("sequence").cast("string").cast("binary").alias("key"),
-                )
+                kafka_sink_projection(env, pin_partitions=pin_partitions)
                 .writeStream.format("kafka")
                 .option("kafka.bootstrap.servers", ",".join(self.url.streamer.nodes))
             )

@@ -386,3 +386,58 @@ class TestKafkaTransactions:
         # the producer is reusable after the abort
         write(env_batch.limit(5), 0)
         assert len(b.fetch("out", 0, 0, isolation="read_committed")) == 5
+
+
+class TestPartitionPinning:
+    """S2 parity with ``send_message``'s explicit-partition mode
+    (kafka/src/producer.rs:171-185): the envelope's shard_id pins the
+    Kafka partition, both in the Spark sink projection and end-to-end
+    through the broker model's transactional path."""
+
+    def test_sink_projection_maps_shard_id(self, spark, sf_dir):
+        from sea_streamer_spark.model import envelope_from_events
+        from sea_streamer_spark.sources.tables import load_tables
+        from sea_streamer_spark.streaming.producer import kafka_sink_projection
+
+        env = envelope_from_events(load_tables(spark, sf_dir, "events").events)
+        default = kafka_sink_projection(env)
+        assert default.columns == ["topic", "value", "key"]  # broker places
+
+        pinned = kafka_sink_projection(env, pin_partitions=True)
+        assert pinned.columns == ["topic", "value", "key", "partition"]
+        assert dict(pinned.dtypes)["partition"] == "int"  # sink contract
+        got = pinned.limit(50).collect()
+        src = env.limit(50).collect()
+        assert [r["partition"] for r in got] == [int(r["shard_id"]) for r in src]
+
+    def test_rows_land_on_pinned_partition_in_broker_model(self, spark, sf_dir):
+        from sea_streamer_spark.model import envelope_from_events
+        from sea_streamer_spark.sources.tables import load_tables
+        from sea_streamer_spark.streaming.kafka_txn import (
+            TransactionalProducer,
+            kafka_txn_foreach_batch,
+        )
+
+        env = envelope_from_events(
+            load_tables(spark, sf_dir, "events").events
+        ).limit(40)
+        n_parts = 4
+        b = FakeKafka()
+        b.create_topic("out", n_parts)
+        p = TransactionalProducer(b, "pin").init_transactions()
+        write = kafka_txn_foreach_batch(
+            p, "out", "spark-sink", partition_col="shard_id"
+        )
+        rows = env.collect()
+        assert all(0 <= int(r["shard_id"]) < n_parts for r in rows)
+        write(env, 0)
+        want: dict[int, list[bytes]] = {i: [] for i in range(n_parts)}
+        for r in rows:
+            want[int(r["shard_id"])].append(bytes(r["payload"]))
+        assert sum(len(v) for v in want.values()) == 40
+        for part in range(n_parts):
+            got = [
+                rec.value
+                for rec in b.fetch("out", part, 0, isolation="read_committed")
+            ]
+            assert got == want[part], f"partition {part}"

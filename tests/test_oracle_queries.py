@@ -24,6 +24,22 @@ _PINNED_SF = {
 }
 
 
+def test_no_silent_oracle_drops():
+    """With gate data present, EVERY registered query must carry an oracle
+    (r3 ADVICE #1: a swallowed import-time trainer error used to register
+    oracle=None, silently dropping the query from every sweep — the sweep
+    filter `oracle is not None` hides that). Import-time builders now
+    re-raise on present-but-broken gate data; this pins the contract."""
+    import os
+
+    from sea_streamer_spark.plans.llm_ops import ORACLE_SF_DIR
+
+    if not os.path.exists(os.path.join(ORACLE_SF_DIR, "documents.parquet")):
+        pytest.skip("gate testdata absent")
+    missing = sorted(n for n, q in QUERIES.items() if q.oracle is None)
+    assert missing == [], f"registered without an oracle: {missing}"
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_query(spark, sf_dir, name):
     if name in _PINNED_SF:

@@ -97,3 +97,37 @@ class TestStreamingCdcApply:
         # time travel: version 0 still on disk and readable
         old = spark.read.parquet(os.path.join(dirs["snap"], "v00000000"))
         assert {r["doc_id"]: r["text"] for r in old.collect()} == {1: "a"}
+
+    def test_snapshot_only_columns_carry_through(self, spark, dirs):
+        """A snapshot column the changelog batch doesn't carry must pass
+        through the merge unchanged — not silently vanish from the newly
+        published version (r3 ADVICE #4 schema-narrowing guard). New batch
+        columns widen the snapshot (NULL for untouched rows)."""
+        import os
+
+        os.makedirs(dirs["snap"], exist_ok=True)
+        fn = cdc_apply_foreach_batch(dirs["snap"])
+        # seed a snapshot with an extra payload column `lang`
+        wide = "doc_id long, seq long, op string, text string, lang string"
+        fn(
+            spark.createDataFrame(
+                [(1, 1, "U", "a", "en"), (2, 1, "U", "b", "fr")], wide
+            ),
+            0,
+        )
+        # narrow changelog batch (no `lang`): update doc 1's text only
+        fn(spark.createDataFrame([(1, 2, "U", "a2")], SCHEMA), 1)
+        cur = read_current(spark, dirs["snap"])
+        assert set(cur.columns) == {"doc_id", "text", "lang"}
+        got = {r["doc_id"]: (r["text"], r["lang"]) for r in cur.collect()}
+        assert got == {1: ("a2", "en"), 2: ("b", "fr")}
+        # widening batch: new payload column `score` appears mid-stream
+        wider = "doc_id long, seq long, op string, text string, score long"
+        fn(spark.createDataFrame([(2, 3, "U", "b2", 9)], wider), 2)
+        cur = read_current(spark, dirs["snap"])
+        assert set(cur.columns) == {"doc_id", "text", "lang", "score"}
+        got = {
+            r["doc_id"]: (r["text"], r["lang"], r["score"])
+            for r in cur.collect()
+        }
+        assert got == {1: ("a2", "en", None), 2: ("b2", "fr", 9)}
