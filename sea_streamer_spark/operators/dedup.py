@@ -465,10 +465,14 @@ def duplicated_span_coverage(
     so the result hashes engine-exactly.
 
     Plan shape (the 100 TB posture): positional k-gram explode → ONE
-    count window keyed by the k-gram (corpus-wide occurrence count lands
-    on every positional row in the same shuffle that a groupBy would pay,
-    with no join-back and no cached shingle relation — r3 ADVICE #3
-    removed the never-unpersisted cache the join formulation needed) →
+    count window keyed by the k-gram (one k-gram-keyed shuffle, no
+    join-back and no cached shingle relation — r3 ADVICE #3 removed the
+    never-unpersisted cache the join formulation needed). Caveat vs a
+    groupBy count: the window has NO map-side partial aggregation, so a
+    heavy-hitter k-gram (boilerplate that appears everywhere) buffers all
+    its positional rows in one task — correct and spillable, but skewed;
+    the production swap for adversarial corpora is a salted two-phase
+    count joined back, trading a second shuffle for skew immunity. →
     covered positions = ``sequence(pos, pos+k-1)`` explode, distinct per
     (doc, idx), one doc-keyed count. Every shuffle is keyed by k-gram or
     doc id; the candidate volume scales with *duplicated* text, not
@@ -516,7 +520,9 @@ def duplicated_span_removal(
     arXiv:2107.06499 apply-side): rewrite every document with its covered
     token positions cut out, keeping survivors in original order. Same
     plan economics as the metric — one k-gram-keyed count window (no
-    cache, no join-back; r3 ADVICE #3), plus one (doc, idx)-keyed
+    cache, no join-back; r3 ADVICE #3; same heavy-hitter-skew caveat:
+    no map-side partial agg, salted two-phase count is the production
+    swap for boilerplate-dominated corpora), plus one (doc, idx)-keyed
     anti-join against the positional token relation and a doc-keyed
     positional reassembly; nothing ever scales with corpus². Returns
     (id, n_tokens, n_removed, clean_fp)."""

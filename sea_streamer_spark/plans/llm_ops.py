@@ -422,20 +422,23 @@ def oracle_sample():
     exact rows every quantizer trains on — smallest (char_fold(md5(id)), id)
     keys), or None when the gate parquet is absent/unreadable."""
     if "X" not in _ORACLE_TRAIN:
-        X = None
         f = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
-        if os.path.exists(f):
-            # read errors on PRESENT gate data propagate — swallowing them
-            # would silently drop every ANN oracle from sweeps (r3 ADVICE #1)
-            import duckdb
-            import numpy as np
+        if not os.path.exists(f):
+            # do NOT cache absence: testdata may appear later in-process
+            # (mirrors whiten_fit_np / dsir_grid_np / bpe_train_py)
+            return None
+        # read errors on PRESENT gate data propagate — swallowing them
+        # would silently drop every ANN oracle from sweeps (r3 ADVICE #1)
+        import duckdb
+        import numpy as np
 
-            key = T.duck_char_fold("md5(CAST(vec_id AS VARCHAR))")
-            rows = duckdb.sql(
-                f"SELECT embedding FROM '{f}' ORDER BY {key}, vec_id LIMIT 4096"
-            ).fetchall()
-            X = np.array([list(r[0]) for r in rows], dtype=np.float64)
-        _ORACLE_TRAIN["X"] = X
+        key = T.duck_char_fold("md5(CAST(vec_id AS VARCHAR))")
+        rows = duckdb.sql(
+            f"SELECT embedding FROM '{f}' ORDER BY {key}, vec_id LIMIT 4096"
+        ).fetchall()
+        _ORACLE_TRAIN["X"] = np.array(
+            [list(r[0]) for r in rows], dtype=np.float64
+        )
     return _ORACLE_TRAIN["X"]
 
 

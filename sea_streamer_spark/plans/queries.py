@@ -112,9 +112,10 @@ _R03_DRIVER_VERIFIED: tuple[str, ...] = (
 
 #: Round-4 front of the line: every query with tri-scale local proof but
 #: ZERO driver rows — the round-2/round-3 post-budget waves, promoted per
-#: the round-3 re-rank TODO (and VERDICT.md r3 "Next round" #1). 61 entries
-#: at a 50-slot budget: slots 1-50 get rows this round, the tail plus any
-#: round-4 additions next round. Order preserved from registration.
+#: the round-3 re-rank TODO (and VERDICT.md r3 "Next round" #1). 62 entries
+#: at a 50-slot budget: slots 1-50 got rows in round 4 (all green, now in
+#: ``_R04_DRIVER_VERIFIED`` below); the 12-entry tail is the round-5 front.
+#: Order preserved from registration.
 _POST_BUDGET: tuple[str, ...] = (
     "dedup_span_coverage", "dedup_bloom_incremental", "quality_char_lm",
     "embedding_whiten_project", "sketch_heavy_hitters",
@@ -148,17 +149,55 @@ _POST_BUDGET: tuple[str, ...] = (
 )
 
 
+#: Queries with a green driver row in CORRECTNESS_r04.json (50/50 green,
+#: all first-time samples — the first 50 of ``_POST_BUDGET``). Demoted so
+#: the 12-entry ``_POST_BUDGET`` tail lands in driver slots 1-12 this round.
+_R04_DRIVER_VERIFIED: tuple[str, ...] = (
+    "dedup_span_coverage", "dedup_bloom_incremental", "quality_char_lm",
+    "embedding_whiten_project", "sketch_heavy_hitters",
+    "events_anomaly_zscore", "curation_dsir_select",
+    "graph_neardup_pagerank", "tokenizer_bpe_counts",
+    "curation_leakage_safe_split", "layout_zorder_events",
+    "profile_documents", "triples_hard_negatives",
+    "contamination_matrix_sources", "sketch_hll_per_source",
+    "sketch_kmv_jaccard_sources", "text_normalize_stats",
+    "text_lang_id_ngram", "sketch_quantile_bottomk", "join_skew_salted",
+    "dataset_snapshot_diff", "multimodal_dhash_neardup", "text_typo_pairs",
+    "events_funnel_stages", "profile_incremental_merge",
+    "multimodal_audio_neardup", "join_bloom_prefilter", "events_value_trend",
+    "embedding_quantize_sq8", "dedup_crossmodal_agreement",
+    "join_point_in_time", "text_html_extract", "web_url_stats",
+    "text_line_dedup", "cdc_merge_upsert", "tokenizer_wordpiece_counts",
+    "quality_classifier_probe", "entity_resolution_customers",
+    "events_cohort_retention", "profile_key_skew",
+    "dedup_clusters_incremental", "mmr_diverse_topk", "events_pattern_match",
+    "events_gapfill_15m", "validate_expectations", "sketch_join_cardinality",
+    "profile_drift_chisq", "graph_triangle_counts", "privacy_k_anonymity",
+    "dedup_span_removal",
+)
+
+
 def _rank(item: tuple[str, object]) -> tuple[float, int]:
+    """Round-5 ordering (VERDICT r4 "Next round" #1).
+
+    Slots 1-12: the never-driver-sampled ``_POST_BUDGET`` tail (the only
+    registry queries with zero driver rows). Next: any brand-new round-5
+    registrations. Then re-verification, OLDEST driver evidence first —
+    r1 rows (last checked round 1) before r2, r3, r4 — so the freed ~38
+    budget slots refresh the stalest proof.
+    """
     name = item[0]
+    if name in _R04_DRIVER_VERIFIED:
+        return (4, _R04_DRIVER_VERIFIED.index(name))
     if name in _POST_BUDGET:
         return (-1, _POST_BUDGET.index(name))
+    if name in _R01_DRIVER_VERIFIED:
+        return (1, _R01_DRIVER_VERIFIED.index(name))
+    if name in _R02_DRIVER_VERIFIED:
+        return (2, _R02_DRIVER_VERIFIED.index(name))
     if name in _R03_DRIVER_VERIFIED:
         return (3, _R03_DRIVER_VERIFIED.index(name))
-    if name in _R01_DRIVER_VERIFIED:
-        return (4, _R01_DRIVER_VERIFIED.index(name))
-    if name in _R02_DRIVER_VERIFIED:
-        return (5, _R02_DRIVER_VERIFIED.index(name))
-    # Never driver-sampled and not in the promoted backlog: round-4
+    # Never driver-sampled and not in the promoted backlog: round-5
     # additions land here, right behind the backlog, ahead of
     # re-verification. Registration order preserved (sort is stable).
     return (0, 0)

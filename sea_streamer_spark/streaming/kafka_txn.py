@@ -126,11 +126,16 @@ def kafka_txn_foreach_batch(
                 # partition_col pins placement per row (send_message's
                 # explicit-partition mode, kafka/src/producer.rs:171-185);
                 # None keeps the broker's key-hash default partitioner.
-                part = (
-                    int(getattr(row, partition_col))
-                    if partition_col is not None
-                    else None
-                )
+                part = None
+                if partition_col is not None:
+                    raw = getattr(row, partition_col, None)
+                    if raw is None:
+                        raise ValueError(
+                            f"partition pin column {partition_col!r} is "
+                            "missing or NULL for a row in this batch; "
+                            "drop the pin or backfill the column"
+                        )
+                    part = int(raw)
                 producer.send(
                     topic,
                     bytes(getattr(row, value_col) or b""),
