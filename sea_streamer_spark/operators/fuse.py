@@ -10,10 +10,11 @@ Spark mapping:
 
 - **batch / replay**: a global event-time sort with the key tie-break. The
   merge order is materialized as ``emit_index`` so it can be verified by an
-  order-insensitive hash. Global total order fundamentally serializes; for
-  100 TB use :func:`stream_join_sharded`, which keeps the order per shard
-  (range-partitioned sort → parallel) — the per-key order the reference
-  guarantees per shard is preserved without a single-node bottleneck.
+  order-insensitive hash. The global index is computed *distributed*
+  (event-time range buckets + per-bucket rank + broadcast offsets — see
+  :func:`stream_join_batch`); :func:`stream_join_sharded` remains the
+  default because per-shard order is the delivery guarantee the reference
+  actually makes — global order is a replay/audit opt-in.
 - **streaming**: union the sources, apply a watermark, and sort within each
   micro-batch (:func:`stream_join_stream`); the watermark plays the role of
   align-gating (emission waits for the slowest peer's progress).
@@ -62,9 +63,9 @@ def stream_join(
 ) -> DataFrame:
     """StreamJoin entry point. ``scope="sharded"`` (default) merges per
     shard — fully parallel, the delivery order the reference actually
-    guarantees; ``scope="global"`` opts into the single total order (a
-    one-partition window: correct, deliberately serialized — replay/audit
-    use, not the 100 TB path)."""
+    guarantees; ``scope="global"`` opts into the single total order
+    (replay/audit use), computed distributed via range buckets +
+    per-bucket rank + broadcast offsets — no one-partition window."""
     if scope == "sharded":
         return stream_join_sharded(muxed, align)
     if scope == "global":
@@ -72,7 +73,11 @@ def stream_join(
     raise ValueError(f"scope must be sharded|global, got {scope!r}")
 
 
-def stream_join_batch(muxed: DataFrame, align: list[str] | None = None) -> DataFrame:
+def stream_join_batch(
+    muxed: DataFrame,
+    align: list[str] | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
     """Batch StreamJoin: emit the muxed stream in global event-time order.
 
     ``align`` restricts emission to messages no later than the slowest aligned
@@ -80,12 +85,63 @@ def stream_join_batch(muxed: DataFrame, align: list[str] | None = None) -> DataF
     fuse/src/lib.rs:91-100): in a bounded replay every aligned stream has
     "progressed" to its final timestamp, so the gate is the min of those
     maxima — and an aligned stream with no rows holds back everything.
+
+    The global total order is computed DISTRIBUTED (r3 task #5 / r4 task
+    #2): event-time range buckets + per-bucket rank + broadcast bucket
+    offsets — never a one-partition window.
+
+    Plan shape: (1) collect ≤ ``n_buckets``-1 approximate timestamp
+    quantiles (one geometry-bounded driver collect, embedded as plan
+    literals so every branch sees identical cuts — ``repartitionByRange``
+    was rejected because its sampled bounds can differ between the rank
+    and count branches of the same query); (2) assign each row its bucket
+    JVM-side (count of cuts ≤ ts — equal timestamps always share a bucket,
+    so the (ts, key, seq) tie-break never straddles buckets); (3)
+    ``row_number`` over a ``_bucket``-partitioned window — one hash
+    shuffle, one task per bucket, fully parallel; (4) per-bucket counts
+    (map-side partial agg, ≤ ``n_buckets`` rows) → running-sum offsets on
+    the tiny frame → broadcast join back; ``emit_index`` = offset + local
+    rank. Skewed event times cost one hot bucket, never a serialized sort.
     """
     validate_envelope(muxed)
     if align:
         muxed = _align_gate(muxed, align)
-    w = Window.orderBy(*[F.col(c).asc() for c in MERGE_ORDER])
-    return muxed.withColumn("emit_index", F.row_number().over(w))
+    spark = muxed.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts: list[float] = []
+    if probs:
+        sampled = muxed.select(
+            F.unix_micros(F.col("timestamp")).cast("double").alias("_t_us")
+        )
+        cuts = sorted(set(sampled.approxQuantile("_t_us", probs, 0.001)))
+    t_us = F.unix_micros(F.col("timestamp")).cast("double")
+    if cuts:
+        bucket = F.aggregate(
+            F.array(*[F.lit(c) for c in cuts]),
+            F.lit(0),
+            lambda acc, c: acc + F.when(t_us >= c, F.lit(1)).otherwise(F.lit(0)),
+        )
+    else:
+        bucket = F.lit(0)
+    tagged = muxed.withColumn("_bucket", bucket)
+    w_local = Window.partitionBy("_bucket").orderBy(
+        *[F.col(c).asc() for c in MERGE_ORDER]
+    )
+    local = tagged.withColumn("_local_idx", F.row_number().over(w_local))
+    counts = tagged.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # one-partition window over ≤ n_buckets rows — geometry-bounded
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).drop("_n")
+    return (
+        local.join(F.broadcast(offsets), "_bucket")
+        .withColumn("emit_index", F.col("_offset") + F.col("_local_idx"))
+        .drop("_bucket", "_local_idx", "_offset")
+    )
 
 
 def stream_join_sharded(muxed: DataFrame, align: list[str] | None = None) -> DataFrame:

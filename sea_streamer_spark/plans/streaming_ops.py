@@ -283,9 +283,10 @@ def stream_merge_order_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.fuse import stream_join
 
     # scope="global" is a deliberate opt-in: this query pins the reference's
-    # single total merge order (a one-partition window — serialized by
-    # definition); the operator's default, and the 100 TB path, is the
-    # per-shard merge checked by stream_merge_sharded.
+    # single total merge order, computed DISTRIBUTED (event-time range
+    # buckets + per-bucket rank + broadcast offsets — no one-partition
+    # window over the data; see stream_join_batch). The operator's default
+    # remains the per-shard merge checked by stream_merge_sharded.
     env = _envelope(spark, sf_dir).filter(F.col("stream_key").isin("click", "error"))
     return stream_join(env, scope="global").select(
         "emit_index", "stream_key", "sequence", "timestamp"

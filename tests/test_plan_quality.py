@@ -405,3 +405,23 @@ class TestContinuationWaveQueryPlans:
             plan = _final_plan(QUERIES[name].fn(spark, sf_dir))
             assert "CartesianProduct" not in plan, (name, plan)
             assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+    def test_global_fuse_order_is_distributed(self, spark, sf_dir):
+        """stream_merge_order_fuse's global emit_index (r4 VERDICT task #2):
+        the data-sized row_number window must be hash-partitioned on the
+        event-time range bucket — never a one-partition window over the
+        envelope. The only SinglePartition exchange allowed is the offsets
+        window over the ≤ n_buckets per-bucket counts, which sits ABOVE a
+        partial-count aggregate; the offsets rejoin must be broadcast."""
+        plan = _final_plan(
+            QUERIES["stream_merge_order_fuse"].fn(spark, sf_dir)
+        )
+        assert "hashpartitioning(_bucket" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        # every SinglePartition exchange must be fed by the bucket-count
+        # aggregate (tiny), not by the envelope relation
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                below = "\n".join(lines[i : i + 4])
+                assert "HashAggregate" in below and "count" in below, plan
