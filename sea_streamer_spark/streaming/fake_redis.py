@@ -33,6 +33,7 @@ Two storage modes:
 
 from __future__ import annotations
 
+import builtins
 import fnmatch
 import json
 import os
@@ -162,20 +163,39 @@ class FakeRedis:
             return n0 - len(entries)
 
     # -- consumer side ----------------------------------------------------
+    @staticmethod
+    def _bounds(entries, min: str, max: str) -> tuple[int, int]:  # noqa: A002
+        """[start, stop) slice of the sorted entry list covered by an
+        inclusive id range — bisect, not a full scan, so a paged XRANGE
+        cursor walk is O(page) per call instead of O(stream)."""
+        import bisect
+
+        lo = (0, 0) if min == "-" else _parse_id(min, 0)
+        hi = (1 << 48, 1 << 16) if max == "+" else _parse_id(max, (1 << 16) - 1)
+        start = bisect.bisect_left(entries, lo, key=lambda e: e[0])
+        stop = bisect.bisect_right(entries, hi, lo=start, key=lambda e: e[0])
+        return start, stop
+
     def xrange(
         self, key: str, min: str = "-", max: str = "+", count: int | None = None  # noqa: A002
     ) -> list[tuple[str, dict]]:
         with self._entries(key) as entries:
-            lo = (0, 0) if min == "-" else _parse_id(min, 0)
-            hi = (1 << 48, 1 << 16) if max == "+" else _parse_id(max, (1 << 16) - 1)
-            out = [(f"{i[0]}-{i[1]}", dict(f)) for i, f in entries if lo <= i <= hi]
-        return out[:count] if count is not None else out
+            start, stop = self._bounds(entries, min, max)
+            if count is not None:
+                stop = builtins.min(stop, start + count)
+            return [(f"{i[0]}-{i[1]}", dict(f)) for i, f in entries[start:stop]]
 
     def xrevrange(
         self, key: str, max: str = "+", min: str = "-", count: int | None = None  # noqa: A002
     ) -> list[tuple[str, dict]]:
-        out = list(reversed(self.xrange(key, min=min, max=max)))
-        return out[:count] if count is not None else out
+        with self._entries(key) as entries:
+            start, stop = self._bounds(entries, min, max)
+            if count is not None:
+                start = builtins.max(start, stop - count)
+            return [
+                (f"{i[0]}-{i[1]}", dict(f))
+                for i, f in reversed(entries[start:stop])
+            ]
 
     def xlen(self, key: str) -> int:
         with self._entries(key) as entries:

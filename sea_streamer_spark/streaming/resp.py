@@ -36,28 +36,58 @@ def encode_command(*args) -> bytes:
 
 class _SockReader:
     """Buffered line/exact reads over a socket (RESP frames are \\r\\n
-    delimited with declared bulk lengths)."""
+    delimited with declared bulk lengths).
+
+    A consumed-offset cursor (``pos``) instead of re-slicing the buffer per
+    frame: under pipelining the buffer holds hundreds of KB of queued
+    commands, and the old ``buf.split()``-per-line made every read O(buffer)
+    — quadratic per pipeline chunk and the dominant cost of the wire path.
+    The buffer is compacted once it exceeds ``_COMPACT`` consumed bytes, so
+    memory stays bounded without per-frame copies."""
+
+    _COMPACT = 1 << 20
 
     def __init__(self, sock: socket.socket) -> None:
         self.sock = sock
         self.buf = b""
+        self.pos = 0
+
+    def has_buffered(self) -> bool:
+        """True when at least one unconsumed byte is already in memory —
+        lets a server batch replies until the pipelined input drains."""
+        return self.pos < len(self.buf)
+
+    def _fill(self) -> None:
+        chunk = self.sock.recv(65536)
+        if not chunk:
+            raise ConnectionError("connection closed mid-reply")
+        if self.pos:
+            self.buf = self.buf[self.pos :] + chunk
+            self.pos = 0
+        else:
+            self.buf += chunk
+
+    def _compact(self) -> None:
+        if self.pos > self._COMPACT:
+            self.buf = self.buf[self.pos :]
+            self.pos = 0
 
     def read_line(self) -> bytes:
-        while b"\r\n" not in self.buf:
-            chunk = self.sock.recv(65536)
-            if not chunk:
-                raise ConnectionError("connection closed mid-reply")
-            self.buf += chunk
-        line, self.buf = self.buf.split(b"\r\n", 1)
-        return line
+        while True:
+            i = self.buf.find(b"\r\n", self.pos)
+            if i >= 0:
+                line = self.buf[self.pos : i]
+                self.pos = i + 2
+                self._compact()
+                return line
+            self._fill()
 
     def read_exact(self, n: int) -> bytes:
-        while len(self.buf) < n + 2:
-            chunk = self.sock.recv(65536)
-            if not chunk:
-                raise ConnectionError("connection closed mid-bulk")
-            self.buf += chunk
-        data, self.buf = self.buf[:n], self.buf[n + 2 :]  # strip trailing \r\n
+        while len(self.buf) - self.pos < n + 2:
+            self._fill()
+        data = self.buf[self.pos : self.pos + n]  # strip trailing \r\n
+        self.pos += n + 2
+        self._compact()
         return data
 
 

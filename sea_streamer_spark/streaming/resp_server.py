@@ -66,6 +66,11 @@ class _Handler(socketserver.BaseRequestHandler):
         from .resp import _SockReader  # single-source the RESP framing
 
         reader = _SockReader(self.request)
+        # Replies accumulate until the pipelined input drains (nothing left
+        # buffered), then flush in ONE sendall — a syscall per pipeline
+        # chunk instead of per command, the server half of what makes
+        # RESP pipelining fast (client half: RespPipeline's single send).
+        out: list[bytes] = []
         while True:
             try:
                 line = reader.read_line()
@@ -89,7 +94,10 @@ class _Handler(socketserver.BaseRequestHandler):
                 reply = e
             except Exception as e:  # noqa: BLE001 — surface as -ERR
                 reply = ResponseError(f"ERR {e}")
-            self.request.sendall(_enc(reply))
+            out.append(_enc(reply))
+            if not reader.has_buffered():
+                self.request.sendall(b"".join(out))
+                out.clear()
 
 
 class RespServer(socketserver.ThreadingTCPServer):

@@ -1,0 +1,156 @@
+"""Wire-path streaming benchmark (VERDICT r4 task #4; r3 task #4).
+
+Measures the reference's 100k x 256 B produce/consume workload
+(benchmark/README.md:8-25; the ~100k msgs/sec anchor is README.md:266) over
+the ACTUAL redis:// transport — RESP2 frames on TCP sockets — instead of
+the file backend the headline streaming phases use.
+
+Topology: one RESP2 server process per shard (the loopback stand-in for a
+per-shard Redis node — shards are separate keys routed to separate nodes in
+cluster mode, SURVEY §2.6), produce and consume driven from SPARK EXECUTOR
+tasks, one shard per task:
+
+- produce: ``foreachPartition`` → the production pipeline path
+  (:func:`..streaming.redis._flush_xadds`: explicit packed-MessageId entry
+  ids, one pipelined send, duplicate-id replay inspection) over a
+  :class:`..streaming.resp.RespClient` — exactly what
+  ``redis_sink_foreach_batch`` runs per partition in a deployment.
+- consume: paged :func:`..streaming.redis.poll_shards` loops per shard —
+  the same micro-batch read the ``sea_redis`` DataSource partitions run.
+
+Honesty note: the broker side is the in-repo pure-Python server
+(``resp_server.py``), not a C redis-server — broker CPU is charged to the
+measurement. Per-shard server processes keep the broker off a single GIL,
+the same scaling a real cluster gets from per-node processes.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import time
+from collections import namedtuple
+
+STREAM = "bench"
+
+_EnvRow = namedtuple("_EnvRow", "stream_key shard_id sequence timestamp payload")
+
+
+def _serve_shard(q) -> None:  # pragma: no cover - runs in a child process
+    """One shard's broker: an in-memory RESP2 server; reports (host, port)
+    and serves until the parent terminates the process."""
+    import threading
+
+    from .fake_redis import FakeRedis
+    from .resp_server import RespServer
+
+    srv = RespServer(FakeRedis())
+    q.put(srv.serve_background())
+    threading.Event().wait()
+
+
+def start_shard_servers(n_shards: int) -> tuple[list, list[tuple[str, int]]]:
+    """Spawn ``n_shards`` broker processes; returns (procs, addresses).
+    ``fork`` (not spawn): spawn re-executes the parent ``__main__``, which
+    breaks under stdin/REPL/driver harnesses; the forked child touches only
+    Python sockets and threads — never the parent's JVM gateway — so fork
+    is safe here."""
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = []
+    for _ in range(n_shards):
+        p = ctx.Process(target=_serve_shard, args=(q,), daemon=True)
+        p.start()
+        procs.append(p)
+    addrs = [q.get(timeout=60) for _ in procs]
+    return procs, addrs
+
+
+def benchmark_wire(
+    spark,
+    n: int = 100_000,
+    n_shards: int = 4,
+    payload_size: int = 256,
+    page: int = 5_000,
+) -> dict:
+    """Run the produce->consume wire workload; returns phase seconds plus
+    the msgs/sec figure for the slower phase (the honest throughput claim).
+
+    Raises if the consumed row count disagrees with ``n`` — a benchmark
+    that silently drops messages measures nothing.
+    """
+    from datetime import datetime, timezone
+
+    procs, addrs = start_shard_servers(n_shards)
+    per_shard = n // n_shards
+    assert per_shard <= 0xFFFF, "sub-ms seq16 budget: lower n or raise shards"
+    base_ms = 1_700_000_000_000
+    ts = datetime.fromtimestamp(base_ms / 1000, tz=timezone.utc)
+    payload = bytes(payload_size)
+
+    def produce_partition(rows) -> None:
+        from .redis import _flush_xadds
+        from .resp import RespClient
+
+        env = []
+        sid = None
+        for r in rows:
+            i = int(r.id)
+            sid = i * n_shards // n  # range partitions are contiguous
+            env.append(_EnvRow(STREAM, sid, i - sid * per_shard, ts, payload))
+        if not env:
+            return
+        client = RespClient(*addrs[sid])
+        try:
+            _flush_xadds(client, env, None)
+        finally:
+            client.close()
+
+    def consume_partition(rows):
+        from .redis import poll_shards
+        from .resp import RespClient
+
+        for r in rows:
+            sid = int(r.id)
+            client = RespClient(*addrs[sid])
+            try:
+                got, last = 0, {}
+                while True:
+                    batch, last = poll_shards(
+                        client, STREAM, [sid], last, count=page
+                    )
+                    if not batch:
+                        break
+                    got += len(batch)
+                yield (sid, got)
+            finally:
+                client.close()
+
+    try:
+        produce_df = spark.range(n, numPartitions=n_shards)
+        t0 = time.perf_counter()
+        produce_df.foreachPartition(produce_partition)
+        t_produce = time.perf_counter() - t0
+
+        consume_df = spark.range(n_shards, numPartitions=n_shards)
+        t0 = time.perf_counter()
+        counts = (
+            consume_df.rdd.mapPartitions(consume_partition).collect()
+        )
+        t_consume = time.perf_counter() - t0
+        total = sum(c for _sid, c in counts)
+        if total != n:
+            raise AssertionError(f"wire bench lost messages: {total}/{n}")
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            p.join(timeout=10)
+
+    worst = max(t_produce, t_consume)
+    return {
+        "wire_produce_100k": round(t_produce, 4),
+        "wire_consume_100k": round(t_consume, 4),
+        "wire_msgs_per_sec": int(n / worst) if worst > 0 else 0,
+        "wire_n": n,
+        "wire_shards": n_shards,
+    }

@@ -270,3 +270,17 @@ class TestWireConcurrency:
         assert not errs, errs
         check = RespClient(host, port)
         assert sum(check.xlen(f"cc:{t}") for t in range(n_threads)) == n_threads * per
+
+
+class TestWireBench:
+    def test_wire_bench_roundtrip_small(self, spark):
+        """The wire-path benchmark harness (bench.py "wire" key) at a tiny
+        n: per-shard broker processes spawn, executor tasks produce over
+        the production pipeline path and consume via poll_shards, and the
+        count reconciles exactly (the harness raises on loss)."""
+        from sea_streamer_spark.streaming.wire_bench import benchmark_wire
+
+        out = benchmark_wire(spark, n=2_000, n_shards=2)
+        assert out["wire_n"] == 2_000 and out["wire_shards"] == 2
+        assert out["wire_produce_100k"] > 0 and out["wire_consume_100k"] > 0
+        assert out["wire_msgs_per_sec"] > 0
