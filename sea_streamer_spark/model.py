@@ -66,6 +66,19 @@ def is_valid_stream_key_char(c: str) -> bool:
 
 
 #: The canonical message envelope (sea-streamer-types MessageHeader + payload).
+#:
+#: Width limits (the reference's DEFAULT build, which this schema matches):
+#: ``sequence`` is i64 — the reference's ``SeqNo = u64`` (stream.rs:29); for
+#: the Redis backend that packs (48-bit unix-ms << 16 | seq16), i64's sign
+#: bit costs nothing until year 10889 / 2^47 ms. ``timestamp`` is Spark's
+#: native microsecond TimestampType; the reference default is millisecond.
+#: The reference's ``wide-seq-no`` (u128 SeqNo, types/Cargo.toml:29) +
+#: ``nanosecond-timestamp`` (TimestampFormat::UnixTimestampNanos,
+#: redis/src/streamer.rs:41-47) opt-ins are mirrored by
+#: :mod:`.streaming.redis`'s wide mode — ``pack_message_id_wide`` /
+#: ``wide_sequence_col`` carry (unix-ns << 16 | seq16) as ``decimal(38,0)``
+#: (max ≈ 2^80, comfortably inside 38 digits) in a separate column; the
+#: i64 envelope column stays the default exactly as the Cargo default does.
 MESSAGE_SCHEMA = StructType(
     [
         StructField("stream_key", StringType(), False),  # stream.rs:16

@@ -59,6 +59,36 @@ def envelope_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "envelope_wide_seqno",
+    oracle="""
+    SELECT event_type AS stream_key,
+           event_id AS sequence,
+           CAST(CAST(epoch_ns(ts) AS HUGEINT) * 65536
+                + (event_id % 65536) AS VARCHAR) AS wide_seq_no
+    FROM events
+    """,
+    tags=("streaming", "envelope"),
+)
+def envelope_wide_seqno(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``wide-seq-no`` + ``nanosecond-timestamp`` opt-in pair
+    (sea-streamer-types/Cargo.toml:29; TimestampFormat::UnixTimestampNanos,
+    redis/src/streamer.rs:41-47): SeqNo = (unix-ns << 16) | seq16 carried as
+    ``decimal(38,0)`` beside the default i64 envelope column — the packing
+    of redis/src/message.rs:51-60 at nanosecond width. Pure projection (no
+    shuffle, no Python); compared as strings because int128 has no common
+    arrow dtype across engines."""
+    from ..streaming.redis import wide_sequence_col
+
+    return _envelope(spark, sf_dir).select(
+        "stream_key",
+        "sequence",
+        wide_sequence_col("timestamp", "sequence")
+        .cast("string")
+        .alias("wide_seq_no"),
+    )
+
+
+@query(
     "seek_timestamp",
     oracle=f"""
     SELECT stream_key, shard_id, sequence, timestamp

@@ -107,11 +107,13 @@ def kafka_txn_foreach_batch(
     transactions next to Spark's checkpoint (SURVEY §2.1 S3).
 
     Driver-side iteration (``toLocalIterator``) is deliberate: a Kafka
-    transaction is bound to ONE producer instance, so a per-partition
-    executor fan-out would need one txn per task and lose batch atomicity.
-    The reference producer is likewise a single background task
-    (producer.rs:296-572). For throughput-over-atomicity, use the
-    non-transactional executor-side sink.
+    transaction is bound to ONE producer instance, so whole-BATCH atomicity
+    requires a single producer. The reference producer is likewise a single
+    background task (producer.rs:296-572). This is the strict-atomicity
+    mode; for transactional throughput at scale use
+    :func:`kafka_txn_foreach_partition` (one txn per partition, executor
+    side, no driver materialization — partition-level atomicity), and for
+    throughput without transactions the non-transactional executor sink.
     """
 
     def write(batch_df, batch_id: int) -> None:
@@ -120,29 +122,13 @@ def kafka_txn_foreach_batch(
             return  # this batch's txn already committed: replay no-op
         producer.begin_transaction()
         try:
-            for row in batch_df.toLocalIterator():
-                ts = getattr(row, timestamp_col, None)
-                key = getattr(row, key_col, None) if key_col else None
-                # partition_col pins placement per row (send_message's
-                # explicit-partition mode, kafka/src/producer.rs:171-185);
-                # None keeps the broker's key-hash default partitioner.
-                part = None
-                if partition_col is not None:
-                    raw = getattr(row, partition_col, None)
-                    if raw is None:
-                        raise ValueError(
-                            f"partition pin column {partition_col!r} is "
-                            "missing or NULL for a row in this batch; "
-                            "drop the pin or backfill the column"
-                        )
-                    part = int(raw)
-                producer.send(
-                    topic,
-                    bytes(getattr(row, value_col) or b""),
-                    key=key.encode() if key is not None else None,
-                    partition=part,
-                    timestamp_ms=int(ts.timestamp() * 1000) if ts else 0,
-                )
+            # partition_col pins placement per row (send_message's
+            # explicit-partition mode, kafka/src/producer.rs:171-185);
+            # None keeps the broker's key-hash default partitioner.
+            _send_rows(
+                producer, batch_df.toLocalIterator(), topic, timestamp_col,
+                value_col, key_col, partition_col,
+            )
             producer.send_offsets_to_transaction(
                 group, {(BATCH_LEDGER_TOPIC, 0): batch_id + 1}
             )
@@ -150,5 +136,139 @@ def kafka_txn_foreach_batch(
             producer.abort_transaction()  # all-or-nothing: nothing visible
             raise
         producer.commit_transaction()
+
+    return write
+
+
+def _send_rows(
+    producer: TransactionalProducer,
+    rows,
+    topic: str,
+    timestamp_col: str,
+    value_col: str,
+    key_col: str | None,
+    partition_col: str | None,
+) -> None:
+    """Shared row→send loop of both EOS sinks (driver-batch and
+    executor-partition): explicit-partition pinning with a clear error on a
+    missing/NULL pin value, key-hash default otherwise."""
+    for row in rows:
+        ts = getattr(row, timestamp_col, None)
+        key = getattr(row, key_col, None) if key_col else None
+        part = None
+        if partition_col is not None:
+            raw = getattr(row, partition_col, None)
+            if raw is None:
+                raise ValueError(
+                    f"partition pin column {partition_col!r} is missing or "
+                    "NULL for a row; drop the pin or backfill the column"
+                )
+            part = int(raw)
+        producer.send(
+            topic,
+            bytes(getattr(row, value_col) or b""),
+            key=key.encode() if key is not None else None,
+            partition=part,
+            timestamp_ms=int(ts.timestamp() * 1000) if ts else 0,
+        )
+
+
+def kafka_txn_partition_writer(
+    producer_factory,
+    topic: str,
+    group: str,
+    timestamp_col: str = "timestamp",
+    value_col: str = "payload",
+    key_col: str | None = "stream_key",
+    partition_col: str | None = None,
+):
+    """Executor-side transactional sink body: ONE transactional producer per
+    Spark partition (VERDICT r4 task #6 — the scale-safe alternative to the
+    driver-side ``toLocalIterator`` loop of :func:`kafka_txn_foreach_batch`).
+
+    ``producer_factory(txn_id)`` must return an initialized
+    :class:`TransactionalProducer` (confluent-kafka's transactional producer
+    in a deployment; the in-process broker model in tests). The
+    ``transactional.id`` is ``{group}/{topic}/p{partition_id}`` — stable
+    across batch replays of the same partition, so the broker's epoch bump
+    fences a zombie task of a previous attempt, exactly rdkafka's
+    per-producer fencing (kafka/src/producer.rs:236-290). Batch-id fencing
+    rides the existing ledger, one ledger partition per Spark partition:
+    offset ``batch_id + 1`` for (``BATCH_LEDGER_TOPIC``, partition_id)
+    commits atomically with the data, so a replayed (batch, partition) whose
+    ledger is already past is a no-op.
+
+    Atomicity contract — the deliberate difference from the driver path:
+    the transaction unit is the PARTITION, not the batch. ``read_committed``
+    consumers never observe a partial partition, but may observe partition
+    A's rows while partition B's task is still running (or aborted and
+    retried). Pipelines that need whole-batch atomicity keep
+    :func:`kafka_txn_foreach_batch`; everything else gets parallel sends
+    with no driver materialization.
+
+    Returns ``write_partition(rows, partition_id, batch_id)`` — the body a
+    ``foreachPartition`` closure runs per task (partition_id from
+    ``TaskContext.get().partitionId()``, batch_id from the enclosing
+    ``foreachBatch``); exposed with explicit arguments so tests drive the
+    exact per-task code path in-process.
+    """
+
+    def write_partition(rows, partition_id: int, batch_id: int) -> None:
+        rows = list(rows)
+        if not rows:
+            return
+        producer = producer_factory(f"{group}/{topic}/p{partition_id}")
+        committed = producer.broker.committed(
+            group, BATCH_LEDGER_TOPIC, partition_id
+        )
+        if committed is not None and batch_id < committed:
+            return  # this (batch, partition) already committed: replay no-op
+        producer.begin_transaction()
+        try:
+            _send_rows(
+                producer, rows, topic, timestamp_col, value_col, key_col,
+                partition_col,
+            )
+            producer.send_offsets_to_transaction(
+                group, {(BATCH_LEDGER_TOPIC, partition_id): batch_id + 1}
+            )
+        except Exception:
+            producer.abort_transaction()  # partition all-or-nothing
+            raise
+        producer.commit_transaction()
+        return
+
+    return write_partition
+
+
+def kafka_txn_foreach_partition(
+    producer_factory,
+    topic: str,
+    group: str,
+    timestamp_col: str = "timestamp",
+    value_col: str = "payload",
+    key_col: str | None = "stream_key",
+    partition_col: str | None = None,
+):
+    """foreachBatch wrapper over :func:`kafka_txn_partition_writer`: fans
+    the batch out with ``foreachPartition`` so every task runs its own
+    transaction (no ``toLocalIterator``, no driver materialization).
+    ``producer_factory`` must be picklable and create the producer ON THE
+    EXECUTOR (a broker-connected client; the in-memory test model cannot
+    cross process boundaries — its executor-path coverage is the direct
+    ``kafka_txn_partition_writer`` tests)."""
+    body = kafka_txn_partition_writer(
+        producer_factory, topic, group, timestamp_col, value_col, key_col,
+        partition_col,
+    )
+
+    def write(batch_df, batch_id: int) -> None:
+        def run(rows) -> None:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            body(rows, ctx.partitionId() if ctx is not None else 0, batch_id)
+
+        batch_df.foreachPartition(run)
 
     return write

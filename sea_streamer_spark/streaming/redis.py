@@ -46,6 +46,63 @@ def unpack_message_id(seq_no: int) -> tuple[int, int]:
     return seq_no >> 16, seq_no & MAX_SEQ16
 
 
+#: Redis entry-id timestamp field is u64; with nanosecond timestamps that
+#: caps at 2554-07-21T23:34:33 (redis/src/message.rs:33-35).
+MAX_TS_NANOS = (1 << 64) - 1
+
+
+def pack_message_id_wide(ns: int, seq: int) -> int:
+    """(unix-ns, seq16) → wide SeqNo — the reference's ``wide-seq-no`` +
+    ``nanosecond-timestamp`` opt-in pair (types/Cargo.toml:29;
+    TimestampFormat::UnixTimestampNanos, redis/src/streamer.rs:41-47):
+    SeqNo widens to u128 and the entry-id timestamp field carries NANOS,
+    same ``(ts << 16) | seq`` packing (message.rs:51-60). The result needs
+    ≤ 80 bits — carried on Spark as ``decimal(38,0)``
+    (:func:`wide_sequence_col`), never squeezed into the i64 envelope
+    column. Validation parity: seq > 0xFFFF raises exactly as
+    parse_message_id does (message.rs:40-44); ns is capped by the entry
+    id's u64 timestamp field (year 2554, message.rs:33-35)."""
+    if not 0 <= seq <= MAX_SEQ16:
+        raise ValueError(f"sub-ns sequence out of range: {seq}")
+    if ns < 0 or ns > MAX_TS_NANOS:
+        raise ValueError(f"nanos out of range: {ns}")
+    return (ns << 16) | seq
+
+
+def unpack_message_id_wide(seq_no: int) -> tuple[int, int]:
+    """wide SeqNo → (unix-ns, seq16) (from_seq_no, message.rs:85-89)."""
+    return seq_no >> 16, seq_no & MAX_SEQ16
+
+
+def format_entry_id_wide(seq_no: int) -> str:
+    """Wide SeqNo → Redis ``<ns>-<seq>`` entry id (nanosecond format)."""
+    ns, seq = unpack_message_id_wide(seq_no)
+    return f"{ns}-{seq}"
+
+
+def parse_entry_id_wide(entry_id: str) -> int:
+    """Redis ``<ns>-<seq>`` entry id → wide SeqNo (nanosecond format)."""
+    ns_str, _, seq_str = entry_id.partition("-")
+    return pack_message_id_wide(int(ns_str), int(seq_str or 0))
+
+
+def wide_sequence_col(timestamp_col: str = "timestamp", seq16_col=None):
+    """JVM-side wide-SeqNo column: ``decimal(38,0)`` of
+    ``unix-ns(timestamp) * 2^16 + seq16``. Spark timestamps are µs
+    precision, so ns = unix_micros * 1000 (the sub-µs digits a true ns
+    clock would add must ride in ``seq16_col`` or a dedicated ns column).
+    Pure projection — no shuffle, no Python."""
+    from pyspark.sql import functions as F
+
+    ns = F.unix_micros(F.col(timestamp_col)).cast("decimal(38,0)") * 1000
+    seq = (
+        F.lit(0)
+        if seq16_col is None
+        else (F.col(seq16_col) % (MAX_SEQ16 + 1)).cast("decimal(38,0)")
+    )
+    return (ns * (MAX_SEQ16 + 1) + seq).cast("decimal(38,0)")
+
+
 def format_entry_id(seq_no: int) -> str:
     """Packed SeqNo → Redis ``<ms>-<seq>`` entry id."""
     ms, seq = unpack_message_id(seq_no)

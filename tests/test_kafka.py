@@ -441,3 +441,178 @@ class TestPartitionPinning:
                 for rec in b.fetch("out", part, 0, isolation="read_committed")
             ]
             assert got == want[part], f"partition {part}"
+
+
+class TestExecutorSideTransactions:
+    """kafka_txn_partition_writer (VERDICT r4 task #6): one transaction per
+    Spark partition with per-partition ledger fencing — commit/abort parity
+    with the driver-side batch path, minus the toLocalIterator bottleneck.
+    The in-memory broker model cannot cross executor process boundaries, so
+    these tests drive the exact per-task body in-process with explicit
+    (rows, partition_id, batch_id) — what foreachPartition invokes."""
+
+    @staticmethod
+    def _rows(spark, sf_dir, n=20):
+        from sea_streamer_spark.model import envelope_from_events
+        from sea_streamer_spark.sources.tables import load_tables
+
+        env = envelope_from_events(load_tables(spark, sf_dir, "events").events)
+        return env.limit(n).collect()
+
+    @staticmethod
+    def _writer(broker, **kw):
+        from sea_streamer_spark.streaming.kafka_txn import (
+            TransactionalProducer,
+            kafka_txn_partition_writer,
+        )
+
+        def factory(txn_id):
+            return TransactionalProducer(broker, txn_id).init_transactions()
+
+        return kafka_txn_partition_writer(factory, "out", "spark-sink", **kw)
+
+    def test_per_partition_commit_and_replay_noop(self, spark, sf_dir):
+        from sea_streamer_spark.streaming.kafka_txn import BATCH_LEDGER_TOPIC
+
+        rows = self._rows(spark, sf_dir, 20)
+        parts = [rows[:10], rows[10:]]
+        b = FakeKafka()
+        b.create_topic("out", 1)
+        write = self._writer(b)
+        for pid, chunk in enumerate(parts):
+            write(chunk, pid, 0)
+        assert len(b.fetch("out", 0, 0, isolation="read_committed")) == 20
+        # per-partition ledger offsets advanced independently
+        assert b.committed("spark-sink", BATCH_LEDGER_TOPIC, 0) == 1
+        assert b.committed("spark-sink", BATCH_LEDGER_TOPIC, 1) == 1
+        # replay of either (batch, partition) is a no-op
+        write(parts[0], 0, 0)
+        write(parts[1], 1, 0)
+        assert len(b.fetch("out", 0, 0, isolation="read_committed")) == 20
+        # next batch appends
+        write(parts[0], 0, 1)
+        assert len(b.fetch("out", 0, 0, isolation="read_committed")) == 30
+
+    def test_abort_is_partition_scoped(self, spark, sf_dir):
+        """A failed partition aborts ONLY its own transaction: the sibling
+        partition's committed rows stay visible (the documented atomicity
+        difference vs the whole-batch driver path), its ledger does not
+        advance, and a fixed retry delivers exactly once."""
+        from sea_streamer_spark.streaming.kafka_txn import BATCH_LEDGER_TOPIC
+
+        rows = self._rows(spark, sf_dir, 20)
+        good, bad = rows[:10], rows[10:]
+        b = FakeKafka()
+        b.create_topic("out", 4)
+        write = self._writer(b, partition_col="shard_id")
+        write(good, 0, 0)
+        n_good = sum(
+            len(b.fetch("out", p, 0, isolation="read_committed"))
+            for p in range(4)
+        )
+        assert n_good == 10
+
+        class _NullPin:
+            """Row double whose pin column is NULL mid-partition."""
+
+            def __init__(self, row):
+                self._row = row
+                self.shard_id = None
+
+            def __getattr__(self, name):
+                return getattr(self._row, name)
+
+        poisoned = list(bad[:5]) + [_NullPin(bad[5])] + list(bad[6:])
+        with pytest.raises(ValueError, match="shard_id"):
+            write(poisoned, 1, 0)
+        visible = sum(
+            len(b.fetch("out", p, 0, isolation="read_committed"))
+            for p in range(4)
+        )
+        assert visible == n_good  # partition 0's commit intact, 1's rolled back
+        assert b.committed("spark-sink", BATCH_LEDGER_TOPIC, 1) is None
+        write(bad, 1, 0)  # fixed retry: exactly once
+        visible = sum(
+            len(b.fetch("out", p, 0, isolation="read_committed"))
+            for p in range(4)
+        )
+        assert visible == 20
+
+    def test_parity_with_driver_path(self, spark, sf_dir):
+        """Same input through the driver-batch sink and the executor
+        partition sink (any 2-way split) yields the same read_committed
+        (partition, value-multiset) — commit parity."""
+        from sea_streamer_spark.model import envelope_from_events
+        from sea_streamer_spark.sources.tables import load_tables
+        from sea_streamer_spark.streaming.kafka_txn import (
+            TransactionalProducer,
+            kafka_txn_foreach_batch,
+        )
+
+        env = envelope_from_events(
+            load_tables(spark, sf_dir, "events").events
+        ).limit(30)
+        rows = env.collect()
+
+        b1 = FakeKafka()
+        b1.create_topic("out", 4)
+        p1 = TransactionalProducer(b1, "drv").init_transactions()
+        kafka_txn_foreach_batch(
+            p1, "out", "spark-sink", partition_col="shard_id"
+        )(env, 0)
+
+        b2 = FakeKafka()
+        b2.create_topic("out", 4)
+        write = self._writer(b2, partition_col="shard_id")
+        write(rows[:13], 0, 0)
+        write(rows[13:], 1, 0)
+
+        def snapshot(b):
+            return sorted(
+                (p, bytes(r.value))
+                for p in range(4)
+                for r in b.fetch("out", p, 0, isolation="read_committed")
+            )
+
+        assert snapshot(b1) == snapshot(b2)
+
+    def test_zombie_task_is_fenced(self, spark, sf_dir):
+        """Two producers with the SAME transactional id (a retried task next
+        to a zombie of the previous attempt): the broker's single-open-txn
+        rule rejects the second begin — rdkafka's producer fencing."""
+        from sea_streamer_spark.streaming.kafka_txn import TransactionalProducer
+
+        b = FakeKafka()
+        b.create_topic("out", 1)
+        zombie = TransactionalProducer(b, "g/out/p0").init_transactions()
+        retry = TransactionalProducer(b, "g/out/p0").init_transactions()
+        zombie.begin_transaction()
+        with pytest.raises(RuntimeError, match="already open"):
+            retry.begin_transaction()
+
+    def test_foreach_partition_wrapper_runs_under_spark(self, spark, sf_dir):
+        """The foreachBatch wrapper itself executes cleanly through real
+        foreachPartition tasks (TaskContext partition ids). The in-memory
+        broker is pickled per task, so effects are worker-local by
+        construction — this pins the wiring (no serialization errors, every
+        partition body runs), not cross-process visibility."""
+        from sea_streamer_spark.model import envelope_from_events
+        from sea_streamer_spark.sources.tables import load_tables
+        from sea_streamer_spark.streaming.kafka_txn import (
+            TransactionalProducer,
+            kafka_txn_foreach_partition,
+        )
+
+        env = envelope_from_events(
+            load_tables(spark, sf_dir, "events").events
+        ).limit(40).repartition(4)
+
+        def factory(txn_id):
+            b = FakeKafka()
+            b.create_topic("out", 4)
+            return TransactionalProducer(b, txn_id).init_transactions()
+
+        write = kafka_txn_foreach_partition(
+            factory, "out", "spark-sink", partition_col="shard_id"
+        )
+        write(env, 0)  # raises on any task failure

@@ -1298,3 +1298,78 @@ class TestObservedMetrics:
         assert got, "no observed metrics delivered"
         assert sum(r["n_messages"] for r in got) == 6
         assert sum(r["payload_bytes"] for r in got) == 60
+
+
+class TestWideSeqNo:
+    """wide-seq-no / nanosecond-timestamp opt-in: packing vectors match the
+    reference's (ts << 16) | seq at nanosecond width (redis/src/message.rs:
+    51-60, 85-89; types/Cargo.toml:29), with parse_message_id's validation
+    (seq16 cap, message.rs:40-44; u64 entry-id timestamp cap → year 2554,
+    message.rs:33-35)."""
+
+    def test_pack_unpack_vectors(self):
+        from sea_streamer_spark.streaming.redis import (
+            pack_message_id_wide,
+            unpack_message_id_wide,
+        )
+
+        ns = 1_700_000_000_000_123_456
+        assert pack_message_id_wide(ns, 7) == (ns << 16) | 7
+        assert unpack_message_id_wide((ns << 16) | 7) == (ns, 7)
+        assert pack_message_id_wide(0, 0) == 0
+        # packed value exceeds u64 — the reason SeqNo widens to u128
+        assert pack_message_id_wide(ns, 0) > (1 << 64)
+
+    def test_entry_id_roundtrip(self):
+        from sea_streamer_spark.streaming.redis import (
+            format_entry_id_wide,
+            pack_message_id_wide,
+            parse_entry_id_wide,
+        )
+
+        ns = 1_700_000_000_000_123_456
+        eid = format_entry_id_wide(pack_message_id_wide(ns, 65535))
+        assert eid == f"{ns}-65535"
+        assert parse_entry_id_wide(eid) == pack_message_id_wide(ns, 65535)
+        assert parse_entry_id_wide(f"{ns}") == pack_message_id_wide(ns, 0)
+
+    def test_validation_parity(self):
+        import pytest as _pytest
+
+        from sea_streamer_spark.streaming.redis import (
+            MAX_TS_NANOS,
+            pack_message_id_wide,
+        )
+
+        with _pytest.raises(ValueError, match="sequence"):
+            pack_message_id_wide(1, 0x10000)  # message.rs:40-44
+        with _pytest.raises(ValueError, match="nanos"):
+            pack_message_id_wide(MAX_TS_NANOS + 1, 0)  # u64 ts field
+        pack_message_id_wide(MAX_TS_NANOS, 0)  # year 2554: last valid
+
+    def test_wide_sequence_col_matches_python_packing(self, spark, sf_dir):
+        from sea_streamer_spark.model import envelope_from_events
+        from sea_streamer_spark.sources.tables import load_tables
+        from sea_streamer_spark.streaming.redis import (
+            pack_message_id_wide,
+            wide_sequence_col,
+        )
+
+        env = envelope_from_events(load_tables(spark, sf_dir, "events").events)
+        got = (
+            env.select(
+                "sequence",
+                "timestamp",
+                wide_sequence_col("timestamp", "sequence").alias("wide"),
+            )
+            .limit(20)
+            .collect()
+        )
+        assert got, "no rows"
+        for r in got:
+            ns = int(r.timestamp.timestamp() * 1_000_000) * 1000
+            assert int(r.wide) == pack_message_id_wide(ns, int(r.sequence) % 65536)
+        # decimal(38,0): wide enough for (u64 ns << 16), never silently i64
+        assert dict(
+            env.select(wide_sequence_col("timestamp", "sequence").alias("w")).dtypes
+        )["w"] == "decimal(38,0)"
