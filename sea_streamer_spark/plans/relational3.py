@@ -311,13 +311,57 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles (linear interpolation over the sorted
-    group — the same published definition in both engines). Scale note: exact
-    percentiles buffer each group; at 100 TB swap in approx_percentile
-    (t-digest sketch, map-side combinable) when tolerance permits."""
+    group — the same published definition in both engines), computed
+    WITHOUT buffering whole groups: a group-keyed row_number window (Spark's
+    sort-based window SPILLS to disk, unlike percentile()'s in-memory
+    per-group array) ranks each group once, the two boundary rows per
+    percentile are selected by position, and a conditional aggregate
+    interpolates — one group-keyed shuffle, O(1) state per group in the
+    final agg, disk-bounded (not memory-bounded) group size. approx
+    alternatives when tolerance permits: approx_percentile /
+    sketch_quantile_bottomk."""
+    from pyspark.sql.window import Window
+
     t = load_tables(spark, sf_dir, "orders")
-    return t.orders.groupBy("o_orderpriority").agg(
-        F.expr("percentile(o_totalprice, 0.5)").cast("double").alias("median_price"),
-        F.expr("percentile(o_totalprice, 0.9)").cast("double").alias("p90_price"),
+    g = "o_orderpriority"
+    v = F.col("o_totalprice").cast("double")
+    w_sort = Window.partitionBy(g).orderBy("o_totalprice")
+    w_all = Window.partitionBy(g)
+    ranked = t.orders.select(g, "o_totalprice").select(
+        F.col(g),
+        v.alias("v"),
+        F.row_number().over(w_sort).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+
+    def pct(p: float, name: str):
+        # target position (0-based) of the interpolated value; lo/hi are the
+        # two sorted rows it falls between (equal when target is integral)
+        tgt = (F.col("n") - 1) * F.lit(p)
+        lo_rn = F.floor(tgt) + 1
+        hi_rn = F.ceil(tgt) + 1
+        frac = tgt - F.floor(tgt)
+        lo = F.max(F.when(F.col("rn") == lo_rn, F.col("v")))
+        hi = F.max(F.when(F.col("rn") == hi_rn, F.col("v")))
+        f = F.first(frac)
+        # lerp as lo*(1-f) + hi*f — the interpolation BOTH engines round to
+        # (DuckDB Interpolator; lo + f*(hi-lo) drifts 1 ulp on some groups)
+        return (lo * (F.lit(1.0) - f) + hi * f).cast("double").alias(name)
+
+    # keep only rows that can be a percentile boundary (≤ 4 per group) so
+    # the final aggregate's input is tiny regardless of group size
+    is_boundary = F.lit(False)
+    for p in (0.5, 0.9):
+        tgt = (F.col("n") - 1) * F.lit(p)
+        is_boundary = (
+            is_boundary
+            | (F.col("rn") == F.floor(tgt) + 1)
+            | (F.col("rn") == F.ceil(tgt) + 1)
+        )
+    return (
+        ranked.filter(is_boundary)
+        .groupBy(g)
+        .agg(pct(0.5, "median_price"), pct(0.9, "p90_price"))
     )
 
 

@@ -425,3 +425,14 @@ class TestContinuationWaveQueryPlans:
             if "Exchange SinglePartition" in line:
                 below = "\n".join(lines[i : i + 4])
                 assert "HashAggregate" in below and "count" in below, plan
+
+    def test_percentile_cont_is_spillable_sort_not_buffered_agg(self, spark, sf_dir):
+        """agg_percentile_cont (r4 perf-weak flag): exact percentiles via
+        ONE group-keyed exchange feeding a sort-based window (disk-
+        spillable), never percentile()'s in-memory per-group array
+        (ObjectHashAggregate)."""
+        plan = _final_plan(QUERIES["agg_percentile_cont"].fn(spark, sf_dir))
+        assert "ObjectHashAggregate" not in plan, plan
+        assert _shuffle_exchanges(plan) == 1, plan
+        assert "Window" in plan, plan
+        assert "EvalPython" not in plan, plan
