@@ -494,6 +494,12 @@ def duplicated_span_coverage(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("covered_tokens"))
     )
+    return _coverage_output(df, covered, text_col, id_col)
+
+
+def _coverage_output(df: DataFrame, covered: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shared tail of the span-coverage variants: join the per-doc covered
+    count onto every document and emit the integer fixed-point metric."""
     base = df.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
     return (
         base.join(covered, id_col, "left")
@@ -507,6 +513,60 @@ def duplicated_span_coverage(
             ).otherwise(F.lit(0)).cast("long").alias("dup_permille"),
         )
     )
+
+
+def duplicated_span_coverage_salted(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_occurrences: int = 2,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-immune formulation of :func:`duplicated_span_coverage` — the
+    "salted two-phase count" production swap its docstring names (r4 ADVICE
+    #4), for boilerplate-dominated corpora where one k-gram appears in a
+    large fraction of all documents. Output is IDENTICAL; only the plan
+    differs:
+
+    1. corpus-wide occurrences via ``groupBy(sh).count()`` — the partial
+       (map-side) aggregate compresses a heavy-hitter shingle to one row
+       per map task *before* the shuffle, the property the count window
+       fundamentally lacks (windows see raw rows);
+    2. the count relation is joined BACK salted: every positional row
+       carries ``salt = pmod(xxhash64(id, pos), n_salts)`` and the (tiny,
+       one-row-per-distinct-shingle) count side is replicated across all
+       ``n_salts`` keys, so the hottest shingle's probe rows spread over
+       ``n_salts`` tasks instead of landing on one.
+
+    Cost vs the window form: one extra shuffle (counts) whose volume is the
+    *distinct*-shingle relation, and an n_salts-way replication of that
+    relation — the classic salted-join trade of bounded extra volume for a
+    bounded per-task maximum."""
+    pos_sh = positional_shingles(df, text_col, id_col, k)
+    counts = (
+        pos_sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occurrences)
+    )
+    salts = df.sparkSession.range(n_salts).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    counts_rep = counts.crossJoin(F.broadcast(salts))
+    probe = pos_sh.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col), F.col("pos")), F.lit(n_salts)).cast("int")
+    )
+    covered = (
+        probe.join(counts_rep, ["sh", "_salt"])
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("idx"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    return _coverage_output(df, covered, text_col, id_col)
 
 
 def duplicated_span_removal(

@@ -27,9 +27,9 @@ from .registry import query
 _TOKS = "string_split_regex(text, '\\s+')"
 
 
-@query(
-    "dedup_span_coverage",
-    oracle=f"""
+#: Shared by dedup_span_coverage and its salted (skew-immune) variant —
+#: same semantics, different physical plan, one oracle.
+_SPAN_COVERAGE_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS tk FROM documents
     ), pos AS (
@@ -58,7 +58,12 @@ _TOKS = "string_split_regex(text, '\\s+')"
                 ELSE 0 END AS BIGINT) AS dup_permille
     FROM toks t LEFT JOIN covered c USING (doc_id)
     ORDER BY doc_id
-    """,
+    """
+
+
+@query(
+    "dedup_span_coverage",
+    oracle=_SPAN_COVERAGE_ORACLE,
     tags=("llm", "dedup"),
 )
 def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,6 +74,30 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed distinct-covered-index count; never corpus²)."""
     t = load_tables(spark, sf_dir, "documents")
     return duplicated_span_coverage(t.documents).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "covered_tokens",
+        "dup_permille",
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_span_coverage_salted",
+    oracle=_SPAN_COVERAGE_ORACLE,
+    tags=("llm", "dedup", "skew"),
+)
+def dedup_span_coverage_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-immune salted-two-phase formulation of span coverage (the
+    production swap r4 ADVICE #4 asked to be named): groupBy count with
+    map-side partials + an n_salts-replicated join back, so a boilerplate
+    k-gram costs n_salts bounded tasks instead of one hot window partition.
+    Same output (and the SAME oracle) as dedup_span_coverage — registered
+    separately so the swap is itself correctness-proven, not just
+    documented. See operators/dedup.duplicated_span_coverage_salted."""
+    from ..operators.dedup import duplicated_span_coverage_salted
+
+    t = load_tables(spark, sf_dir, "documents")
+    return duplicated_span_coverage_salted(t.documents).select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "covered_tokens",

@@ -26,6 +26,7 @@ try:  # LLM-pipeline ops land in a later milestone of each round
     from . import llm_ops4  # noqa: F401
     from . import llm_ops5  # noqa: F401
     from . import llm_ops6  # noqa: F401
+    from . import llm_ops7  # noqa: F401
 except ImportError:
     pass
 

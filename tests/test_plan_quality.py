@@ -436,3 +436,30 @@ class TestContinuationWaveQueryPlans:
         assert _shuffle_exchanges(plan) == 1, plan
         assert "Window" in plan, plan
         assert "EvalPython" not in plan, plan
+
+    def test_round5_wave_plan_shapes(self, spark, sf_dir):
+        """Round-5 additions: decayed engagement is projection + one keyed
+        partial-agg shuffle; winsorize reuses the spillable percentile
+        pattern (no ObjectHashAggregate) with broadcast fence rejoin;
+        rolling actives is a bounded x7 explode, never an event self-join;
+        salted span coverage has map-side partial counts (HashAggregate,
+        not a window over raw rows) and no cartesian anywhere."""
+        plan = _final_plan(QUERIES["events_decayed_engagement"].fn(spark, sf_dir))
+        assert _shuffle_exchanges(plan) <= 1, plan
+        assert "partial_sum" in plan or "partial" in plan.lower(), plan
+        assert "EvalPython" not in plan, plan
+
+        plan = _final_plan(QUERIES["quality_winsorize"].fn(spark, sf_dir))
+        assert "ObjectHashAggregate" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "EvalPython" not in plan, plan
+
+        plan = _final_plan(QUERIES["events_rolling_7d_actives"].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+        plan = _final_plan(QUERIES["dedup_span_coverage_salted"].fn(spark, sf_dir))
+        assert "partial_count" in plan, plan  # map-side combine pre-shuffle
+        assert "CartesianProduct" not in plan, plan
+        assert "EvalPython" not in plan, plan
