@@ -204,3 +204,93 @@ def events_rolling_7d_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("window_end").cast("timestamp").alias("window_end"))
         .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
     )
+
+
+@query(
+    "privacy_l_diversity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey AS nation,
+             CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 2000) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT nation, bal_band, class_size, l_distinct,
+           CAST(l_distinct < 3 AS BIGINT) AS at_risk
+    FROM classes
+    ORDER BY nation, bal_band
+    """,
+    tags=("llm", "quality", "privacy"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion gate to privacy_k_anonymity
+    (Machanavajjhala et al. 2007): a quasi-identifier class is at risk when
+    its SENSITIVE attribute (market segment) has fewer than l=3 distinct
+    values, even if the class itself is large (k-anonymity alone leaks by
+    homogeneity). QI = (nation, account-balance band); band edges in exact
+    DECIMAL so both engines bucket identically. One grouped
+    distinct-aggregate; class cardinality bounds everything post-scan."""
+    cust = load_tables(spark, sf_dir, "customer").customer
+    band = F.floor(
+        F.col("c_acctbal").cast("decimal(12,2)") / 2000
+    ).cast("long")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nation"), band.alias("bal_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            F.countDistinct("c_mktsegment").cast("long").alias("l_distinct"),
+        )
+        .select(
+            "nation",
+            "bal_band",
+            "class_size",
+            "l_distinct",
+            (F.col("l_distinct") < 3).cast("long").alias("at_risk"),
+        )
+        .orderBy("nation", "bal_band")
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "events", "sequence"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event sequence
+    — the behavioral bigram table session-modeling / next-event-prediction
+    pipelines train on. LAG over (ts, event_id) (the id tie-break makes the
+    sequence total, so both engines see identical bigrams) then one
+    (prev, next)-keyed count.
+
+    Plan: one user-keyed window shuffle + one keyed partial-agg shuffle of
+    the |types|² transition relation. Linear in events; the result is
+    bounded by the type-vocabulary square, not the corpus."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -710,6 +710,65 @@ def asof_join_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_join_nearest_click",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, MIN(value) AS value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT p.*,
+             (SELECT MAX(c.ts) FROM c
+              WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS bts,
+             (SELECT MIN(c.ts) FROM c
+              WHERE c.user_id = p.user_id AND c.ts >= p.ts) AS fts
+      FROM p
+    ), pick AS (
+      SELECT m.event_id, m.user_id, m.ts, m.value,
+             CASE WHEN bts IS NULL THEN fts
+                  WHEN fts IS NULL THEN bts
+                  WHEN epoch_ns(m.ts) - epoch_ns(bts)
+                       <= epoch_ns(fts) - epoch_ns(m.ts) THEN bts
+                  ELSE fts END AS ts_click
+      FROM m
+    )
+    SELECT pick.event_id, pick.user_id, pick.ts, pick.value,
+           c.value AS value_click, pick.ts_click
+    FROM pick LEFT JOIN c ON c.user_id = pick.user_id AND c.ts = pick.ts_click
+    ORDER BY pick.event_id
+    """,
+    tags=("events", "asof", "join"),
+)
+def asof_join_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (operators/asof.py direction="nearest"): the
+    closest-in-time click per purchase, ties resolved backward — pandas
+    merge_asof's third direction, completing the asof family. Same plan as
+    the directional forms (ONE user-keyed exchange; nearest costs only a
+    second in-partition sort), with the backward/forward carry structs
+    compared by event-time distance. Right side pre-deduped on (user, ts)
+    with MIN(value) so both engines resolve equal-time ties identically."""
+    from ..operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir, "events")
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        t.events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("value"))
+    )
+    return (
+        asof_join(
+            purchases, clicks, on="ts", by="user_id",
+            value_cols=["value"], suffix="_click", direction="nearest",
+        )
+        .orderBy("event_id")
+    )
+
+
 # ------------------------------------------------------- sea_redis roundtrip
 
 #: Deterministic broker content for the registered-DataSource roundtrip:
