@@ -306,3 +306,116 @@ class TestSharding:
         for i in range(10, 20):
             producer.send(i, shard=i % shards)
         assert sorted(full.next_n(10)) == list(range(10, 20))
+
+
+class TestResumable:
+    """resumable.rs `immediate_and_delayed` (lines 12-118): auto-ack modes —
+    Latest group sees only the tail, Earliest group replays history, ended
+    consumers leave a clean PEL, and a restarted same-group consumer resumes
+    after the committed position."""
+
+    @pytest.mark.parametrize("mode", [AutoCommit.IMMEDIATE, AutoCommit.DELAYED])
+    def test_commit_then_resume(self, client, mode):
+        stream = _stream(f"resumable-1-{mode.value}")
+        producer = Producer(client, stream)
+        sequence = 0
+        for i in range(5):
+            receipt = producer.send(i)
+            assert receipt > sequence
+            sequence = receipt
+
+        opts = AckOptions(mode=mode, auto_commit_delay_ms=0)
+        half = GroupConsumer(client, stream, [0], f"{stream}a", f"{stream}a", opts)
+        half.create_group(from_beginning=False)  # AutoStreamReset::Latest ($)
+        full = GroupConsumer(client, stream, [0], f"{stream}b", f"{stream}b", opts)
+        full.create_group(from_beginning=True)  # Earliest
+
+        def vals(rows):
+            return [int(bytes(f["payload"]).decode()) for _s, _e, f in rows]
+
+        got = vals(full.read(count=5))
+        assert got == [0, 1, 2, 3, 4]  # Stream history ... ok
+
+        for i in range(5, 10):
+            producer.send(i)
+        full.end()  # commit (flush queued acks) and end BEFORE reading more
+
+        assert vals(half.read(count=5)) == [5, 6, 7, 8, 9]  # Stream latest
+
+        # resume from last committed: a NEW consumer in the same group —
+        # 0..4 are acked (IMMEDIATE = NOACK; DELAYED delay-0 = flushed by
+        # end), so nothing is pending and `>` yields exactly the tail
+        full2 = GroupConsumer(client, stream, [0], f"{stream}b", f"{stream}b", opts)
+        assert full2.pending() == []
+        assert vals(full2.read(count=5)) == [5, 6, 7, 8, 9]
+
+
+class TestRollingDisabled:
+    """resumable.rs `rolling_and_disabled` (lines 120-250): manual ack —
+    un-acked entries survive in the PEL and come back to a restarted
+    consumer (claimed via XAUTOCLAIM, the engine's restart/failover path),
+    while a group that never commits replays everything."""
+
+    @pytest.mark.parametrize(
+        "mode", [AutoCommit.ROLLING, AutoCommit.DISABLED]
+    )
+    def test_partial_ack_then_resume(self, client, mode):
+        stream = _stream(f"resumable-2-{mode.value}")
+        producer = Producer(client, stream)
+        for i in range(5):
+            producer.send(i)
+
+        opts = AckOptions(
+            mode=mode,
+            auto_commit_interval_ms=0,
+            auto_claim_interval_ms=0,
+            auto_claim_idle_ms=0,
+        )
+        c = GroupConsumer(client, stream, [0], f"{stream}c", f"{stream}c", opts)
+        c.create_group(from_beginning=True)
+        no_commit = GroupConsumer(
+            client, stream, [0], f"{stream}d", f"{stream}d",
+            AckOptions(mode=AutoCommit.DISABLED),
+        )
+        no_commit.create_group(from_beginning=True)
+
+        def vals(rows3):
+            return [int(bytes(f["payload"]).decode()) for _s, _e, f in rows3]
+
+        # reading alone populates group d's PEL; it never acks or commits
+        assert vals(no_commit.read(count=5)) == [0, 1, 2, 3, 4]
+
+        read = c.read(count=5)
+        assert vals(read) == [0, 1, 2, 3, 4]
+        for i, (sid, eid, _f) in enumerate(read):
+            if i < 4:  # ack only the first 4 — entry #4 stays pending
+                c.ack(sid, eid)
+        if mode is AutoCommit.ROLLING:
+            assert c.tick() == 4  # interval-0 rolling flush on the tick
+        else:
+            assert c.commit() == 4  # manual commit
+
+        for i in range(5, 10):
+            producer.send(i)
+        del c  # no clean end: the un-acked entry stays in group c's PEL
+
+        # restart: same group + consumer id. The un-acked entry (4) comes
+        # back through the claim path; `>` continues with the new messages.
+        c2 = GroupConsumer(client, stream, [0], f"{stream}c", f"{stream}c", opts)
+        replayed = [
+            int(bytes(f["payload"]).decode())
+            for _s, _e, f, _times in c2.auto_claim(force=True)
+        ]
+        assert replayed == [4]
+        assert vals(c2.read(count=6)) == [5, 6, 7, 8, 9]
+
+        # the never-committing group replays its entire history
+        d2 = GroupConsumer(
+            client, stream, [0], f"{stream}d", f"{stream}d",
+            AckOptions(mode=AutoCommit.DISABLED, auto_claim_idle_ms=0),
+        )
+        replayed = [
+            int(bytes(f["payload"]).decode())
+            for _s, _e, f, _times in d2.auto_claim(force=True)
+        ]
+        assert replayed == [0, 1, 2, 3, 4]  # Stream resume ... ok
