@@ -99,15 +99,18 @@ class GroupConsumer:
         return int(time.time() * 1000)
 
     # -- group lifecycle ---------------------------------------------------
-    def create_group(self, from_beginning: bool = True) -> None:
+    def create_group(self, from_beginning: bool = True, mkstream: bool = False) -> None:
         """XGROUP CREATE per shard key (idempotent — BUSYGROUP swallowed,
-        consumer/mod.rs:283-356's setup)."""
+        consumer/mod.rs:283-356's setup). ``mkstream`` maps the reference's
+        ``set_mkstream`` (options.rs): without it, creating a group on a
+        stream that does not exist yet is an error (consumer-group.rs)."""
         for sid in self.shard_ids:
             try:
                 self.client.xgroup_create(
                     shard_key(self.stream_key, sid),
                     self.group,
                     id="0-0" if from_beginning else "$",
+                    mkstream=mkstream,
                 )
             except Exception as e:  # noqa: BLE001 — BUSYGROUP is expected
                 if "BUSYGROUP" not in str(e):

@@ -229,9 +229,25 @@ class FakeRedis:
                 fh.write(json.dumps(state).encode())
                 fh.flush()
 
+    def _stream_exists(self, key: str) -> bool:
+        if self._root is None:
+            return key in self._streams
+        return os.path.exists(self._path(key))
+
     def xgroup_create(
         self, name: str, groupname: str, id: str = "$", mkstream: bool = False  # noqa: A002
     ) -> bool:
+        # Redis semantics (XGROUP CREATE docs): the stream must exist unless
+        # MKSTREAM creates it empty — consumer-group.rs:50-72 pins this.
+        if not self._stream_exists(name):
+            if not mkstream:
+                raise ResponseError(
+                    "ERR The XGROUP subcommand requires the key to exist. "
+                    "Note that for CREATE you may want to use the MKSTREAM "
+                    "option to create an empty stream automatically."
+                )
+            with self._entries(name, write=True):
+                pass  # touch: an empty stream now exists
         with self._group_state(name, write=True) as groups:
             if groupname in groups:
                 raise ResponseError("BUSYGROUP Consumer Group name already exists")

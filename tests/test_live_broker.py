@@ -419,3 +419,61 @@ class TestRollingDisabled:
             for _s, _e, f, _times in d2.auto_claim(force=True)
         ]
         assert replayed == [0, 1, 2, 3, 4]  # Stream resume ... ok
+
+
+class TestConsumerGroupMkstream:
+    """consumer-group.rs: XGROUP CREATE on a stream that does not exist yet
+    errors without MKSTREAM; with it, the group attaches to an empty stream
+    and consumes everything produced afterwards."""
+
+    def test_without_mkstream_errors(self, client):
+        stream = _stream("consumer-group")
+        consumer = GroupConsumer(
+            client, stream, [0], f"{stream}g", f"{stream}g",
+            AckOptions(mode=AutoCommit.DISABLED),
+        )
+        with pytest.raises(Exception, match="requires the key to exist"):
+            consumer.create_group(from_beginning=True)
+
+    def test_with_mkstream_consumes_later_messages(self, client):
+        stream = _stream("consumer-group-mk")
+        consumer = GroupConsumer(
+            client, stream, [0], f"{stream}g", f"{stream}g",
+            AckOptions(mode=AutoCommit.DISABLED),
+        )
+        consumer.create_group(from_beginning=True, mkstream=True)
+        producer = Producer(client, stream)
+        last = 0
+        for i in range(5):
+            receipt = producer.send(i)
+            assert receipt > last
+            last = receipt
+        got = [int(bytes(f["payload"]).decode()) for _s, _e, f in consumer.read(count=5)]
+        assert got == [0, 1, 2, 3, 4]
+
+
+class TestRealtimeMulti:
+    """realtime-multi.rs: a RealTime consumer over (busy, quiet) streams —
+    the reference regression where a never-delivered quiet stream re-anchored
+    to `$` on every XREAD and silently lost messages produced between reads.
+    This engine's poll model keeps an explicit per-(stream, shard) offset
+    (never re-anchors), so the quiet message MUST arrive."""
+
+    def test_quiet_stream_messages_are_not_lost(self, client):
+        busy = _stream("realtime-multi") + "-busy"
+        quiet = _stream("realtime-multi") + "-quiet"
+        p_busy, p_quiet = Producer(client, busy), Producer(client, quiet)
+        # Latest over both streams, captured BEFORE anything is produced
+        consumer = WireConsumer(client, [busy, quiet])
+
+        for i in range(10):
+            p_busy.send(i)
+        got = set(consumer.next_n(10))  # several polls of the busy stream
+        assert got == set(range(10))
+        # quiet stream produces ONE message after the busy reads returned
+        p_quiet.send(99)
+        for i in range(10, 15):
+            p_busy.send(i)
+        got = set(consumer.next_n(6))
+        assert 99 in got, "quiet stream message was lost"
+        assert got == {99, 10, 11, 12, 13, 14}
