@@ -125,17 +125,53 @@ def benchmark_wire(
             finally:
                 client.close()
 
+    def relay_partition(rows):
+        # S17 relay on the wire: read stream A's shard, pipeline-write the
+        # SAME envelopes to stream B on the same broker — one consume + one
+        # produce per message, the reference benchmark's middle phase.
+        from .redis import _flush_xadds, poll_shards
+        from .resp import RespClient
+
+        for r in rows:
+            sid = int(r.id)
+            client = RespClient(*addrs[sid])
+            try:
+                moved, last = 0, {}
+                while True:
+                    batch, last = poll_shards(
+                        client, STREAM, [sid], last, count=page
+                    )
+                    if not batch:
+                        break
+                    env = [
+                        _EnvRow(
+                            STREAM + "2", sid,
+                            row["sequence"] & 0xFFFF,
+                            row["timestamp"], bytes(row["payload"]),
+                        )
+                        for row in batch
+                    ]
+                    _flush_xadds(client, env, None)
+                    moved += len(batch)
+                yield (sid, moved)
+            finally:
+                client.close()
+
     try:
         produce_df = spark.range(n, numPartitions=n_shards)
         t0 = time.perf_counter()
         produce_df.foreachPartition(produce_partition)
         t_produce = time.perf_counter() - t0
 
-        consume_df = spark.range(n_shards, numPartitions=n_shards)
+        shard_df = spark.range(n_shards, numPartitions=n_shards)
         t0 = time.perf_counter()
-        counts = (
-            consume_df.rdd.mapPartitions(consume_partition).collect()
-        )
+        moved = shard_df.rdd.mapPartitions(relay_partition).collect()
+        t_relay = time.perf_counter() - t0
+        if sum(m for _sid, m in moved) != n:
+            raise AssertionError("wire relay lost messages")
+
+        t0 = time.perf_counter()
+        counts = shard_df.rdd.mapPartitions(consume_partition).collect()
         t_consume = time.perf_counter() - t0
         total = sum(c for _sid, c in counts)
         if total != n:
@@ -146,9 +182,10 @@ def benchmark_wire(
         for p in procs:
             p.join(timeout=10)
 
-    worst = max(t_produce, t_consume)
+    worst = max(t_produce, t_relay, t_consume)
     return {
         "wire_produce_100k": round(t_produce, 4),
+        "wire_relay_100k": round(t_relay, 4),
         "wire_consume_100k": round(t_consume, 4),
         "wire_msgs_per_sec": int(n / worst) if worst > 0 else 0,
         "wire_n": n,

@@ -283,4 +283,5 @@ class TestWireBench:
         out = benchmark_wire(spark, n=2_000, n_shards=2)
         assert out["wire_n"] == 2_000 and out["wire_shards"] == 2
         assert out["wire_produce_100k"] > 0 and out["wire_consume_100k"] > 0
+        assert out["wire_relay_100k"] > 0  # reference trio: produce/relay/consume
         assert out["wire_msgs_per_sec"] > 0
