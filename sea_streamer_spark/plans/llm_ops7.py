@@ -294,3 +294,49 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY n DESC, o_orderpriority) AS rn
+      FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+    FROM ranked WHERE rn = 1
+    ORDER BY o_orderstatus
+    """,
+    tags=("relational", "agg", "mode"),
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group (most frequent order priority per status),
+    deterministic tie-break by value — the categorical summary SQL's
+    ANY_VALUE/approx paths don't give. Two keyed aggregations: counts are
+    map-side combined to one row per (group, value) — so the rank window
+    sees the value-vocabulary relation, never raw rows — then one
+    group-keyed top-1 window. Skew-safe at any corpus size because the
+    heavy lifting happens in the partial aggregate."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "orders")
+    counts = t.orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("o_orderstatus")
+    )
