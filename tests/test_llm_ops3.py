@@ -567,3 +567,56 @@ class TestContrastiveTriples:
         rows = QUERIES["triples_hard_negatives"].fn(spark, sf_dir).collect()
         for r in rows:
             assert best[r.anchor_id][0] == r.pos_id, r
+
+
+class TestSaltedSpanCoverage:
+    """duplicated_span_coverage_salted ≡ the window formulation, exercised
+    on the corpus shape it exists FOR: a heavy-hitter shingle present in
+    every document (boilerplate). Output equality on both the crafted and
+    randomized corpora proves the salted two-phase swap changes the plan,
+    never the answer."""
+
+    def test_boilerplate_corpus_equality(self, spark):
+        from sea_streamer_spark.operators.dedup import (
+            duplicated_span_coverage,
+            duplicated_span_coverage_salted,
+        )
+
+        # every doc opens with the same 5-token boilerplate: one shingle
+        # occurs ~n_docs times — the exact skew case the window buffers
+        corpus = [
+            (i, "all rights reserved terms apply " + " ".join(f"u{i}w{j}" for j in range(6)))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(corpus, ["doc_id", "text"])
+        want = {
+            r.doc_id: (r.n_tokens, r.covered_tokens, r.dup_permille)
+            for r in duplicated_span_coverage(df).collect()
+        }
+        for n_salts in (1, 4, 16):
+            got = {
+                r.doc_id: (r.n_tokens, r.covered_tokens, r.dup_permille)
+                for r in duplicated_span_coverage_salted(df, n_salts=n_salts).collect()
+            }
+            assert got == want, n_salts
+        # the boilerplate really is covered in every doc
+        assert all(v[1] >= 5 for v in want.values())
+
+    def test_randomized_equality(self, spark):
+        import random
+
+        from sea_streamer_spark.operators.dedup import (
+            duplicated_span_coverage,
+            duplicated_span_coverage_salted,
+        )
+
+        vocab = [f"w{i}" for i in range(12)]
+        rng = random.Random(99)
+        corpus = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(corpus, ["doc_id", "text"])
+        want = {tuple(r) for r in duplicated_span_coverage(df).collect()}
+        got = {tuple(r) for r in duplicated_span_coverage_salted(df).collect()}
+        assert got == want
