@@ -155,6 +155,11 @@ def new_ops_metric(spark) -> dict:
         "multimodal_dhash_neardup",
         "dataset_snapshot_diff",
         "sketch_quantile_bottomk",
+        # round-5 wave
+        "dedup_span_coverage_salted",
+        "quality_winsorize",
+        "events_rolling_7d_actives",
+        "agg_percentile_cont",
     ):
         if name not in QUERIES:
             continue

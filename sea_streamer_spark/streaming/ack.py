@@ -139,6 +139,30 @@ class GroupConsumer:
                         )
         return rows
 
+    def read_pending(self, count: int | None = None) -> list[tuple[int, str, dict]]:
+        """Restart recovery: XREADGROUP with the concrete id ``0`` re-delivers
+        THIS consumer's own un-acked (PEL) entries — what a reference
+        consumer does on reconnect before switching to ``>`` (Redis docs;
+        consumer/mod.rs's pending-first replay). Distinct from
+        :meth:`auto_claim`, which transfers OTHER consumers' idle entries.
+        Re-delivered entries queue a Delayed auto-ack exactly like a fresh
+        read."""
+        count = count or self.opts.batch_size
+        now = self._now_ms()
+        rows: list[tuple[int, str, dict]] = []
+        for sid in self.shard_ids:
+            key = shard_key(self.stream_key, sid)
+            for _key, batch in self.client.xreadgroup(
+                self.group, self.consumer, {key: "0"}, count=count
+            ):
+                for entry_id, fields in batch:
+                    rows.append((sid, entry_id, fields))
+                    if self.opts.mode is AutoCommit.DELAYED:
+                        self._pending.setdefault(key, []).append(
+                            _QueuedAck(entry_id, now)
+                        )
+        return rows
+
     # -- ack path ----------------------------------------------------------
     def ack(self, shard_id: int, entry_id: str) -> None:
         """Queue an ack (mod.rs:186-224). Ignored under ``Immediate``

@@ -477,3 +477,40 @@ class TestRealtimeMulti:
         got = set(consumer.next_n(6))
         assert 99 in got, "quiet stream message was lost"
         assert got == {99, 10, 11, 12, 13, 14}
+
+
+class TestPendingReplay:
+    """Restart recovery via XREADGROUP id 0 (read_pending): a reconnecting
+    consumer re-delivers its OWN un-acked entries before reading new ones —
+    the reference's pending-first replay, distinct from XAUTOCLAIM
+    failover (which transfers a PEER's entries)."""
+
+    def test_restart_replays_own_pel_then_continues(self, client):
+        stream = _stream("pending-replay")
+        producer = Producer(client, stream)
+        for i in range(6):
+            producer.send(i)
+
+        opts = AckOptions(mode=AutoCommit.DISABLED)
+        c = GroupConsumer(client, stream, [0], f"{stream}g", f"{stream}g", opts)
+        c.create_group(from_beginning=True)
+
+        def vals(rows3):
+            return [int(bytes(f["payload"]).decode()) for _s, _e, f in rows3]
+
+        read = c.read(count=6)
+        assert vals(read) == [0, 1, 2, 3, 4, 5]
+        for i, (sid, eid, _f) in enumerate(read):
+            if i < 3:
+                c.ack(sid, eid)
+        c.commit()  # 0..2 acked; 3..5 stay in this consumer's PEL
+        del c
+
+        c2 = GroupConsumer(client, stream, [0], f"{stream}g", f"{stream}g", opts)
+        assert vals(c2.read_pending()) == [3, 4, 5]  # own PEL first ...
+        for i in range(6, 9):
+            producer.send(i)
+        assert vals(c2.read(count=3)) == [6, 7, 8]  # ... then `>` continues
+        # nothing was acked, so the `>` reads joined the PEL as well: a
+        # second replay re-delivers ALL six (un-acked reads stay pending)
+        assert vals(c2.read_pending(count=10)) == [3, 4, 5, 6, 7, 8]
