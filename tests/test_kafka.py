@@ -616,3 +616,82 @@ class TestExecutorSideTransactions:
             factory, "out", "spark-sink", partition_col="shard_id"
         )
         write(env, 0)  # raises on any task failure
+
+
+class TestKafkaConsumerIntegrationFlow:
+    """The reference's full kafka consumer integration flow
+    (sea-streamer-kafka/tests/consumer.rs:20-125) ported end-to-end onto the
+    broker model: produce receipts (sequence == offset, shard 0), Earliest
+    replay, rewind(Beginning)/rewind(At(5)), restart-without-commit replays
+    from the beginning, commit(6) resumes at 6, seek(point_in_time) is
+    timestamp-exclusive and lands at the first later record, and a final
+    commit survives a restart."""
+
+    def test_full_flow(self):
+        from sea_streamer_spark.streaming.fake_kafka import (
+            FakeKafka,
+            resolve_start_offset,
+        )
+
+        b = FakeKafka()
+        topic, group = "test-flow", "flow-group"
+        b.create_topic(topic, 1)
+
+        def consume(start: int, num: int) -> tuple[list[int], int]:
+            recs = b.fetch(topic, 0, start, max_records=num)
+            return [int(r.value.decode()) for r in recs], (
+                recs[-1].offset + 1 if recs else start
+            )
+
+        # produce 0..6 with receipt assertions, then a 1s gap, then 7..19
+        for i in range(7):
+            part, off = b.produce(topic, str(i).encode(), partition=0,
+                                  timestamp_ms=1_000_000 + i)
+            assert (part, off) == (0, i)  # shard 0, sequence == i
+        point_in_time = 1_000_500  # between message 6 and 7 (the 1s sleep)
+        for i in range(7, 20):
+            part, off = b.produce(topic, str(i).encode(), partition=0,
+                                  timestamp_ms=1_001_000 + i)
+            assert (part, off) == (0, i)
+
+        # RealTime + Earliest: basic stream
+        start = resolve_start_offset(b, topic, 0, None, "earliest")
+        seq, pos = consume(start, 10)
+        assert seq == list(range(10))  # Basic stream ... ok
+
+        # rewind(Beginning) after assign
+        seq, pos = consume(b.beginning_offset(topic, 0), 10)
+        assert seq == list(range(10))  # Rewind stream ... ok
+
+        # rewind(At(5)) — SeqPos::At is the offset itself (inclusive)
+        seq, pos = consume(5, 5)
+        assert seq == [5, 6, 7, 8, 9]  # Rewind to mid stream ... ok
+
+        # Resumable consumer, no committed offset yet: starts from beginning
+        start = resolve_start_offset(b, topic, 0, group, "earliest")
+        seq, _ = consume(start, 10)
+        assert seq == list(range(10))
+
+        # commit up to 6, restart: resumes from 6
+        b.commit(group, topic, 0, 6)
+        start = resolve_start_offset(b, topic, 0, group, "earliest")
+        seq, _ = consume(start, 4)
+        assert seq == [6, 7, 8, 9]  # Resume ... ok
+
+        # seek(point_in_time): ts-exclusive (+1ms in the mapping) → first
+        # record strictly later → continues from 7
+        start = resolve_start_offset(
+            b, topic, 0, group, "earliest",
+            starting_timestamp_ms=point_in_time + 1,
+        )
+        seq, pos = consume(start, 3)
+        assert seq == [7, 8, 9]  # Seek stream ... ok
+
+        seq, pos = consume(pos, 10)
+        assert seq == list(range(10, 20))  # Resume ... ok
+
+        # commit up to 19 and restart: only 19 remains
+        b.commit(group, topic, 0, 19)
+        start = resolve_start_offset(b, topic, 0, group, "earliest")
+        seq, _ = consume(start, 10)
+        assert seq == [19]
