@@ -208,13 +208,21 @@ def pagerank_fixed(
     docs sit at the (1-d) floor, which is exactly the semantics wanted for
     "rank within your dup family".
 
-    Plan, 100 TB-first: the symmetrized edge list (the big side) is
-    hash-partitioned by ``u`` ONCE and cached; each round re-keys only the
-    per-node score relation (one row per node — the small side) to join
-    edges, then one ``groupBy(v)`` sum. Cost model = iters × (score shuffle
-    + contribution shuffle), edges never re-shuffle. ``localCheckpoint``
-    per round cuts the iterative lineage (the connected_components
-    contract).
+    Plan, 100 TB-first — iterate the GRAPH, not the corpus. A node with no
+    incident pair receives nothing and pushes nothing: after one round it
+    sits at the (1-d) floor forever, so re-keying a corpus-sized score
+    relation every round (billions of rows at the target scale) buys
+    nothing. The rounds therefore run over the ACTIVE node set (nodes ∩
+    edge endpoints — the dup-graph, typically orders of magnitude smaller
+    than the corpus): the symmetrized edge list is hash-partitioned by
+    ``u`` ONCE and cached, each round re-keys only the active score
+    relation, then one ``groupBy(v)`` sum. Cost model = one corpus scan up
+    front (broadcast-semi to carve the active set) + iters × graph-sized
+    (score shuffle + contribution shuffle) + one map-only broadcast
+    anti-join to emit the isolated mass at the closed-form floor. Edges
+    never re-shuffle; corpus rows are never touched inside the loop.
+    ``localCheckpoint`` cuts the iterative lineage (the
+    connected_components contract).
     """
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -225,7 +233,15 @@ def pagerank_fixed(
     deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     ed = e.join(deg, "u").select("u", "v", "deg").cache()
     base = nodes.select(F.col(id_col).alias("node"))
-    s = base.select("node", F.lit(1_000_000).cast("long").alias("s"))
+    # active = nodes that touch an edge (semi keeps edge-endpoints NOT in
+    # `nodes` out of the iteration — they must neither receive scores nor
+    # appear in the output, matching the corpus-keyed formulation); deg is
+    # graph-sized → broadcast semi, map-only over the one corpus scan.
+    # Eager checkpoint: graph-sized, re-read every round.
+    act = base.join(
+        deg.withColumnRenamed("u", "node"), "node", "left_semi"
+    ).localCheckpoint(eager=True)
+    s = act.select("node", F.lit(1_000_000).cast("long").alias("s"))
     for _ in range(iters):
         contrib = (
             ed.join(s.withColumnRenamed("node", "u"), "u")
@@ -236,28 +252,43 @@ def pagerank_fixed(
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("inc"))
         )
-        s = base.join(contrib, "node", "left").select(
+        # left join (not contrib alone): an active node whose incoming
+        # sources all fall outside `nodes` gets no contrib row but must
+        # stay at the floor; junk contrib rows for out-of-corpus targets
+        # drop here — both exactly as the corpus-keyed formulation behaved
+        s = act.join(contrib, "node", "left").select(
             "node",
             (F.lit(150_000) + F.coalesce(F.col("inc"), F.lit(0)))
             .cast("long")
             .alias("s"),
         ).localCheckpoint(eager=False)
     # deg recomputes off e's reusable shuffle output — cheaper than a
-    # distinct over the cached edge×deg relation (an extra full shuffle)
-    out_deg = base.join(deg.withColumnRenamed("u", "node"), "node", "left")
-    result = (
-        s.join(out_deg, "node")
+    # distinct over the cached edge×deg relation (an extra full shuffle).
+    # Graph-sized eager materialization so the edge cache can be dropped
+    # without the caller's first action recomputing the rounds.
+    active_out = (
+        s.join(deg.withColumnRenamed("u", "node"), "node")
         .select(
             F.col("node").alias(id_col),
-            F.coalesce(F.col("deg"), F.lit(0).cast("long")).alias("degree"),
+            F.col("deg").alias("degree"),
             F.col("s").alias("score_micro"),
         )
-        # one row per node: materialize eagerly so the edge cache can be
-        # dropped without the caller's first action recomputing the rounds
         .localCheckpoint(eager=True)
     )
     ed.unpersist()
-    return result
+    # isolated nodes never enter the loop: closed-form floor after any
+    # round (seed before the first). Broadcast anti-join against the tiny
+    # checkpointed active set — map-only over the corpus scan, and the
+    # result streams (no corpus-sized checkpoint/cache anywhere).
+    iso_score = 1_000_000 if iters == 0 else 150_000
+    isolated = base.join(
+        act, "node", "left_anti"
+    ).select(
+        F.col("node").alias(id_col),
+        F.lit(0).cast("long").alias("degree"),
+        F.lit(iso_score).cast("long").alias("score_micro"),
+    )
+    return active_out.unionByName(isolated)
 
 
 def incremental_components(
