@@ -178,7 +178,24 @@ def lang_id_ngram(
     """
     spark = df.sparkSession
     norm = normalize_expr(F.col(text_col))
-    base = df.select(F.col(id_col).alias("_id"), norm.alias("_norm"))
+    # repartition by doc BEFORE the explode: the generate multiplies
+    # volume ~|doc| per row, so input-BYTES-based scan partitioning
+    # undercounts by orders of magnitude (a small parquet arrives as one
+    # task and the whole corpus trigram count runs single-threaded).
+    # Hash-partitioning on _id also makes everything downstream
+    # exchange-free: HashPartitioning(_id) satisfies the (_id, gram)
+    # groupBy's clustered distribution, the per-doc rank window, and the
+    # final per-doc distance aggregate — the raw-docs shuffle (pre-explode
+    # bytes, the SMALLEST relation in the pipeline) is the only exchange
+    # in the operator. fan_out pins an explicit partition count (AQE
+    # coalesces by SHUFFLE bytes and would fold the small pre-explode
+    # relation back to one partition, serializing the ~|doc|× larger
+    # generate+aggregate downstream) and no-ops at production scale where
+    # the scan already has more splits than cores.
+    from .scale import fan_out
+
+    base_raw = df.select(F.col(id_col).alias("_id"), norm.alias("_norm"))
+    base = fan_out(base_raw, key="_id")
     # one row per trigram position (explode keyed by doc). The length
     # guard matters: Spark's sequence(1, n) with n < 1 generates a
     # DESCENDING sequence, not an empty one.
@@ -233,7 +250,9 @@ def lang_id_ngram(
     # exactly the length>=3 docs, so the complement is the same length
     # predicate (a plain filter — NOT an anti join, which would recompute
     # the whole scoring pipeline as its probe side).
-    missing = base.filter(F.length("_norm") < 3).select(
+    # off base_raw, not base: a plain filtered scan needs no distribution,
+    # so routing it through the repartition would add a shuffle for nothing
+    missing = base_raw.filter(F.length("_norm") < 3).select(
         F.col("_id").alias(id_col),
         *[F.lit(0).cast("long").alias(f"dist_{lang}") for lang in LANGS],
         F.lit("unknown").alias("pred_lang"),

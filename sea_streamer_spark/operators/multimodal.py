@@ -9,9 +9,13 @@ stubbed deterministically because media libraries are not available in this
 container (swap ``_decode_batch``'s body for PIL/ffmpeg in production).
 
 Scale notes: mapInPandas streams Arrow batches (no row-at-a-time pickling);
-decode is embarrassingly parallel, so throughput scales with partitions.
-``repartition`` before decoding if upstream partitioning is skewed by
-payload size.
+decode is embarrassingly parallel, so throughput scales with partitions —
+which is why every Python stage enters through :func:`_fan`: a decode's
+parallelism must not be pinned to the scan's split count (a small parquet
+arrives as ONE task, serializing the whole Python chain), and at production
+scale the guard no-ops because the scan already has more splits than cores.
+``repartition`` explicitly before decoding if upstream partitioning is
+skewed by payload size.
 """
 
 from __future__ import annotations
@@ -32,6 +36,18 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+def _fan(df: DataFrame) -> DataFrame:
+    """Entry gate for every mapInPandas stage: decouple the Python chain's
+    parallelism from the scan's split count (scale.fan_out — an explicit
+    partition count, so AQE's bytes-based coalescing cannot fold the small
+    pre-decode relation back to one task). Chained stages pay it once: after
+    the first fan-out the partition count already meets the target and the
+    guard no-ops."""
+    from .scale import fan_out
+
+    return fan_out(df, key="doc_id")
+
 
 DECODED_SCHEMA = StructType(
     [
@@ -160,7 +176,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                 rows, columns=["doc_id", "payload_len", "media_type", "width", "height"]
             )
 
-    return df.select("doc_id", "payload").mapInPandas(decode_batch, DECODED_SCHEMA)
+    return _fan(df.select("doc_id", "payload")).mapInPandas(decode_batch, DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(
@@ -202,7 +218,7 @@ def resize_ppm(df: DataFrame, width: int, height: int) -> DataFrame:
             rows = [one(d, p) for d, p in zip(pdf["doc_id"], pdf["payload"])]
             yield _pd.DataFrame(rows, columns=["doc_id", "payload", "width", "height"])
 
-    return df.select("doc_id", "payload").mapInPandas(resize_batch, RESIZED_SCHEMA)
+    return _fan(df.select("doc_id", "payload")).mapInPandas(resize_batch, RESIZED_SCHEMA)
 
 
 def synthesize_png(
@@ -233,7 +249,7 @@ def synthesize_png(
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
-    return df.select("doc_id", text_col).mapInPandas(synth_batch, schema)
+    return _fan(df.select("doc_id", text_col)).mapInPandas(synth_batch, schema)
 
 
 def resize_png(df: DataFrame, width: int, height: int) -> DataFrame:
@@ -270,7 +286,7 @@ def resize_png(df: DataFrame, width: int, height: int) -> DataFrame:
             rows = [one(d, p) for d, p in zip(pdf["doc_id"], pdf["payload"])]
             yield _pd.DataFrame(rows, columns=["doc_id", "payload", "width", "height"])
 
-    return df.select("doc_id", "payload").mapInPandas(resize_batch, RESIZED_SCHEMA)
+    return _fan(df.select("doc_id", "payload")).mapInPandas(resize_batch, RESIZED_SCHEMA)
 
 
 JPEG_ROUNDTRIP_SCHEMA = StructType(
@@ -346,7 +362,7 @@ def jpeg_roundtrip(
                 rows, columns=["doc_id", "media_type", "width", "height", "ok"]
             )
 
-    return df.select("doc_id", text_col).mapInPandas(batch, JPEG_ROUNDTRIP_SCHEMA)
+    return _fan(df.select("doc_id", text_col)).mapInPandas(batch, JPEG_ROUNDTRIP_SCHEMA)
 
 
 WAV_FEATURES_SCHEMA = StructType(
@@ -398,7 +414,7 @@ def wav_roundtrip_features(df: DataFrame, rate: int = 16_000) -> DataFrame:
                 ],
             )
 
-    return df.select("doc_id").mapInPandas(batch, WAV_FEATURES_SCHEMA)
+    return _fan(df.select("doc_id")).mapInPandas(batch, WAV_FEATURES_SCHEMA)
 
 
 MJPEG_FRAMES_SCHEMA = StructType(
@@ -464,7 +480,7 @@ def mjpeg_frame_extract(df: DataFrame, quality: int = 85) -> DataFrame:
                 out, columns=["doc_id", "frame_idx", "width", "height", "ok"]
             )
 
-    return df.select("doc_id", "text").mapInPandas(batch, MJPEG_FRAMES_SCHEMA)
+    return _fan(df.select("doc_id", "text")).mapInPandas(batch, MJPEG_FRAMES_SCHEMA)
 
 
 GIF_FRAMES_SCHEMA = StructType(
@@ -521,7 +537,7 @@ def gif_frame_extract(df: DataFrame) -> DataFrame:
                 rows, columns=["doc_id", "frame_idx", "width", "height", "checksum"]
             )
 
-    return df.select("doc_id").mapInPandas(batch, GIF_FRAMES_SCHEMA)
+    return _fan(df.select("doc_id")).mapInPandas(batch, GIF_FRAMES_SCHEMA)
 
 
 DECODED_HASH_SCHEMA = StructType(
@@ -565,7 +581,7 @@ def decode_png_hashed(df: DataFrame) -> DataFrame:
                 rows, columns=["doc_id", "media_type", "width", "height", "pixel_hash"]
             )
 
-    return df.select("doc_id", "payload").mapInPandas(batch, DECODED_HASH_SCHEMA)
+    return _fan(df.select("doc_id", "payload")).mapInPandas(batch, DECODED_HASH_SCHEMA)
 
 
 FEATURES_SCHEMA = StructType(
@@ -626,7 +642,7 @@ def extract_features(df: DataFrame, n_bins: int = 16, normalize: bool = True) ->
                 )
 
     out_schema = FEATURES_SCHEMA if normalize else FEATURES_INT_SCHEMA
-    return df.select("doc_id", "payload").mapInPandas(feat_batch, out_schema)
+    return _fan(df.select("doc_id", "payload")).mapInPandas(feat_batch, out_schema)
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -654,7 +670,7 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                 {"doc_id": ids, "frame_idx": idxs, "frame": frames, "frame_len": lens}
             )
 
-    return df.select("doc_id", "payload").mapInPandas(frames_batch, FRAMES_SCHEMA)
+    return _fan(df.select("doc_id", "payload")).mapInPandas(frames_batch, FRAMES_SCHEMA)
 
 
 def resize_media(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
@@ -687,7 +703,7 @@ def resize_media(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
                 }
             )
 
-    return df.select("doc_id", "payload").mapInPandas(resize_batch, DECODED_SCHEMA)
+    return _fan(df.select("doc_id", "payload")).mapInPandas(resize_batch, DECODED_SCHEMA)
 
 
 DHASH_SCHEMA = StructType(
@@ -739,7 +755,7 @@ def dhash_png(df: DataFrame) -> DataFrame:
             rows = [one(d, p) for d, p in zip(pdf["doc_id"], pdf["payload"])]
             yield _pd.DataFrame(rows, columns=["doc_id", "dhash"])
 
-    return df.select("doc_id", "payload").mapInPandas(batch, DHASH_SCHEMA)
+    return _fan(df.select("doc_id", "payload")).mapInPandas(batch, DHASH_SCHEMA)
 
 
 def hamming_block_pairs(
@@ -854,7 +870,7 @@ def wav_fingerprint(df: DataFrame, rate: int = 16_000) -> DataFrame:
             rows = [one(int(d)) for d in pdf["doc_id"]]
             yield _pd.DataFrame(rows, columns=["doc_id", "afp"])
 
-    return df.select("doc_id").mapInPandas(batch, WAV_FP_SCHEMA)
+    return _fan(df.select("doc_id")).mapInPandas(batch, WAV_FP_SCHEMA)
 
 
 def audio_near_dup(
