@@ -463,3 +463,59 @@ class TestContinuationWaveQueryPlans:
         assert "partial_count" in plan, plan  # map-side combine pre-shuffle
         assert "CartesianProduct" not in plan, plan
         assert "EvalPython" not in plan, plan
+
+
+class TestFanOutParallelism:
+    """Round-5 perf wave: explode/decode parallelism must not inherit a
+    small scan's split count (all sf parquet is ONE row group ⇒ one task),
+    and the fan-out must survive AQE's bytes-based coalescing (an explicit
+    partition count — repartition("key") alone gets folded back to one
+    partition because the PRE-explode relation is tiny)."""
+
+    def test_langid_single_data_exchange_and_fanned(self, spark, sf_dir):
+        """lang_id_ngram: exactly one data exchange (the pre-explode
+        fan-out, plus at most a gather for the tiny result) — the (id,gram)
+        groupBy, doc rank window, and distance agg all ride
+        HashPartitioning(_id); the rank filter plans as WindowGroupLimit."""
+        df = QUERIES["text_lang_id_ngram"].fn(spark, sf_dir)
+        plan = _final_plan(df)
+        assert _shuffle_exchanges(plan) <= 2, plan
+        assert "WindowGroupLimit" in plan, plan
+        assert df.rdd.getNumPartitions() > 1, "explode chain not fanned out"
+
+    def test_multimodal_python_chain_is_fanned(self, spark, sf_dir):
+        """Every mapInPandas stage enters through _fan: with a one-split
+        scan the decode chain must still run on >1 partition."""
+        from sea_streamer_spark.operators import multimodal as M
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        png = M.synthesize_png(docs, width=18, height=14)
+        assert png.rdd.getNumPartitions() > 1, "synthesize_png not fanned"
+        dh = M.dhash_png(M.resize_png(png, width=9, height=7).select("doc_id", "payload"))
+        assert dh.rdd.getNumPartitions() > 1, "decode chain lost fan-out"
+
+    def test_dsir_feature_explode_is_fanned(self, spark, sf_dir):
+        from sea_streamer_spark.operators.selection import hashed_ngram_buckets
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        assert hashed_ngram_buckets(docs).rdd.getNumPartitions() > 1
+
+    def test_pagerank_loop_is_graph_sized(self, spark, sf_dir):
+        """pagerank_fixed iterates the active subgraph: the per-round score
+        relation must not be the corpus — the documents scan appears in the
+        plan only for the active-set carve and the isolated-floor emit (the
+        round relations are checkpointed RDD scans)."""
+        from sea_streamer_spark.operators.graph import pagerank_fixed
+        from sea_streamer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents").documents
+        pairs = docs.limit(0).selectExpr(
+            "doc_id as doc_a", "doc_id + 1 as doc_b"
+        )
+        out = pagerank_fixed(docs.select("doc_id"), pairs, iters=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # all-isolated graph: the result must still be corpus-complete
+        assert out.count() == docs.count()
+        assert plan.count("documents.parquet") <= 2, plan
