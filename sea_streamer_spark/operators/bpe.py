@@ -42,7 +42,12 @@ __all__ = [
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) over whitespace-split non-empty words — the ONE pass over
-    the corpus; everything downstream scales with |vocabulary|."""
+    the corpus; everything downstream scales with |vocabulary|. fan_out
+    first: the explode multiplies volume ~tokens-per-doc, so the pass must
+    not inherit a small scan's one-task split (no-op at production scale)."""
+    from .scale import fan_out
+
+    df = fan_out(df)
     w = df.select(
         F.explode(
             F.filter(F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0)

@@ -242,7 +242,7 @@ def pagerank_fixed(
         deg.withColumnRenamed("u", "node"), "node", "left_semi"
     ).localCheckpoint(eager=True)
     s = act.select("node", F.lit(1_000_000).cast("long").alias("s"))
-    for _ in range(iters):
+    for rnd in range(iters):
         contrib = (
             ed.join(s.withColumnRenamed("node", "u"), "u")
             .select(

@@ -79,7 +79,12 @@ def hashed_ngram_buckets(
 ) -> DataFrame:
     """(id, bucket) with one row per n-gram occurrence — the shared feature
     relation for both fitting and scoring. Pure projection + explode; the
-    fold and the mod stay inside whole-stage codegen."""
+    fold and the mod stay inside whole-stage codegen. fan_out first: the
+    explode multiplies volume ~tokens-per-doc, so its parallelism must not
+    inherit a small scan's split count (no-op at production scale)."""
+    from .scale import fan_out
+
+    df = fan_out(df, key=id_col)
     return df.select(
         F.col(id_col), F.explode(token_ngrams(text_col)).alias("ng")
     ).select(
