@@ -110,3 +110,44 @@ class TestPagerankRandomized:
                 for r in pagerank_fixed(ndf, pdf, iters=iters).collect()
             }
             assert got == py_pagerank(nodes, pairs, iters), (trial, n, pairs)
+
+
+class TestPagerankForeignEdges:
+    def test_edges_referencing_unknown_nodes(self, spark):
+        """Pairs may reference ids absent from the node relation (a
+        filtered corpus joined against an unfiltered pair list). Contract
+        (same as the corpus-keyed formulation): unknown endpoints are
+        excluded from the output and push nothing, but still inflate the
+        degree divisor of their known neighbors; a known node whose only
+        sources are unknown sits at the floor with its true degree."""
+        from sea_streamer_spark.operators.graph import pagerank_fixed
+
+        nodes = [0, 1, 2]
+        # 0-1 known edge; 1-99 and 2-98 reach outside the node relation
+        pairs = [(0, 1), (1, 99), (98, 2)]
+        ndf = spark.createDataFrame([(n,) for n in nodes], ["doc_id"])
+        pdf = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+        got = {
+            r.doc_id: (r.degree, r.score_micro)
+            for r in pagerank_fixed(ndf, pdf, iters=2).collect()
+        }
+        assert set(got) == {0, 1, 2}
+
+        # python replay with the same exclusion rule
+        edges = []
+        for a, b in pairs:
+            edges += [(a, b), (b, a)]
+        deg = {}
+        for u, _v in edges:
+            deg[u] = deg.get(u, 0) + 1
+        s = {n: 1_000_000 for n in nodes}
+        for _ in range(2):
+            inc = {n: 0 for n in nodes}
+            for u, v in edges:
+                if u in s and v in inc:  # unknown sources push nothing
+                    inc[v] += (s[u] * 17) // (20 * deg[u])
+            s = {n: 150_000 + inc[n] for n in nodes}
+        want = {n: (deg.get(n, 0), s[n]) for n in nodes}
+        assert got == want
+        # node 2's only neighbor is unknown: true degree, floor score
+        assert got[2] == (1, 150_000)
