@@ -362,25 +362,31 @@ def pq_code_expr(codebooks: list[list[list[float]]], vec_col: str = "embedding")
     codes = []
     for s in range(m):
         sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        # ONE transform over a 2-D array<array<double>> literal instead of
+        # ksub per-code zip_with/aggregate branches: the distance arithmetic
+        # (same fold order, same casts) and the (negdist, negcode) argmin
+        # tie-break are identical, but the expression tree is ~ksub× smaller
+        # — driver-side plan build dropped from seconds to tens of ms for
+        # the composed IVF-PQ query (py4j round-trips scale with tree size).
+        cb = F.lit([[float(x) for x in cvec] for cvec in codebooks[s]])
         best = F.array_max(
-            F.array(
-                *[
-                    F.struct(
-                        (
-                            -F.aggregate(
-                                F.zip_with(
-                                    sub,
-                                    F.array(*[F.lit(float(x)) for x in cvec]),
-                                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-                                ),
-                                F.lit(0.0),
-                                lambda acc, x: acc + x,
-                            )
-                        ).alias("negdist"),
-                        F.lit(-code).cast("long").alias("negcode"),
-                    )
-                    for code, cvec in enumerate(codebooks[s])
-                ]
+            F.transform(
+                cb,
+                lambda cvec, code: F.struct(
+                    (
+                        -F.aggregate(
+                            F.zip_with(
+                                sub,
+                                cvec,
+                                lambda x, c: (x.cast("double") - c)
+                                * (x.cast("double") - c),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    ).alias("negdist"),
+                    (-code).cast("long").alias("negcode"),
+                ),
             )
         )
         codes.append(-best["negcode"])
@@ -447,7 +453,7 @@ def pq_adc_expr(
                 acc += float(x) * float(c)
             lut.append(acc)
         term = F.element_at(
-            F.array(*[F.lit(v) for v in lut]),
+            F.lit([float(v) for v in lut]),
             F.element_at(codes_col, s + 1).cast("int") + 1,
         )
         adc = term if adc is None else adc + term
@@ -510,15 +516,23 @@ def ivf_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str = "embe
     map-side, so assignment never shuffles regardless of corpus size. Ties
     break to the smaller cell id.
     """
+    # one transform over an array<array<double>> literal (not n_cells
+    # per-centroid branches): same dot fold, same (sim, -cell) argmax
+    # tie-break, ~n_cells× smaller expression tree (pq_code_expr's build-
+    # time rationale). Cell ids are the transform index — callers pass
+    # centroids as the dense [(0, v0), (1, v1), ...] list every trainer
+    # produces; the assert keeps a sparse list from silently mislabeling.
+    assert [c for c, _ in centroids] == list(range(len(centroids))), (
+        "ivf_cell_expr expects dense 0..n-1 cell ids"
+    )
+    cents = F.lit([[float(x) for x in vec] for _, vec in centroids])
     best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])).alias("sim"),
-                    F.lit(-cell).cast("long").alias("negcell"),
-                )
-                for cell, vec in centroids
-            ]
+        F.transform(
+            cents,
+            lambda vec, cell: F.struct(
+                dot(F.col(vec_col), vec).alias("sim"),
+                (-cell).cast("long").alias("negcell"),
+            ),
         )
     )
     return (-best["negcell"]).cast("long")
@@ -769,7 +783,7 @@ def mmr_select(
     # written-down λ-complement) means 0.3 — round so both engines multiply
     # by the SAME double (a 1-ulp score skew here flips the driver hash).
     one_m = round(1.0 - lam, 10)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     cands = (
         df.select(
             F.col(id_col).alias("cid"),
