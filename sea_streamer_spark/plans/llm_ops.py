@@ -716,6 +716,87 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_ivf_recall_oracle() -> str | None:
+    """DuckDB replay of the recall evaluation: the exact brute-force top-10
+    and the IVF(nprobe=4) top-10 recomputed independently (same centroid
+    literals, same (cosine DESC, vec_id) total order as the two queries they
+    mirror), intersected. Returns None when the gate parquet is absent."""
+    C = oracle_ivf_centroids(n_cells=16, iters=8)
+    if C is None:
+        return None
+    cent_values = ",\n      ".join(
+        f"({i}, {lit_vec(C[i])}::DOUBLE[])" for i in range(16)
+    )
+    structs = cell_structs_sql(C)
+    return f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    cent(cell, cvec) AS (VALUES
+      {cent_values}),
+    probed AS (
+      SELECT cell FROM (
+        SELECT c.cell, {_duck_cosine('q.qvec', 'c.cvec')} AS cs FROM cent c, q
+      ) ORDER BY cs DESC, cell LIMIT 4
+    ),
+    assigned AS (
+      SELECT vec_id, embedding,
+             CAST(-(list_aggregate([{structs}], 'max').negcell) AS BIGINT) AS ivf_cell
+      FROM embeddings
+    ),
+    appr AS (
+      SELECT vec_id FROM (
+        SELECT a.vec_id, {_duck_cosine('a.embedding', 'q.qvec')} AS cosine_sim
+        FROM assigned a, q
+        WHERE a.ivf_cell IN (SELECT cell FROM probed) AND a.vec_id <> 0
+      ) ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    ),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id, {_duck_cosine('e.embedding', 'q.qvec')} AS cosine_sim
+        FROM embeddings e, q WHERE e.vec_id <> 0
+      ) ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    )
+    SELECT CAST(10 AS BIGINT) AS k, CAST(4 AS BIGINT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) * 100000 AS BIGINT) AS recall_micro
+    FROM exact JOIN appr USING (vec_id)
+    """
+
+
+@query(
+    "similarity_ann_recall_eval",
+    oracle=_build_ivf_recall_oracle(),
+    tags=("llm", "similarity", "approx", "eval"),
+)
+def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against exact brute-force ground truth —
+    the evaluation harness a pipeline runs BEFORE trusting an ANN index at
+    scale (recall is the accuracy knob nprobe trades against cost; the
+    standard methodology of the FAISS/ScaNN benchmark suites). Composes the
+    two registered retrieval paths verbatim: exact cosine top-10
+    (broadcast + TakeOrdered) ∩ IVF nprobe=4 top-10 (gate-pinned
+    quantizer), both already bit-exact against their own oracles, joined on
+    vec_id (two 10-row relations — the join is trivially broadcast). Output
+    is a single row (k, nprobe, n_overlap, recall_micro), all BIGINT:
+    recall_micro = n_overlap·1e6/k computed in exact integers. Scale: both
+    inputs are k-bounded TakeOrdereds, so the evaluation costs two corpus
+    scans regardless of corpus size (at 100 TB the ground-truth side runs
+    once over a fixed query sample and is amortized across index tunings)."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(t.embeddings, query_id=0, k=10).select("vec_id")
+    appr = S.ann_ivf_topk(
+        t.embeddings, query_id=0, k=10, centroids=gate_ivf_centroids(),
+    ).select("vec_id")
+    hits = exact.join(appr, "vec_id")
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    ).select(
+        F.lit(10).cast("long").alias("k"),
+        F.lit(4).cast("long").alias("nprobe"),
+        F.col("n_overlap"),
+        (F.col("n_overlap") * F.lit(100_000)).cast("long").alias("recall_micro"),
+    )
+
+
 @query(
     "multimodal_features",
     oracle="""

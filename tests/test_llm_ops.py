@@ -683,3 +683,43 @@ class TestIvfPq:
         ivf = {r.vec_id for r in S.ann_ivf_topk(emb, query_id=0, k=10).collect()}
         both = {r.vec_id for r in S.ann_ivf_pq_topk(emb, query_id=0, k=10, refine=100).collect()}
         assert len(both & exact) >= len(ivf & exact) - 2
+
+
+class TestRecallEval:
+    def test_recall_eval_matches_component_queries(self, spark, sf_dir):
+        """similarity_ann_recall_eval must equal the intersection of the two
+        registered retrieval queries it composes, with exact-integer
+        recall_micro and the pinned (k, nprobe) literals."""
+        from sea_streamer_spark.plans.queries import QUERIES
+
+        row = QUERIES["similarity_ann_recall_eval"].fn(spark, sf_dir).collect()
+        assert len(row) == 1
+        r = row[0]
+        exact = {
+            x.vec_id
+            for x in QUERIES["similarity_cosine_topk"].fn(spark, sf_dir).collect()
+        }
+        appr = {
+            x.vec_id
+            for x in QUERIES["similarity_ann_ivf"].fn(spark, sf_dir).collect()
+        }
+        assert (r.k, r.nprobe) == (10, 4)
+        assert r.n_overlap == len(exact & appr)
+        assert r.recall_micro == r.n_overlap * 100_000
+        assert r.n_overlap >= 1
+
+    def test_recall_floor_at_gate_sf(self, spark):
+        """On the corpus the quantizer was trained on, nprobe=4/16 must keep
+        at least half the true neighbors — the point of the eval op is that
+        this number is what you tune nprobe against."""
+        import os
+
+        from sea_streamer_spark.plans.llm_ops import ORACLE_SF_DIR
+        from sea_streamer_spark.plans.queries import QUERIES
+
+        if not os.path.exists(os.path.join(ORACLE_SF_DIR, "embeddings.parquet")):
+            import pytest
+
+            pytest.skip("gate corpus absent")
+        r = QUERIES["similarity_ann_recall_eval"].fn(spark, ORACLE_SF_DIR).collect()[0]
+        assert r.n_overlap >= 5
