@@ -797,6 +797,81 @@ def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRUNC_D = 32
+
+
+@query(
+    "similarity_truncated_recall_eval",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id, {_duck_cosine('e.embedding', 'q.qvec')} AS s
+        FROM embeddings e, q WHERE e.vec_id <> 0
+      ) ORDER BY s DESC, vec_id LIMIT 10
+    ),
+    tr AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               {_duck_cosine(f'list_slice(e.embedding, 1, {_TRUNC_D})', f'list_slice(q.qvec, 1, {_TRUNC_D})')} AS s
+        FROM embeddings e, q WHERE e.vec_id <> 0
+      ) ORDER BY s DESC, vec_id LIMIT 10
+    )
+    SELECT CAST(10 AS BIGINT) AS k, CAST({_TRUNC_D} AS BIGINT) AS d_trunc,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) * 100000 AS BIGINT) AS recall_micro
+    FROM exact JOIN tr USING (vec_id)
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def similarity_truncated_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of HALF-dimension cosine retrieval against the full-
+    dimension ground truth — the dimension-truncation quality check behind
+    matryoshka-style embedding serving (Kusupati et al. 2022: store/search
+    a prefix of the vector, re-rank with the full one; this measures what
+    the prefix alone loses). Same harness shape as
+    similarity_ann_recall_eval: two k-bounded TakeOrdereds (the truncated
+    side slices the array in-plan — at scale the prefix column is what you
+    persist, cutting vector I/O and cache footprint 2×), a 10×10 broadcast
+    join, exact-integer recall. No trained state — the oracle is pure SQL
+    over the same slices with the same fold order and tie-breaks."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t.embeddings
+    q_full = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q_full))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", S.cosine(F.col("embedding"), F.col("qvec")).alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    trunc = (
+        emb.crossJoin(F.broadcast(q_full))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            S.cosine(
+                F.slice(F.col("embedding"), 1, _TRUNC_D),
+                F.slice(F.col("qvec"), 1, _TRUNC_D),
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    return exact.join(trunc, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    ).select(
+        F.lit(10).cast("long").alias("k"),
+        F.lit(_TRUNC_D).cast("long").alias("d_trunc"),
+        F.col("n_overlap"),
+        (F.col("n_overlap") * F.lit(100_000)).cast("long").alias("recall_micro"),
+    )
+
+
 @query(
     "multimodal_features",
     oracle="""

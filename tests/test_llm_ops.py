@@ -723,3 +723,28 @@ class TestRecallEval:
             pytest.skip("gate corpus absent")
         r = QUERIES["similarity_ann_recall_eval"].fn(spark, ORACLE_SF_DIR).collect()[0]
         assert r.n_overlap >= 5
+
+    def test_truncated_recall_matches_slice_recompute(self, spark, sf_dir):
+        """similarity_truncated_recall_eval: n_overlap must equal the
+        intersection of the full-dim top-10 with a top-10 recomputed from
+        driver-side float64 cosines over the same 32-element prefix."""
+        from sea_streamer_spark.operators.similarity import cos_py
+        from sea_streamer_spark.plans.queries import QUERIES
+        from sea_streamer_spark.sources.tables import load_tables
+
+        r = QUERIES["similarity_truncated_recall_eval"].fn(spark, sf_dir).collect()[0]
+        assert (r.k, r.d_trunc) == (10, 32)
+        assert r.recall_micro == r.n_overlap * 100_000
+
+        rows = load_tables(spark, sf_dir, "embeddings").embeddings.collect()
+        vecs = {x.vec_id: [float(v) for v in x.embedding] for x in rows}
+        q = vecs[0]
+
+        def topk(d):
+            scored = sorted(
+                ((cos_py(v[:d], q[:d]), -i) for i, v in vecs.items() if i != 0),
+                reverse=True,
+            )
+            return {-ni for _, ni in scored[:10]}
+
+        assert r.n_overlap == len(topk(len(q)) & topk(32))
