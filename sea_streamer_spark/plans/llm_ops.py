@@ -797,6 +797,82 @@ def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {DUCK_SHINGLE_SETS},
+    p0 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pj AS (
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+      FROM p0
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.3
+    ),
+    thr(t) AS (VALUES (30), (50), (70)),
+    sel AS (SELECT t, doc_a, doc_b FROM pj, thr WHERE j >= t / 100.0),
+    np AS (SELECT t, COUNT(*) AS n_pairs FROM sel GROUP BY t),
+    nd AS (
+      SELECT t, COUNT(DISTINCT d) AS n_docs FROM (
+        SELECT t, doc_a AS d FROM sel
+        UNION ALL SELECT t, doc_b FROM sel
+      ) GROUP BY t
+    )
+    SELECT CAST(thr.t AS BIGINT) AS thr_pct,
+           CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
+    FROM thr LEFT JOIN np ON np.t = thr.t LEFT JOIN nd ON nd.t = thr.t
+    ORDER BY thr_pct
+    """,
+    tags=("llm", "dedup", "eval"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup threshold-tuning curve: near-dup pair count and distinct
+    affected-doc count at Jaccard ≥ 0.3 / 0.5 / 0.7, from ONE shingle pass
+    — the numbers a data team reads before committing to a threshold (too
+    loose deletes distinct content, too tight leaves boilerplate; Lee et
+    al. 2022 tune exactly this curve). Plan: candidate pairs are generated
+    once at the loosest threshold (same shared-shingle equi-join economics
+    as dedup_ngram_jaccard — volume scales with near-dup mass, never
+    corpus²), then a bounded ×3 threshold explode and two keyed counts;
+    thresholds with zero pairs still emit a row via the literal-frame left
+    join. Threshold compare is the same double division (t/100.0) in both
+    engines, so binning is bit-identical."""
+    t = load_tables(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(t.documents, threshold=0.3)
+    sel = pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.explode(F.array(F.lit(30), F.lit(50), F.lit(70))).alias("thr_pct"),
+    ).filter(F.col("jaccard") >= F.col("thr_pct") / F.lit(100.0))
+    np_ = sel.groupBy("thr_pct").agg(F.count(F.lit(1)).alias("n_pairs"))
+    nd = (
+        sel.select(
+            "thr_pct", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .distinct()
+        .groupBy("thr_pct")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    base = spark.createDataFrame([(30,), (50,), (70,)], "thr_pct int")
+    return (
+        base.join(np_, "thr_pct", "left")
+        .join(nd, "thr_pct", "left")
+        .select(
+            F.col("thr_pct").cast("long").alias("thr_pct"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+        .orderBy("thr_pct")
+    )
+
+
 _TRUNC_D = 32
 
 

@@ -182,15 +182,16 @@ def _rank(item: tuple[str, object]) -> tuple[float, int]:
     """Round-5 ordering (VERDICT r4 "Next round" #1).
 
     Slots 1-12: the never-driver-sampled ``_POST_BUDGET`` tail (the only
-    pre-round-5 queries with zero driver rows). Slots 13-23: the eleven
+    pre-round-5 queries with zero driver rows). Slots 13-24: the twelve
     round-5 registrations (envelope_wide_seqno, asof_join_nearest_click,
-    similarity_ann_recall_eval, similarity_truncated_recall_eval,
-    dedup_span_coverage_salted, events_decayed_engagement,
-    quality_winsorize, events_rolling_7d_actives, privacy_l_diversity,
+    similarity_ann_recall_eval, dedup_threshold_sweep,
+    similarity_truncated_recall_eval, dedup_span_coverage_salted,
+    events_decayed_engagement, quality_winsorize,
+    events_rolling_7d_actives, privacy_l_diversity,
     events_transition_matrix, agg_mode_exact — rank (0, 0), module-import
     registration order). Then re-verification, OLDEST driver
     evidence first — r1 rows (last checked round 1) before r2, r3, r4 — so
-    the remaining ~27 budget slots refresh the stalest proof.
+    the remaining ~26 budget slots refresh the stalest proof.
     """
     name = item[0]
     if name in _R04_DRIVER_VERIFIED:

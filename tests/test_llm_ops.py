@@ -748,3 +748,21 @@ class TestRecallEval:
             return {-ni for _, ni in scored[:10]}
 
         assert r.n_overlap == len(topk(len(q)) & topk(32))
+
+    def test_threshold_sweep_is_monotone_and_matches_pairs(self, spark, sf_dir):
+        """dedup_threshold_sweep: counts must be monotonically non-increasing
+        in the threshold and agree with per-threshold recomputation from the
+        registered exact-Jaccard pair query (which is the >= 0.5 slice)."""
+        from sea_streamer_spark.plans.queries import QUERIES
+
+        rows = {
+            r.thr_pct: r
+            for r in QUERIES["dedup_threshold_sweep"].fn(spark, sf_dir).collect()
+        }
+        assert set(rows) == {30, 50, 70}
+        assert rows[30].n_pairs >= rows[50].n_pairs >= rows[70].n_pairs
+        assert rows[30].n_docs >= rows[50].n_docs >= rows[70].n_docs
+        exact50 = QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+        assert rows[50].n_pairs == len(exact50)
+        docs50 = {x.doc_a for x in exact50} | {x.doc_b for x in exact50}
+        assert rows[50].n_docs == len(docs50)
