@@ -160,6 +160,10 @@ def new_ops_metric(spark) -> dict:
         "quality_winsorize",
         "events_rolling_7d_actives",
         "agg_percentile_cont",
+        # round-5 wave 2 (llm_ops8 dedup finishers / embedding QA)
+        "dedup_keep_longest_per_cluster",
+        "embedding_outlier_centroid",
+        "events_last_touch_attribution",
     ):
         if name not in QUERIES:
             continue

@@ -1,0 +1,333 @@
+"""Round-5 operator wave 2: the dedup *finishers* and audit reports a
+training-data pipeline runs after near-dup detection, plus embedding-QA
+and marketing-style attribution over the events stream.
+
+- ``dedup_keep_longest_per_cluster`` — the actual corpus reduction: one
+  representative per near-dup family, keep-rule = longest text (the
+  RefinedWeb/Dolma convention), deterministic tie-break.
+- ``dedup_rate_by_source`` — the per-source duplication report read before
+  re-weighting a source mix (a source that is 40 % near-dups contributes
+  far fewer effective tokens than its raw count suggests).
+- ``embedding_outlier_centroid`` — distance-to-centroid audit in integer
+  fixed-point: flags mis-embedded / out-of-distribution vectors before
+  they poison ANN training or retrieval eval.
+- ``events_last_touch_attribution`` — last-touch conversion attribution
+  within a 7-day window, the canonical funnel-credit query.
+
+House rules (llm_ops.py): integer fixed-point wherever a float sum's
+addition ORDER could differ between engines; collects bounded by geometry
+(here: d = embedding dims), never row count; cluster relations reuse the
+exact-Jaccard recursive-CTE oracle of ``dedup_clusters`` so the keep-rule
+is checked end-to-end, not against a re-derived pair list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import dedup as D
+from ..operators import graph as G
+from ..sources.tables import load_tables
+from .llm_ops import DUCK_SHINGLE_SETS
+from .registry import query
+
+#: The exact-Jaccard >= 0.5 near-dup cluster assignment as a DuckDB CTE
+#: chain (shared by both dedup finishers below; identical to the
+#: ``dedup_clusters`` oracle in llm_ops2.py, kept verbatim so the two
+#: relations can never drift apart).
+_DUCK_CLUSTERS = f"""
+    {DUCK_SHINGLE_SETS},
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    cc(node, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.v, cc.lbl FROM cc JOIN e ON e.u = cc.node
+    ),
+    lbls AS (SELECT node, MIN(lbl) AS cluster FROM cc GROUP BY node),
+    asg AS (
+      SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster_id,
+             d.n_chars, d.source
+      FROM documents d LEFT JOIN lbls l ON l.node = d.doc_id
+    )
+"""
+
+
+def _cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared relation: every document with its near-dup cluster id,
+    cluster size, and the keep-longest verdict. One LSH pass + CC rounds
+    (both existing primitives), then a single cluster-keyed window shuffle
+    carrying both the size count and the keep rank — rule: max ``n_chars``,
+    tie-break min ``doc_id`` (deterministic under any partitioning)."""
+    t = load_tables(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(t.documents, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    clustered = G.dedup_clusters(t.documents, pairs)
+    j = clustered.join(
+        t.documents.select("doc_id", "n_chars", "source"), "doc_id"
+    )
+    part = Window.partitionBy("cluster_id")
+    w = part.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "source",
+        F.count(F.lit(1)).over(part).cast("long").alias("cluster_size"),
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+
+
+@query(
+    "dedup_keep_longest_per_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_CLUSTERS}
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id) = 1) AS kept
+    FROM asg ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def dedup_keep_longest_per_cluster(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dedup *finisher*: turn near-dup clusters into an actual corpus
+    cut by keeping exactly one representative per family — the LONGEST
+    document (RefinedWeb's keep-rule; a longer near-dup usually strictly
+    contains the shorter boilerplate variant), tie-broken by min doc_id so
+    the verdict is reproducible under re-runs and repartitioning. Emits
+    the full per-doc verdict relation (doc_id, cluster_id, cluster_size,
+    kept) rather than only survivors, because real pipelines both filter
+    on ``kept`` and audit what was dropped.
+
+    Plan: MinHash-LSH pairs → hash-min CC (the existing primitives; their
+    shuffles are keyed by shingle hash / node id and scale with near-dup
+    mass) → ONE additional cluster-keyed window shuffle carrying the size
+    count and the keep rank together. Cluster populations are near-dup
+    family sizes — bounded by content duplication, not corpus size — so
+    the window never sees a heavy hitter worse than the dup family itself.
+    At 100 TB every stage is the same equi-join/window shape; nothing
+    collects to the driver."""
+    return _cluster_keep_longest(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size", "kept"
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_CLUSTERS},
+    verdict AS (
+      SELECT source,
+             (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_chars DESC, doc_id) = 1) AS kept
+      FROM asg
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           CAST(FLOOR(1000.0 * SUM(CASE WHEN kept THEN 0 ELSE 1 END)
+                      / COUNT(*)) AS BIGINT) AS dup_permille
+    FROM verdict GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "dedup", "profile"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: how many documents each source
+    loses to the keep-longest cut, as count + integer permille. This is
+    the table read before re-weighting a source mixture — a source that
+    is 40 % near-dups contributes far fewer effective tokens than its raw
+    document count suggests (and heavy cross-source duplication shows up
+    as removals landing on whichever source drew the shorter copy).
+
+    Plan: the keep-longest verdict relation (see
+    ``dedup_keep_longest_per_cluster``) followed by one source-keyed
+    partial-agg shuffle — the exchange carries ≤ |sources| × partitions
+    rows. dup_permille = floor(1000·removed/n) is exact integer fixed
+    point, so the DuckDB replay hashes bit-for-bit."""
+    v = _cluster_keep_longest(spark, sf_dir)
+    removed = F.sum(F.when(F.col("kept"), 0).otherwise(1))
+    return (
+        v.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            removed.cast("long").alias("n_removed"),
+            F.floor(
+                1000.0 * removed / F.count(F.lit(1))
+            ).cast("long").alias("dup_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "embedding_outlier_centroid",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS xm
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT pos, CAST(FLOOR(SUM(xm) * 1.0 / COUNT(*)) AS BIGINT) AS mm
+      FROM m GROUP BY pos
+    ),
+    d AS (
+      SELECT vec_id, CAST(SUM((xm - mm) * (xm - mm)) AS BIGINT) AS dist_sq
+      FROM m JOIN cent USING (pos) GROUP BY vec_id
+    )
+    SELECT d.vec_id, d.dist_sq, CAST(e.label AS BIGINT) AS label
+    FROM d JOIN embeddings e USING (vec_id)
+    ORDER BY dist_sq DESC, vec_id LIMIT 20
+    """,
+    tags=("llm", "embedding", "similarity"),
+)
+def embedding_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-QA outlier audit: top-20 vectors by squared distance to
+    the corpus centroid — the cheap screen for mis-embedded rows (zero
+    vectors, wrong-model leftovers, OOD content) run before an embedding
+    column is trusted for ANN training or retrieval eval.
+
+    Engine-exact by integer fixed-point: components become
+    floor(double(x)·1e6) BIGINT micros (float32→double is value-exact and
+    the multiply is one IEEE op in both engines), the centroid is
+    floor(Σ/n) per dimension (Σ < 2^53 at any tested sf, so the double
+    quotient is exact to well past the floor boundary — the quotient is
+    ≥ 1/n away from an integer unless exact), and distances are pure
+    BIGINT sums (|diff| ~ 1e6, squared 1e12, × d=64 ≈ 6e13 — no overflow).
+    No float accumulation order anywhere.
+
+    Plan: per-dim sums via posexplode + ONE dim-keyed partial-agg shuffle
+    (the exchange carries d × partitions rows); the d-row centroid is a
+    geometry-bounded collect embedded as an array literal (the gate-pinned
+    quantizer pattern, llm_ops.py); distance is then a map-only zip_with
+    fold inside codegen and top-20 is TakeOrdered — per-partition heaps,
+    never a global sort. At 100 TB the only shuffle still carries d rows
+    per partition."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    m = t.embeddings.select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        micro.alias("xm"),
+    )
+    sums = (
+        m.select(F.posexplode("xm").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # d rows (embedding dims), never row count: floor division on Python
+    # ints == floor(Σ/n) exactly, including negative sums.
+    mean = [int(r["s"]) // int(r["n"]) for r in sorted(sums, key=lambda r: r["pos"])]
+    mean_lit = F.array(*[F.lit(v).cast("long") for v in mean])
+    dist = F.aggregate(
+        F.zip_with("xm", mean_lit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        m.select("vec_id", dist.alias("dist_sq"), "label")
+        .orderBy(F.desc("dist_sq"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "events_last_touch_attribution",
+    oracle="""
+    WITH touched AS (
+      SELECT event_id, user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS)
+               OVER w AS touch_ts,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type
+                        END IGNORE NULLS)
+               OVER w AS touch_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    attributed AS (
+      SELECT CASE WHEN touch_ts IS NOT NULL
+                       AND touch_ts >= ts - INTERVAL 7 DAY
+                  THEN touch_type ELSE 'direct' END AS attributed_type,
+             user_id
+      FROM touched WHERE event_type = 'purchase'
+    )
+    SELECT attributed_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM attributed GROUP BY attributed_type ORDER BY attributed_type
+    """,
+    tags=("llm", "events"),
+)
+def events_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to the
+    user's most recent NON-purchase event within the preceding 7 days
+    ('direct' when none) — the canonical funnel-credit query every
+    events warehouse runs. Deterministic: the event order is (ts,
+    event_id), so same-timestamp events attribute identically in any
+    engine.
+
+    Plan: one user-keyed window shuffle computes the last-preceding-touch
+    (ts, type) pair — ``last(when(...), ignorenulls=True)`` over a
+    1-preceding frame, two columns from the SAME row because the CASE
+    condition drives both nullities — then a purchase filter and one
+    attributed-type-keyed agg whose exchange carries ≤ |event types| ×
+    partitions rows. Per-user event counts bound the window state; no
+    self-join, no driver collection."""
+    t = load_tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    touch_ts = F.last(
+        F.when(not_purchase, F.col("ts")), ignorenulls=True
+    ).over(w)
+    touch_type = F.last(
+        F.when(not_purchase, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    touched = t.events.select(
+        "event_id", "user_id", "ts", "event_type",
+        touch_ts.alias("touch_ts"), touch_type.alias("touch_type"),
+    ).filter(F.col("event_type") == "purchase")
+    attributed = touched.select(
+        F.when(
+            F.col("touch_ts").isNotNull()
+            & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
+            F.col("touch_type"),
+        ).otherwise(F.lit("direct")).alias("attributed_type"),
+        "user_id",
+    )
+    return (
+        attributed.groupBy("attributed_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("attributed_type")
+    )
