@@ -164,6 +164,60 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_permille: int = 800,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (Broder 1997's other resemblance
+    measure): C(a→b) = |A∩B| / |A|. Catches the dedup case symmetric
+    Jaccard misses by construction — a short document wholly quoted
+    inside a much longer one (boilerplate embedded in articles, abstracts
+    inside papers) has C ≈ 1 while J = |A|/|B| can sit far below any
+    usable Jaccard threshold.
+
+    Returns (doc_a, doc_b, cont_a_permille, cont_b_permille) with
+    doc_a < doc_b where EITHER direction reaches ``threshold_permille``;
+    permilles are floor(1000·inter/n) integer fixed-point, engine-exact.
+
+    Plan: identical shape to :func:`jaccard_pairs`'s all-candidates path —
+    one shared-shingle equi-join keyed by shingle, one pair-keyed count,
+    two size joins. Volume scales with shared-shingle mass (near-dup +
+    quote density), never corpus²; at 100 TB the shingle join inherits
+    the same skew posture as every other shingle-keyed stage (a
+    boilerplate heavy-hitter shingle is the known caveat, and the salted
+    two-phase count is the documented production swap)."""
+    ds = shingle_sets(df, text_col, id_col, k)
+    sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = ds.select(F.col(id_col).alias("doc_a"), "sh")
+    b = ds.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    cont_a = F.floor(1000.0 * F.col("inter") / F.col("na")).cast("long")
+    cont_b = F.floor(1000.0 * F.col("inter") / F.col("nb")).cast("long")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            cont_a.alias("cont_a_permille"),
+            cont_b.alias("cont_b_permille"),
+        )
+        .filter(
+            (F.col("cont_a_permille") >= threshold_permille)
+            | (F.col("cont_b_permille") >= threshold_permille)
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -27,8 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators import curation as C
 from ..operators import dedup as D
 from ..operators import graph as G
+from ..operators import text as T
 from ..sources.tables import load_tables
 from .llm_ops import DUCK_SHINGLE_SETS
 from .registry import query
@@ -331,3 +333,257 @@ def events_last_touch_attribution(
         )
         .orderBy("attributed_type")
     )
+
+
+# ------------------------------------------------- wave 3: audits & budgets
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_CLUSTERS},
+    cs AS (SELECT cluster_id, COUNT(*) AS sz FROM asg GROUP BY cluster_id)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM cs GROUP BY sz ORDER BY sz
+    """,
+    tags=("llm", "dedup", "profile"),
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup family-size histogram — the figure every dedup paper
+    prints (Lee et al. 2021 fig. 1 family): how many clusters of each
+    size, and how many documents they absorb. A long tail of giant
+    families means boilerplate; mass at size 1 means the corpus is
+    already clean. Reads the SAME cluster relation as the keep-rule
+    queries, so the histogram always reconciles with the cut.
+
+    Plan: CC output → one cluster-keyed count → one size-keyed count;
+    each successive exchange is strictly smaller (docs → clusters →
+    distinct sizes). Nothing collects."""
+    t = load_tables(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(t.documents, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    clustered = G.dedup_clusters(t.documents, pairs)
+    cs = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        cs.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+        )
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+        )
+        .orderBy("cluster_size")
+    )
+
+
+#: Per-source whitespace-token budget for the mixture query below. At the
+#: gate sf (0.01: ~250 docs x ~45 tokens per source) the budget cuts each
+#: source to roughly its first ~18 hash-ordered documents; at sf0.001 most
+#: of each source fits. The crossing document is NOT kept (<= budget rule),
+#: but rank 1 always is, so a source whose first draw is a 900-token
+#: monster still contributes it.
+_TOKEN_BUDGET = 800
+
+
+@query(
+    "curation_token_budget_mixture",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             {T.duck_char_fold("md5('budget' || CAST(doc_id AS VARCHAR))")}
+               AS rk
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY rk, doc_id)
+               AS rnk
+      FROM c0
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= {_TOKEN_BUDGET} OR rnk = 1
+    ORDER BY source, cum_tokens, doc_id
+    """.replace("FROM c0", "FROM d"),
+    tags=("llm", "curation"),
+)
+def curation_token_budget_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget mixture sampling: each source contributes documents —
+    in a deterministic salted-hash order, i.e. a reproducible random
+    draw — until a fixed whitespace-token budget fills. This is how
+    pretraining mixtures are actually materialized ("200 B tokens of
+    web, 30 B of code"): budgets are in TOKENS, never document counts,
+    because per-doc length varies 10x across sources. The
+    budget-crossing document is dropped (cum <= B), but every source
+    keeps its first draw so tiny budgets still sample all sources.
+
+    Plan: pure projection (token count, hash key) → ONE source-keyed
+    window shuffle carrying the running sum and the rank together →
+    filter. Window populations are per-source corpus shares; at 100 TB
+    a dominant source is the known skew case and the documented swap is
+    pre-aggregation by (source, hash-bucket) before a bucket-level scan
+    — the per-doc window stays exact here. Integer token counts sum
+    exactly in any engine."""
+    t = load_tables(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    d = t.documents.select(
+        "doc_id", "source", n_tok.alias("n_tokens"),
+        C.shuffle_rank("doc_id", salt="budget").alias("rk"),
+    )
+    w = W.partitionBy("source").orderBy("rk", "doc_id")
+    c = d.select(
+        "doc_id", "source", "n_tokens",
+        F.sum("n_tokens").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).cast("long").alias("cum_tokens"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    return (
+        c.filter(
+            (F.col("cum_tokens") <= _TOKEN_BUDGET) | (F.col("rnk") == 1)
+        )
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens", "doc_id")
+    )
+
+
+#: Fixed RFM banding thresholds (recency days / per-user event count /
+#: lifetime cents). Chosen against the stable cross-sf distributions of
+#: the events table (frequency quartiles ~60/72, monetary ~2900/3700
+#: dollars, recency 1-3 days at every sf) so all three digits split at
+#: the gate scales. Fixed business-rule bands — NOT global quantiles —
+#: are deliberate: a global NTILE needs a total order (one-partition
+#: window, the exact anti-pattern the distributed fuse order replaced),
+#: while threshold banding is a pure projection at any corpus size.
+_RFM_ANCHOR = "2024-01-31"
+_R_BANDS = (1, 2)          # days: <=1 -> 3, <=2 -> 2, else 1
+_F_BANDS = (72, 60)        # events: >=72 -> 3, >=60 -> 2, else 1
+_M_BANDS = (365_000, 290_000)  # cents: >=365k -> 3, >=290k -> 2, else 1
+
+
+@query(
+    "events_rfm_segments",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             DATE_DIFF('day', CAST(MAX(ts) AS DATE), DATE '{_RFM_ANCHOR}')
+               AS r_days,
+             COUNT(*) AS freq,
+             SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT))
+               AS cents
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT CASE WHEN r_days <= {_R_BANDS[0]} THEN 3
+                  WHEN r_days <= {_R_BANDS[1]} THEN 2 ELSE 1 END AS r,
+             CASE WHEN freq >= {_F_BANDS[0]} THEN 3
+                  WHEN freq >= {_F_BANDS[1]} THEN 2 ELSE 1 END AS f,
+             CASE WHEN cents >= {_M_BANDS[0]} THEN 3
+                  WHEN cents >= {_M_BANDS[1]} THEN 2 ELSE 1 END AS m,
+             cents
+      FROM u
+    )
+    SELECT 'R' || r || 'F' || f || 'M' || m AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "events"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary), the
+    warehouse-analytics staple: band every user 1-3 on each axis against
+    fixed business thresholds and report segment populations + value.
+    Monetary rides as DECIMAL-derived integer cents (the
+    events_decayed_engagement pattern) so sums are order-independent and
+    engine-exact.
+
+    Plan: one user-keyed partial-agg shuffle (max ts / count / cents sum
+    combine map-side), banding as a pure projection, then one
+    segment-keyed agg whose exchange carries <= 27 x partitions rows.
+    Linear at any corpus size; no window, no quantile pre-pass."""
+    t = load_tables(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(10,2)") * 100).cast("long")
+    u = t.events.groupBy("user_id").agg(
+        F.datediff(
+            F.lit(_RFM_ANCHOR).cast("date"), F.to_date(F.max("ts"))
+        ).alias("r_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents).alias("cents"),
+    )
+    band = lambda c, hi, mid: (  # noqa: E731
+        F.when(c >= hi, 3).when(c >= mid, 2).otherwise(1)
+        if hi > mid
+        else F.when(c <= hi, 3).when(c <= mid, 2).otherwise(1)
+    )
+    s = u.select(
+        band(F.col("r_days"), *_R_BANDS).alias("r"),
+        band(F.col("freq"), *_F_BANDS).alias("f"),
+        band(F.col("cents"), *_M_BANDS).alias("m"),
+        "cents",
+    )
+    return (
+        s.select(
+            F.concat(
+                F.lit("R"), F.col("r").cast("string"),
+                F.lit("F"), F.col("f").cast("string"),
+                F.lit("M"), F.col("m").cast("string"),
+            ).alias("segment"),
+            "cents",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "text_containment_pairs",
+    oracle=f"""
+    WITH {DUCK_SHINGLE_SETS},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(FLOOR(1000.0 * inter / sa.n) AS BIGINT) AS cont_a_permille,
+           CAST(FLOOR(1000.0 * inter / sb.n) AS BIGINT) AS cont_b_permille
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE FLOOR(1000.0 * inter / sa.n) >= 800
+       OR FLOOR(1000.0 * inter / sb.n) >= 800
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (operators/dedup.
+    containment_pairs): C(a→b) = |A∩B|/|A| at >= 0.8 in either
+    direction — the subset/quote detector symmetric Jaccard structurally
+    misses (a short doc wholly inside a long one has C ~ 1 but J ~
+    |A|/|B|). Integer permille fixed-point, engine-exact; shared-shingle
+    equi-join volume, never corpus²."""
+    t = load_tables(spark, sf_dir, "documents")
+    return D.containment_pairs(
+        t.documents, threshold_permille=800
+    ).orderBy("doc_a", "doc_b")

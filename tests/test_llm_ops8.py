@@ -113,3 +113,79 @@ class TestLastTouchAttribution:
             for r in ev.select("event_type").distinct().collect()
         } - {"purchase"} | {"direct"}
         assert types <= domain
+
+
+class TestClusterSizeHistogram:
+    def test_reconciles_with_keep_relation(self, spark, keep):
+        hist = QUERIES["dedup_cluster_size_histogram"].fn(spark, SF_DIR)
+        rows = hist.collect()
+        assert all(r["n_docs"] == r["cluster_size"] * r["n_clusters"] for r in rows)
+        assert sum(r["n_docs"] for r in rows) == keep.count()
+        assert (
+            sum(r["n_clusters"] for r in rows)
+            == keep.select("cluster_id").distinct().count()
+        )
+
+
+class TestTokenBudgetMixture:
+    def test_budget_respected_and_all_sources_sampled(self, spark):
+        out = QUERIES["curation_token_budget_mixture"].fn(spark, SF_DIR)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_sources = docs.select("source").distinct().count()
+        assert out.select("source").distinct().count() == n_sources
+        # only a source's FIRST draw may exceed the budget
+        over = out.filter(F.col("cum_tokens") > 800)
+        bad = (
+            over.join(
+                out.groupBy("source").agg(F.min("cum_tokens").alias("mn")),
+                "source",
+            )
+            .filter(F.col("cum_tokens") != F.col("mn"))
+            .count()
+        )
+        assert bad == 0
+        # kept rows carry a consistent running sum: min per source == its
+        # own n_tokens (the first draw's cumulative IS its token count)
+        first = out.groupBy("source").agg(
+            F.min("cum_tokens").alias("mn")
+        ).join(out, "source").filter(F.col("cum_tokens") == F.col("mn"))
+        assert first.filter(F.col("n_tokens") != F.col("cum_tokens")).count() == 0
+
+
+class TestRfmSegments:
+    def test_user_conservation_and_segment_domain(self, spark):
+        import re
+
+        out = QUERIES["events_rfm_segments"].fn(spark, SF_DIR).collect()
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        assert sum(r["n_users"] for r in out) == ev.select("user_id").distinct().count()
+        assert all(re.fullmatch(r"R[1-3]F[1-3]M[1-3]", r["segment"]) for r in out)
+
+
+class TestContainmentPairs:
+    def test_detects_embedded_quote_jaccard_misses(self, spark):
+        """A short doc fully quoted inside a long one: containment ~1000
+        for the short side, while Jaccard = |A|/|B| is far below 0.5."""
+        from sea_streamer_spark.operators.dedup import (
+            containment_pairs,
+            jaccard_pairs,
+        )
+
+        quote = "alpha beta gamma delta epsilon zeta"
+        filler = " ".join(f"word{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [(1, quote), (2, filler + " " + quote + " " + filler[::-1].lower())],
+            "doc_id long, text string",
+        )
+        got = containment_pairs(df).collect()
+        assert len(got) == 1 and got[0]["doc_a"] == 1
+        assert got[0]["cont_a_permille"] == 1000
+        assert jaccard_pairs(df, threshold=0.5).count() == 0
+
+    def test_permille_bounds_registered_query(self, spark):
+        out = QUERIES["text_containment_pairs"].fn(spark, SF_DIR)
+        bad = out.filter(
+            (F.col("cont_a_permille") > 1000) | (F.col("cont_b_permille") > 1000)
+            | ((F.col("cont_a_permille") < 800) & (F.col("cont_b_permille") < 800))
+        ).count()
+        assert bad == 0
