@@ -519,3 +519,58 @@ class TestFanOutParallelism:
         # all-isolated graph: the result must still be corpus-complete
         assert out.count() == docs.count()
         assert plan.count("documents.parquet") <= 2, plan
+
+
+class TestLlmOps8QueryPlans:
+    """Round-5 llm_ops8 waves: the plan properties their 100 TB stories
+    rest on."""
+
+    def test_rfm_is_two_keyed_aggs_no_window(self, spark, sf_dir):
+        """Fixed-threshold banding must stay a pure projection between the
+        user-keyed agg and the tiny segment agg — a Window node here would
+        mean somebody reintroduced global-quantile scoring."""
+        plan = _final_plan(QUERIES["events_rfm_segments"].fn(spark, sf_dir))
+        assert "Window" not in plan, plan
+        assert _shuffle_exchanges(plan) <= 3, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_outlier_centroid_distance_is_map_only(self, spark, sf_dir):
+        """After the d-row centroid literal is embedded, the distance pass
+        must be scan → project → TakeOrdered: no join (the centroid is a
+        literal, not a relation) and no Python eval."""
+        plan = _final_plan(
+            QUERIES["embedding_outlier_centroid"].fn(spark, sf_dir)
+        )
+        assert "Join" not in plan, plan
+        assert "EvalPython" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_last_touch_single_user_window(self, spark, sf_dir):
+        """One user-keyed window shuffle + the tiny type agg; attribution
+        must not self-join the events table."""
+        plan = _final_plan(
+            QUERIES["events_last_touch_attribution"].fn(spark, sf_dir)
+        )
+        assert plan.count("events.parquet") == 1, plan
+        assert "Join" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_token_budget_single_source_window(self, spark, sf_dir):
+        """Running sum and rank ride ONE source-keyed window shuffle; the
+        only other exchange is the output ordering."""
+        plan = _final_plan(
+            QUERIES["curation_token_budget_mixture"].fn(spark, sf_dir)
+        )
+        assert _shuffle_exchanges(plan) <= 2, plan
+        assert "Join" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_containment_no_pairwise_explosion(self, spark, sf_dir):
+        """Candidates come from the shingle equi-join only — cartesian or
+        BNLJ here is the corpus² trap."""
+        plan = _final_plan(
+            QUERIES["text_containment_pairs"].fn(spark, sf_dir)
+        )
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "EvalPython" not in plan, plan
