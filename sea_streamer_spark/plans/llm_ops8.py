@@ -587,3 +587,178 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         t.documents, threshold_permille=800
     ).orderBy("doc_a", "doc_b")
+
+
+# ------------------------------------------ wave 4: warehouse history & lift
+
+
+@query(
+    "cdc_scd2_history",
+    oracle="""
+    WITH versions AS (
+      SELECT doc_id, 0 AS seq, 'I' AS op, text AS vtext
+      FROM documents WHERE doc_id % 4 <> 3
+      UNION ALL
+      SELECT doc_id, 1, 'U', 'rev1: ' || text
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, 2, 'U', 'rev2: ' || text
+      FROM documents WHERE doc_id % 6 = 0
+      UNION ALL
+      SELECT doc_id, 3, 'D', CAST(NULL AS VARCHAR)
+      FROM documents WHERE doc_id % 9 = 0
+    ), closed AS (
+      SELECT doc_id, seq, op, vtext,
+             LEAD(seq) OVER (PARTITION BY doc_id ORDER BY seq)
+               AS valid_to_seq
+      FROM versions
+    )
+    SELECT doc_id, CAST(seq AS BIGINT) AS valid_from_seq,
+           CAST(valid_to_seq AS BIGINT) AS valid_to_seq,
+           (valid_to_seq IS NULL) AS is_current,
+           md5(vtext) AS fp
+    FROM closed WHERE op <> 'D'
+    ORDER BY doc_id, valid_from_seq
+    """,
+    tags=("llm", "curation", "cdc"),
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build — the OTHER half of CDC ingestion (the
+    compaction half is ``cdc_merge_upsert``): instead of latest-wins, keep
+    EVERY version with a validity interval [valid_from_seq, valid_to_seq)
+    and an ``is_current`` flag, so point-in-time queries can ask "what did
+    this row say at seq k". Same deterministic synthesized changelog as
+    the merge query (base rows as seq-0 inserts, rev1/rev2 updates,
+    deletes at seq 3); a delete closes the last open interval and emits no
+    version of its own.
+
+    Plan: one key-partitioned LEAD window over the unioned
+    changelog — per-key window state is the version count (≤ 4 here,
+    bounded by churn per key in general), never corpus-sized. The union
+    branches are projections of one documents scan; no join anywhere. At
+    100 TB SCD2 builds are exactly this shape over the real changelog,
+    partitioned by key."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    mk = lambda seq, op, txt: F.struct(  # noqa: E731
+        F.lit(seq).alias("seq"), F.lit(op).alias("op"), txt.alias("vtext")
+    )
+    versions = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(F.col("doc_id") % 4 != 3, mk(0, "I", F.col("text"))),
+                    F.when(
+                        F.col("doc_id") % 3 == 0,
+                        mk(1, "U", F.concat(F.lit("rev1: "), F.col("text"))),
+                    ),
+                    F.when(
+                        F.col("doc_id") % 6 == 0,
+                        mk(2, "U", F.concat(F.lit("rev2: "), F.col("text"))),
+                    ),
+                    F.when(
+                        F.col("doc_id") % 9 == 0,
+                        mk(3, "D", F.lit(None).cast("string")),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("v"),
+    ).select("doc_id", "v.seq", "v.op", "v.vtext")
+    w = Window.partitionBy("doc_id").orderBy("seq")
+    closed = versions.select(
+        "doc_id", "seq", "op", "vtext",
+        F.lead("seq").over(w).alias("valid_to_seq"),
+    )
+    return (
+        closed.filter(F.col("op") != "D")
+        .select(
+            "doc_id",
+            F.col("seq").cast("long").alias("valid_from_seq"),
+            F.col("valid_to_seq").cast("long").alias("valid_to_seq"),
+            F.col("valid_to_seq").isNull().alias("is_current"),
+            F.md5("vtext").alias("fp"),
+        )
+        .orderBy("doc_id", "valid_from_seq")
+    )
+
+
+@query(
+    "basket_brand_pair_lift",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob),
+    marg AS (SELECT brand, COUNT(*) AS n FROM ob GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_both
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, CAST(n_both AS BIGINT) AS n_both,
+           CAST(FLOOR((1000000.0 * n_both * n.n_orders)
+                      / (ma.n * mb.n)) AS BIGINT) AS lift_micro
+    FROM pairs, n
+    JOIN marg ma ON ma.brand = brand_a
+    JOIN marg mb ON mb.brand = brand_b
+    ORDER BY lift_micro DESC, brand_a, brand_b LIMIT 20
+    """,
+    tags=("relational", "events"),
+)
+def basket_brand_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association lift at the brand level — the classic
+    retail co-occurrence analysis (Agrawal et al.'s association rules,
+    reduced to pairwise lift): lift(a,b) = P(a,b) / (P(a)·P(b)) over
+    orders, > 1 meaning the brands are bought together more than chance.
+    Brand level (25 values), not part level, because pair statistics at
+    the part grain are all-singletons at any realistic basket size.
+    lift_micro = floor(1e6·n_both·N / (n_a·n_b)) — both engines evaluate
+    the identical double expression tree on integers far below 2^53, then
+    floor, so the result is engine-exact.
+
+    Plan: one distinct (order, brand) relation (broadcast part join — the
+    dimension is tiny), self equi-join ON THE ORDER KEY so candidate
+    volume is Σ basket_size² (baskets are ≤ 7 lineitems in this schema,
+    bounded by order size in general), never |orders|². Marginals are a
+    25-row broadcast; top-20 is TakeOrdered. The 1-row N relation rides a
+    broadcast nested-loop join by construction (1 × 300 rows)."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    ob = (
+        t.lineitem.select(F.col("l_orderkey").alias("okey"), "l_partkey")
+        .join(
+            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("okey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = ob.select(F.countDistinct("okey").alias("n_orders"))
+    marg = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    a = ob.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = ob.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ma = F.broadcast(marg.select(F.col("brand").alias("brand_a"), F.col("n").alias("na")))
+    mb = F.broadcast(marg.select(F.col("brand").alias("brand_b"), F.col("n").alias("nb")))
+    lift = F.floor(
+        (1000000.0 * F.col("n_both") * F.col("n_orders"))
+        / (F.col("na") * F.col("nb"))
+    ).cast("long")
+    return (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .join(ma, "brand_a")
+        .join(mb, "brand_b")
+        .select(
+            "brand_a", "brand_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            lift.alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), "brand_a", "brand_b")
+        .limit(20)
+    )

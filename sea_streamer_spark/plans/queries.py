@@ -183,7 +183,7 @@ def _rank(item: tuple[str, object]) -> tuple[float, int]:
     """Round-5 ordering (VERDICT r4 "Next round" #1).
 
     Slots 1-12: the never-driver-sampled ``_POST_BUDGET`` tail (the only
-    pre-round-5 queries with zero driver rows). Slots 13-32: the twenty
+    pre-round-5 queries with zero driver rows). Slots 13-34: the twenty-two
     round-5 registrations (envelope_wide_seqno, asof_join_nearest_click,
     similarity_ann_recall_eval, dedup_threshold_sweep,
     similarity_truncated_recall_eval, dedup_span_coverage_salted,
@@ -193,10 +193,11 @@ def _rank(item: tuple[str, object]) -> tuple[float, int]:
     dedup_keep_longest_per_cluster, dedup_rate_by_source,
     embedding_outlier_centroid, events_last_touch_attribution,
     dedup_cluster_size_histogram, curation_token_budget_mixture,
-    events_rfm_segments, text_containment_pairs — rank (0, 0),
+    events_rfm_segments, text_containment_pairs, cdc_scd2_history,
+    basket_brand_pair_lift — rank (0, 0),
     module-import registration order). Then re-verification, OLDEST
     driver evidence first — r1 rows (last checked round 1) before r2,
-    r3, r4 — so the remaining ~18 budget slots refresh the stalest
+    r3, r4 — so the remaining ~16 budget slots refresh the stalest
     proof.
     """
     name = item[0]

@@ -189,3 +189,41 @@ class TestContainmentPairs:
             | ((F.col("cont_a_permille") < 800) & (F.col("cont_b_permille") < 800))
         ).count()
         assert bad == 0
+
+
+class TestScd2History:
+    def test_reconciles_with_merge_upsert(self, spark):
+        """The SCD2 current slice must equal the latest-wins merge output:
+        same surviving doc set, same final fingerprints."""
+        hist = QUERIES["cdc_scd2_history"].fn(spark, SF_DIR)
+        merge = QUERIES["cdc_merge_upsert"].fn(spark, SF_DIR)
+        cur = hist.filter("is_current").select("doc_id", "fp")
+        assert cur.exceptAll(merge.select("doc_id", "fp")).count() == 0
+        assert merge.select("doc_id", "fp").exceptAll(cur).count() == 0
+
+    def test_intervals_contiguous_one_current_per_doc(self, spark):
+        hist = QUERIES["cdc_scd2_history"].fn(spark, SF_DIR)
+        # at most one open interval per doc; a doc deleted at seq 3 has none
+        open_per_doc = (
+            hist.groupBy("doc_id")
+            .agg(F.sum(F.col("is_current").cast("int")).alias("n_open"))
+            .filter(F.col("n_open") > 1)
+            .count()
+        )
+        assert open_per_doc == 0
+        # every closed interval's end equals some later version's start or
+        # the delete seq (3): valid_to_seq > valid_from_seq always
+        bad = hist.filter(
+            F.col("valid_to_seq").isNotNull()
+            & (F.col("valid_to_seq") <= F.col("valid_from_seq"))
+        ).count()
+        assert bad == 0
+
+
+class TestBasketLift:
+    def test_sorted_bounded_and_pair_support_sane(self, spark):
+        rows = QUERIES["basket_brand_pair_lift"].fn(spark, SF_DIR).collect()
+        assert len(rows) == 20
+        lifts = [r["lift_micro"] for r in rows]
+        assert lifts == sorted(lifts, reverse=True)
+        assert all(r["brand_a"] < r["brand_b"] and r["n_both"] >= 1 for r in rows)
