@@ -762,3 +762,425 @@ def basket_brand_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_micro"), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+# ----------------------------------- wave 5: evals, QA screens, ops reads
+
+from ..operators import quality as Q  # noqa: E402
+from ..operators import similarity as S  # noqa: E402
+from .llm_ops import _duck_cosine  # noqa: E402
+
+
+@query(
+    "similarity_knn_label_accuracy",
+    oracle=f"""
+    WITH scored AS (
+      SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+             e.label AS nlabel,
+             {_duck_cosine('e.embedding', 'p.embedding')} AS cs
+      FROM embeddings e, embeddings p
+      WHERE p.vec_id < 50 AND e.vec_id <> p.vec_id
+    ), topk AS (
+      SELECT probe_id, nlabel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY cs DESC, neighbor_id) AS rnk
+        FROM scored) WHERE rnk <= 10
+    ), votes AS (
+      SELECT probe_id, nlabel, COUNT(*) AS v FROM topk GROUP BY 1, 2
+    ), pred AS (
+      SELECT probe_id, nlabel AS plabel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY v DESC, nlabel) AS r
+        FROM votes) WHERE r = 1
+    )
+    SELECT CAST(t.label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN p.plabel = t.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(FLOOR(1000.0 * SUM(CASE WHEN p.plabel = t.label
+                                        THEN 1 ELSE 0 END) / COUNT(*))
+                AS BIGINT) AS acc_permille
+    FROM embeddings t JOIN pred p ON p.probe_id = t.vec_id
+    WHERE t.vec_id < 50
+    GROUP BY t.label ORDER BY t.label
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def similarity_knn_label_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space label coherence: leave-one-out 10-NN majority-vote
+    accuracy over a fixed 50-probe eval sample, reported per true label —
+    the standard "is this embedding column any good for retrieval"
+    screen (low coherence on one label = that class collapsed in the
+    encoder). Deterministic end-to-end: cosine ties break by neighbor id,
+    vote ties by smaller label; the cosine fold is the same expression
+    the knn oracle already replays bit-exactly.
+
+    Plan: probes broadcast against ONE corpus scan (the knn_join shape —
+    TakeOrdered per probe, never a global sort), neighbor labels join on
+    the corpus key, then two tiny keyed aggs (votes: ≤ probes×labels
+    rows; report: ≤ labels rows). Eval cost is probes × corpus at any
+    scale — the eval sample is the knob, not the corpus."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t.embeddings
+    probes = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    knn = S.knn_join(emb, probes, k=10)
+    nb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    votes = (
+        knn.join(nb, "neighbor_id")
+        .groupBy("probe_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("v"), F.asc("nlabel"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("probe_id", F.col("nlabel").alias("plabel"))
+    )
+    truth = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"), "label"
+    )
+    correct = F.sum(
+        F.when(F.col("plabel") == F.col("label"), 1).otherwise(0)
+    )
+    return (
+        truth.join(pred, "probe_id")
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            correct.cast("long").alias("n_correct"),
+            F.floor(1000.0 * correct / F.count(F.lit(1)))
+            .cast("long")
+            .alias("acc_permille"),
+        )
+        .orderBy("label")
+    )
+
+
+#: Fingerprint of the integer-micros view of a vector — byte-identical in
+#: both engines (same floor(double(x)*1e6) per component, same comma join).
+_VEC_FP_DUCK = (
+    "md5(array_to_string(list_transform(embedding, x -> "
+    "CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ','))"
+)
+
+
+@query(
+    "embedding_exact_dup_vectors",
+    oracle=f"""
+    WITH all_vecs AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000, embedding FROM embeddings
+      WHERE vec_id % 37 = 0
+    ), fp AS (
+      SELECT vec_id, {_VEC_FP_DUCK} AS fp FROM all_vecs
+    )
+    SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(vec_id) AS BIGINT) AS keep_id
+    FROM fp GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY keep_id
+    """,
+    tags=("llm", "embedding", "dedup"),
+)
+def embedding_exact_dup_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bit-exact duplicate VECTOR detection — the embedding-table QA
+    screen that catches re-encoded copies, pipeline double-writes, and
+    encoder collapse (distinct inputs mapping to the identical vector).
+    The corpus is synthetic and dup-free, so the query injects
+    deterministic replicas (every 37th vector re-appears under a shifted
+    id, identically on both engines) and must recover exactly those
+    groups. Fingerprint = md5 over the integer-micros rendering of the
+    vector, so float formatting can never differ between engines.
+
+    Plan: map-only fingerprint projection → one fp-keyed partial-agg
+    shuffle (the exchange carries one row per distinct vector) → HAVING
+    filter. The dedup-exact shape applied to vectors; linear at any
+    corpus size."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t.embeddings
+    replicas = emb.filter(F.col("vec_id") % 37 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    av = emb.select("vec_id", "embedding").unionByName(replicas)
+    micro_str = F.concat_ws(
+        ",",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1000000.0))
+            .cast("long")
+            .cast("string"),
+        ),
+    )
+    return (
+        av.select("vec_id", F.md5(micro_str).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("vec_id").cast("long").alias("keep_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("keep_id")
+    )
+
+
+@query(
+    "events_sessions_bounce_rate",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM g
+    ), sess AS (
+      SELECT user_id, session_idx, COUNT(*) AS n_events,
+             strftime(CAST(MIN(ts) AS DATE), '%Y-%m-%d') AS day
+      FROM s GROUP BY user_id, session_idx
+    )
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce,
+           CAST(FLOOR(1000.0 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0
+                                   END) / COUNT(*)) AS BIGINT)
+             AS bounce_permille
+    FROM sess GROUP BY day ORDER BY day
+    """,
+    tags=("llm", "events"),
+)
+def events_sessions_bounce_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily bounce rate: the share of 30-minute-gap sessions that contain
+    exactly one event, by session-start day — the engagement-health
+    metric read next to DAU. Reuses the registered sessionization shape
+    (gap flag + running sum over one user-keyed window), then two
+    shrinking keyed aggs (events → sessions → days).
+
+    Plan: one user-keyed window shuffle, one (user, session)-keyed agg,
+    one day-keyed agg whose exchange carries ≤ |days| × partitions rows.
+    Same scale posture as sessionize_events; the permille is integer
+    fixed-point."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w)
+    )
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1
+    ).otherwise(0)
+    s = t.events.select(
+        "user_id", "ts",
+        F.sum(new_sess).over(
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("session_idx"),
+    )
+    sess = s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("day"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        sess.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            bounce.cast("long").alias("n_bounce"),
+            F.floor(1000.0 * bounce / F.count(F.lit(1)))
+            .cast("long")
+            .alias("bounce_permille"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "events_interarrival_histogram",
+    oracle="""
+    WITH g AS (
+      SELECT epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT CASE WHEN gap_us < 3600000000 THEN '0_lt_1h'
+                WHEN gap_us < 21600000000 THEN '1_1h_6h'
+                WHEN gap_us < 86400000000 THEN '2_6h_24h'
+                ELSE '3_ge_24h' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY band ORDER BY band
+    """,
+    tags=("llm", "events"),
+)
+def events_interarrival_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user inter-event gap histogram — the distribution read BEFORE
+    choosing a session gap or a streaming watermark (the 30-minute
+    session cut and the state-TTL both live or die by where this mass
+    sits). Bands are microsecond-exact integer comparisons, so the
+    histogram is engine-exact.
+
+    Plan: one user-keyed LAG window, then a 4-row keyed agg. Linear; the
+    window state per user is one row."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = F.col("gap_us")
+    band = (
+        F.when(g < 3_600_000_000, "0_lt_1h")
+        .when(g < 21_600_000_000, "1_1h_6h")
+        .when(g < 86_400_000_000, "2_6h_24h")
+        .otherwise("3_ge_24h")
+    )
+    return (
+        t.events.select(gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+        .orderBy("band")
+    )
+
+
+_PII_EMAIL = Q.PII_PATTERNS["email"][0]
+_PII_IP = Q.PII_PATTERNS["ipv4"][0]
+_PII_PHONE = Q.PII_PATTERNS["phone"][0]
+
+
+@query(
+    "curation_pii_rate_by_source",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' mail u' || CAST(doc_id AS VARCHAR)
+                          || '@example.org' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' host 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.9' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' tel 555-867-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS t
+      FROM documents
+    ), hits AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_email,
+             CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT)
+               AS n_ipv4,
+             CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phone
+      FROM seeded
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_email + n_ipv4 + n_phone > 0 THEN 1
+                         ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS n_email,
+           CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+           CAST(FLOOR(1000.0 * SUM(CASE WHEN n_email + n_ipv4 + n_phone > 0
+                                        THEN 1 ELSE 0 END) / COUNT(*))
+                AS BIGINT) AS pii_permille
+    FROM hits GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "quality", "curation"),
+)
+def curation_pii_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PII density report by source — the governance table reviewed before
+    a source is cleared for training (a source with 30 % PII-bearing docs
+    gets routed through redaction or dropped; the category mix says
+    which scrubber). The corpus is synthetic and PII-free, so the query
+    seeds deterministic PII into overlapping id-residue subsets (email at
+    %7, IP at %11, phone at %13 — identically on both engines) and must
+    report exactly those densities, using the SAME category regexes as
+    the registered ``pii_redaction`` scrubber so rate and redaction can
+    never disagree on what counts as PII.
+
+    Plan: seed + regex counts are a zero-shuffle projection; one
+    source-keyed partial-agg shuffle (≤ |sources| × partitions rows).
+    Linear at any corpus size — regexp_extract_all runs JVM-side inside
+    codegen."""
+    t = load_tables(spark, sf_dir, "documents")
+    seeded = t.documents.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" mail u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.org"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" host 192.168."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".9"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" tel 555-867-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("t"),
+    )
+    cnt = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(F.col("t"), F.lit(pat), F.lit(0))
+    ).cast("long")
+    hits = seeded.select(
+        "source",
+        cnt(_PII_EMAIL).alias("n_email"),
+        cnt(_PII_IP).alias("n_ipv4"),
+        cnt(_PII_PHONE).alias("n_phone"),
+    )
+    any_pii = F.sum(
+        F.when(
+            F.col("n_email") + F.col("n_ipv4") + F.col("n_phone") > 0, 1
+        ).otherwise(0)
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            any_pii.cast("long").alias("docs_with_pii"),
+            F.sum("n_email").cast("long").alias("n_email"),
+            F.sum("n_ipv4").cast("long").alias("n_ipv4"),
+            F.sum("n_phone").cast("long").alias("n_phone"),
+            F.floor(1000.0 * any_pii / F.count(F.lit(1)))
+            .cast("long")
+            .alias("pii_permille"),
+        )
+        .orderBy("source")
+    )

