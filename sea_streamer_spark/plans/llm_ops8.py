@@ -1184,3 +1184,157 @@ def curation_pii_rate_by_source(
         )
         .orderBy("source")
     )
+
+
+# -------------------------------- wave 6: concentration & search rendering
+
+
+@query(
+    "orders_pareto_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, c.c_custkey AS custkey,
+             SUM(CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT nation, cents,
+             SUM(cents) OVER (PARTITION BY nation
+                              ORDER BY cents DESC, custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cents) OVER (PARTITION BY nation) AS tot,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY cents DESC, custkey) AS rnk
+      FROM rev
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(CASE WHEN cum * 2 >= tot THEN rnk END) AS BIGINT)
+             AS n_top_half,
+           CAST(FLOOR(1000.0 * MIN(CASE WHEN cum * 2 >= tot THEN rnk END)
+                      / COUNT(*)) AS BIGINT) AS top_permille
+    FROM ranked GROUP BY nation ORDER BY nation
+    """,
+    tags=("relational", "profile"),
+)
+def orders_pareto_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue concentration (the Pareto / "how few customers are half the
+    business" cut) per nation: rank customers by lifetime order value and
+    report how many it takes to reach 50 % of the nation's revenue. The
+    crossing test is ``2·cum ≥ total`` — pure integers (DECIMAL-derived
+    cents), so the cut index is engine-exact with no 0.5 float threshold.
+
+    Plan: one (nation, customer)-keyed agg, then ONE nation-keyed window
+    shuffle carrying the running sum, the nation total, and the rank
+    together, then a ≤ |nations|-row agg. Window populations are per-
+    nation customer counts — the segmentation key is the skew control (a
+    global Pareto would need the total-order window this formulation
+    avoids)."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    cents = (
+        F.col("o_totalprice").cast("decimal(14,2)") * 100
+    ).cast("long")
+    rev = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_custkey"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    part = W.partitionBy("nation")
+    order = part.orderBy(F.desc("cents"), F.asc("c_custkey"))
+    ranked = rev.select(
+        "nation",
+        F.sum("cents").over(
+            order.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("cum"),
+        F.sum("cents").over(part).alias("tot"),
+        F.row_number().over(order).alias("rnk"),
+    )
+    crossing = F.min(
+        F.when(F.col("cum") * 2 >= F.col("tot"), F.col("rnk"))
+    )
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            crossing.cast("long").alias("n_top_half"),
+            F.floor(1000.0 * crossing / F.count(F.lit(1)))
+            .cast("long")
+            .alias("top_permille"),
+        )
+        .orderBy("nation")
+    )
+
+
+#: Fixed snippet query term — present at every testdata scale (top-5 global
+#: token); the term is a parameter of the real operator, pinned here so the
+#: oracle is a closed expression.
+_SNIPPET_TERM = "window"
+
+
+@query(
+    "search_snippet_highlight",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), hit AS (
+      SELECT doc_id, toks,
+             CAST(list_position(toks, '{_SNIPPET_TERM}') AS BIGINT) AS pos,
+             CAST(len(list_filter(toks, t -> t = '{_SNIPPET_TERM}'))
+                  AS BIGINT) AS tf
+      FROM c
+    )
+    SELECT doc_id, tf, pos,
+           array_to_string(toks[GREATEST(1, pos - 3) :
+                                LEAST(CAST(len(toks) AS BIGINT), pos + 3)],
+                           ' ') AS snippet
+    FROM hit WHERE pos > 0
+    ORDER BY tf DESC, doc_id LIMIT 15
+    """,
+    tags=("llm", "text", "search"),
+)
+def search_snippet_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result snippet extraction: for the 15 documents where the
+    query term is most frequent, cut a ±3-token window around its FIRST
+    occurrence — the result-rendering half of a search stack (BM25 ranks,
+    this shows WHY a hit matched). Token-grain windows (array slice), not
+    byte offsets, so the snippet is deterministic and identical in any
+    engine; ranking ties break by doc id.
+
+    Plan: zero-shuffle projection (split, first-position, term-frequency
+    filter) → TakeOrdered top-15. Linear; the only data movement is the
+    15-row result."""
+    t = load_tables(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    c = t.documents.select("doc_id", toks.alias("toks"))
+    hit = c.select(
+        "doc_id", "toks",
+        F.array_position("toks", _SNIPPET_TERM).cast("long").alias("pos"),
+        F.size(
+            F.filter("toks", lambda x: x == F.lit(_SNIPPET_TERM))
+        ).cast("long").alias("tf"),
+    ).filter(F.col("pos") > 0)
+    start = F.greatest(F.lit(1).cast("long"), F.col("pos") - 3)
+    stop = F.least(F.size("toks").cast("long"), F.col("pos") + 3)
+    snippet = F.concat_ws(
+        " ", F.slice("toks", start.cast("int"), (stop - start + 1).cast("int"))
+    )
+    return (
+        hit.select("doc_id", "tf", "pos", snippet.alias("snippet"))
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(15)
+    )

@@ -313,3 +313,52 @@ class TestPiiRateBySource:
         assert tot["e"] == docs.filter(F.col("doc_id") % 7 == 0).count()
         assert tot["i"] == docs.filter(F.col("doc_id") % 11 == 0).count()
         assert tot["p"] == docs.filter(F.col("doc_id") % 13 == 0).count()
+
+
+class TestParetoConcentration:
+    def test_crossing_index_is_tight(self, spark):
+        """n_top_half is the MINIMAL prefix reaching half: the prefix sum at
+        n_top_half crosses 50%, and (when n_top_half > 1) the one before
+        does not."""
+        out = QUERIES["orders_pareto_concentration"].fn(spark, SF_DIR)
+        rows = out.collect()
+        assert all(1 <= r["n_top_half"] <= r["n_customers"] for r in rows)
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        nat = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+        cents = (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
+        rev = (
+            orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+            .agg(F.sum(cents).alias("cents"))
+        )
+        by_nation = {
+            n: sorted(
+                [(r["cents"], r["c_custkey"]) for r in g],
+                key=lambda x: (-x[0], x[1]),
+            )
+            for n, g in __import__("itertools").groupby(
+                sorted(rev.collect(), key=lambda r: r["nation"]),
+                key=lambda r: r["nation"],
+            )
+        }
+        for r in rows:
+            seq = [c for c, _ in by_nation[r["nation"]]]
+            tot = sum(seq)
+            k = r["n_top_half"]
+            assert 2 * sum(seq[:k]) >= tot
+            if k > 1:
+                assert 2 * sum(seq[: k - 1]) < tot
+
+
+class TestSnippetHighlight:
+    def test_snippet_contains_term_and_window_bounds(self, spark):
+        rows = QUERIES["search_snippet_highlight"].fn(spark, SF_DIR).collect()
+        assert len(rows) == 15
+        tfs = [r["tf"] for r in rows]
+        assert tfs == sorted(tfs, reverse=True)
+        for r in rows:
+            toks = r["snippet"].split(" ")
+            assert "window" in toks
+            assert len(toks) <= 7
