@@ -30,9 +30,11 @@ from pyspark.sql.window import Window
 from ..operators import curation as C
 from ..operators import dedup as D
 from ..operators import graph as G
+from ..operators import quality as Q
+from ..operators import similarity as S
 from ..operators import text as T
 from ..sources.tables import load_tables
-from .llm_ops import DUCK_SHINGLE_SETS
+from .llm_ops import DUCK_SHINGLE_SETS, _duck_cosine
 from .registry import query
 
 #: The exact-Jaccard >= 0.5 near-dup cluster assignment as a DuckDB CTE
@@ -411,12 +413,12 @@ _TOKEN_BUDGET = 800
                                  ROWS UNBOUNDED PRECEDING) AS cum,
              ROW_NUMBER() OVER (PARTITION BY source ORDER BY rk, doc_id)
                AS rnk
-      FROM c0
+      FROM d
     )
     SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
     FROM c WHERE cum <= {_TOKEN_BUDGET} OR rnk = 1
     ORDER BY source, cum_tokens, doc_id
-    """.replace("FROM c0", "FROM d"),
+    """,
     tags=("llm", "curation"),
 )
 def curation_token_budget_mixture(
@@ -765,11 +767,6 @@ def basket_brand_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------- wave 5: evals, QA screens, ops reads
-
-from ..operators import quality as Q  # noqa: E402
-from ..operators import similarity as S  # noqa: E402
-from .llm_ops import _duck_cosine  # noqa: E402
-
 
 @query(
     "similarity_knn_label_accuracy",
