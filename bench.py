@@ -160,10 +160,13 @@ def new_ops_metric(spark) -> dict:
         "quality_winsorize",
         "events_rolling_7d_actives",
         "agg_percentile_cont",
-        # round-5 wave 2 (llm_ops8 dedup finishers / embedding QA)
+        # round-5 llm_ops8 waves (dedup finishers / embedding QA / evals)
         "dedup_keep_longest_per_cluster",
         "embedding_outlier_centroid",
         "events_last_touch_attribution",
+        "similarity_knn_label_accuracy",
+        "basket_brand_pair_lift",
+        "text_containment_pairs",
     ):
         if name not in QUERIES:
             continue
