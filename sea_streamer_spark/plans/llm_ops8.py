@@ -1335,3 +1335,132 @@ def search_snippet_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+# -------------------------- wave 7: inequality index & tolerant as-of join
+
+
+@query(
+    "agg_gini_by_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, c.c_custkey AS custkey,
+             SUM(CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT nation, cents,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY cents, custkey) AS i
+      FROM rev
+    ), agg AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(i * cents) AS BIGINT) AS sixi,
+             CAST(SUM(cents) AS BIGINT) AS sx
+      FROM ranked GROUP BY nation
+    )
+    SELECT nation, n AS n_customers,
+           CAST(FLOOR((1000000.0 * ((2 * sixi) - ((n + 1) * sx)))
+                      / (n * sx)) AS BIGINT) AS gini_micro
+    FROM agg ORDER BY nation
+    """,
+    tags=("relational", "profile"),
+)
+def agg_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini inequality index of customer revenue per nation — the single-
+    number concentration measure next to the Pareto cut (0 = everyone
+    equal, →1 = one customer is the business), via the rank formula
+    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending revenue ranks. The
+    numerator and denominator stay exact BIGINTs (DECIMAL-cents, integer
+    rank products — tie order among equal values provably cancels out of
+    Σi·xᵢ); only the final quotient is one double multiply + one divide +
+    FLOOR, the identical IEEE expression tree in both engines.
+
+    Plan: one (nation, customer)-keyed agg → ONE nation-keyed window
+    shuffle for the rank → a ≤ |nations|-row agg. Segmented, never a
+    global order; same skew posture as the Pareto query."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    cents = (
+        F.col("o_totalprice").cast("decimal(14,2)") * 100
+    ).cast("long")
+    rev = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_custkey"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    i = F.row_number().over(
+        W.partitionBy("nation").orderBy("cents", "c_custkey")
+    ).cast("long")
+    ranked = rev.select("nation", "cents", i.alias("i"))
+    agg = ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("sixi"),
+        F.sum("cents").cast("long").alias("sx"),
+    )
+    gini = F.floor(
+        (1000000.0 * ((2 * F.col("sixi")) - ((F.col("n") + 1) * F.col("sx"))))
+        / (F.col("n") * F.col("sx"))
+    ).cast("long")
+    return agg.select(
+        "nation", F.col("n").alias("n_customers"), gini.alias("gini_micro")
+    ).orderBy("nation")
+
+
+@query(
+    "asof_join_tolerance_15m",
+    oracle="""
+    WITH j AS (
+      SELECT l.event_id, l.user_id, l.ts, l.value,
+             r.value AS value_click, r.ts AS ts_click
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN ts_click >= ts - INTERVAL 15 MINUTE
+                THEN value_click END AS value_click,
+           CASE WHEN ts_click >= ts - INTERVAL 15 MINUTE
+                THEN ts_click END AS ts_click
+    FROM j ORDER BY event_id
+    """,
+    tags=("events", "asof", "join"),
+)
+def asof_join_tolerance_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness TOLERANCE (pandas ``merge_asof``'s
+    ``tolerance=``, exercised through operators/asof.py's
+    ``tolerance_expr``): each purchase takes the latest preceding click by
+    the same user ONLY if it is at most 15 minutes old — staler context is
+    worse than none for attribution/feature joins, and because backward
+    as-of picks the LATEST candidate, post-match nulling is exactly
+    tolerance semantics (no earlier candidate can be fresher). Left rows
+    survive with NULLs, preserving the left-join contract.
+
+    Plan: identical to the registered backward as-of (union + ONE
+    user-keyed window, struct carry-forward) plus a pure-projection
+    tolerance gate — the knob costs zero extra shuffles."""
+    from ..operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir, "events")
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        value_cols=["value"], suffix="_click",
+        tolerance_expr="INTERVAL 15 MINUTE",
+    ).orderBy("event_id")

@@ -183,7 +183,7 @@ def _rank(item: tuple[str, object]) -> tuple[float, int]:
     """Round-5 ordering (VERDICT r4 "Next round" #1).
 
     Slots 1-12: the never-driver-sampled ``_POST_BUDGET`` tail (the only
-    pre-round-5 queries with zero driver rows). Slots 13-41: the twenty-nine
+    pre-round-5 queries with zero driver rows). Slots 13-43: the thirty-one
     round-5 registrations (envelope_wide_seqno, asof_join_nearest_click,
     similarity_ann_recall_eval, dedup_threshold_sweep,
     similarity_truncated_recall_eval, dedup_span_coverage_salted,
@@ -197,11 +197,11 @@ def _rank(item: tuple[str, object]) -> tuple[float, int]:
     basket_brand_pair_lift, similarity_knn_label_accuracy,
     embedding_exact_dup_vectors, events_sessions_bounce_rate,
     events_interarrival_histogram, curation_pii_rate_by_source,
-    orders_pareto_concentration, search_snippet_highlight — rank
-    (0, 0),
+    orders_pareto_concentration, search_snippet_highlight,
+    agg_gini_by_nation, asof_join_tolerance_15m — rank (0, 0),
     module-import registration order). Then re-verification, OLDEST
     driver evidence first — r1 rows (last checked round 1) before r2,
-    r3, r4 — so the remaining ~9 budget slots refresh the stalest
+    r3, r4 — so the remaining ~7 budget slots refresh the stalest
     proof.
     """
     name = item[0]

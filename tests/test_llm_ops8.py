@@ -362,3 +362,66 @@ class TestSnippetHighlight:
             toks = r["snippet"].split(" ")
             assert "window" in toks
             assert len(toks) <= 7
+
+
+class TestGiniByNation:
+    def test_bounds_and_pareto_consistency(self, spark):
+        """Gini in [0,1); a nation whose half-revenue prefix is a SMALLER
+        share of customers cannot have lower inequality than a perfectly
+        equal one (gini 0 implies n_top_half ~ half the customers)."""
+        gini = {r["nation"]: r for r in
+                QUERIES["agg_gini_by_nation"].fn(spark, SF_DIR).collect()}
+        par = {r["nation"]: r for r in
+               QUERIES["orders_pareto_concentration"].fn(spark, SF_DIR).collect()}
+        assert set(gini) == set(par)
+        for n, g in gini.items():
+            assert 0 <= g["gini_micro"] < 1_000_000
+            if g["gini_micro"] == 0:
+                assert par[n]["n_top_half"] * 2 >= par[n]["n_customers"]
+
+    def test_matches_driver_float_recompute(self, spark):
+        import duckdb
+
+        rows = duckdb.sql(f"""
+          SELECT n.n_name, c.c_custkey,
+                 SUM(CAST(CAST(o.o_totalprice AS DECIMAL(14,2))*100 AS BIGINT)) cents
+          FROM '{SF_DIR}/orders.parquet' o
+          JOIN '{SF_DIR}/customer.parquet' c ON c.c_custkey = o.o_custkey
+          JOIN '{SF_DIR}/nation.parquet' n ON n.n_nationkey = c.c_nationkey
+          GROUP BY 1,2""").fetchall()
+        by_nation = {}
+        for nat, _ck, cents in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+            by_nation.setdefault(nat, []).append(int(cents))
+        out = {r["nation"]: r["gini_micro"] for r in
+               QUERIES["agg_gini_by_nation"].fn(spark, SF_DIR).collect()}
+        import math
+
+        for nat, xs in by_nation.items():
+            n, sx = len(xs), sum(xs)
+            sixi = sum((i + 1) * x for i, x in enumerate(xs))
+            want = math.floor((1000000.0 * ((2 * sixi) - ((n + 1) * sx))) / (n * sx))
+            assert out[nat] == want, nat
+
+
+class TestAsofTolerance:
+    def test_tolerance_nulls_only_stale_matches(self, spark):
+        tol = QUERIES["asof_join_tolerance_15m"].fn(spark, SF_DIR)
+        plain = QUERIES["asof_join_purchase_click"].fn(spark, SF_DIR)
+        j = tol.alias("t").join(
+            plain.select("event_id", F.col("ts_click").alias("raw_click")),
+            "event_id",
+        )
+        # fresh matches identical; stale (>15m) nulled; never invents one
+        fresh_mismatch = j.filter(
+            (F.col("raw_click") >= F.col("ts") - F.expr("INTERVAL 15 MINUTE"))
+            & (F.col("ts_click") != F.col("raw_click"))
+        ).count()
+        stale_kept = j.filter(
+            (F.col("raw_click") < F.col("ts") - F.expr("INTERVAL 15 MINUTE"))
+            & F.col("ts_click").isNotNull()
+        ).count()
+        invented = j.filter(
+            F.col("raw_click").isNull() & F.col("ts_click").isNotNull()
+        ).count()
+        assert fresh_mismatch == 0 and stale_kept == 0 and invented == 0
+        assert tol.count() == plain.count()  # left rows always survive
