@@ -1464,3 +1464,104 @@ def asof_join_tolerance_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["value"], suffix="_click",
         tolerance_expr="INTERVAL 15 MINUTE",
     ).orderBy("event_id")
+
+
+# ------------------------- wave 8: token-weighted savings & activity grid
+
+
+@query(
+    "dedup_token_savings_by_source",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_CLUSTERS},
+    verdict AS (
+      SELECT a.source, a.doc_id,
+             (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY a.n_chars DESC, a.doc_id) = 1)
+               AS kept
+      FROM asg a
+    ), tok AS (
+      SELECT v.source, v.kept,
+             CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM verdict v JOIN documents d ON d.doc_id = v.doc_id
+    )
+    SELECT source,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE n_tokens END) AS BIGINT)
+             AS removed_tokens,
+           CAST(FLOOR(1000.0 * SUM(CASE WHEN kept THEN 0 ELSE n_tokens END)
+                      / SUM(n_tokens)) AS BIGINT) AS savings_permille
+    FROM tok GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def dedup_token_savings_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOKEN-weighted dedup savings per source — the companion to
+    ``dedup_rate_by_source`` that reports what training actually pays
+    for: a source can lose 10 % of its documents but 30 % of its tokens
+    if the dup families skew long, and mixture re-weighting is done in
+    tokens. Same keep-longest verdict relation (so doc-rate, token-rate
+    and the cut itself can never disagree), token counts joined back on
+    the doc key, one source-keyed agg.
+
+    Plan: the keep-longest shapes plus one doc-keyed join (token counts
+    ride the same corpus scan) and a ≤ |sources|-row agg. Integer
+    permille; engine-exact."""
+    v = _cluster_keep_longest(spark, sf_dir)
+    t = load_tables(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    tok = v.select("doc_id", "source", "kept").join(
+        t.documents.select("doc_id", n_tok.alias("n_tokens")), "doc_id"
+    )
+    removed = F.sum(F.when(F.col("kept"), 0).otherwise(F.col("n_tokens")))
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            removed.cast("long").alias("removed_tokens"),
+            F.floor(1000.0 * removed / F.sum("n_tokens"))
+            .cast("long")
+            .alias("savings_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "events_weekday_hour_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2 ORDER BY dow, hour
+    """,
+    tags=("events", "profile"),
+)
+def events_weekday_hour_heatmap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekday × hour activity grid (counts + DECIMAL-cents value) — the
+    ops heatmap behind capacity planning and anomaly baselines ("is
+    Tuesday 14:00 usually this quiet?"). Engine convention pinned
+    explicitly: Spark ``dayofweek`` is 1=Sunday, DuckDB's is 0=Sunday, so
+    the oracle shifts by one rather than trusting a name collision.
+
+    Plan: pure projection → one (dow, hour)-keyed partial-agg shuffle
+    whose exchange carries ≤ 168 × partitions rows. Linear always."""
+    t = load_tables(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(10,2)") * 100).cast("long")
+    return (
+        t.events.groupBy(
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+        .orderBy("dow", "hour")
+    )

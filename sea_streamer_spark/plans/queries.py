@@ -183,7 +183,7 @@ def _rank(item: tuple[str, object]) -> tuple[float, int]:
     """Round-5 ordering (VERDICT r4 "Next round" #1).
 
     Slots 1-12: the never-driver-sampled ``_POST_BUDGET`` tail (the only
-    pre-round-5 queries with zero driver rows). Slots 13-43: the thirty-one
+    pre-round-5 queries with zero driver rows). Slots 13-45: the thirty-three
     round-5 registrations (envelope_wide_seqno, asof_join_nearest_click,
     similarity_ann_recall_eval, dedup_threshold_sweep,
     similarity_truncated_recall_eval, dedup_span_coverage_salted,
@@ -198,10 +198,12 @@ def _rank(item: tuple[str, object]) -> tuple[float, int]:
     embedding_exact_dup_vectors, events_sessions_bounce_rate,
     events_interarrival_histogram, curation_pii_rate_by_source,
     orders_pareto_concentration, search_snippet_highlight,
-    agg_gini_by_nation, asof_join_tolerance_15m — rank (0, 0),
+    agg_gini_by_nation, asof_join_tolerance_15m,
+    dedup_token_savings_by_source, events_weekday_hour_heatmap — rank
+    (0, 0),
     module-import registration order). Then re-verification, OLDEST
     driver evidence first — r1 rows (last checked round 1) before r2,
-    r3, r4 — so the remaining ~7 budget slots refresh the stalest
+    r3, r4 — so the remaining ~5 budget slots refresh the stalest
     proof.
     """
     name = item[0]

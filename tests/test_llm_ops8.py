@@ -425,3 +425,32 @@ class TestAsofTolerance:
         ).count()
         assert fresh_mismatch == 0 and stale_kept == 0 and invented == 0
         assert tol.count() == plain.count()  # left rows always survive
+
+
+class TestTokenSavings:
+    def test_token_and_doc_rates_share_the_cut(self, spark, keep):
+        """removed_tokens must equal the token mass of exactly the docs the
+        keep-rule drops — no drift between the doc-rate and token-rate
+        views of the same cut."""
+        sav = QUERIES["dedup_token_savings_by_source"].fn(spark, SF_DIR)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+        dropped = (
+            keep.filter(~F.col("kept"))
+            .join(docs.select("doc_id", n_tok.alias("n_tokens")), "doc_id")
+            .agg(F.sum("n_tokens"))
+            .collect()[0][0]
+        ) or 0
+        got = sav.agg(F.sum("removed_tokens")).collect()[0][0]
+        assert got == dropped
+        assert sav.filter(
+            F.col("removed_tokens") > F.col("total_tokens")
+        ).count() == 0
+
+
+class TestWeekdayHourHeatmap:
+    def test_grid_conservation_and_domain(self, spark):
+        rows = QUERIES["events_weekday_hour_heatmap"].fn(spark, SF_DIR).collect()
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        assert sum(r["n_events"] for r in rows) == ev.count()
+        assert all(1 <= r["dow"] <= 7 and 0 <= r["hour"] <= 23 for r in rows)
