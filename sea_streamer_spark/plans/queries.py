@@ -183,7 +183,7 @@ def _rank(item: tuple[str, object]) -> tuple[float, int]:
     """Round-5 ordering (VERDICT r4 "Next round" #1).
 
     Slots 1-12: the never-driver-sampled ``_POST_BUDGET`` tail (the only
-    pre-round-5 queries with zero driver rows). Slots 13-45: the thirty-three
+    pre-round-5 queries with zero driver rows). Slots 13-48: the thirty-six
     round-5 registrations (envelope_wide_seqno, asof_join_nearest_click,
     similarity_ann_recall_eval, dedup_threshold_sweep,
     similarity_truncated_recall_eval, dedup_span_coverage_salted,
@@ -199,11 +199,12 @@ def _rank(item: tuple[str, object]) -> tuple[float, int]:
     events_interarrival_histogram, curation_pii_rate_by_source,
     orders_pareto_concentration, search_snippet_highlight,
     agg_gini_by_nation, asof_join_tolerance_15m,
-    dedup_token_savings_by_source, events_weekday_hour_heatmap — rank
-    (0, 0),
+    dedup_token_savings_by_source, events_weekday_hour_heatmap,
+    dedup_lsh_recall_eval, events_error_burst_detect,
+    profile_length_by_lang — rank (0, 0),
     module-import registration order). Then re-verification, OLDEST
     driver evidence first — r1 rows (last checked round 1) before r2,
-    r3, r4 — so the remaining ~5 budget slots refresh the stalest
+    r3, r4 — so the remaining ~2 budget slots refresh the stalest
     proof.
     """
     name = item[0]

@@ -454,3 +454,48 @@ class TestWeekdayHourHeatmap:
         ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
         assert sum(r["n_events"] for r in rows) == ev.count()
         assert all(1 <= r["dow"] <= 7 and 0 <= r["hour"] <= 23 for r in rows)
+
+
+class TestLshRecallEval:
+    def test_full_recall_and_subset_property(self, spark):
+        """LSH output is verified, hence a SUBSET of exact pairs; on this
+        corpus the registered contract is FULL recall."""
+        row = QUERIES["dedup_lsh_recall_eval"].fn(spark, SF_DIR).collect()[0]
+        assert row["n_common"] == row["n_lsh_pairs"] <= row["n_exact_pairs"]
+        assert row["recall_permille"] == 1000
+        assert row["n_exact_pairs"] > 0  # the eval is not vacuous
+
+
+class TestErrorBurstDetect:
+    def test_peak_matches_driver_recompute(self, spark):
+        import collections
+
+        rows = QUERIES["events_error_burst_detect"].fn(spark, SF_DIR).collect()
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "event_type", (F.unix_micros(F.col("ts").cast("timestamp"))
+                           / F.lit(900_000_000)).cast("long").alias("b")
+        ).collect()
+        per_type = collections.defaultdict(collections.Counter)
+        for r in ev:
+            per_type[r["event_type"]][r["b"]] += 1
+        for r in rows:
+            c = per_type[r["event_type"]]
+            best, best_b = -1, None
+            for b in sorted(c):
+                n1h = sum(c.get(b - i, 0) for i in range(4))
+                if n1h > best:
+                    best, best_b = n1h, b
+            assert r["peak_1h_events"] == best, r["event_type"]
+            assert r["peak_bucket"] == best_b, r["event_type"]
+
+
+class TestLengthByLang:
+    def test_conservation(self, spark):
+        out = QUERIES["profile_length_by_lang"].fn(spark, SF_DIR)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        assert out.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+        bad = out.filter(
+            (F.col("min_chars") > F.col("mean_chars"))
+            | (F.col("mean_chars") > F.col("max_chars"))
+        ).count()
+        assert bad == 0
