@@ -70,6 +70,35 @@ def main() -> None:
     exact_dups = n - exact_groups.count()
     print(f"exact dup docs: {exact_dups}  near-dup pairs (j>=0.8): {near_pairs}")
 
+    # ---- round-5 additions: the dedup FINISHER view of the same corpus ----
+    # (family-size histogram, what the keep-longest cut removes per source in
+    # docs AND tokens, and the measured recall of the LSH path vs exact
+    # Jaccard — the numbers that turn "we found near-dups" into an actual,
+    # auditable corpus reduction. All registered oracle-checked queries.)
+    from sea_streamer_spark.plans.queries import QUERIES
+
+    print("\n-- dup family sizes --")
+    QUERIES["dedup_cluster_size_histogram"].fn(spark, sf_dir).show()
+
+    print("-- keep-longest cut per source (docs and tokens) --")
+    rate = QUERIES["dedup_rate_by_source"].fn(spark, sf_dir).select(
+        "source", "n_docs", "n_removed", "dup_permille"
+    )
+    tok = QUERIES["dedup_token_savings_by_source"].fn(spark, sf_dir).select(
+        "source", "removed_tokens", "savings_permille"
+    )
+    rate.join(tok, "source").orderBy("source").show(5)
+
+    print("-- LSH candidate-path recall vs exact Jaccard --")
+    QUERIES["dedup_lsh_recall_eval"].fn(spark, sf_dir).show()
+
+    print("-- containment pairs (subset/quote dups Jaccard misses) --")
+    n_cont = QUERIES["text_containment_pairs"].fn(spark, sf_dir).count()
+    print(f"containment pairs (c>=0.8 either direction): {n_cont}")
+
+    print("-- length profile by language --")
+    QUERIES["profile_length_by_lang"].fn(spark, sf_dir).show()
+
 
 if __name__ == "__main__":
     main()
