@@ -1722,3 +1722,259 @@ def profile_length_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# -------------- wave 10 (post-window; next round's driver front): evals 2
+
+
+def _duck_str_list(words) -> str:
+    """DuckDB list literal of strings (marker vocabularies are tiny)."""
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _langid_confusion_oracle() -> str:
+    langs = sorted(T.LANG_MARKERS)
+    score_cols = ", ".join(
+        f"CAST(len(list_filter(tk, w -> list_contains("
+        f"{_duck_str_list(T.LANG_MARKERS[lang])}, w))) AS BIGINT) AS s_{lang}"
+        for lang in langs
+    )
+    greatest = ", ".join(f"s_{l}" for l in langs)
+    # first language (sorted order) reaching the max wins — the exact
+    # tie-break operators/text.language_id applies
+    whens = " ".join(
+        f"WHEN s_{l} = GREATEST({greatest}) THEN '{l}'" for l in langs
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {T.duck_tokens("text")} AS tk FROM documents
+    ), scores AS (
+      SELECT doc_id, lang, {score_cols} FROM toks
+    ), pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN GREATEST({greatest}) = 0 THEN 'unknown'
+                  {whens} END AS pred_lang
+      FROM scores
+    )
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2 ORDER BY lang, pred_lang
+    """
+
+
+@query(
+    "text_langid_confusion",
+    oracle=_langid_confusion_oracle(),
+    tags=("llm", "text", "eval"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the marker-heuristic classifier's
+    predictions against the labeled ``lang`` column — the eval table read
+    before trusting a language filter (off-diagonal mass = docs a
+    lang-gated pipeline would mis-route; languages OUTSIDE the marker
+    vocabulary, fr/zh here, show exactly how they leak into en/es/de or
+    'unknown'). The oracle re-derives the classifier itself — same marker
+    lists, same argmax, same first-wins tie-break over sorted language
+    order — so classifier drift, not just aggregation bugs, turns the
+    row red.
+
+    Plan: the scorer is a zero-shuffle projection (array_contains folds,
+    JVM-side); one (lang, pred)-keyed agg whose exchange carries ≤
+    |langs|² × partitions rows. Linear always."""
+    t = load_tables(spark, sf_dir, "documents")
+    pred = T.language_id(t.documents).select("doc_id", "pred_lang")
+    return (
+        t.documents.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@query(
+    "agg_hhi_by_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, c.c_custkey AS custkey,
+             SUM(CAST(FLOOR(CAST(o.o_totalprice AS DECIMAL(14,2)))
+                      AS BIGINT)) AS dollars
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dollars * dollars) AS BIGINT) AS sc2,
+             CAST(SUM(dollars) AS BIGINT) AS t
+      FROM rev GROUP BY nation
+    )
+    SELECT nation, n AS n_customers,
+           CAST(FLOOR((1000000.0 * sc2) / (CAST(t AS DOUBLE) * t))
+                AS BIGINT) AS hhi_micro
+    FROM agg ORDER BY nation
+    """,
+    tags=("relational", "profile"),
+)
+def agg_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of customer revenue per
+    nation — the OTHER standard concentration measure next to Gini
+    (HHI = Σ shareᵢ², 1e6/n = perfectly even, 1e6 = monopoly). Shares are
+    unit-invariant, so revenue rides as WHOLE floor-dollars: in cents
+    Σcᵢ² overflows BIGINT at sf0.1 (≈1e21), in dollars it is an exact
+    BIGINT ≈1e17 — measured, not guessed (ANSI mode turns the cents
+    formulation into a runtime ArithmeticException, which is how this
+    was caught). Only the final quotient is the identical double tree in
+    both engines — t converts to double BEFORE squaring for the same
+    overflow reason.
+
+    Plan: one (nation, customer)-keyed agg (partials combine map-side),
+    then a ≤ |nations|-row agg — no window at all; HHI needs no ranks,
+    which is exactly why it complements the rank-based Gini."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    dollars = F.floor(F.col("o_totalprice").cast("decimal(14,2)")).cast(
+        "long"
+    )
+    rev = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_custkey"))
+        .agg(F.sum(dollars).alias("dollars"))
+    )
+    agg = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("dollars") * F.col("dollars")).cast("long").alias("sc2"),
+        F.sum("dollars").cast("long").alias("t"),
+    )
+    hhi = F.floor(
+        (1000000.0 * F.col("sc2")) / (F.col("t").cast("double") * F.col("t"))
+    ).cast("long")
+    return agg.select(
+        "nation", F.col("n").alias("n_customers"), hhi.alias("hhi_micro")
+    ).orderBy("nation")
+
+
+@query(
+    "curation_lang_upsample_plan",
+    oracle="""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    m AS (SELECT MAX(n_docs) AS mx FROM c)
+    SELECT lang, n_docs,
+           CAST(mx // n_docs AS BIGINT) AS copies,
+           CAST(n_docs * (mx // n_docs) AS BIGINT) AS docs_after
+    FROM c, m ORDER BY lang
+    """,
+    tags=("llm", "curation"),
+)
+def curation_lang_upsample_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Language-balancing upsample plan: integer replication factors that
+    bring every language toward the largest one (copies = ⌊max/n⌋ — whole
+    copies, the factor multilingual pretraining recipes actually apply;
+    fractional epochs are a sampling weight, not a copy count). Emits the
+    PLAN (per-lang factor + resulting count); applying it is one explode —
+    planning is separated from applying so the plan itself is reviewable
+    and oracle-checkable.
+
+    Plan shape: one lang-keyed agg; the max is a 1-row broadcast onto ≤
+    |langs| rows. Nothing scales with corpus size past the first agg."""
+    t = load_tables(spark, sf_dir, "documents")
+    c = t.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    m = c.agg(F.max("n_docs").alias("mx"))
+    copies = F.floor(F.col("mx") / F.col("n_docs")).cast("long")
+    return (
+        c.crossJoin(F.broadcast(m))
+        .select(
+            "lang", "n_docs", copies.alias("copies"),
+            (F.col("n_docs") * copies).cast("long").alias("docs_after"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "embedding_dim_variance_audit",
+    oracle="""
+    WITH m AS (
+      SELECT generate_subscripts(embedding, 1) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS xm
+      FROM embeddings
+    ), cent AS (
+      SELECT pos, CAST(FLOOR(SUM(xm) * 1.0 / COUNT(*)) AS BIGINT) AS mm,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM m GROUP BY pos
+    )
+    SELECT CAST(m.pos AS BIGINT) AS pos, cent.mm AS mean_micro,
+           CAST(SUM((xm - mm) * (xm - mm)) // MAX(n) AS BIGINT)
+             AS var_micro2,
+           CAST(MIN(xm) AS BIGINT) AS min_micro,
+           CAST(MAX(xm) AS BIGINT) AS max_micro
+    FROM m JOIN cent USING (pos)
+    GROUP BY m.pos, cent.mm ORDER BY pos
+    """,
+    tags=("llm", "embedding", "profile"),
+)
+def embedding_dim_variance_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension variance audit of the embedding column — the
+    collapsed-dimension screen run before PCA/whitening or truncated
+    serving (a near-zero-variance dimension carries no information; a few
+    dominant ones means the encoder rank-collapsed). Exact integers
+    end-to-end via the two-pass trick: the d-row integer-micros centroid
+    embeds as a literal (the outlier-query pattern), then Σ(x−m)² is a
+    pure BIGINT sum (|diff| ~1e6 ⇒ Σ ≤ ~6e15, no overflow) and the
+    variance is one floor division by the row count.
+
+    Plan: one dim-keyed partial-agg shuffle for the centroid (d ×
+    partitions exchange rows), a geometry-bounded d-row collect, then ONE
+    map-only posexplode + dim-keyed agg for all four moments together.
+    Linear; no float accumulation anywhere."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    m = t.embeddings.select(micro.alias("xm"))
+    sums = (
+        m.select(F.posexplode("xm").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    mean = {int(r["pos"]): int(r["s"]) // int(r["n"]) for r in sums}
+    n_rows = int(sums[0]["n"])
+    mean_lit = F.array(*[F.lit(mean[p]).cast("long") for p in sorted(mean)])
+    ex = m.select(F.posexplode("xm").alias("pos", "v")).select(
+        "pos", "v",
+        F.element_at(mean_lit, F.col("pos") + 1).alias("mm"),
+    )
+    return (
+        ex.groupBy("pos")
+        .agg(
+            F.max("mm").alias("mean_micro"),
+            F.floor(
+                F.sum((F.col("v") - F.col("mm")) * (F.col("v") - F.col("mm")))
+                / F.lit(n_rows)
+            ).cast("long").alias("var_micro2"),
+            F.min("v").cast("long").alias("min_micro"),
+            F.max("v").cast("long").alias("max_micro"),
+        )
+        .select(
+            # DuckDB generate_subscripts is 1-based; posexplode is 0-based
+            (F.col("pos") + 1).cast("long").alias("pos"),
+            F.col("mean_micro").cast("long"),
+            "var_micro2", "min_micro", "max_micro",
+        )
+        .orderBy("pos")
+    )

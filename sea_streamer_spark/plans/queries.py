@@ -183,7 +183,7 @@ def _rank(item: tuple[str, object]) -> tuple[float, int]:
     """Round-5 ordering (VERDICT r4 "Next round" #1).
 
     Slots 1-12: the never-driver-sampled ``_POST_BUDGET`` tail (the only
-    pre-round-5 queries with zero driver rows). Slots 13-48: the thirty-six
+    pre-round-5 queries with zero driver rows). Slots 13-48: the thirty-six in-window
     round-5 registrations (envelope_wide_seqno, asof_join_nearest_click,
     similarity_ann_recall_eval, dedup_threshold_sweep,
     similarity_truncated_recall_eval, dedup_span_coverage_salted,
@@ -201,10 +201,14 @@ def _rank(item: tuple[str, object]) -> tuple[float, int]:
     agg_gini_by_nation, asof_join_tolerance_15m,
     dedup_token_savings_by_source, events_weekday_hour_heatmap,
     dedup_lsh_recall_eval, events_error_burst_detect,
-    profile_length_by_lang — rank (0, 0),
+    profile_length_by_lang — rank (0, 0), plus the POST-WINDOW wave 10
+    (text_langid_confusion, agg_hhi_by_nation,
+    curation_lang_upsample_plan, embedding_dim_variance_audit) at slots
+    49-52: beyond the 50-slot budget they become round 6's driver front,
+    exactly the post-budget pattern of rounds 2-4,
     module-import registration order). Then re-verification, OLDEST
     driver evidence first — r1 rows (last checked round 1) before r2,
-    r3, r4 — so the remaining ~2 budget slots refresh the stalest
+    r3, r4 — so slots 49-50 sample the first two wave-10 queries; the rest roll to round 6 refresh the stalest
     proof.
     """
     name = item[0]

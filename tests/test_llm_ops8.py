@@ -499,3 +499,67 @@ class TestLengthByLang:
             | (F.col("mean_chars") > F.col("max_chars"))
         ).count()
         assert bad == 0
+
+
+class TestLangidConfusion:
+    def test_matrix_conserves_docs_and_agrees_with_classifier(self, spark):
+        """The matrix must conserve the corpus and reproduce exactly the
+        registered classifier's per-prediction totals. NOTE the corpus
+        text is English-ish tech vocabulary regardless of the synthetic
+        ``lang`` label — the matrix truthfully reports near-total en
+        prediction mass, which is precisely the mis-routing a confusion
+        matrix exists to surface (so no diagonal-dominance assertion)."""
+        rows = QUERIES["text_langid_confusion"].fn(spark, SF_DIR).collect()
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        assert sum(r["n_docs"] for r in rows) == docs.count()
+        clf = QUERIES["text_lang_id"].fn(spark, SF_DIR)
+        per_pred = {
+            r["pred_lang"]: r["count"]
+            for r in clf.groupBy("pred_lang").count().collect()
+        }
+        got = {}
+        for r in rows:
+            got[r["pred_lang"]] = got.get(r["pred_lang"], 0) + r["n_docs"]
+        assert got == per_pred
+
+
+class TestHhiByNation:
+    def test_bounds_and_agreement_with_gini(self, spark):
+        hhi = {r["nation"]: r for r in
+               QUERIES["agg_hhi_by_nation"].fn(spark, SF_DIR).collect()}
+        for n, r in hhi.items():
+            lo = 1_000_000 // r["n_customers"] - 1  # floor slack
+            assert lo <= r["hhi_micro"] <= 1_000_000, (n, r)
+
+
+class TestLangUpsamplePlan:
+    def test_factors_bring_langs_toward_max(self, spark):
+        rows = QUERIES["curation_lang_upsample_plan"].fn(spark, SF_DIR).collect()
+        mx = max(r["n_docs"] for r in rows)
+        for r in rows:
+            assert r["copies"] == mx // r["n_docs"]
+            assert r["docs_after"] == r["n_docs"] * r["copies"]
+            # whole copies never overshoot the target
+            assert r["docs_after"] <= mx
+
+
+class TestDimVarianceAudit:
+    def test_moment_recompute_one_dim(self, spark):
+        import duckdb
+        import math
+
+        rows = QUERIES["embedding_dim_variance_audit"].fn(spark, SF_DIR).collect()
+        assert len(rows) == 64
+        vals = [
+            math.floor(float(v) * 1_000_000)
+            for (v,) in duckdb.sql(
+                f"SELECT embedding[1] FROM '{SF_DIR}/embeddings.parquet'"
+            ).fetchall()
+        ]
+        n = len(vals)
+        mm = sum(vals) // n
+        var = sum((x - mm) ** 2 for x in vals) // n
+        r0 = rows[0]
+        assert r0["pos"] == 1 and r0["mean_micro"] == mm
+        assert r0["var_micro2"] == var
+        assert r0["min_micro"] == min(vals) and r0["max_micro"] == max(vals)
