@@ -1978,3 +1978,168 @@ def embedding_dim_variance_audit(
         )
         .orderBy("pos")
     )
+
+
+# ------- wave 11 (post-window): pipeline summary & time-series BI staples
+
+
+@query(
+    "curation_dedup_pipeline_summary",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_CLUSTERS},
+    verdict AS (
+      SELECT a.doc_id,
+             (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY a.n_chars DESC, a.doc_id) = 1)
+               AS kept,
+             cluster_id
+      FROM asg a
+    ), tok AS (
+      SELECT v.kept, v.cluster_id,
+             CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM verdict v JOIN documents d ON d.doc_id = v.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_families,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+           CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_after,
+           CAST(FLOOR(1000.0 * SUM(CASE WHEN kept THEN 0 ELSE n_tokens END)
+                      / SUM(n_tokens)) AS BIGINT) AS token_cut_permille
+    FROM tok
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def curation_dedup_pipeline_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The one-row corpus-reduction summary a pipeline run logs: documents
+    in/out, dup-family count, tokens before/after the keep-longest cut,
+    and the token cut in permille. One relation feeds every number (the
+    same keep-longest verdict the per-source reports read), so this
+    headline row can never disagree with its breakdowns — the invariant
+    every metrics dashboard wishes it had.
+
+    Plan: the keep-longest shapes + one doc-keyed token join + ONE global
+    aggregate whose partials combine map-side (n_families rides a
+    distinct-count over cluster ids, bounded by doc count). Output is a
+    single row at any corpus size."""
+    v = _cluster_keep_longest(spark, sf_dir)
+    t = load_tables(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    tok = v.select("doc_id", "kept", "cluster_id").join(
+        t.documents.select("doc_id", n_tok.alias("n_tokens")), "doc_id"
+    )
+    cut = F.sum(F.when(F.col("kept"), 0).otherwise(F.col("n_tokens")))
+    return tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        F.countDistinct("cluster_id").cast("long").alias("n_families"),
+        F.sum("n_tokens").cast("long").alias("tokens_before"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_after"),
+        F.floor(1000.0 * cut / F.sum("n_tokens"))
+        .cast("long")
+        .alias("token_cut_permille"),
+    )
+
+
+@query(
+    "events_day_over_day_growth",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    )
+    SELECT day, n_events, cents,
+           CAST(FLOOR(1000.0 * (n_events - LAG(n_events) OVER w)
+                      / LAG(n_events) OVER w) AS BIGINT)
+             AS events_dod_permille,
+           CAST(FLOOR(1000.0 * (cents - LAG(cents) OVER w)
+                      / LAG(cents) OVER w) AS BIGINT) AS value_dod_permille
+    FROM m WINDOW w AS (ORDER BY day) ORDER BY day
+    """,
+    tags=("events", "profile"),
+)
+def events_day_over_day_growth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Day-over-day growth of event volume and value (permille deltas,
+    NULL for the first day) — the BI staple on every ops dashboard. The
+    daily grain is the one with real deltas on this table's one-month
+    span; the identical shape runs at any calendar grain. The LAG window
+    runs over DAYS — an already-aggregated relation of ≤ |days| rows — so
+    the single-partition window is geometry-bounded (dates, not events),
+    the one place a total order is genuinely free.
+
+    Plan: one day-keyed partial agg (map-side combine), then the tiny
+    day-ordered window. Integer cents, floor-permille deltas —
+    engine-exact including the negative-growth floor direction (FLOOR is
+    toward −∞ in both engines)."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(10,2)") * 100).cast("long")
+    m = t.events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents).cast("long").alias("cents"),
+    )
+    w = W.orderBy("day")
+    dod = lambda c: F.floor(  # noqa: E731
+        1000.0 * (F.col(c) - F.lag(c).over(w)) / F.lag(c).over(w)
+    ).cast("long")
+    return m.select(
+        "day", "n_events", "cents",
+        dod("n_events").alias("events_dod_permille"),
+        dod("cents").alias("value_dod_permille"),
+    ).orderBy("day")
+
+
+@query(
+    "orders_seasonality_index",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ), t AS (SELECT SUM(n_orders) AS tot, COUNT(*) AS n_months FROM m)
+    SELECT month, n_orders,
+           CAST(FLOOR(1000.0 * n_orders * n_months / tot) AS BIGINT)
+             AS seasonality_permille
+    FROM m, t ORDER BY month
+    """,
+    tags=("relational", "profile"),
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonality index of order volume: each month's
+    share of orders relative to a perfectly flat year (1000 = average
+    month; 1200 = a 20 % hot month) — the demand-planning read, pooled
+    across the table's multi-year span so single-year noise averages out.
+
+    Plan: one month-keyed agg (12 groups), the totals as a 1-row
+    broadcast. Nothing scales past the first partial agg."""
+    t = load_tables(spark, sf_dir, "orders")
+    m = t.orders.groupBy(
+        F.month("o_orderdate").cast("long").alias("month")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    tot = m.agg(
+        F.sum("n_orders").alias("tot"), F.count(F.lit(1)).alias("n_months")
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "month", "n_orders",
+            F.floor(
+                1000.0 * F.col("n_orders") * F.col("n_months") / F.col("tot")
+            ).cast("long").alias("seasonality_permille"),
+        )
+        .orderBy("month")
+    )

@@ -203,8 +203,10 @@ def _rank(item: tuple[str, object]) -> tuple[float, int]:
     dedup_lsh_recall_eval, events_error_burst_detect,
     profile_length_by_lang — rank (0, 0), plus the POST-WINDOW wave 10
     (text_langid_confusion, agg_hhi_by_nation,
-    curation_lang_upsample_plan, embedding_dim_variance_audit) at slots
-    49-52: beyond the 50-slot budget they become round 6's driver front,
+    curation_lang_upsample_plan, embedding_dim_variance_audit, and
+    wave 11: curation_dedup_pipeline_summary,
+    events_day_over_day_growth, orders_seasonality_index) at slots
+    49-55: beyond the 50-slot budget they become round 6's driver front,
     exactly the post-budget pattern of rounds 2-4,
     module-import registration order). Then re-verification, OLDEST
     driver evidence first — r1 rows (last checked round 1) before r2,

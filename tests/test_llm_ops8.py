@@ -563,3 +563,43 @@ class TestDimVarianceAudit:
         assert r0["pos"] == 1 and r0["mean_micro"] == mm
         assert r0["var_micro2"] == var
         assert r0["min_micro"] == min(vals) and r0["max_micro"] == max(vals)
+
+
+class TestPipelineSummary:
+    def test_headline_row_reconciles_with_breakdowns(self, spark, keep):
+        row = QUERIES["curation_dedup_pipeline_summary"].fn(spark, SF_DIR).collect()[0]
+        assert row["n_docs"] == keep.count()
+        assert row["n_kept"] == keep.filter("kept").count()
+        assert row["n_families"] == keep.select("cluster_id").distinct().count()
+        sav = QUERIES["dedup_token_savings_by_source"].fn(spark, SF_DIR)
+        agg = sav.agg(
+            F.sum("total_tokens").alias("tot"), F.sum("removed_tokens").alias("rm")
+        ).collect()[0]
+        assert row["tokens_before"] == agg["tot"]
+        assert row["tokens_before"] - row["tokens_after"] == agg["rm"]
+
+
+class TestDayOverDayGrowth:
+    def test_first_day_null_and_delta_recompute(self, spark):
+        rows = QUERIES["events_day_over_day_growth"].fn(spark, SF_DIR).collect()
+        assert rows[0]["events_dod_permille"] is None
+        import math
+
+        for prev, cur in zip(rows, rows[1:]):
+            want = math.floor(
+                1000.0 * (cur["n_events"] - prev["n_events"]) / prev["n_events"]
+            )
+            assert cur["events_dod_permille"] == want
+
+
+class TestSeasonalityIndex:
+    def test_index_averages_to_flat_year(self, spark):
+        rows = QUERIES["orders_seasonality_index"].fn(spark, SF_DIR).collect()
+        assert len(rows) == 12
+        total = sum(r["n_orders"] for r in rows)
+        # Σ month_share * n_months = n_months exactly; permille floors sum
+        # to within n_months of 12000
+        s = sum(r["seasonality_permille"] for r in rows)
+        assert 12000 - 12 <= s <= 12000
+        assert all(r["seasonality_permille"] >= 0 for r in rows)
+        assert total == spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
