@@ -2143,3 +2143,138 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---- wave 12 (post-window): gating rates, mixture crosstab, degree dist
+
+
+def _gopher_rate_oracle() -> str:
+    toks = T.duck_tokens("text")
+    return f"""
+    WITH s AS (
+      SELECT doc_id, source, text, {toks} AS toks FROM documents
+    ), m AS (
+      SELECT source,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(toks, w -> CAST(length(w) AS BIGINT))),
+                  (a,b) -> a+b) AS DOUBLE) / len(toks) AS mean_word_len,
+             CAST(len(list_intersect(list_distinct(toks),
+                  {list(T.STOPWORDS)!r})) AS BIGINT) AS n_distinct_stopwords,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                  AS DOUBLE) / length(text) AS symbol_ratio
+      FROM s
+    ), verdict AS (
+      SELECT source,
+             ((n_words BETWEEN {Q.MIN_WORDS} AND {Q.MAX_WORDS})
+              AND (mean_word_len BETWEEN {Q.MIN_MEAN_WORD_LEN}
+                   AND {Q.MAX_MEAN_WORD_LEN})
+              AND n_distinct_stopwords >= {Q.MIN_DISTINCT_STOPWORDS}
+              AND symbol_ratio <= {Q.MAX_SYMBOL_RATIO}) AS passes
+      FROM m
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(FLOOR(1000.0 * SUM(CASE WHEN passes THEN 1 ELSE 0 END)
+                      / COUNT(*)) AS BIGINT) AS pass_permille
+    FROM verdict GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "quality_gopher_rate_by_source",
+    oracle=_gopher_rate_oracle(),
+    tags=("llm", "quality", "profile"),
+)
+def quality_gopher_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gopher-rule pass rate per source — the gating report that decides
+    which sources survive quality filtering and at what cost (a source
+    passing at 40 % needs investigation, not a silent 60 % cut). Uses the
+    SAME rule implementation as the registered per-doc flags query
+    (operators/quality.gopher_quality_flags), so the rate and the per-doc
+    verdicts can never disagree; the oracle re-derives the rules, not
+    just the aggregation.
+
+    Plan: the flags are a zero-shuffle projection; one source-keyed
+    partial-agg shuffle (≤ |sources| × partitions exchange rows)."""
+    t = load_tables(spark, sf_dir, "documents")
+    flags = Q.gopher_quality_flags(t.documents).select("doc_id", "passes")
+    j = t.documents.select("doc_id", "source").join(flags, "doc_id")
+    npass = F.sum(F.col("passes").cast("int"))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            npass.cast("long").alias("n_pass"),
+            F.floor(1000.0 * npass / F.count(F.lit(1)))
+            .cast("long")
+            .alias("pass_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "curation_source_lang_crosstab",
+    oracle="""
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len(string_split_regex(trim(text), '\\s+'))
+                    AS BIGINT)) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source, lang ORDER BY source, lang
+    """,
+    tags=("llm", "curation", "profile"),
+)
+def curation_source_lang_crosstab(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Source × language crosstab in documents AND tokens — the raw
+    planning matrix every mixture decision starts from (re-weighting,
+    upsampling, and per-lang quality thresholds all read this table
+    first; tokens, not doc counts, are the column that matters).
+
+    Plan: token count is a zero-shuffle projection; one
+    (source, lang)-keyed partial agg (≤ |sources|·|langs| × partitions
+    exchange rows)."""
+    t = load_tables(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    return (
+        t.documents.select("source", "lang", n_tok.alias("n_tokens"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@query(
+    "events_user_activity_histogram",
+    oracle="""
+    WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k
+               FROM events GROUP BY user_id)
+    SELECT k AS events_per_user, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u GROUP BY k ORDER BY k
+    """,
+    tags=("events", "profile"),
+)
+def events_user_activity_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-of-counts activity histogram: how many users produced exactly
+    k events — the degree-distribution read behind power-law checks, bot
+    screens (an impossible spike at one k), and per-user state sizing for
+    streaming jobs. Two shrinking keyed aggs (events → users → distinct
+    activity levels); each successive exchange is strictly smaller."""
+    t = load_tables(spark, sf_dir, "events")
+    u = t.events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    return (
+        u.groupBy(F.col("k").alias("events_per_user"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("events_per_user")
+    )

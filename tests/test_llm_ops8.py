@@ -603,3 +603,32 @@ class TestSeasonalityIndex:
         assert 12000 - 12 <= s <= 12000
         assert all(r["seasonality_permille"] >= 0 for r in rows)
         assert total == spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+
+
+class TestGopherRateBySource:
+    def test_rate_agrees_with_per_doc_flags(self, spark):
+        out = QUERIES["quality_gopher_rate_by_source"].fn(spark, SF_DIR)
+        flags = QUERIES["quality_gopher_flags"].fn(spark, SF_DIR)
+        total_pass = flags.filter("passes").count()
+        assert out.agg(F.sum("n_pass")).collect()[0][0] == total_pass
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        assert out.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+
+
+class TestSourceLangCrosstab:
+    def test_margins_match_existing_profiles(self, spark):
+        ct = QUERIES["curation_source_lang_crosstab"].fn(spark, SF_DIR)
+        by_lang = ct.groupBy("lang").agg(F.sum("n_docs").alias("n"))
+        prof = QUERIES["profile_length_by_lang"].fn(spark, SF_DIR).select(
+            "lang", F.col("n_docs").alias("want")
+        )
+        bad = by_lang.join(prof, "lang").filter(F.col("n") != F.col("want")).count()
+        assert bad == 0
+
+
+class TestUserActivityHistogram:
+    def test_count_of_counts_conserves_users_and_events(self, spark):
+        rows = QUERIES["events_user_activity_histogram"].fn(spark, SF_DIR).collect()
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        assert sum(r["n_users"] for r in rows) == ev.select("user_id").distinct().count()
+        assert sum(r["events_per_user"] * r["n_users"] for r in rows) == ev.count()
