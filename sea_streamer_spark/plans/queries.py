@@ -235,3 +235,13 @@ _ordered = sorted(QUERIES.items(), key=_rank)
 _snapshot = dict(_ordered)
 QUERIES.clear()
 QUERIES.update(_snapshot)
+
+# ---------------------------------------------------------------------------
+# ROUND-6 RE-RANK TODO (the move rounds 4 and 5 both executed): when
+# CORRECTNESS_r05.json lands, append its green rows to a new
+# ``_R05_DRIVER_VERIFIED`` tuple ranked 5 in ``_rank`` (red/err rows stay
+# un-demoted so they re-sample immediately). The never-driver-sampled
+# front is then the post-window llm_ops8 waves 10-12
+# (text_langid_confusion .. events_user_activity_histogram, 10 queries)
+# plus anything the r5 budget missed; behind them, re-verify oldest-first
+# (r1 before r2 before r3 before r4 before r5).
