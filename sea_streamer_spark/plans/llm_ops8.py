@@ -2278,3 +2278,131 @@ def events_user_activity_histogram(
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("events_per_user")
     )
+
+
+# -------- wave 13 (post-window): gaps-and-islands & LOCF imputation
+
+
+@query(
+    "events_longest_daily_streak",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INT)
+               AS island
+      FROM d
+    ), runs AS (
+      SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(day) AS streak_start
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           MAX(len) AS longest_streak_days,
+           strftime(MIN(CASE WHEN len = mx THEN streak_start END),
+                    '%Y-%m-%d') AS streak_start
+    FROM (SELECT *, MAX(len) OVER (PARTITION BY user_id) AS mx FROM runs)
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("events", "profile"),
+)
+def events_longest_daily_streak(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape (day − row_number = constant within an
+    unbroken run), the engagement metric behind every 'N-day streak'
+    product surface. Deterministic: ties between equal-length streaks
+    resolve to the earliest start.
+
+    Plan: distinct (user, day) — already a tiny relation (≤ users × days)
+    — then ONE user-keyed window for the island key and two shrinking
+    keyed aggs. The windows ride per-user day counts, never event
+    counts."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir, "events")
+    d = t.events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    isl = d.select(
+        "user_id", "day",
+        F.date_sub("day", F.row_number().over(w)).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    mx = F.max("len").over(W.partitionBy("user_id"))
+    return (
+        runs.withColumn("mx", mx)
+        .groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak_days"),
+            F.date_format(
+                F.min(F.when(F.col("len") == F.col("mx"), F.col("streak_start"))),
+                "yyyy-MM-dd",
+            ).alias("streak_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_locf_imputation",
+    oracle="""
+    WITH nulled AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 5 <> 0
+                  THEN CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)
+             END AS cents
+      FROM events
+    ), filled AS (
+      SELECT event_id, user_id, (cents IS NULL) AS was_null,
+             LAST_VALUE(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_cents
+      FROM nulled
+    )
+    SELECT event_id, user_id, was_null, filled_cents
+    FROM filled ORDER BY event_id
+    """,
+    tags=("events", "window"),
+)
+def events_locf_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation per user stream — the
+    standard gap-filling rule for sensor/feature values (a missing
+    reading inherits the most recent real one; leading NULLs stay NULL
+    because inventing a value before the first observation is worse than
+    honesty). The corpus has no NULLs, so the query deterministically
+    nulls every 5th event (identically in both engines) and must restore
+    exactly the carried values — DECIMAL-cents, engine-exact.
+
+    Plan: ONE user-keyed window with last(ignorenulls) over the preceding
+    frame — per-user state is one value; same shuffle the sessionizer
+    pays. Linear at any event volume."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(10,2)") * 100).cast("long")
+    nulled = t.events.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_id") % 5 != 0, cents).alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        nulled.select(
+            "event_id", "user_id",
+            F.col("cents").isNull().alias("was_null"),
+            F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+        )
+        .orderBy("event_id")
+    )

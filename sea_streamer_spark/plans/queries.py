@@ -207,7 +207,9 @@ def _rank(item: tuple[str, object]) -> tuple[float, int]:
     wave 11: curation_dedup_pipeline_summary,
     events_day_over_day_growth, orders_seasonality_index, and wave 12:
     quality_gopher_rate_by_source, curation_source_lang_crosstab,
-    events_user_activity_histogram) at slots 49-58: beyond the 50-slot budget they become round 6's driver front,
+    events_user_activity_histogram, and wave 13:
+    events_longest_daily_streak, events_locf_imputation) at slots
+    49-60: beyond the 50-slot budget they become round 6's driver front,
     exactly the post-budget pattern of rounds 2-4,
     module-import registration order). Then re-verification, OLDEST
     driver evidence first — r1 rows (last checked round 1) before r2,

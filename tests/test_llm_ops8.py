@@ -632,3 +632,65 @@ class TestUserActivityHistogram:
         ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
         assert sum(r["n_users"] for r in rows) == ev.select("user_id").distinct().count()
         assert sum(r["events_per_user"] * r["n_users"] for r in rows) == ev.count()
+
+
+class TestDailyStreak:
+    def test_streak_recompute_driver_side(self, spark):
+        import collections
+        import datetime
+
+        rows = QUERIES["events_longest_daily_streak"].fn(spark, SF_DIR).collect()
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "user_id", F.to_date("ts").alias("day")
+        ).distinct().collect()
+        days = collections.defaultdict(set)
+        for r in ev:
+            days[r["user_id"]].add(r["day"])
+        for r in rows:
+            ds = sorted(days[r["user_id"]])
+            best, best_start, cur, start = 0, None, 0, None
+            prev = None
+            for d in ds:
+                if prev is not None and (d - prev).days == 1:
+                    cur += 1
+                else:
+                    cur, start = 1, d
+                if cur > best:
+                    best, best_start = cur, start
+                prev = d
+            assert r["longest_streak_days"] == best, r["user_id"]
+            assert r["streak_start"] == best_start.strftime("%Y-%m-%d")
+
+
+class TestLocfImputation:
+    def test_fills_exactly_the_carried_value(self, spark):
+        out = QUERIES["events_locf_imputation"].fn(spark, SF_DIR)
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        cents = (F.col("value").cast("decimal(10,2)") * 100).cast("long")
+        truth = ev.select("event_id", cents.alias("true_cents"))
+        j = out.join(truth, "event_id")
+        # non-nulled rows pass their own value through unchanged
+        assert j.filter(
+            (~F.col("was_null")) & (F.col("filled_cents") != F.col("true_cents"))
+        ).count() == 0
+        # nulled rows never leak their own (hidden) value by accident:
+        # the filled value must equal the previous non-nulled event's
+        from pyspark.sql.window import Window as W
+
+        w = (
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        prev = ev.select(
+            "event_id", "user_id", "ts",
+            F.last(
+                F.when(F.col("event_id") % 5 != 0, cents), ignorenulls=True
+            ).over(w).alias("prev_real"),
+        ).select("event_id", "prev_real")
+        jj = out.filter("was_null").join(prev, "event_id")
+        bad = jj.filter(
+            (F.col("filled_cents").isNotNull() | F.col("prev_real").isNotNull())
+            & (F.col("filled_cents") != F.col("prev_real"))
+        ).count()
+        assert bad == 0
