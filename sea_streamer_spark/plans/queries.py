@@ -182,39 +182,21 @@ _R04_DRIVER_VERIFIED: tuple[str, ...] = (
 def _rank(item: tuple[str, object]) -> tuple[float, int]:
     """Round-5 ordering (VERDICT r4 "Next round" #1).
 
-    Slots 1-12: the never-driver-sampled ``_POST_BUDGET`` tail (the only
-    pre-round-5 queries with zero driver rows). Slots 13-48: the thirty-six in-window
-    round-5 registrations (envelope_wide_seqno, asof_join_nearest_click,
-    similarity_ann_recall_eval, dedup_threshold_sweep,
-    similarity_truncated_recall_eval, dedup_span_coverage_salted,
-    events_decayed_engagement, quality_winsorize,
-    events_rolling_7d_actives, privacy_l_diversity,
-    events_transition_matrix, agg_mode_exact, plus the llm_ops8 waves
-    dedup_keep_longest_per_cluster, dedup_rate_by_source,
-    embedding_outlier_centroid, events_last_touch_attribution,
-    dedup_cluster_size_histogram, curation_token_budget_mixture,
-    events_rfm_segments, text_containment_pairs, cdc_scd2_history,
-    basket_brand_pair_lift, similarity_knn_label_accuracy,
-    embedding_exact_dup_vectors, events_sessions_bounce_rate,
-    events_interarrival_histogram, curation_pii_rate_by_source,
-    orders_pareto_concentration, search_snippet_highlight,
-    agg_gini_by_nation, asof_join_tolerance_15m,
-    dedup_token_savings_by_source, events_weekday_hour_heatmap,
-    dedup_lsh_recall_eval, events_error_burst_detect,
-    profile_length_by_lang — rank (0, 0), plus the POST-WINDOW wave 10
-    (text_langid_confusion, agg_hhi_by_nation,
-    curation_lang_upsample_plan, embedding_dim_variance_audit, and
-    wave 11: curation_dedup_pipeline_summary,
-    events_day_over_day_growth, orders_seasonality_index, and wave 12:
-    quality_gopher_rate_by_source, curation_source_lang_crosstab,
-    events_user_activity_histogram, and wave 13:
-    events_longest_daily_streak, events_locf_imputation) at slots
-    49-60: beyond the 50-slot budget they become round 6's driver front,
-    exactly the post-budget pattern of rounds 2-4,
-    module-import registration order). Then re-verification, OLDEST
-    driver evidence first — r1 rows (last checked round 1) before r2,
-    r3, r4 — so slots 49-50 sample the first two wave-10 queries; the rest roll to round 6 refresh the stalest
-    proof.
+    Slots 1-12: the never-driver-sampled ``_POST_BUDGET`` tail — the only
+    pre-round-5 queries with zero driver rows (search_rrf_fusion ..
+    corpus_growth_curve). Slots 13-60: the forty-eight round-5
+    registrations in module-import registration order (all rank (0, 0);
+    the sort is stable): the early-session wave (envelope_wide_seqno ..
+    agg_mode_exact, 12), then the llm_ops8 waves 2-9
+    (dedup_keep_longest_per_cluster .. profile_length_by_lang, 24 —
+    filling the driver budget exactly through slot 48), then the
+    post-window waves 10-13 (text_langid_confusion ..
+    events_locf_imputation, 12) — the first two of these take the last
+    budget slots 49-50; everything past slot 50 exceeds the driver
+    budget and becomes round 6's front,
+    the same post-budget pattern rounds 2-4 used. Behind all of that:
+    re-verification, OLDEST driver evidence first (r1 rows before r2,
+    r3, r4) so any leftover budget refreshes the stalest proof.
     """
     name = item[0]
     if name in _R04_DRIVER_VERIFIED:
