@@ -179,38 +179,86 @@ _R04_DRIVER_VERIFIED: tuple[str, ...] = (
 )
 
 
-def _rank(item: tuple[str, object]) -> tuple[float, int]:
-    """Round-5 ordering (VERDICT r4 "Next round" #1).
+#: Queries with a green driver row in CORRECTNESS_r05.json (50/50 green,
+#: all first-time samples: the 12-entry ``_POST_BUDGET`` tail plus 38 of
+#: the 48 round-5 registrations). Demoted to rank 5 so the 10 remaining
+#: never-sampled queries (the post-window llm_ops8 waves 10-13) occupy
+#: driver slots 1-10 this round. Driver-row order preserved.
+_R05_DRIVER_VERIFIED: tuple[str, ...] = (
+    "search_rrf_fusion", "rollup_incremental_restatement",
+    "profile_equiheight_histogram", "events_mad_outliers",
+    "events_ab_conversion", "quality_rank_normalize",
+    "scalar_collection_functions", "graph_bfs_levels",
+    "scalar_struct_functions", "text_token_lift", "text_novelty_score",
+    "corpus_growth_curve", "envelope_wide_seqno", "asof_join_nearest_click",
+    "similarity_ann_recall_eval", "dedup_threshold_sweep",
+    "similarity_truncated_recall_eval", "dedup_span_coverage_salted",
+    "events_decayed_engagement", "quality_winsorize",
+    "events_rolling_7d_actives", "privacy_l_diversity",
+    "events_transition_matrix", "agg_mode_exact",
+    "dedup_keep_longest_per_cluster", "dedup_rate_by_source",
+    "embedding_outlier_centroid", "events_last_touch_attribution",
+    "dedup_cluster_size_histogram", "curation_token_budget_mixture",
+    "events_rfm_segments", "text_containment_pairs", "cdc_scd2_history",
+    "basket_brand_pair_lift", "similarity_knn_label_accuracy",
+    "embedding_exact_dup_vectors", "events_sessions_bounce_rate",
+    "events_interarrival_histogram", "curation_pii_rate_by_source",
+    "orders_pareto_concentration", "search_snippet_highlight",
+    "agg_gini_by_nation", "asof_join_tolerance_15m",
+    "dedup_token_savings_by_source", "events_weekday_hour_heatmap",
+    "dedup_lsh_recall_eval", "events_error_burst_detect",
+    "profile_length_by_lang", "text_langid_confusion", "agg_hhi_by_nation",
+)
 
-    Slots 1-12: the never-driver-sampled ``_POST_BUDGET`` tail — the only
-    pre-round-5 queries with zero driver rows (search_rrf_fusion ..
-    corpus_growth_curve). Slots 13-60: the forty-eight round-5
-    registrations in module-import registration order (all rank (0, 0);
-    the sort is stable): the early-session wave (envelope_wide_seqno ..
-    agg_mode_exact, 12), then the llm_ops8 waves 2-9
-    (dedup_keep_longest_per_cluster .. profile_length_by_lang, 24 —
-    filling the driver budget exactly through slot 48), then the
-    post-window waves 10-13 (text_langid_confusion ..
-    events_locf_imputation, 12) — the first two of these take the last
-    budget slots 49-50; everything past slot 50 exceeds the driver
-    budget and becomes round 6's front,
-    the same post-budget pattern rounds 2-4 used. Behind all of that:
-    re-verification, OLDEST driver evidence first (r1 rows before r2,
-    r3, r4) so any leftover budget refreshes the stalest proof.
+
+#: Round-6 front of the line: the ONLY registry queries with zero driver
+#: rows after r1-r5 — the post-window llm_ops8 wave-10-13 registrations
+#: that exceeded round 5's 50-slot budget (VERDICT r5 "Next round" #1).
+#: Pinned explicitly (not left to registration order) so they are
+#: guaranteed driver slots 1-10 regardless of what round 6 registers.
+_NEVER_SAMPLED_FRONT: tuple[str, ...] = (
+    "curation_lang_upsample_plan", "embedding_dim_variance_audit",
+    "curation_dedup_pipeline_summary", "events_day_over_day_growth",
+    "orders_seasonality_index", "quality_gopher_rate_by_source",
+    "curation_source_lang_crosstab", "events_user_activity_histogram",
+    "events_longest_daily_streak", "events_locf_imputation",
+)
+
+
+def _rank(item: tuple[str, object]) -> tuple[float, int]:
+    """Round-6 ordering (VERDICT r5 "Next round" #1).
+
+    Slots 1-10: ``_NEVER_SAMPLED_FRONT`` — the ten queries with zero
+    driver rows across r1-r5 (post-window llm_ops8 waves 10-13,
+    curation_lang_upsample_plan .. events_locf_imputation), pinned at
+    rank -1. Behind them at rank (0, 0), in module-import registration
+    order (the sort is stable): every round-6 registration. Behind all
+    of that: re-verification, OLDEST driver evidence first (r1 rows
+    before r2, r3, r4, r5) so the ~40 freed slots refresh the stalest
+    proof — the r1 rows have not been re-checked by the driver since
+    round 1. Red/err rows would stay un-demoted (rank 0) so they
+    re-sample immediately; r5 had none (50/50 green).
     """
     name = item[0]
+    if name in _NEVER_SAMPLED_FRONT:
+        return (-1, _NEVER_SAMPLED_FRONT.index(name))
+    if name in _R05_DRIVER_VERIFIED:
+        return (5, _R05_DRIVER_VERIFIED.index(name))
     if name in _R04_DRIVER_VERIFIED:
         return (4, _R04_DRIVER_VERIFIED.index(name))
     if name in _POST_BUDGET:
-        return (-1, _POST_BUDGET.index(name))
+        # r5 sampled the entire tail green, so every _POST_BUDGET entry
+        # is also in _R05/_R04 and demoted above; this arm survives only
+        # as a guard for a future red-row resurrection.
+        return (-0.5, _POST_BUDGET.index(name))
     if name in _R01_DRIVER_VERIFIED:
         return (1, _R01_DRIVER_VERIFIED.index(name))
     if name in _R02_DRIVER_VERIFIED:
         return (2, _R02_DRIVER_VERIFIED.index(name))
     if name in _R03_DRIVER_VERIFIED:
         return (3, _R03_DRIVER_VERIFIED.index(name))
-    # Never driver-sampled and not in the promoted backlog: round-5
-    # additions land here, right behind the backlog, ahead of
+    # Never driver-sampled and not pinned in the front: round-6
+    # additions land here, right behind the front, ahead of
     # re-verification. Registration order preserved (sort is stable).
     return (0, 0)
 
@@ -221,11 +269,9 @@ QUERIES.clear()
 QUERIES.update(_snapshot)
 
 # ---------------------------------------------------------------------------
-# ROUND-6 RE-RANK TODO (the move rounds 4 and 5 both executed): when
-# CORRECTNESS_r05.json lands, append its green rows to a new
-# ``_R05_DRIVER_VERIFIED`` tuple ranked 5 in ``_rank`` (red/err rows stay
-# un-demoted so they re-sample immediately). The never-driver-sampled
-# front is then the post-window llm_ops8 waves 10-12
-# (text_langid_confusion .. events_user_activity_histogram, 10 queries)
-# plus anything the r5 budget missed; behind them, re-verify oldest-first
-# (r1 before r2 before r3 before r4 before r5).
+# ROUND-7 RE-RANK TODO (the move rounds 4-6 all executed): when
+# CORRECTNESS_r06.json lands, append its green rows to a new
+# ``_R06_DRIVER_VERIFIED`` tuple ranked 6 in ``_rank`` (red/err rows stay
+# un-demoted so they re-sample immediately), clear or rebuild
+# ``_NEVER_SAMPLED_FRONT`` from whatever round-6 registrations exceeded
+# the budget, and keep re-verification oldest-first (r1 .. r6).
