@@ -82,24 +82,48 @@ def main() -> None:
             100.0 * (max(samples) - min(samples)) / med if med > 0 else 0.0, 1
         )
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread_pct": spreads,
-                "runs_per_query": N_RUNS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # non-headline pinned metrics — NOT in the total, so the
-                # headline number stays comparable round-over-round
-                "scale": scale_dedup_metric(spark),
-                "new_ops": new_ops_metric(spark),
-                "wire": wire_metric(spark),
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread_pct": spreads,
+        "runs_per_query": N_RUNS,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # non-headline pinned metrics — NOT in the total, so the
+        # headline number stays comparable round-over-round
+        "scale": scale_dedup_metric(spark),
+        "new_ops": new_ops_metric(spark),
+        "wire": wire_metric(spark),
+    }
+    # Full payload to a file + an early stdout line; the driver's artifact
+    # captures only the trailing ~2000 chars of stdout, and in round 5 the
+    # single monolithic line outgrew that window, chopping the leading '{'
+    # (BENCH_r05 parsed: null). The LAST line is therefore a compact,
+    # parse-safe summary hard-capped at 1500 chars.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(json.dumps(full))  # first line: complete payload (may exceed the tail window)
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": N_RUNS,
+        "sf": full["sf"],
+        "wire_msgs_per_sec": full["wire"].get("wire_msgs_per_sec"),
+        "wire_relay_msgs_per_sec": full["wire"].get("wire_relay_msgs_per_sec"),
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # degrade gracefully, never exceed the tail window
+        compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(compact)
+    if len(line) > 1500:
+        del compact["queries"]
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 
@@ -142,8 +166,11 @@ def scale_dedup_metric(spark) -> dict:
 def new_ops_metric(spark) -> dict:
     """Non-headline timings for the round-3 late-wave operators (median of 3
     after a warm-up — shorter than the headline protocol because these are
-    visibility numbers, not the frozen round-over-round total)."""
+    visibility numbers, not the frozen round-over-round total). Per-query
+    relative spread is emitted under the ``_spread_pct`` sub-key (r5 judge
+    task #4: a +6% pagerank move was unfalsifiable without it)."""
     out: dict[str, float] = {}
+    sp: dict[str, float] = {}
     for name in (
         "curation_dsir_select",
         "graph_neardup_pagerank",
@@ -172,8 +199,10 @@ def new_ops_metric(spark) -> dict:
             continue
         fn = QUERIES[name].fn
         fn(spark, SF_DIR).count()
-        med, _ = _measure(lambda: fn(spark, SF_DIR).count(), n_runs=3)
+        med, spread = _measure(lambda: fn(spark, SF_DIR).count(), n_runs=3)
         out[name] = round(med, 4)
+        sp[name] = round(spread, 1)
+    out["_spread_pct"] = sp
     return out
 
 
@@ -200,7 +229,10 @@ def wire_metric(spark) -> dict:
 
     n = int(os.environ.get("SPARK_GRAFT_WIRE_N", "100000"))
     shards = int(os.environ.get("SPARK_GRAFT_WIRE_SHARDS", "4"))
-    benchmark_wire(spark, n=20_000)  # warm executors + broker spawn path
+    # Warm with the MEASURED shard count: at 16 shards a 4-shard warm-up
+    # left 12 shards paying cold broker-spawn inside the first measured
+    # run, inflating wire_spread_pct (r5 ADVICE).
+    benchmark_wire(spark, n=20_000, n_shards=shards)
     runs = [benchmark_wire(spark, n=n, n_shards=shards) for _ in range(3)]
     best = max(runs, key=lambda r: r["wire_msgs_per_sec"])
     rates = [r["wire_msgs_per_sec"] for r in runs]

@@ -1586,6 +1586,13 @@ from .llm_ops import DUCK_SHINGLE_SETS as _DSS  # noqa: E402  (alias for f-strin
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
     ), c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM exact)
+    -- The oracle pins the EXACT side and asserts full recall (the 24x6
+    -- banding recovers every J>=0.5 pair on this corpus, verified by the
+    -- Spark side computing both pipelines for real). A RED row here means
+    -- banding recall dropped below 1000 permille: recompute recall
+    -- manually (run the Spark query and read recall_permille) rather than
+    -- assuming an engine bug — the LSH side is deliberately not mirrored
+    -- in SQL, so sub-full recall surfaces as a hash mismatch (r5 ADVICE).
     SELECT n AS n_exact_pairs, n AS n_lsh_pairs, n AS n_common,
            CAST(1000 AS BIGINT) AS recall_permille
     FROM c
@@ -1664,7 +1671,9 @@ def events_error_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = load_tables(spark, sf_dir, "events")
-    bucket = (F.unix_micros(F.col("ts")) / F.lit(900_000_000)).cast("long")
+    # floor(), not cast-to-long (truncate toward zero): the oracle's DuckDB
+    # // floors, and the two disagree on pre-1970 timestamps (r5 ADVICE).
+    bucket = F.floor(F.unix_micros(F.col("ts")) / F.lit(900_000_000)).cast("long")
     b = t.events.groupBy(
         "event_type", bucket.alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"))

@@ -689,8 +689,9 @@ class TestLocfImputation:
             ).over(w).alias("prev_real"),
         ).select("event_id", "prev_real")
         jj = out.filter("was_null").join(prev, "event_id")
+        # Null-safe compare (r5 ADVICE): plain != is NULL when exactly one
+        # side is NULL, silently not counting a filled-vs-missing mismatch.
         bad = jj.filter(
-            (F.col("filled_cents").isNotNull() | F.col("prev_real").isNotNull())
-            & (F.col("filled_cents") != F.col("prev_real"))
+            ~F.col("filled_cents").eqNullSafe(F.col("prev_real"))
         ).count()
         assert bad == 0
