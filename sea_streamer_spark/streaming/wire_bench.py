@@ -81,6 +81,10 @@ def benchmark_wire(
     from datetime import datetime, timezone
 
     procs, addrs = start_shard_servers(n_shards)
+    # Destination brokers for the relay phase (idle in produce/consume):
+    # relay A→B across broker processes, the cross-node copy S17 does.
+    dst_procs, dst_addrs = start_shard_servers(n_shards)
+    procs = procs + dst_procs
     per_shard = n // n_shards
     assert per_shard <= 0xFFFF, "sub-ms seq16 budget: lower n or raise shards"
     base_ms = 1_700_000_000_000
@@ -126,36 +130,80 @@ def benchmark_wire(
                 client.close()
 
     def relay_partition(rows):
-        # S17 relay on the wire: read stream A's shard, pipeline-write the
-        # SAME envelopes to stream B on the same broker — one consume + one
-        # produce per message, the reference benchmark's middle phase.
-        from .redis import _flush_xadds, poll_shards
+        # S17 relay on the wire, with the reference's decoupled read/write
+        # loops (redis/src/lib.rs:33-49 — "read and write loops are
+        # separated from your process loop, so they can all happen in
+        # parallel"): a reader thread pages shard N's stream from the
+        # SOURCE broker into a bounded queue while the main thread
+        # pipelines the previous page into the DESTINATION broker — so
+        # consume of page k overlaps produce of page k-1, and the two
+        # broker processes burn CPU concurrently instead of taking turns.
+        # Separate destination brokers model S17's actual job (copy stream
+        # A→B across nodes/backends); with read+write against one broker
+        # process the relay floor is the SUM of its serve+ingest CPU, and
+        # no client-side trick can beat that.
+        import queue as _q
+        import threading
+
+        from .fake_redis import ResponseError
+        from .redis import format_entry_id, next_after, parse_entry_id, shard_key
         from .resp import RespClient
 
         for r in rows:
             sid = int(r.id)
-            client = RespClient(*addrs[sid])
-            try:
-                moved, last = 0, {}
-                while True:
-                    batch, last = poll_shards(
-                        client, STREAM, [sid], last, count=page
-                    )
-                    if not batch:
-                        break
-                    env = [
-                        _EnvRow(
-                            STREAM + "2", sid,
-                            row["sequence"] & 0xFFFF,
-                            row["timestamp"], bytes(row["payload"]),
+            src = RespClient(*addrs[sid])
+            dst = RespClient(*dst_addrs[sid])
+            src_key = shard_key(STREAM, sid)
+            dst_key = shard_key(STREAM + "2", sid)
+            pages: _q.Queue = _q.Queue(maxsize=4)  # 4 pages ≈ 5 MB cap
+            err: list[BaseException] = []
+
+            def read_loop() -> None:
+                # Lean page reader: raw (entry_id, payload) pairs, no
+                # envelope/datetime materialization — the relay writes the
+                # SAME packed ids to the destination (ids are the receipt
+                # identity, D9, so pass-through preserves them exactly).
+                try:
+                    start = "-"
+                    while True:
+                        batch = src.xrange(src_key, min=start, max="+", count=page)
+                        if not batch:
+                            break
+                        pages.put(batch)
+                        start = format_entry_id(
+                            next_after(parse_entry_id(batch[-1][0]))
                         )
-                        for row in batch
-                    ]
-                    _flush_xadds(client, env, None)
+                except BaseException as e:  # pragma: no cover - surfaced below
+                    err.append(e)
+                finally:
+                    pages.put(None)
+
+            reader = threading.Thread(target=read_loop, daemon=True)
+            reader.start()
+            try:
+                moved = 0
+                while True:
+                    batch = pages.get()
+                    if batch is None:
+                        break
+                    pipe = dst.pipeline(transaction=False)
+                    for entry_id, fields in batch:
+                        payload = fields.get("payload", fields.get(b"payload", b""))
+                        pipe.xadd(dst_key, {"payload": payload}, id=entry_id)
+                    # same duplicate-id inspection contract as _flush_xadds
+                    for res in pipe.execute(raise_on_error=False):
+                        if isinstance(res, ResponseError):
+                            if "equal or smaller" in str(res):
+                                continue
+                            raise res
                     moved += len(batch)
+                reader.join()
+                if err:
+                    raise err[0]
                 yield (sid, moved)
             finally:
-                client.close()
+                src.close()
+                dst.close()
 
     try:
         produce_df = spark.range(n, numPartitions=n_shards)
