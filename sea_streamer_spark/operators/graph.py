@@ -224,9 +224,19 @@ def pagerank_fixed(
     ``localCheckpoint`` cuts the iterative lineage (the
     connected_components contract).
     """
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    # Symmetrize with ONE pass over `pairs` (explode of the two oriented
+    # structs), not a self-union: `pairs` is typically an expensive
+    # LSH-candidate subtree, and union evaluates it twice — at bench scale
+    # that alone was ~25% of the query (r6 measurement; at 100 TB it is a
+    # second full candidate-generation pass).
+    e = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
     # e itself needs no cache: the repartition shuffle's map output is
     # shared by both consumers (deg and the join) via shuffle reuse
     e = e.repartition("u")
