@@ -681,3 +681,99 @@ def duplicated_span_removal(
         .alias("n_removed"),
         F.coalesce(F.col("clean_fp"), F.md5(F.lit(""))).alias("clean_fp"),
     )
+
+
+def maximal_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 10,
+    min_occurrences: int = 2,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact-substring dedup at suffix-array grain (Lee et al.
+    arXiv:2107.06499's second half — their suffix-array scan emits the
+    maximal duplicated substrings of length >= threshold; the k=3-gram
+    coverage queries only measure/remove a token union at k-gram grain):
+    extract every MAXIMAL duplicated token span of length >= ``min_len``,
+    so removal can cut at exact duplication boundaries.
+
+    A position ``p`` starts a duplicated L-gram iff the ``min_len``-token
+    window at ``p`` occurs >= ``min_occurrences`` times corpus-wide. A
+    maximal run of consecutive duplicated start positions ``[a..b]`` is
+    exactly one maximal duplicated span ``[a .. b+L-1]``: it cannot extend
+    left (the L-gram at ``a-1`` is not duplicated, and any longer
+    substring through ``a-1`` contains it) nor right (symmetric at
+    ``b+1``) — the provable-maximality argument the suffix array gives,
+    recovered from the L-gram relation with one per-doc gaps-and-islands
+    window. Returns (id, span_start 0-based, span_len, n_occ_min,
+    span_fp = md5 of the span's space-joined tokens).
+
+    Plan, 100 TB-first: positional L-gram explode → ONE map-side-partial
+    ``groupBy(sh).count()`` (never a count window: a boilerplate L-gram
+    must compress per map task) → the count relation joined back SALTED
+    across ``n_salts`` replicas (the duplicated_span_coverage_salted
+    pattern — heavy-hitter probe rows spread over n_salts tasks) → a
+    per-DOC window over duplicated start positions only (bounded by doc
+    length, volume scales with *duplicated* text) → doc-keyed join back
+    to slice the span tokens. No corpus² anywhere; the shuffled L-gram
+    key is the exact string (the production swap at petabyte scale is a
+    2x64-bit hash pair — 64 bits alone birthday-collide at ~4B windows;
+    exact strings keep the oracle comparison collision-free here).
+    """
+    from pyspark.sql.window import Window
+
+    L = int(min_len)
+    pos_sh = positional_shingles(df, text_col, id_col, k=L)
+    counts = (
+        pos_sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occurrences)
+    )
+    salts = df.sparkSession.range(n_salts).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    counts_rep = counts.crossJoin(F.broadcast(salts))
+    starts = (
+        pos_sh.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(id_col), F.col("pos")), F.lit(n_salts)).cast("int"),
+        )
+        .join(counts_rep, ["sh", "_salt"])
+        .select(F.col(id_col), "pos", "n_occ")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        starts.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+            # weakest duplication count along the run: every L-gram in the
+            # span occurs at least this often
+            F.min("n_occ").cast("long").alias("n_occ_min"),
+        )
+        .drop("grp")
+    )
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    return (
+        spans.join(toks, id_col)
+        .select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_len"),
+            "n_occ_min",
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.col("_tk"),
+                        F.col("span_start") + 1,
+                        F.col("span_end") - F.col("span_start") + 1,
+                    ),
+                    " ",
+                )
+            ).alias("span_fp"),
+        )
+    )
