@@ -90,3 +90,25 @@ def test_oracle_parity_sf0001(spark):
         spark, "dedup_exact_substring_spans", "/root/testdata/sf0.001"
     )
     assert rows > 0
+
+
+def test_exact_removal_is_subset_of_kgram_removal(spark):
+    """Every token cut at L=10 span grain lies under a duplicated 3-gram
+    too (an L-gram contains duplicated 3-grams), so per-doc n_removed_exact
+    <= n_removed_k3 — the 'converges from below' relationship between the
+    two grains."""
+    from sea_streamer_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r.doc_id: r.n_removed
+        for r in QUERIES["dedup_span_removal_exact"].fn(spark, sf).collect()
+    }
+    coarse = {
+        r.doc_id: r.n_removed
+        for r in QUERIES["dedup_span_removal"].fn(spark, sf).collect()
+    }
+    assert set(exact) == set(coarse)
+    assert all(exact[d] <= coarse[d] for d in exact)
+    # and the exact grain actually removes something on this corpus
+    assert sum(exact.values()) > 0
