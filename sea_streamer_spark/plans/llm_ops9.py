@@ -607,3 +607,405 @@ def curation_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 wave 3: MinHash estimator eval, embedding drift, vocab coverage,
+# seasonality residuals, price index
+# ---------------------------------------------------------------------------
+
+
+def _build_minhash_estimate_oracle() -> str:
+    from ..operators.dedup import MINHASH_AB, MOD, N_MINHASH
+    from ..operators.text import duck_char_fold
+    from .llm_ops import DUCK_SHINGLE_SETS
+
+    mins = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {MOD}) AS m{j}"
+        for j, (a, b) in enumerate(MINHASH_AB)
+    )
+    matches = " + ".join(
+        f"CAST(sa.m{j} = sb.m{j} AS BIGINT)" for j in range(N_MINHASH)
+    )
+    return f"""
+    WITH {DUCK_SHINGLE_SETS},
+    h AS (SELECT doc_id, {duck_char_fold('sh')} AS h FROM ds),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM h GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(FLOOR(1000.0 * p.inter / (p.na + p.nb - p.inter)) AS BIGINT)
+             AS exact_permille,
+           CAST(FLOOR(1000.0 * ({matches}) / {N_MINHASH}) AS BIGINT)
+             AS est_permille,
+           CAST(ABS(CAST(FLOOR(1000.0 * p.inter / (p.na + p.nb - p.inter)) AS BIGINT)
+                  - CAST(FLOOR(1000.0 * ({matches}) / {N_MINHASH}) AS BIGINT))
+                AS BIGINT) AS abs_err_permille
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """
+
+
+@query(
+    "dedup_minhash_estimate_error",
+    oracle=_build_minhash_estimate_oracle(),
+    tags=("llm", "dedup", "eval"),
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration eval: for every verified near-dup
+    pair, the signature-agreement Jaccard estimate (matches/24, permille)
+    against the exact shared-shingle Jaccard — the measurement that tells
+    you whether 24 hashes are enough BEFORE trusting estimate-ranked
+    dedup decisions at scale (E[est] = J; with 24 hashes the std-dev at
+    J=0.5 is ~0.10, so per-pair errors of 100-200 permille are expected
+    and the eval makes that visible instead of folklore). The DuckDB
+    oracle replays the ENTIRE permutation family ((a_j*h+b_j) mod p over
+    the same char-fold shingle hash) — the estimator itself is
+    cross-engine-verified, not just the exact side.
+
+    Plan: the shared (id, shingle) relation feeds both the signature
+    groupBy (24 min-aggregates in one pass) and the candidate
+    verification join — one explode, two keyed shuffles; pair volume is
+    the LSH candidate set (recall pinned at 1000 permille on this corpus
+    by dedup_lsh_recall_eval)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        N_MINHASH,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    ds = shingle_sets(docs).cache()
+    sigs = minhash_signatures(docs, shingle_df=ds)
+    cands = lsh_candidate_pairs(sigs)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = ds.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= 0.5
+        )
+    )
+    siga = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sigb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    exact_pm = F.floor(
+        F.lit(1000.0) * F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    ).cast("long")
+    est_pm = F.floor(F.lit(1000.0) * matches / F.lit(N_MINHASH)).cast("long")
+    return (
+        pairs.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            exact_pm.alias("exact_permille"),
+            est_pm.alias("est_permille"),
+            F.abs(exact_pm - est_pm).cast("long").alias("abs_err_permille"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "embedding_centroid_shift_by_label",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS xm
+      FROM embeddings
+    ), lp AS (
+      SELECT label, pos, SUM(xm) AS s, COUNT(*) AS n
+      FROM m GROUP BY label, pos
+    ), g AS (
+      SELECT pos, CAST(FLOOR(SUM(s) * 1.0 / SUM(n)) AS BIGINT) AS gm
+      FROM lp GROUP BY pos
+    ), cl AS (
+      SELECT label, pos, CAST(FLOOR(s * 1.0 / n) AS BIGINT) AS lm, n
+      FROM lp
+    )
+    SELECT cl.label,
+           CAST(MIN(cl.n) AS BIGINT) AS n_vecs,
+           CAST(SUM((cl.lm - g.gm) * (cl.lm - g.gm)) AS BIGINT) AS shift_sq
+    FROM cl JOIN g USING (pos)
+    GROUP BY cl.label ORDER BY cl.label
+    """,
+    tags=("llm", "embedding"),
+)
+def embedding_centroid_shift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift audit: squared distance between each
+    label's centroid and the corpus centroid, in micro-unit fixed point —
+    the screen for 'one class embeds somewhere else entirely' (an encoder
+    version mix or a label leak) run before trusting per-class retrieval
+    eval. Engine-exact by the embedding_outlier_centroid convention:
+    components quantized to floor(x·1e6) BIGINT first, centroids are
+    floor(Σ/n) per dimension, distances pure BIGINT sums.
+
+    Plan: one posexplode → one (label, pos)-keyed partial-agg shuffle
+    (labels × d rows); the global centroid derives from the SAME
+    aggregate (a second d-row agg, no second pass over vectors); one
+    labels×d join + label-keyed sum. No collects at all — fully
+    distributed, geometry-bounded end to end."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    m = t.embeddings.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(micro).alias("pos", "xm"),
+    )
+    lp = m.groupBy("label", "pos").agg(
+        F.sum("xm").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    g = lp.groupBy("pos").agg(
+        F.floor(F.sum("s") * F.lit(1.0) / F.sum("n")).cast("long").alias("gm")
+    )
+    cl = lp.select(
+        "label", "pos",
+        F.floor(F.col("s") * F.lit(1.0) / F.col("n")).cast("long").alias("lm"),
+        "n",
+    )
+    return (
+        cl.join(g, "pos")
+        .groupBy("label")
+        .agg(
+            F.min("n").cast("long").alias("n_vecs"),
+            F.sum((F.col("lm") - F.col("gm")) * (F.col("lm") - F.col("gm")))
+            .cast("long")
+            .alias("shift_sq"),
+        )
+        .orderBy("label")
+    )
+
+
+_VOCAB_TOPN = 100
+
+
+@query(
+    "text_vocab_coverage_topn",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, source, unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM documents
+    ), top AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM occ GROUP BY tok
+        ORDER BY n DESC, tok LIMIT {_VOCAB_TOPN}
+      )
+    ), per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN t.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS covered_tokens
+      FROM occ o LEFT JOIN top t ON t.tok = o.tok
+      GROUP BY source
+    )
+    SELECT source, total_tokens, covered_tokens,
+           CAST(FLOOR(1000.0 * covered_tokens / total_tokens) AS BIGINT)
+             AS coverage_permille
+    FROM per_src ORDER BY source
+    """,
+    tags=("llm", "text"),
+)
+def text_vocab_coverage_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-vocabulary coverage per source: what fraction of token
+    occurrences the corpus-wide top-100 tokens account for — the Zipf
+    head/tail balance read before sizing a tokenizer vocab or diagnosing
+    why one source compresses worse (low coverage = heavy tail = more
+    OOV/byte fallback). Deterministic head cut: (count DESC, token ASC).
+
+    Plan: one token-keyed count (map-side partials) → top-100 via
+    TakeOrdered (per-partition heaps, no global sort) → broadcast the
+    100-row head back over the (source, token) occurrence counts — the
+    big relations are only ever keyed by token or source. Permille fixed
+    point."""
+    from pyspark.sql import functions as F
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    occ = docs.select(
+        "source", F.explode(F.split("text", r"\s+")).alias("tok")
+    )
+    # (source, tok) pre-aggregate: one shuffle carries distinct pairs,
+    # not raw occurrences; both downstream sums derive from it.
+    st = occ.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        st.groupBy("tok")
+        .agg(F.sum("n").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_VOCAB_TOPN)
+        .select("tok")
+    )
+    per_src = (
+        st.join(F.broadcast(top.withColumn("_hit", F.lit(1))), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("_hit") == 1, F.col("n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+    )
+    return per_src.select(
+        "source",
+        "total_tokens",
+        "covered_tokens",
+        F.floor(F.lit(1000.0) * F.col("covered_tokens") / F.col("total_tokens"))
+        .cast("long")
+        .alias("coverage_permille"),
+    ).orderBy("source")
+
+
+@query(
+    "events_weekday_seasonality_residual",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), wd AS (
+      SELECT isodow(d) AS dow, SUM(n) AS wd_total,
+             CAST(COUNT(*) AS BIGINT) AS wd_days
+      FROM daily GROUP BY 1
+    )
+    SELECT CAST(daily.d AS TIMESTAMP) AS day,
+           CAST(isodow(daily.d) AS BIGINT) AS dow,
+           daily.n AS n_events,
+           CAST(FLOOR(1000.0 * daily.n * wd.wd_days / wd.wd_total) AS BIGINT)
+             AS index_permille
+    FROM daily JOIN wd ON wd.dow = isodow(daily.d)
+    ORDER BY day
+    """,
+    tags=("llm", "events", "window"),
+)
+def events_weekday_seasonality_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-weekday seasonal index per day: each day's event count
+    against the average for its weekday (1000 = exactly on-trend) — the
+    de-seasonalized residual that makes a Tuesday dip visible next to
+    the weekend cycle, and the input an alerting rule thresholds instead
+    of raw counts. Single-division fixed point (n·days/total) so no
+    double rounding.
+
+    Plan: one day-keyed count (map-side partials), a ≤7-row weekday
+    baseline, one broadcast join back over the ≤|days| relation. Linear
+    in events, constant everything after."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, "events")
+    daily = t.events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # Spark weekday(): 0=Mon..6=Sun; +1 == DuckDB isodow (1=Mon..7=Sun)
+    dow = (F.weekday(F.col("d")) + 1).cast("long")
+    wd = daily.groupBy(dow.alias("dow")).agg(
+        F.sum("n").alias("wd_total"), F.count(F.lit(1)).cast("long").alias("wd_days")
+    )
+    return (
+        daily.select(F.col("d"), dow.alias("dow"), "n")
+        .join(F.broadcast(wd), "dow")
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            "dow",
+            F.col("n").alias("n_events"),
+            F.floor(
+                F.lit(1000.0) * F.col("n") * F.col("wd_days") / F.col("wd_total")
+            )
+            .cast("long")
+            .alias("index_permille"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "part_brand_price_index",
+    oracle="""
+    WITH cents AS (
+      SELECT p_brand,
+             CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS c
+      FROM part
+    ), b AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(c) AS BIGINT) AS sum_cents
+      FROM cents GROUP BY p_brand
+    ), tot AS (
+      SELECT SUM(sum_cents) AS ts, SUM(n_parts) AS tn FROM b
+    )
+    SELECT b.p_brand AS brand, b.n_parts,
+           CAST(FLOOR(b.sum_cents * 1.0 / b.n_parts) AS BIGINT) AS avg_cents,
+           CAST(FLOOR(1000.0 * b.sum_cents * tot.tn / (b.n_parts * tot.ts))
+                AS BIGINT) AS index_permille
+    FROM b, tot ORDER BY brand
+    """,
+    tags=("relational",),
+)
+def part_brand_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand price index: each brand's average retail price relative to
+    the catalog average (1000 = at parity) — the assortment-pricing
+    report. Integer cents; the index is a single division of integer
+    cross-products so both engines floor the same rational.
+
+    Plan: one brand-keyed partial-agg count/sum, a 1-row total derived
+    from the brand relation (never a second scan), broadcast back. The
+    only data-sized pass is the scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir, "part")
+    cents = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+    b = t.part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(cents).cast("long").alias("sum_cents"),
+    )
+    w = W.partitionBy()
+    return b.select(
+        F.col("p_brand").alias("brand"),
+        "n_parts",
+        F.floor(F.col("sum_cents") * F.lit(1.0) / F.col("n_parts"))
+        .cast("long")
+        .alias("avg_cents"),
+        F.floor(
+            F.lit(1000.0)
+            * F.col("sum_cents")
+            * F.sum("n_parts").over(w)
+            / (F.col("n_parts") * F.sum("sum_cents").over(w))
+        )
+        .cast("long")
+        .alias("index_permille"),
+    ).orderBy("brand")
