@@ -709,6 +709,19 @@ def maximal_duplicate_spans(
     window. Returns (id, span_start 0-based, span_len, n_occ_min,
     span_fp = md5 of the span's space-joined tokens).
 
+    Precise semantics (r6 ADVICE): a span is a maximal *duplicated-
+    coverage region* — the union of overlapping duplicated L-grams —
+    not necessarily a substring that repeats as a whole. When two
+    DISTINCT duplicated regions in one doc overlap by >= L-1 tokens,
+    their islands chain into a single span whose full text may occur
+    only once corpus-wide; ``span_fp`` fingerprints that merged
+    coverage region (a stable span identity, not proof the whole text
+    repeats) and ``n_occ_min`` is the minimum L-gram occurrence count
+    inside the region — an upper bound on, not a count of, whole-span
+    repeats. Removal semantics (union of covered positions) are
+    unaffected: every removed token sits inside SOME duplicated L-gram
+    either way.
+
     Plan, 100 TB-first: positional L-gram explode → ONE map-side-partial
     ``groupBy(sh).count()`` (never a count window: a boilerplate L-gram
     must compress per map task) → the count relation joined back SALTED

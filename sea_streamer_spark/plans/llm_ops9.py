@@ -616,6 +616,15 @@ def curation_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def _build_minhash_estimate_oracle() -> str:
+    # RECALL COUPLING (r6 ADVICE — triage note for a future red row):
+    # this oracle enumerates ALL shingle-sharing pairs with J >= 0.5,
+    # while the Spark side enumerates only LSH candidate pairs (24x6
+    # banding). They agree iff LSH recall is 1000 permille on the
+    # corpus — currently pinned by ``dedup_lsh_recall_eval``. If this
+    # query ever goes red with the Spark side MISSING rows, re-run the
+    # recall eval first: a recall drop below 1000‰ is the expected
+    # cause, not an engine bug (the dedup_lsh_recall_eval
+    # red-row-means-recompute-recall convention).
     from ..operators.dedup import MINHASH_AB, MOD, N_MINHASH
     from ..operators.text import duck_char_fold
     from .llm_ops import DUCK_SHINGLE_SETS
@@ -692,7 +701,12 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir, "documents").documents
-    ds = shingle_sets(docs).cache()
+    # No .cache() here (r6 ADVICE: a plan-builder's cache is never
+    # unpersisted and accumulates across invocations in a long session).
+    # The shingle relation fans into the signature groupBy and both join
+    # sides; Spark's ReusedExchange covers the identical subtrees, and
+    # the explode itself is cheap relative to a leaked cached relation.
+    ds = shingle_sets(docs)
     sigs = minhash_signatures(docs, shingle_df=ds)
     cands = lsh_candidate_pairs(sigs)
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

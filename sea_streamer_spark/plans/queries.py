@@ -226,42 +226,69 @@ _NEVER_SAMPLED_FRONT: tuple[str, ...] = (
 )
 
 
-def _rank(item: tuple[str, object]) -> tuple[float, int]:
-    """Round-6 ordering (VERDICT r5 "Next round" #1).
+#: Queries with a green driver row in CORRECTNESS_r06.json (50/50 green:
+#: the 10-entry never-sampled front, all 13 round-6 registrations, and 27
+#: r1-era re-verifications). Driver-row order preserved. A query listed
+#: here AND in an older tuple (the 27 re-verified r1 rows) ranks by its
+#: LATEST evidence — ``_rank`` checks r6 first.
+_R06_DRIVER_VERIFIED: tuple[str, ...] = (
+    "curation_lang_upsample_plan", "embedding_dim_variance_audit",
+    "curation_dedup_pipeline_summary", "events_day_over_day_growth",
+    "orders_seasonality_index", "quality_gopher_rate_by_source",
+    "curation_source_lang_crosstab", "events_user_activity_histogram",
+    "events_longest_daily_streak", "events_locf_imputation",
+    "dedup_exact_substring_spans", "dedup_span_removal_exact",
+    "events_dau_mau_stickiness", "events_cumulative_new_users",
+    "orders_ship_latency_histogram", "customer_spend_quartiles",
+    "graph_kcore_peel", "curation_quality_weighted_sample",
+    "dedup_minhash_estimate_error", "embedding_centroid_shift_by_label",
+    "text_vocab_coverage_topn", "events_weekday_seasonality_residual",
+    "part_brand_price_index", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q10_returned_items", "q18_large_orders", "join_broadcast_part_brand",
+    "join_left_outer_order_counts", "join_semi_customers_with_f_orders",
+    "join_anti_customers_without_orders",
+    "agg_distinct_suppliers_per_flag", "agg_rollup_flag_status",
+    "agg_cube_priority_status", "window_rank_orders_per_customer",
+    "window_running_sum_user_value", "window_lag_value_delta",
+    "sort_limit_top_orders", "set_intersect_nations", "set_except_nations",
+    "set_union_distinct_keys", "scalar_string_functions",
+    "scalar_date_functions", "scalar_math_functions",
+    "case_when_price_bands", "json_extract_event_props",
+    "q4_order_priority", "q7_volume_shipping",
+)
 
-    Slots 1-10: ``_NEVER_SAMPLED_FRONT`` — the ten queries with zero
-    driver rows across r1-r5 (post-window llm_ops8 waves 10-13,
-    curation_lang_upsample_plan .. events_locf_imputation), pinned at
-    rank -1. Behind them at rank (0, 0), in module-import registration
-    order (the sort is stable): every round-6 registration. Behind all
-    of that: re-verification, OLDEST driver evidence first (r1 rows
-    before r2, r3, r4, r5) so the ~40 freed slots refresh the stalest
-    proof — the r1 rows have not been re-checked by the driver since
-    round 1. Red/err rows would stay un-demoted (rank 0) so they
-    re-sample immediately; r5 had none (50/50 green).
+
+def _rank(item: tuple[str, object]) -> tuple[float, int]:
+    """Round-7 ordering (VERDICT r6 "Next round" #4).
+
+    Rank -1 (driver slots first): every round-7 registration — nothing
+    in any ``_R0x_DRIVER_VERIFIED`` tuple — in module-import
+    registration order (the sort is stable). Behind them:
+    re-verification by LATEST driver evidence, oldest first. Tuples are
+    checked newest-round-first so a query re-verified in r6 ranks 6
+    even if it also appears in the r1 tuple. After r6 the stale set is
+    23 r1-latest + 46 r2-latest rows (r3-r5 never resampled them);
+    the ~50-slot budget clears all of r1 and the oldest of r2. Red/err
+    rows would stay out of their round's tuple (so they rank by their
+    previous green, or -1 if never green) and re-sample early; r6 had
+    none (50/50 green).
     """
     name = item[0]
-    if name in _NEVER_SAMPLED_FRONT:
-        return (-1, _NEVER_SAMPLED_FRONT.index(name))
+    if name in _R06_DRIVER_VERIFIED:
+        return (6, _R06_DRIVER_VERIFIED.index(name))
     if name in _R05_DRIVER_VERIFIED:
         return (5, _R05_DRIVER_VERIFIED.index(name))
     if name in _R04_DRIVER_VERIFIED:
         return (4, _R04_DRIVER_VERIFIED.index(name))
-    if name in _POST_BUDGET:
-        # r5 sampled the entire tail green, so every _POST_BUDGET entry
-        # is also in _R05/_R04 and demoted above; this arm survives only
-        # as a guard for a future red-row resurrection.
-        return (-0.5, _POST_BUDGET.index(name))
-    if name in _R01_DRIVER_VERIFIED:
-        return (1, _R01_DRIVER_VERIFIED.index(name))
-    if name in _R02_DRIVER_VERIFIED:
-        return (2, _R02_DRIVER_VERIFIED.index(name))
     if name in _R03_DRIVER_VERIFIED:
         return (3, _R03_DRIVER_VERIFIED.index(name))
-    # Never driver-sampled and not pinned in the front: round-6
-    # additions land here, right behind the front, ahead of
-    # re-verification. Registration order preserved (sort is stable).
-    return (0, 0)
+    if name in _R02_DRIVER_VERIFIED:
+        return (2, _R02_DRIVER_VERIFIED.index(name))
+    if name in _R01_DRIVER_VERIFIED:
+        return (1, _R01_DRIVER_VERIFIED.index(name))
+    # Never driver-sampled: round-7 additions land at the very front.
+    return (-1, 0)
 
 
 _ordered = sorted(QUERIES.items(), key=_rank)
@@ -270,9 +297,9 @@ QUERIES.clear()
 QUERIES.update(_snapshot)
 
 # ---------------------------------------------------------------------------
-# ROUND-7 RE-RANK TODO (the move rounds 4-6 all executed): when
-# CORRECTNESS_r06.json lands, append its green rows to a new
-# ``_R06_DRIVER_VERIFIED`` tuple ranked 6 in ``_rank`` (red/err rows stay
-# un-demoted so they re-sample immediately), clear or rebuild
-# ``_NEVER_SAMPLED_FRONT`` from whatever round-6 registrations exceeded
-# the budget, and keep re-verification oldest-first (r1 .. r6).
+# ROUND-8 RE-RANK TODO (the move rounds 4-7 all executed): when
+# CORRECTNESS_r07.json lands, append its green rows to a new
+# ``_R07_DRIVER_VERIFIED`` tuple ranked 7 in ``_rank`` (red/err rows stay
+# un-demoted so they re-sample immediately) and keep re-verification
+# oldest-latest-evidence-first (after r7 the stale floor is the ~34
+# r2-latest rows that did not fit round 7's budget).

@@ -83,7 +83,14 @@ def benchmark_wire(
     procs, addrs = start_shard_servers(n_shards)
     # Destination brokers for the relay phase (idle in produce/consume):
     # relay A→B across broker processes, the cross-node copy S17 does.
-    dst_procs, dst_addrs = start_shard_servers(n_shards)
+    # Spawned under a guard so a partial failure here still tears down the
+    # already-running source brokers (r6 ADVICE).
+    try:
+        dst_procs, dst_addrs = start_shard_servers(n_shards)
+    except BaseException:
+        for p in procs:
+            p.terminate()
+        raise
     procs = procs + dst_procs
     per_shard = n // n_shards
     assert per_shard <= 0xFFFF, "sub-ms seq16 budget: lower n or raise shards"
@@ -157,6 +164,20 @@ def benchmark_wire(
             dst_key = shard_key(STREAM + "2", sid)
             pages: _q.Queue = _q.Queue(maxsize=4)  # 4 pages ≈ 5 MB cap
             err: list[BaseException] = []
+            stop = threading.Event()  # writer died: unblock the reader
+
+            def _put(item) -> bool:
+                # Bounded put that gives up once the writer has stopped —
+                # a plain blocking put would strand the reader forever if
+                # the writer raised while the queue was full (r6 ADVICE:
+                # one leaked daemon thread per failed task).
+                while not stop.is_set():
+                    try:
+                        pages.put(item, timeout=0.1)
+                        return True
+                    except _q.Full:
+                        continue
+                return False
 
             def read_loop() -> None:
                 # Lean page reader: raw (entry_id, payload) pairs, no
@@ -165,18 +186,19 @@ def benchmark_wire(
                 # identity, D9, so pass-through preserves them exactly).
                 try:
                     start = "-"
-                    while True:
+                    while not stop.is_set():
                         batch = src.xrange(src_key, min=start, max="+", count=page)
                         if not batch:
                             break
-                        pages.put(batch)
+                        if not _put(batch):
+                            return
                         start = format_entry_id(
                             next_after(parse_entry_id(batch[-1][0]))
                         )
                 except BaseException as e:  # pragma: no cover - surfaced below
                     err.append(e)
                 finally:
-                    pages.put(None)
+                    _put(None)
 
             reader = threading.Thread(target=read_loop, daemon=True)
             reader.start()
@@ -197,11 +219,14 @@ def benchmark_wire(
                                 continue
                             raise res
                     moved += len(batch)
-                reader.join()
                 if err:
                     raise err[0]
                 yield (sid, moved)
             finally:
+                # Error or success, release and reap the reader BEFORE
+                # closing the sockets it may be mid-read on.
+                stop.set()
+                reader.join(timeout=10)
                 src.close()
                 dst.close()
 
