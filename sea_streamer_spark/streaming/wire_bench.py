@@ -57,11 +57,19 @@ def start_shard_servers(n_shards: int) -> tuple[list, list[tuple[str, int]]]:
     ctx = mp.get_context("fork")
     q = ctx.Queue()
     procs = []
-    for _ in range(n_shards):
-        p = ctx.Process(target=_serve_shard, args=(q,), daemon=True)
-        p.start()
-        procs.append(p)
-    addrs = [q.get(timeout=60) for _ in procs]
+    # Clean up our OWN partial spawn on failure (e.g. a q.get timeout after
+    # some children already started) so every call site gets full teardown
+    # without knowing how far the spawn loop got (r7 ADVICE).
+    try:
+        for _ in range(n_shards):
+            p = ctx.Process(target=_serve_shard, args=(q,), daemon=True)
+            p.start()
+            procs.append(p)
+        addrs = [q.get(timeout=60) for _ in procs]
+    except BaseException:
+        for p in procs:
+            p.terminate()
+        raise
     return procs, addrs
 
 
@@ -149,6 +157,18 @@ def benchmark_wire(
         # A→B across nodes/backends); with read+write against one broker
         # process the relay floor is the SUM of its serve+ingest CPU, and
         # no client-side trick can beat that.
+        for r in rows:
+            sid = int(r.id)
+            yield (sid, _relay_one_shard(sid))
+
+    def _relay_one_shard(sid):
+        # Per-shard state lives in THIS call's frame. The previous shape
+        # (a for-loop in relay_partition rebinding pages/stop/err/src each
+        # iteration) meant a reader that outlived its 10 s reap window
+        # kept closure cells the NEXT shard re-used, so a stale reader
+        # could inject batches or a premature None sentinel into the next
+        # shard's queue (r7 ADVICE). Own-scope + an is_alive check below
+        # make that impossible.
         import queue as _q
         import threading
 
@@ -156,79 +176,89 @@ def benchmark_wire(
         from .redis import format_entry_id, next_after, parse_entry_id, shard_key
         from .resp import RespClient
 
-        for r in rows:
-            sid = int(r.id)
-            src = RespClient(*addrs[sid])
-            dst = RespClient(*dst_addrs[sid])
-            src_key = shard_key(STREAM, sid)
-            dst_key = shard_key(STREAM + "2", sid)
-            pages: _q.Queue = _q.Queue(maxsize=4)  # 4 pages ≈ 5 MB cap
-            err: list[BaseException] = []
-            stop = threading.Event()  # writer died: unblock the reader
+        src = RespClient(*addrs[sid])
+        dst = RespClient(*dst_addrs[sid])
+        src_key = shard_key(STREAM, sid)
+        dst_key = shard_key(STREAM + "2", sid)
+        pages: _q.Queue = _q.Queue(maxsize=4)  # 4 pages ≈ 5 MB cap
+        err: list[BaseException] = []
+        stop = threading.Event()  # writer died: unblock the reader
 
-            def _put(item) -> bool:
-                # Bounded put that gives up once the writer has stopped —
-                # a plain blocking put would strand the reader forever if
-                # the writer raised while the queue was full (r6 ADVICE:
-                # one leaked daemon thread per failed task).
-                while not stop.is_set():
-                    try:
-                        pages.put(item, timeout=0.1)
-                        return True
-                    except _q.Full:
-                        continue
-                return False
-
-            def read_loop() -> None:
-                # Lean page reader: raw (entry_id, payload) pairs, no
-                # envelope/datetime materialization — the relay writes the
-                # SAME packed ids to the destination (ids are the receipt
-                # identity, D9, so pass-through preserves them exactly).
+        def _put(item) -> bool:
+            # Bounded put that gives up once the writer has stopped —
+            # a plain blocking put would strand the reader forever if
+            # the writer raised while the queue was full (r6 ADVICE:
+            # one leaked daemon thread per failed task).
+            while not stop.is_set():
                 try:
-                    start = "-"
-                    while not stop.is_set():
-                        batch = src.xrange(src_key, min=start, max="+", count=page)
-                        if not batch:
-                            break
-                        if not _put(batch):
-                            return
-                        start = format_entry_id(
-                            next_after(parse_entry_id(batch[-1][0]))
-                        )
-                except BaseException as e:  # pragma: no cover - surfaced below
-                    err.append(e)
-                finally:
-                    _put(None)
+                    pages.put(item, timeout=0.1)
+                    return True
+                except _q.Full:
+                    continue
+            return False
 
-            reader = threading.Thread(target=read_loop, daemon=True)
-            reader.start()
+        def read_loop() -> None:
+            # Lean page reader: raw (entry_id, payload) pairs, no
+            # envelope/datetime materialization — the relay writes the
+            # SAME packed ids to the destination (ids are the receipt
+            # identity, D9, so pass-through preserves them exactly).
             try:
-                moved = 0
-                while True:
-                    batch = pages.get()
-                    if batch is None:
+                start = "-"
+                while not stop.is_set():
+                    batch = src.xrange(src_key, min=start, max="+", count=page)
+                    if not batch:
                         break
-                    pipe = dst.pipeline(transaction=False)
-                    for entry_id, fields in batch:
-                        payload = fields.get("payload", fields.get(b"payload", b""))
-                        pipe.xadd(dst_key, {"payload": payload}, id=entry_id)
-                    # same duplicate-id inspection contract as _flush_xadds
-                    for res in pipe.execute(raise_on_error=False):
-                        if isinstance(res, ResponseError):
-                            if "equal or smaller" in str(res):
-                                continue
-                            raise res
-                    moved += len(batch)
-                if err:
-                    raise err[0]
-                yield (sid, moved)
+                    if not _put(batch):
+                        return
+                    start = format_entry_id(
+                        next_after(parse_entry_id(batch[-1][0]))
+                    )
+            except BaseException as e:  # pragma: no cover - surfaced below
+                err.append(e)
             finally:
-                # Error or success, release and reap the reader BEFORE
-                # closing the sockets it may be mid-read on.
-                stop.set()
-                reader.join(timeout=10)
+                _put(None)
+
+        reader = threading.Thread(target=read_loop, daemon=True)
+        reader.start()
+        try:
+            moved = 0
+            while True:
+                batch = pages.get()
+                if batch is None:
+                    break
+                pipe = dst.pipeline(transaction=False)
+                for entry_id, fields in batch:
+                    payload = fields.get("payload", fields.get(b"payload", b""))
+                    pipe.xadd(dst_key, {"payload": payload}, id=entry_id)
+                # same duplicate-id inspection contract as _flush_xadds
+                for res in pipe.execute(raise_on_error=False):
+                    if isinstance(res, ResponseError):
+                        if "equal or smaller" in str(res):
+                            continue
+                        raise res
+                moved += len(batch)
+            if err:
+                raise err[0]
+        finally:
+            # Error or success, release and reap the reader BEFORE
+            # closing the sockets it may be mid-read on. If the reader
+            # failed to stop inside the reap window, ABANDON the sockets
+            # (daemon thread; the broker processes die with the bench) —
+            # closing them under a live reader trades a leak for a race.
+            stop.set()
+            reader.join(timeout=10)
+            if not reader.is_alive():
                 src.close()
                 dst.close()
+        if reader.is_alive():  # pragma: no cover - wedged-reader guard
+            # Surfaced only on the success path (a propagating exception
+            # already explains the failure): a wedged reader means the
+            # moved count cannot be trusted, so fail loudly instead of
+            # letting it surface later as the opaque lost-messages assert.
+            raise RuntimeError(
+                f"wire relay shard {sid}: reader thread failed to stop"
+            )
+        return moved
 
     try:
         produce_df = spark.range(n, numPartitions=n_shards)

@@ -137,7 +137,14 @@ def test_decontaminate_excludes_eval_docs_and_bounds(spark):
 
 
 def test_wave1_registered_with_oracles():
-    for name in ("quality_perplexity_buckets", "curation_eval_decontaminate"):
-        qd = QUERIES[name]
-        assert qd.oracle is not None
-        assert name in qd.oracle or "SELECT" in qd.oracle
+    # Pin query-specific invariants of each oracle text, not just presence
+    # (the old `name in oracle or 'SELECT' in oracle` disjunct was vacuously
+    # true for any SQL string — r7 ADVICE).
+    ppl = QUERIES["quality_perplexity_buckets"].oracle
+    assert ppl is not None
+    assert "NTILE(3)" in ppl  # head/middle/tail terciles
+    assert "% 2 = 0" in ppl  # train split = even doc_ids
+    decon = QUERIES["curation_eval_decontaminate"].oracle
+    assert decon is not None
+    assert "13" in decon  # the GPT-3/Llama-2 13-gram rule
+    assert "% 10 = 7" in decon  # eval-set membership rule
