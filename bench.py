@@ -103,6 +103,7 @@ def main() -> None:
         # non-headline pinned metrics — NOT in the total, so the
         # headline number stays comparable round-over-round
         "scale": scale_dedup_metric(spark),
+        "scale_pipeline": scale_pipeline_metric(spark),
         "new_ops": new_ops_metric(spark),
         "wire": wire_metric(spark),
     }
@@ -173,6 +174,102 @@ def scale_dedup_metric(spark) -> dict:
     }
 
 
+def scale_pipeline_metric(spark) -> dict:
+    """Whole-pipeline scale ladder (r7 judge task #3): the LSH-only
+    ``scale`` key proves candidate generation is linear; this extends the
+    measured proof to the FULL dedup pipeline — LSH candidates → exact
+    verification → connected components → keep-longest verdict →
+    maximal_duplicate_spans over the survivors (the salted join-back
+    whose linearity was previously only argued). 10× token-disjoint
+    blowup; the wall clock is the time to force the end of the chain
+    (spans count, which evaluates everything upstream); the replica
+    invariants are checked in separate follow-up actions so they never
+    pollute the timing:
+
+    - ``cross_replica_pairs`` must be 0 — structural, because verified
+      pairs need exact Jaccard ≥ 0.5 and token-disjoint replicas share
+      zero shingles; a nonzero value means verification broke.
+    - pairs / kept / spans at 10× must be exactly 10× the base run —
+      the zero-cross-replica-pairs + per-replica-determinism claim of the
+      r7 task, measured rather than asserted from theory."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sea_streamer_spark.operators import dedup as D
+    from sea_streamer_spark.operators import graph as G
+    from sea_streamer_spark.sources.tables import load_tables
+
+    k = 10
+    docs = load_tables(spark, SF_DIR, "documents").documents.select(
+        "doc_id", "text"
+    )
+    n_base = docs.count()
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") * k + F.col("rep")).alias("doc_id"),
+        F.regexp_replace(
+            "text", r"(\S+)", F.concat(F.lit("$1r"), F.col("rep"))
+        ).alias("text"),
+    )
+
+    out: dict = {"replicas": k, "n_docs": n_base * k}
+    for tag, d0 in (("base", docs), ("x10", big)):
+        d = d0.select(
+            "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+        )
+        # The timer wraps CONSTRUCTION too: connected_components
+        # materializes its rounds eagerly (localCheckpoint) at call time,
+        # so starting the clock at the first count() would silently
+        # exclude the CC work.
+        t0 = time.perf_counter()
+        pairs = D.minhash_lsh_dedup(d, threshold=0.5).select("doc_a", "doc_b")
+        clustered = G.dedup_clusters(d, pairs)
+        part = Window.partitionBy("cluster_id")
+        w = part.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        verdict = (
+            clustered.join(d.select("doc_id", "n_chars"), "doc_id")
+            .select("doc_id", (F.row_number().over(w) == 1).alias("kept"))
+        )
+        kept = verdict.filter("kept").join(d, "doc_id").select("doc_id", "text")
+        # Sequential semantics (Lee et al.: near-dup removal, then exact
+        # substrings over the survivors) — at these SFs the survivors
+        # carry ZERO ≥10-token duplicated spans precisely because
+        # keep-longest already stripped the duplicated mass, so the raw
+        # corpus gets its own span pass below for a NON-vacuous
+        # span-stage linearity measurement.
+        out[f"{tag}_spans_kept"] = D.maximal_duplicate_spans(
+            kept, min_len=10
+        ).count()
+        out[f"{tag}_spans_raw"] = D.maximal_duplicate_spans(
+            d.select("doc_id", "text"), min_len=10
+        ).count()
+        out[f"{tag}_wall_sec"] = round(time.perf_counter() - t0, 4)
+        # Verification actions OUTSIDE the timing (pairs/candidates are
+        # cached inside minhash_lsh_dedup, so these are cheap re-reads).
+        out[f"{tag}_pairs"] = pairs.count()
+        out[f"{tag}_kept"] = verdict.filter("kept").count()
+        if tag == "x10":
+            out["cross_replica_pairs"] = pairs.filter(
+                F.col("doc_a") % k != F.col("doc_b") % k
+            ).count()
+    out["wall_ratio_x10"] = round(
+        out["x10_wall_sec"] / out["base_wall_sec"], 2
+    ) if out["base_wall_sec"] > 0 else None
+    out["linear"] = bool(
+        out["cross_replica_pairs"] == 0
+        and out["x10_pairs"] == out["base_pairs"] * k
+        and out["x10_kept"] == out["base_kept"] * k
+        and out["x10_spans_kept"] == out["base_spans_kept"] * k
+        and out["x10_spans_raw"] == out["base_spans_raw"] * k
+    )
+    # The operator-internal LSH caches (shingle sets + candidates) are
+    # per-call; drop the blown-up corpus's copies so they don't occupy
+    # executor memory for the rest of the bench run. new_ops re-warms
+    # each query before timing, so this cannot skew later medians.
+    spark.catalog.clearCache()
+    return out
+
+
 def new_ops_metric(spark) -> dict:
     """Non-headline timings for the round-3 late-wave operators (median of 3
     after a warm-up — shorter than the headline protocol because these are
@@ -211,8 +308,11 @@ def new_ops_metric(spark) -> dict:
         "dedup_span_removal_exact",
         "quality_perplexity_buckets",
         "curation_eval_decontaminate",
-        # round-8 wave
+        # round-8 wave (the vocab query times the memoized-trainer lookup,
+        # near-zero by design; the token-counts query is the one with real
+        # per-run corpus work — the DP over distinct words + join-back)
         "tokenizer_unigram_counts",
+        "tokenizer_unigram_token_counts",
     ):
         if name not in QUERIES:
             continue
