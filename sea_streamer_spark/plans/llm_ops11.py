@@ -262,3 +262,225 @@ def tokenizer_unigram_token_counts(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------- winnowing
+# Wave 2 — winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+# SIGMOD 2003: "Winnowing: Local Algorithms for Document Fingerprinting",
+# the MOSS algorithm). The guarantee the paper proves: selecting, from
+# every window of W consecutive k-gram hashes, the minimal hash (rightmost
+# on ties) yields a fingerprint DENSITY of ~2/(W+1) while still detecting
+# every shared substring of length >= W + k - 1 tokens. The selection is
+# purely local, which is exactly what makes it embarrassingly distributed:
+# no fingerprint depends on anything outside a W-hash neighbourhood.
+
+#: k-gram size (tokens) for winnowing.
+_WIN_K = 3
+#: winnowing window: W consecutive k-gram hashes per selection window.
+_WIN_W = 4
+#: position slot in the (hash, position) argmin encode; bounds documents
+#: to 2^20 k-gram positions (1M tokens) — stated, not silently truncated.
+_POS_MOD = 1 << 20
+#: boilerplate guard for the match step: fingerprint hashes appearing in
+#: more than this many documents are dropped (MOSS ignores matches that
+#: occur in "too many documents" for the same reason — they are shared
+#: boilerplate, and at scale they are also the quadratic-bucket skew).
+_WIN_MAX_DF = 50
+#: a pair needs at least this many shared fingerprints to be reported.
+_WIN_MIN_SHARED = 3
+
+#: portable polynomial-hash modulus (operators/text.py MOD).
+_HASH_MOD = 1_000_000_007
+
+
+def _winnow_prints_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_pos, fp_h, fp_pos): the winnowed fingerprint set.
+
+    The argmin inside each window is the integer encode
+    ``h·2^20 + (2^20-1-pos)`` — minimal hash first, RIGHTMOST position on
+    hash ties (the paper's robust-winnowing tie rule). Hashes are computed
+    ONCE per k-gram position (before the ×W window explode), and the
+    explode itself is the bounded fan-out W, so the relation volume is
+    W×positions — never quadratic."""
+    from ..operators.dedup import _shingle_array
+    from ..operators.scale import fan_out
+    from ..operators.text import char_fold_hash
+
+    arr = _shingle_array("text", _WIN_K)
+    d = fan_out(docs, key="doc_id")
+    pos_rel = d.select(
+        "doc_id",
+        F.size(arr).alias("n_pos"),
+        F.posexplode(arr).alias("pos", "sh"),
+    )
+    hashed = pos_rel.filter(F.col("n_pos") >= _WIN_W).select(
+        "doc_id",
+        "n_pos",
+        (
+            char_fold_hash(F.col("sh")) * _POS_MOD
+            + (F.lit(_POS_MOD - 1) - F.col("pos"))
+        ).alias("enc"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos"), F.lit(_WIN_W - 1)),
+                F.least(F.col("pos") + _WIN_W - 1, F.col("n_pos") - 1),
+            )
+        ).alias("e"),
+    )
+    sel = hashed.groupBy("doc_id", "n_pos", "e").agg(F.min("enc").alias("m"))
+    return sel.select(
+        "doc_id",
+        "n_pos",
+        F.shiftright("m", 20).alias("fp_h"),
+        (
+            F.lit(_POS_MOD - 1) - F.col("m").bitwiseAND(F.lit(_POS_MOD - 1))
+        ).alias("fp_pos"),
+    ).distinct()
+
+
+def _duck_winnow_prints() -> str:
+    """The prints relation as DuckDB CTEs (exact replay of the encode)."""
+    from ..operators.text import duck_char_fold
+
+    gram = f"list_aggregate(t[i:i+{_WIN_K}-1], 'string_agg', ' ')"
+    return f"""
+    toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, len(t) - {_WIN_K} + 1 AS n_pos, i - 1 AS pos,
+             {duck_char_fold(gram)} AS h
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - {_WIN_K} + 1)) AS i
+            FROM toks WHERE len(t) >= {_WIN_K})
+    ),
+    wnd AS (
+      SELECT doc_id, n_pos,
+             h * {_POS_MOD} + ({_POS_MOD - 1} - pos) AS enc,
+             unnest(generate_series(greatest(pos, {_WIN_W - 1}),
+                                    least(pos + {_WIN_W - 1}, n_pos - 1)))
+               AS e
+      FROM pos WHERE n_pos >= {_WIN_W}
+    ),
+    sel AS (
+      SELECT doc_id, n_pos, e, MIN(enc) AS m
+      FROM wnd GROUP BY doc_id, n_pos, e
+    ),
+    prints AS (
+      SELECT DISTINCT doc_id, n_pos, m // {_POS_MOD} AS fp_h,
+             {_POS_MOD - 1} - (m % {_POS_MOD}) AS fp_pos
+      FROM sel
+    )"""
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH {_duck_winnow_prints()}
+    SELECT doc_id,
+           CAST(n_pos AS BIGINT) AS n_positions,
+           CAST(n_pos - {_WIN_W} + 1 AS BIGINT) AS n_windows,
+           CAST(COUNT(*) AS BIGINT) AS n_prints,
+           CAST(FLOOR(1000.0 * COUNT(*) / (n_pos - {_WIN_W} + 1))
+             AS BIGINT) AS density_permille,
+           CAST(SUM(fp_h) % {_HASH_MOD} AS BIGINT) AS fp_checksum
+    FROM prints GROUP BY doc_id, n_pos ORDER BY doc_id
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints per document (Schleimer et al. SIGMOD 2003,
+    the MOSS algorithm): from every window of W=4 consecutive 3-gram
+    hashes select the minimal hash, rightmost on ties — the local
+    fingerprinting scheme that guarantees detection of every shared
+    substring of >= W+k-1 tokens at ~2/(W+1) density. Emits per doc the
+    k-gram position count, full-window count, selected-fingerprint count,
+    the measured density (paper's expectation: ~400 permille for W=4),
+    and an order-independent checksum of the selected hashes so the
+    driver hash pins the fingerprint VALUES, not just their count.
+
+    Plan, 100 TB-first: hashes are computed once per position BEFORE the
+    ×W window explode (the bounded fan-out); selection is one
+    (doc, window)-keyed aggregation — winnowing is local by construction,
+    so nothing ever crosses documents, let alone partitions. The encode
+    ``h·2^20 + (2^20-1-pos)`` makes the (min hash, max pos) argmin one
+    integer MIN; the 2^20 slot bounds docs to 1M tokens (stated). The
+    DuckDB oracle replays the identical encode."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    prints = _winnow_prints_df(docs.select("doc_id", "text"))
+    return (
+        prints.groupBy("doc_id", "n_pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_prints"),
+            (F.sum("fp_h") % _HASH_MOD).cast("long").alias("fp_checksum"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_pos").cast("long").alias("n_positions"),
+            (F.col("n_pos") - _WIN_W + 1).cast("long").alias("n_windows"),
+            "n_prints",
+            F.floor(
+                F.lit(1000.0) * F.col("n_prints") / (F.col("n_pos") - _WIN_W + 1)
+            )
+            .cast("long")
+            .alias("density_permille"),
+            "fp_checksum",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH {_duck_winnow_prints()},
+    ph AS (SELECT DISTINCT doc_id, fp_h FROM prints),
+    ok AS (
+      SELECT fp_h FROM ph GROUP BY fp_h
+      HAVING COUNT(*) BETWEEN 2 AND {_WIN_MAX_DF}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM ph a JOIN ph b USING (fp_h) JOIN ok USING (fp_h)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS match step over winnowed fingerprints: document pairs
+    sharing >= 3 distinct fingerprint hashes, i.e. substring-grain
+    near-dup candidates detected WITHOUT any all-pairs comparison — the
+    fingerprint hash itself is the join key. Fingerprints appearing in
+    more than 50 documents are dropped first (MOSS's too-many-documents
+    rule): they are shared boilerplate, and at 100 TB they are exactly
+    the quadratic-bucket skew a pair join must never see. Join volume is
+    therefore bounded by Σ df² over df ≤ 50 — duplication mass, never
+    corpus size. Complements MinHash-LSH (whole-doc similarity) and
+    maximal_duplicate_spans (exact substrings): winnowing is the
+    sketch-grain middle — positional, hash-local, and cheap."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    ph = (
+        _winnow_prints_df(docs.select("doc_id", "text"))
+        .select("doc_id", "fp_h")
+        .distinct()
+    )
+    ok = (
+        ph.groupBy("fp_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _WIN_MAX_DF))
+        .select("fp_h")
+    )
+    phk = ph.join(ok, "fp_h")
+    a = phk.select(F.col("fp_h"), F.col("doc_id").alias("doc_a"))
+    b = phk.select(F.col("fp_h"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp_h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
