@@ -484,3 +484,230 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------------- tokenizer family
+# Wave 3 — the tokenizer evaluation table: with all three trainers in the
+# repo (BPE arXiv:1508.07909, WordPiece Schuster & Nakajima 2012, unigram
+# Kudo arXiv:1804.10959), the table a pipeline publishes to CHOOSE one is
+# the per-source compression/fertility comparison (chars per token per
+# tokenizer — e.g. the fertility tables in the XLM-R and BLOOM tokenizer
+# analyses). All three vocabularies come from the same gate corpus, so
+# the comparison is apples-to-apples.
+
+
+def _duck_merge_chain(merges) -> str:
+    s = "s0"
+    for left, right, _x in merges:
+        s = (
+            f"replace({s}, ' {_sq(left)} {_sq(right)} ',"
+            f" ' {_sq(left)}{_sq(right)} ')"
+        )
+    return s
+
+
+def _build_family_compare_oracle() -> str | None:
+    from .llm_ops4 import bpe_train_py
+    from .llm_ops6 import _wp_train_py
+
+    gate_pq = os.path.join(ORACLE_SF_DIR, "documents.parquet")
+    uni = unigram_train_py(gate_pq)
+    bpe = bpe_train_py(gate_pq)
+    wp = _wp_train_py(gate_pq)
+    if uni is None or bpe is None or wp is None:
+        return None
+    vals = ", ".join(
+        f"('{_sq(p)}', CAST({co} AS BIGINT))" for p, _c, co in uni
+    )
+    spaced = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+    return f"""
+    WITH RECURSIVE vocab(piece, cost) AS (VALUES {vals}),
+    words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents
+      ) WHERE len(w) > 0
+    ),
+    occ AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM words GROUP BY doc_id, w
+    ),
+    dwords AS (SELECT DISTINCT w FROM occ),
+    dp AS (
+      SELECT w, 0 AS i, [CAST(0 AS BIGINT)] AS best FROM dwords
+      UNION ALL
+      SELECT d.w, d.i + 1, list_append(d.best, CAST(least(
+          (d.best[d.i+1] + (COALESCE(v1.cost, {UNK_COST}) * {_TOK_MOD} + 1))
+            * {_K_MOD} + 1,
+          CASE WHEN d.i+1 >= 2 AND v2.cost IS NOT NULL
+               THEN (d.best[d.i]   + (v2.cost * {_TOK_MOD} + 1))
+                      * {_K_MOD} + 2 END,
+          CASE WHEN d.i+1 >= 3 AND v3.cost IS NOT NULL
+               THEN (d.best[d.i-1] + (v3.cost * {_TOK_MOD} + 1))
+                      * {_K_MOD} + 3 END,
+          CASE WHEN d.i+1 >= 4 AND v4.cost IS NOT NULL
+               THEN (d.best[d.i-2] + (v4.cost * {_TOK_MOD} + 1))
+                      * {_K_MOD} + 4 END
+        ) // {_K_MOD} AS BIGINT))
+      FROM dp d
+      LEFT JOIN vocab v1 ON v1.piece = substr(d.w, d.i + 1, 1)
+      LEFT JOIN vocab v2 ON v2.piece = substr(d.w, d.i,     2)
+      LEFT JOIN vocab v3 ON v3.piece = substr(d.w, d.i - 1, 3)
+      LEFT JOIN vocab v4 ON v4.piece = substr(d.w, d.i - 2, 4)
+      WHERE d.i < len(d.w)
+    ),
+    wt_uni AS (
+      SELECT w, CAST(best[len(w)+1] % {_TOK_MOD} AS BIGINT) AS n_uni
+      FROM dp WHERE i = len(w)
+    ),
+    wt_bpe AS (
+      SELECT w, CAST(len(string_split(trim({_duck_merge_chain(bpe)}), ' '))
+               AS BIGINT) AS n_bpe
+      FROM (SELECT w, {spaced} AS s0 FROM dwords)
+    ),
+    wt_wp AS (
+      SELECT w, CAST(len(string_split(trim({_duck_merge_chain(wp)}), ' '))
+               AS BIGINT) AS n_wp
+      FROM (SELECT w, {spaced} AS s0 FROM dwords)
+    ),
+    per_doc AS (
+      SELECT o.doc_id,
+             CAST(SUM(o.n_occ) AS BIGINT) AS ws,
+             CAST(SUM(o.n_occ * len(o.w)) AS BIGINT) AS chars,
+             CAST(SUM(o.n_occ * wt_bpe.n_bpe) AS BIGINT) AS bpe,
+             CAST(SUM(o.n_occ * wt_wp.n_wp) AS BIGINT) AS wp,
+             CAST(SUM(o.n_occ * wt_uni.n_uni) AS BIGINT) AS uni
+      FROM occ o
+      JOIN wt_uni USING (w) JOIN wt_bpe USING (w) JOIN wt_wp USING (w)
+      GROUP BY o.doc_id
+    ),
+    src AS (
+      SELECT d.source,
+             COALESCE(p.ws, 0) AS ws, COALESCE(p.chars, 0) AS chars,
+             COALESCE(p.bpe, 0) AS bpe, COALESCE(p.wp, 0) AS wp,
+             COALESCE(p.uni, 0) AS uni
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS n_chars,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(wp) AS BIGINT) AS wp_tokens,
+           CAST(SUM(uni) AS BIGINT) AS unigram_tokens,
+           CAST(CASE WHEN SUM(bpe) > 0
+                THEN FLOOR(1000000.0 * SUM(chars) / SUM(bpe)) END
+             AS BIGINT) AS bpe_cpt_micro,
+           CAST(CASE WHEN SUM(wp) > 0
+                THEN FLOOR(1000000.0 * SUM(chars) / SUM(wp)) END
+             AS BIGINT) AS wp_cpt_micro,
+           CAST(CASE WHEN SUM(uni) > 0
+                THEN FLOOR(1000000.0 * SUM(chars) / SUM(uni)) END
+             AS BIGINT) AS uni_cpt_micro
+    FROM src GROUP BY source ORDER BY source"""
+
+
+@query(
+    "tokenizer_family_compare",
+    oracle=_build_family_compare_oracle(),
+    tags=("llm", "text"),
+)
+def tokenizer_family_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer comparison across the whole trained family —
+    whitespace words, BPE, WordPiece, and unigram-LM token totals plus
+    chars-per-token in integer micros (the compression/fertility table a
+    pipeline publishes to choose its tokenizer; all three vocabularies
+    trained on the same gate corpus, so the comparison is
+    apples-to-apples). The oracle retrains all three tokenizers with
+    their pure-python references and replays all three apply paths
+    (replace chains for BPE/WordPiece, the recursive-CTE Viterbi DP for
+    unigram) — one hash covers trainer AND apply parity for the family.
+
+    Plan, 100 TB-first: every tokenizer is applied once per DISTINCT
+    word (the merge chains and the DP are pure projections over the
+    vocabulary-bounded word table), weighted back through one broadcast
+    join; the corpus-side work is a single (doc_id, word) aggregation
+    and a source rollup."""
+    from ..operators.bpe import bpe_token_count
+    from ..operators.unigram import _cost_map_literal, viterbi_token_count
+    from .llm_ops4 import bpe_train_spark
+    from .llm_ops6 import _wp_train_spark
+
+    gate = _gate(sf_dir)
+    bpe_merges = bpe_train_spark(spark, gate)
+    wp_merges = _wp_train_spark(spark, gate)
+    costs = {p: int(co) for p, _c, co in unigram_train_spark(spark, gate)}
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    occ = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    wt = (
+        occ.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.length("w").cast("long").alias("w_chars"),
+            bpe_token_count(F.col("w"), bpe_merges).alias("n_bpe"),
+            bpe_token_count(F.col("w"), wp_merges).alias("n_wp"),
+            viterbi_token_count(
+                F.col("w"), _cost_map_literal(costs)
+            ).alias("n_uni"),
+        )
+    )
+    per_doc = (
+        occ.join(F.broadcast(wt), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("ws"),
+            F.sum(F.col("n_occ") * F.col("w_chars")).cast("long").alias("chars"),
+            F.sum(F.col("n_occ") * F.col("n_bpe")).cast("long").alias("bpe"),
+            F.sum(F.col("n_occ") * F.col("n_wp")).cast("long").alias("wp"),
+            F.sum(F.col("n_occ") * F.col("n_uni")).cast("long").alias("uni"),
+        )
+    )
+
+    def cpt(tok: str):
+        return (
+            F.when(
+                F.sum(tok) > 0,
+                F.floor(F.lit(1_000_000.0) * F.sum("chars") / F.sum(tok)),
+            )
+            .cast("long")
+            .alias(f"{'uni' if tok == 'uni' else tok}_cpt_micro")
+        )
+
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "source",
+            *[
+                F.coalesce(c, F.lit(0)).alias(c)
+                for c in ("ws", "chars", "bpe", "wp", "uni")
+            ],
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("n_chars"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+            F.sum("wp").cast("long").alias("wp_tokens"),
+            F.sum("uni").cast("long").alias("unigram_tokens"),
+            cpt("bpe"),
+            cpt("wp"),
+            cpt("uni"),
+        )
+        .orderBy("source")
+    )

@@ -208,3 +208,31 @@ def test_registered_with_query_specific_oracles():
     assert apply_o is not None and "WITH RECURSIVE" in apply_o
     assert f"% {1024}" in apply_o  # the token-count decode of the DP encode
     assert str(UNK_COST) in apply_o  # OOV coverage floor baked in
+
+
+# ------------------------------------------------- tokenizer family table
+
+
+def test_family_compare_reconciles_with_per_doc_queries(spark):
+    """The per-source family table must sum to exactly the per-doc
+    tokenizer queries' totals — same trained vocabularies, same apply
+    paths, different grain."""
+    fam = _run(spark, "tokenizer_family_compare", SF).collect()
+    bpe = _run(spark, "tokenizer_bpe_counts", SF).collect()
+    uni = _run(spark, "tokenizer_unigram_token_counts", SF).collect()
+    assert sum(r["bpe_tokens"] for r in fam) == sum(r["n_bpe_tokens"] for r in bpe)
+    assert sum(r["unigram_tokens"] for r in fam) == sum(
+        r["n_unigram_tokens"] for r in uni
+    )
+    assert sum(r["ws_tokens"] for r in fam) == sum(r["n_words"] for r in bpe)
+
+
+def test_family_compare_bounds(spark):
+    for r in _run(spark, "tokenizer_family_compare", SF).collect():
+        # every subword tokenizer emits at least one token per word and
+        # at most one per character
+        for col in ("bpe_tokens", "wp_tokens", "unigram_tokens"):
+            assert r["ws_tokens"] <= r[col] <= r["n_chars"], (r["source"], col)
+        # chars-per-token therefore lives in [1, chars/words]
+        for col in ("bpe_cpt_micro", "wp_cpt_micro", "uni_cpt_micro"):
+            assert 1_000_000 <= r[col] <= 1_000_000 * r["n_chars"] // r["ws_tokens"]
