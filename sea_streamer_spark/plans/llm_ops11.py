@@ -711,3 +711,235 @@ def tokenizer_family_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------------- sequence packing
+# Wave 4 — the packing-efficiency report: before training, a pipeline
+# decides how documents become fixed-length sequences. The two extremes
+# bracket every real packer: concat-and-chop (GPT-style: zero padding,
+# but documents straddle sequence boundaries — cross-doc attention
+# contamination) and pad-per-doc (zero contamination, maximal padding).
+# This table quantifies both costs per candidate context length, which is
+# exactly the evidence used to pick a context size / packing strategy.
+
+_PACK_CTX = (512, 1024, 2048)
+
+
+@query(
+    "curation_packing_efficiency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  w -> len(w) > 0)) AS BIGINT) AS tok
+      FROM documents
+    ),
+    pref AS (
+      SELECT doc_id, tok,
+             CAST(COALESCE(SUM(tok) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS s
+      FROM toks
+    ),
+    x AS (
+      SELECT ctx_len, tok, s FROM pref
+      CROSS JOIN (VALUES {", ".join(f"({c})" for c in _PACK_CTX)})
+        AS ctx(ctx_len)
+    ),
+    agg AS (
+      SELECT ctx_len,
+             CAST(SUM(tok) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN tok > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_packed,
+             CAST(SUM(CASE WHEN tok > 0
+                       AND s // ctx_len != (s + tok - 1) // ctx_len
+                      THEN 1 ELSE 0 END) AS BIGINT) AS chop_split_docs,
+             CAST(SUM((tok + ctx_len - 1) // ctx_len) AS BIGINT)
+               AS pad_sequences,
+             CAST(SUM(((tok + ctx_len - 1) // ctx_len) * ctx_len - tok)
+               AS BIGINT) AS pad_waste_tokens
+      FROM x GROUP BY ctx_len
+    )
+    SELECT CAST(ctx_len AS BIGINT) AS ctx_len, total_tokens, n_docs_packed,
+           CAST((total_tokens + ctx_len - 1) // ctx_len AS BIGINT)
+             AS chop_sequences,
+           CAST(((total_tokens + ctx_len - 1) // ctx_len) * ctx_len
+                - total_tokens AS BIGINT) AS chop_tail_waste,
+           chop_split_docs,
+           CAST(FLOOR(1000.0 * chop_split_docs / n_docs_packed) AS BIGINT)
+             AS chop_split_permille,
+           pad_sequences, pad_waste_tokens,
+           CAST(FLOOR(1000.0 * pad_waste_tokens
+                      / (pad_sequences * ctx_len)) AS BIGINT)
+             AS pad_waste_permille
+    FROM agg ORDER BY ctx_len
+    """,
+    tags=("llm", "curation"),
+)
+def curation_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency per candidate context length (512/1024/
+    2048): under concat-and-chop, the number of sequences, tail waste,
+    and how many documents straddle a boundary (the cross-doc attention
+    contamination count); under pad-per-doc, the sequence count and the
+    padding waste permille. The two strategies bracket every production
+    packer (best-fit bin packing lands between them), so this is the
+    table that justifies a context-length / packing choice.
+
+    Plan: one tokenize pass for per-doc counts, then a running-sum window
+    ordered by doc_id over the DOCUMENTS dimension (one narrow row per
+    doc). That total-order window is the deliberate small-side concession
+    the customer_spend_quartiles precedent documents; the 100 TB swap is
+    the classic two-pass distributed prefix sum (per-partition totals →
+    broadcast offsets), which preserves these exact numbers because
+    doc_id order is the packing order either way. The ×3 context-length
+    explode happens AFTER the window, on the narrow relation."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        )
+        .cast("long")
+        .alias("tok"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    pref = toks.select(
+        "tok", F.coalesce(F.sum("tok").over(w), F.lit(0)).alias("s")
+    )
+    ctx = spark.createDataFrame(
+        [(c,) for c in _PACK_CTX], "ctx_len long"
+    )
+    x = pref.crossJoin(F.broadcast(ctx))
+    L = F.col("ctx_len")
+    agg = x.groupBy("ctx_len").agg(
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("tok") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_packed"),
+        F.sum(
+            F.when(
+                (F.col("tok") > 0)
+                & (
+                    F.floor(F.col("s") / L)
+                    != F.floor((F.col("s") + F.col("tok") - 1) / L)
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("chop_split_docs"),
+        F.sum(F.floor((F.col("tok") + L - 1) / L))
+        .cast("long")
+        .alias("pad_sequences"),
+        F.sum(F.floor((F.col("tok") + L - 1) / L) * L - F.col("tok"))
+        .cast("long")
+        .alias("pad_waste_tokens"),
+    )
+    chop_seq = F.floor((F.col("total_tokens") + L - 1) / L).cast("long")
+    return agg.select(
+        L.cast("long").alias("ctx_len"),
+        "total_tokens",
+        "n_docs_packed",
+        chop_seq.alias("chop_sequences"),
+        (chop_seq * L - F.col("total_tokens"))
+        .cast("long")
+        .alias("chop_tail_waste"),
+        "chop_split_docs",
+        F.floor(
+            F.lit(1000.0) * F.col("chop_split_docs") / F.col("n_docs_packed")
+        )
+        .cast("long")
+        .alias("chop_split_permille"),
+        "pad_sequences",
+        "pad_waste_tokens",
+        F.floor(
+            F.lit(1000.0)
+            * F.col("pad_waste_tokens")
+            / (F.col("pad_sequences") * L)
+        )
+        .cast("long")
+        .alias("pad_waste_permille"),
+    ).orderBy("ctx_len")
+
+
+# -------------------------------------------------- cross-source leakage
+# Wave 5 — the cross-source near-dup overlap matrix: which pairs of
+# sources contain near-duplicates of EACH OTHER. Public corpora overlap
+# heavily (CommonCrawl snapshots, C4 vs CC, code mirrors), and mixture
+# weights silently double-count whatever is shared — this matrix is the
+# diagnostic a curation run publishes before choosing weights, and the
+# multi-source generalization of dedup_rate_by_source.
+
+
+def _build_overlap_oracle() -> str:
+    from .llm_ops8 import _DUCK_CLUSTERS
+
+    return f"""
+    WITH RECURSIVE {_DUCK_CLUSTERS},
+    cs AS (
+      SELECT cluster_id, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM asg GROUP BY cluster_id, source
+    ),
+    px AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS na, b.n AS nb
+      FROM cs a JOIN cs b
+        ON a.cluster_id = b.cluster_id AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_clusters,
+           CAST(SUM(na) AS BIGINT) AS n_docs_a,
+           CAST(SUM(nb) AS BIGINT) AS n_docs_b
+    FROM px GROUP BY source_a, source_b ORDER BY source_a, source_b"""
+
+
+@query(
+    "curation_source_overlap_matrix",
+    oracle=_build_overlap_oracle(),
+    tags=("llm", "curation", "dedup"),
+)
+def curation_source_overlap_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """For every unordered source pair, the number of near-dup clusters
+    spanning both sources and the per-side document mass inside those
+    shared clusters — the cross-source leakage matrix that tells a
+    mixture designer which source pairs double-count content. Reuses the
+    SAME cluster relation as every other dedup verdict query
+    (llm_ops8._cluster_keep_longest: MinHash-LSH pairs → hash-min CC), so
+    the matrix can never disagree with the per-source dedup rates.
+
+    Plan: the cluster relation's shuffles are the existing LSH/CC ones;
+    this adds one (cluster, source) count aggregation and one
+    cluster-keyed self-join whose volume is Σ (sources-per-cluster)² —
+    bounded by duplication structure (clusters are near-dup families),
+    never by corpus size."""
+    from .llm_ops8 import _cluster_keep_longest
+
+    v = _cluster_keep_longest(spark, sf_dir)
+    cs = v.groupBy("cluster_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = cs.select(
+        "cluster_id", F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    b = cs.select(
+        "cluster_id", F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_clusters"),
+            F.sum("na").cast("long").alias("n_docs_a"),
+            F.sum("nb").cast("long").alias("n_docs_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )
