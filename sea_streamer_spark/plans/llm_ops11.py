@@ -943,3 +943,213 @@ def curation_source_overlap_matrix(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ------------------------------------------------------------ Rocchio PRF
+# Wave 6 — pseudo-relevance feedback query expansion (Rocchio 1971, the
+# SMART system; the classic PRF recipe: retrieve with the original query,
+# assume the top-F results relevant, add the E highest-weighted terms
+# from those docs at a discounted weight, retrieve again). Completes the
+# sparse-retrieval family next to search_bm25_topk / search_rrf_fusion /
+# hybrid_search_rerank.
+
+_PRF_FB_DOCS = 5
+_PRF_EXP_TERMS = 8
+#: query-term weights ×10 (integer so the final score is an exact
+#: BIGINT sum): original terms 1.0, expansion terms β=0.4.
+_PRF_W_ORIG = 10
+_PRF_W_EXP = 4
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _build_rocchio_oracle() -> str:
+    from ..operators.text import duck_tokens
+
+    TOKS = duck_tokens("text")
+    k1, b = _BM25_K1, _BM25_B
+    # identical operand order + the CAST-to-DOUBLE constant discipline of
+    # the search_bm25_topk oracle (llm_ops3.py)
+    bm25 = (
+        f"CAST(ROUND("
+        f"ln(1 + (stats.n_docs - df + 0.5) / (df + 0.5))"
+        f" * (tf * CAST({k1 + 1!r} AS DOUBLE))"
+        f" / (tf + CAST({k1!r} AS DOUBLE)"
+        f"    * (1 - CAST({b!r} AS DOUBLE)"
+        f"       + CAST({b!r} AS DOUBLE) * dl.dl / stats.avgdl))"
+        f" * 1000000) AS BIGINT)"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id <> 0
+    ), qt AS (
+      SELECT DISTINCT unnest({TOKS}) AS term FROM documents WHERE doc_id = 0
+    ), dl AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM corpus
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), posting AS (
+      SELECT doc_id, unnest(toks) AS term FROM corpus
+    ), tfq AS (
+      SELECT p.doc_id, p.term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM posting p JOIN qt USING (term) GROUP BY p.doc_id, p.term
+    ), dfq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY term
+    ), base AS (
+      SELECT tfq.doc_id, CAST(SUM({bm25.replace('df', 'dfq.df').replace('tf', 'tfq.tf')}) AS BIGINT)
+               AS bm25_micro
+      FROM tfq JOIN dfq USING (term) JOIN dl ON dl.doc_id = tfq.doc_id, stats
+      GROUP BY tfq.doc_id
+    ), fb AS (
+      SELECT doc_id FROM base ORDER BY bm25_micro DESC, doc_id
+      LIMIT {_PRF_FB_DOCS}
+    ), cand AS (
+      SELECT p.term, CAST(COUNT(*) AS BIGINT) AS tf_fb
+      FROM posting p JOIN fb USING (doc_id)
+      WHERE p.term NOT IN (SELECT term FROM qt)
+      GROUP BY p.term
+    ), dfc AS (
+      SELECT p.term, CAST(COUNT(DISTINCT p.doc_id) AS BIGINT) AS df
+      FROM posting p JOIN cand USING (term) GROUP BY p.term
+    ), exp8 AS (
+      SELECT cand.term FROM cand JOIN dfc USING (term), stats
+      ORDER BY CAST(ROUND(
+          ln(1 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+          * cand.tf_fb * 1000000) AS BIGINT) DESC, cand.term
+      LIMIT {_PRF_EXP_TERMS}
+    ), terms AS (
+      SELECT term, CAST({_PRF_W_ORIG} AS BIGINT) AS w FROM qt
+      UNION ALL
+      SELECT term, CAST({_PRF_W_EXP} AS BIGINT) AS w FROM exp8
+    ), tfe AS (
+      SELECT p.doc_id, p.term, t.w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM posting p JOIN terms t USING (term)
+      GROUP BY p.doc_id, p.term, t.w
+    ), dfe AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfe GROUP BY term
+    )
+    SELECT tfe.doc_id,
+           CAST(SUM({bm25.replace('df', 'dfe.df').replace('tf', 'tfe.tf')} * tfe.w) AS BIGINT)
+             AS rocchio_dmicro
+    FROM tfe JOIN dfe USING (term) JOIN dl ON dl.doc_id = tfe.doc_id, stats
+    GROUP BY tfe.doc_id
+    ORDER BY rocchio_dmicro DESC, tfe.doc_id LIMIT 15"""
+
+
+@query(
+    "search_rocchio_expand",
+    oracle=_build_rocchio_oracle(),
+    tags=("llm", "text", "search"),
+)
+def search_rocchio_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (Rocchio 1971): BM25-rank the
+    corpus against doc 0's terms, take the top-5 as pseudo-relevant, add
+    the 8 highest idf·tf-weighted new terms from them at β=0.4, and
+    re-rank — top-15 by the expanded score (an exact BIGINT: per-term
+    micro contributions × integer weight 10/4, so no float summation
+    order anywhere). The expansion terms are not output columns but every
+    one of them shifts the final scores, so the driver hash pins the
+    whole selection chain (feedback ranking, candidate weighting,
+    tie-breaks) end-to-end.
+
+    Plan, 100 TB-first: the query side stays bounded and broadcast at
+    every stage — original terms, then top-5 feedback doc ids, then the
+    ≤8-term expansion (each selected via orderBy+limit over an already
+    term-keyed aggregate). The corpus is touched by term-filtered
+    explodes only (broadcast semi-join BEFORE each tf groupBy, the
+    search_bm25_topk posture), so posting-list volume is always
+    hits-only; df comes from a window over the tf relation, never a
+    joined-back second aggregation."""
+    from ..operators.text import tokens as _tokens
+    from pyspark.sql import Window
+
+    k1, b = _BM25_K1, _BM25_B
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t.documents.filter(F.col("doc_id") != 0)
+    toks_col = _tokens("text")
+
+    dl = docs.select("doc_id", F.size(toks_col).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    q_terms = (
+        t.documents.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.array_distinct(toks_col)).alias("term"))
+        .distinct()
+    )
+
+    def bm25_micro():
+        return F.round(
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            * 1_000_000
+        ).cast("long")
+
+    def tf_for(terms_df, extra=()):
+        return (
+            docs.select("doc_id", F.explode(toks_col).alias("term"))
+            .join(F.broadcast(terms_df), "term")
+            .groupBy("doc_id", "term", *extra)
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+
+    wdf = Window.partitionBy("term")
+    base = (
+        tf_for(q_terms)
+        .withColumn("df", F.count(F.lit(1)).over(wdf).cast("long"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", bm25_micro().alias("micro"))
+        .groupBy("doc_id")
+        .agg(F.sum("micro").cast("long").alias("bm25_micro"))
+    )
+    fb = base.orderBy(F.col("bm25_micro").desc(), "doc_id").limit(
+        _PRF_FB_DOCS
+    ).select("doc_id")
+
+    fb_terms = (
+        docs.join(F.broadcast(fb), "doc_id")
+        .select(F.explode(toks_col).alias("term"))
+        .join(F.broadcast(q_terms), "term", "left_anti")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf_fb"))
+    )
+    dfc = (
+        docs.select("doc_id", F.explode(toks_col).alias("term"))
+        .join(F.broadcast(fb_terms.select("term")), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    )
+    exp8 = (
+        fb_terms.join(dfc, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(
+                F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf_fb")
+                * 1_000_000
+            ).cast("long").alias("wmicro"),
+        )
+        .orderBy(F.col("wmicro").desc(), "term")
+        .limit(_PRF_EXP_TERMS)
+        .select("term")
+    )
+    terms = q_terms.select(
+        "term", F.lit(_PRF_W_ORIG).cast("long").alias("w")
+    ).unionAll(exp8.select("term", F.lit(_PRF_W_EXP).cast("long").alias("w")))
+
+    return (
+        tf_for(terms, extra=("w",))
+        .withColumn("df", F.count(F.lit(1)).over(wdf).cast("long"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (bm25_micro() * F.col("w")).alias("dm"))
+        .groupBy("doc_id")
+        .agg(F.sum("dm").cast("long").alias("rocchio_dmicro"))
+        .orderBy(F.col("rocchio_dmicro").desc(), "doc_id")
+        .limit(15)
+    )

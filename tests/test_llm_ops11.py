@@ -109,3 +109,90 @@ def test_overlap_matrix_consistent_with_cluster_query(spark):
     }
     assert got == dict(exp)
     assert all(a < b for a, b in got)
+
+
+# --------------------------------------------------------- Rocchio PRF
+
+
+def _py_bm25_table(docs: dict[int, list[str]], terms: dict[str, int]):
+    """Per-doc weighted BM25 score over ``terms`` (term -> integer weight
+    ×10), exact micro fixed-point — the python leg of the three-engine
+    proof."""
+    import math
+
+    k1, b = 1.2, 0.75
+    n_docs = len(docs)
+    dl = {d: len(t) for d, t in docs.items()}
+    avgdl = sum(dl.values()) / n_docs
+    tf: dict[tuple[int, str], int] = {}
+    df: dict[str, int] = {}
+    for d, toks in docs.items():
+        seen = set()
+        for w in toks:
+            if w in terms:
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+                if w not in seen:
+                    seen.add(w)
+                    df[w] = df.get(w, 0) + 1
+    out: dict[int, int] = {}
+    for (d, w), f in tf.items():
+        micro = round(
+            math.log(1 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+            * (f * (k1 + 1))
+            / (f + k1 * (1 - b + b * dl[d] / avgdl))
+            * 1_000_000
+        )
+        out[d] = out.get(d, 0) + micro * terms[w]
+    return out
+
+
+def test_rocchio_full_python_replay(spark):
+    import math
+    import re as _re
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    raw = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    docs = {d: _re.split(r"\s+", x or "") for d, x in raw.items() if d != 0}
+    q_terms = set(_re.split(r"\s+", raw[0] or ""))
+
+    base = _py_bm25_table(docs, {w: 1 for w in q_terms})
+    fb = [d for d, _s in sorted(base.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+    tf_fb: dict[str, int] = {}
+    for d in fb:
+        for w in docs[d]:
+            if w not in q_terms:
+                tf_fb[w] = tf_fb.get(w, 0) + 1
+    dfc = {
+        w: sum(1 for toks in docs.values() if w in set(toks)) for w in tf_fb
+    }
+    n_docs = len(docs)
+    wmicro = {
+        w: round(
+            math.log(1 + (n_docs - dfc[w] + 0.5) / (dfc[w] + 0.5))
+            * tf_fb[w]
+            * 1_000_000
+        )
+        for w in tf_fb
+    }
+    exp8 = [w for w, _s in sorted(wmicro.items(), key=lambda kv: (-kv[1], kv[0]))[:8]]
+    terms = {w: 10 for w in q_terms} | {w: 4 for w in exp8}
+    final = _py_bm25_table(docs, terms)
+    exp_top = sorted(final.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+
+    rows = _run(spark, "search_rocchio_expand").collect()
+    assert [(r["doc_id"], r["rocchio_dmicro"]) for r in rows] == exp_top
+
+
+def test_rocchio_expansion_changes_ranking(spark):
+    """If expansion did nothing, every score would be exactly 10× the
+    base BM25 score — assert at least one top-15 doc got expansion-term
+    mass (the β=0.4 terms are load-bearing, not decorative)."""
+    base = {
+        r["doc_id"]: r["bm25_micro"]
+        for r in _run(spark, "search_bm25_topk").collect()
+    }
+    rocchio = _run(spark, "search_rocchio_expand").collect()
+    assert any(
+        r["doc_id"] not in base or r["rocchio_dmicro"] != 10 * base[r["doc_id"]]
+        for r in rocchio
+    )
