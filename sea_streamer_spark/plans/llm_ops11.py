@@ -1153,3 +1153,172 @@ def search_rocchio_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rocchio_dmicro").desc(), "doc_id")
         .limit(15)
     )
+
+
+# --------------------------------------------------------- Kneser-Ney LM
+# Wave 7 — interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+# Chen & Goodman 1999's interpolated variant with a fixed discount):
+# the smoothing family KenLM implements and CCNet's quality filter
+# actually ships with. Complements quality_perplexity_buckets (Stupid
+# Backoff is the cheap web-scale approximation; KN is the principled
+# one) with the SAME train/score split so the two scores are directly
+# comparable per document.
+
+#: fixed absolute discount (Chen & Goodman's D; 0.75 is the canonical
+#: fixed choice when not estimated from n1/n2 counts).
+_KN_D = 0.75
+
+
+@query(
+    "quality_kneser_ney_bigram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    train_uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0)
+      GROUP BY w
+    ),
+    train_bi AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+        SELECT t[i-1] AS w1, t[i] AS w2
+        FROM (SELECT t, unnest(generate_series(2, len(t))) AS i
+              FROM toks WHERE doc_id % 2 = 0)
+      ) GROUP BY w1, w2
+    ),
+    cont_l AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1l FROM train_bi GROUP BY w1
+    ),
+    cont_r AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r FROM train_bi GROUP BY w2
+    ),
+    tot AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM train_bi) AS t_types,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM train_uni) AS v_size
+    ),
+    pos2 AS (
+      SELECT doc_id, t[i-1] AS w1, t[i] AS w2
+      FROM (SELECT doc_id, t, unnest(generate_series(2, len(t))) AS i
+            FROM toks WHERE len(t) >= 2)
+    ),
+    scored AS (
+      SELECT p.doc_id,
+        CASE WHEN u.c1 IS NOT NULL AND l.n1l IS NOT NULL THEN
+          (greatest(CAST(COALESCE(b.c12, 0) AS DOUBLE) - {_KN_D}, 0.0)
+           + {_KN_D} * CAST(l.n1l AS DOUBLE)
+             * (CAST(COALESCE(r.n1r, 0) + 1 AS DOUBLE)
+                / CAST(tot.t_types + tot.v_size AS DOUBLE)))
+          / CAST(u.c1 AS DOUBLE)
+        ELSE
+          CAST(COALESCE(r.n1r, 0) + 1 AS DOUBLE)
+          / CAST(tot.t_types + tot.v_size AS DOUBLE)
+        END AS s
+      FROM pos2 p
+      LEFT JOIN train_uni u ON u.w = p.w1
+      LEFT JOIN train_bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN cont_l l ON l.w1 = p.w1
+      LEFT JOIN cont_r r ON r.w2 = p.w2
+      CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(CAST(ROUND(ln(s) * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_logp_micro
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def quality_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram log-likelihood per document (Kneser
+    & Ney 1995; Chen & Goodman 1999, fixed discount D=0.75) — the
+    smoothing KenLM implements, trained on the same even-doc_id half as
+    quality_perplexity_buckets so the principled score and the Stupid
+    Backoff approximation are directly comparable per doc:
+
+        P(w2|w1) = (max(c(w1 w2) - D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1)
+        Pcont(w2) = (N1+(·w2) + 1) / (T + V)   [add-one so OOV is finite]
+        context w1 unseen, or seen only doc-final (no observed
+        successor, zero interpolated mass) → P = Pcont(w2)
+
+    where N1+ are CONTINUATION counts (distinct bigram types through the
+    word — the Kneser-Ney insight that 'Francisco' is frequent but
+    follows only 'San'), T = bigram type count, V = vocab size. Scores
+    are micro-rounded per position BEFORE the per-doc sum
+    (order-independent BIGINT, the house fixed-point contract).
+
+    Plan, 100 TB-first: training is two count aggregations; the
+    continuation tables derive from the bigram TYPE table (already
+    aggregated, vocab² bounded); scoring is keyed LEFT equi-joins from
+    the position relation — stopword context keys are the AQE skew-join
+    case. The n-gram relations use the zip_with shingle build (NOT
+    element_at-over-explode — the documented O(k·n²) re-inlining trap).
+    No global sort anywhere: the output is doc-keyed."""
+    from ..operators.dedup import positional_shingles
+    from ..operators.text import tokens
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+
+    uni = (
+        train.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    bi = (
+        positional_shingles(train, k=2)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .select(
+            F.element_at(F.split("sh", " "), 1).alias("w1"),
+            F.element_at(F.split("sh", " "), 2).alias("w2"),
+            "c12",
+        )
+    )
+    cont_l = bi.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n1l"))
+    cont_r = bi.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1r"))
+    tot = bi.agg(F.count(F.lit(1)).cast("long").alias("t_types")).crossJoin(
+        uni.agg(F.count(F.lit(1)).cast("long").alias("v_size"))
+    )
+
+    pos2 = positional_shingles(docs, k=2).select(
+        "doc_id",
+        F.element_at(F.split("sh", " "), 1).alias("w1"),
+        F.element_at(F.split("sh", " "), 2).alias("w2"),
+    )
+    j = (
+        pos2.join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .join(bi, ["w1", "w2"], "left")
+        .join(cont_l, "w1", "left")
+        .join(cont_r, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    pcont = (F.coalesce(F.col("n1r"), F.lit(0)) + 1).cast("double") / (
+        F.col("t_types") + F.col("v_size")
+    ).cast("double")
+    # A context w1 with NO observed successor (only ever doc-final in
+    # training: c1 > 0 but N1+(w1 .) = 0) has zero interpolated mass —
+    # back off to the continuation probability, same as an unseen
+    # context, instead of ln(0).
+    s = F.when(
+        F.col("c1").isNotNull() & F.col("n1l").isNotNull(),
+        (
+            F.greatest(
+                F.coalesce(F.col("c12"), F.lit(0)).cast("double") - _KN_D,
+                F.lit(0.0),
+            )
+            + F.lit(_KN_D) * F.col("n1l").cast("double") * pcont
+        )
+        / F.col("c1").cast("double"),
+    ).otherwise(pcont)
+    return (
+        j.select(
+            "doc_id",
+            F.round(F.log(s) * 1_000_000).cast("long").alias("lp_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum("lp_micro").cast("long").alias("sum_logp_micro"),
+        )
+        .orderBy("doc_id")
+    )

@@ -196,3 +196,80 @@ def test_rocchio_expansion_changes_ranking(spark):
         r["doc_id"] not in base or r["rocchio_dmicro"] != 10 * base[r["doc_id"]]
         for r in rocchio
     )
+
+
+# ------------------------------------------------------ Kneser-Ney bigram
+
+
+def _py_kn_score(train_docs, score_docs, D=0.75):
+    """Independent interpolated-KN replay: returns {doc_id: (n, sum_micro)}."""
+    import math
+
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    for toks in train_docs:
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    n1l: dict[str, int] = {}
+    n1r: dict[str, int] = {}
+    for a, b in bi:
+        n1l[a] = n1l.get(a, 0) + 1
+        n1r[b] = n1r.get(b, 0) + 1
+    T, V = len(bi), len(uni)
+    out = {}
+    for doc_id, toks in score_docs.items():
+        if len(toks) < 2:
+            continue
+        n, tot = 0, 0
+        for a, b in zip(toks, toks[1:]):
+            pc = (n1r.get(b, 0) + 1) / (T + V)
+            if a in uni and a in n1l:
+                s = (max(bi.get((a, b), 0) - D, 0.0) + D * n1l[a] * pc) / uni[a]
+            else:
+                s = pc
+            n += 1
+            tot += round(math.log(s) * 1_000_000)
+        out[doc_id] = (n, tot)
+    return out
+
+
+def test_kn_full_python_replay(spark):
+    import re as _re
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = {
+        d: [w for w in _re.split(r"\s+", x or "") if w]
+        for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    }
+    train = [toks for d, toks in docs.items() if d % 2 == 0]
+    exp = _py_kn_score(train, docs)
+    rows = _run(spark, "quality_kneser_ney_bigram").collect()
+    assert len(rows) == len(exp)
+    for r in rows:
+        assert (r["n_scored"], r["sum_logp_micro"]) == exp[r["doc_id"]], r
+
+
+def test_kn_continuation_insight():
+    """The Kneser-Ney point: a word frequent under ONE context scores a
+    lower continuation probability than a word seen under many contexts,
+    even at equal unigram frequency ('Francisco' vs a function word)."""
+    train = [["san", "francisco"] * 6] + [
+        [w, "the"] for w in ("a1", "a2", "a3", "a4", "a5", "a6")
+    ]
+    score = {1: ["zz", "francisco"], 2: ["zz", "the"]}
+    out = _py_kn_score(train, score)
+    # same unseen context 'zz' → both fall to Pcont; 'the' (6 contexts)
+    # must beat 'francisco' (1 context) despite equal frequency (6 each)
+    assert out[2][1] > out[1][1]
+
+
+def test_kn_doc_final_context_rule():
+    """A training word that only ever appears doc-final has c1>0 but no
+    successor; scoring it as a context must fall back to Pcont, not
+    ln(0) (the bug the tri-scale sweep caught at sf0.01)."""
+    train = [["alpha", "omega"]]  # omega: unigram count 1, no successor
+    out = _py_kn_score(train, {1: ["omega", "alpha"]})
+    n, tot = out[1]
+    assert n == 1 and tot < 0  # finite, not -inf/exception
