@@ -1322,3 +1322,90 @@ def quality_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------- winnowing recall eval
+# Wave 8 — the measured-recall discipline applied to the new winnowing
+# primitive (the dedup_lsh_recall_eval posture): how do MOSS substring
+# matches relate to whole-doc Jaccard near-dups on this corpus? Unlike
+# LSH (a randomized approximation of the SAME J>=0.5 criterion, where
+# full recall is the contract), winnowing detects a DIFFERENT thing —
+# shared substrings of >= W+k-1 tokens — so recall AND precision against
+# the Jaccard truth are both informative and neither is pinned to 1000:
+# the oracle honestly recomputes BOTH sides in SQL.
+
+
+def _build_winnow_recall_oracle() -> str:
+    from .llm_ops import DUCK_SHINGLE_SETS
+
+    return f"""
+    WITH {DUCK_SHINGLE_SETS},{_duck_winnow_prints()},
+    ph AS (SELECT DISTINCT doc_id, fp_h FROM prints),
+    ok AS (
+      SELECT fp_h FROM ph GROUP BY fp_h
+      HAVING COUNT(*) BETWEEN 2 AND {_WIN_MAX_DF}
+    ),
+    wpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ph a JOIN ph b USING (fp_h) JOIN ok USING (fp_h)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+    ),
+    exact AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    m AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS e,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM wpairs) AS w,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM exact JOIN wpairs USING (doc_a, doc_b)) AS c
+    )
+    SELECT e AS n_exact_pairs, w AS n_winnow_pairs, c AS n_common,
+           CAST(CASE WHEN e > 0 THEN 1000 * c // e ELSE 1000 END AS BIGINT)
+             AS recall_permille,
+           CAST(CASE WHEN w > 0 THEN 1000 * c // w ELSE 1000 END AS BIGINT)
+             AS precision_permille
+    FROM m"""
+
+
+@query(
+    "dedup_winnowing_recall_eval",
+    oracle=_build_winnow_recall_oracle(),
+    tags=("llm", "dedup", "eval"),
+)
+def dedup_winnowing_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall AND precision of winnowing-fingerprint pairs
+    against exact J>=0.5 Jaccard near-dups — the calibration table for
+    the W/k/min-shared knobs before trusting MOSS matches as a dedup
+    signal on a new corpus. Neither figure is pinned (winnowing detects
+    shared >= W+k-1-token substrings, a genuinely different criterion
+    than whole-doc similarity): the oracle recomputes BOTH pair
+    relations in SQL, so a red row means the pipelines diverged, not
+    that the corpus moved. Spark side: both existing pair plans + one
+    equi-join; one output row, aggregated driver-side from three
+    geometry-bounded counts (the dedup_lsh_recall_eval posture)."""
+    from ..operators import dedup as D
+
+    t = load_tables(spark, sf_dir, "documents")
+    exact = D.jaccard_pairs(t.documents, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    wpairs = dedup_winnowing_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = exact.count()
+    n_win = wpairs.count()
+    n_common = exact.join(wpairs, ["doc_a", "doc_b"]).count()
+    recall = (1000 * n_common) // n_exact if n_exact else 1000
+    precision = (1000 * n_common) // n_win if n_win else 1000
+    return spark.createDataFrame(
+        [(n_exact, n_win, n_common, recall, precision)],
+        "n_exact_pairs long, n_winnow_pairs long, n_common long, "
+        "recall_permille long, precision_permille long",
+    )
