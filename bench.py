@@ -308,11 +308,19 @@ def new_ops_metric(spark) -> dict:
         "dedup_span_removal_exact",
         "quality_perplexity_buckets",
         "curation_eval_decontaminate",
-        # round-8 wave (the vocab query times the memoized-trainer lookup,
+        # round-8 waves (the vocab query times the memoized-trainer lookup,
         # near-zero by design; the token-counts query is the one with real
         # per-run corpus work — the DP over distinct words + join-back)
         "tokenizer_unigram_counts",
         "tokenizer_unigram_token_counts",
+        "text_winnowing_fingerprints",
+        "dedup_winnowing_pairs",
+        "dedup_winnowing_recall_eval",
+        "tokenizer_family_compare",
+        "curation_packing_efficiency",
+        "curation_source_overlap_matrix",
+        "quality_kneser_ney_bigram",
+        "search_rocchio_expand",
     ):
         if name not in QUERIES:
             continue

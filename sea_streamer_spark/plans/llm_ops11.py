@@ -230,6 +230,15 @@ def tokenizer_unigram_token_counts(
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
     )
+    # The word table is a distinct over the corpus tokens. Catalyst prunes
+    # this branch to a TEXT-ONLY scan + explode + distinct — i.e. the
+    # corpus is tokenized twice (once for occ, once here); an aggregate
+    # "barrier" (groupBy(w).sum(n_occ)) does not help, the optimizer
+    # eliminates the unused sum and collapses the nested aggregate right
+    # back to this shape. At 100 TB the swap is one occ
+    # cache/localCheckpoint, trading the second scan for a materialized
+    # (doc, word) relation — not worth it at bench scale, stated here so
+    # the double-scan is a decision, not an accident.
     wt = (
         occ.select("w")
         .distinct()
@@ -652,6 +661,9 @@ def tokenizer_family_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
     )
+    # Distinct-word table: same deliberately-accepted second text-only
+    # scan as tokenizer_unigram_token_counts (see the comment there); all
+    # three tokenizer applies ride this ONE relation as projections.
     wt = (
         occ.select("w")
         .distinct()

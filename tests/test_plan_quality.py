@@ -574,3 +574,80 @@ class TestLlmOps8QueryPlans:
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "EvalPython" not in plan, plan
+
+
+class TestRound8Waves:
+    def test_unigram_apply_is_broadcast_join_no_python(self, spark, sf_dir):
+        """The Viterbi DP rides the distinct-word relation behind a
+        BroadcastExchange; the corpus side never shuffles words to meet
+        the vocabulary, and nothing drops to Python."""
+        plan = _final_plan(
+            QUERIES["tokenizer_unigram_token_counts"].fn(spark, sf_dir)
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "EvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_family_compare_shared_word_table(self, spark, sf_dir):
+        """All four tokenizers ride ONE distinct-word relation: exactly
+        two corpus tokenizes (the occ explode + the deliberately-accepted
+        text-only distinct branch — see the query comment), ONE broadcast
+        of the word table, and zero Python nodes. A third Generate means
+        an apply path started re-tokenizing the corpus."""
+        plan = _final_plan(
+            QUERIES["tokenizer_family_compare"].fn(spark, sf_dir)
+        )
+        generates = [
+            ln for ln in plan.splitlines() if "Generate explode" in ln
+        ]
+        assert len(generates) == 2, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_winnowing_hashes_before_window_explode(self, spark, sf_dir):
+        """The char-fold hash must be computed once per position BEFORE
+        the ×W window explode — the explode's Generate input carries the
+        already-encoded value, not the shingle string."""
+        plan = _final_plan(
+            QUERIES["text_winnowing_fingerprints"].fn(spark, sf_dir)
+        )
+        # two Generates: posexplode (shingles) then the window explode;
+        # the second must consume an aggregate-encoded long, not re-hash
+        gens = [ln for ln in plan.splitlines() if "Generate" in ln]
+        assert len(gens) >= 2, plan
+        window_gen = gens[-1]
+        assert "aggregate" not in window_gen, window_gen
+        assert "EvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_winnowing_pairs_equi_join_only(self, spark, sf_dir):
+        plan = _final_plan(QUERIES["dedup_winnowing_pairs"].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_packing_ctx_explode_after_prefix_sum(self, spark, sf_dir):
+        """The ×3 context-length crossJoin must be a broadcast against the
+        narrow post-window relation — never an exchange of the corpus."""
+        plan = _final_plan(
+            QUERIES["curation_packing_efficiency"].fn(spark, sf_dir)
+        )
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_kn_scoring_is_keyed_joins_no_global_sort(self, spark, sf_dir):
+        """Scoring is LEFT equi-joins from the position relation; the only
+        orderBy is the output's doc_id sort."""
+        plan = _final_plan(
+            QUERIES["quality_kneser_ney_bigram"].fn(spark, sf_dir)
+        )
+        assert "CartesianProduct" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_rocchio_query_side_broadcast(self, spark, sf_dir):
+        """Every query-side relation (terms, feedback ids, expansion
+        terms) meets the corpus through broadcast joins — the corpus is
+        never shuffled to co-locate with the bounded side."""
+        plan = _final_plan(QUERIES["search_rocchio_expand"].fn(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "EvalPython" not in plan, plan
