@@ -1181,10 +1181,12 @@ def search_rocchio_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KN_D = 0.75
 
 
-@query(
-    "quality_kneser_ney_bigram",
-    oracle=f"""
-    WITH toks AS (
+def _kn_cte_chain() -> str:
+    """The interpolated-KN per-doc score relation as a WITH fragment
+    (ends with ``kn_doc`` = (doc_id, n_scored, sum_logp_micro)) — shared
+    by the per-doc score oracle and the selection-curve oracle so the two
+    queries can never disagree about the model."""
+    return f"""toks AS (
       SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
     ),
     train_uni AS (
@@ -1232,11 +1234,21 @@ _KN_D = 0.75
       LEFT JOIN cont_l l ON l.w1 = p.w1
       LEFT JOIN cont_r r ON r.w2 = p.w2
       CROSS JOIN tot
-    )
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
-           CAST(SUM(CAST(ROUND(ln(s) * 1000000.0) AS BIGINT)) AS BIGINT)
-             AS sum_logp_micro
-    FROM scored GROUP BY doc_id ORDER BY doc_id
+    ),
+    kn_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+             CAST(SUM(CAST(ROUND(ln(s) * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS sum_logp_micro
+      FROM scored GROUP BY doc_id
+    )"""
+
+
+@query(
+    "quality_kneser_ney_bigram",
+    oracle=f"""
+    WITH {_kn_cte_chain()}
+    SELECT doc_id, n_scored, sum_logp_micro
+    FROM kn_doc ORDER BY doc_id
     """,
     tags=("llm", "quality"),
 )
@@ -1420,4 +1432,104 @@ def dedup_winnowing_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_exact, n_win, n_common, recall, precision)],
         "n_exact_pairs long, n_winnow_pairs long, n_common long, "
         "recall_permille long, precision_permille long",
+    )
+
+
+# ---------------------------------------------------- selection tradeoff
+# Wave 9 — the quality-selection tradeoff curve: CCNet keeps the best
+# third of a crawl by LM score; the number a curator actually needs
+# before picking ANY threshold is this table — for each score decile,
+# how many documents and tokens survive, cumulatively. Built on the
+# Kneser-Ney score (wave 7) through the SAME shared CTE chain, so the
+# curve can never disagree with the per-doc scores.
+
+
+@query(
+    "quality_selection_tradeoff",
+    oracle=f"""
+    WITH {_kn_cte_chain()},
+    sized AS (
+      SELECT k.doc_id, k.n_scored, k.sum_logp_micro,
+             CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+                                  w -> len(w) > 0)) AS BIGINT) AS n_tokens,
+             NTILE(10) OVER (
+               ORDER BY CAST(FLOOR(k.sum_logp_micro * 1.0 / k.n_scored)
+                             AS BIGINT) DESC, k.doc_id
+             ) AS decile
+      FROM kn_doc k JOIN documents d USING (doc_id)
+    ),
+    per AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM sized GROUP BY decile
+    ),
+    grand AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS all_tokens FROM per)
+    SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY decile) AS BIGINT)
+             AS cum_tokens,
+           CAST(FLOOR(1000.0 * SUM(n_tokens) OVER (ORDER BY decile)
+                      / grand.all_tokens) AS BIGINT) AS cum_token_permille
+    FROM per CROSS JOIN grand ORDER BY decile
+    """,
+    tags=("llm", "quality", "curation"),
+)
+def quality_selection_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-selection tradeoff curve (the table behind CCNet's
+    keep-the-head decision): documents ranked into deciles by mean
+    Kneser-Ney score (best = decile 1), with per-decile and cumulative
+    doc/token counts — 'if we cut at decile k, how many tokens survive'.
+    Reuses quality_kneser_ney_bigram's scoring relation verbatim (module
+    function call on the Spark side, shared CTE chain in the oracle), so
+    curve and scores cannot diverge.
+
+    Plan: the scoring joins are wave 7's; on top sit one doc-dimension
+    NTILE (the documented small-side total order, thresholds-from-sample
+    at production scale) and a 10-row cumulative window — nothing new
+    shuffles at corpus grain."""
+    from pyspark.sql.window import Window
+
+    kn = quality_kneser_ney_bigram(spark, sf_dir)
+    docs = load_tables(spark, sf_dir, "documents").documents
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    mean_key = F.floor(
+        F.col("sum_logp_micro") * 1.0 / F.col("n_scored")
+    ).cast("long")
+    sized = kn.join(toks, "doc_id").select(
+        "n_tokens",
+        F.ntile(10)
+        .over(Window.orderBy(mean_key.desc(), F.col("doc_id")))
+        .alias("decile"),
+    )
+    per = sized.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_tokens").over(wcum).cast("long")
+    return (
+        per.crossJoin(
+            F.broadcast(per.agg(F.sum("n_tokens").cast("long").alias("all_tokens")))
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_docs",
+            "n_tokens",
+            cum.alias("cum_tokens"),
+            F.floor(F.lit(1000.0) * cum / F.col("all_tokens"))
+            .cast("long")
+            .alias("cum_token_permille"),
+        )
+        .orderBy("decile")
     )

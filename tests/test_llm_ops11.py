@@ -273,3 +273,43 @@ def test_kn_doc_final_context_rule():
     out = _py_kn_score(train, {1: ["omega", "alpha"]})
     n, tot = out[1]
     assert n == 1 and tot < 0  # finite, not -inf/exception
+
+
+# --------------------------------------------------- selection tradeoff
+
+
+def test_selection_tradeoff_reconciles_with_kn_scores(spark):
+    """Recompute the whole curve in python from the KN query's own
+    per-doc scores + parquet token counts — shared model, two grains."""
+    kn = {
+        r["doc_id"]: (r["n_scored"], r["sum_logp_micro"])
+        for r in _run(spark, "quality_kneser_ney_bigram").collect()
+    }
+    toks = _doc_tokens()
+    # exact ordering: floor(sum/n) desc, doc_id asc — math.floor of the
+    # float quotient matches FLOOR(sum*1.0/n) at these magnitudes
+    import math
+
+    ranked = sorted(kn, key=lambda d: (-math.floor(kn[d][1] / kn[d][0]), d))
+    n = len(ranked)
+    # NTILE(10): first (n % 10) tiles get ceil(n/10)
+    base, extra = divmod(n, 10)
+    exp_rows = []
+    idx = 0
+    cum = 0
+    total = sum(toks[d] for d in ranked)
+    for dec in range(1, 11):
+        size = base + (1 if dec <= extra else 0)
+        chunk = ranked[idx : idx + size]
+        idx += size
+        t = sum(toks[d] for d in chunk)
+        cum += t
+        exp_rows.append((dec, len(chunk), t, cum, 1000 * cum // total))
+    rows = _run(spark, "quality_selection_tradeoff").collect()
+    got = [
+        (r["decile"], r["n_docs"], r["n_tokens"], r["cum_tokens"],
+         r["cum_token_permille"])
+        for r in rows
+    ]
+    assert got == exp_rows
+    assert got[-1][4] == 1000  # the curve ends at exactly all tokens
