@@ -1533,3 +1533,156 @@ def quality_selection_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ------------------------------------------------------------------ RAKE
+# Wave 10 — RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010,
+# "Automatic Keyword Extraction from Individual Documents"): candidate
+# phrases are maximal runs of non-stopword tokens; each word scores
+# degree/frequency over the candidate set; a phrase scores the sum of
+# its word scores. The corpus-level variant here is the keyword table a
+# search/curation pipeline builds per source or snapshot. Stopwords are
+# the corpus's own top-_RAKE_STOPS tokens (deterministic stand-in for
+# RAKE's fixed English list, stated); all scores are exact integers
+# (1e6·deg // freq — no floats anywhere).
+
+_RAKE_STOPS = 5
+_RAKE_TOPK = 20
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS w
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+            FROM toks)
+    ),
+    stop AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        ORDER BY c DESC, w LIMIT {_RAKE_STOPS}
+      )
+    ),
+    nonstop AS (
+      SELECT doc_id, pos, w,
+             pos - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS island
+      FROM tok WHERE w NOT IN (SELECT w FROM stop)
+    ),
+    cand AS (
+      SELECT doc_id, island,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM nonstop GROUP BY doc_id, island
+    ),
+    wstat AS (
+      SELECT n.w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(c.plen) AS BIGINT) AS deg
+      FROM nonstop n JOIN cand c USING (doc_id, island)
+      GROUP BY n.w
+    ),
+    pscore AS (
+      SELECT n.doc_id, n.island,
+             CAST(SUM(1000000 * s.deg // s.freq) AS BIGINT) AS score_micro
+      FROM nonstop n JOIN wstat s ON s.w = n.w
+      GROUP BY n.doc_id, n.island
+    )
+    SELECT c.phrase, CAST(c.plen AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MAX(p.score_micro) AS BIGINT) AS score_micro
+    FROM cand c JOIN pscore p USING (doc_id, island)
+    GROUP BY c.phrase, c.plen
+    ORDER BY score_micro DESC, phrase LIMIT {_RAKE_TOPK}
+    """,
+    tags=("llm", "text", "search"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the corpus (Rose et al. 2010): top-20
+    candidate phrases by degree/frequency score. Candidates are maximal
+    non-stopword runs (the pos − row_number gaps-and-islands identity);
+    word degree sums the lengths of every candidate occurrence containing
+    the word; scores are exact integers (1e6·deg // freq summed over the
+    phrase's words), so identical phrases score identically by
+    construction and the MAX in the final rollup is a no-op formality.
+
+    Plan, 100 TB-first: one tokenize explode; the stopword table is a
+    bounded top-K broadcast; islands are one doc-keyed window; word stats
+    and phrase scores are keyed aggregations over the candidate relation
+    (bounded by non-stopword token mass). The only total order is the
+    final top-20 TakeOrdered."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+")
+        ).alias("pos", "w"),
+    )
+    stop = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(_RAKE_STOPS)
+        .select("w")
+    )
+    nonstop = (
+        tok.join(F.broadcast(stop), "w", "left_anti")
+        .withColumn(
+            "island",
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+    )
+    cand = nonstop.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    wstat = (
+        nonstop.join(cand.select("doc_id", "island", "plen"), ["doc_id", "island"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+    )
+    pscore = (
+        nonstop.join(wstat, "w")
+        .select(
+            "doc_id",
+            "island",
+            F.floor(F.lit(1_000_000) * F.col("deg") / F.col("freq"))
+            .cast("long")
+            .alias("wsc"),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.sum("wsc").cast("long").alias("score_micro"))
+    )
+    return (
+        cand.join(pscore, ["doc_id", "island"])
+        .groupBy("phrase", "plen")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score_micro").cast("long").alias("score_micro"),
+        )
+        .select(
+            "phrase",
+            F.col("plen").alias("n_words"),
+            "n_occurrences",
+            "score_micro",
+        )
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(_RAKE_TOPK)
+    )

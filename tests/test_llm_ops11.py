@@ -313,3 +313,71 @@ def test_selection_tradeoff_reconciles_with_kn_scores(spark):
     ]
     assert got == exp_rows
     assert got[-1][4] == 1000  # the curve ends at exactly all tokens
+
+
+# ----------------------------------------------------------------- RAKE
+
+
+def _py_rake(texts: dict[int, str], n_stops=5, topk=20):
+    import re as _re
+    from collections import Counter, defaultdict as dd
+
+    tok = {d: _re.split(r"\s+", x or "") for d, x in texts.items()}
+    cnt = Counter(w for ws in tok.values() for w in ws)
+    stops = {
+        w for w, _c in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:n_stops]
+    }
+    cands = []
+    for d, ws in tok.items():
+        run = []
+        for w in ws:
+            if w in stops:
+                if run:
+                    cands.append(run)
+                run = []
+            else:
+                run.append(w)
+        if run:
+            cands.append(run)
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for c in cands:
+        for w in c:
+            freq[w] += 1
+            deg[w] += len(c)
+    wsc = {w: 1_000_000 * deg[w] // freq[w] for w in freq}
+    agg = dd(lambda: [0, 0, 0])  # phrase -> [n_words, n_occ, score]
+    for c in cands:
+        e = agg[" ".join(c)]
+        e[0] = len(c)
+        e[1] += 1
+        e[2] = sum(wsc[w] for w in c)
+    rows = sorted(
+        ((p, v[0], v[1], v[2]) for p, v in agg.items()),
+        key=lambda r: (-r[3], r[0]),
+    )[:topk]
+    return rows, stops
+
+
+def test_rake_full_python_replay(spark):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    exp, stops = _py_rake(texts)
+    rows = _run(spark, "text_rake_keywords").collect()
+    got = [
+        (r["phrase"], r["n_words"], r["n_occurrences"], r["score_micro"])
+        for r in rows
+    ]
+    assert got == exp
+    # RAKE invariant: no stopword ever appears inside a candidate phrase
+    for p, _n, _o, _s in got:
+        assert not (set(p.split(" ")) & stops), p
+
+
+def test_rake_score_is_sum_of_word_scores():
+    texts = {1: "deep learning of the deep net", 2: "the deep learning net of it"}
+    rows, stops = _py_rake(texts, n_stops=2)  # stops = {'deep','the'}? counts:
+    # the:2, deep:3 -> stops {'deep','the'}; candidates split on them
+    for phrase, n_words, _occ, score in rows:
+        assert n_words == len(phrase.split(" "))
+        assert score > 0
