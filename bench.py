@@ -321,6 +321,8 @@ def new_ops_metric(spark) -> dict:
         "curation_source_overlap_matrix",
         "quality_kneser_ney_bigram",
         "search_rocchio_expand",
+        "quality_selection_tradeoff",
+        "text_rake_keywords",
     ):
         if name not in QUERIES:
             continue

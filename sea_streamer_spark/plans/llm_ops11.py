@@ -1686,3 +1686,166 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), "phrase")
         .limit(_RAKE_TOPK)
     )
+
+
+# ------------------------------------------------- binary embedding quant
+# Wave 11 — binary (sign) embedding quantization with Hamming re-ranking
+# recall: the 32x-compression trick modern vector stores ship (1 bit per
+# dimension; Hamming distance on packed words approximates angular
+# distance — Charikar 2002's SimHash bound is the theory). The 64-dim
+# test embeddings pack into exactly two 32-bit halves carried as BIGINTs
+# (one 64-bit word would trip DuckDB's checked 1<<63 overflow — same
+# arithmetic, two lanes). This evals recall@10 of the binary index
+# against exact cosine, per query — the go/no-go table before shipping
+# binary quantization.
+
+_BQ_QUERIES = 10
+_BQ_K = 10
+
+
+def _duck_sig(expr: str) -> str:
+    """MSB-first sign-bit fold of a 32-slot float list into a BIGINT."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({expr}, x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 "
+        f"END AS BIGINT))), (acc, b) -> acc * 2 + b)"
+    )
+
+
+def _build_bq_oracle() -> str:
+    from .llm_ops import _duck_cosine
+
+    ham = (
+        "bit_count(xor(sq.h1, sc.h1)) + bit_count(xor(sq.h2, sc.h2))"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {_BQ_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {_BQ_QUERIES}
+    ),
+    ex AS (
+      SELECT q.qid, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+               CAST(ROUND({_duck_cosine('c.embedding', 'q.qv')} * 1000000)
+                 AS BIGINT) DESC, c.vec_id) AS r
+      FROM c, q
+    ),
+    ext AS (SELECT qid, vec_id FROM ex WHERE r <= {_BQ_K}),
+    sigs AS (
+      SELECT vec_id, {_duck_sig('embedding[1:32]')} AS h1,
+             {_duck_sig('embedding[33:64]')} AS h2
+      FROM embeddings
+    ),
+    bq AS (
+      SELECT q.qid, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY {ham}, c.vec_id)
+               AS r
+      FROM c JOIN sigs sc ON sc.vec_id = c.vec_id
+      CROSS JOIN q JOIN sigs sq ON sq.vec_id = q.qid
+    ),
+    bt AS (SELECT qid, vec_id FROM bq WHERE r <= {_BQ_K})
+    SELECT e.qid AS query_id,
+           CAST(COUNT(b.vec_id) AS BIGINT) AS n_common,
+           CAST(100 * COUNT(b.vec_id) AS BIGINT) AS recall_permille
+    FROM ext e LEFT JOIN bt b ON b.qid = e.qid AND b.vec_id = e.vec_id
+    GROUP BY e.qid ORDER BY query_id"""
+
+
+@query(
+    "embedding_binary_quantize_recall",
+    oracle=_build_bq_oracle(),
+    tags=("llm", "similarity", "eval"),
+)
+def embedding_binary_quantize_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@10 of sign-bit (binary) embedding quantization vs exact
+    cosine, per query vector (vec_id < 10 = the bounded query set): pack
+    each 64-dim vector's sign bits into two 32-bit words, rank candidates
+    by Hamming distance (bit_count of XOR — tie-break vec_id), intersect
+    with the exact cosine top-10. The acceptance table for shipping a
+    32x-smaller index (Charikar 2002 gives the angle↔Hamming bound; this
+    measures it on the actual corpus).
+
+    Plan, 100 TB-first: signatures are a map-side projection (two integer
+    folds per vector — at production width, w words per vector); both
+    rankings are per-query windows over a broadcast query set; the
+    Hamming scan is the brute-force baseline posture of
+    similarity_cosine_topk (the production swap is the IVF/LSH-bucketed
+    variants already in operators/similarity.py, with Hamming as the
+    cheap re-rank)."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine
+
+    embs = load_tables(spark, sf_dir, "embeddings").embeddings
+
+    def sig(lo: int) -> F.Column:
+        return F.aggregate(
+            F.slice(F.col("embedding"), lo, 32),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + F.when(x > 0, 1).otherwise(0),
+        )
+
+    sigs = embs.select(
+        "vec_id", sig(1).alias("h1"), sig(33).alias("h2")
+    )
+    q = embs.filter(F.col("vec_id") < _BQ_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = embs.filter(F.col("vec_id") >= _BQ_QUERIES)
+
+    wq = Window.partitionBy("qid")
+    ex = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")) * 1_000_000)
+            .cast("long")
+            .alias("cos_micro"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                wq.orderBy(F.col("cos_micro").desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("r") <= _BQ_K)
+        .select("qid", "vec_id")
+    )
+    qs = q.select("qid").join(
+        sigs.withColumnRenamed("vec_id", "qid"), "qid"
+    ).select("qid", F.col("h1").alias("qh1"), F.col("h2").alias("qh2"))
+    bt = (
+        c.select("vec_id")
+        .join(sigs, "vec_id")
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                F.bit_count(F.col("h1").bitwiseXOR(F.col("qh1")))
+                + F.bit_count(F.col("h2").bitwiseXOR(F.col("qh2")))
+            ).alias("ham"),
+        )
+        .withColumn(
+            "r", F.row_number().over(wq.orderBy("ham", "vec_id"))
+        )
+        .filter(F.col("r") <= _BQ_K)
+        .select("qid", F.col("vec_id").alias("bvec"))
+    )
+    return (
+        ex.join(
+            bt, (ex.qid == bt.qid) & (ex.vec_id == bt.bvec), "left"
+        )
+        .groupBy(ex.qid.alias("query_id"))
+        .agg(
+            F.count(bt.bvec).cast("long").alias("n_common"),
+            (F.lit(100) * F.count(bt.bvec)).cast("long").alias("recall_permille"),
+        )
+        .orderBy("query_id")
+    )

@@ -381,3 +381,69 @@ def test_rake_score_is_sum_of_word_scores():
     for phrase, n_words, _occ, score in rows:
         assert n_words == len(phrase.split(" "))
         assert score > 0
+
+
+# ----------------------------------------------- binary quantization eval
+
+
+def test_binary_quant_full_python_replay(spark):
+    from sea_streamer_spark.operators.similarity import cos_py
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = dict(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )
+
+    def sig(v):
+        h1 = h2 = 0
+        for x in v[:32]:
+            h1 = h1 * 2 + (1 if x > 0 else 0)
+        for x in v[32:]:
+            h2 = h2 * 2 + (1 if x > 0 else 0)
+        return h1, h2
+
+    sigs = {i: sig(v) for i, v in vecs.items()}
+    qids = [i for i in vecs if i < 10]
+    cands = [i for i in vecs if i >= 10]
+    exp = {}
+    for qid in qids:
+        exact = sorted(
+            cands,
+            key=lambda c: (-round(cos_py(vecs[c], vecs[qid]) * 1_000_000), c),
+        )[:10]
+        sq = sigs[qid]
+        binary = sorted(
+            cands,
+            key=lambda c: (
+                bin(sigs[c][0] ^ sq[0]).count("1")
+                + bin(sigs[c][1] ^ sq[1]).count("1"),
+                c,
+            ),
+        )[:10]
+        n = len(set(exact) & set(binary))
+        exp[qid] = (n, 100 * n)
+    rows = _run(spark, "embedding_binary_quantize_recall").collect()
+    assert {r["query_id"]: (r["n_common"], r["recall_permille"]) for r in rows} == exp
+
+
+def test_binary_quant_identical_vector_is_rank_one(spark):
+    # Charikar sanity: a candidate identical to the query has Hamming 0
+    # and cosine 1 — it must appear in BOTH top-10 lists, so that query's
+    # recall is at least 100 permille. Build it in-session.
+    from pyspark.sql import functions as F
+
+    from sea_streamer_spark.operators.similarity import cos_py  # noqa: F401
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = dict(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )
+    q0 = vecs[0]
+    dup = [i for i in vecs if i >= 10 and list(vecs[i]) == list(q0)]
+    rows = {r["query_id"]: r for r in _run(spark, "embedding_binary_quantize_recall").collect()}
+    if dup:  # corpus-dependent; holds when an exact dup of q0 exists
+        assert rows[0]["recall_permille"] >= 100
+    # unconditional invariant: recall is permille of k=10, a multiple of 100
+    for r in rows.values():
+        assert 0 <= r["n_common"] <= 10
+        assert r["recall_permille"] == 100 * r["n_common"]
