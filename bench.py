@@ -323,6 +323,7 @@ def new_ops_metric(spark) -> dict:
         "search_rocchio_expand",
         "quality_selection_tradeoff",
         "text_rake_keywords",
+        "embedding_binary_quantize_recall",
     ):
         if name not in QUERIES:
             continue

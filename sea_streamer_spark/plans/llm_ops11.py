@@ -1849,3 +1849,182 @@ def embedding_binary_quantize_recall(
         )
         .orderBy("query_id")
     )
+
+
+# ------------------------------------------------------ privacy + CUSUM
+# Wave 12 — two staples rounding out the privacy and time-series
+# families: the k-anonymity audit (Sweeney 2002 — the table a privacy
+# review reads BEFORE l-diversity, which the repo already has) and CUSUM
+# changepoint detection (Page 1954, Biometrika — the classic
+# level-shift detector, here in exact integer form).
+
+_KANON_KS = (2, 5, 10)
+
+
+@query(
+    "privacy_k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_groups
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k, tot.n_groups,
+           CAST(SUM(CASE WHEN g.n < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN g.n < k THEN g.n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(FLOOR(1000.0 * SUM(CASE WHEN g.n < k THEN g.n ELSE 0 END)
+                      / tot.n_rows) AS BIGINT) AS suppression_permille
+    FROM g CROSS JOIN (VALUES {", ".join(f"({k})" for k in _KANON_KS)})
+      AS ks(k)
+    CROSS JOIN tot
+    GROUP BY k, tot.n_groups, tot.n_rows ORDER BY k
+    """,
+    tags=("privacy",),
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the (nation, market segment)
+    quasi-identifier pair: for each candidate k, how many
+    quasi-identifier groups have fewer than k members, how many rows sit
+    in them, and the suppression rate a k-anonymizer would pay — the
+    table a privacy review reads before choosing k (the l-diversity
+    query, privacy_l_diversity, is the follow-up on the sensitive
+    attribute). One groupBy over the quasi-identifiers, then a bounded
+    ×3 explode of the GROUP relation (never the rows) against the
+    candidate ks."""
+    t = load_tables(spark, sf_dir, "customer")
+    g = t.customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ks = spark.createDataFrame([(k,) for k in _KANON_KS], "k long")
+    tot = g.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    return (
+        g.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_groups", "n_rows")
+        .agg(
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_groups"),
+            F.sum(F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_at_risk"),
+        )
+        .select(
+            "k",
+            "n_groups",
+            "n_violating_groups",
+            "n_rows_at_risk",
+            F.floor(F.lit(1000.0) * F.col("n_rows_at_risk") / F.col("n_rows"))
+            .cast("long")
+            .alias("suppression_permille"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type
+    ),
+    cusum AS (
+      SELECT d.event_type, d.day,
+             CAST(SUM(d.n * t.n_days - t.total) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS s
+      FROM daily d JOIN tot t USING (event_type)
+    ),
+    mx AS (
+      SELECT event_type, day, s, abs(s) AS a,
+             MAX(abs(s)) OVER (PARTITION BY event_type) AS amax
+      FROM cusum
+    )
+    SELECT event_type,
+           strftime(MIN(CASE WHEN a = amax THEN day END), '%Y-%m-%d')
+             AS changepoint_day,
+           CAST(MAX(amax) AS BIGINT) AS max_abs_cusum,
+           CAST(MAX(CASE WHEN a = amax THEN CASE WHEN s > 0 THEN 1
+                WHEN s < 0 THEN -1 ELSE 0 END END) AS BIGINT) AS direction
+    FROM mx GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "profile"),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type (Page 1954): daily
+    counts, cumulative sum of deviations from the series mean, and the
+    day where |CUSUM| peaks — the classic level-shift locator. Exact
+    integer arithmetic throughout: deviations are scaled by the day
+    count (n·D − total, an integer) instead of subtracting a float mean,
+    so the running sum, its argmax, and the direction sign are
+    hash-stable in every engine. Earliest peak day wins ties.
+
+    Plan: one (type, day) aggregation, a per-type totals join, one
+    type-keyed ordered window over the DAYS dimension (bounded by the
+    calendar, not event volume), and a 5-row rollup."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "events")
+    daily = t.events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.sum(F.col("n") * F.col("n_days") - F.col("total"))
+            .over(w)
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    wa = Window.partitionBy("event_type")
+    mx = cusum.select(
+        "event_type",
+        "day",
+        "s",
+        F.abs("s").alias("a"),
+        F.max(F.abs("s")).over(wa).alias("amax"),
+    )
+    at_peak = F.when(F.col("a") == F.col("amax"), F.col("day"))
+    sgn = F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    return (
+        mx.groupBy("event_type")
+        .agg(
+            F.date_format(F.min(at_peak), "yyyy-MM-dd").alias(
+                "changepoint_day"
+            ),
+            F.max("amax").cast("long").alias("max_abs_cusum"),
+            F.max(
+                F.when(F.col("a") == F.col("amax"), sgn)
+            ).cast("long").alias("direction"),
+        )
+        .orderBy("event_type")
+    )

@@ -447,3 +447,62 @@ def test_binary_quant_identical_vector_is_rank_one(spark):
     for r in rows.values():
         assert 0 <= r["n_common"] <= 10
         assert r["recall_permille"] == 100 * r["n_common"]
+
+
+# --------------------------------------------------- k-anonymity + CUSUM
+
+
+def test_kanon_python_replay(spark):
+    t = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+    )
+    from collections import Counter
+
+    groups = Counter(
+        zip(t.column("c_nationkey").to_pylist(), t.column("c_mktsegment").to_pylist())
+    )
+    n_rows = sum(groups.values())
+    rows = _run(spark, "privacy_k_anonymity_audit").collect()
+    assert [r["k"] for r in rows] == [2, 5, 10]
+    for r in rows:
+        viol = [n for n in groups.values() if n < r["k"]]
+        assert r["n_groups"] == len(groups)
+        assert r["n_violating_groups"] == len(viol)
+        assert r["n_rows_at_risk"] == sum(viol)
+        assert r["suppression_permille"] == 1000 * sum(viol) // n_rows
+    # monotone: raising k can only increase the suppression cost
+    sup = [r["suppression_permille"] for r in rows]
+    assert sup == sorted(sup)
+
+
+def test_cusum_python_replay(spark):
+    t = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type"])
+    from collections import defaultdict as dd
+
+    daily: dict = dd(lambda: dd(int))
+    for ts, et in zip(t.column("ts").to_pylist(), t.column("event_type").to_pylist()):
+        daily[et][ts.date()] += 1
+    rows = {r["event_type"]: r for r in _run(spark, "events_changepoint_cusum").collect()}
+    assert set(rows) == set(daily)
+    for et, days in daily.items():
+        total = sum(days.values())
+        nd = len(days)
+        s = 0
+        series = []
+        for day in sorted(days):
+            s += days[day] * nd - total
+            series.append((day, s))
+        amax = max(abs(s) for _d, s in series)
+        peak_day = min(d for d, s in series if abs(s) == amax)
+        direction = max(
+            (1 if s > 0 else -1 if s < 0 else 0)
+            for _d, s in series
+            if abs(s) == amax
+        )
+        r = rows[et]
+        assert r["changepoint_day"] == peak_day.strftime("%Y-%m-%d")
+        assert r["max_abs_cusum"] == amax
+        assert r["direction"] == direction
+        # CUSUM identity: the series ends at exactly zero (sums of
+        # n*D - total telescope to total*D - total*D)
+        assert series[-1][1] == 0
