@@ -324,6 +324,8 @@ def new_ops_metric(spark) -> dict:
         "quality_selection_tradeoff",
         "text_rake_keywords",
         "embedding_binary_quantize_recall",
+        "privacy_k_anonymity_audit",
+        "events_changepoint_cusum",
     ):
         if name not in QUERIES:
             continue
