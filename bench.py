@@ -326,6 +326,7 @@ def new_ops_metric(spark) -> dict:
         "embedding_binary_quantize_recall",
         "privacy_k_anonymity_audit",
         "events_changepoint_cusum",
+        "quality_nb_distill_fidelity",
     ):
         if name not in QUERIES:
             continue

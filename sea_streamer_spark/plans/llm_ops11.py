@@ -2028,3 +2028,243 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------- NB quality distill
+# Wave 13 — model-based quality filtering, the family GPT-3's WebText
+# classifier / CCNet's fastText filters belong to, in the one
+# formulation that is EXACTLY replayable across engines: multinomial
+# Naive Bayes with Laplace smoothing (all statistics are counts; every
+# log-prob is micro-rounded per WORD TYPE and summed as BIGINT×count).
+# The training signal is weak supervision: the repo's own Gopher rule
+# labels the even-doc_id half; the model then scores the held-out odd
+# half and we measure how faithfully the distilled classifier reproduces
+# the rule it never saw — the distillation-fidelity table a pipeline
+# publishes before swapping a cheap model in for an expensive gate.
+
+
+def _duck_gopher_pass() -> str:
+    """The Gopher pass predicate as a SQL fragment over ``documents`` —
+    operand-for-operand the quality_gopher_flags oracle (llm_ops2.py)."""
+    from ..operators import quality as Q
+    from ..operators import text as T
+
+    TOKS = T.duck_tokens("text")
+    return f"""
+    labels AS (
+      SELECT doc_id,
+             (n_words BETWEEN {Q.MIN_WORDS} AND {Q.MAX_WORDS})
+               AND (mean_word_len BETWEEN {Q.MIN_MEAN_WORD_LEN}
+                    AND {Q.MAX_MEAN_WORD_LEN})
+               AND n_distinct_stopwords >= {Q.MIN_DISTINCT_STOPWORDS}
+               AND symbol_ratio <= {Q.MAX_SYMBOL_RATIO} AS passes
+      FROM (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(toks, w -> CAST(length(w) AS BIGINT))),
+                    (a,b) -> a+b) AS DOUBLE) / len(toks) AS mean_word_len,
+               CAST(len(list_intersect(list_distinct(toks),
+                    {list(T.STOPWORDS)!r})) AS BIGINT)
+                 AS n_distinct_stopwords,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                    AS DOUBLE) / length(text) AS symbol_ratio
+        FROM (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+      )
+    )"""
+
+
+@query(
+    "quality_nb_distill_fidelity",
+    oracle=f"""
+    WITH {_duck_gopher_pass()},
+    words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents
+      ) WHERE len(w) > 0
+    ),
+    trainw AS (
+      SELECT words.w, labels.passes FROM words
+      JOIN labels USING (doc_id) WHERE doc_id % 2 = 0
+    ),
+    cw AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN passes THEN 0 ELSE 1 END) AS BIGINT) AS cf
+      FROM trainw GROUP BY w
+    ),
+    tots AS (
+      SELECT (SELECT CAST(SUM(cp) AS BIGINT) FROM cw) AS tp_tok,
+             (SELECT CAST(SUM(cf) AS BIGINT) FROM cw) AS tf_tok,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cw) AS v,
+             (SELECT CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT)
+              FROM labels WHERE doc_id % 2 = 0) AS np_docs,
+             (SELECT CAST(SUM(CASE WHEN passes THEN 0 ELSE 1 END) AS BIGINT)
+              FROM labels WHERE doc_id % 2 = 0) AS nf_docs
+    ),
+    evalw AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k
+      FROM words WHERE doc_id % 2 = 1 GROUP BY doc_id, w
+    ),
+    contrib AS (
+      SELECT e.doc_id,
+             CAST(SUM(e.k * CAST(ROUND(ln(
+               CAST(COALESCE(cw.cp, 0) + 1 AS DOUBLE)
+               / CAST(tots.tp_tok + tots.v AS DOUBLE)) * 1000000)
+               AS BIGINT)) AS BIGINT) AS sp,
+             CAST(SUM(e.k * CAST(ROUND(ln(
+               CAST(COALESCE(cw.cf, 0) + 1 AS DOUBLE)
+               / CAST(tots.tf_tok + tots.v AS DOUBLE)) * 1000000)
+               AS BIGINT)) AS BIGINT) AS sf
+      FROM evalw e LEFT JOIN cw USING (w) CROSS JOIN tots
+      GROUP BY e.doc_id
+    ),
+    scored AS (
+      SELECT l.doc_id, l.passes AS truth,
+             CAST(ROUND(ln(CAST(tots.np_docs AS DOUBLE)
+                  / CAST(tots.np_docs + tots.nf_docs AS DOUBLE)) * 1000000)
+               AS BIGINT) + COALESCE(c.sp, 0) AS score_pass,
+             CAST(ROUND(ln(CAST(tots.nf_docs AS DOUBLE)
+                  / CAST(tots.np_docs + tots.nf_docs AS DOUBLE)) * 1000000)
+               AS BIGINT) + COALESCE(c.sf, 0) AS score_fail
+      FROM labels l LEFT JOIN contrib c USING (doc_id) CROSS JOIN tots
+      WHERE l.doc_id % 2 = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN score_pass >= score_fail AND truth
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN score_pass >= score_fail AND NOT truth
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN score_pass < score_fail AND truth
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN score_pass < score_fail AND NOT truth
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(FLOOR(1000.0 * SUM(CASE WHEN (score_pass >= score_fail)
+                    = truth THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT)
+             AS accuracy_permille
+    FROM scored
+    """,
+    tags=("llm", "quality", "eval"),
+)
+def quality_nb_distill_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the Gopher rule gate into a multinomial Naive Bayes
+    classifier and measure fidelity on held-out docs: train on the
+    even-doc_id half labeled by the rule (weak supervision), score the
+    odd half, report the confusion matrix and accuracy permille — the
+    model-based-filtering acceptance table (the WebText/fastText
+    classifier pattern) in exactly-replayable integer form. Every
+    statistic is a count; every log-prob (Laplace-smoothed, shared
+    vocabulary V) is micro-rounded per word TYPE then summed as
+    count-weighted BIGINTs, so scores, the ≥-tie rule, and the confusion
+    cells are hash-stable across engines. Ties predict pass (stated).
+
+    Plan, 100 TB-first: training is ONE (word, class-count) aggregation
+    over the labeled half; the model is the vocab-bounded cw relation
+    joined LEFT from the eval side's (doc, word, k) counts (OOV words
+    fall out of the same formula via COALESCE 0); priors/totals ride a
+    broadcast one-row relation; the result is a single row."""
+    from ..operators import quality as Q
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    labels = Q.gopher_quality_flags(docs).select("doc_id", "passes")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("w"),
+    )
+    trainw = words.filter(F.col("doc_id") % 2 == 0).join(labels, "doc_id")
+    cw = trainw.groupBy("w").agg(
+        F.sum(F.when(F.col("passes"), 1).otherwise(0)).cast("long").alias("cp"),
+        F.sum(F.when(F.col("passes"), 0).otherwise(1)).cast("long").alias("cf"),
+    )
+    tots = (
+        cw.agg(
+            F.sum("cp").cast("long").alias("tp_tok"),
+            F.sum("cf").cast("long").alias("tf_tok"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        )
+        .crossJoin(
+            labels.filter(F.col("doc_id") % 2 == 0).agg(
+                F.sum(F.when(F.col("passes"), 1).otherwise(0))
+                .cast("long")
+                .alias("np_docs"),
+                F.sum(F.when(F.col("passes"), 0).otherwise(1))
+                .cast("long")
+                .alias("nf_docs"),
+            )
+        )
+    )
+
+    def lp(cnt, tot_tok):
+        return F.round(
+            F.log(
+                (F.coalesce(cnt, F.lit(0)) + 1).cast("double")
+                / (tot_tok + F.col("v")).cast("double")
+            )
+            * 1_000_000
+        ).cast("long")
+
+    evalw = (
+        words.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    contrib = (
+        evalw.join(cw, "w", "left")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("k") * lp(F.col("cp"), F.col("tp_tok")))
+            .cast("long")
+            .alias("sp"),
+            F.sum(F.col("k") * lp(F.col("cf"), F.col("tf_tok")))
+            .cast("long")
+            .alias("sf"),
+        )
+    )
+    prior_p = F.round(
+        F.log(F.col("np_docs").cast("double") / (F.col("np_docs") + F.col("nf_docs")).cast("double"))
+        * 1_000_000
+    ).cast("long")
+    prior_f = F.round(
+        F.log(F.col("nf_docs").cast("double") / (F.col("np_docs") + F.col("nf_docs")).cast("double"))
+        * 1_000_000
+    ).cast("long")
+    scored = (
+        labels.filter(F.col("doc_id") % 2 == 1)
+        .join(contrib, "doc_id", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            F.col("passes").alias("truth"),
+            (prior_p + F.coalesce(F.col("sp"), F.lit(0))).alias("score_pass"),
+            (prior_f + F.coalesce(F.col("sf"), F.lit(0))).alias("score_fail"),
+        )
+    )
+    pred = F.col("score_pass") >= F.col("score_fail")
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.when(pred & F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(pred & ~F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~pred & F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~pred & ~F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+        F.floor(
+            F.lit(1000.0)
+            * F.sum(F.when(pred == F.col("truth"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("accuracy_permille"),
+    )

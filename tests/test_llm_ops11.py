@@ -506,3 +506,87 @@ def test_cusum_python_replay(spark):
         # CUSUM identity: the series ends at exactly zero (sums of
         # n*D - total telescope to total*D - total*D)
         assert series[-1][1] == 0
+
+
+# ----------------------------------------------------- NB distillation
+
+
+def test_nb_distill_full_python_replay(spark):
+    import math
+    import re as _re
+
+    # labels via the same rule implementation the query trains on
+    from sea_streamer_spark.operators.quality import gopher_quality_flags
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    labels = {
+        r["doc_id"]: r["passes"]
+        for r in gopher_quality_flags(docs).select("doc_id", "passes").collect()
+    }
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        d: [w for w in _re.split(r"\s+", x or "") if w]
+        for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    }
+    cw: dict = {}
+    np_docs = nf_docs = 0
+    for d, ws in toks.items():
+        if d % 2 == 0:
+            if labels[d]:
+                np_docs += 1
+            else:
+                nf_docs += 1
+            for w in ws:
+                e = cw.setdefault(w, [0, 0])
+                e[0 if labels[d] else 1] += 1
+    tp_tok = sum(e[0] for e in cw.values())
+    tf_tok = sum(e[1] for e in cw.values())
+    V = len(cw)
+    pp = round(math.log(np_docs / (np_docs + nf_docs)) * 1_000_000)
+    pf = round(math.log(nf_docs / (np_docs + nf_docs)) * 1_000_000)
+
+    def lp(c, tot):
+        return round(math.log((c + 1) / (tot + V)) * 1_000_000)
+
+    conf = [0, 0, 0, 0]  # tp fp fn tn
+    n_eval = 0
+    for d, ws in toks.items():
+        if d % 2 == 0:
+            continue
+        n_eval += 1
+        from collections import Counter
+
+        sp, sf_ = pp, pf
+        for w, k in Counter(ws).items():
+            c = cw.get(w, [0, 0])
+            sp += k * lp(c[0], tp_tok)
+            sf_ += k * lp(c[1], tf_tok)
+        pred = sp >= sf_
+        truth = labels[d]
+        if pred and truth:
+            conf[0] += 1
+        elif pred:
+            conf[1] += 1
+        elif truth:
+            conf[2] += 1
+        else:
+            conf[3] += 1
+    r = _run(spark, "quality_nb_distill_fidelity").collect()[0]
+    assert (r["n_eval"], r["tp"], r["fp"], r["fn"], r["tn"]) == (
+        n_eval, *conf
+    )
+    assert r["accuracy_permille"] == 1000 * (conf[0] + conf[3]) // n_eval
+
+
+def test_nb_distill_beats_majority_baseline(spark):
+    """The distilled model must carry signal: accuracy above the
+    majority-class baseline on the held-out half (if this fails, the
+    classifier learned nothing and the fidelity table would be
+    advertising noise). Checked at sf0.01 — at sf0.001 the 250-doc
+    training half genuinely undercuts the baseline (148 vs 154 correct),
+    which is the honest small-data reading the fidelity table exists to
+    surface, not a bug to paper over."""
+    r = _run(spark, "quality_nb_distill_fidelity", "/root/testdata/sf0.01").collect()[0]
+    n_pass = r["tp"] + r["fn"]
+    majority = max(n_pass, r["n_eval"] - n_pass)
+    assert (r["tp"] + r["tn"]) > majority
