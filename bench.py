@@ -327,6 +327,7 @@ def new_ops_metric(spark) -> dict:
         "privacy_k_anonymity_audit",
         "events_changepoint_cusum",
         "quality_nb_distill_fidelity",
+        "sketch_cms_error_eval",
     ):
         if name not in QUERIES:
             continue

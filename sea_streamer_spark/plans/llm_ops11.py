@@ -2268,3 +2268,96 @@ def quality_nb_distill_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("accuracy_permille"),
     )
+
+
+# ------------------------------------------------------- CMS error eval
+# Wave 14 — the measured-error discipline applied to the Count-Min
+# sketch (Cormode & Muthukrishnan 2005): for the corpus's heavy hitters,
+# exact count vs sketch estimate vs the one-sided overestimate. The CMS
+# guarantee (estimate ≥ exact always; overestimate ≤ εN w.h.p.) is the
+# kind of claim that silently erodes when someone changes the hash
+# family or width — this row set turns that into a value-hashed fact.
+
+
+def _build_cms_eval_oracle() -> str:
+    from ..operators.sketch import CMS_AB
+    from ..operators.text import MOD, duck_char_fold
+
+    width = 1024
+    ab_vals = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(CMS_AB))
+    return f"""
+    WITH wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w
+            FROM documents) WHERE len(w) > 0 GROUP BY w
+    ),
+    hh AS (SELECT w, c, {duck_char_fold('w')} AS h FROM wc),
+    ab(j, a, b) AS (VALUES {ab_vals}),
+    grid AS (
+      SELECT ab.j, ((ab.a * hh.h + ab.b) % {MOD}) % {width} AS k,
+             CAST(SUM(hh.c) AS BIGINT) AS cnt
+      FROM hh CROSS JOIN ab GROUP BY ab.j, k
+    ),
+    top AS (SELECT w, c, h FROM hh ORDER BY c DESC, w LIMIT 10),
+    est AS (
+      SELECT t.w, t.c, CAST(MIN(g.cnt) AS BIGINT) AS e
+      FROM top t CROSS JOIN ab
+      JOIN grid g ON g.j = ab.j
+        AND g.k = ((ab.a * t.h + ab.b) % {MOD}) % {width}
+      GROUP BY t.w, t.c
+    )
+    SELECT w AS word, c AS exact_count, e AS cms_estimate,
+           CAST(e - c AS BIGINT) AS overestimate
+    FROM est ORDER BY exact_count DESC, word"""
+
+
+@query(
+    "sketch_cms_error_eval",
+    oracle=_build_cms_eval_oracle(),
+    tags=("llm", "sketch", "eval"),
+)
+def sketch_cms_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch error eval (Cormode & Muthukrishnan 2005) on the
+    corpus's top-10 words: exact count, CMS estimate (depth 4 × width
+    1024, the operators/sketch.py defaults), and the one-sided
+    overestimate — which the CMS construction guarantees is ≥ 0 and
+    bounds by εN w.h.p. A red row here means the hash family, width, or
+    merge arithmetic drifted. The sketch is built DISTRIBUTED
+    (map-side-combined (row, bucket) aggregate, d·w-bounded collect) and
+    probed via the packed-row literal expression — the exact production
+    path; the oracle rebuilds the identical grid in SQL from the same
+    (a·h+b) % MOD % w family."""
+    from ..operators.sketch import cms_build, cms_estimate_expr
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("w")
+    )
+    model = cms_build(words, "w", width=1024)
+    top = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "w")
+        .limit(10)
+    )
+    return (
+        top.select(
+            F.col("w").alias("word"),
+            "exact_count",
+            cms_estimate_expr(model, F.col("w")).alias("cms_estimate"),
+        )
+        .select(
+            "word",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy(F.col("exact_count").desc(), "word")
+    )

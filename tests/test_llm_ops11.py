@@ -590,3 +590,65 @@ def test_nb_distill_beats_majority_baseline(spark):
     n_pass = r["tp"] + r["fn"]
     majority = max(n_pass, r["n_eval"] - n_pass)
     assert (r["tp"] + r["tn"]) > majority
+
+
+# ------------------------------------------------------- CMS error eval
+
+
+def test_cms_eval_python_replay(spark):
+    import re as _re
+    from collections import Counter
+
+    from sea_streamer_spark.operators.sketch import CMS_AB, CmsModel
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    wc: Counter = Counter()
+    for x in t.column("text").to_pylist():
+        for w in _re.split(r"\s+", x or ""):
+            if w:
+                wc[w] += 1
+    MOD = 1_000_000_007
+    width = 1024
+    grid = [[0] * width for _ in range(len(CMS_AB))]
+    for w, c in wc.items():
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % MOD
+        for j, (a, b) in enumerate(CMS_AB):
+            grid[j][((a * h + b) % MOD) % width] += c
+    model = CmsModel(width=width, grid=tuple(tuple(g) for g in grid))
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = _run(spark, "sketch_cms_error_eval").collect()
+    assert [
+        (r["word"], r["exact_count"], r["cms_estimate"], r["overestimate"])
+        for r in rows
+    ] == [(w, c, model.estimate(w), model.estimate(w) - c) for w, c in top]
+    # the CMS one-sided guarantee
+    for r in rows:
+        assert r["overestimate"] >= 0
+
+
+def test_cms_overestimates_under_forced_collisions(spark):
+    """The ≥ guarantee is vacuous when no buckets collide (31 words in
+    4096 counters) — force collisions with width=4 and assert a real,
+    still one-sided, overestimate appears."""
+    from sea_streamer_spark.operators.sketch import cms_build, cms_estimate_expr
+    from pyspark.sql import functions as F
+
+    # width=2 with 12 distinct keys: every row has >=6 keys per bucket,
+    # so NO key can be collision-free in any of the 4 rows — an
+    # overestimate is structurally unavoidable.
+    keys = [f"k{i}x" for i in range(12)]
+    words = spark.createDataFrame(
+        [(w,) for w in keys * 3 + ["heavy"] * 50], "w string"
+    )
+    model = cms_build(words, "w", width=2)
+    got = {
+        r["w"]: r["est"]
+        for r in words.distinct()
+        .select("w", cms_estimate_expr(model, F.col("w")).alias("est"))
+        .collect()
+    }
+    exact = {w: (50 if w == "heavy" else 3) for w in got}
+    assert all(got[w] >= exact[w] for w in got)
+    assert any(got[w] > exact[w] for w in got)  # collisions actually bit

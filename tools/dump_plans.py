@@ -86,7 +86,7 @@ SNAPSHOT_QUERIES = [
     "quality_selection_tradeoff", "text_rake_keywords",
     "embedding_binary_quantize_recall",
     "privacy_k_anonymity_audit", "events_changepoint_cusum",
-    "quality_nb_distill_fidelity",
+    "quality_nb_distill_fidelity", "sketch_cms_error_eval",
 ]
 
 
