@@ -328,6 +328,8 @@ def new_ops_metric(spark) -> dict:
         "events_changepoint_cusum",
         "quality_nb_distill_fidelity",
         "sketch_cms_error_eval",
+        "curation_temperature_sampling_plan",
+        "events_ab_srm_check",
     ):
         if name not in QUERIES:
             continue

@@ -2361,3 +2361,193 @@ def sketch_cms_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_count").desc(), "word")
     )
+
+
+# -------------------------------------- temperature sampling + SRM check
+# Wave 15 — two tables operational pipelines publish constantly: the
+# multilingual temperature-sampling plan (mT5 arXiv:2010.11934 §3.1 /
+# XLM-R arXiv:1911.02116: p_i ∝ share_i^α) and the A/B sample-ratio-
+# mismatch check (the chi-square guard every experimentation platform
+# runs BEFORE reading a z-statistic — a biased split invalidates
+# events_ab_conversion's readout).
+
+_TEMP_ALPHAS = (300, 700)  # α in permille: 0.3 (aggressive) and 0.7
+
+
+@query(
+    "curation_temperature_sampling_plan",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, CAST(SUM(len(list_filter(
+               string_split_regex(text, '\\s+'), w -> len(w) > 0)))
+             AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_total FROM per_src),
+    raw AS (
+      SELECT a.alpha, p.source, p.n_tokens, tot.n_total,
+             CAST(ROUND(exp((a.alpha / 1000.0)
+                  * ln(CAST(p.n_tokens AS DOUBLE) / tot.n_total))
+                  * 1000000000) AS BIGINT) AS raw_w
+      FROM per_src p
+      CROSS JOIN (VALUES {", ".join(f"({a})" for a in _TEMP_ALPHAS)})
+        AS a(alpha)
+      CROSS JOIN tot
+    ),
+    den AS (
+      SELECT alpha, CAST(SUM(raw_w) AS BIGINT) AS sum_raw
+      FROM raw GROUP BY alpha
+    )
+    SELECT CAST(r.alpha AS BIGINT) AS alpha_permille, r.source, r.n_tokens,
+           CAST(FLOOR(1000.0 * r.n_tokens / r.n_total) AS BIGINT)
+             AS share_permille,
+           CAST(FLOOR(1000.0 * r.raw_w / d.sum_raw) AS BIGINT)
+             AS weight_permille,
+           CAST(FLOOR(1000000.0 * r.raw_w * r.n_total / d.sum_raw
+                      / r.n_tokens) AS BIGINT) AS upsample_micro
+    FROM raw r JOIN den d USING (alpha)
+    ORDER BY alpha_permille, source
+    """,
+    tags=("llm", "curation"),
+)
+def curation_temperature_sampling_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based source sampling plan (the mT5/XLM-R scheme:
+    sampling probability ∝ natural share^α): per source and per α ∈
+    {0.3, 0.7}, the natural token share, the renormalized sampling
+    weight, and the effective upsample factor weight/share — the table
+    that shows exactly how hard each tail source gets boosted before
+    anyone commits to a mixture. Determinism: the ONLY float per row is
+    share^α = exp(α·ln share), micro-rounded to an integer raw weight
+    per source; the denominator is then an INTEGER sum (order-free) and
+    every output column is integer arithmetic on top — the same
+    one-float-then-fixed-point recipe as the LM scorers. Bounded
+    relations end-to-end: one source rollup, a ×2 α explode of the
+    20-row source dimension."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    per_src = docs.groupBy("source").agg(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                    lambda x: F.length(x) > 0,
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_tokens")
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("long").alias("n_total"))
+    alphas = spark.createDataFrame(
+        [(a,) for a in _TEMP_ALPHAS], "alpha long"
+    )
+    raw = (
+        per_src.crossJoin(F.broadcast(alphas))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "alpha",
+            "source",
+            "n_tokens",
+            "n_total",
+            F.round(
+                F.exp(
+                    (F.col("alpha") / 1000.0)
+                    * F.log(
+                        F.col("n_tokens").cast("double") / F.col("n_total")
+                    )
+                )
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("raw_w"),
+        )
+    )
+    den = raw.groupBy("alpha").agg(
+        F.sum("raw_w").cast("long").alias("sum_raw")
+    )
+    return (
+        raw.join(F.broadcast(den), "alpha")
+        .select(
+            F.col("alpha").alias("alpha_permille"),
+            "source",
+            "n_tokens",
+            F.floor(F.lit(1000.0) * F.col("n_tokens") / F.col("n_total"))
+            .cast("long")
+            .alias("share_permille"),
+            F.floor(F.lit(1000.0) * F.col("raw_w") / F.col("sum_raw"))
+            .cast("long")
+            .alias("weight_permille"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("raw_w")
+                * F.col("n_total")
+                / F.col("sum_raw")
+                / F.col("n_tokens")
+            )
+            .cast("long")
+            .alias("upsample_micro"),
+        )
+        .orderBy("alpha_permille", "source")
+    )
+
+
+@query(
+    "events_ab_srm_check",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(md5(CAST(user_id AS VARCHAR)), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 2 AS arm FROM u)
+    )
+    SELECT n_a, n_b, CAST(n_a - n_b AS BIGINT) AS delta,
+           CAST(FLOOR(1000000.0 * (n_a - n_b) * (n_a - n_b) / (n_a + n_b))
+             AS BIGINT) AS chi2_micro,
+           FLOOR(1000000.0 * (n_a - n_b) * (n_a - n_b) / (n_a + n_b))
+             > 3841459 AS srm_flag
+    FROM arms
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the A/B split (the chi-square
+    guard run BEFORE reading events_ab_conversion's z — a biased
+    assignment invalidates any downstream readout): users assigned by
+    the SAME portable bucket hash as the conversion query, per-arm user
+    counts, and the 1-df chi-square statistic against the designed 50/50
+    split (for two cells it reduces exactly to (n_a−n_b)²/(n_a+n_b)),
+    flagged at the 0.05 critical value 3.841459. Counts are integers;
+    the statistic is one fixed-order double expression micro-floored.
+    One distinct-users aggregate; a single output row."""
+    from ..operators.curation import split_bucket
+
+    ev = load_tables(spark, sf_dir, "events").events
+    arms = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("arm", split_bucket("user_id", 2))
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    chi2 = F.floor(
+        F.lit(1_000_000.0)
+        * (F.col("n_a") - F.col("n_b"))
+        * (F.col("n_a") - F.col("n_b"))
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        (F.col("n_a") - F.col("n_b")).cast("long").alias("delta"),
+        chi2.cast("long").alias("chi2_micro"),
+        (chi2 > 3_841_459).alias("srm_flag"),
+    )

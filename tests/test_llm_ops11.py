@@ -652,3 +652,78 @@ def test_cms_overestimates_under_forced_collisions(spark):
     exact = {w: (50 if w == "heavy" else 3) for w in got}
     assert all(got[w] >= exact[w] for w in got)
     assert any(got[w] > exact[w] for w in got)  # collisions actually bit
+
+
+# ----------------------------------------- temperature plan + SRM check
+
+
+def test_temperature_plan_python_replay_and_properties(spark):
+    import math
+    import re as _re
+    from collections import Counter
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+    per_src: Counter = Counter()
+    for s, x in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+        per_src[s] += len([w for w in _re.split(r"\s+", x or "") if w])
+    N = sum(per_src.values())
+    rows = _run(spark, "curation_temperature_sampling_plan").collect()
+    for alpha in (300, 700):
+        raw = {
+            s: round(math.exp((alpha / 1000.0) * math.log(n / N)) * 1_000_000_000)
+            for s, n in per_src.items()
+        }
+        sr = sum(raw.values())
+        sub = [r for r in rows if r["alpha_permille"] == alpha]
+        assert len(sub) == len(per_src)
+        for r in sub:
+            s = r["source"]
+            assert r["n_tokens"] == per_src[s]
+            assert r["share_permille"] == math.floor(1000.0 * per_src[s] / N)
+            assert r["weight_permille"] == math.floor(1000.0 * raw[s] / sr)
+            assert r["upsample_micro"] == math.floor(
+                1_000_000.0 * raw[s] * N / sr / per_src[s]
+            )
+        # the temperature property: smaller α boosts the SMALLEST source
+        # harder (upsample above 1.0) and caps the largest below 1.0
+        small = min(per_src, key=lambda s: (per_src[s], s))
+        big = max(per_src, key=lambda s: (per_src[s], s))
+        by_src = {r["source"]: r for r in sub}
+        assert by_src[small]["upsample_micro"] >= 1_000_000
+        assert by_src[big]["upsample_micro"] <= 1_000_000
+
+
+def test_temperature_alpha_ordering(spark):
+    # α=0.3 flattens harder than α=0.7: the small-source upsample factor
+    # must be at least as large at 0.3.
+    rows = _run(spark, "curation_temperature_sampling_plan").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], {})[r["alpha_permille"]] = r["upsample_micro"]
+    small = min(per, key=lambda s: [r["n_tokens"] for r in rows if r["source"] == s][0])
+    assert per[small][300] >= per[small][700]
+
+
+def test_srm_consistent_with_ab_conversion_arms(spark):
+    """Same hash, same arms: recompute the user split with split_bucket
+    directly and match the SRM counts; chi2 must be the exact reduced
+    two-cell form."""
+    from pyspark.sql import functions as F
+
+    from sea_streamer_spark.operators.curation import split_bucket
+    from sea_streamer_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, SF, "events").events
+    arms = (
+        ev.select("user_id").distinct().withColumn("arm", split_bucket("user_id", 2))
+    )
+    n_a = arms.filter("arm = 0").count()
+    n_b = arms.filter("arm = 1").count()
+    r = _run(spark, "events_ab_srm_check").collect()[0]
+    assert (r["n_a"], r["n_b"], r["delta"]) == (n_a, n_b, n_a - n_b)
+    import math
+
+    assert r["chi2_micro"] == math.floor(
+        1_000_000.0 * (n_a - n_b) * (n_a - n_b) / (n_a + n_b)
+    )
+    assert r["srm_flag"] == (r["chi2_micro"] > 3_841_459)

@@ -87,6 +87,7 @@ SNAPSHOT_QUERIES = [
     "embedding_binary_quantize_recall",
     "privacy_k_anonymity_audit", "events_changepoint_cusum",
     "quality_nb_distill_fidelity", "sketch_cms_error_eval",
+    "curation_temperature_sampling_plan", "events_ab_srm_check",
 ]
 
 
