@@ -330,6 +330,7 @@ def new_ops_metric(spark) -> dict:
         "sketch_cms_error_eval",
         "curation_temperature_sampling_plan",
         "events_ab_srm_check",
+        "text_source_jsd_matrix",
     ):
         if name not in QUERIES:
             continue

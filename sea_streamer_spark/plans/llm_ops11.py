@@ -2551,3 +2551,125 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.cast("long").alias("chi2_micro"),
         (chi2 > 3_841_459).alias("srm_flag"),
     )
+
+
+# --------------------------------------------------------- source JSD
+# Wave 16 — Jensen-Shannon divergence between source unigram
+# distributions (Lin 1991): the distribution-shift matrix that says
+# which sources are stylistically interchangeable and which bring new
+# mass — the statistical companion to curation_source_overlap_matrix
+# (which sees literal near-dups only). Closed-form split keeps every
+# float bounded to ONE rounding site: intersection terms contribute
+# f(p,q) = (p/2)ln(p/m) + (q/2)ln(q/m) micro-rounded PER TERM (integer
+# sum, order-free); the disjoint tails contribute exactly
+# (ln2/2)(2 − Σ∩p − Σ∩q) where Σ∩p, Σ∩q are RATIONAL (integer count
+# sums over the intersection / source totals), rounded once.
+
+_LN2 = 0.6931471805599453  # shared literal — no engine computes ln(2)
+
+
+@query(
+    "text_source_jsd_matrix",
+    oracle=f"""
+    WITH cs AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest(string_split_regex(text, '\\s+')) AS w
+            FROM documents) WHERE len(w) > 0 GROUP BY source, w
+    ),
+    nt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cs GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+             CAST(SUM(a.c) AS BIGINT) AS ia, CAST(SUM(b.c) AS BIGINT) AS ib,
+             CAST(SUM(CAST(ROUND((
+               (CAST(a.c AS DOUBLE) / na.n / 2)
+                 * ln((CAST(a.c AS DOUBLE) / na.n)
+                      / ((CAST(a.c AS DOUBLE) / na.n
+                          + CAST(b.c AS DOUBLE) / nb.n) / 2))
+               + (CAST(b.c AS DOUBLE) / nb.n / 2)
+                 * ln((CAST(b.c AS DOUBLE) / nb.n)
+                      / ((CAST(a.c AS DOUBLE) / na.n
+                          + CAST(b.c AS DOUBLE) / nb.n) / 2))
+             ) * 1000000) AS BIGINT)) AS BIGINT) AS jsd_core_micro,
+             CAST(MAX(na.n) AS BIGINT) AS n_a, CAST(MAX(nb.n) AS BIGINT) AS n_b
+      FROM cs a JOIN cs b ON a.w = b.w AND a.source < b.source
+      JOIN nt na ON na.source = a.source
+      JOIN nt nb ON nb.source = b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, n_shared_terms,
+           CAST(jsd_core_micro + CAST(ROUND({_LN2} / 2
+                * (2.0 - CAST(ia AS DOUBLE) / n_a - CAST(ib AS DOUBLE) / n_b)
+                * 1000000) AS BIGINT) AS BIGINT) AS jsd_micro
+    FROM inter ORDER BY source_a, source_b
+    """,
+    tags=("llm", "text", "curation"),
+)
+def text_source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every source pair's unigram
+    distribution (Lin 1991; 0 = identical, ln 2 = disjoint): the
+    which-sources-are-interchangeable matrix a mixture designer reads
+    next to the near-dup overlap matrix. Exactness recipe: intersection
+    terms are micro-rounded per (pair, term) and integer-summed; the
+    disjoint-tail mass needs NO per-term floats at all — it reduces to
+    (ln2/2)·(2 − Σ∩p − Σ∩q) with the sums exact rationals from integer
+    counts, rounded once, and ln 2 is a shared literal so no engine's
+    ln(2) is ever consulted.
+
+    Plan, 100 TB-first: one (source, word) count aggregation; the pair
+    relation is a term-keyed equi-join (never source × source × vocab);
+    per-pair volume is intersection size, bounded by vocabulary."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    cs = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    nt = cs.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a = cs.select(
+        F.col("source").alias("source_a"), "w", F.col("c").alias("ca")
+    ).join(F.broadcast(nt.select(F.col("source").alias("source_a"), F.col("n").alias("na"))), "source_a")
+    b = cs.select(
+        F.col("source").alias("source_b"), "w", F.col("c").alias("cb")
+    ).join(F.broadcast(nt.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))), "source_b")
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+    m = (F.col("ca").cast("double") / F.col("na") + F.col("cb").cast("double") / F.col("nb")) / 2
+    term = F.round(((p / 2) * F.log(p / m) + (q / 2) * F.log(q / m)) * 1_000_000).cast("long")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.sum("ca").cast("long").alias("ia"),
+            F.sum("cb").cast("long").alias("ib"),
+            F.sum(term).cast("long").alias("jsd_core_micro"),
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+        )
+    )
+    tail = F.round(
+        F.lit(_LN2)
+        / 2
+        * (
+            F.lit(2.0)
+            - F.col("ia").cast("double") / F.col("n_a")
+            - F.col("ib").cast("double") / F.col("n_b")
+        )
+        * 1_000_000
+    ).cast("long")
+    return inter.select(
+        "source_a",
+        "source_b",
+        "n_shared_terms",
+        (F.col("jsd_core_micro") + tail).cast("long").alias("jsd_micro"),
+    ).orderBy("source_a", "source_b")

@@ -727,3 +727,51 @@ def test_srm_consistent_with_ab_conversion_arms(spark):
         1_000_000.0 * (n_a - n_b) * (n_a - n_b) / (n_a + n_b)
     )
     assert r["srm_flag"] == (r["chi2_micro"] > 3_841_459)
+
+
+# -------------------------------------------------------- source JSD
+
+
+def test_jsd_full_python_replay_and_bounds(spark):
+    import math
+    import re as _re
+    from collections import Counter, defaultdict as dd
+
+    LN2 = 0.6931471805599453
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+    cs: dict = dd(Counter)
+    for s, x in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+        for w in _re.split(r"\s+", x or ""):
+            if w:
+                cs[s][w] += 1
+    nt = {s: sum(c.values()) for s, c in cs.items()}
+    exp = {}
+    srcs = sorted(cs)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            inter = set(cs[sa]) & set(cs[sb])
+            core = 0
+            ia = ib = 0
+            for w in inter:
+                p = cs[sa][w] / nt[sa]
+                q = cs[sb][w] / nt[sb]
+                m = (p + q) / 2
+                core += round(
+                    ((p / 2) * math.log(p / m) + (q / 2) * math.log(q / m))
+                    * 1_000_000
+                )
+                ia += cs[sa][w]
+                ib += cs[sb][w]
+            tail = round(
+                LN2 / 2 * (2.0 - ia / nt[sa] - ib / nt[sb]) * 1_000_000
+            )
+            exp[(sa, sb)] = (len(inter), core + tail)
+    rows = _run(spark, "text_source_jsd_matrix").collect()
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_shared_terms"], r["jsd_micro"])
+        for r in rows
+    }
+    assert got == exp
+    # JSD bounds: 0 <= JSD <= ln 2 (micro, with rounding slack)
+    for _pair, (_n, j) in got.items():
+        assert -2 <= j <= round(LN2 * 1_000_000) + 2
