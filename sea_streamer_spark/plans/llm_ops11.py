@@ -470,19 +470,25 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. Complements MinHash-LSH (whole-doc similarity) and
     maximal_duplicate_spans (exact substrings): winnowing is the
     sketch-grain middle — positional, hash-local, and cheap."""
+    from pyspark.sql import Window
+
     docs = load_tables(spark, sf_dir, "documents").documents
     ph = (
         _winnow_prints_df(docs.select("doc_id", "text"))
         .select("doc_id", "fp_h")
         .distinct()
     )
-    ok = (
-        ph.groupBy("fp_h")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # df as a window over ph, NOT a second aggregation joined back: the
+    # joined-back shape re-evaluates the whole winnow chain for the ok
+    # branch (measured: 3 chain evaluations, 6 Generates), while the
+    # window keeps it at one — the search_bm25_topk df-as-window posture.
+    phk = (
+        ph.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("fp_h"))
+        )
         .filter((F.col("df") >= 2) & (F.col("df") <= _WIN_MAX_DF))
-        .select("fp_h")
+        .drop("df")
     )
-    phk = ph.join(ok, "fp_h")
     a = phk.select(F.col("fp_h"), F.col("doc_id").alias("doc_a"))
     b = phk.select(F.col("fp_h"), F.col("doc_id").alias("doc_b"))
     return (
@@ -1419,13 +1425,25 @@ def dedup_winnowing_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     t = load_tables(spark, sf_dir, "documents")
-    exact = D.jaccard_pairs(t.documents, threshold=0.5).select(
-        "doc_a", "doc_b"
+    # Both pair relations are tiny (duplication-bounded) but EXPENSIVE to
+    # produce (full shingle self-join / winnow chain), and three actions
+    # would evaluate each chain twice — cache for the query's lifetime and
+    # release before returning (the r7 no-leaked-caches discipline).
+    exact = (
+        D.jaccard_pairs(t.documents, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .cache()
     )
-    wpairs = dedup_winnowing_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    n_exact = exact.count()
-    n_win = wpairs.count()
-    n_common = exact.join(wpairs, ["doc_a", "doc_b"]).count()
+    wpairs = (
+        dedup_winnowing_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    )
+    try:
+        n_exact = exact.count()
+        n_win = wpairs.count()
+        n_common = exact.join(wpairs, ["doc_a", "doc_b"]).count()
+    finally:
+        exact.unpersist()
+        wpairs.unpersist()
     recall = (1000 * n_common) // n_exact if n_exact else 1000
     precision = (1000 * n_common) // n_win if n_win else 1000
     return spark.createDataFrame(
