@@ -331,6 +331,7 @@ def new_ops_metric(spark) -> dict:
         "curation_temperature_sampling_plan",
         "events_ab_srm_check",
         "text_source_jsd_matrix",
+        "graph_harmonic_centrality",
     ):
         if name not in QUERIES:
             continue

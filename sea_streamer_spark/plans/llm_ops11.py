@@ -2691,3 +2691,79 @@ def text_source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared_terms",
         (F.col("jsd_core_micro") + tail).cast("long").alias("jsd_micro"),
     ).orderBy("source_a", "source_b")
+
+
+# ------------------------------------------------------------- harmonic
+# Wave 17 — harmonic centrality over the near-dup graph (Boldi & Vigna
+# 2014, the axiomatically-sound centrality; completes the graph family:
+# CC → representatives, PageRank → influence, triangles → cohesion,
+# BFS → eccentricity, k-core → density, THIS → closeness-with-axioms).
+# In dedup terms: a high-harmonic document sits near everything in a
+# duplication family — the natural canonical-representative score.
+
+
+def _build_harmonic_oracle() -> str:
+    from .llm_ops import DUCK_SHINGLE_SETS
+
+    return f"""
+    WITH RECURSIVE {DUCK_SHINGLE_SETS},
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    bfs(s, n, d) AS (
+      SELECT u, v, 1 FROM e
+      UNION
+      SELECT b.s, e.v, b.d + 1 FROM bfs b JOIN e ON e.u = b.n
+      WHERE b.d < 8 AND e.v <> b.s
+    ),
+    md AS (SELECT s, n, MIN(d) AS d FROM bfs GROUP BY s, n)
+    SELECT n AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_reachable,
+           CAST(SUM(CAST(ROUND(1000000.0 / d) AS BIGINT)) AS BIGINT)
+             AS harmonic_micro
+    FROM md GROUP BY n ORDER BY doc_id"""
+
+
+@query(
+    "graph_harmonic_centrality",
+    oracle=_build_harmonic_oracle(),
+    tags=("llm", "dedup", "graph"),
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality per document over the near-dup graph (Boldi &
+    Vigna 2014: H(v) = Σ 1/d(u,v) — the centrality satisfying all their
+    axioms, robust to disconnected graphs where closeness is not): the
+    natural canonical-representative score inside duplication families.
+    Distances by multi-source frontier expansion capped at 8 hops
+    (near-dup components have diameter 1-3; the >8-hop contribution is
+    < 0.125 per pair, stated); reciprocals are micro-rounded per pair
+    (exact integers for every d) and summed order-free, so the driver
+    hash pins the full distance structure. Only docs with ≥1 near-dup
+    edge appear (isolated docs have H = 0 by definition and would bloat
+    the relation with zeros).
+
+    Plan: the LSH pair list symmetrized once; each BFS round is ONE
+    (frontier ⋈ edges) join + a (s, n)-keyed min — all graph-sized, the
+    corpus is never touched after candidate generation. The DuckDB
+    oracle replays the identical capped BFS as a recursive CTE."""
+    from ..operators import dedup as D
+    from ..operators.graph import harmonic_centrality
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.5).select("doc_a", "doc_b")
+    return (
+        harmonic_centrality(pairs)
+        .select(
+            F.col("node").alias("doc_id"), "n_reachable", "harmonic_micro"
+        )
+        .orderBy("doc_id")
+    )

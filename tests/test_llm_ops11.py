@@ -775,3 +775,64 @@ def test_jsd_full_python_replay_and_bounds(spark):
     # JSD bounds: 0 <= JSD <= ln 2 (micro, with rounding slack)
     for _pair, (_n, j) in got.items():
         assert -2 <= j <= round(LN2 * 1_000_000) + 2
+
+
+# ----------------------------------------------------- harmonic centrality
+
+
+def test_harmonic_python_replay(spark):
+    """Recompute H(v) in python from the pairs the LSH query itself
+    emits (BFS over the same edges, same 8-hop cap, same micro
+    reciprocals)."""
+    from collections import deque, defaultdict as dd
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in _run(spark, "dedup_minhash_lsh").select("doc_a", "doc_b").collect()
+    ]
+    adj = dd(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    exp = {}
+    for s in adj:
+        seen = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if seen[u] >= 8:
+                continue
+            for v in adj[u]:
+                if v not in seen:
+                    seen[v] = seen[u] + 1
+                    q.append(v)
+        for n, d in seen.items():
+            if n != s:
+                e = exp.setdefault(n, [0, 0])
+                e[0] += 1
+                e[1] += round(1_000_000.0 / d)
+    rows = _run(spark, "graph_harmonic_centrality").collect()
+    got = {r["doc_id"]: [r["n_reachable"], r["harmonic_micro"]] for r in rows}
+    assert got == exp
+
+
+def test_harmonic_clique_and_path_semantics():
+    """On a crafted graph: in a k-clique every node has H = k-1 (all at
+    distance 1); on a path the center beats the ends."""
+    from pyspark.sql import SparkSession
+
+    from sea_streamer_spark.operators.graph import harmonic_centrality
+
+    spark = SparkSession.getActiveSession()
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    path = [(10, 11), (11, 12), (12, 13), (13, 14)]
+    edges = spark.createDataFrame(clique + path, "doc_a long, doc_b long")
+    got = {
+        r["node"]: (r["n_reachable"], r["harmonic_micro"])
+        for r in harmonic_centrality(edges).collect()
+    }
+    for v in range(4):
+        assert got[v] == (3, 3_000_000)
+    # path 10-11-12-13-14: center 12 reaches all at d<=2
+    assert got[12] == (4, 2 * 1_000_000 + 2 * 500_000)
+    assert got[10][1] < got[11][1] < got[12][1]

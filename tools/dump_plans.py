@@ -88,7 +88,7 @@ SNAPSHOT_QUERIES = [
     "privacy_k_anonymity_audit", "events_changepoint_cusum",
     "quality_nb_distill_fidelity", "sketch_cms_error_eval",
     "curation_temperature_sampling_plan", "events_ab_srm_check",
-    "text_source_jsd_matrix",
+    "text_source_jsd_matrix", "graph_harmonic_centrality",
 ]
 
 
