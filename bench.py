@@ -332,6 +332,7 @@ def new_ops_metric(spark) -> dict:
         "events_ab_srm_check",
         "text_source_jsd_matrix",
         "graph_harmonic_centrality",
+        "text_burrows_delta_matrix",
     ):
         if name not in QUERIES:
             continue

@@ -2767,3 +2767,159 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -------------------------------------------------------- Burrows' Delta
+# Wave 18 — Burrows' Delta (Burrows 2002, "'Delta': a Measure of
+# Stylistic Difference"; Evert et al. 2017 for the modern formulation):
+# the stylometric distance between sources over the z-scored relative
+# frequencies of the most frequent words. Complements
+# text_source_jsd_matrix: JSD sees raw distribution mass, Delta
+# normalizes each word by its cross-source dispersion, which is what
+# makes it the standard authorship/register signal. Fixed-point recipe:
+# ONE rounding per (source, word) relative frequency, ONE per-word
+# rounded sqrt for the dispersion, ONE rounding per z-score — every
+# aggregation in between is exact integer arithmetic (n·S2 − S1² is n²
+# times the variance of the integer micro frequencies).
+
+_DELTA_TOP_WORDS = 20
+
+
+def _build_burrows_oracle() -> str:
+    n = "(SELECT CAST(COUNT(*) AS BIGINT) FROM srcs)"
+    return f"""
+    WITH cs AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest(string_split_regex(text, '\\s+')) AS w
+            FROM documents) WHERE len(w) > 0 GROUP BY source, w
+    ),
+    srcs AS (SELECT DISTINCT source FROM cs),
+    nt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cs GROUP BY source),
+    topw AS (
+      SELECT w FROM (SELECT w, SUM(c) AS tc FROM cs GROUP BY w
+                     ORDER BY tc DESC, w LIMIT {_DELTA_TOP_WORDS})
+    ),
+    fm AS (
+      SELECT s.source, t.w,
+             CAST(ROUND(1000000.0 * COALESCE(cs.c, 0) / nt.n) AS BIGINT)
+               AS f
+      FROM srcs s CROSS JOIN topw t
+      LEFT JOIN cs ON cs.source = s.source AND cs.w = t.w
+      JOIN nt ON nt.source = s.source
+    ),
+    ws AS (
+      SELECT w, CAST(SUM(f) AS BIGINT) AS s1,
+             CAST(SUM(f * f) AS BIGINT) AS s2
+      FROM fm GROUP BY w
+    ),
+    z AS (
+      SELECT fm.source, fm.w,
+             CASE WHEN {n} * ws.s2 - ws.s1 * ws.s1 = 0 THEN 0
+                  ELSE CAST(ROUND(1000.0 * ({n} * fm.f - ws.s1)
+                       / CAST(ROUND(SQRT(CAST({n} * ws.s2
+                              - ws.s1 * ws.s1 AS DOUBLE))) AS BIGINT))
+                       AS BIGINT) END AS zm
+      FROM fm JOIN ws USING (w)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(abs(a.zm - b.zm)) // {_DELTA_TOP_WORDS} AS BIGINT)
+             AS delta_milli
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY a.source, b.source ORDER BY source_a, source_b"""
+
+
+@query(
+    "text_burrows_delta_matrix",
+    oracle=_build_burrows_oracle(),
+    tags=("llm", "text", "curation"),
+)
+def text_burrows_delta_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every source pair (Burrows 2002): mean
+    |z_a − z_b| over the z-scored relative frequencies of the top-20
+    corpus words — the classic stylometric register/authorship distance,
+    dispersion-normalized where text_source_jsd_matrix is raw-mass. Every
+    float is a single defined rounding site (per-cell relative frequency
+    micro, per-word rounded sqrt of the exact integer n·S2 − S1², per-cell
+    z milli); all sums are integer, so the 190-row matrix is hash-stable.
+    Zero-dispersion words (identical frequency everywhere) contribute
+    z = 0 by the stated rule.
+
+    Plan: one (source, word) count, a 20-row broadcast top-word list, a
+    (source × topw) frame of 400 cells, and a word-keyed pair join —
+    dimension-sized end to end after the first aggregation."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    cs = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    nt = cs.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    topw = (
+        cs.groupBy("w")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), "w")
+        .limit(_DELTA_TOP_WORDS)
+        .select("w")
+    )
+    srcs = cs.select("source").distinct()
+    n_src = F.col("n_src")
+    fm = (
+        srcs.crossJoin(F.broadcast(topw))
+        .join(cs, ["source", "w"], "left")
+        .join(F.broadcast(nt), "source")
+        .crossJoin(
+            F.broadcast(srcs.agg(F.count(F.lit(1)).cast("long").alias("n_src")))
+        )
+        .select(
+            "source",
+            "w",
+            "n_src",
+            F.round(
+                F.lit(1_000_000.0) * F.coalesce(F.col("c"), F.lit(0)) / F.col("n")
+            )
+            .cast("long")
+            .alias("f"),
+        )
+    )
+    ws = fm.groupBy("w", "n_src").agg(
+        F.sum("f").cast("long").alias("s1"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("s2"),
+    )
+    var_scaled = n_src * F.col("s2") - F.col("s1") * F.col("s1")
+    std_r = F.round(F.sqrt(var_scaled.cast("double"))).cast("long")
+    z = fm.join(ws, ["w", "n_src"]).select(
+        "source",
+        "w",
+        F.when(var_scaled == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.round(
+                F.lit(1000.0) * (n_src * F.col("f") - F.col("s1")) / std_r
+            ).cast("long")
+        )
+        .alias("zm"),
+    )
+    a = z.select(F.col("source").alias("source_a"), "w", F.col("zm").alias("za"))
+    b = z.select(F.col("source").alias("source_b"), "w", F.col("zm").alias("zb"))
+    return (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.floor(
+                F.sum(F.abs(F.col("za") - F.col("zb"))) / _DELTA_TOP_WORDS
+            )
+            .cast("long")
+            .alias("delta_milli")
+        )
+        .orderBy("source_a", "source_b")
+    )

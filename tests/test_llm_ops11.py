@@ -836,3 +836,49 @@ def test_harmonic_clique_and_path_semantics():
     # path 10-11-12-13-14: center 12 reaches all at d<=2
     assert got[12] == (4, 2 * 1_000_000 + 2 * 500_000)
     assert got[10][1] < got[11][1] < got[12][1]
+
+
+# ------------------------------------------------------- Burrows' Delta
+
+
+def test_burrows_delta_python_replay(spark):
+    import math
+    import re as _re
+    from collections import Counter, defaultdict as dd
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+    cs: dict = dd(Counter)
+    for s, x in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+        for w in _re.split(r"\s+", x or ""):
+            if w:
+                cs[s][w] += 1
+    nt = {s: sum(c.values()) for s, c in cs.items()}
+    total: Counter = Counter()
+    for c in cs.values():
+        total.update(c)
+    topw = [w for w, _c in sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:20]]
+    srcs = sorted(cs)
+    n = len(srcs)
+    f = {
+        (s, w): round(1_000_000.0 * cs[s][w] / nt[s]) for s in srcs for w in topw
+    }
+    z = {}
+    for w in topw:
+        s1 = sum(f[(s, w)] for s in srcs)
+        s2 = sum(f[(s, w)] ** 2 for s in srcs)
+        var = n * s2 - s1 * s1
+        std_r = round(math.sqrt(var)) if var else 0
+        for s in srcs:
+            z[(s, w)] = (
+                0 if var == 0 else round(1000.0 * (n * f[(s, w)] - s1) / std_r)
+            )
+    exp = {}
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            exp[(sa, sb)] = (
+                sum(abs(z[(sa, w)] - z[(sb, w)]) for w in topw) // 20
+            )
+    rows = _run(spark, "text_burrows_delta_matrix").collect()
+    got = {(r["source_a"], r["source_b"]): r["delta_milli"] for r in rows}
+    assert got == exp
+    assert all(v >= 0 for v in got.values())

@@ -89,6 +89,7 @@ SNAPSHOT_QUERIES = [
     "quality_nb_distill_fidelity", "sketch_cms_error_eval",
     "curation_temperature_sampling_plan", "events_ab_srm_check",
     "text_source_jsd_matrix", "graph_harmonic_centrality",
+    "text_burrows_delta_matrix",
 ]
 
 
