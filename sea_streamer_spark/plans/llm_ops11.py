@@ -1979,8 +1979,9 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(MIN(CASE WHEN a = amax THEN day END), '%Y-%m-%d')
              AS changepoint_day,
            CAST(MAX(amax) AS BIGINT) AS max_abs_cusum,
-           CAST(MAX(CASE WHEN a = amax THEN CASE WHEN s > 0 THEN 1
-                WHEN s < 0 THEN -1 ELSE 0 END END) AS BIGINT) AS direction
+           CAST(arg_min(CASE WHEN a = amax THEN CASE WHEN s > 0 THEN 1
+                  WHEN s < 0 THEN -1 ELSE 0 END END,
+                CASE WHEN a = amax THEN day END) AS BIGINT) AS direction
     FROM mx GROUP BY event_type ORDER BY event_type
     """,
     tags=("events", "profile"),
@@ -1992,7 +1993,10 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic throughout: deviations are scaled by the day
     count (n·D − total, an integer) instead of subtracting a float mean,
     so the running sum, its argmax, and the direction sign are
-    hash-stable in every engine. Earliest peak day wins ties.
+    hash-stable in every engine. Earliest peak day wins ties, and the
+    reported direction is the sign AT that same earliest-peak row
+    (min_by/arg_min over peak rows — r8 ADVICE: MAX(sign) over all peak
+    days could describe a different day than the reported one).
 
     Plan: one (type, day) aggregation, a per-type totals join, one
     type-keyed ordered window over the DAYS dimension (bounded by the
@@ -2040,8 +2044,8 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "changepoint_day"
             ),
             F.max("amax").cast("long").alias("max_abs_cusum"),
-            F.max(
-                F.when(F.col("a") == F.col("amax"), sgn)
+            F.min_by(
+                F.when(F.col("a") == F.col("amax"), sgn), at_peak
             ).cast("long").alias("direction"),
         )
         .orderBy("event_type")

@@ -1,5 +1,5 @@
 """LLM-pipeline queries, part 4 (registered late in round 3, ranked AFTER
-the driver's 50-query backlog window — see plans/queries.py `_POST_BUDGET`):
+the driver's 50-query backlog window — since r9, ordering is loader-derived in plans/queries.py):
 exact-substring dedup coverage, Bloom-gated incremental dedup, the corpus
 char-bigram LM quality score, and PCA-whitening projection.
 

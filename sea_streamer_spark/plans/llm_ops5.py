@@ -1,5 +1,5 @@
 """LLM-pipeline queries, part 5 (round-3 continuation wave; ranked in
-`plans/queries.py:_POST_BUDGET` behind the frozen 50-query driver backlog,
+plans/queries.py (loader-derived ordering since r9) behind the frozen 50-query driver backlog,
 like llm_ops4's tail).
 
 Determinism conventions as parts 3/4: integer arithmetic wherever a value

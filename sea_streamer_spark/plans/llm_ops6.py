@@ -1,5 +1,5 @@
 """LLM-pipeline queries, part 6 (round-3 official wave; ranked after the
-driver's 50-query backlog window — see plans/queries.py `_POST_BUDGET`):
+driver's 50-query backlog window — since r9, ordering is loader-derived in plans/queries.py):
 web-corpus curation realism — HTML boilerplate extraction, URL
 normalization + registrable-domain stats, and Falcon-style corpus-wide
 line-level dedup.

@@ -494,10 +494,12 @@ def test_cusum_python_replay(spark):
             series.append((day, s))
         amax = max(abs(s) for _d, s in series)
         peak_day = min(d for d, s in series if abs(s) == amax)
-        direction = max(
+        # direction = sign AT the reported (earliest) peak day, not
+        # MAX(sign) over all peak days (r8 ADVICE fix, round 9)
+        direction = next(
             (1 if s > 0 else -1 if s < 0 else 0)
-            for _d, s in series
-            if abs(s) == amax
+            for d, s in series
+            if d == peak_day
         )
         r = rows[et]
         assert r["changepoint_day"] == peak_day.strftime("%Y-%m-%d")
