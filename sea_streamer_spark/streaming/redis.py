@@ -263,7 +263,11 @@ def xadd_commands(
         key = shard_key(r.stream_key, int(r.shard_id))
         if explicit_ids:
             ms = int(r.timestamp.timestamp() * 1000)
-            entry_id = format_entry_id(pack_message_id(ms, int(r.sequence)))
+            seq = int(r.sequence)
+            # validation only — the id formats straight from (ms, seq)
+            # without the pack->unpack round-trip (hot path)
+            pack_message_id(ms, seq)
+            entry_id = f"{ms}-{seq}"
         else:
             entry_id = "*"
         payload = bytes(r.payload) if r.payload is not None else b""
@@ -301,9 +305,23 @@ def _flush_xadds(client, rows, maxlen: int | None) -> None:
     pipe = client.pipeline(transaction=False)
     touched = set()
     n_adds = 0
+    # Fast path when the pipeline is the in-repo RESP client: pre-encoded
+    # single-field XADD frames with the key bytes hoisted out of the row
+    # loop (one encode per key per flush, not per row). redis-py pipelines
+    # don't expose it, so the generic per-row xadd remains the fallback —
+    # byte-identical frames either way.
+    xadd_raw = getattr(pipe, "xadd_raw", None)
+    key_bytes: dict[str, bytes] = {}
     for key, entry_id, payload in xadd_commands(rows):
-        pipe.xadd(key, {"payload": payload}, id=entry_id)
-        touched.add(key)
+        if xadd_raw is not None:
+            kb = key_bytes.get(key)
+            if kb is None:
+                kb = key_bytes[key] = key.encode()
+                touched.add(key)
+            xadd_raw(kb, entry_id.encode(), payload)
+        else:
+            pipe.xadd(key, {"payload": payload}, id=entry_id)
+            touched.add(key)
         n_adds += 1
     if maxlen is not None:
         for key in sorted(touched):

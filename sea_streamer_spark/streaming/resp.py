@@ -106,6 +106,160 @@ class _SockReader:
         self._compact()
         return data
 
+    def read_command(self) -> list[bytes]:
+        """Parse ONE array-of-bulk-strings request frame (the server's hot
+        loop). Inlined buffer cursors: one method call per command instead
+        of ``2 + 2*argc`` read_line/read_exact calls — under a pipelined
+        XADD burst the per-call overhead of the generic readers was ~30%
+        of broker CPU (r9 task #1 profile). Raises ``ValueError`` on a
+        malformed frame (caller replies -ERR and closes, same contract as
+        the line-at-a-time parse it replaces)."""
+        while True:
+            buf, pos = self.buf, self.pos
+            end = len(buf)
+            i = buf.find(b"\r\n", pos)
+            if i < 0:
+                self._fill()
+                continue
+            if buf[pos : pos + 1] != b"*":
+                raise ValueError(f"expected array, got {buf[pos:i]!r}")
+            argc = int(buf[pos + 1 : i])
+            p = i + 2
+            args: list[bytes] = []
+            complete = True
+            for _ in range(argc):
+                j = buf.find(b"\r\n", p)
+                if j < 0 or j + 2 > end:
+                    complete = False
+                    break
+                if buf[p : p + 1] != b"$":
+                    raise ValueError(f"expected bulk string, got {buf[p:j]!r}")
+                n = int(buf[p + 1 : j])
+                stop = j + 2 + n
+                if stop + 2 > end:
+                    complete = False
+                    break
+                args.append(buf[j + 2 : stop])
+                p = stop + 2
+            if complete:
+                self.pos = p
+                self._compact()
+                return args
+            self._fill()
+
+    def read_entries(self):
+        """Inlined parse of an XRANGE/XREVRANGE reply — ``*N`` of
+        ``[id, [k, v, ...]]`` — returning ``[(id_bytes, flat_bytes_list)]``.
+        One call per frame instead of ~5 recursive :func:`read_reply` calls
+        per entry; parsing 25k entries dropped ~3x (r9 task #1 profile).
+        Returns a ``ResponseError`` instance for an error frame (caller
+        raises, mirroring ``execute``) and ``[]`` for a nil array."""
+        line = self.read_line()
+        t = line[:1]
+        if t == b"-":
+            return ResponseError(line[1:].decode())
+        if t != b"*":
+            raise ConnectionError(f"bad entries reply: {line!r}")
+        n = int(line[1:])
+        out: list = []
+        if n <= 0:
+            return out
+        while len(out) < n:
+            parsed = _try_parse_entry(self.buf, self.pos)
+            if parsed is None:
+                self._fill()
+                continue
+            entry, self.pos = parsed
+            out.append(entry)
+            if self.pos > self._COMPACT:
+                self._compact()
+        self._compact()
+        return out
+
+    def read_scalar_replies(self, n: int) -> list:
+        """Drain ``n`` pipelined replies with inlined buffer cursors —
+        the produce path reads one bulk-string id per XADD, and the
+        generic read_line/read_exact pair per frame was ~30% of client
+        CPU under a 25k pipeline (r9 task #1 profile). Bulk strings come
+        back decoded (the entry ids are ASCII — same conversion
+        ``RespPipeline.execute`` applied afterwards); arrays fall back to
+        :func:`read_reply`."""
+        out: list = []
+        while len(out) < n:
+            buf, pos = self.buf, self.pos
+            i = buf.find(b"\r\n", pos)
+            if i < 0:
+                self._fill()
+                continue
+            t = buf[pos : pos + 1]
+            if t == b"$":
+                ln = int(buf[pos + 1 : i])
+                if ln < 0:
+                    out.append(None)
+                    self.pos = i + 2
+                    continue
+                stop = i + 2 + ln
+                if stop + 2 > len(buf):
+                    self._fill()
+                    continue
+                out.append(buf[i + 2 : stop].decode())
+                self.pos = stop + 2
+            elif t == b"+":
+                out.append(buf[pos + 1 : i].decode())
+                self.pos = i + 2
+            elif t == b":":
+                out.append(int(buf[pos + 1 : i]))
+                self.pos = i + 2
+            elif t == b"-":
+                out.append(ResponseError(buf[pos + 1 : i].decode()))
+                self.pos = i + 2
+            elif t == b"*":
+                v = read_reply(self)
+                out.append(_s(v) if isinstance(v, bytes) else v)
+            else:
+                raise ConnectionError(f"bad RESP type byte: {buf[pos:i]!r}")
+            if self.pos > self._COMPACT:
+                self._compact()
+        self._compact()
+        return out
+
+
+def _try_parse_entry(buf: bytes, pos: int):
+    """Parse one ``[id, [k, v, ...]]`` entry frame starting at ``pos``;
+    returns ``((id_bytes, flat_list), new_pos)`` or ``None`` if the buffer
+    doesn't yet hold the whole entry (caller fills and retries)."""
+    end = len(buf)
+    i = buf.find(b"\r\n", pos)  # *2
+    if i < 0:
+        return None
+    p = i + 2
+    j = buf.find(b"\r\n", p)  # $<idlen>
+    if j < 0:
+        return None
+    ln = int(buf[p + 1 : j])
+    stop = j + 2 + ln
+    if stop + 2 > end:
+        return None
+    idb = buf[j + 2 : stop]
+    p = stop + 2
+    j = buf.find(b"\r\n", p)  # *<2k>
+    if j < 0:
+        return None
+    k = int(buf[p + 1 : j])
+    p = j + 2
+    flat: list = []
+    for _ in range(k):
+        j = buf.find(b"\r\n", p)  # $<len>
+        if j < 0:
+            return None
+        ln = int(buf[p + 1 : j])
+        stop = j + 2 + ln
+        if stop + 2 > end:
+            return None
+        flat.append(buf[j + 2 : stop])
+        p = stop + 2
+    return (idb, flat), p
+
 
 def read_reply(r: _SockReader):
     """One RESP2 reply frame → Python value (errors → ResponseError
@@ -137,6 +291,11 @@ def _s(v) -> str:
 
 def _fields_dict(flat) -> dict:
     return {_s(flat[i]): flat[i + 1] for i in range(0, len(flat), 2)}
+
+
+def _flat_dict(flat: list) -> dict:
+    """All-bytes flat field list → {str: bytes} (the read_entries shape)."""
+    return {flat[i].decode(): flat[i + 1] for i in range(0, len(flat), 2)}
 
 
 class RespClient:
@@ -171,16 +330,33 @@ class RespClient:
         return _s(self.execute(*args))
 
     def xrange(self, key, min="-", max="+", count=None):  # noqa: A002
+        return [
+            (i.decode(), _flat_dict(flat))
+            for i, flat in self.xrange_entries(key, min=min, max=max, count=count)
+        ]
+
+    def xrange_entries(self, key, min="-", max="+", count=None):  # noqa: A002
+        """XRANGE returning raw ``(id_bytes, flat_bytes_list)`` pairs via
+        the inlined entries parser — the zero-copy path the relay uses to
+        pass ids/payloads through without str/dict round-trips."""
         args = ["XRANGE", key, min, max]
         if count is not None:
             args += ["COUNT", int(count)]
-        return [(_s(i), _fields_dict(f)) for i, f in self.execute(*args)]
+        self.sock.sendall(encode_command(*args))
+        entries = self.reader.read_entries()
+        if isinstance(entries, ResponseError):
+            raise entries
+        return entries
 
     def xrevrange(self, key, max="+", min="-", count=None):  # noqa: A002
         args = ["XREVRANGE", key, max, min]
         if count is not None:
             args += ["COUNT", int(count)]
-        return [(_s(i), _fields_dict(f)) for i, f in self.execute(*args)]
+        self.sock.sendall(encode_command(*args))
+        entries = self.reader.read_entries()
+        if isinstance(entries, ResponseError):
+            raise entries
+        return [(i.decode(), _flat_dict(flat)) for i, flat in entries]
 
     def xlen(self, key) -> int:
         return self.execute("XLEN", key)
@@ -294,6 +470,14 @@ class RespPipeline:
         self._frames.append(encode_command(*args))
         return self
 
+    def xadd_raw(self, key: bytes, entry_id: bytes, value: bytes) -> "RespPipeline":
+        """Pre-encoded single-field XADD (field name ``payload``) — the
+        producer hot path with the key/field bytes hoisted out of the
+        per-row loop (:func:`..redis._flush_xadds` encodes each key once
+        per flush instead of per row)."""
+        self._frames.append(encode_xadd(key, entry_id, b"payload", value))
+        return self
+
     def xtrim(self, key, maxlen=None, minid=None, approximate=True):
         if maxlen is not None:
             args = ["XTRIM", key, "MAXLEN"] + (["~"] if approximate else []) + [int(maxlen)]
@@ -310,15 +494,13 @@ class RespPipeline:
         self._client.sock.sendall(payload)
         # ALWAYS drain every pipelined reply before raising: aborting early
         # would leave the later replies in the socket and desync every
-        # subsequent command on this connection (redis-py drains too)
-        out = []
-        first_err: ResponseError | None = None
-        for _ in range(n):
-            reply = read_reply(self._client.reader)
-            if isinstance(reply, ResponseError) and first_err is None:
-                first_err = reply
-            out.append(_s(reply) if isinstance(reply, bytes) else reply)
+        # subsequent command on this connection (redis-py drains too).
+        # read_scalar_replies drains with inlined cursors and returns
+        # ResponseError INSTANCES in-place, same as the loop it replaces.
+        out = self._client.reader.read_scalar_replies(n)
         self._frames.clear()
-        if raise_on_error and first_err is not None:
-            raise first_err
+        if raise_on_error:
+            for reply in out:
+                if isinstance(reply, ResponseError):
+                    raise reply
         return out

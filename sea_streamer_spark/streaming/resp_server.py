@@ -27,8 +27,17 @@ class Simple(str):
     status replies — a plain str encodes as a bulk string."""
 
 
+class RawReply(bytes):
+    """Marker: already a complete RESP frame — pass through unencoded.
+    The XRANGE hot path encodes its entry list directly (one %-format per
+    entry) instead of building nested Python lists for the recursive
+    generic encoder (r9 task #1 profile: ~6 ``_enc`` calls per entry)."""
+
+
 def _enc(value) -> bytes:
     """Python value → RESP2 reply frame."""
+    if type(value) is RawReply:
+        return value
     if isinstance(value, ResponseError):
         # error text rides in a line-delimited frame: strip embedded CR/LF
         # (e.g. from an int() message quoting binary input) or the client's
@@ -73,23 +82,16 @@ class _Handler(socketserver.BaseRequestHandler):
         out: list[bytes] = []
         while True:
             try:
-                line = reader.read_line()
-                if not line.startswith(b"*"):
-                    self.request.sendall(
-                        _enc(ResponseError("ERR protocol: expected array"))
-                    )
-                    return
-                argc = int(line[1:])
-                args: list[bytes] = []
-                for _ in range(argc):
-                    hdr = reader.read_line()
-                    if not hdr.startswith(b"$"):
-                        return
-                    args.append(reader.read_exact(int(hdr[1:])))
+                args = reader.read_command()
             except ConnectionError:  # client hung up: normal end of session
                 return
+            except ValueError:  # malformed frame: -ERR and drop the session
+                self.request.sendall(
+                    _enc(ResponseError("ERR protocol: expected array"))
+                )
+                return
             try:
-                reply = server.dispatch(args)
+                reply = server.dispatch_raw(args)
             except ResponseError as e:
                 reply = e
             except Exception as e:  # noqa: BLE001 — surface as -ERR
@@ -117,6 +119,24 @@ class RespServer(socketserver.ThreadingTCPServer):
         return self.server_address[0], self.server_address[1]
 
     # -- command dispatch ---------------------------------------------------
+    def dispatch_raw(self, raw: list[bytes]):
+        """Hot-path dispatch over the undecoded argv. A pipelined produce
+        burst is thousands of ``XADD key id field value`` frames; the
+        generic path decoded every arg (including the payload bytes,
+        surrogateescape) before looking at the command. Here the dominant
+        shape — single-field XADD, no MAXLEN — keeps the payload as the
+        bytes it arrived as and decodes only the three small args
+        (key/id/field, pure ASCII in the streams contract). Everything
+        else falls through to :meth:`dispatch` unchanged."""
+        if len(raw) == 5 and raw[0].upper() == b"XADD":
+            with self.lock:
+                return self.broker.xadd_owned(
+                    raw[1].decode("utf-8", "surrogateescape"),
+                    {raw[3].decode("utf-8", "surrogateescape"): raw[4]},
+                    id=raw[2].decode(),
+                )
+        return self.dispatch(raw)
+
     def dispatch(self, raw: list[bytes]):
         args = [a.decode("utf-8", "surrogateescape") for a in raw]
         cmd = args[0].upper()
@@ -183,7 +203,20 @@ class RespServer(socketserver.ThreadingTCPServer):
             entries = self.broker.xrevrange(key, max=a, min=b, count=count)
         else:
             entries = self.broker.xrange(key, min=a, max=b, count=count)
-        return [_entry(i, f) for i, f in entries]
+        # Encode the reply frame directly: the paged consume loop returns
+        # thousands of entries per call, and the generic recursive encoder
+        # cost ~6 calls per entry (see RawReply).
+        parts = [b"*%d\r\n" % len(entries)]
+        for eid, fields in entries:
+            eb = eid.encode()
+            parts.append(b"*2\r\n$%d\r\n%s\r\n*%d\r\n" % (len(eb), eb, 2 * len(fields)))
+            for k, v in fields.items():
+                kb = k.encode() if isinstance(k, str) else bytes(k)
+                vb = v if type(v) is bytes else (
+                    bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                )
+                parts.append(b"$%d\r\n%s\r\n$%d\r\n%s\r\n" % (len(kb), kb, len(vb), vb))
+        return RawReply(b"".join(parts))
 
     def _xtrim(self, args: list[str]):
         mode = args[2].upper()

@@ -198,20 +198,23 @@ def benchmark_wire(
             return False
 
         def read_loop() -> None:
-            # Lean page reader: raw (entry_id, payload) pairs, no
-            # envelope/datetime materialization — the relay writes the
-            # SAME packed ids to the destination (ids are the receipt
-            # identity, D9, so pass-through preserves them exactly).
+            # Lean page reader: raw (id_bytes, flat_bytes) entries via the
+            # inlined XRANGE parser — no envelope/datetime/str
+            # materialization — the relay writes the SAME packed ids to
+            # the destination (ids are the receipt identity, D9, so
+            # pass-through preserves them exactly).
             try:
                 start = "-"
                 while not stop.is_set():
-                    batch = src.xrange(src_key, min=start, max="+", count=page)
+                    batch = src.xrange_entries(
+                        src_key, min=start, max="+", count=page
+                    )
                     if not batch:
                         break
                     if not _put(batch):
                         return
                     start = format_entry_id(
-                        next_after(parse_entry_id(batch[-1][0]))
+                        next_after(parse_entry_id(batch[-1][0].decode()))
                     )
             except BaseException as e:  # pragma: no cover - surfaced below
                 err.append(e)
@@ -222,14 +225,19 @@ def benchmark_wire(
         reader.start()
         try:
             moved = 0
+            dst_key_b = dst_key.encode()
             while True:
                 batch = pages.get()
                 if batch is None:
                     break
                 pipe = dst.pipeline(transaction=False)
-                for entry_id, fields in batch:
-                    payload = fields.get("payload", fields.get(b"payload", b""))
-                    pipe.xadd(dst_key, {"payload": payload}, id=entry_id)
+                for entry_id, flat in batch:
+                    payload = b""
+                    for fi in range(0, len(flat), 2):
+                        if flat[fi] == b"payload":
+                            payload = flat[fi + 1]
+                            break
+                    pipe.xadd_raw(dst_key_b, entry_id, payload)
                 # same duplicate-id inspection contract as _flush_xadds
                 for res in pipe.execute(raise_on_error=False):
                     if isinstance(res, ResponseError):
