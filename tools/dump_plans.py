@@ -93,6 +93,41 @@ SNAPSHOT_QUERIES = [
 ]
 
 
+import re
+
+
+def canonicalize_plan(plan: str) -> str:
+    """Renumber the per-run volatile ids in a plan string canonically
+    (first-seen order) so an UNCHANGED plan serializes byte-identically
+    across regenerations (r8 judge task #8: every wave commit rewrote a
+    ~3000-line snapshot because expression ids are global counters, which
+    buried the one plan that actually changed).
+
+    - ``#NNN`` expression ids → ``#1, #2, ...`` in first-seen order —
+      renumbered, NOT collapsed, so a self-join's two ``doc_id`` columns
+      stay distinguishable.
+    - ``plan_id=NNN`` / ``id=#NNN`` — same treatment, separate space.
+    """
+    expr_ids: dict[str, str] = {}
+    plan_ids: dict[str, str] = {}
+
+    def _expr(m: "re.Match[str]") -> str:
+        k = m.group(0)
+        if k not in expr_ids:
+            expr_ids[k] = f"#{len(expr_ids) + 1}"
+        return expr_ids[k]
+
+    def _plan(m: "re.Match[str]") -> str:
+        k = m.group(1)
+        if k not in plan_ids:
+            plan_ids[k] = str(len(plan_ids) + 1)
+        return f"plan_id={plan_ids[k]}"
+
+    plan = re.sub(r"plan_id=(\d+)", _plan, plan)
+    plan = re.sub(r"#\d+", _expr, plan)
+    return plan
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from sea_streamer_spark.session import get_spark
@@ -101,12 +136,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from sea_streamer_spark.plans.queries import QUERIES
 
-    out = [
-        "# PLANS_SNAPSHOT — AQE-final executed plans",
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snap_dir = os.path.join(repo, "plans_snapshot")
+    os.makedirs(snap_dir, exist_ok=True)
+    index = [
+        "# PLANS_SNAPSHOT — AQE-final executed plans (index)",
         "",
-        f"Generated by `python tools/dump_plans.py {sf_dir}`. Regenerate after",
-        "plan-affecting changes; `tests/test_plan_quality.py` pins the",
-        "load-bearing properties (pushdown, broadcasts, shuffle budgets,",
+        f"Generated by `python tools/dump_plans.py {sf_dir}`. One file per",
+        "plan under `plans_snapshot/<query>.txt`, with expression/plan ids",
+        "canonically renumbered (first-seen order) so regenerating the",
+        "snapshot only diffs the plans that actually changed (r8 judge",
+        "task #8). `tests/test_plan_quality.py` pins the load-bearing",
+        "properties (pushdown, broadcasts, shuffle budgets,",
         "no-Python-eval) so drift fails tests before it lands here.",
         "",
     ]
@@ -114,23 +155,24 @@ def main() -> None:
         df = QUERIES[name].fn(spark, sf_dir)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        plan = plan.split("== Initial Plan ==", 1)[0].rstrip()
+        plan = canonicalize_plan(plan.split("== Initial Plan ==", 1)[0].rstrip())
         evidence = [
             ln.strip()
             for ln in plan.splitlines()
             if "PushedFilters" in ln or "ReadSchema" in ln
         ]
-        out += [f"## {name}", "", "```"]
-        out += plan.splitlines()
-        out += ["```", ""]
+        body = [plan, ""]
         if evidence:
-            out += ["Scan evidence:", ""]
-            out += [f"- `{e[:200]}`" for e in evidence]
-            out += [""]
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS_SNAPSHOT.md")
+            body += ["Scan evidence:", ""]
+            body += [f"- {e[:200]}" for e in evidence]
+            body += [""]
+        with open(os.path.join(snap_dir, f"{name}.txt"), "w") as fh:
+            fh.write("\n".join(body))
+        index.append(f"- [{name}](plans_snapshot/{name}.txt)")
+    path = os.path.join(repo, "PLANS_SNAPSHOT.md")
     with open(path, "w") as fh:
-        fh.write("\n".join(out) + "\n")
-    print(f"wrote {path} ({len(SNAPSHOT_QUERIES)} plans)")
+        fh.write("\n".join(index) + "\n")
+    print(f"wrote {path} + {len(SNAPSHOT_QUERIES)} plans in {snap_dir}")
 
 
 if __name__ == "__main__":
