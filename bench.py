@@ -412,6 +412,11 @@ def new_ops_metric(spark) -> dict:
         "text_source_jsd_matrix",
         "graph_harmonic_centrality",
         "text_burrows_delta_matrix",
+        # round-9 wave 1 (SemDeDup semantic dedup; the eval recomputes the
+        # quadratic all-pairs cosine truth BY DESIGN — it is the eval's
+        # ground-truth side, not the operator's shape)
+        "dedup_semantic_cluster",
+        "dedup_semantic_recall_eval",
     ):
         if name not in QUERIES:
             continue

@@ -90,6 +90,8 @@ SNAPSHOT_QUERIES = [
     "curation_temperature_sampling_plan", "events_ab_srm_check",
     "text_source_jsd_matrix", "graph_harmonic_centrality",
     "text_burrows_delta_matrix",
+    # round-9 waves
+    "dedup_semantic_cluster", "dedup_semantic_recall_eval",
 ]
 
 
