@@ -417,6 +417,10 @@ def new_ops_metric(spark) -> dict:
         # ground-truth side, not the operator's shape)
         "dedup_semantic_cluster",
         "dedup_semantic_recall_eval",
+        "text_readability_scores",
+        "privacy_t_closeness_audit",
+        "graph_clustering_coefficient",
+        "sketch_ams_f2_estimate",
     ):
         if name not in QUERIES:
             continue

@@ -345,3 +345,529 @@ def dedup_semantic_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recall_permille long, precision_permille long, "
         "n_sem_dropped long, n_jaccard_dup_docs long, n_overlap_docs long",
     )
+
+
+# ---------------------------------------------------------------- wave 2
+# Readability scoring (Flesch reading-ease / Flesch-Kincaid grade) — the
+# classic text-quality covariate a curation stack reports beside the
+# Gopher gates (Flesch 1948; Kincaid et al. 1975). Counts are integers
+# (words, sentence-terminator runs, vowel-group syllable heuristic with
+# the standard >=1-per-word floor); the two formulas are evaluated once
+# per SOURCE over pooled integer sums with identical double arithmetic
+# in both engines, then milli-floored — the one-float-then-fixed-point
+# rule. On this synthetic corpus no document carries sentence
+# terminators, so sentences degenerate to one per document (stated here,
+# measured by the n_sentences == n_docs column equality, and harmless:
+# the operator is the deliverable, the corpus is the fixture).
+
+
+@query(
+    "text_readability_scores",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  w -> len(w) > 0)) AS BIGINT) AS n_words,
+             CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      list_filter(string_split_regex(lower(text), '\\s+'),
+                                  w -> len(w) > 0),
+                      w -> CAST(GREATEST(
+                             len(regexp_extract_all(w, '[aeiouy]+')), 1)
+                           AS BIGINT))),
+                    (a, b) -> a + b) AS BIGINT) AS n_syllables
+      FROM documents
+    ),
+    pooled AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS n_words,
+             CAST(SUM(n_sentences) AS BIGINT) AS n_sentences,
+             CAST(SUM(n_syllables) AS BIGINT) AS n_syllables
+      FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, n_words, n_sentences, n_syllables,
+           CAST(FLOOR(390.0 * n_words / n_sentences
+                      + 11800.0 * n_syllables / n_words
+                      - 15590.0) AS BIGINT) AS fk_grade_milli,
+           CAST(FLOOR(206835.0 - 1015.0 * n_words / n_sentences
+                      - 84600.0 * n_syllables / n_words) AS BIGINT)
+             AS fre_milli
+    FROM pooled ORDER BY source
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per source, pooled:
+    FK = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59,
+    FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    both reported milli-floored. Syllables use the vowel-group heuristic
+    (runs of [aeiouy], floored at 1 per word — the standard public
+    approximation); sentences are terminator runs ([.!?]+), floored at 1
+    per document. Pure projection + one groupBy(source): two map-side
+    aggregable sums, no joins, no Python — the shape survives any corpus
+    size (the formulas touch only the 20-row pooled relation)."""
+    t = load_tables(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0
+    )
+    syl = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(F.regexp_count(w, F.lit("[aeiouy]+")), F.lit(1)).cast(
+            "long"
+        ),
+    )
+    per_doc = t.documents.select(
+        "source",
+        F.size(words).cast("long").alias("n_words"),
+        F.greatest(F.regexp_count("text", F.lit("[.!?]+")), F.lit(1))
+        .cast("long")
+        .alias("n_sentences"),
+        syl.alias("n_syllables"),
+    )
+    pooled = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_sentences").cast("long").alias("n_sentences"),
+        F.sum("n_syllables").cast("long").alias("n_syllables"),
+    )
+    w_s = F.lit(390.0) * F.col("n_words") / F.col("n_sentences")
+    y_w = F.lit(11800.0) * F.col("n_syllables") / F.col("n_words")
+    fre = (
+        F.lit(206835.0)
+        - F.lit(1015.0) * F.col("n_words") / F.col("n_sentences")
+        - F.lit(84600.0) * F.col("n_syllables") / F.col("n_words")
+    )
+    return pooled.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.floor(w_s + y_w - F.lit(15590.0)).cast("long").alias("fk_grade_milli"),
+        F.floor(fre).cast("long").alias("fre_milli"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------- wave 3
+# t-closeness (Li, Li & Venkatasubramanian, ICDE 2007) — completes the
+# privacy-audit trio beside privacy_k_anonymity and privacy_l_diversity:
+# a QI class can be k-large and l-diverse yet still leak when its
+# SENSITIVE-attribute distribution differs sharply from the table-wide
+# one. For an ORDERED sensitive attribute the paper's distance is the
+# ordered EMD = (1/(m-1)) * sum_i |CumP_i - CumQ_i|. Everything is exact
+# integer until one final double division of integer products (< 2^53,
+# double-exact in both engines) — no NTILE: the ordered buckets are
+# fixed-width bands (pure projection), so the audit never global-sorts.
+
+
+@query(
+    "privacy_t_closeness_audit",
+    oracle="""
+    WITH bands AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 1000) AS BIGINT)
+               AS band
+      FROM customer
+    ),
+    gq AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS q FROM bands GROUP BY band),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(COUNT(DISTINCT band) AS BIGINT) AS m FROM bands),
+    cls AS (
+      SELECT nation, segment, CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM bands GROUP BY nation, segment
+    ),
+    ph AS (
+      SELECT nation, segment, band, CAST(COUNT(*) AS BIGINT) AS p
+      FROM bands GROUP BY nation, segment, band
+    ),
+    dense AS (
+      SELECT c.nation, c.segment, c.class_size, g.band, g.q,
+             COALESCE(ph.p, 0) AS p
+      FROM cls c CROSS JOIN gq g
+      LEFT JOIN ph ON ph.nation = c.nation AND ph.segment = c.segment
+                  AND ph.band = g.band
+    ),
+    cum AS (
+      SELECT nation, segment, class_size, band,
+             SUM(p) OVER (PARTITION BY nation, segment ORDER BY band)
+               AS cum_p,
+             SUM(q) OVER (PARTITION BY nation, segment ORDER BY band)
+               AS cum_q
+      FROM dense
+    ),
+    emd AS (
+      SELECT nation, segment, class_size,
+             CAST(SUM(ABS(cum_p * (SELECT n_total FROM tot)
+                          - cum_q * class_size)) AS BIGINT) AS s
+      FROM cum GROUP BY nation, segment, class_size
+    )
+    SELECT nation, segment, class_size,
+           CAST(FLOOR(1000.0 * s / (((SELECT m FROM tot) - 1)
+                 * class_size * (SELECT n_total FROM tot))) AS BIGINT)
+             AS emd_milli,
+           CAST(FLOOR(1000.0 * s / (((SELECT m FROM tot) - 1)
+                 * class_size * (SELECT n_total FROM tot))) > 200 AS BIGINT)
+             AS at_risk
+    FROM emd ORDER BY nation, segment
+    """,
+    tags=("llm", "quality", "privacy"),
+)
+def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (ICDE 2007): per QI class (nation, market
+    segment), the ordered earth-mover's distance between the class's
+    account-balance-band distribution and the table-wide one, milli-
+    floored; at_risk flags EMD > 0.2 (the paper's running-example t).
+    Bands are fixed-width projections (never a global NTILE sort); the
+    EMD is computed on integer cumulative counts cross-multiplied to a
+    common denominator, with ONE double division of < 2^53 products at
+    the end — identical in both engines. Plan: two keyed aggregates over
+    the scan, then all arithmetic on dimension-sized relations
+    (classes × bands); scales as the aggregate, not the audit."""
+    cust = load_tables(spark, sf_dir, "customer").customer
+    from pyspark.sql.window import Window
+
+    bands = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal").cast("decimal(12,2)") / 1000)
+        .cast("long")
+        .alias("band"),
+    )
+    gq = bands.groupBy("band").agg(F.count("*").cast("long").alias("q"))
+    tot = bands.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.countDistinct("band").cast("long").alias("m"),
+    )
+    cls = bands.groupBy("nation", "segment").agg(
+        F.count("*").cast("long").alias("class_size")
+    )
+    ph = bands.groupBy("nation", "segment", "band").agg(
+        F.count("*").cast("long").alias("p")
+    )
+    dense = (
+        cls.crossJoin(F.broadcast(gq))
+        .join(ph, ["nation", "segment", "band"], "left")
+        .select(
+            "nation",
+            "segment",
+            "class_size",
+            "band",
+            "q",
+            F.coalesce(F.col("p"), F.lit(0)).alias("p"),
+        )
+    )
+    w = Window.partitionBy("nation", "segment").orderBy("band")
+    cum = dense.select(
+        "nation",
+        "segment",
+        "class_size",
+        F.sum("p").over(w).alias("cum_p"),
+        F.sum("q").over(w).alias("cum_q"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("nation", "segment", "class_size", "n_total", "m")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_p") * F.col("n_total")
+                    - F.col("cum_q") * F.col("class_size")
+                )
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    emd_milli = F.floor(
+        F.lit(1000.0)
+        * F.col("s")
+        / ((F.col("m") - 1) * F.col("class_size") * F.col("n_total"))
+    ).cast("long")
+    return emd.select(
+        "nation",
+        "segment",
+        "class_size",
+        emd_milli.alias("emd_milli"),
+        (emd_milli > 200).cast("long").alias("at_risk"),
+    ).orderBy("nation", "segment")
+
+
+# ---------------------------------------------------------------- wave 4
+# Local clustering coefficient (Watts & Strogatz 1998) over the near-dup
+# graph — the graph family's cohesion-per-node companion to the triangle
+# counts: local CC = 2*tri(v) / (deg(v)*(deg(v)-1)) separates template
+# families (cliquish neighborhoods, CC -> 1) from borderline-match
+# chains (CC -> 0) per NODE, where the raw triangle count conflates
+# cohesion with degree. Integer counts + one double division of exact
+# integers, permille-floored; deg < 2 reports -1 (undefined, flagged,
+# never NULL-ambiguous).
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {DUCK_SHINGLE_SETS},
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS node FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    pertri AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           COALESCE(t.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree < 2 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(FLOOR(2000.0 * COALESCE(t.n_triangles, 0)
+                                / (d.degree * (d.degree - 1))) AS BIGINT)
+           END AS local_cc_permille
+    FROM deg d LEFT JOIN pertri t ON t.node = d.node
+    ORDER BY d.node
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the near-dup pair graph
+    (MinHash-LSH threshold-exact pairs, the dedup_clusters convention;
+    oracle recomputes from exact-Jaccard pairs). Triangles via the
+    oriented-edge join (counted once, volume ~ sum of deg^2); degrees via
+    one endpoint-exploded count; CC = 2*tri/(deg*(deg-1)) permille-
+    floored from exact integers, -1 when deg < 2. Everything after the
+    pair relation is graph-sized."""
+    from ..operators import dedup as D
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.5).select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    pertri = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    joined = deg.join(pertri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+    )
+    cc = F.floor(
+        F.lit(2000.0)
+        * F.col("n_triangles")
+        / (F.col("degree") * (F.col("degree") - 1))
+    ).cast("long")
+    return joined.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(F.col("degree") < 2, F.lit(-1).cast("long"))
+        .otherwise(cc)
+        .alias("local_cc_permille"),
+    ).orderBy("node")
+
+
+# ---------------------------------------------------------------- wave 5
+# AMS F2 sketch (Alon, Matias & Szegedy, STOC 1996) — the second-moment
+# estimator that completes the sketch family (CMS point queries, HLL
+# cardinality, KMV similarity, bottom-k quantiles): F2 = sum(f_v^2) is
+# the self-join size, the quantity a planner wants BEFORE running a
+# skewed join. Each estimator X_i = sum_v f_v * s_i(v) with 4-wise-
+# independent signs from a degree-3 polynomial hash mod the Mersenne
+# prime 2^31-1 (products stay < 2^62 via stepwise reduction — BIGINT
+# overflow is a CHECKED error in DuckDB); E[X_i^2] = F2 exactly. The
+# query reports the measured relative error of the plain mean AND the
+# median-of-means (the paper's boosting), both against exact F2 —
+# entirely integer arithmetic (signs, counts, squares; medians of three
+# integers as sum-max-min).
+
+_AMS_P = (1 << 31) - 1
+_AMS_D = 12  # estimators: 3 groups x 4 for the median-of-means
+#: degree-3 coefficients per estimator (golden-ratio spread, the
+#: MINHASH_AB convention) — shared verbatim by the Spark expressions and
+#: the oracle SQL below, so the sign streams cannot drift.
+_AMS_COEF = [
+    (
+        (0x9E3779B1 * (4 * i + 1)) % _AMS_P,
+        (0x85EBCA77 * (4 * i + 2)) % _AMS_P,
+        (0xC2B2AE35 * (4 * i + 3)) % _AMS_P,
+        (0x27D4EB2F * (4 * i + 4)) % _AMS_P,
+    )
+    for i in range(_AMS_D)
+]
+
+
+def _ams_sign_sql(v: str, c: tuple[int, int, int, int]) -> str:
+    """±1 sign from the degree-3 hash, stepwise mod (SQL)."""
+    a3, a2, a1, a0 = c
+    h = (
+        f"((((({a3} * (({v} * {v}) % {_AMS_P})) % {_AMS_P}) * {v}) % {_AMS_P}"
+        f" + ({a2} * (({v} * {v}) % {_AMS_P})) % {_AMS_P}"
+        f" + ({a1} * {v}) % {_AMS_P} + {a0}) % {_AMS_P})"
+    )
+    return f"(CASE WHEN {h} % 2 = 1 THEN 1 ELSE -1 END)"
+
+
+def _ams_sign_col(v, c: tuple[int, int, int, int]):
+    """±1 sign from the degree-3 hash, stepwise mod (Spark column)."""
+    a3, a2, a1, a0 = c
+    v2 = (v * v) % _AMS_P
+    h = (
+        (F.lit(a3) * v2) % _AMS_P * v % _AMS_P
+        + (F.lit(a2) * v2) % _AMS_P
+        + (F.lit(a1) * v) % _AMS_P
+        + F.lit(a0)
+    ) % _AMS_P
+    return F.when(h % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+
+
+def _build_ams_oracle() -> str:
+    xs = ", ".join(
+        f"CAST(SUM(f * {_ams_sign_sql('user_id', c)}) AS BIGINT) AS x{i}"
+        for i, c in enumerate(_AMS_COEF)
+    )
+    x2_sum = " + ".join(f"x{i} * x{i}" for i in range(_AMS_D))
+    g = [
+        " + ".join(f"x{i} * x{i}" for i in range(4 * k, 4 * k + 4))
+        for k in range(3)
+    ]
+    return f"""
+    WITH freq AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f
+      FROM events GROUP BY user_id
+    ),
+    est AS (
+      SELECT CAST(SUM(f * f) AS BIGINT) AS f2_exact, {xs} FROM freq
+    ),
+    grouped AS (
+      SELECT f2_exact,
+             ({x2_sum}) AS sum_x2,
+             ({g[0]}) AS g0, ({g[1]}) AS g1, ({g[2]}) AS g2
+      FROM est
+    ),
+    final AS (
+      SELECT f2_exact,
+             sum_x2 // {_AMS_D} AS f2_est_mean,
+             (g0 + g1 + g2 - GREATEST(g0, g1, g2)
+                           - LEAST(g0, g1, g2)) // 4 AS f2_est_mom
+      FROM grouped
+    )
+    SELECT CAST({_AMS_D} AS BIGINT) AS n_estimators, f2_exact,
+           CAST(f2_est_mean AS BIGINT) AS f2_est_mean,
+           CAST(f2_est_mom AS BIGINT) AS f2_est_mom,
+           CAST(ABS(f2_est_mean - f2_exact) * 1000 // f2_exact AS BIGINT)
+             AS err_mean_permille,
+           CAST(ABS(f2_est_mom - f2_exact) * 1000 // f2_exact AS BIGINT)
+             AS err_mom_permille
+    FROM final
+    """
+
+
+@query(
+    "sketch_ams_f2_estimate",
+    oracle=_build_ams_oracle(),
+    tags=("llm", "sketch", "eval"),
+)
+def sketch_ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment estimate vs exact F2 over event user
+    frequencies, with the measured relative error of the plain mean and
+    the median-of-means (STOC 1996's boosting step) — the self-join-size
+    sketch a planner consults before a skewed join. One user-keyed count
+    (map-side partials), then 13 integer aggregates over the
+    150-row frequency relation (12 sign-sums + exact F2); the sketch
+    state is d integers regardless of stream size and merges by
+    addition, so the shape is stream-scale-proof. Entirely integer
+    arithmetic end-to-end — the oracle hash-matches exactly."""
+    t = load_tables(spark, sf_dir, "events")
+    freq = t.events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    aggs = [F.sum(F.col("f") * F.col("f")).cast("long").alias("f2_exact")]
+    for i, c in enumerate(_AMS_COEF):
+        aggs.append(
+            F.sum(F.col("f") * _ams_sign_col(F.col("user_id"), c))
+            .cast("long")
+            .alias(f"x{i}")
+        )
+    est = freq.agg(*aggs)
+    sum_x2 = sum(
+        (F.col(f"x{i}") * F.col(f"x{i}") for i in range(_AMS_D)),
+        F.lit(0).cast("long"),
+    )
+    gs = [
+        sum(
+            (F.col(f"x{i}") * F.col(f"x{i}") for i in range(4 * k, 4 * k + 4)),
+            F.lit(0).cast("long"),
+        )
+        for k in range(3)
+    ]
+    g0, g1, g2 = gs
+    mom_sum = g0 + g1 + g2 - F.greatest(g0, g1, g2) - F.least(g0, g1, g2)
+    def _idiv(a, b):
+        # exact integer floor division for non-negative operands: the
+        # numerator is made exactly divisible before the double divide,
+        # so no double-rounding boundary can disagree with DuckDB's //
+        return ((a - (a % b)) / b).cast("long")
+
+    grouped = est.select(
+        "f2_exact",
+        _idiv(sum_x2, F.lit(_AMS_D)).alias("f2_est_mean"),
+        _idiv(mom_sum, F.lit(4)).alias("f2_est_mom"),
+    )
+    return grouped.select(
+        F.lit(_AMS_D).cast("long").alias("n_estimators"),
+        "f2_exact",
+        "f2_est_mean",
+        "f2_est_mom",
+        _idiv(
+            F.abs(F.col("f2_est_mean") - F.col("f2_exact")) * 1000,
+            F.col("f2_exact"),
+        ).alias("err_mean_permille"),
+        _idiv(
+            F.abs(F.col("f2_est_mom") - F.col("f2_exact")) * 1000,
+            F.col("f2_exact"),
+        ).alias("err_mom_permille"),
+    )

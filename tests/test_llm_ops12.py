@@ -132,3 +132,124 @@ def test_semantic_cluster_plan_quality(spark):
     assert "BroadcastHashJoin" in plan  # 16-row centroid table
     # the dedup self-join keys on cell (cluster-bucketed, never all-pairs)
     assert "cell" in plan
+
+
+# ---------------------------------------------------------------- wave 2-5
+
+
+def _docs(sf=SF):
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text", "source"])
+    return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist(),
+                    t.column("source").to_pylist()))
+
+
+def test_readability_full_python_replay(spark):
+    import re
+
+    agg: dict[str, list[int]] = {}
+    for _d, text, src in _docs():
+        words = [w for w in re.split(r"\s+", text.lower()) if w]
+        syl = sum(max(len(re.findall(r"[aeiouy]+", w)), 1) for w in words)
+        sent = max(len(re.findall(r"[.!?]+", text)), 1)
+        a = agg.setdefault(src, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(words)
+        a[2] += sent
+        a[3] += syl
+    rows = _run(spark, "text_readability_scores").collect()
+    assert len(rows) == len(agg)
+    for r in rows:
+        n_docs, w, s, y = agg[r["source"]]
+        assert (r["n_docs"], r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+            n_docs, w, s, y,
+        )
+        assert r["fk_grade_milli"] == math.floor(
+            390.0 * w / s + 11800.0 * y / w - 15590.0
+        )
+        assert r["fre_milli"] == math.floor(
+            206835.0 - 1015.0 * w / s - 84600.0 * y / w
+        )
+        # no terminators in the synthetic corpus: sentences degenerate to
+        # one per document (stated in the module docstring, pinned here)
+        assert r["n_sentences"] == r["n_docs"]
+
+
+def test_t_closeness_full_python_replay(spark):
+    t = pq.read_table(
+        f"{SF}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+    rows = list(zip(t.column("c_nationkey").to_pylist(),
+                    t.column("c_mktsegment").to_pylist(),
+                    t.column("c_acctbal").to_pylist()))
+    from collections import Counter
+    from decimal import Decimal
+
+    band = lambda b: math.floor(Decimal(str(b)).quantize(Decimal("0.01")) / 1000)  # noqa: E731
+    gq = Counter(band(b) for _n, _s, b in rows)
+    n_total, m = len(rows), len(gq)
+    cls: dict[tuple, Counter] = {}
+    for n, s, b in rows:
+        cls.setdefault((n, s), Counter())[band(b)] += 1
+    got = {(r["nation"], r["segment"]): r
+           for r in _run(spark, "privacy_t_closeness_audit").collect()}
+    assert set(got) == set(cls)
+    all_bands = sorted(gq)
+    for key, ph in cls.items():
+        n_c = sum(ph.values())
+        cum_p = cum_q = s_abs = 0
+        for b in all_bands:
+            cum_p += ph.get(b, 0)
+            cum_q += gq[b]
+            s_abs += abs(cum_p * n_total - cum_q * n_c)
+        emd = math.floor(1000.0 * s_abs / ((m - 1) * n_c * n_total))
+        r = got[key]
+        assert (r["class_size"], r["emd_milli"], r["at_risk"]) == (
+            n_c, emd, int(emd > 200),
+        )
+
+
+def test_clustering_coefficient_invariants(spark):
+    rows = _run(spark, "graph_clustering_coefficient").collect()
+    assert rows, "near-dup graph must be non-empty at sf0.001"
+    for r in rows:
+        assert r["degree"] >= 1
+        if r["degree"] < 2:
+            assert r["local_cc_permille"] == -1
+            assert r["n_triangles"] == 0
+        else:
+            assert 0 <= r["local_cc_permille"] <= 1000
+            # tri(v) can't exceed deg-choose-2
+            assert r["n_triangles"] <= r["degree"] * (r["degree"] - 1) // 2
+    # the fixture's duplicate families are cliquish: some node must close
+    # a triangle, otherwise the query measures nothing
+    assert any(r["n_triangles"] > 0 for r in rows)
+
+
+def test_ams_f2_full_python_replay(spark):
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+    from collections import Counter
+
+    from sea_streamer_spark.plans.llm_ops12 import _AMS_COEF, _AMS_D, _AMS_P
+
+    freq = Counter(t.column("user_id").to_pylist())
+    f2 = sum(f * f for f in freq.values())
+
+    def sign(v, c):
+        a3, a2, a1, a0 = c
+        v2 = (v * v) % _AMS_P
+        h = ((a3 * v2) % _AMS_P * v % _AMS_P + (a2 * v2) % _AMS_P
+             + (a1 * v) % _AMS_P + a0) % _AMS_P
+        return 1 if h % 2 == 1 else -1
+
+    xs = [sum(f * sign(v, c) for v, f in freq.items()) for c in _AMS_COEF]
+    x2 = [x * x for x in xs]
+    mean = sum(x2) // _AMS_D
+    g = [sum(x2[4 * k : 4 * k + 4]) for k in range(3)]
+    mom = sorted(g)[1] // 4
+    r = _run(spark, "sketch_ams_f2_estimate").collect()[0]
+    assert r["f2_exact"] == f2
+    assert r["f2_est_mean"] == mean
+    assert r["f2_est_mom"] == mom
+    assert r["err_mean_permille"] == abs(mean - f2) * 1000 // f2
+    assert r["err_mom_permille"] == abs(mom - f2) * 1000 // f2

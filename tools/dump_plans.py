@@ -92,6 +92,8 @@ SNAPSHOT_QUERIES = [
     "text_burrows_delta_matrix",
     # round-9 waves
     "dedup_semantic_cluster", "dedup_semantic_recall_eval",
+    "text_readability_scores", "privacy_t_closeness_audit",
+    "graph_clustering_coefficient", "sketch_ams_f2_estimate",
 ]
 
 
