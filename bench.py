@@ -421,6 +421,10 @@ def new_ops_metric(spark) -> dict:
         "privacy_t_closeness_audit",
         "graph_clustering_coefficient",
         "sketch_ams_f2_estimate",
+        "search_query_likelihood_topk",
+        "search_ndcg_eval",
+        "events_benford_audit",
+        "embedding_jl_distortion_audit",
     ):
         if name not in QUERIES:
             continue

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
+from ..operators import text as T
 from ..sources.tables import load_tables
 from .llm_ops import DUCK_SHINGLE_SETS, _duck_cosine, cell_structs_sql, lit_vec
 from .llm_ops3 import _SEM_CELLS, _SEM_THRESHOLD
@@ -870,4 +871,480 @@ def sketch_ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("f2_est_mom") - F.col("f2_exact")) * 1000,
             F.col("f2_exact"),
         ).alias("err_mom_permille"),
+    )
+
+
+# ---------------------------------------------------------------- wave 6
+# Query-likelihood retrieval with Dirichlet smoothing (Zhai & Lafferty,
+# SIGIR 2001) — the language-modeling ranker beside BM25/TF-IDF/Rocchio/
+# RRF: score(q,d) = sum_t ln((tf + mu*p(t|C)) / (dl + mu)). Unlike BM25
+# a query term ABSENT from the document still contributes (the smoothed
+# background mass), so the score relation is docs x query-terms dense —
+# bounded by |q| (a broadcast-sized constant), never corpus^2. Same
+# float contract as search_bm25_topk: per-term float64 from identical
+# operands, micro-rounded, summed as BIGINT.
+
+_QL_MU = 2000.0
+
+
+def _build_ql_oracle() -> str:
+    toks = "list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0)"
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id <> 0
+    ), qt AS (
+      SELECT DISTINCT unnest({toks}) AS term
+      FROM documents WHERE doc_id = 0
+    ), dl AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM corpus
+    ), tot AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dl
+    ), cf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
+      FROM (SELECT unnest(toks) AS term FROM corpus) JOIN qt USING (term)
+      GROUP BY term
+    ), tfq AS (
+      SELECT c.doc_id, c.term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM corpus) c
+      JOIN qt USING (term)
+      GROUP BY c.doc_id, c.term
+    ), dense AS (
+      SELECT dl.doc_id, dl.dl, q.term,
+             COALESCE(cf.cf, 0) AS cf, COALESCE(tfq.tf, 0) AS tf
+      FROM dl CROSS JOIN qt q
+      LEFT JOIN cf ON cf.term = q.term
+      LEFT JOIN tfq ON tfq.doc_id = dl.doc_id AND tfq.term = q.term
+    ), contrib AS (
+      SELECT doc_id,
+             CAST(ROUND(
+               ln((tf + CAST({_QL_MU!r} AS DOUBLE) * cf
+                        / (SELECT t_tokens FROM tot))
+                  / (dl + CAST({_QL_MU!r} AS DOUBLE)))
+               * 1000000) AS BIGINT) AS micro
+      FROM dense
+      WHERE cf > 0
+    )
+    SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS ql_micro
+    FROM contrib GROUP BY doc_id
+    ORDER BY ql_micro DESC, doc_id LIMIT 15
+    """
+
+
+@query(
+    "search_query_likelihood_topk",
+    oracle=_build_ql_oracle(),
+    tags=("llm", "text", "search"),
+)
+def search_query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-15 (SIGIR 2001), query =
+    doc 0's distinct terms against the rest of the corpus (the
+    search_bm25_topk convention — compare the two rankers' heads
+    side-by-side). Per-(doc, term) ln contribution micro-rounded then
+    summed as BIGINT (order-free); the dense doc x term relation rides a
+    broadcast of the query terms + collection frequencies, so the plan
+    is one corpus token aggregate + one broadcast-joined projection —
+    no corpus self-join anywhere. Collection-unseen query terms are
+    dropped for every document alike (zero background mass; standard)."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    toks = F.filter(T.tokens("text"), lambda w: F.length(w) > 0)
+    corpus = docs.filter("doc_id <> 0").select("doc_id", toks.alias("toks"))
+    qt = (
+        docs.filter("doc_id = 0")
+        .select(F.explode(toks).alias("term"))
+        .distinct()
+    )
+    dl = corpus.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tok = corpus.select("doc_id", F.explode("toks").alias("term"))
+    tfq = (
+        tok.join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cf = (
+        tok.join(F.broadcast(qt), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    tot = dl.agg(F.sum("dl").cast("long").alias("t_tokens"))
+    dense = (
+        dl.crossJoin(F.broadcast(qt.join(cf, "term", "left").select(
+            "term", F.coalesce("cf", F.lit(0)).alias("cf")
+        )))
+        .join(tfq, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            "dl",
+            "term",
+            "cf",
+            F.coalesce("tf", F.lit(0)).cast("long").alias("tf"),
+        )
+        .filter(F.col("cf") > 0)
+        .crossJoin(F.broadcast(tot))
+    )
+    micro = F.round(
+        F.log(
+            (F.col("tf") + F.lit(_QL_MU) * F.col("cf") / F.col("t_tokens"))
+            / (F.col("dl") + F.lit(_QL_MU))
+        )
+        * 1000000
+    ).cast("long")
+    return (
+        dense.select("doc_id", micro.alias("micro"))
+        .groupBy("doc_id")
+        .agg(F.sum("micro").cast("long").alias("ql_micro"))
+        .orderBy(F.desc("ql_micro"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------- wave 7
+# nDCG@10 of the query-likelihood ranking (Järvelin & Kekäläinen, TOIS
+# 2002) — the eval row for the retrieval family: graded relevance =
+# number of distinct query terms a document contains (the synthetic
+# judgment this corpus supports; stated, not hidden). The log2 discounts
+# are PYTHON-PRECOMPUTED micro literals shared by both engines, so the
+# whole metric is integer arithmetic — no cross-engine log at all.
+
+import math as _math
+
+_NDCG_K = 10
+#: discount weights w_i = round(1e6 / log2(i+1)), i = 1..K
+_NDCG_W = [round(1_000_000 / _math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+
+
+def _idiv_col(a, b):
+    """Exact integer floor division for non-negative integer columns (the
+    AMS wave's modulo trick, promoted: no double-rounding boundary)."""
+    return ((a - (a % b)) / b).cast("long")
+
+
+def _build_ndcg_oracle() -> str:
+    ql = _build_ql_oracle().strip().rstrip()
+    # weights as a VALUES relation (rank -> micro weight)
+    wrows = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W))
+    toks = "list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0)"
+    return f"""
+    WITH w(rank, w_micro) AS (VALUES {wrows}),
+    ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ql_micro DESC, doc_id)
+               AS rank
+      FROM ({ql})
+    ),
+    qt AS (
+      SELECT DISTINCT unnest({toks}) AS term
+      FROM documents WHERE doc_id = 0
+    ),
+    rel AS (
+      SELECT c.doc_id, CAST(COUNT(DISTINCT c.term) AS BIGINT) AS rel
+      FROM (SELECT doc_id, unnest({toks}) AS term
+            FROM documents WHERE doc_id <> 0) c
+      JOIN qt USING (term)
+      GROUP BY c.doc_id
+    ),
+    dcg AS (
+      SELECT CAST(SUM(COALESCE(rel.rel, 0) * w.w_micro) AS BIGINT) AS dcg_micro,
+             CAST(SUM(CAST(COALESCE(rel.rel, 0) > 0 AS BIGINT)) AS BIGINT)
+               AS n_rel_topk
+      FROM ranked JOIN w ON w.rank = ranked.rank
+      LEFT JOIN rel ON rel.doc_id = ranked.doc_id
+      WHERE ranked.rank <= {_NDCG_K}
+    ),
+    ideal AS (
+      SELECT CAST(SUM(rel * w_micro) AS BIGINT) AS idcg_micro FROM (
+        SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rank
+        FROM rel
+      ) r JOIN w ON w.rank = r.rank
+      WHERE r.rank <= {_NDCG_K}
+    )
+    SELECT dcg.n_rel_topk, dcg.dcg_micro, ideal.idcg_micro,
+           CAST(1000 * dcg.dcg_micro // ideal.idcg_micro AS BIGINT)
+             AS ndcg_permille
+    FROM dcg, ideal
+    """
+
+
+@query(
+    "search_ndcg_eval",
+    oracle=_build_ndcg_oracle(),
+    tags=("llm", "search", "eval"),
+)
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 + hit count of the Dirichlet query-likelihood ranking
+    against graded term-overlap relevance (distinct query terms present;
+    a synthetic judgment, stated as such — the metric machinery is the
+    deliverable). Discounts are import-time micro literals, relevance
+    and DCG sums are BIGINTs, the final normalization is exact integer
+    floor division — no engine computes a float anywhere. Plan: the QL
+    top-15 relation (already broadcast-shaped) + one corpus term
+    aggregate for relevance; ideal ranking via TakeOrdered over the
+    judged-docs relation. One output row."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    toks = F.filter(T.tokens("text"), lambda w: F.length(w) > 0)
+    qt = (
+        docs.filter("doc_id = 0")
+        .select(F.explode(toks).alias("term"))
+        .distinct()
+    )
+    rel = (
+        docs.filter("doc_id <> 0")
+        .select("doc_id", F.explode(toks).alias("term"))
+        .join(F.broadcast(qt), "term")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").cast("long").alias("rel"))
+    )
+    w_df = spark.createDataFrame(
+        [(i + 1, w) for i, w in enumerate(_NDCG_W)], "rank long, w_micro long"
+    )
+    ranked = search_query_likelihood_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("ql_micro"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rank"),
+    )
+    dcg = (
+        ranked.filter(F.col("rank") <= _NDCG_K)
+        .join(F.broadcast(w_df), "rank")
+        .join(rel, "doc_id", "left")
+        .agg(
+            F.sum(F.coalesce(F.col("rel"), F.lit(0)) * F.col("w_micro"))
+            .cast("long")
+            .alias("dcg_micro"),
+            F.sum((F.coalesce(F.col("rel"), F.lit(0)) > 0).cast("long"))
+            .cast("long")
+            .alias("n_rel_topk"),
+        )
+    )
+    ideal = (
+        rel.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(_NDCG_K)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rel"), F.asc("doc_id")))
+            .cast("long")
+            .alias("rank"),
+        )
+        .join(F.broadcast(w_df), "rank")
+        .agg(F.sum(F.col("rel") * F.col("w_micro")).cast("long").alias("idcg_micro"))
+    )
+    return dcg.crossJoin(F.broadcast(ideal)).select(
+        "n_rel_topk",
+        "dcg_micro",
+        "idcg_micro",
+        _idiv_col(F.lit(1000) * F.col("dcg_micro"), F.col("idcg_micro")).alias(
+            "ndcg_permille"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- wave 8
+# Benford first-digit audit (Benford 1938; Nigrini's forensic usage) —
+# the data-QA gate that flags fabricated or truncated numeric columns
+# before they poison training features: observed first-significant-digit
+# counts vs the log10(1+1/d) law, with per-digit chi-square
+# contributions. Digit extraction is string-based over an exact BIGINT
+# cents rendering (both engines print integers identically — no
+# log10-near-power-of-ten edge cases); the law's probabilities are
+# import-time micro literals, so the only floats are identically-formed
+# ratios of exact integers, micro-rounded per digit.
+
+#: Benford P(d) in micro units, d = 1..9 (python-computed literals).
+_BENFORD_P = [round(1_000_000 * _math.log10(1 + 1 / d)) for d in range(1, 10)]
+
+
+def _build_benford_oracle() -> str:
+    prows = ", ".join(f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_P))
+    return f"""
+    WITH p(digit, p_micro) AS (VALUES {prows}),
+    cents AS (
+      SELECT CAST(ABS(ROUND(value * 100)) AS BIGINT) AS n FROM events
+      WHERE CAST(ABS(ROUND(value * 100)) AS BIGINT) >= 1
+    ),
+    obs AS (
+      SELECT CAST(SUBSTRING(CAST(n AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS observed
+      FROM cents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs),
+    dense AS (
+      SELECT p.digit, p.p_micro, COALESCE(obs.observed, 0) AS observed,
+             (SELECT n FROM tot) AS n
+      FROM p LEFT JOIN obs ON obs.digit = p.digit
+    )
+    SELECT digit, observed,
+           CAST(n * p_micro // 1000000 AS BIGINT) AS expected_floor,
+           CAST(ROUND(
+             CAST(observed * 1000000 - n * p_micro AS DOUBLE)
+             * CAST(observed * 1000000 - n * p_micro AS DOUBLE)
+             / (CAST(n AS DOUBLE) * p_micro * 1000000) * 1000000
+           ) AS BIGINT) AS chi_micro
+    FROM dense ORDER BY digit
+    """
+
+
+@query(
+    "events_benford_audit",
+    oracle=_build_benford_oracle(),
+    tags=("llm", "events", "quality"),
+)
+def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of event values against
+    Benford's law, with per-digit chi-square contributions (micro units;
+    the order-free per-digit rounding makes any downstream total an
+    integer sum). Zero-cent values are excluded (no first digit). Plan:
+    one projection + one 9-bucket aggregate + a broadcast of the 9-row
+    law table — nothing after the scan exceeds nine rows."""
+    t = load_tables(spark, sf_dir, "events")
+    cents = t.events.select(
+        F.abs(F.round(F.col("value") * 100)).cast("long").alias("n")
+    ).filter(F.col("n") >= 1)
+    obs = (
+        cents.select(
+            F.substring(F.col("n").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    p_df = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_P)],
+        "digit long, p_micro long",
+    )
+    tot = obs.agg(F.sum("observed").cast("long").alias("n"))
+    dense = (
+        F.broadcast(p_df)
+        .join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "p_micro",
+            F.coalesce("observed", F.lit(0)).cast("long").alias("observed"),
+            "n",
+        )
+    )
+    diff = (F.col("observed") * 1000000 - F.col("n") * F.col("p_micro")).cast(
+        "double"
+    )
+    chi = F.round(
+        diff * diff / (F.col("n").cast("double") * F.col("p_micro") * 1000000)
+        * 1000000
+    ).cast("long")
+    return dense.select(
+        "digit",
+        "observed",
+        _idiv_col(F.col("n") * F.col("p_micro"), F.lit(1000000)).alias(
+            "expected_floor"
+        ),
+        chi.alias("chi_micro"),
+    ).orderBy("digit")
+
+
+# ---------------------------------------------------------------- wave 9
+# Johnson-Lindenstrauss distortion audit (JL 1984; Achlioptas 2003's
+# ±1 database-friendly projections) — measures what the cheap
+# dimensionality reduction actually does to pairwise distances BEFORE a
+# pipeline adopts it for ANN prefiltering: project 64-dim embeddings to
+# k=16 with a deterministic ±1 sign matrix (import-time literals, the
+# centroid-literal convention), compute the squared-distance ratio
+# (d_proj^2/k) / d^2 per sampled pair, and histogram the milli-ratios.
+# Pair sample = consecutive even/odd vec_ids (deterministic, linear).
+# The difference-vector formulation (project a-b once) is used in BOTH
+# engines so the fold order and roundings are identical.
+
+_JL_K = 16
+_JL_DIM = 64
+_JL_P = (1 << 31) - 1
+
+
+def _jl_sign(j: int, i: int) -> int:
+    h = (0x9E3779B1 * (j * _JL_DIM + i + 1) + 0x85EBCA77) % _JL_P
+    return 1 if h % 2 == 1 else -1
+
+
+#: k x dim ±1 matrix as python literals shared by both engines.
+_JL_R = [[float(_jl_sign(j, i)) for i in range(_JL_DIM)] for j in range(_JL_K)]
+
+
+def _build_jl_oracle() -> str:
+    from .llm_ops import _duck_dot
+
+    dvec = (
+        "list_transform(list_zip(a.embedding, b.embedding), "
+        "s -> CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
+    )
+    proj_sq = " + ".join(
+        f"({_duck_dot('dv', lit_vec(r))}) * ({_duck_dot('dv', lit_vec(r))})"
+        for r in _JL_R
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT {dvec} AS dv
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 2 = 0
+    ),
+    ratios AS (
+      SELECT CAST(FLOOR(1000.0 * (({proj_sq}) / {_JL_K})
+                        / ({_duck_dot('dv', 'dv')}) + 0.5) AS BIGINT)
+               AS ratio_milli
+      FROM pairs
+      WHERE {_duck_dot('dv', 'dv')} > 0
+    )
+    SELECT CAST(ratio_milli // 100 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM ratios GROUP BY 1 ORDER BY 1
+    """
+
+
+@query(
+    "embedding_jl_distortion_audit",
+    oracle=_build_jl_oracle(),
+    tags=("llm", "similarity", "eval"),
+)
+def embedding_jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-distortion histogram of a ±1 JL projection 64 -> 16
+    (Achlioptas 2003): per deterministic even/odd vec_id pair, the ratio
+    (d_proj^2/k) / d^2 milli-floored and bucketed 0.1-wide. A ratio of
+    1000 is distortion-free; the histogram width IS the measured epsilon
+    a pipeline accepts when prefiltering ANN candidates at k=16. All
+    arithmetic is identical doubles from the shared difference-vector
+    formulation + integer bucketing; zero-distance pairs (exact
+    duplicate vectors exist in this corpus) are excluded in both
+    engines. Plan: one self-join on an arithmetic key (no shuffle skew
+    — consecutive ids), 16 literal dots per pair, 11-bucket aggregate."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t.embeddings.select("vec_id", "embedding")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dv = F.zip_with(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        lambda x, y: x.cast("double") - y.cast("double"),
+    )
+    pairs = (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .filter(F.col("a.vec_id") % 2 == 0)
+        .select(dv.alias("dv"))
+    )
+    proj_sq = sum(
+        (S.dot(F.col("dv"), F.lit(r)) * S.dot(F.col("dv"), F.lit(r)) for r in _JL_R),
+        F.lit(0.0),
+    )
+    d2 = S.dot(F.col("dv"), F.col("dv"))
+    ratios = (
+        pairs.filter(d2 > 0)
+        .select(
+            F.floor(F.lit(1000.0) * (proj_sq / _JL_K) / d2 + F.lit(0.5))
+            .cast("long")
+            .alias("ratio_milli")
+        )
+    )
+    return (
+        ratios.select(_idiv_col(F.col("ratio_milli"), F.lit(100)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("bucket")
     )

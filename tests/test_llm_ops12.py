@@ -253,3 +253,116 @@ def test_ams_f2_full_python_replay(spark):
     assert r["f2_est_mom"] == mom
     assert r["err_mean_permille"] == abs(mean - f2) * 1000 // f2
     assert r["err_mom_permille"] == abs(mom - f2) * 1000 // f2
+
+
+# ---------------------------------------------------------------- wave 6-9
+
+
+def _ql_py(sf=SF):
+    """Pure-python replay of the Dirichlet QL scoring chain."""
+    import re
+    from collections import Counter
+
+    from sea_streamer_spark.plans.llm_ops12 import _QL_MU
+
+    docs = {d: [w for w in re.split(r"\s+", t) if w] for d, t, _s in _docs(sf)}
+    q = set(docs[0])
+    corpus = {d: t for d, t in docs.items() if d != 0}
+    cf = Counter(w for t in corpus.values() for w in t if w in q)
+    t_tokens = sum(len(t) for t in corpus.values())
+    scores = {}
+    for d, t in corpus.items():
+        tf = Counter(w for w in t if w in q)
+        s = 0
+        for term in sorted(q):
+            if cf[term] == 0:
+                continue
+            s += round(
+                math.log(
+                    (tf[term] + _QL_MU * cf[term] / t_tokens)
+                    / (len(t) + _QL_MU)
+                )
+                * 1_000_000
+            )
+        scores[d] = s
+    return scores, corpus, q, cf
+
+
+def test_query_likelihood_full_python_replay(spark):
+    scores, _corpus, _q, _cf = _ql_py()
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = [(r["doc_id"], r["ql_micro"])
+           for r in _run(spark, "search_query_likelihood_topk").collect()]
+    assert got == top
+
+
+def test_ndcg_full_python_replay(spark):
+    import re
+    from sea_streamer_spark.plans.llm_ops12 import _NDCG_K, _NDCG_W
+
+    scores, corpus, q, _cf = _ql_py()
+    rel = {
+        d: len(q.intersection(t)) for d, t in corpus.items()
+    }
+    rel = {d: r for d, r in rel.items() if r > 0}
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_NDCG_K]
+    dcg = sum(rel.get(d, 0) * _NDCG_W[i] for i, (d, _s) in enumerate(top))
+    n_rel = sum(1 for d, _s in top if rel.get(d, 0) > 0)
+    ideal = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[:_NDCG_K]
+    idcg = sum(r * _NDCG_W[i] for i, (_d, r) in enumerate(ideal))
+    r = _run(spark, "search_ndcg_eval").collect()[0]
+    assert r["dcg_micro"] == dcg
+    assert r["idcg_micro"] == idcg
+    assert r["n_rel_topk"] == n_rel
+    assert r["ndcg_permille"] == 1000 * dcg // idcg
+    assert 0 <= r["ndcg_permille"] <= 1000
+
+
+def test_benford_full_python_replay(spark):
+    from collections import Counter
+
+    from sea_streamer_spark.plans.llm_ops12 import _BENFORD_P
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["value"])
+    obs = Counter()
+    for v in t.column("value").to_pylist():
+        n = abs(round(v * 100))
+        if n >= 1:
+            obs[int(str(int(n))[0])] += 1
+    n_total = sum(obs.values())
+    rows = _run(spark, "events_benford_audit").collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    for r in rows:
+        d = r["digit"]
+        p = _BENFORD_P[d - 1]
+        assert r["observed"] == obs.get(d, 0)
+        assert r["expected_floor"] == n_total * p // 1_000_000
+        diff = float(r["observed"] * 1_000_000 - n_total * p)
+        assert r["chi_micro"] == round(
+            diff * diff / (float(n_total) * p * 1_000_000) * 1_000_000
+        )
+
+
+def test_jl_distortion_full_python_replay(spark):
+    from sea_streamer_spark.operators.similarity import dot_py
+    from sea_streamer_spark.plans.llm_ops12 import _JL_K, _JL_R
+
+    emb = _embeddings()
+    from collections import Counter
+
+    hist = Counter()
+    eligible = 0
+    for a in sorted(emb):
+        if a % 2 or (a + 1) not in emb:
+            continue
+        dv = [float(x) - float(y) for x, y in zip(emb[a], emb[a + 1])]
+        d2 = dot_py(dv, dv)
+        if d2 <= 0:
+            continue
+        eligible += 1
+        proj = sum(dot_py(dv, r) ** 2 for r in _JL_R)
+        ratio = math.floor(1000.0 * (proj / _JL_K) / d2 + 0.5)
+        hist[ratio // 100] += 1
+    rows = _run(spark, "embedding_jl_distortion_audit").collect()
+    assert {r["bucket"]: r["n_pairs"] for r in rows} == dict(hist)
+    assert sum(r["n_pairs"] for r in rows) == eligible

@@ -94,6 +94,8 @@ SNAPSHOT_QUERIES = [
     "dedup_semantic_cluster", "dedup_semantic_recall_eval",
     "text_readability_scores", "privacy_t_closeness_audit",
     "graph_clustering_coefficient", "sketch_ams_f2_estimate",
+    "search_query_likelihood_topk", "search_ndcg_eval",
+    "events_benford_audit", "embedding_jl_distortion_audit",
 ]
 
 
