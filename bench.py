@@ -425,6 +425,9 @@ def new_ops_metric(spark) -> dict:
         "search_ndcg_eval",
         "events_benford_audit",
         "embedding_jl_distortion_audit",
+        "text_lexical_richness",
+        "quality_good_turing_spectrum",
+        "curation_weighted_reservoir",
     ):
         if name not in QUERIES:
             continue

@@ -1348,3 +1348,235 @@ def embedding_jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------- wave 10
+# Lexical-richness profile per source (Yule 1944; the stylometric
+# vocabulary-diversity battery beside Burrows' Delta and the JSD
+# matrix): type-token ratio, hapax-legomena share, and Yule's K — the
+# repetitiveness characteristic K = 10^4 * (sum_r r^2*S_r - N) / N^2
+# that is length-robust where raw TTR is not. Everything derives from
+# the per-(source, word) count relation: N = sum c, V = count types,
+# V1 = count(c=1), S2 = sum c^2 — one keyed aggregate, all integers,
+# exact floor divisions at the end.
+
+
+@query(
+    "text_lexical_richness",
+    oracle="""
+    WITH wc AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT source, unnest(list_filter(
+          string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS w
+        FROM documents
+      ) GROUP BY source, w
+    ),
+    per AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CAST(c = 1 AS BIGINT)) AS BIGINT) AS n_hapax,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM wc GROUP BY source
+    )
+    SELECT source, n_tokens, n_types, n_hapax,
+           CAST(1000 * n_types // n_tokens AS BIGINT) AS ttr_permille,
+           CAST(1000 * n_hapax // n_types AS BIGINT) AS hapax_permille,
+           CAST(10000000 * (s2 - n_tokens) // (n_tokens * n_tokens)
+                AS BIGINT) AS yule_k_milli
+    FROM per ORDER BY source
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical richness: type-token ratio, hapax share, and
+    Yule's K (milli) — the vocabulary-diversity fingerprint a curation
+    stack reads beside readability and the stylometric matrices (a
+    template-stamped source shows low K-variance and a collapsed hapax
+    share). One (source, word)-keyed count with map-side partials, then
+    a source-keyed integer aggregate; divisions are exact integer
+    floors. Linear in tokens, dimension-sized after the word table."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    toks = F.filter(T.tokens("text"), lambda w: F.length(w) > 0)
+    wc = (
+        docs.select("source", F.explode(toks).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per = wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        _idiv_col(F.lit(1000) * F.col("n_types"), F.col("n_tokens")).alias(
+            "ttr_permille"
+        ),
+        _idiv_col(F.lit(1000) * F.col("n_hapax"), F.col("n_types")).alias(
+            "hapax_permille"
+        ),
+        _idiv_col(
+            F.lit(10000000) * (F.col("s2") - F.col("n_tokens")),
+            F.col("n_tokens") * F.col("n_tokens"),
+        ).alias("yule_k_milli"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------- wave 11
+# Good-Turing frequency spectrum (Good 1953) — the unseen-mass estimate
+# that completes the LM-smoothing story beside Kneser-Ney and the
+# unigram trainer: from the frequency-of-frequencies table S_r of
+# 3-token SHINGLES (the corpus's word vocabulary is fixture-tiny and
+# saturates — every word occurs far more than 10 times — so the word
+# grain has an empty spectrum; shingles carry the real tail), the
+# smoothed count r* = (r+1) S_{r+1} / S_r and the Turing unseen mass
+# p0 = S_1 / N. Counts and exact rationals of counts only; rows where
+# the estimator is undefined (S_{r+1} = 0) report -1, never NULL.
+
+
+@query(
+    "quality_good_turing_spectrum",
+    oracle=f"""
+    WITH {DUCK_SHINGLE_SETS},
+    sc AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS c FROM shing GROUP BY sh),
+    fof AS (
+      SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS s_r FROM sc GROUP BY c
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM sc),
+    s1 AS (SELECT COALESCE((SELECT s_r FROM fof WHERE r = 1), 0) AS s_1),
+    grid AS (SELECT unnest(generate_series(1, 10)) AS r)
+    SELECT CAST(g.r AS BIGINT) AS r,
+           COALESCE(f.s_r, 0) AS s_r,
+           CASE WHEN COALESCE(f.s_r, 0) = 0 OR COALESCE(f1.s_r, 0) = 0
+                THEN CAST(-1 AS BIGINT)
+                ELSE CAST(1000 * (g.r + 1) * f1.s_r // f.s_r AS BIGINT)
+           END AS r_star_milli,
+           CAST(1000 * (SELECT s_1 FROM s1) // (SELECT n FROM tot)
+                AS BIGINT) AS unseen_mass_permille
+    FROM grid g
+    LEFT JOIN fof f ON f.r = g.r
+    LEFT JOIN fof f1 ON f1.r = g.r + 1
+    ORDER BY r
+    """,
+    tags=("llm", "quality", "text"),
+)
+def quality_good_turing_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing spectrum rows r = 1..10 over 3-token shingle
+    occurrences: the frequency-of-frequencies S_r, the smoothed count
+    r* = (r+1)S_{r+1}/S_r (milli; -1 where the raw estimator is
+    undefined), and the Turing unseen-mass estimate S_1/N (permille,
+    repeated per row for a stable schema) — the number that says how
+    much novel-text mass the corpus still hides, read before trusting
+    contamination or novelty rates. Plan: one shingle-keyed count, one
+    count-keyed count (both map-side-combinable), then arithmetic on a
+    10-row grid against the spectrum — the corpus is touched once."""
+    from ..operators.dedup import _shingle_array
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    sc = (
+        docs.select(F.explode(_shingle_array("text")).alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    fof = sc.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("s_r")
+    )
+    tot = sc.agg(F.sum("c").cast("long").alias("n"))
+    s1 = (
+        fof.filter(F.col("r") == 1)
+        .select(F.col("s_r").alias("s_1"))
+        .unionAll(spark.createDataFrame([(0,)], "s_1 long"))
+        .limit(1)
+    )
+    grid = spark.range(1, 11).select(F.col("id").cast("long").alias("r"))
+    f1 = fof.select((F.col("r") - 1).alias("r"), F.col("s_r").alias("s_r1"))
+    dense = (
+        grid.join(F.broadcast(fof), "r", "left")
+        .join(F.broadcast(f1), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(s1))
+        .select(
+            "r",
+            F.coalesce("s_r", F.lit(0)).cast("long").alias("s_r"),
+            F.coalesce("s_r1", F.lit(0)).cast("long").alias("s_r1"),
+            "n",
+            F.coalesce("s_1", F.lit(0)).cast("long").alias("s_1"),
+        )
+    )
+    r_star = F.when(
+        (F.col("s_r") == 0) | (F.col("s_r1") == 0), F.lit(-1).cast("long")
+    ).otherwise(
+        _idiv_col(F.lit(1000) * (F.col("r") + 1) * F.col("s_r1"), F.col("s_r"))
+    )
+    return dense.select(
+        "r",
+        "s_r",
+        r_star.alias("r_star_milli"),
+        _idiv_col(F.lit(1000) * F.col("s_1"), F.col("n")).alias(
+            "unseen_mass_permille"
+        ),
+    ).orderBy("r")
+
+
+# --------------------------------------------------------------- wave 12
+# Weighted reservoir sampling, A-Res keys (Efraimidis & Spirakis, IPL
+# 2006) — THE distributed weighted-sample primitive: assign each item
+# the key u^(1/w) (equivalently ln(u)/w) with u a deterministic uniform
+# from its id, and take the top-k by key. Keys are independent per item,
+# so the sample is one TakeOrdered (per-partition heaps, mergeable) —
+# no sequential reservoir state, which is exactly why it scales where
+# Vitter's Algorithm R does not. Deterministic u from an integer hash
+# (reproducible pipelines re-draw the SAME sample); the single float
+# (ln of an identical double ratio) is micro-rounded per row before the
+# rank — the BM25 float contract.
+
+_RES_P = (1 << 31) - 1
+_RES_A = 0x9E3779B1 % _RES_P
+_RES_B = 0x85EBCA77 % _RES_P
+_RES_K = 20
+
+
+@query(
+    "curation_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             CAST(ROUND(1000000.0 * ln(
+               ((({_RES_A} * doc_id + {_RES_B}) % {_RES_P}) + 1.0)
+               / ({_RES_P} + 1.0)
+             ) / n_chars) AS BIGINT) AS key_micro
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight, key_micro FROM keyed
+    ORDER BY key_micro DESC, doc_id LIMIT {_RES_K}
+    """,
+    tags=("llm", "curation"),
+)
+def curation_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 weighted sample by A-Res key (IPL 2006), weight = document
+    length: key_micro = round(1e6 * ln(u)/w) with u a deterministic
+    uniform from the doc id — longer documents are proportionally more
+    likely, the draw is reproducible across runs and engines, and the
+    sample is ONE TakeOrdered over a pure projection (per-partition
+    heaps, no shuffle beyond the k-row merge; the canonical distributed
+    reservoir). Zero-weight docs are excluded in both engines."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    u = (
+        ((F.lit(_RES_A) * F.col("doc_id") + F.lit(_RES_B)) % _RES_P) + 1.0
+    ) / F.lit(float(_RES_P + 1))
+    key = F.round(F.lit(1000000.0) * F.log(u) / F.col("n_chars")).cast("long")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("key_micro"),
+        )
+        .orderBy(F.desc("key_micro"), F.asc("doc_id"))
+        .limit(_RES_K)
+    )

@@ -366,3 +366,76 @@ def test_jl_distortion_full_python_replay(spark):
     rows = _run(spark, "embedding_jl_distortion_audit").collect()
     assert {r["bucket"]: r["n_pairs"] for r in rows} == dict(hist)
     assert sum(r["n_pairs"] for r in rows) == eligible
+
+
+# -------------------------------------------------------------- wave 10-12
+
+
+def test_lexical_richness_full_python_replay(spark):
+    import re
+    from collections import Counter
+
+    per: dict[str, Counter] = {}
+    for _d, text, src in _docs():
+        per.setdefault(src, Counter()).update(
+            w for w in re.split(r"\s+", text) if w
+        )
+    rows = _run(spark, "text_lexical_richness").collect()
+    assert len(rows) == len(per)
+    for r in rows:
+        c = per[r["source"]]
+        n, v = sum(c.values()), len(c)
+        v1 = sum(1 for x in c.values() if x == 1)
+        s2 = sum(x * x for x in c.values())
+        assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (n, v, v1)
+        assert r["ttr_permille"] == 1000 * v // n
+        assert r["hapax_permille"] == 1000 * v1 // v
+        assert r["yule_k_milli"] == 10000000 * (s2 - n) // (n * n)
+
+
+def test_good_turing_full_python_replay(spark):
+    import re
+    from collections import Counter
+
+    sc: Counter = Counter()
+    for _d, text, _s in _docs():
+        toks = re.split(r"\s+", text)
+        for i in range(len(toks) - 2):
+            sc[" ".join(toks[i : i + 3])] += 1
+    fof = Counter(sc.values())
+    n = sum(sc.values())
+    s1 = fof.get(1, 0)
+    rows = _run(spark, "quality_good_turing_spectrum").collect()
+    assert [r["r"] for r in rows] == list(range(1, 11))
+    for r in rows:
+        sr, sr1 = fof.get(r["r"], 0), fof.get(r["r"] + 1, 0)
+        assert r["s_r"] == sr
+        expect = -1 if sr == 0 or sr1 == 0 else 1000 * (r["r"] + 1) * sr1 // sr
+        assert r["r_star_milli"] == expect
+        assert r["unseen_mass_permille"] == 1000 * s1 // n
+    # the shingle grain must actually carry a tail (the word grain is
+    # fixture-saturated and would zero the whole spectrum)
+    assert rows[0]["s_r"] > 0
+
+
+def test_weighted_reservoir_full_python_replay(spark):
+    from sea_streamer_spark.plans.llm_ops12 import (
+        _RES_A, _RES_B, _RES_K, _RES_P,
+    )
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    keyed = []
+    for d, w in zip(t.column("doc_id").to_pylist(), t.column("n_chars").to_pylist()):
+        if w <= 0:
+            continue
+        u = (((_RES_A * d + _RES_B) % _RES_P) + 1.0) / (_RES_P + 1.0)
+        keyed.append((d, w, round(1_000_000.0 * math.log(u) / w)))
+    top = sorted(keyed, key=lambda x: (-x[2], x[0]))[:_RES_K]
+    got = [(r["doc_id"], r["weight"], r["key_micro"])
+           for r in _run(spark, "curation_weighted_reservoir").collect()]
+    assert got == top
+    # length-weighting must actually bias the draw: the sampled docs'
+    # mean weight exceeds the corpus mean
+    corpus_mean = sum(w for _d, w, _k in keyed) / len(keyed)
+    sample_mean = sum(w for _d, w, _k in top) / len(top)
+    assert sample_mean > corpus_mean

@@ -96,6 +96,8 @@ SNAPSHOT_QUERIES = [
     "graph_clustering_coefficient", "sketch_ams_f2_estimate",
     "search_query_likelihood_topk", "search_ndcg_eval",
     "events_benford_audit", "embedding_jl_distortion_audit",
+    "text_lexical_richness", "quality_good_turing_spectrum",
+    "curation_weighted_reservoir",
 ]
 
 
