@@ -428,6 +428,9 @@ def new_ops_metric(spark) -> dict:
         "text_lexical_richness",
         "quality_good_turing_spectrum",
         "curation_weighted_reservoir",
+        "quality_signal_rank_correlation",
+        "events_transition_entropy",
+        "embedding_cell_label_purity",
     ):
         if name not in QUERIES:
             continue

@@ -1580,3 +1580,298 @@ def curation_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("key_micro"), F.asc("doc_id"))
         .limit(_RES_K)
     )
+
+
+# --------------------------------------------------------------- wave 13
+# Spearman rank-correlation matrix between per-document quality signals
+# (Spearman 1904) — the cross-signal agreement diagnostic a curation
+# stack reads before stacking filters: two signals that rank documents
+# identically are one filter, not two. rho = 1 - 6*sum(d^2)/(n(n^2-1))
+# is an EXACT rational of integers once ranks are total — ranks here
+# are row_number over (signal, doc_id), the deterministic-tie-break
+# convention (stated; average-rank Spearman differs under heavy ties).
+# Division is truncated-toward-zero in BOTH engines (DuckDB // and the
+# Spark modulo-trick agree on negatives — verified).
+
+_SPEAR_SIGNALS = ("n_chars", "n_tokens", "n_types", "n_syllables")
+
+
+def _build_spearman_oracle() -> str:
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0)"
+    syl = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        + toks
+        + ", w -> CAST(GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1)"
+        " AS BIGINT))), (a, b) -> a + b)"
+    )
+    ranks = ", ".join(
+        f"ROW_NUMBER() OVER (ORDER BY {s}, doc_id) AS rk_{s}"
+        for s in _SPEAR_SIGNALS
+    )
+    pairs = []
+    for i, a in enumerate(_SPEAR_SIGNALS):
+        for b in _SPEAR_SIGNALS[i + 1 :]:
+            pairs.append(
+                f"SELECT '{a}' AS signal_a, '{b}' AS signal_b,"
+                f" CAST(SUM((rk_{a} - rk_{b}) * (rk_{a} - rk_{b}))"
+                f" AS BIGINT) AS sum_d2, CAST(COUNT(*) AS BIGINT) AS n"
+                f" FROM ranked"
+            )
+    unions = " UNION ALL ".join(pairs)
+    return f"""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len({toks}) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct({toks})) AS BIGINT) AS n_types,
+             CAST({syl} AS BIGINT) AS n_syllables
+      FROM documents
+    ),
+    ranked AS (SELECT doc_id, {ranks} FROM sig),
+    cells AS ({unions})
+    SELECT signal_a, signal_b,
+           CAST((1000 * n * (n * n - 1) - 6000 * sum_d2)
+                // (n * (n * n - 1)) AS BIGINT) AS rho_milli
+    FROM cells ORDER BY signal_a, signal_b
+    """
+
+
+@query(
+    "quality_signal_rank_correlation",
+    oracle=_build_spearman_oracle(),
+    tags=("llm", "quality", "eval"),
+)
+def quality_signal_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Spearman rho (milli) between four per-document signals
+    (chars, tokens, distinct tokens, syllables): the filter-redundancy
+    matrix — rho ~ 1000 means the second signal adds nothing. Ranks are
+    row_number over (signal, doc_id) so the statistic is exact integer
+    arithmetic end-to-end. The rank windows are global sorts over the
+    doc dimension (the NTILE/selection_tradeoff precedent — presentation
+    grain, n(n^2-1) needs exact n anyway); everything after is six
+    integers."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0)
+    syl = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(F.regexp_count(w, F.lit("[aeiouy]+")), F.lit(1)).cast("long"),
+    )
+    sig = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(words).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_types"),
+        syl.alias("n_syllables"),
+    )
+    ranked = sig.select(
+        "doc_id",
+        *[
+            F.row_number()
+            .over(Window.orderBy(F.col(s), F.col("doc_id")))
+            .cast("long")
+            .alias(f"rk_{s}")
+            for s in _SPEAR_SIGNALS
+        ],
+    )
+    # ONE aggregate computes all six sum(d^2) cells + n (a union of six
+    # per-pair aggs would scan the rank relation six times), then the
+    # single row explodes into the matrix.
+    pair_names = [
+        (a, b)
+        for i, a in enumerate(_SPEAR_SIGNALS)
+        for b in _SPEAR_SIGNALS[i + 1 :]
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for a, b in pair_names:
+        d = F.col(f"rk_{a}") - F.col(f"rk_{b}")
+        aggs.append(F.sum(d * d).cast("long").alias(f"sd2_{a}__{b}"))
+    onerow = ranked.agg(*aggs)
+    cells = onerow.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("signal_a"),
+                        F.lit(b).alias("signal_b"),
+                        F.col(f"sd2_{a}__{b}").alias("sum_d2"),
+                    )
+                    for a, b in pair_names
+                ]
+            )
+        ).alias("p"),
+    ).select("p.signal_a", "p.signal_b", "p.sum_d2", "n")
+    nn = F.col("n") * (F.col("n") * F.col("n") - 1)
+    return cells.select(
+        "signal_a",
+        "signal_b",
+        _idiv_col(F.lit(1000) * nn - F.lit(6000) * F.col("sum_d2"), nn).alias(
+            "rho_milli"
+        ),
+    ).orderBy("signal_a", "signal_b")
+
+
+# --------------------------------------------------------------- wave 14
+# Markov transition entropy per antecedent (Shannon 1948 over the
+# events_transition_matrix relation) — the predictability audit of the
+# behavioral bigram table: H(next | prev) near zero means the next
+# event is scripted (bot traffic / instrumentation echo), near ln(K)
+# means uniform. Per-cell p*ln(p) is the one float, micro-rounded per
+# CELL (order-free integer sum), the probabilities are exact integer
+# ratios first — the JSD-matrix recipe applied to the Markov row.
+
+
+@query(
+    "events_transition_entropy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    cells AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    rows_ AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n,
+             CAST(COUNT(*) AS BIGINT) AS n_next
+      FROM cells GROUP BY prev_type
+    ),
+    contrib AS (
+      SELECT c.prev_type,
+             CAST(ROUND(-ln(CAST(c.n AS DOUBLE) / r.row_n)
+                        * c.n * 1000000 / r.row_n) AS BIGINT) AS micro
+      FROM cells c JOIN rows_ r USING (prev_type)
+    )
+    SELECT r.prev_type, r.row_n AS n_transitions, r.n_next,
+           CAST(SUM(co.micro) AS BIGINT) AS entropy_micro_nats
+    FROM rows_ r JOIN contrib co USING (prev_type)
+    GROUP BY r.prev_type, r.row_n, r.n_next
+    ORDER BY r.prev_type
+    """,
+    tags=("llm", "events", "sequence"),
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy per antecedent event type (micro
+    nats): H(next|prev) = -sum p ln p over the first-order Markov row,
+    with p an exact integer ratio and each cell's contribution
+    micro-rounded before the (order-free) integer sum. One user-keyed
+    window + one (prev, next) count; everything after is
+    event-type-dimension-sized."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "events")
+    seq = t.events.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    cells = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows_ = cells.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("row_n"),
+        F.count(F.lit(1)).cast("long").alias("n_next"),
+    )
+    contrib = cells.join(rows_, "prev_type").select(
+        "prev_type",
+        F.round(
+            -F.log(F.col("n").cast("double") / F.col("row_n"))
+            * F.col("n")
+            * 1000000
+            / F.col("row_n")
+        )
+        .cast("long")
+        .alias("micro"),
+    )
+    return (
+        rows_.join(contrib, "prev_type")
+        .groupBy("prev_type", F.col("row_n").alias("n_transitions"), "n_next")
+        .agg(F.sum("micro").cast("long").alias("entropy_micro_nats"))
+        .orderBy("prev_type")
+    )
+
+
+# --------------------------------------------------------------- wave 15
+# IVF cell label purity (the clustering-evaluation classic: majority
+# share + Gini impurity per cluster against an external label) — the
+# quantizer-quality audit the ANN family was missing: recall evals say
+# whether neighbors are FOUND, purity says whether the cells MEAN
+# anything w.r.t. the labels the corpus carries. Integer counts; Gini
+# = 1 - sum((n_l/n)^2) as one exact-rational permille floor.
+
+
+@query(
+    "embedding_cell_label_purity",
+    oracle=f"""
+    WITH {{scored_sql}},
+    cl AS (
+      SELECT a.cell, e.label, CAST(COUNT(*) AS BIGINT) AS n_l
+      FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+      GROUP BY a.cell, e.label
+    ),
+    per AS (
+      SELECT cell, CAST(SUM(n_l) AS BIGINT) AS n,
+             CAST(MAX(n_l) AS BIGINT) AS n_major,
+             CAST(SUM(n_l * n_l) AS BIGINT) AS sum_sq,
+             CAST(COUNT(*) AS BIGINT) AS n_labels
+      FROM cl GROUP BY cell
+    )
+    SELECT cell, n, n_labels,
+           CAST(1000 * n_major // n AS BIGINT) AS majority_permille,
+           CAST((1000 * n * n - 1000 * sum_sq) // (n * n) AS BIGINT)
+             AS gini_permille
+    FROM per ORDER BY cell
+    """.format(scored_sql=_semantic_scored_sql()),
+    tags=("llm", "similarity", "eval"),
+)
+def embedding_cell_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-IVF-cell label purity: majority-label share and Gini impurity
+    (permille) against the embeddings' label column — the external-
+    validity audit of the same gate-pinned quantizer the ANN and
+    SemDeDup queries ride. Cell assignment is the shared map-side argmax
+    projection; everything after is one (cell, label) count and
+    cell-dimension arithmetic. Exact integer floors; majority ties
+    resolve identically in both engines because MAX over counts is
+    tie-free by value."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    from .llm_ops import gate_ivf_centroids
+
+    cents = gate_ivf_centroids(n_cells=_SEM_CELLS)
+    if cents is None:
+        cents = S.ivf_centroids(t.embeddings, n_cells=_SEM_CELLS)
+    assigned = t.embeddings.select(
+        "vec_id", "label", S.ivf_cell_expr(cents).alias("cell")
+    )
+    cl = assigned.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_l")
+    )
+    per = cl.groupBy("cell").agg(
+        F.sum("n_l").cast("long").alias("n"),
+        F.max("n_l").cast("long").alias("n_major"),
+        F.sum(F.col("n_l") * F.col("n_l")).cast("long").alias("sum_sq"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+    )
+    return per.select(
+        "cell",
+        "n",
+        "n_labels",
+        _idiv_col(F.lit(1000) * F.col("n_major"), F.col("n")).alias(
+            "majority_permille"
+        ),
+        _idiv_col(
+            F.lit(1000) * F.col("n") * F.col("n")
+            - F.lit(1000) * F.col("sum_sq"),
+            F.col("n") * F.col("n"),
+        ).alias("gini_permille"),
+    ).orderBy("cell")

@@ -439,3 +439,110 @@ def test_weighted_reservoir_full_python_replay(spark):
     corpus_mean = sum(w for _d, w, _k in keyed) / len(keyed)
     sample_mean = sum(w for _d, w, _k in top) / len(top)
     assert sample_mean > corpus_mean
+
+
+# -------------------------------------------------------------- wave 13-15
+
+
+def test_spearman_full_python_replay(spark):
+    import re
+
+    from sea_streamer_spark.plans.llm_ops12 import _SPEAR_SIGNALS
+
+    sig = {}
+    for d, text, _s in _docs():
+        words = [w for w in re.split(r"\s+", text.lower()) if w]
+        syl = sum(max(len(re.findall(r"[aeiouy]+", w)), 1) for w in words)
+        sig[d] = {
+            "n_chars": len(text),
+            "n_tokens": len(words),
+            "n_types": len(set(words)),
+            "n_syllables": syl,
+        }
+    n = len(sig)
+    ranks = {}
+    for s in _SPEAR_SIGNALS:
+        order = sorted(sig, key=lambda d: (sig[d][s], d))
+        ranks[s] = {d: i + 1 for i, d in enumerate(order)}
+    got = {(r["signal_a"], r["signal_b"]): r["rho_milli"]
+           for r in _run(spark, "quality_signal_rank_correlation").collect()}
+    for i, a in enumerate(_SPEAR_SIGNALS):
+        for b in _SPEAR_SIGNALS[i + 1 :]:
+            sum_d2 = sum((ranks[a][d] - ranks[b][d]) ** 2 for d in sig)
+            nn = n * (n * n - 1)
+            num = 1000 * nn - 6000 * sum_d2
+            # truncation toward zero, matching both engines
+            expect = num // nn if num >= 0 else -((-num) // nn)
+            assert got[(a, b)] == expect, (a, b)
+    # chars/tokens/syllables all grow with length: strongly rank-aligned
+    assert got[("n_chars", "n_tokens")] > 900
+
+
+def test_transition_entropy_full_python_replay(spark):
+    import pyarrow.parquet as _pq
+    from collections import Counter, defaultdict
+
+    t = _pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    rows = sorted(
+        zip(t.column("user_id").to_pylist(), t.column("ts").to_pylist(),
+            t.column("event_id").to_pylist(), t.column("event_type").to_pylist()),
+        key=lambda r: (r[0], r[1], r[2]),
+    )
+    cells: Counter = Counter()
+    prev_by_user: dict = {}
+    for u, _ts, _eid, et in rows:
+        if u in prev_by_user:
+            cells[(prev_by_user[u], et)] += 1
+        prev_by_user[u] = et
+    by_prev = defaultdict(dict)
+    for (p, nx), n in cells.items():
+        by_prev[p][nx] = n
+    got = {r["prev_type"]: r
+           for r in _run(spark, "events_transition_entropy").collect()}
+    assert set(got) == set(by_prev)
+    for p, nxs in by_prev.items():
+        row_n = sum(nxs.values())
+        micro = sum(
+            round(-math.log(n / row_n) * n * 1_000_000 / row_n)
+            for n in nxs.values()
+        )
+        r = got[p]
+        assert (r["n_transitions"], r["n_next"], r["entropy_micro_nats"]) == (
+            row_n, len(nxs), micro,
+        )
+        # entropy bounded by ln(K)
+        assert micro <= math.log(len(nxs)) * 1_000_000 + len(nxs)
+
+
+def test_cell_label_purity_replay_and_invariants(spark):
+    from collections import Counter
+
+    from sea_streamer_spark.operators.similarity import dot_py
+    from sea_streamer_spark.plans.llm_ops import gate_ivf_centroids
+    from sea_streamer_spark.plans.llm_ops3 import _SEM_CELLS
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+    cents = gate_ivf_centroids(n_cells=_SEM_CELLS)
+    assert cents is not None
+    per: dict[int, Counter] = {}
+    for v, e, lab in zip(t.column("vec_id").to_pylist(),
+                         t.column("embedding").to_pylist(),
+                         t.column("label").to_pylist()):
+        cell = -max(((dot_py(e, cv), -c) for c, cv in cents))[1]
+        per.setdefault(cell, Counter())[lab] += 1
+    got = {r["cell"]: r
+           for r in _run(spark, "embedding_cell_label_purity").collect()}
+    assert set(got) == set(per)
+    for cell, c in per.items():
+        n = sum(c.values())
+        n_major = max(c.values())
+        sum_sq = sum(x * x for x in c.values())
+        r = got[cell]
+        assert (r["n"], r["n_labels"]) == (n, len(c))
+        assert r["majority_permille"] == 1000 * n_major // n
+        assert r["gini_permille"] == (1000 * n * n - 1000 * sum_sq) // (n * n)
+        assert 0 <= r["gini_permille"] <= 1000
+        assert r["majority_permille"] >= 1000 // len(c)

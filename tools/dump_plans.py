@@ -97,7 +97,8 @@ SNAPSHOT_QUERIES = [
     "search_query_likelihood_topk", "search_ndcg_eval",
     "events_benford_audit", "embedding_jl_distortion_audit",
     "text_lexical_richness", "quality_good_turing_spectrum",
-    "curation_weighted_reservoir",
+    "curation_weighted_reservoir", "quality_signal_rank_correlation",
+    "events_transition_entropy", "embedding_cell_label_purity",
 ]
 
 
