@@ -431,6 +431,8 @@ def new_ops_metric(spark) -> dict:
         "quality_signal_rank_correlation",
         "events_transition_entropy",
         "embedding_cell_label_purity",
+        "profile_mann_whitney_drift",
+        "quality_nb_calibration_curve",
     ):
         if name not in QUERIES:
             continue

@@ -2096,10 +2096,12 @@ def _duck_gopher_pass() -> str:
     )"""
 
 
-@query(
-    "quality_nb_distill_fidelity",
-    oracle=f"""
-    WITH {_duck_gopher_pass()},
+def _nb_chain_sql() -> str:
+    """The shared NB-distillation oracle chain (labels -> words ->
+    counts -> totals -> per-doc scores): single-sourced so the fidelity
+    table and the calibration curve (llm_ops12) can never disagree
+    about what the classifier scored."""
+    return f"""{_duck_gopher_pass()},
     words AS (
       SELECT doc_id, w FROM (
         SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
@@ -2152,40 +2154,13 @@ def _duck_gopher_pass() -> str:
                AS BIGINT) + COALESCE(c.sf, 0) AS score_fail
       FROM labels l LEFT JOIN contrib c USING (doc_id) CROSS JOIN tots
       WHERE l.doc_id % 2 = 1
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
-           CAST(SUM(CASE WHEN score_pass >= score_fail AND truth
-                    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-           CAST(SUM(CASE WHEN score_pass >= score_fail AND NOT truth
-                    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-           CAST(SUM(CASE WHEN score_pass < score_fail AND truth
-                    THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-           CAST(SUM(CASE WHEN score_pass < score_fail AND NOT truth
-                    THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-           CAST(FLOOR(1000.0 * SUM(CASE WHEN (score_pass >= score_fail)
-                    = truth THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT)
-             AS accuracy_permille
-    FROM scored
-    """,
-    tags=("llm", "quality", "eval"),
-)
-def quality_nb_distill_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distill the Gopher rule gate into a multinomial Naive Bayes
-    classifier and measure fidelity on held-out docs: train on the
-    even-doc_id half labeled by the rule (weak supervision), score the
-    odd half, report the confusion matrix and accuracy permille — the
-    model-based-filtering acceptance table (the WebText/fastText
-    classifier pattern) in exactly-replayable integer form. Every
-    statistic is a count; every log-prob (Laplace-smoothed, shared
-    vocabulary V) is micro-rounded per word TYPE then summed as
-    count-weighted BIGINTs, so scores, the ≥-tie rule, and the confusion
-    cells are hash-stable across engines. Ties predict pass (stated).
+    )"""
 
-    Plan, 100 TB-first: training is ONE (word, class-count) aggregation
-    over the labeled half; the model is the vocab-bounded cw relation
-    joined LEFT from the eval side's (doc, word, k) counts (OOV words
-    fall out of the same formula via COALESCE 0); priors/totals ride a
-    broadcast one-row relation; the result is a single row."""
+
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out docs with NB scores: (doc_id, truth, score_pass,
+    score_fail) — the Spark half of _nb_chain_sql, shared by the
+    fidelity table and the calibration curve (llm_ops12)."""
     from ..operators import quality as Q
 
     docs = load_tables(spark, sf_dir, "documents").documents
@@ -2262,11 +2237,53 @@ def quality_nb_distill_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contrib, "doc_id", "left")
         .crossJoin(F.broadcast(tots))
         .select(
+            "doc_id",
             F.col("passes").alias("truth"),
             (prior_p + F.coalesce(F.col("sp"), F.lit(0))).alias("score_pass"),
             (prior_f + F.coalesce(F.col("sf"), F.lit(0))).alias("score_fail"),
         )
     )
+    return scored
+
+
+@query(
+    "quality_nb_distill_fidelity",
+    oracle=f"""
+    WITH {_nb_chain_sql()}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN score_pass >= score_fail AND truth
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN score_pass >= score_fail AND NOT truth
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN score_pass < score_fail AND truth
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN score_pass < score_fail AND NOT truth
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(FLOOR(1000.0 * SUM(CASE WHEN (score_pass >= score_fail)
+                    = truth THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT)
+             AS accuracy_permille
+    FROM scored
+    """,
+    tags=("llm", "quality", "eval"),
+)
+def quality_nb_distill_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the Gopher rule gate into a multinomial Naive Bayes
+    classifier and measure fidelity on held-out docs: train on the
+    even-doc_id half labeled by the rule (weak supervision), score the
+    odd half, report the confusion matrix and accuracy permille — the
+    model-based-filtering acceptance table (the WebText/fastText
+    classifier pattern) in exactly-replayable integer form. Every
+    statistic is a count; every log-prob (Laplace-smoothed, shared
+    vocabulary V) is micro-rounded per word TYPE then summed as
+    count-weighted BIGINTs, so scores, the ≥-tie rule, and the confusion
+    cells are hash-stable across engines. Ties predict pass (stated).
+
+    Plan, 100 TB-first: training is ONE (word, class-count) aggregation
+    over the labeled half; the model is the vocab-bounded cw relation
+    joined LEFT from the eval side's (doc, word, k) counts (OOV words
+    fall out of the same formula via COALESCE 0); priors/totals ride a
+    broadcast one-row relation; the result is a single row."""
+    scored = _nb_scored(spark, sf_dir)
     pred = F.col("score_pass") >= F.col("score_fail")
     return scored.agg(
         F.count(F.lit(1)).cast("long").alias("n_eval"),

@@ -1875,3 +1875,166 @@ def embedding_cell_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * F.col("n"),
         ).alias("gini_permille"),
     ).orderBy("cell")
+
+
+# --------------------------------------------------------------- wave 16
+# Mann-Whitney U per source vs the rest (Mann & Whitney 1947) — the
+# nonparametric drift test a curation stack runs per source: does this
+# source's document-length distribution differ from everything else,
+# without assuming normality? U = R_1 - n_1(n_1+1)/2 from rank sums
+# under ONE global ranking; ranks are row_number over (n_chars, doc_id)
+# — the deterministic-total-order convention (classic average-rank tie
+# handling differs under ties; stated). The z normal approximation is
+# the one float (sqrt of an exact integer ratio), milli-rounded.
+
+
+@query(
+    "profile_mann_whitney_drift",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+             AS BIGINT) AS rk
+      FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(SUM(rk) AS BIGINT) AS r1
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n1,
+           CAST(r1 - n1 * (n1 + 1) // 2 AS BIGINT) AS u_stat,
+           CAST(ROUND(
+             (CAST(r1 - n1 * (n1 + 1) // 2 AS DOUBLE)
+              - CAST(n1 * ((SELECT n FROM tot) - n1) AS DOUBLE) / 2)
+             / SQRT(CAST(n1 * ((SELECT n FROM tot) - n1) AS DOUBLE)
+                    * ((SELECT n FROM tot) + 1) / 12) * 1000
+           ) AS BIGINT) AS z_milli
+    FROM per ORDER BY source
+    """,
+    tags=("llm", "quality", "eval"),
+)
+def profile_mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Mann-Whitney U of document length vs the complement
+    (one-vs-rest), with the normal-approximation z in milli — the
+    distribution-free source-drift screen. One global rank window (the
+    statistic needs a total order over the pooled sample by definition)
+    + one source-keyed integer aggregate; U is exact integers, z is a
+    single identically-formed sqrt of exact ratios, milli-rounded."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    ranked = docs.select(
+        "source",
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("rk"),
+    )
+    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum("rk").cast("long").alias("r1"),
+    )
+    u = F.col("r1") - _idiv_col(
+        F.col("n1") * (F.col("n1") + 1), F.lit(2)
+    )
+    n2 = F.col("n") - F.col("n1")
+    z = F.round(
+        (u.cast("double") - (F.col("n1") * n2).cast("double") / 2)
+        / F.sqrt(
+            (F.col("n1") * n2).cast("double") * (F.col("n") + 1) / 12
+        )
+        * 1000
+    ).cast("long")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select("source", "n1", u.alias("u_stat"), z.alias("z_milli"))
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------- wave 17
+# Reliability (calibration) curve of the distilled NB quality classifier
+# (the Niculescu-Mizil & Caruana 2005 diagnostic): bucket held-out docs
+# by the classifier's integer log-odds margin and report the empirical
+# pass rate per decile — a monotone curve means the margin is usable as
+# a soft score (e.g. for temperature sampling); a flat one means only
+# the argmax is trustworthy. Reuses quality_nb_distill_fidelity's score
+# relation verbatim (module helper on the Spark side, shared CTE chain
+# in the oracle) so the curve can never disagree with the confusion
+# matrix published beside it. Margins stay integer micro log-odds —
+# no sigmoid, so no new float surface.
+
+
+def _build_nb_calibration_oracle() -> str:
+    from .llm_ops11 import _nb_chain_sql
+
+    return f"""
+    WITH {_nb_chain_sql()},
+    binned AS (
+      SELECT truth, score_pass - score_fail AS margin,
+             NTILE(10) OVER (ORDER BY score_pass - score_fail DESC, doc_id)
+               AS decile
+      FROM scored
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(1000 * SUM(CASE WHEN truth THEN 1 ELSE 0 END) // COUNT(*)
+                AS BIGINT) AS pass_rate_permille,
+           CAST(MIN(margin) AS BIGINT) AS margin_min,
+           CAST(MAX(margin) AS BIGINT) AS margin_max
+    FROM binned GROUP BY decile ORDER BY decile
+    """
+
+
+@query(
+    "quality_nb_calibration_curve",
+    oracle=_build_nb_calibration_oracle(),
+    tags=("llm", "quality", "eval"),
+)
+def quality_nb_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve of the NB-distilled Gopher gate: held-out docs
+    deciled by integer log-odds margin (best margin = decile 1, doc_id
+    tie-break), with per-decile empirical pass rate and the margin
+    range — read before using the margin as a soft quality score. The
+    NTILE rides the held-out doc dimension (the selection_tradeoff
+    precedent); every number is an exact integer."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops11 import _nb_scored
+
+    scored = _nb_scored(spark, sf_dir).select(
+        "doc_id", "truth", (F.col("score_pass") - F.col("score_fail")).alias("margin")
+    )
+    binned = scored.select(
+        "truth",
+        "margin",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("margin"), F.asc("doc_id")))
+        .cast("long")
+        .alias("decile"),
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("truth"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+            F.min("margin").cast("long").alias("margin_min"),
+            F.max("margin").cast("long").alias("margin_max"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_pass",
+            _idiv_col(F.lit(1000) * F.col("n_pass"), F.col("n_docs")).alias(
+                "pass_rate_permille"
+            ),
+            "margin_min",
+            "margin_max",
+        )
+        .orderBy("decile")
+    )

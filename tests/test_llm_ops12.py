@@ -546,3 +546,46 @@ def test_cell_label_purity_replay_and_invariants(spark):
         assert r["gini_permille"] == (1000 * n * n - 1000 * sum_sq) // (n * n)
         assert 0 <= r["gini_permille"] <= 1000
         assert r["majority_permille"] >= 1000 // len(c)
+
+
+# -------------------------------------------------------------- wave 16-17
+
+
+def test_mann_whitney_full_python_replay(spark):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars", "source"])
+    rows = sorted(
+        zip(t.column("n_chars").to_pylist(), t.column("doc_id").to_pylist(),
+            t.column("source").to_pylist())
+    )
+    n = len(rows)
+    r1: dict[str, int] = {}
+    n1: dict[str, int] = {}
+    for rk, (_c, _d, src) in enumerate(rows, start=1):
+        r1[src] = r1.get(src, 0) + rk
+        n1[src] = n1.get(src, 0) + 1
+    got = {r["source"]: r
+           for r in _run(spark, "profile_mann_whitney_drift").collect()}
+    assert set(got) == set(n1)
+    for src in n1:
+        u = r1[src] - n1[src] * (n1[src] + 1) // 2
+        n2 = n - n1[src]
+        z = round((u - n1[src] * n2 / 2)
+                  / math.sqrt(n1[src] * n2 * (n + 1) / 12) * 1000)
+        r = got[src]
+        assert (r["n1"], r["u_stat"], r["z_milli"]) == (n1[src], u, z), src
+        # U is bounded by n1*n2
+        assert 0 <= u <= n1[src] * n2
+
+
+def test_nb_calibration_consistency(spark):
+    rows = _run(spark, "quality_nb_calibration_curve").collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # margins must be non-increasing across deciles (decile 1 = best)
+    for a, b in zip(rows, rows[1:]):
+        assert a["margin_min"] >= b["margin_max"]
+    # totals must agree with the fidelity table's held-out population
+    fid = _run(spark, "quality_nb_distill_fidelity").collect()[0]
+    assert sum(r["n_docs"] for r in rows) == fid["n_eval"]
+    assert sum(r["n_pass"] for r in rows) == fid["tp"] + fid["fn"]
+    for r in rows:
+        assert r["pass_rate_permille"] == 1000 * r["n_pass"] // r["n_docs"]
