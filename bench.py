@@ -433,6 +433,7 @@ def new_ops_metric(spark) -> dict:
         "embedding_cell_label_purity",
         "profile_mann_whitney_drift",
         "quality_nb_calibration_curve",
+        "graph_pagerank_convergence",
     ):
         if name not in QUERIES:
             continue

@@ -2038,3 +2038,143 @@ def quality_nb_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------- wave 18
+# PageRank convergence curve — the measured justification for the
+# family's iters=4 choice (graph_neardup_pagerank): per synchronous
+# round, the L1 residual of the integer-fixed-point scores and the
+# count of nodes that moved at all. Integer scores make "converged"
+# EXACT (n_changed = 0 is a fixpoint, not an epsilon): the curve shows
+# geometric decay and the exact round where the dup-graph ranking
+# stops moving. Same update rule, seed, and floor as
+# operators/graph.pagerank_fixed — (s*17) div (20*deg), seed 1e6,
+# floor 150000 — so the curve describes exactly the shipped operator.
+
+_PRC_ITERS = 6
+
+
+def _build_pr_convergence_oracle() -> str:
+    rounds = []
+    for k in range(1, _PRC_ITERS + 1):
+        rounds.append(f"""
+    c{k} AS MATERIALIZED (
+      SELECT e.v AS node, SUM((p.s * 17) // (20 * d.deg)) AS inc
+      FROM e JOIN it{k - 1} p ON p.node = e.u JOIN deg d ON d.u = e.u
+      GROUP BY e.v
+    ), it{k} AS MATERIALIZED (
+      SELECT n.node, CAST(150000 + COALESCE(c.inc, 0) AS BIGINT) AS s
+      FROM n LEFT JOIN c{k} c USING (node)
+    )""")
+    residuals = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS iteration,"
+        f" CAST(SUM(ABS(b.s - a.s)) AS BIGINT) AS l1_residual_micro,"
+        f" CAST(SUM(CAST(b.s <> a.s AS BIGINT)) AS BIGINT) AS n_changed"
+        f" FROM it{k - 1} a JOIN it{k} b USING (node)"
+        for k in range(1, _PRC_ITERS + 1)
+    )
+    return f"""
+    WITH {DUCK_SHINGLE_SETS},
+    pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY u),
+    n AS (SELECT doc_id AS node FROM documents),
+    it0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS s FROM n),
+    {",".join(rounds)}
+    SELECT * FROM ({residuals}) ORDER BY iteration
+    """
+
+
+@query(
+    "graph_pagerank_convergence",
+    oracle=_build_pr_convergence_oracle(),
+    tags=("llm", "dedup", "graph", "eval"),
+)
+def graph_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round L1 residual + moved-node count for the integer
+    fixed-point PageRank over the near-dup graph (6 rounds). Isolated
+    nodes are handled in closed form — they fall to the floor in round
+    1 (residual 850000 each) and never move again — so the iteration
+    itself stays graph-sized exactly like the shipped operator; only
+    the active set shuffles per round. Expect geometric decay; the
+    round where n_changed reaches zero is the exact fixpoint."""
+    from ..operators import dedup as D
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t.documents
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.5).select("doc_a", "doc_b")
+    e = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+                F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    e = e.repartition("u")
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ed = e.join(deg, "u").select("u", "v", "deg").cache()
+    base = docs.select(F.col("doc_id").alias("node"))
+    act = base.join(
+        deg.withColumnRenamed("u", "node"), "node", "left_semi"
+    ).localCheckpoint(eager=True)
+    n_total = docs.count()
+    n_active = act.count()
+    n_isolated = n_total - n_active
+    s = act.select("node", F.lit(1_000_000).cast("long").alias("s"))
+    stats: list[tuple[int, int, int]] = []
+    try:
+        for k in range(1, _PRC_ITERS + 1):
+            contrib = (
+                ed.join(s.withColumnRenamed("node", "u"), "u")
+                .select(
+                    F.col("v").alias("node"),
+                    F.expr("(s * 17) div (20 * deg)").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").cast("long").alias("inc"))
+            )
+            s_next = (
+                act.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (F.lit(150_000) + F.coalesce(F.col("inc"), F.lit(0)))
+                    .cast("long")
+                    .alias("s"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            row = (
+                s.withColumnRenamed("s", "s_prev")
+                .join(s_next, "node")
+                .agg(
+                    F.sum(F.abs(F.col("s") - F.col("s_prev")))
+                    .cast("long")
+                    .alias("resid"),
+                    F.sum((F.col("s") != F.col("s_prev")).cast("long"))
+                    .cast("long")
+                    .alias("moved"),
+                )
+                .collect()[0]
+            )
+            resid, moved = int(row["resid"] or 0), int(row["moved"] or 0)
+            if k == 1:  # isolated nodes: 1e6 -> floor, closed form
+                resid += n_isolated * 850_000
+                moved += n_isolated
+            stats.append((k, resid, moved))
+            s = s_next
+    finally:
+        ed.unpersist()
+    return spark.createDataFrame(
+        stats, "iteration long, l1_residual_micro long, n_changed long"
+    )

