@@ -434,6 +434,7 @@ def new_ops_metric(spark) -> dict:
         "profile_mann_whitney_drift",
         "quality_nb_calibration_curve",
         "graph_pagerank_convergence",
+        "dedup_lsh_band_curve",
     ):
         if name not in QUERIES:
             continue

@@ -2178,3 +2178,156 @@ def graph_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         stats, "iteration long, l1_residual_micro long, n_changed long"
     )
+
+
+# --------------------------------------------------------------- wave 19
+# LSH banding-curve calibration (Leskovec/Rajaraman/Ullman's S-curve,
+# ch. 3): per exact-Jaccard bucket, the fraction of true pairs the
+# banded MinHash-LSH actually surfaced as candidates, beside the
+# theoretical 1-(1-J^r)^b at the bucket midpoint. dedup_lsh_recall_eval
+# pins the J>=0.5 aggregate; this is the full calibration curve — where
+# the measured recall leaves the theory, the permutation family (not
+# the banding math) is what drifted. Theory values are import-time
+# python literals (no engine float); the measured side is pure counts;
+# the one shared float is the exact-Jaccard ratio both engines already
+# agree on everywhere else.
+
+_LSH_J_FLOOR = 0.3  # curve floor: below this the S-curve is ~0 by design
+
+
+def _lsh_theory_micro(j_mid: float) -> int:
+    from ..operators.dedup import LSH_BANDS, LSH_ROWS
+
+    p_band = j_mid**LSH_ROWS
+    return round(1_000_000 * (1.0 - (1.0 - p_band) ** LSH_BANDS))
+
+
+_LSH_THEORY = {b: _lsh_theory_micro((b + 0.5) / 10) for b in range(3, 10)}
+
+
+def _build_lsh_curve_oracle() -> str:
+    from ..operators.dedup import LSH_BANDS, LSH_ROWS, MINHASH_AB, N_MINHASH
+    from ..operators.text import MOD, duck_char_fold
+
+    mh = ", ".join(
+        f"CAST(MIN(({a} * h + {b}) % {MOD}) AS BIGINT) AS mh_{j}"
+        for j, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_rows = []
+    for bi in range(LSH_BANDS):
+        cols = [f"mh_{bi * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        sig = " || '-' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_rows.append(f"SELECT doc_id, {bi} AS band, {sig} AS key FROM sigs")
+    bands = " UNION ALL ".join(band_rows)
+    theory = ", ".join(f"({b}, {m})" for b, m in _LSH_THEORY.items())
+    return f"""
+    WITH {DUCK_SHINGLE_SETS},
+    hashed AS MATERIALIZED (
+      SELECT doc_id, {duck_char_fold('sh')} AS h FROM ds
+    ),
+    sigs AS MATERIALIZED (SELECT doc_id, {mh} FROM hashed GROUP BY doc_id),
+    bands AS MATERIALIZED ({bands}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    exact AS MATERIALIZED (
+      SELECT doc_a, doc_b,
+             CAST(FLOOR(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) * 10)
+                  AS BIGINT) AS j_bucket
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {_LSH_J_FLOOR}
+    ),
+    theory(j_bucket, p_theory_micro) AS (VALUES {theory})
+    SELECT t.j_bucket,
+           CAST(COALESCE(COUNT(e.doc_a), 0) AS BIGINT) AS n_true_pairs,
+           CAST(COALESCE(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_candidates,
+           CAST(CASE WHEN COUNT(e.doc_a) > 0
+                THEN 1000 * SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0
+                                END) // COUNT(e.doc_a)
+                ELSE -1 END AS BIGINT) AS recall_permille,
+           CAST(t.p_theory_micro AS BIGINT) AS p_theory_micro
+    FROM theory t
+    LEFT JOIN exact e ON e.j_bucket = t.j_bucket
+    LEFT JOIN cand c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+    GROUP BY t.j_bucket, t.p_theory_micro
+    ORDER BY t.j_bucket
+    """
+
+
+@query(
+    "dedup_lsh_band_curve",
+    oracle=_build_lsh_curve_oracle(),
+    tags=("llm", "dedup", "eval"),
+)
+def dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve, measured: per exact-Jaccard decile bucket
+    (J >= 0.3), how many true pairs exist, how many the banded MinHash
+    surfaced as candidates, the measured recall, and the theoretical
+    1-(1-J^r)^b at the bucket midpoint (import-time literal). Empty
+    buckets report -1 recall rather than a silent omission. The exact
+    side is the duplication-bounded shingle self-join (the recall-eval
+    convention — ground truth is allowed to be exact); the candidate
+    side is the production banding. This is the table that says whether
+    the 12x2 banding matches its own math on a REAL corpus."""
+    from ..operators import dedup as D
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t.documents
+    ds = D.shingle_sets(docs).cache()
+    try:
+        sigs = D.minhash_signatures(docs, shingle_df=ds)
+        cand = D.lsh_candidate_pairs(sigs).withColumn("hit", F.lit(True))
+        exact = D.jaccard_pairs(
+            docs, threshold=_LSH_J_FLOOR, shingle_df=ds
+        ).select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("jaccard") * 10).cast("long").alias("j_bucket"),
+        )
+        theory_df = spark.createDataFrame(
+            sorted(_LSH_THEORY.items()), "j_bucket long, p_theory_micro long"
+        )
+        joined = exact.join(cand, ["doc_a", "doc_b"], "left")
+        per = joined.groupBy("j_bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_candidates"),
+        )
+        out = (
+            F.broadcast(theory_df)
+            .join(per, "j_bucket", "left")
+            .select(
+                "j_bucket",
+                F.coalesce("n_true_pairs", F.lit(0)).cast("long").alias(
+                    "n_true_pairs"
+                ),
+                F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                    "n_candidates"
+                ),
+                F.when(
+                    F.coalesce(F.col("n_true_pairs"), F.lit(0)) > 0,
+                    _idiv_col(
+                        F.lit(1000) * F.coalesce(F.col("n_candidates"), F.lit(0)),
+                        F.coalesce(F.col("n_true_pairs"), F.lit(1)),
+                    ),
+                )
+                .otherwise(F.lit(-1).cast("long"))
+                .alias("recall_permille"),
+                "p_theory_micro",
+            )
+            .orderBy("j_bucket")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        ds.unpersist()
+    return out

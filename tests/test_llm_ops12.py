@@ -609,3 +609,32 @@ def test_pagerank_convergence_pins(spark):
     # zero-residual round implies identical consecutive scores
     for r, m in zip(resid, moved):
         assert (r == 0) == (m == 0)
+
+
+# ---------------------------------------------------------------- wave 19
+
+
+def test_lsh_band_curve_pins(spark):
+    from sea_streamer_spark.operators.dedup import LSH_BANDS, LSH_ROWS
+    from sea_streamer_spark.plans.llm_ops12 import _LSH_THEORY
+
+    rows = _run(spark, "dedup_lsh_band_curve").collect()
+    assert [r["j_bucket"] for r in rows] == list(range(3, 10))
+    for r in rows:
+        # theory literals reproduce 1-(1-J^r)^b at the bucket midpoint
+        j = (r["j_bucket"] + 0.5) / 10
+        assert r["p_theory_micro"] == round(
+            1_000_000 * (1.0 - (1.0 - j**LSH_ROWS) ** LSH_BANDS)
+        )
+        assert r["p_theory_micro"] == _LSH_THEORY[r["j_bucket"]]
+        if r["n_true_pairs"] == 0:
+            assert (r["recall_permille"], r["n_candidates"]) == (-1, 0)
+        else:
+            assert 0 <= r["recall_permille"] <= 1000
+            assert r["n_candidates"] <= r["n_true_pairs"]
+    # the corpus must populate at least one bucket, and on the top
+    # bucket (J >= 0.9, where theory says ~certainty) the production
+    # banding must actually deliver
+    top = rows[-1]
+    assert top["n_true_pairs"] > 0
+    assert top["recall_permille"] >= 990

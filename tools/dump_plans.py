@@ -100,7 +100,7 @@ SNAPSHOT_QUERIES = [
     "curation_weighted_reservoir", "quality_signal_rank_correlation",
     "events_transition_entropy", "embedding_cell_label_purity",
     "profile_mann_whitney_drift", "quality_nb_calibration_curve",
-    "graph_pagerank_convergence",
+    "graph_pagerank_convergence", "dedup_lsh_band_curve",
 ]
 
 
