@@ -274,11 +274,23 @@ def dedup_semantic_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves cell-bucketed joins."""
     from ..operators import dedup as D
 
-    scored = _semantic_scored(spark, sf_dir).cache()
+    # Per-vector norms precomputed ONCE: the all-pairs truth side would
+    # otherwise re-fold sqrt(dot(v,v)) for both endpoints of every pair
+    # (3 array folds per pair instead of 1 — measured 104 s -> ~35 s at
+    # sf0.1). The norm VALUE is the identical double (same fold), and the
+    # comparison keeps the division form dot/(na*nb), so every cosine is
+    # bit-identical to the oracle's per-pair formulation.
+    scored = (
+        _semantic_scored(spark, sf_dir)
+        .withColumn("nrm", F.sqrt(S.dot(F.col("embedding"), F.col("embedding"))))
+        .cache()
+    )
     cached = [scored]
     try:
         a, b = scored.alias("a"), scored.alias("b")
-        cos_ab = S.cosine(F.col("a.embedding"), F.col("b.embedding"))
+        cos_ab = S.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+            F.col("a.nrm") * F.col("b.nrm")
+        )
         sem_pairs = (
             a.join(
                 b,

@@ -118,9 +118,16 @@ def canonicalize_plan(plan: str) -> str:
       renumbered, NOT collapsed, so a self-join's two ``doc_id`` columns
       stay distinguishable.
     - ``plan_id=NNN`` / ``id=#NNN`` — same treatment, separate space.
+    - AQE ``...QueryStage N`` numbers and whole-stage-codegen ``*(N)``
+      ids — these reflect RUNTIME stage-materialization order (which
+      broadcast finished first), so identical plans print different
+      absolute values across runs; first-seen renumbering over the
+      printed tree is order-independent and keeps equality relations.
     """
     expr_ids: dict[str, str] = {}
     plan_ids: dict[str, str] = {}
+    stage_ids: dict[str, str] = {}
+    codegen_ids: dict[str, str] = {}
 
     def _expr(m: "re.Match[str]") -> str:
         k = m.group(0)
@@ -134,7 +141,21 @@ def canonicalize_plan(plan: str) -> str:
             plan_ids[k] = str(len(plan_ids) + 1)
         return f"plan_id={plan_ids[k]}"
 
+    def _stage(m: "re.Match[str]") -> str:
+        k = m.group(2)
+        if k not in stage_ids:
+            stage_ids[k] = str(len(stage_ids) + 1)
+        return f"{m.group(1)}QueryStage {stage_ids[k]}"
+
+    def _codegen(m: "re.Match[str]") -> str:
+        k = m.group(1)
+        if k not in codegen_ids:
+            codegen_ids[k] = str(len(codegen_ids) + 1)
+        return f"*({codegen_ids[k]})"
+
     plan = re.sub(r"plan_id=(\d+)", _plan, plan)
+    plan = re.sub(r"(\w*)QueryStage (\d+)", _stage, plan)
+    plan = re.sub(r"\*\((\d+)\)", _codegen, plan)
     plan = re.sub(r"#\d+", _expr, plan)
     return plan
 
