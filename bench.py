@@ -139,6 +139,15 @@ def main() -> None:
         if n > N_RUNS:
             escalated.append(name)
     probes["after_headline"] = _cpu_probe()
+    # Wire phase directly after the headline block, bracketed by its own
+    # probes: it used to run LAST, after ~30 min of scale/new_ops load,
+    # and the r9 close artifact measured 122.7k msgs/s in that tail
+    # window where the same tree does 151-182k standalone — the
+    # start/end probes were too far away to catch the run-adjacent host
+    # state. Adjacent probes make a contaminated wire window mechanically
+    # discountable.
+    wire = wire_metric(spark)
+    probes["after_wire"] = _cpu_probe()
     # Streaming throughput: the reference's 100k x 256 B produce/relay/consume
     # workload (benchmark/README.md:8-25) over the file backend; its 100k
     # msgs/sec anchor (README.md:266) implies ~1 s per phase. Each repeat
@@ -174,7 +183,7 @@ def main() -> None:
         "scale": scale_dedup_metric(spark),
         "scale_pipeline": scale_pipeline_metric(spark),
         "new_ops": new_ops_metric(spark),
-        "wire": wire_metric(spark),
+        "wire": wire,
     }
     probes["end"] = _cpu_probe()
     full["cpu_probe_ms"] = probes
