@@ -444,6 +444,7 @@ def new_ops_metric(spark) -> dict:
         "quality_nb_calibration_curve",
         "graph_pagerank_convergence",
         "dedup_lsh_band_curve",
+        "profile_ks_source_drift",
     ):
         if name not in QUERIES:
             continue

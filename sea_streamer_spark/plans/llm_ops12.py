@@ -2343,3 +2343,110 @@ def dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         ds.unpersist()
     return out
+
+
+# --------------------------------------------------------------- wave 20
+# Kolmogorov-Smirnov two-sample drift per source (Kolmogorov 1933;
+# Smirnov 1939) — the ECDF companion to the Mann-Whitney screen: MW
+# detects location shift, KS detects ANY distribution difference. The
+# supremum is attained just after/before a jump of the source's own
+# ECDF, so per source only its own points need evaluating (the scipy
+# evaluation trick): with p_k the pooled rank of the source's k-th
+# point, D = max_k max(k*n2 - (p_k-k)*n1, (p_k-k)*n1 - (k-1)*n2)
+# / (n1*n2) — integer numerators, one final exact division, and the
+# asymptotic z = sqrt(n1*n2/N)*D as the single milli-rounded float.
+
+
+@query(
+    "profile_ks_source_drift",
+    oracle="""
+    WITH ranked AS (
+      SELECT source,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS p,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS BIGINT)
+               AS k
+      FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(MAX(GREATEST(
+               k * ((SELECT n FROM tot) - (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM ranked r2 WHERE r2.source = ranked.source))
+                 - (p - k) * (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked r2
+                              WHERE r2.source = ranked.source),
+               (p - k) * (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked r2
+                          WHERE r2.source = ranked.source)
+                 - (k - 1) * ((SELECT n FROM tot)
+                              - (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked
+                                 r2 WHERE r2.source = ranked.source))
+             )) AS BIGINT) AS d_num
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n1,
+           CAST(1000 * d_num // (n1 * ((SELECT n FROM tot) - n1)) AS BIGINT)
+             AS d_milli,
+           CAST(ROUND(SQRT(CAST(n1 AS DOUBLE)
+                           * ((SELECT n FROM tot) - n1)
+                           / (SELECT n FROM tot))
+                      * d_num / (n1 * ((SELECT n FROM tot) - n1))
+                      * 1000) AS BIGINT) AS z_milli
+    FROM per ORDER BY source
+    """,
+    tags=("llm", "quality", "eval"),
+)
+def profile_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample KS statistic of document length vs the
+    complement: D (milli) from exact-integer ECDF extremes and the
+    asymptotic z = sqrt(n1*n2/N)*D (milli, the one float). One global
+    rank + one per-source rank over the same sort order, then a keyed
+    integer max — the supremum needs only the source's own jump points,
+    so nothing materializes beyond the doc relation."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    ranked = docs.select(
+        "source",
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("p"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("k"),
+    )
+    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sizes = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n1")
+    )
+    joined = ranked.join(F.broadcast(sizes), "source").crossJoin(
+        F.broadcast(tot)
+    )
+    n2 = F.col("n") - F.col("n1")
+    d_plus = F.col("k") * n2 - (F.col("p") - F.col("k")) * F.col("n1")
+    d_minus = (F.col("p") - F.col("k")) * F.col("n1") - (
+        F.col("k") - 1
+    ) * n2
+    per = joined.groupBy("source", "n1", "n").agg(
+        F.max(F.greatest(d_plus, d_minus)).cast("long").alias("d_num")
+    )
+    denom = F.col("n1") * (F.col("n") - F.col("n1"))
+    z = F.round(
+        F.sqrt(
+            F.col("n1").cast("double")
+            * (F.col("n") - F.col("n1"))
+            / F.col("n")
+        )
+        * F.col("d_num")
+        / denom
+        * 1000
+    ).cast("long")
+    return per.select(
+        "source",
+        "n1",
+        _idiv_col(F.lit(1000) * F.col("d_num"), denom).alias("d_milli"),
+        z.alias("z_milli"),
+    ).orderBy("source")

@@ -638,3 +638,44 @@ def test_lsh_band_curve_pins(spark):
     top = rows[-1]
     assert top["n_true_pairs"] > 0
     assert top["recall_permille"] >= 990
+
+
+# ---------------------------------------------------------------- wave 20
+
+
+def test_ks_drift_full_python_replay(spark):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars", "source"])
+    rows = sorted(
+        zip(t.column("n_chars").to_pylist(), t.column("doc_id").to_pylist(),
+            t.column("source").to_pylist())
+    )
+    n = len(rows)
+    pooled: dict[str, list[int]] = {}
+    for p, (_c, _d, src) in enumerate(rows, start=1):
+        pooled.setdefault(src, []).append(p)
+    got = {r["source"]: r for r in _run(spark, "profile_ks_source_drift").collect()}
+    assert set(got) == set(pooled)
+    for src, ps in pooled.items():
+        n1 = len(ps)
+        n2 = n - n1
+        d_num = max(
+            max(k * n2 - (p - k) * n1, (p - k) * n1 - (k - 1) * n2)
+            for k, p in enumerate(ps, start=1)
+        )
+        # cross-check the rank trick against the brute-force ECDF sup
+        own = set(ps)
+        cum1 = cum2 = 0
+        brute = 0
+        for p in range(1, n + 1):
+            if p in own:
+                cum1 += 1
+            else:
+                cum2 += 1
+            brute = max(brute, abs(cum1 * n2 - cum2 * n1))
+        assert d_num == brute, src
+        r = got[src]
+        assert r["n1"] == n1
+        assert r["d_milli"] == 1000 * d_num // (n1 * n2)
+        assert r["z_milli"] == round(
+            math.sqrt(n1 * n2 / n) * d_num / (n1 * n2) * 1000
+        )

@@ -101,6 +101,7 @@ SNAPSHOT_QUERIES = [
     "events_transition_entropy", "embedding_cell_label_purity",
     "profile_mann_whitney_drift", "quality_nb_calibration_curve",
     "graph_pagerank_convergence", "dedup_lsh_band_curve",
+    "profile_ks_source_drift",
 ]
 
 
@@ -153,9 +154,20 @@ def canonicalize_plan(plan: str) -> str:
             codegen_ids[k] = str(len(codegen_ids) + 1)
         return f"*({codegen_ids[k]})"
 
+    lambda_ids: dict[str, str] = {}
+
+    def _lam(m: "re.Match[str]") -> str:
+        k = m.group(2)
+        if k not in lambda_ids:
+            lambda_ids[k] = str(len(lambda_ids) + 1)
+        return f"{m.group(1)}_{lambda_ids[k]}"
+
     plan = re.sub(r"plan_id=(\d+)", _plan, plan)
     plan = re.sub(r"(\w*)QueryStage (\d+)", _stage, plan)
     plan = re.sub(r"\*\((\d+)\)", _codegen, plan)
+    # higher-order-function lambda variables (lambda x_558#36): the name
+    # counter is session-global, same renumbering treatment
+    plan = re.sub(r"(lambda [A-Za-z]+)_(\d+)", _lam, plan)
     plan = re.sub(r"#\d+", _expr, plan)
     return plan
 
