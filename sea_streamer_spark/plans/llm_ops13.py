@@ -1,0 +1,614 @@
+"""Round-9 operator waves, part 2 (waves 21+).
+
+Wave 21 — exact ROC-AUC of the NB quality classifier via the rank-sum
+identity (Hanley & McNeil 1982; AUC = U/(n⁺n⁻) with the Mann-Whitney U
+from midranks): the threshold-free companion to the calibration curve
+(llm_ops12 wave 17) and the fidelity table (llm_ops11 wave 13). All
+integer: doubled midranks keep tie averages exact, one final integer
+floor division emits micro units.
+
+Wave 22 — Mann-Kendall trend test + Sen's slope over daily event counts
+(Mann 1945; Kendall 1975; Sen 1968): the standard nonparametric
+monotone-trend screen a pipeline runs on its ingest volumes. S and the
+tie-corrected 18·Var(S) are exact integers; z is the single
+milli-rounded float; Sen's slope is the lower-median pairwise slope
+(median convention documented — no fraction averaging, so the statistic
+stays exactly representable).
+
+House rules (llm_ops.py): integer fixed-point for every ranked
+comparison, deterministic tie-breaks, every aggregate aliased
+identically in Spark and the oracle.
+
+Reference basis: the reference engine (sea-streamer, Rust) has no ops
+layer — this family exists for the 100 TB training-data pipeline
+mandate, not for parity with a reference file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.curation import duck_split_bucket
+from ..sources.tables import load_tables
+from .llm_ops11 import _nb_chain_sql, _nb_scored
+from .llm_ops12 import _idiv_col
+from .registry import query
+
+# ---------------------------------------------------------------- wave 21
+# Exact AUC. The ranking is over the NB log-odds margin
+# (score_pass - score_fail, already exact integer micro-nats from the
+# distillation chain). Midranks handle ties exactly when doubled:
+# 2·midrank = 2·RANK() + |tie group| - 1 (RANK is the competition rank =
+# the smallest rank in the tie group; the largest is RANK()+|group|-1,
+# and the midrank is their mean). Then with R⁺ the positive midrank sum,
+# U = R⁺ - n⁺(n⁺+1)/2 and AUC = U/(n⁺n⁻); doubling both sides keeps
+# every intermediate an integer: u_stat_x2 = 2R⁺ - n⁺(n⁺+1),
+# auc_micro = 10⁶·u_stat_x2 // (2·n⁺·n⁻).
+
+
+@query(
+    "quality_nb_auc_eval",
+    oracle=f"""
+    WITH {_nb_chain_sql()},
+    mr AS (
+      SELECT truth,
+             2 * RANK() OVER (ORDER BY score_pass - score_fail)
+               + COUNT(*) OVER (PARTITION BY score_pass - score_fail) - 1
+               AS mr2
+      FROM scored
+    ),
+    t AS (
+      SELECT CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN truth THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+             CAST(SUM(CASE WHEN truth THEN mr2 ELSE 0 END) AS BIGINT) AS r2p
+      FROM mr
+    )
+    SELECT n_pos, n_neg,
+           CAST(r2p - n_pos * (n_pos + 1) AS BIGINT) AS u_stat_x2,
+           CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1
+                ELSE (r2p - n_pos * (n_pos + 1)) * 1000000
+                     // (2 * n_pos * n_neg) END AS BIGINT) AS auc_micro
+    FROM t
+    """,
+    tags=("llm", "quality", "eval"),
+)
+def quality_nb_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free ROC-AUC of the distilled NB quality gate on the
+    held-out docs, computed exactly from doubled midranks over the
+    integer log-odds margin (no floats anywhere — the final value is an
+    exact integer floor division in micro units). -1 flags a degenerate
+    single-class eval set rather than a silent NULL. The global rank
+    window is the registry's rank-statistic convention (KS/MW posture);
+    the 100 TB swap is a two-pass histogram rank (count-by-margin,
+    prefix-sum the dimension-sized histogram, broadcast back)."""
+    scored = _nb_scored(spark, sf_dir).select(
+        "truth", (F.col("score_pass") - F.col("score_fail")).alias("m")
+    )
+    mr = scored.select(
+        "truth",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("m"))
+            + F.count(F.lit(1)).over(Window.partitionBy("m"))
+            - 1
+        )
+        .cast("long")
+        .alias("mr2"),
+    )
+    t = mr.agg(
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("truth"), 0).otherwise(1)).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("truth"), F.col("mr2")).otherwise(0))
+        .cast("long")
+        .alias("r2p"),
+    )
+    u2 = F.col("r2p") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return t.select(
+        "n_pos",
+        "n_neg",
+        u2.cast("long").alias("u_stat_x2"),
+        F.when((F.col("n_pos") == 0) | (F.col("n_neg") == 0), F.lit(-1))
+        .otherwise(
+            _idiv_col(
+                u2 * 1_000_000, F.lit(2) * F.col("n_pos") * F.col("n_neg")
+            )
+        )
+        .cast("long")
+        .alias("auc_micro"),
+    )
+
+
+# ---------------------------------------------------------------- wave 22
+# Mann-Kendall + Sen. Day-pair relations are dimension-bounded (the
+# fixture spans 30 days → 435 pairs per event type; a year is 66k pairs
+# — never event-grain). S and 18·Var(S) stay exact integers (the tie
+# correction subtracts Σ t(t-1)(2t+5) over tied daily-count values);
+# z = (S∓1)/√(Var) is the single milli-rounded float. Sen's slope is
+# the LOWER median of the 435 pairwise slopes (c_j-c_i)/(d_j-d_i) —
+# picking an order statistic instead of averaging the middle two keeps
+# the reported value an actually-attained slope; each pair's slope is
+# milli-rounded once (one float per pair, same IEEE divide both
+# engines), then the order statistic is exact with a (slope, gap, day)
+# tie-break.
+
+
+@query(
+    "events_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+                  ELSE 0 END AS sgn,
+             CAST(ROUND(1000.0 * (b.c - a.c)
+                        / (b.day - a.day)) AS BIGINT) AS slope_milli,
+             CAST(b.day - a.day AS BIGINT) AS gap,
+             a.day AS day_a
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    s AS (
+      SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+      FROM (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, c
+      ) GROUP BY 1
+    ),
+    sen AS (
+      SELECT event_type, slope_milli AS sen_slope_milli
+      FROM (
+        SELECT event_type, slope_milli,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY slope_milli, gap, day_a) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS np
+        FROM pairs
+      ) WHERE rn = (np + 1) // 2
+    )
+    SELECT n.event_type, n.n_days, s.s_stat,
+           CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                - ties.tie18 AS BIGINT) AS var18,
+           CAST(CASE WHEN s.s_stat = 0 OR
+                     n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                       - ties.tie18 = 0 THEN 0
+                ELSE ROUND((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                                            ELSE -1 END)
+                     / SQRT((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                             - ties.tie18) / 18.0) * 1000)
+                END AS BIGINT) AS z_milli,
+           sen.sen_slope_milli
+    FROM n JOIN s USING (event_type) JOIN ties USING (event_type)
+    JOIN sen USING (event_type)
+    ORDER BY event_type
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone-trend screen per event type over daily ingest counts:
+    exact-integer Mann-Kendall S and tie-corrected 18·Var(S), the
+    continuity-corrected z (milli, the one float), and Sen's slope as
+    the lower-median pairwise slope in events/day (milli). Plan: one
+    daily rollup (event-grain touched once, cached day-dimension-sized),
+    then every further relation — pairs, ties, medians — lives on the
+    day dimension."""
+    out, daily = _mann_kendall_frame(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    daily.unpersist()
+    return out
+
+
+def _mann_kendall_frame(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(result, cached daily rollup) pre-checkpoint — split out so the
+    plan pins can inspect the real DAG (the registered query checkpoints
+    to release the cache, which hides the plan)."""
+    ev = load_tables(spark, sf_dir, "events").events
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .cache()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(F.col("b.c") > F.col("a.c"), 1)
+        .when(F.col("b.c") < F.col("a.c"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        F.round(
+            F.lit(1000.0)
+            * (F.col("b.c") - F.col("a.c"))
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+        )
+        .cast("long")
+        .alias("slope_milli"),
+        F.datediff(F.col("b.day"), F.col("a.day")).cast("long").alias("gap"),
+        F.col("a.day").alias("day_a"),
+    )
+    n = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_milli", "gap", "day_a")
+    wc = Window.partitionBy("event_type")
+    sen = (
+        pairs.select(
+            "event_type",
+            "slope_milli",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("np"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("np") + 1) / 2))
+        .select("event_type", F.col("slope_milli").alias("sen_slope_milli"))
+    )
+    var18 = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie18")
+    ).cast("long")
+    out = (
+        n.join(s, "event_type")
+        .join(ties, "event_type")
+        .join(sen, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            var18.alias("var18"),
+            F.when((F.col("s_stat") == 0) | (var18 == 0), F.lit(0))
+            .otherwise(
+                F.round(
+                    (
+                        F.col("s_stat")
+                        - F.when(F.col("s_stat") > 0, 1).otherwise(-1)
+                    )
+                    / F.sqrt(var18 / F.lit(18.0))
+                    * 1000
+                )
+            )
+            .cast("long")
+            .alias("z_milli"),
+            "sen_slope_milli",
+        )
+        .orderBy("event_type")
+    )
+    return out, daily
+
+
+# ---------------------------------------------------------------- wave 23
+# Dunning log-likelihood-ratio collocations (Dunning, "Accurate Methods
+# for the Statistics of Surprise and Coincidence", Computational
+# Linguistics 1993): the classic significance test for bigram
+# collocations, far better calibrated than PMI at low counts (the
+# paper's whole point). G² over the 2×2 contingency table of
+# (w1-first?, w2-second?) per adjacent bigram, in the entropy form
+#     G² = 2·[Σ xlx(O) - Σ xlx(row) - Σ xlx(col) + xlx(N)]
+# where xlx(x) = x·ln(x), xlx(0) = 0 — every argument an exact integer
+# count, one double expression in a fixed association order, one
+# milli-rounding (the F.log/ROUND(ln) parity recipe the NB/JSD/KN waves
+# proved). Marginals are windows over the bigram-type relation (the
+# df-as-window discipline), never re-derived aggregates joined back.
+
+#: minimum observed bigram count for a reported collocation (Dunning's
+#: test is exact at low counts but sub-5 pairs are noise at corpus
+#: scale; the filter runs AFTER the marginal windows so R/C/N are the
+#: true corpus marginals).
+_G2_MIN_PAIR = 5
+_G2_TOPK = 25
+
+
+def _xlx_sql(x: str) -> str:
+    return f"CASE WHEN {x} > 0 THEN CAST({x} AS DOUBLE) * ln(CAST({x} AS DOUBLE)) ELSE 0.0 END"
+
+
+def _xlx_col(x):
+    return F.when(
+        x > 0, x.cast("double") * F.log(x.cast("double"))
+    ).otherwise(F.lit(0.0))
+
+
+@query(
+    "text_collocation_llr",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    bi AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM (
+        SELECT t[i-1] AS w1, t[i] AS w2
+        FROM (SELECT t, unnest(generate_series(2, len(t))) AS i FROM toks)
+      ) GROUP BY w1, w2
+    ),
+    marg AS (
+      SELECT w1, w2, n_pair,
+             CAST(SUM(n_pair) OVER (PARTITION BY w1) AS BIGINT) AS n_w1,
+             CAST(SUM(n_pair) OVER (PARTITION BY w2) AS BIGINT) AS n_w2,
+             CAST(SUM(n_pair) OVER () AS BIGINT) AS n_tot
+      FROM bi
+    )
+    SELECT w1, w2, n_pair, n_w1, n_w2,
+           CAST(ROUND(2000.0 * (
+             {_xlx_sql('n_pair')}
+             + {_xlx_sql('(n_w1 - n_pair)')}
+             + {_xlx_sql('(n_w2 - n_pair)')}
+             + {_xlx_sql('(n_tot - n_w1 - n_w2 + n_pair)')}
+             - {_xlx_sql('n_w1')}
+             - {_xlx_sql('(n_tot - n_w1)')}
+             - {_xlx_sql('n_w2')}
+             - {_xlx_sql('(n_tot - n_w2)')}
+             + {_xlx_sql('n_tot')}
+           )) AS BIGINT) AS g2_milli
+    FROM marg
+    WHERE n_pair >= {_G2_MIN_PAIR}
+    ORDER BY g2_milli DESC, w1, w2 LIMIT {_G2_TOPK}
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{25} bigram collocations by Dunning's G² log-likelihood ratio
+    (entropy form over exact-integer contingency counts; one double
+    expression, milli-rounded once). Plan: corpus tokenized once into
+    the bigram-type relation; both marginals and the total are windows
+    over that already-aggregated relation (vocab²-bounded, never
+    event-grain); the report is a TakeOrdered top-k, not a global
+    sort."""
+    from ..operators.dedup import positional_shingles
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    bi = (
+        positional_shingles(docs, k=2)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .select(
+            F.element_at(F.split("sh", " "), 1).alias("w1"),
+            F.element_at(F.split("sh", " "), 2).alias("w2"),
+            "n_pair",
+        )
+    )
+    marg = bi.select(
+        "w1",
+        "w2",
+        "n_pair",
+        F.sum("n_pair").over(Window.partitionBy("w1")).cast("long").alias("n_w1"),
+        F.sum("n_pair").over(Window.partitionBy("w2")).cast("long").alias("n_w2"),
+        F.sum("n_pair").over(Window.partitionBy()).cast("long").alias("n_tot"),
+    )
+    o11 = F.col("n_pair")
+    r1 = F.col("n_w1")
+    c1 = F.col("n_w2")
+    n = F.col("n_tot")
+    g2_half = (
+        _xlx_col(o11)
+        + _xlx_col(r1 - o11)
+        + _xlx_col(c1 - o11)
+        + _xlx_col(n - r1 - c1 + o11)
+        - _xlx_col(r1)
+        - _xlx_col(n - r1)
+        - _xlx_col(c1)
+        - _xlx_col(n - c1)
+        + _xlx_col(n)
+    )
+    return (
+        marg.filter(F.col("n_pair") >= _G2_MIN_PAIR)
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.round(F.lit(2000.0) * g2_half).cast("long").alias("g2_milli"),
+        )
+        .orderBy(F.desc("g2_milli"), "w1", "w2")
+        .limit(_G2_TOPK)
+    )
+
+
+# ---------------------------------------------------------------- wave 24
+# CUPED variance reduction (Deng, Xu, Kohavi & Walker, "Improving the
+# Sensitivity of Online Controlled Experiments by Utilizing Pre-
+# Experiment Data", WSDM 2013): the industry-standard A/B variance
+# reducer. Y = per-user post-period value sum, X = the pre-period
+# covariate, θ = cov(X,Y)/var(X) pooled across arms, Ŷ = Y - θ(X - X̄);
+# the achievable variance reduction is exactly ρ²(X,Y). Per-row values
+# are milli-fixed-point BIGINTs (the rollup-restatement recipe: explicit
+# ROUND before CAST — bare casts split the engines), so every moment sum
+# is an exact integer; θ/ρ²/means are one double expression each over
+# those sums, rounded once. Arms reuse the registry's portable bucket
+# hash (events_ab_conversion/_srm_check — the three A/B queries can
+# never disagree about assignment).
+
+#: pre-period length in days from the corpus' first event day.
+_CUPED_PRE_DAYS = 15
+
+
+@query(
+    "events_ab_cuped",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id,
+             CAST(ROUND(value * 1000, 0) AS BIGINT) AS v,
+             CAST(ts AS DATE)
+               - (SELECT MIN(CAST(ts AS DATE)) FROM events)
+               < {_CUPED_PRE_DAYS} AS pre
+      FROM events
+    ),
+    users AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN pre THEN v ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN pre THEN 0 ELSE v END) AS BIGINT) AS y,
+             {duck_split_bucket('user_id', 2)} AS arm
+      FROM base GROUP BY user_id
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+             CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+             CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+      FROM users
+    )
+    SELECT n AS n_users, n_a, n_b,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                ELSE ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                           * 1000000) END AS BIGINT) AS theta_micro,
+           CAST(ROUND((CAST(sy_a AS DOUBLE) / n_a
+                       - CAST(sy_b AS DOUBLE) / n_b) * 1000) AS BIGINT)
+             AS diff_micro,
+           CAST(CASE WHEN n * sxx - sx * sx = 0
+                THEN ROUND((CAST(sy_a AS DOUBLE) / n_a
+                            - CAST(sy_b AS DOUBLE) / n_b) * 1000)
+                ELSE ROUND((CAST(sy_a AS DOUBLE) / n_a
+                            - CAST(sy_b AS DOUBLE) / n_b
+                            - (CAST(n AS DOUBLE) * sxy
+                               - CAST(sx AS DOUBLE) * sy)
+                              / (CAST(n AS DOUBLE) * sxx
+                                 - CAST(sx AS DOUBLE) * sx)
+                              * (CAST(sx_a AS DOUBLE) / n_a
+                                 - CAST(sx_b AS DOUBLE) / n_b)) * 1000)
+                END AS BIGINT) AS adj_diff_micro,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN 0
+                ELSE ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                           * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                           / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                              * (CAST(n AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * sy))
+                           * 1000) END AS BIGINT) AS var_reduction_permille
+    FROM t
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED readout for the registry's hash-split A/B experiment: the
+    pooled θ (micro), the raw and CUPED-adjusted arm mean differences of
+    post-period user value (micro, value units), and the achievable
+    variance reduction ρ²(X,Y) (permille). Every moment is an exact
+    integer sum of milli-fixed-point values; each reported number is one
+    double expression over those sums rounded once. Plan: one user-keyed
+    conditional aggregate (events touched once), then a 1-row moment
+    rollup — nothing after the first groupBy exceeds the user dimension.
+    The 15-day pre-period anchors to the corpus' first event day (one
+    broadcast scalar), so the split is reproducible at any sf."""
+    from ..operators.curation import split_bucket
+
+    ev = load_tables(spark, sf_dir, "events").events
+    first_day = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    base = ev.crossJoin(F.broadcast(first_day)).select(
+        "user_id",
+        F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").alias("v"),
+        (F.datediff(F.to_date("ts"), F.col("d0")) < _CUPED_PRE_DAYS).alias(
+            "pre"
+        ),
+    )
+    users = (
+        base.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("pre"), F.col("v")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("pre"), 0).otherwise(F.col("v")))
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn("arm", split_bucket("user_id", 2))
+    )
+    t = users.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy_b"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy") - sxd * F.col("sy")
+    varx_n = nd * F.col("sxx") - sxd * F.col("sx")
+    vary_n = nd * F.col("syy") - syd * F.col("sy")
+    theta = cov_n / varx_n
+    dy = (
+        F.col("sy_a").cast("double") / F.col("n_a")
+        - F.col("sy_b").cast("double") / F.col("n_b")
+    )
+    dx = (
+        F.col("sx_a").cast("double") / F.col("n_a")
+        - F.col("sx_b").cast("double") / F.col("n_b")
+    )
+    degenerate_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0
+    degenerate_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") == 0
+    return t.select(
+        F.col("n").alias("n_users"),
+        "n_a",
+        "n_b",
+        F.when(degenerate_x, F.lit(0))
+        .otherwise(F.round(theta * 1_000_000))
+        .cast("long")
+        .alias("theta_micro"),
+        F.round(dy * 1000).cast("long").alias("diff_micro"),
+        F.when(degenerate_x, F.round(dy * 1000))
+        .otherwise(F.round((dy - theta * dx) * 1000))
+        .cast("long")
+        .alias("adj_diff_micro"),
+        F.when(degenerate_x | degenerate_y, F.lit(0))
+        .otherwise(F.round(cov_n * cov_n / (varx_n * vary_n) * 1000))
+        .cast("long")
+        .alias("var_reduction_permille"),
+    )

@@ -1,0 +1,336 @@
+"""Semantic pins for the round-9 llm_ops13 waves (21+: exact AUC,
+Mann-Kendall trend); the auto-parametrized oracle test covers hash
+parity."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow.parquet as pq
+
+from sea_streamer_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name, sf=SF):
+    return QUERIES[name].fn(spark, sf)
+
+
+# ---------------------------------------------------------------- wave 21
+
+
+def _py_nb_margins(spark):
+    """Per-held-out-doc (truth, integer micro-nat margin): the python
+    third engine of the NB chain, mirrored from the llm_ops11 fidelity
+    replay so the AUC pin shares no code with the query."""
+    import re as _re
+    from collections import Counter
+
+    from sea_streamer_spark.operators.quality import gopher_quality_flags
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    labels = {
+        r["doc_id"]: r["passes"]
+        for r in gopher_quality_flags(docs).select("doc_id", "passes").collect()
+    }
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        d: [w for w in _re.split(r"\s+", x or "") if w]
+        for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    }
+    cw: dict = {}
+    np_docs = nf_docs = 0
+    for d, ws in toks.items():
+        if d % 2 == 0:
+            if labels[d]:
+                np_docs += 1
+            else:
+                nf_docs += 1
+            for w in ws:
+                e = cw.setdefault(w, [0, 0])
+                e[0 if labels[d] else 1] += 1
+    tp_tok = sum(e[0] for e in cw.values())
+    tf_tok = sum(e[1] for e in cw.values())
+    v = len(cw)
+    pp = round(math.log(np_docs / (np_docs + nf_docs)) * 1_000_000)
+    pf = round(math.log(nf_docs / (np_docs + nf_docs)) * 1_000_000)
+
+    def lp(c, tot):
+        return round(math.log((c + 1) / (tot + v)) * 1_000_000)
+
+    out = []
+    for d, ws in toks.items():
+        if d % 2 == 0:
+            continue
+        sp, sf_ = pp, pf
+        for w, k in Counter(ws).items():
+            c = cw.get(w, [0, 0])
+            sp += k * lp(c[0], tp_tok)
+            sf_ += k * lp(c[1], tf_tok)
+        out.append((labels[d], sp - sf_))
+    return out
+
+
+def test_nb_auc_full_python_replay(spark):
+    margins = _py_nb_margins(spark)
+    n_pos = sum(1 for t, _m in margins if t)
+    n_neg = len(margins) - n_pos
+    # midrank AUC, doubled to stay integer
+    by_m = sorted(m for _t, m in margins)
+    first = {}
+    cnt = {}
+    for i, m in enumerate(by_m, start=1):
+        first.setdefault(m, i)
+        cnt[m] = cnt.get(m, 0) + 1
+    r2p = sum(
+        2 * first[m] + cnt[m] - 1 for t, m in margins if t
+    )
+    u2 = r2p - n_pos * (n_pos + 1)
+    r = _run(spark, "quality_nb_auc_eval").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (n_pos, n_neg)
+    assert r["u_stat_x2"] == u2
+    assert r["auc_micro"] == 1_000_000 * u2 // (2 * n_pos * n_neg)
+    # cross-check the rank identity against the brute-force pair count:
+    # 2U = 2·#(pos>neg) + #(pos=neg)
+    pos = [m for t, m in margins if t]
+    neg = [m for t, m in margins if not t]
+    brute2 = sum(
+        2 if p > q else 1 if p == q else 0 for p in pos for q in neg
+    )
+    assert u2 == brute2
+    assert 0 <= r["auc_micro"] <= 1_000_000
+
+
+def test_nb_auc_consistent_with_fidelity_and_calibration(spark):
+    r = _run(spark, "quality_nb_auc_eval").collect()[0]
+    fid = _run(spark, "quality_nb_distill_fidelity").collect()[0]
+    assert r["n_pos"] + r["n_neg"] == fid["n_eval"]
+    assert r["n_pos"] == fid["tp"] + fid["fn"]
+    # the sf0.01 model must actually rank (llm_ops11's baseline test
+    # posture: at sf0.001 the 250-doc training half is honest noise)
+    r01 = _run(
+        spark, "quality_nb_auc_eval", "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert r01["auc_micro"] > 500_000
+
+
+def test_nb_auc_plan_jvm_only(spark):
+    df = _run(spark, "quality_nb_auc_eval")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "EvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------- wave 22
+
+
+def test_mann_kendall_full_python_replay(spark):
+    t = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type"])
+    daily: dict = {}
+    for ts, et in zip(t.column("ts").to_pylist(), t.column("event_type").to_pylist()):
+        daily.setdefault(et, {}).setdefault(ts.date(), 0)
+        daily[et][ts.date()] += 1
+    got = {
+        r["event_type"]: r
+        for r in _run(spark, "events_mann_kendall_trend").collect()
+    }
+    assert set(got) == set(daily)
+    for et, dc in daily.items():
+        days = sorted(dc)
+        n = len(days)
+        s = 0
+        slopes = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = dc[days[j]] - dc[days[i]]
+                s += (d > 0) - (d < 0)
+                gap = (days[j] - days[i]).days
+                slopes.append((round(1000.0 * d / gap), gap, days[i]))
+        ties = {}
+        for c in dc.values():
+            ties[c] = ties.get(c, 0) + 1
+        tie18 = sum(t_ * (t_ - 1) * (2 * t_ + 5) for t_ in ties.values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        if s == 0 or var18 == 0:
+            z = 0
+        else:
+            z = round((s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18.0) * 1000)
+        slopes.sort()
+        sen = slopes[(len(slopes) + 1) // 2 - 1][0]
+        r = got[et]
+        assert r["n_days"] == n
+        assert r["s_stat"] == s
+        assert r["var18"] == var18
+        assert r["z_milli"] == z, et
+        assert r["sen_slope_milli"] == sen, et
+        # S is bounded by the pair count; z by construction shrinks |S|
+        assert abs(s) <= n * (n - 1) // 2
+
+
+def test_mann_kendall_plan_dimension_bounded(spark):
+    """Event grain is touched once (the cached daily rollup, visible as
+    InMemory scans); pairs/ties/median all live on the day dimension. No
+    python nodes, no cartesian (the registered query checkpoints, so the
+    pin inspects the pre-checkpoint builder)."""
+    from sea_streamer_spark.plans.llm_ops13 import _mann_kendall_frame
+
+    df, daily = _mann_kendall_frame(spark, SF)
+    try:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        daily.unpersist()
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    # events.parquet feeds only the (cached) daily rollup — one scan
+    assert plan.count("events.parquet") == 1, plan
+
+
+# ---------------------------------------------------------------- wave 23
+
+
+def test_collocation_llr_full_python_replay(spark):
+    import re as _re
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    bi: dict = {}
+    for x in t.column("text").to_pylist():
+        toks = _re.split(r"\s+", x or "")
+        for w1, w2 in zip(toks, toks[1:]):
+            bi[(w1, w2)] = bi.get((w1, w2), 0) + 1
+    r1: dict = {}
+    c1: dict = {}
+    n = 0
+    for (w1, w2), c in bi.items():
+        r1[w1] = r1.get(w1, 0) + c
+        c1[w2] = c1.get(w2, 0) + c
+        n += c
+
+    def xlx(v):
+        return v * math.log(v) if v > 0 else 0.0
+
+    from sea_streamer_spark.plans.llm_ops13 import _G2_MIN_PAIR, _G2_TOPK
+
+    scored = []
+    for (w1, w2), o11 in bi.items():
+        if o11 < _G2_MIN_PAIR:
+            continue
+        rr, cc = r1[w1], c1[w2]
+        g2h = (
+            xlx(o11)
+            + xlx(rr - o11)
+            + xlx(cc - o11)
+            + xlx(n - rr - cc + o11)
+            - xlx(rr)
+            - xlx(n - rr)
+            - xlx(cc)
+            - xlx(n - cc)
+            + xlx(n)
+        )
+        scored.append((round(2000.0 * g2h), w1, w2, o11, rr, cc))
+    scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+    want = scored[:_G2_TOPK]
+    rows = _run(spark, "text_collocation_llr").collect()
+    assert len(rows) == min(_G2_TOPK, len(scored))
+    for r, w in zip(rows, want):
+        assert (
+            r["g2_milli"], r["w1"], r["w2"], r["n_pair"], r["n_w1"], r["n_w2"]
+        ) == w
+        # G² of an independence test is non-negative
+        assert r["g2_milli"] >= 0
+        # marginals bound the joint
+        assert r["n_pair"] <= min(r["n_w1"], r["n_w2"])
+
+
+def test_collocation_llr_plan_shape(spark):
+    """One corpus tokenize feeding the bigram-type aggregate; marginals
+    are windows over it (no re-derived aggregate joined back); top-k is
+    a TakeOrdered, not a global sort; JVM-only."""
+    df = _run(spark, "text_collocation_llr")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "EvalPython" not in plan, plan
+    assert plan.count("documents.parquet") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+# ---------------------------------------------------------------- wave 24
+
+
+def _py_bucket(uid: int, buckets: int = 2) -> int:
+    import hashlib
+
+    h = 0
+    for ch in hashlib.md5(str(uid).encode()).hexdigest():
+        h = (h * 31 + ord(ch)) % 1_000_000_007
+    return h % buckets
+
+
+def test_cuped_full_python_replay(spark):
+    t = pq.read_table(f"{SF}/events.parquet", columns=["ts", "user_id", "value"])
+    rows = list(
+        zip(t.column("ts").to_pylist(), t.column("user_id").to_pylist(),
+            t.column("value").to_pylist())
+    )
+    d0 = min(ts.date() for ts, _u, _v in rows)
+    from sea_streamer_spark.plans.llm_ops13 import _CUPED_PRE_DAYS
+
+    users: dict = {}
+    for ts, uid, v in rows:
+        vi = round(v * 1000)
+        xy = users.setdefault(uid, [0, 0])
+        if (ts.date() - d0).days < _CUPED_PRE_DAYS:
+            xy[0] += vi
+        else:
+            xy[1] += vi
+    n = len(users)
+    sx = sum(x for x, _y in users.values())
+    sy = sum(y for _x, y in users.values())
+    sxx = sum(x * x for x, _y in users.values())
+    sxy = sum(x * y for x, y in users.values())
+    syy = sum(y * y for _x, y in users.values())
+    arms = {u: _py_bucket(u) for u in users}
+    n_a = sum(1 for u in users if arms[u] == 0)
+    n_b = n - n_a
+    sx_a = sum(x for u, (x, _y) in users.items() if arms[u] == 0)
+    sy_a = sum(y for u, (_x, y) in users.items() if arms[u] == 0)
+    sx_b = sx - sx_a
+    sy_b = sy - sy_a
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    theta = cov_n / varx_n
+    dy = sy_a / n_a - sy_b / n_b
+    dx = sx_a / n_a - sx_b / n_b
+    r = _run(spark, "events_ab_cuped").collect()[0]
+    assert (r["n_users"], r["n_a"], r["n_b"]) == (n, n_a, n_b)
+    assert r["theta_micro"] == round(theta * 1_000_000)
+    assert r["diff_micro"] == round(dy * 1000)
+    assert r["adj_diff_micro"] == round((dy - theta * dx) * 1000)
+    assert r["var_reduction_permille"] == round(
+        cov_n * cov_n / (varx_n * vary_n) * 1000
+    )
+    # ρ² is a proportion
+    assert 0 <= r["var_reduction_permille"] <= 1000
+
+
+def test_cuped_consistent_with_srm_arms(spark):
+    """The CUPED arm split must agree with the SRM check's population:
+    same bucket hash ⇒ n_a + n_b equals the SRM row's total user count
+    (the three A/B queries share one assignment)."""
+    r = _run(spark, "events_ab_cuped").collect()[0]
+    srm = _run(spark, "events_ab_srm_check").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (srm["n_a"], srm["n_b"])
+
+
+def test_cuped_plan_single_event_scan(spark):
+    df = _run(spark, "events_ab_cuped")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "EvalPython" not in plan, plan
