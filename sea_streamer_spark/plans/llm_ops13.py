@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 
 from ..operators.curation import duck_split_bucket
 from ..sources.tables import load_tables
+from .llm_ops import DUCK_SHINGLE_SETS
 from .llm_ops11 import _nb_chain_sql, _nb_scored
 from .llm_ops12 import _idiv_col
 from .registry import query
@@ -612,3 +613,330 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("var_reduction_permille"),
     )
+
+
+# ---------------------------------------------------------------- wave 25
+# Prefix-filtering for exact set-similarity join (Chaudhuri, Ganti &
+# Kaushik, ICDE 2006; Bayardo, Ma & Srikant, WWW 2007 "All-Pairs"; Xiao
+# et al., WWW 2008 "PPJoin"): order every doc's shingle set by a global
+# canonical order (ascending document frequency, shingle tie-break) and
+# index only the first |x| - ceil(t·|x|) + 1 shingles — any pair with
+# Jaccard >= t MUST collide inside those prefixes (the prefix-filtering
+# principle), so candidate volume collapses to the rare-shingle mass
+# while recall stays exactly 1. This wave makes the theorem measurable:
+# the all-share candidate count, the prefix candidate count, the true
+# J >= 1/2 pairs, how many the prefix join found (all, or the theorem is
+# broken — n_missed is emitted and pinned 0), and the realized candidate
+# reduction. t = 1/2 keeps every similarity comparison in integers:
+# J >= 1/2  <=>  2·inter >= |a| + |b| - inter.
+
+
+@query(
+    "dedup_prefix_filter_eval",
+    oracle=f"""
+    WITH {DUCK_SHINGLE_SETS},
+    dfreq AS MATERIALIZED (
+      SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM ds GROUP BY sh
+    ),
+    ranked AS MATERIALIZED (
+      SELECT ds.doc_id, ds.sh, s.n,
+             ROW_NUMBER() OVER (PARTITION BY ds.doc_id
+                                ORDER BY d.df, ds.sh) AS rk
+      FROM ds JOIN dfreq d USING (sh) JOIN sizes s USING (doc_id)
+    ),
+    pre AS MATERIALIZED (
+      SELECT doc_id, sh FROM ranked WHERE rk <= n - (n + 1) // 2 + 1
+    ),
+    inter AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS i
+      FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE 2 * i >= sa.n + sb.n - i
+    ),
+    cand_pre AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pre a JOIN pre b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS n_docs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM inter) AS n_candidates_allshare,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_pre) AS n_candidates_prefix,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_true_pairs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM exact e
+       JOIN cand_pre c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b)
+        AS n_verified,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM exact e
+       LEFT JOIN cand_pre c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+       WHERE c.doc_a IS NULL) AS n_missed,
+      (SELECT CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                   ELSE 1000 * (COUNT(*) - (SELECT COUNT(*) FROM cand_pre))
+                        // COUNT(*) END AS BIGINT)
+       FROM inter) AS reduction_permille
+    """,
+    tags=("llm", "dedup", "eval"),
+)
+def dedup_prefix_filter_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering calibration for the exact Jaccard(>=1/2) join:
+    candidates under the naive share-any-shingle inverted index vs under
+    the canonical-order prefix index, true-pair count, verified count
+    through the prefix candidates, the theorem's miss count (always 0 —
+    emitted, not assumed), and the realized candidate reduction
+    (permille). Plan: one shingle explode; df and prefix ranks are
+    windows over it; both pair joins are shingle-keyed equi-joins whose
+    volume is Sum(df^2) over the indexed shingles — the prefix index
+    drops exactly the high-df mass, which is the 100 TB point."""
+    from ..operators import dedup as D
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    ds = D.shingle_sets(docs).cache()
+    try:
+        ranked = ds.select(
+            "doc_id",
+            "sh",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("doc_id"))
+            .cast("long")
+            .alias("n"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("sh"))
+            .cast("long")
+            .alias("df"),
+        ).select(
+            "doc_id",
+            "sh",
+            "n",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("df", "sh"))
+            .alias("rk"),
+        )
+        pre = ranked.filter(
+            F.col("rk") <= F.col("n") - F.expr("(n + 1) div 2") + 1
+        ).select("doc_id", "sh")
+        a = ds.select(F.col("doc_id").alias("doc_a"), "sh")
+        b = ds.select(F.col("doc_id").alias("doc_b"), "sh")
+        inter = (
+            a.join(b, "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("i"))
+        )
+        sizes = ds.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        exact = (
+            inter.join(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+                "doc_a",
+            )
+            .join(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+                "doc_b",
+            )
+            .filter(2 * F.col("i") >= F.col("na") + F.col("nb") - F.col("i"))
+            .select("doc_a", "doc_b")
+        )
+        pa = pre.select(F.col("doc_id").alias("doc_a"), "sh")
+        pb = pre.select(F.col("doc_id").alias("doc_b"), "sh")
+        cand_pre = (
+            pa.join(pb, "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        exact_c = exact.cache()
+        cand_c = cand_pre.cache()
+        try:
+            n_docs = sizes.count()
+            n_all = inter.count()
+            n_pre = cand_c.count()
+            n_true = exact_c.count()
+            n_verified = exact_c.join(cand_c, ["doc_a", "doc_b"], "left_semi").count()
+            n_missed = exact_c.join(cand_c, ["doc_a", "doc_b"], "left_anti").count()
+        finally:
+            exact_c.unpersist()
+            cand_c.unpersist()
+    finally:
+        ds.unpersist()
+    reduction = 1000 * (n_all - n_pre) // n_all if n_all else 0
+    return spark.createDataFrame(
+        [(n_docs, n_all, n_pre, n_true, n_verified, n_missed, reduction)],
+        "n_docs long, n_candidates_allshare long, n_candidates_prefix long,"
+        " n_true_pairs long, n_verified long, n_missed long,"
+        " reduction_permille long",
+    )
+
+
+# ---------------------------------------------------------------- wave 26
+# TextRank keyword extraction (Mihalcea & Tarau, "TextRank: Bringing
+# Order into Texts", EMNLP 2004): PageRank over the word co-occurrence
+# graph. The standard implementation shape (gensim/summa): filter the
+# token stream (here: drop the corpus' top-K most frequent tokens, the
+# same data-driven stop rule RAKE uses), take adjacency in the FILTERED
+# sequence as the co-occurrence window, build the weighted undirected
+# graph, and run the weighted PageRank. K matches RAKE's corpus-aware
+# choice (_RAKE_STOPS = 5): this fixture's vocabulary is 31 words, so a
+# web-scale K would empty the graph.
+#     WS(v) = (1-d) + d·Σ_u  w_uv / strength(u) · WS(u),  d = 0.85
+# as the registry's exact-integer fixpoint (graph_pagerank_convergence's
+# recipe: micro-unit scores, 17/20 rational damping, per-edge floor
+# division — both engines reproduce every round bit-for-bit).
+
+_TR_STOPS = 5
+_TR_ITERS = 6
+_TR_TOPK = 20
+
+
+def _build_textrank_oracle() -> str:
+    from ..operators.text import duck_tokens
+
+    toks = duck_tokens("text")
+    rounds = []
+    for k in range(1, _TR_ITERS + 1):
+        rounds.append(f"""
+    c{k} AS MATERIALIZED (
+      SELECT e.v AS node,
+             CAST(SUM((p.s * 17 * e.wt) // (20 * st.strength)) AS BIGINT)
+               AS inc
+      FROM e JOIN it{k - 1} p ON p.node = e.u JOIN st ON st.u = e.u
+      GROUP BY e.v
+    ), it{k} AS MATERIALIZED (
+      SELECT st.u AS node, CAST(150000 + COALESCE(c.inc, 0) AS BIGINT) AS s
+      FROM st LEFT JOIN c{k} c ON c.node = st.u
+    )""")
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, pos, w FROM (
+        SELECT doc_id, generate_subscripts({toks}, 1) AS pos,
+               unnest({toks}) AS w
+        FROM documents)
+    ),
+    stop AS MATERIALIZED (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        ORDER BY c DESC, w LIMIT {_TR_STOPS})
+    ),
+    seq AS MATERIALIZED (
+      SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok WHERE w NOT IN (SELECT w FROM stop)
+    ),
+    pairs AS MATERIALIZED (
+      SELECT least(w, w2) AS wa, greatest(w, w2) AS wb,
+             CAST(COUNT(*) AS BIGINT) AS wt
+      FROM seq WHERE w2 IS NOT NULL AND w <> w2 GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+      SELECT wa AS u, wb AS v, wt FROM pairs
+      UNION ALL SELECT wb, wa, wt FROM pairs
+    ),
+    st AS MATERIALIZED (
+      SELECT u, CAST(SUM(wt) AS BIGINT) AS strength FROM e GROUP BY u
+    ),
+    it0 AS MATERIALIZED (
+      SELECT u AS node, CAST(1000000 AS BIGINT) AS s FROM st
+    ),
+    {",".join(rounds)}
+    SELECT p.node AS word, p.s AS score_micro, st.strength
+    FROM it{_TR_ITERS} p JOIN st ON st.u = p.node
+    ORDER BY p.s DESC, p.node LIMIT {_TR_TOPK}
+    """
+
+
+@query(
+    "text_textrank_keywords",
+    oracle=_build_textrank_oracle(),
+    tags=("llm", "text", "graph"),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 TextRank keywords: weighted-PageRank scores (micro, after
+    6 exact-integer rounds) over the filtered-adjacency word
+    co-occurrence graph, with each word's edge strength. Plan: one
+    tokenize explode; the stop list is a bounded top-K broadcast
+    anti-join; the graph relations are vocab-bounded; each round is one
+    keyed join+agg over the edge relation with a localCheckpoint lineage
+    break (the graph-op discipline); the report is a TakeOrdered."""
+    from ..operators.text import tokens
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    )
+    stop = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(_TR_STOPS)
+        .select("w")
+    )
+    seq = tok.join(F.broadcast(stop), "w", "left_anti").select(
+        "w",
+        F.lead("w").over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ).alias("w2"),
+    )
+    pairs = (
+        seq.filter(F.col("w2").isNotNull() & (F.col("w") != F.col("w2")))
+        .groupBy(
+            F.least("w", "w2").alias("wa"), F.greatest("w", "w2").alias("wb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+    )
+    e = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("wa").alias("u"), F.col("wb").alias("v"), F.col("wt")
+                ),
+                F.struct(
+                    F.col("wb").alias("u"), F.col("wa").alias("v"), F.col("wt")
+                ),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v", "p.wt")
+    st = e.groupBy("u").agg(F.sum("wt").cast("long").alias("strength"))
+    ed = e.join(st, "u").select("u", "v", "wt", "strength").cache()
+    nodes = st.select(F.col("u").alias("node"), "strength").localCheckpoint(
+        eager=True
+    )
+    s = nodes.select("node", F.lit(1_000_000).cast("long").alias("s"))
+    try:
+        for _k in range(_TR_ITERS):
+            contrib = (
+                ed.join(s.withColumnRenamed("node", "u"), "u")
+                .select(
+                    F.col("v").alias("node"),
+                    F.expr("(s * 17 * wt) div (20 * strength)").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").cast("long").alias("inc"))
+            )
+            s = (
+                nodes.select("node")
+                .join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (F.lit(150_000) + F.coalesce(F.col("inc"), F.lit(0)))
+                    .cast("long")
+                    .alias("s"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        out = (
+            s.join(nodes, "node")
+            .select(
+                F.col("node").alias("word"),
+                F.col("s").alias("score_micro"),
+                "strength",
+            )
+            .orderBy(F.desc("score_micro"), "word")
+            .limit(_TR_TOPK)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        ed.unpersist()
+    return out

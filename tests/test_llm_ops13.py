@@ -334,3 +334,125 @@ def test_cuped_plan_single_event_scan(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "EvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------- wave 25
+
+
+def test_prefix_filter_full_python_replay(spark):
+    import re as _re
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sets: dict = {}
+    for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = _re.split(r"\s+", x or "")
+        sh = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        if sh:
+            sets[d] = sh
+    df: dict = {}
+    for sh_set in sets.values():
+        for sh in sh_set:
+            df[sh] = df.get(sh, 0) + 1
+    prefix: dict = {}
+    for d, sh_set in sets.items():
+        n = len(sh_set)
+        p = n - (n + 1) // 2 + 1
+        prefix[d] = set(sorted(sh_set, key=lambda s: (df[s], s))[:p])
+    inv_all: dict = {}
+    inv_pre: dict = {}
+    for d, sh_set in sets.items():
+        for sh in sh_set:
+            inv_all.setdefault(sh, []).append(d)
+    for d, sh_set in prefix.items():
+        for sh in sh_set:
+            inv_pre.setdefault(sh, []).append(d)
+
+    def pairs_of(inv):
+        out = set()
+        for ds_ in inv.values():
+            ds_ = sorted(ds_)
+            for i in range(len(ds_)):
+                for j in range(i + 1, len(ds_)):
+                    out.add((ds_[i], ds_[j]))
+        return out
+
+    cand_all = pairs_of(inv_all)
+    cand_pre = pairs_of(inv_pre)
+    exact = {
+        (a, b)
+        for a, b in cand_all
+        if 2 * len(sets[a] & sets[b]) >= len(sets[a] | sets[b])
+    }
+    r = _run(spark, "dedup_prefix_filter_eval").collect()[0]
+    assert r["n_docs"] == len(sets)
+    assert r["n_candidates_allshare"] == len(cand_all)
+    assert r["n_candidates_prefix"] == len(cand_pre)
+    assert r["n_true_pairs"] == len(exact)
+    assert r["n_verified"] == len(exact & cand_pre)
+    assert r["n_missed"] == len(exact - cand_pre)
+    # THE prefix-filtering theorem: J >= 1/2 pairs always collide in
+    # the canonical prefixes
+    assert r["n_missed"] == 0
+    assert r["n_verified"] == r["n_true_pairs"]
+    # prefix candidates are a subset of the all-share candidates
+    assert cand_pre <= cand_all
+    assert r["reduction_permille"] == (
+        1000 * (len(cand_all) - len(cand_pre)) // len(cand_all)
+        if cand_all
+        else 0
+    )
+
+
+# ---------------------------------------------------------------- wave 26
+
+
+def test_textrank_full_python_replay(spark):
+    import re as _re
+
+    from sea_streamer_spark.plans.llm_ops13 import (
+        _TR_ITERS,
+        _TR_STOPS,
+        _TR_TOPK,
+    )
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = {
+        d: _re.split(r"\s+", x or "")
+        for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    }
+    freq: dict = {}
+    for toks in docs.values():
+        for w in toks:
+            freq[w] = freq.get(w, 0) + 1
+    stop = {
+        w for w, _c in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:_TR_STOPS]
+    }
+    wt: dict = {}
+    for toks in docs.values():
+        seq = [w for w in toks if w not in stop]
+        for a, b in zip(seq, seq[1:]):
+            if a != b:
+                k = (min(a, b), max(a, b))
+                wt[k] = wt.get(k, 0) + 1
+    strength: dict = {}
+    for (a, b), w in wt.items():
+        strength[a] = strength.get(a, 0) + w
+        strength[b] = strength.get(b, 0) + w
+    s = {v: 1_000_000 for v in strength}
+    for _ in range(_TR_ITERS):
+        inc = {v: 0 for v in s}
+        for (a, b), w in wt.items():
+            inc[b] += (s[a] * 17 * w) // (20 * strength[a])
+            inc[a] += (s[b] * 17 * w) // (20 * strength[b])
+        s = {v: 150_000 + inc[v] for v in s}
+    want = sorted(s.items(), key=lambda kv: (-kv[1], kv[0]))[:_TR_TOPK]
+    rows = _run(spark, "text_textrank_keywords").collect()
+    assert len(rows) == min(_TR_TOPK, len(want))
+    for r, (w, sc) in zip(rows, want):
+        assert (r["word"], r["score_micro"], r["strength"]) == (
+            w, sc, strength[w]
+        )
+    # scores stay in the damped-PageRank band: floor is (1-d)
+    assert all(r["score_micro"] >= 150_000 for r in rows)
