@@ -940,3 +940,302 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         ed.unpersist()
     return out
+
+
+# ---------------------------------------------------------------- wave 27
+# Poisson bootstrap confidence interval (Efron's bootstrap in the
+# streaming-friendly form: Oza & Russell 2001's online bagging;
+# Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+# Google TR 2012): instead of resampling n-out-of-n (which needs a
+# global pass per replicate), every row independently receives a
+# Poisson(1) weight per replicate — the ONLY bootstrap that
+# map-side-aggregates at 100 TB. Weights are deterministic and cheap:
+# ONE portable char-fold md5 hash per EVENT (not per replicate — the
+# per-replicate fold measured 26 s at sf0.1), then per-replicate
+# uniforms u_r = cube((h_base + (r+1)·2654435761) mod p) mod p where
+# cube(x) = x³ mod p is a PERMUTATION of [0, p) because
+# gcd(3, p-1) = 1 for p = 1e9+7 (Fermat) — the nonlinearity kills the
+# affine-in-r lattice a multiply-add derivation alone would leave.
+# Poisson(1) inverse-CDF thresholds are import-time integer literals
+# scaled to p (tail capped at w=8, P ~ 1e-5, documented). Every
+# replicate sum is an exact integer; each replicate mean is ONE double
+# division, micro-rounded; the CI is an order statistic over the R
+# replicate means (rank 2 and rank R-1 at R=40 — the floor(0.025R)+1
+# convention, stated, not interpolated).
+
+_BOOT_R = 40
+#: floor(MOD * P(Poisson(1) <= k)) for k = 0..7; weight = #thresholds
+#: the hash clears (so P(w=k) is exact to 1/MOD).
+_BOOT_T = (367879443, 735758887, 919698609, 981011849,
+           996340160, 999405822, 999916765, 999989757)
+_BOOT_LO = 2          # floor(0.025 * 40) + 1
+_BOOT_HI = _BOOT_R - 1  # 40 - floor(0.025 * 40)
+
+
+_BOOT_MOD = 1_000_000_007
+_BOOT_STEP = 2_654_435_761
+
+
+def _build_boot_oracle() -> str:
+    from ..operators.text import duck_char_fold
+
+    hb = duck_char_fold("md5(CAST(event_id AS VARCHAR))")
+    w = " + ".join(f"(CASE WHEN h >= {t} THEN 1 ELSE 0 END)" for t in _BOOT_T)
+    return f"""
+    WITH ev AS MATERIALIZED (
+      SELECT {hb} AS hb, CAST(ROUND(value * 1000, 0) AS BIGINT) AS v
+      FROM events
+    ),
+    reps AS (SELECT unnest(generate_series(0, {_BOOT_R - 1})) AS r),
+    hashed AS (
+      SELECT r, v,
+             ((u * u) % {_BOOT_MOD}) * u % {_BOOT_MOD} AS h
+      FROM (SELECT r, v,
+                   (hb + (r + 1) * {_BOOT_STEP}) % {_BOOT_MOD} AS u
+            FROM ev CROSS JOIN reps)
+    ),
+    weighted AS (
+      SELECT r, v, CAST({w} AS BIGINT) AS w FROM hashed
+    ),
+    per_rep AS (
+      SELECT r, CAST(SUM(w * v) AS BIGINT) AS num,
+             CAST(SUM(w) AS BIGINT) AS den
+      FROM weighted GROUP BY r
+    ),
+    means AS (
+      SELECT r,
+             CAST(CASE WHEN den = 0 THEN 0
+                  ELSE ROUND(1000.0 * num / den) END AS BIGINT) AS m
+      FROM per_rep
+    ),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rn FROM means
+    ),
+    pt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(ROUND(1000.0 * SUM(v) / COUNT(*)) AS BIGINT) AS point_micro
+      FROM ev
+    )
+    SELECT pt.n_events, CAST({_BOOT_R} AS BIGINT) AS n_replicates,
+           pt.point_micro,
+           (SELECT m FROM ranked WHERE rn = {_BOOT_LO}) AS ci_lo_micro,
+           (SELECT m FROM ranked WHERE rn = {_BOOT_HI}) AS ci_hi_micro,
+           (SELECT m FROM ranked WHERE rn = {_BOOT_HI})
+             - (SELECT m FROM ranked WHERE rn = {_BOOT_LO}) AS width_micro
+    FROM pt
+    """
+
+
+@query(
+    "events_poisson_bootstrap_ci",
+    oracle=_build_boot_oracle(),
+    tags=("streaming", "events", "stats"),
+)
+def events_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap CI for the mean event value: 40
+    deterministic hash-weighted replicates, each an exact-integer
+    (Sum w·v, Sum w) pair, one micro-rounded division per replicate,
+    order-statistic CI (ranks 2 and 39). Plan: the replicate axis is a
+    JVM-side sequence explode (no shuffle to fan out); everything
+    aggregates map-side into a 40-row relation — the reason Poisson
+    bootstrap is THE bootstrap that survives 100 TB."""
+    from ..operators.text import char_fold_hash
+
+    ev = load_tables(spark, sf_dir, "events").events.select(
+        char_fold_hash(F.md5(F.col("event_id").cast("string"))).alias("hb"),
+        F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").alias("v"),
+    )
+    u = (F.col("hb") + (F.col("r") + 1) * F.lit(_BOOT_STEP)) % _BOOT_MOD
+    rep = ev.select(
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+        F.col("hb"),
+    ).select(
+        "v",
+        "r",
+        (((u * u) % _BOOT_MOD) * u % _BOOT_MOD).alias("h"),
+    )
+    w = None
+    for t_ in _BOOT_T:
+        term = F.when(F.col("h") >= t_, 1).otherwise(0)
+        w = term if w is None else w + term
+    per_rep = (
+        rep.select("r", "v", w.cast("long").alias("w"))
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).cast("long").alias("num"),
+            F.sum("w").cast("long").alias("den"),
+        )
+    )
+    means = per_rep.select(
+        "r",
+        F.when(F.col("den") == 0, F.lit(0))
+        .otherwise(F.round(F.lit(1000.0) * F.col("num") / F.col("den")))
+        .cast("long")
+        .alias("m"),
+    )
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m", "r")).alias("rn")
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("rn") == _BOOT_LO, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("rn") == _BOOT_HI, F.col("m"))).alias("hi"),
+    )
+    pt = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.lit(1000.0) * F.sum("v") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("point_micro"),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "n_events",
+        F.lit(_BOOT_R).cast("long").alias("n_replicates"),
+        "point_micro",
+        F.col("lo").cast("long").alias("ci_lo_micro"),
+        F.col("hi").cast("long").alias("ci_hi_micro"),
+        (F.col("hi") - F.col("lo")).cast("long").alias("width_micro"),
+    )
+
+
+# ---------------------------------------------------------------- wave 28
+# Isotonic (PAV) calibration of the NB margin (Zadrozny & Elkan, KDD
+# 2002; Robertson/Wright/Dykstra's minimax characterization): the
+# reliability curve (llm_ops12 wave 17) shows per-decile pass rates;
+# isotonic regression is what production calibrators fit on top. Pool
+# Adjacent Violators has a closed form per bin — the minimax identity
+#     g(i) = min_{j<=i} max_{k>=i} weightedmean(rate[j..k])
+# (antitonic orientation: decile 1 = best margin, so the calibrated
+# rate must be non-increasing in the decile index). Over 10 bins every
+# segment mean is an exact rational with denominator <= n_eval; scaling
+# to nano (1e9·dp // dn) preserves order AND equality exactly
+# (distinct fractions with denominators <= n differ by >= 1/n² >> 1e-9
+# at this n), so min/max run on integers and both engines agree
+# bit-for-bit. The python pin runs REAL pooling PAV and asserts the
+# minimax identity reproduces it.
+
+
+def _build_isotonic_oracle() -> str:
+    from .llm_ops11 import _nb_chain_sql
+
+    return f"""
+    WITH {_nb_chain_sql()},
+    binned AS (
+      SELECT truth,
+             NTILE(10) OVER (ORDER BY score_pass - score_fail DESC, doc_id)
+               AS decile
+      FROM scored
+    ),
+    bins AS MATERIALIZED (
+      SELECT CAST(decile AS BIGINT) AS i, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      FROM binned GROUP BY decile
+    ),
+    cum AS (
+      SELECT i, n_docs, n_pass,
+             SUM(n_docs) OVER (ORDER BY i) AS nn,
+             SUM(n_pass) OVER (ORDER BY i) AS pp
+      FROM bins
+    ),
+    seg AS (
+      SELECT j.i AS j, k.i AS k,
+             CAST(1000000000 * (k.pp - COALESCE(jm.pp, 0))
+                  // (k.nn - COALESCE(jm.nn, 0)) AS BIGINT) AS r
+      FROM cum j JOIN cum k ON j.i <= k.i
+      LEFT JOIN cum jm ON jm.i = j.i - 1
+    ),
+    mx AS (
+      SELECT b.i, s.j, CAST(MAX(s.r) AS BIGINT) AS mxr
+      FROM bins b JOIN seg s ON s.j <= b.i AND s.k >= b.i
+      GROUP BY b.i, s.j
+    ),
+    iso AS (SELECT i, CAST(MIN(mxr) AS BIGINT) AS iso_nano FROM mx GROUP BY i)
+    SELECT b.i AS decile, b.n_docs, b.n_pass,
+           CAST(1000 * b.n_pass // b.n_docs AS BIGINT) AS raw_rate_permille,
+           iso.iso_nano AS iso_rate_nano,
+           CAST(iso.iso_nano // 1000000 AS BIGINT) AS iso_rate_permille
+    FROM bins b JOIN iso ON iso.i = b.i
+    ORDER BY b.i
+    """
+
+
+@query(
+    "quality_isotonic_calibration",
+    oracle=_build_isotonic_oracle(),
+    tags=("llm", "quality", "eval"),
+)
+def quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the NB reliability curve: per
+    margin decile, the raw pass rate and the pooled-adjacent-violators
+    fit via the exact-integer minimax identity (nano fixed-point).
+    Plan: the decile table is the calibration curve's aggregation; all
+    pooling relations live on the 10-row bin dimension (j<=i<=k segment
+    triples — 220 rows), broadcast-joined; nothing touches doc grain
+    after the first aggregate."""
+    from pyspark.sql.window import Window as W
+
+    scored = _nb_scored(spark, sf_dir).select(
+        "doc_id", "truth", (F.col("score_pass") - F.col("score_fail")).alias("margin")
+    )
+    bins = (
+        scored.select(
+            "truth",
+            F.ntile(10)
+            .over(W.orderBy(F.desc("margin"), F.asc("doc_id")))
+            .cast("long")
+            .alias("i"),
+        )
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("truth"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+        )
+    )
+    cum = bins.select(
+        "i",
+        "n_docs",
+        "n_pass",
+        F.sum("n_docs").over(W.orderBy("i")).alias("nn"),
+        F.sum("n_pass").over(W.orderBy("i")).alias("pp"),
+    )
+    j = cum.select(
+        F.col("i").alias("j"),
+        (F.col("pp") - F.col("n_pass")).alias("pp_jm"),
+        (F.col("nn") - F.col("n_docs")).alias("nn_jm"),
+    )
+    k = cum.select(F.col("i").alias("k"), "pp", "nn")
+    seg = (
+        j.join(k, F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            _idiv_col(
+                F.lit(1_000_000_000) * (F.col("pp") - F.col("pp_jm")),
+                F.col("nn") - F.col("nn_jm"),
+            ).alias("r"),
+        )
+    )
+    mx = (
+        bins.select(F.col("i"))
+        .join(seg, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.max("r").cast("long").alias("mxr"))
+    )
+    iso = mx.groupBy("i").agg(F.min("mxr").cast("long").alias("iso_nano"))
+    return (
+        bins.join(iso, "i")
+        .select(
+            F.col("i").alias("decile"),
+            "n_docs",
+            "n_pass",
+            _idiv_col(F.lit(1000) * F.col("n_pass"), F.col("n_docs")).alias(
+                "raw_rate_permille"
+            ),
+            F.col("iso_nano").alias("iso_rate_nano"),
+            _idiv_col(F.col("iso_nano"), F.lit(1_000_000)).alias(
+                "iso_rate_permille"
+            ),
+        )
+        .orderBy("decile")
+    )

@@ -456,3 +456,103 @@ def test_textrank_full_python_replay(spark):
         )
     # scores stay in the damped-PageRank band: floor is (1-d)
     assert all(r["score_micro"] >= 150_000 for r in rows)
+
+
+# ---------------------------------------------------------------- wave 27
+
+
+def test_poisson_bootstrap_full_python_replay(spark):
+    import hashlib
+
+    from sea_streamer_spark.plans.llm_ops13 import (
+        _BOOT_HI,
+        _BOOT_LO,
+        _BOOT_MOD,
+        _BOOT_R,
+        _BOOT_STEP,
+        _BOOT_T,
+    )
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "value"])
+    rows = list(
+        zip(t.column("event_id").to_pylist(), t.column("value").to_pylist())
+    )
+
+    def fold(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % _BOOT_MOD
+        return h
+
+    means = []
+    tot_w = 0
+    for r in range(_BOOT_R):
+        num = den = 0
+        for eid, val in rows:
+            hb = fold(hashlib.md5(str(eid).encode()).hexdigest())
+            u = (hb + (r + 1) * _BOOT_STEP) % _BOOT_MOD
+            h = ((u * u) % _BOOT_MOD) * u % _BOOT_MOD
+            w = sum(1 for thr in _BOOT_T if h >= thr)
+            num += w * round(val * 1000)
+            den += w
+        tot_w += den
+        means.append((0 if den == 0 else round(1000.0 * num / den), r))
+    means.sort()
+    lo = means[_BOOT_LO - 1][0]
+    hi = means[_BOOT_HI - 1][0]
+    point = round(1000.0 * sum(round(v * 1000) for _e, v in rows) / len(rows))
+    r_ = _run(spark, "events_poisson_bootstrap_ci").collect()[0]
+    assert r_["n_events"] == len(rows)
+    assert r_["n_replicates"] == _BOOT_R
+    assert r_["point_micro"] == point
+    assert (r_["ci_lo_micro"], r_["ci_hi_micro"]) == (lo, hi)
+    assert r_["width_micro"] == hi - lo
+    # Poisson(1) weights must average ~1 (law of large numbers at
+    # n*R = 40k draws; 5% is ~10 sigma)
+    assert abs(tot_w / (len(rows) * _BOOT_R) - 1.0) < 0.05
+    # a 95% CI that misses its own point estimate means broken ranks
+    assert lo <= point <= hi
+
+
+# ---------------------------------------------------------------- wave 28
+
+
+def test_isotonic_matches_real_pav(spark):
+    """The minimax identity must reproduce ACTUAL pool-adjacent-
+    violators pooling (antitonic: rates non-increasing in decile)."""
+    cal = _run(spark, "quality_nb_calibration_curve").collect()
+    blocks = [
+        [r["decile"], r["n_pass"], r["n_docs"]] for r in sorted(
+            cal, key=lambda r: r["decile"]
+        )
+    ]
+    # weighted PAV: merge while an adjacent pair violates non-increasing
+    pooled = []
+    for b in blocks:
+        pooled.append([[b[0]], b[1], b[2]])
+        while len(pooled) >= 2 and (
+            pooled[-2][1] * pooled[-1][2] < pooled[-1][1] * pooled[-2][2]
+        ):
+            ds_, p2, n2 = pooled.pop()
+            pooled[-1][0].extend(ds_)
+            pooled[-1][1] += p2
+            pooled[-1][2] += n2
+    want = {}
+    for ds_, p, n in pooled:
+        for d in ds_:
+            want[d] = 1_000_000_000 * p // n
+    rows = _run(spark, "quality_isotonic_calibration").collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    for r in rows:
+        assert r["iso_rate_nano"] == want[r["decile"]], r["decile"]
+        assert r["iso_rate_permille"] == r["iso_rate_nano"] // 1_000_000
+        assert r["raw_rate_permille"] == 1000 * r["n_pass"] // r["n_docs"]
+    # the fit is antitonic by construction
+    for a, b in zip(rows, rows[1:]):
+        assert a["iso_rate_nano"] >= b["iso_rate_nano"]
+    # pooling preserves total mass: weighted mean of fit == raw mean
+    tot_docs = sum(r["n_docs"] for r in rows)
+    fit_mass = sum(r["iso_rate_nano"] * r["n_docs"] for r in rows)
+    raw_mass = sum(1_000_000_000 * r["n_pass"] for r in rows)
+    # nano flooring loses < 1 per doc
+    assert abs(fit_mass - raw_mass) < tot_docs
