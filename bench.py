@@ -445,6 +445,23 @@ def new_ops_metric(spark) -> dict:
         "graph_pagerank_convergence",
         "dedup_lsh_band_curve",
         "profile_ks_source_drift",
+        # round-9 waves 21-28 (session 2)
+        "quality_nb_auc_eval",
+        "events_mann_kendall_trend",
+        "text_collocation_llr",
+        "events_ab_cuped",
+        "dedup_prefix_filter_eval",
+        "text_textrank_keywords",
+        "events_poisson_bootstrap_ci",
+        "quality_isotonic_calibration",
+        "profile_psi_source_drift",
+        "events_ewma_forecast_eval",
+        "curation_pareto_front",
+        "curation_kcenter_coreset",
+        "text_word_burstiness",
+        "curation_submodular_coverage",
+        "quality_nb_metrics_summary",
+        "agg_theil_index_by_nation",
     ):
         if name not in QUERIES:
             continue

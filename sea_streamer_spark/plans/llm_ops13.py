@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 from ..operators.curation import duck_split_bucket
 from ..sources.tables import load_tables
-from .llm_ops import DUCK_SHINGLE_SETS
+from .llm_ops import DUCK_SHINGLE_SETS, TOKS
 from .llm_ops11 import _nb_chain_sql, _nb_scored
 from .llm_ops12 import _idiv_col
 from .registry import query
@@ -1238,4 +1238,834 @@ def quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------- wave 29
+# Population Stability Index per source (the credit-scoring industry's
+# standard drift metric — Siddiqi, "Credit Risk Scorecards", 2006;
+# PSI = Σ_b (p_b - q_b)·ln(p_b/q_b), the symmetrized KL a score
+# monitor alarms on at 0.1/0.25): the BINNED companion to the KS
+# (any-difference), Mann-Whitney (location) and chi-square screens —
+# PSI is what production monitoring dashboards actually threshold.
+# Bins are the global length deciles (the registry's rank-statistic
+# NTILE convention); empty cells take the Laplace add-one
+# (p_b = (c_b+1)/(n+10)) so the log never blows — stated, not silent.
+# Per-(source, bin) terms are micro-rounded BEFORE the sum (the KN
+# per-position recipe: the total is an order-free integer sum).
+
+
+@query(
+    "profile_psi_source_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT source,
+             NTILE(10) OVER (ORDER BY n_chars, doc_id) AS b
+      FROM documents
+    ),
+    cells AS (
+      SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM binned GROUP BY source, b
+    ),
+    srcs AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n1 FROM cells GROUP BY source
+    ),
+    tots AS (
+      SELECT b, CAST(SUM(c) AS BIGINT) AS tot FROM cells GROUP BY b
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cells),
+    grid AS (
+      SELECT s.source, s.n1, t.b, t.tot, COALESCE(c.c, 0) AS c, n.nn
+      FROM srcs s CROSS JOIN tots t CROSS JOIN n
+      LEFT JOIN cells c ON c.source = s.source AND c.b = t.b
+    ),
+    terms AS (
+      SELECT source, n1,
+             CAST(ROUND((CAST(c + 1 AS DOUBLE) / (n1 + 10)
+                         - CAST(tot - c + 1 AS DOUBLE) / (nn - n1 + 10))
+                        * ln((CAST(c + 1 AS DOUBLE) / (n1 + 10))
+                             / (CAST(tot - c + 1 AS DOUBLE)
+                                / (nn - n1 + 10)))
+                        * 1000000) AS BIGINT) AS term
+      FROM grid
+    )
+    SELECT source, n1, CAST(SUM(term) AS BIGINT) AS psi_micro
+    FROM terms GROUP BY source, n1 ORDER BY source
+    """,
+    tags=("llm", "quality", "eval"),
+)
+def profile_psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of each source's document-length distribution against its
+    complement, over the global length deciles: per-cell add-one
+    frequencies, one micro-rounded (p-q)·ln(p/q) term per cell, exact
+    integer sum. Plan: one global decile window, one (source, bin)
+    aggregate (source×10 cells), then everything lives on the 200-row
+    grid — the dense source×bin cross join is two broadcast dimension
+    relations, never doc grain."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    binned = docs.select(
+        "source",
+        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("b"),
+    )
+    cells = binned.groupBy("source", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    srcs = cells.groupBy("source").agg(F.sum("c").cast("long").alias("n1"))
+    tots = cells.groupBy("b").agg(F.sum("c").cast("long").alias("tot"))
+    n = cells.agg(F.sum("c").cast("long").alias("nn"))
+    grid = (
+        srcs.crossJoin(F.broadcast(tots))
+        .crossJoin(F.broadcast(n))
+        .join(cells, ["source", "b"], "left")
+        .select(
+            "source",
+            "n1",
+            "tot",
+            "nn",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    p = (F.col("c") + 1).cast("double") / (F.col("n1") + 10)
+    q = (F.col("tot") - F.col("c") + 1).cast("double") / (
+        F.col("nn") - F.col("n1") + 10
+    )
+    term = F.round((p - q) * F.log(p / q) * 1_000_000).cast("long")
+    return (
+        grid.select("source", "n1", term.alias("term"))
+        .groupBy("source", "n1")
+        .agg(F.sum("term").cast("long").alias("psi_micro"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------- wave 30
+# Exponentially-weighted moving average forecast eval (Brown 1956;
+# Hunter, "The Exponentially Weighted Moving Average", JQT 1986): the
+# one-step-ahead ingest-volume forecast every ops dashboard runs,
+# s_t = α·c_t + (1-α)·s_{t-1} with α = 1/2. The dyadic α has a closed
+# form that needs NO recursion and stays EXACT end-to-end:
+#     A_t := 2^{t-1}·s_t = c_1 + Σ_{i=2..t} c_i·2^{i-2}
+# is one window sum of integer-shifted counts (A_30 ≤ 3000·2^28 < 2^53),
+# and s_t = A_t / 2^{t-1} is an exact IEEE double (power-of-two divide
+# of a < 2^53 integer never rounds). The only rounding anywhere is the
+# final ×1e6 micro conversion — correctly-rounded, identical on both
+# engines. Forecast error e_t = c_t - s_{t-1} is likewise exact before
+# its micro conversion.
+
+
+@query(
+    "events_ewma_forecast_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    ),
+    acc AS (
+      SELECT event_type, i, c,
+             CAST(SUM(c * (CASE WHEN i = 1 THEN 1
+                           ELSE CAST(1 AS BIGINT) << (i - 2) END))
+                  OVER (PARTITION BY event_type ORDER BY i) AS BIGINT) AS a
+      FROM idx
+    ),
+    lagged AS (
+      SELECT event_type, i, c, a,
+             LAG(a) OVER (PARTITION BY event_type ORDER BY i) AS a_prev
+      FROM acc
+    ),
+    terms AS (
+      SELECT event_type,
+             CAST(ROUND(1000000 * (c - CAST(a_prev AS DOUBLE)
+                                       / power(2.0, i - 2))) AS BIGINT) AS e
+      FROM lagged WHERE i >= 2
+    ),
+    lvl AS (
+      SELECT event_type, CAST(MAX(i) AS BIGINT) AS n_days,
+             CAST(ROUND(1000000 * (CAST(MAX_BY(a, i) AS DOUBLE)
+                                   / power(2.0, MAX(i) - 1)))
+                  AS BIGINT) AS level_micro
+      FROM lagged GROUP BY event_type
+    )
+    SELECT l.event_type, l.n_days, l.level_micro,
+           CAST(SUM(ABS(t.e)) // (l.n_days - 1) AS BIGINT) AS mae_micro,
+           CAST(MAX(ABS(t.e)) AS BIGINT) AS max_abs_err_micro
+    FROM lvl l JOIN terms t ON t.event_type = l.event_type
+    GROUP BY l.event_type, l.n_days, l.level_micro
+    ORDER BY l.event_type
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_ewma_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead EWMA (α=1/2) forecast quality per event type over
+    daily counts: the final smoothed level, mean and max absolute
+    forecast error (micro) — all from the exact closed-form window sum
+    (no recursion, no float drift; the dyadic denominator makes every
+    intermediate an exact double). Plan: one daily rollup, then one
+    day-dimension window pass."""
+    ev = load_tables(spark, sf_dir, "events").events
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type", "c", F.row_number().over(w).cast("long").alias("i")
+    )
+    wi = Window.partitionBy("event_type").orderBy("i")
+    acc = idx.select(
+        "event_type",
+        "i",
+        "c",
+        F.sum(
+            F.col("c")
+            * F.when(F.col("i") == 1, F.lit(1).cast("long")).otherwise(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(i - 2 AS INT))")
+            )
+        )
+        .over(wi)
+        .cast("long")
+        .alias("a"),
+    )
+    lagged = acc.select(
+        "event_type", "i", "c", "a", F.lag("a").over(wi).alias("a_prev")
+    )
+    terms = lagged.filter(F.col("i") >= 2).select(
+        "event_type",
+        F.round(
+            1_000_000
+            * (
+                F.col("c")
+                - F.col("a_prev").cast("double")
+                / F.pow(F.lit(2.0), F.col("i") - 2)
+            )
+        )
+        .cast("long")
+        .alias("e"),
+    )
+    lvl = lagged.groupBy("event_type").agg(
+        F.max("i").cast("long").alias("n_days"),
+        F.round(
+            1_000_000
+            * (
+                F.max_by("a", "i").cast("double")
+                / F.pow(F.lit(2.0), F.max("i") - 1)
+            )
+        )
+        .cast("long")
+        .alias("level_micro"),
+    )
+    return (
+        lvl.join(terms, "event_type")
+        .groupBy("event_type", "n_days", "level_micro")
+        .agg(
+            _idiv_col(F.sum(F.abs(F.col("e"))), F.col("n_days") - 1).alias(
+                "mae_micro"
+            ),
+            F.max(F.abs(F.col("e"))).cast("long").alias("max_abs_err_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------- wave 31
+# Pareto front / skyline (Börzsönyi, Kossmann & Stocker, "The Skyline
+# Operator", ICDE 2001): the multi-criteria selection primitive the
+# relational layer lacked. Dims: n_tokens (volume) and
+# n_distinct_tokens (vocabulary richness) — a doc is on the front iff
+# no other doc is >= in both and > in at least one. The 2-D skyline
+# has an exact one-pass form: group by x, keep each x's max-y, then a
+# strictly-preceding running max over x DESC — a doc survives iff
+# y = ymax(x) AND ymax(x) > max over all x' > x (ties on both dims are
+# mutually non-dominating and all survive). Everything integer.
+
+
+@query(
+    "curation_pareto_front",
+    oracle=f"""
+    WITH stats AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS x,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS y
+      FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+    ),
+    perx AS (
+      SELECT x, CAST(MAX(y) AS BIGINT) AS ymax FROM stats GROUP BY x
+    ),
+    runmax AS (
+      SELECT x, ymax,
+             MAX(ymax) OVER (ORDER BY x DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prevmax
+      FROM perx
+    ),
+    front_x AS (
+      SELECT x, ymax FROM runmax
+      WHERE prevmax IS NULL OR ymax > prevmax
+    )
+    SELECT s.doc_id, s.x AS n_tokens, s.y AS n_distinct_tokens
+    FROM stats s JOIN front_x f ON f.x = s.x AND f.ymax = s.y
+    ORDER BY s.x DESC, s.doc_id
+    """,
+    tags=("llm", "curation"),
+)
+def curation_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of the corpus over (token volume, vocabulary richness):
+    the docs no other doc dominates — the multi-criteria shortlist a
+    curation pass starts from. Plan: one tokenize aggregate to
+    (doc, x, y); the front is computed on the x-dimension relation
+    (per-x max + one strictly-preceding running max), then one keyed
+    join back — the doc grain is touched twice and never pairwise
+    (the naive skyline is O(n²); this is the sort-based O(n log n)
+    form, exact for 2 dims)."""
+    from ..operators.text import tokens
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    t = tokens("text")
+    stats = docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("x"),
+        F.size(F.array_distinct(t)).cast("long").alias("y"),
+    )
+    perx = stats.groupBy("x").agg(F.max("y").cast("long").alias("ymax"))
+    runmax = perx.select(
+        "x",
+        "ymax",
+        F.max("ymax")
+        .over(
+            Window.orderBy(F.desc("x")).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("prevmax"),
+    )
+    front_x = runmax.filter(
+        F.col("prevmax").isNull() | (F.col("ymax") > F.col("prevmax"))
+    ).select(F.col("x").alias("fx"), F.col("ymax").alias("fy"))
+    return (
+        stats.join(
+            F.broadcast(front_x),
+            (F.col("x") == F.col("fx")) & (F.col("y") == F.col("fy")),
+        )
+        .select(
+            "doc_id",
+            F.col("x").alias("n_tokens"),
+            F.col("y").alias("n_distinct_tokens"),
+        )
+        .orderBy(F.desc("n_tokens"), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------- wave 32
+# Greedy k-center coreset (Gonzalez, "Clustering to minimize the
+# maximum intercluster distance", TCS 1985): the 2-approximation
+# farthest-point traversal — the standard diversity-coreset selector a
+# curation stack runs to seed diverse fine-tuning subsets (and the
+# seeding half of k-means++). Distance is cosine distance in the
+# registry's micro fixed-point (FLOOR(cos·1e6), the IVF recipe), so
+# every argmax is an integer comparison with a vec_id tie-break. The
+# incremental form keeps ONE dmin per point (new dmin = least(old,
+# dist-to-newest-center)) — each round is one broadcast-join pass, and
+# the K-1 argmaxes are TakeOrdered(1) collects (K-bounded, the
+# documented dimension-collect class). radius_micro of round r is the
+# covering radius of the first r-1 centers (what the selected point
+# was missing by); the seed row reports -1.
+
+_KC_K = 8
+
+
+def _build_kcenter_oracle() -> str:
+    from .llm_ops import _duck_cosine
+
+    dist = (
+        f"1000000 - CAST(FLOOR({_duck_cosine('d.embedding', 'c.embedding')}"
+        f" * 1000000) AS BIGINT)"
+    )
+    parts = [
+        """
+    c1 AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    d1 AS MATERIALIZED (
+      SELECT d.vec_id, d.embedding, {dist0} AS dmin
+      FROM embeddings d CROSS JOIN c1 c
+    )""".format(
+            dist0=dist
+        )
+    ]
+    for r in range(2, _KC_K + 1):
+        parts.append(f"""
+    p{r} AS MATERIALIZED (
+      SELECT vec_id, dmin FROM d{r - 1}
+      ORDER BY dmin DESC, vec_id LIMIT 1
+    ),
+    c{r} AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN p{r} p ON p.vec_id = e.vec_id
+    ),
+    d{r} AS MATERIALIZED (
+      SELECT d.vec_id, d.embedding, LEAST(d.dmin, {dist}) AS dmin
+      FROM d{r - 1} d CROSS JOIN c{r} c
+    )""")
+    rows = [
+        "SELECT CAST(1 AS BIGINT) AS round,"
+        " (SELECT vec_id FROM c1) AS vec_id,"
+        " CAST(-1 AS BIGINT) AS radius_micro"
+    ]
+    rows.extend(
+        f"SELECT CAST({r} AS BIGINT), p{r}.vec_id,"
+        f" CAST(p{r}.dmin AS BIGINT) FROM p{r}"
+        for r in range(2, _KC_K + 1)
+    )
+    return (
+        "WITH " + ",".join(parts) + "\n    SELECT * FROM ("
+        + " UNION ALL ".join(rows)
+        + ") ORDER BY round"
+    )
+
+
+@query(
+    "curation_kcenter_coreset",
+    oracle=_build_kcenter_oracle(),
+    tags=("llm", "curation", "similarity"),
+)
+def curation_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez farthest-point traversal over the embedding table: the
+    8 chosen coreset centers in selection order with the covering-radius
+    curve (cosine distance, micro). The radius sequence is
+    non-increasing — the 2-approximation guarantee's witness. Plan:
+    one cached embedding scan; each round joins the corpus to a
+    broadcast 1-row center and takes a single TakeOrdered(1); no
+    pairwise relation ever materializes."""
+    from ..operators.similarity import cosine
+
+    emb = load_tables(spark, sf_dir, "embeddings").embeddings.select(
+        "vec_id", "embedding"
+    ).cache()
+    try:
+        seed = emb.orderBy("vec_id").limit(1)
+        dist_to = lambda cvec: (  # noqa: E731
+            F.lit(1_000_000)
+            - F.floor(cosine(F.col("embedding"), F.col("cvec")) * 1_000_000)
+        ).cast("long")
+        cur = (
+            emb.crossJoin(
+                F.broadcast(seed.select(F.col("embedding").alias("cvec")))
+            )
+            .select("vec_id", "embedding", dist_to("cvec").alias("dmin"))
+            .localCheckpoint(eager=True)
+        )
+        out = [(1, seed.collect()[0]["vec_id"], -1)]
+        for r in range(2, _KC_K + 1):
+            pick = (
+                cur.orderBy(F.desc("dmin"), F.asc("vec_id")).limit(1).collect()[0]
+            )
+            out.append((r, pick["vec_id"], pick["dmin"]))
+            if r < _KC_K:
+                cvec = emb.filter(F.col("vec_id") == pick["vec_id"]).select(
+                    F.col("embedding").alias("cvec")
+                )
+                cur = (
+                    cur.crossJoin(F.broadcast(cvec))
+                    .select(
+                        "vec_id",
+                        "embedding",
+                        F.least(F.col("dmin"), dist_to("cvec")).alias("dmin"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+    finally:
+        emb.unpersist()
+    return spark.createDataFrame(
+        out, "round long, vec_id long, radius_micro long"
+    )
+
+
+# ---------------------------------------------------------------- wave 33
+# Word burstiness via the variance-to-mean ratio (Church & Gale,
+# "Poisson mixtures", 1995; Katz, "Distribution of content words and
+# phrases in text", 1996): content words are OVERdispersed (VMR >> 1 —
+# they burst within few docs), function words are near-Poisson
+# (VMR ≈ 1). With zero-inflated per-doc counts k_dw over ALL N docs,
+#     VMR = Var/Mean = (N·Σk² - (Σk)²) / (N·Σk)
+# — an exact integer ratio (numerator ≥ 0 by Cauchy-Schwarz), so the
+# whole screen is integer end-to-end: no floats at all.
+
+_BURST_MIN_TOTAL = 20
+_BURST_TOPK = 20
+
+
+@query(
+    "text_word_burstiness",
+    oracle=f"""
+    WITH wc AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k FROM (
+        SELECT doc_id, unnest({TOKS}) AS w FROM documents
+      ) GROUP BY doc_id, w
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+    per_w AS (
+      SELECT w, CAST(SUM(k) AS BIGINT) AS tot,
+             CAST(SUM(k * k) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_with
+      FROM wc GROUP BY w
+    )
+    SELECT w, tot AS n_total, n_docs_with,
+           CAST(1000 * (n.nn * sq - tot * tot) // (n.nn * tot) AS BIGINT)
+             AS vmr_milli
+    FROM per_w CROSS JOIN n
+    WHERE tot >= {_BURST_MIN_TOTAL}
+    ORDER BY vmr_milli DESC, w LIMIT {_BURST_TOPK}
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 burstiest words by zero-inflated variance-to-mean ratio
+    (milli; VMR > 1000 = overdispersed = content-word behavior). Exact
+    integer arithmetic throughout — the zero-inflation is folded into
+    the closed form rather than materializing N·V zero cells. Plan: one
+    tokenize aggregate to (doc, word) counts, one word rollup, a 1-row
+    broadcast count, TakeOrdered top-k."""
+    from ..operators.text import tokens
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    wc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    per_w = wc.groupBy("w").agg(
+        F.sum("k").cast("long").alias("tot"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n_docs_with"),
+    )
+    return (
+        per_w.crossJoin(F.broadcast(n))
+        .filter(F.col("tot") >= _BURST_MIN_TOTAL)
+        .select(
+            "w",
+            F.col("tot").alias("n_total"),
+            "n_docs_with",
+            _idiv_col(
+                F.lit(1000)
+                * (F.col("nn") * F.col("sq") - F.col("tot") * F.col("tot")),
+                F.col("nn") * F.col("tot"),
+            ).alias("vmr_milli"),
+        )
+        .orderBy(F.desc("vmr_milli"), "w")
+        .limit(_BURST_TOPK)
+    )
+
+
+# ---------------------------------------------------------------- wave 34
+# Greedy submodular max-coverage selection (Nemhauser, Wolsey & Fisher
+# 1978's (1-1/e) guarantee; Lin & Bilmes, "A Class of Submodular
+# Functions for Document Summarization", ACL 2011): pick k docs
+# maximizing distinct-shingle coverage — the canonical
+# diversity-selection primitive in data curation. Greedy: each round
+# takes the doc with the most UNCOVERED shingles (gain DESC, doc_id
+# tie-break, picked docs excluded). Everything is exact counting.
+
+_SUB_K = 8
+
+
+def _build_subcover_oracle() -> str:
+    parts = [f"""
+    u AS (SELECT CAST(COUNT(DISTINCT sh) AS BIGINT) AS usz FROM ds),
+    g1 AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+      FROM ds GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    cov1 AS MATERIALIZED (
+      SELECT DISTINCT sh FROM ds JOIN g1 USING (doc_id)
+    ),
+    picked1(doc_id) AS (SELECT doc_id FROM g1)"""]
+    for r in range(2, _SUB_K + 1):
+        parts.append(f"""
+    g{r} AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+      FROM ds
+      WHERE sh NOT IN (SELECT sh FROM cov{r - 1})
+        AND doc_id NOT IN (SELECT doc_id FROM picked{r - 1})
+      GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    cov{r} AS MATERIALIZED (
+      SELECT sh FROM cov{r - 1}
+      UNION SELECT sh FROM ds JOIN g{r} USING (doc_id)
+    ),
+    picked{r}(doc_id) AS (
+      SELECT doc_id FROM picked{r - 1} UNION SELECT doc_id FROM g{r}
+    )""")
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, g{r}.doc_id, g{r}.gain,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM cov{r}) AS covered,"
+        f" (SELECT CAST(1000 * COUNT(*) // (SELECT usz FROM u) AS BIGINT)"
+        f"  FROM cov{r}) AS coverage_permille"
+        f" FROM g{r}"
+        for r in range(1, _SUB_K + 1)
+    )
+    from .llm_ops import DUCK_SHINGLE_SETS as _DSS
+
+    return (
+        "WITH " + _DSS + "," + ",".join(parts)
+        + f"\n    SELECT * FROM ({rows}) ORDER BY round"
+    )
+
+
+@query(
+    "curation_submodular_coverage",
+    oracle=_build_subcover_oracle(),
+    tags=("llm", "curation", "dedup"),
+)
+def curation_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage doc selection over the shingle universe: the
+    8 picks in order with marginal gain, cumulative covered-shingle
+    count, and coverage permille — the (1-1/e) submodular curation
+    baseline. Plan: one cached shingle relation; each round is one
+    anti-join + count aggregate + TakeOrdered(1) (K-bounded collects);
+    the covered set stays a shingle-keyed relation, localCheckpointed
+    per round — never a driver-side set."""
+    from ..operators import dedup as D
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    ds = D.shingle_sets(docs).cache()
+    try:
+        universe = ds.select("sh").distinct().count()
+        covered = None
+        picked: list[int] = []
+        out = []
+        cov_n = 0
+        for r in range(1, _SUB_K + 1):
+            cand = ds
+            if picked:
+                cand = cand.filter(~F.col("doc_id").isin(picked))
+            if covered is not None:
+                cand = cand.join(covered, "sh", "left_anti")
+            pick = (
+                cand.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+                .orderBy(F.desc("gain"), F.asc("doc_id"))
+                .limit(1)
+                .collect()[0]
+            )
+            new_sh = ds.filter(F.col("doc_id") == pick["doc_id"]).select("sh")
+            covered = (
+                new_sh
+                if covered is None
+                else covered.unionByName(new_sh).distinct()
+            ).localCheckpoint(eager=True)
+            cov_n = covered.count()
+            picked.append(pick["doc_id"])
+            out.append(
+                (r, pick["doc_id"], pick["gain"], cov_n,
+                 1000 * cov_n // universe)
+            )
+    finally:
+        ds.unpersist()
+    return spark.createDataFrame(
+        out,
+        "round long, doc_id long, gain long, covered long,"
+        " coverage_permille long",
+    )
+
+
+# ---------------------------------------------------------------- wave 35
+# Classifier summary metrics (Matthews, "Comparison of the predicted
+# and observed secondary structure of T4 phage lysozyme", 1975; van
+# Rijsbergen's F-measure, 1979): precision / recall / F1 / balanced
+# accuracy / MCC over the NB gate's held-out confusion — the standard
+# reporting row that completes the classifier-eval family (confusion →
+# calibration → AUC → isotonic → THIS). Everything except MCC is an
+# exact integer permille; MCC's sqrt is the single milli-rounded
+# float. F1 = 2tp/(2tp+fp+fn) stays integer-exact (no precision/recall
+# round-trip). Degenerate denominators report -1, never silent NULLs.
+
+
+@query(
+    "quality_nb_metrics_summary",
+    oracle=f"""
+    WITH {_nb_chain_sql()},
+    conf AS (
+      SELECT
+        CAST(SUM(CASE WHEN score_pass >= score_fail AND truth
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN score_pass >= score_fail AND NOT truth
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN score_pass < score_fail AND truth
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN score_pass < score_fail AND NOT truth
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(CASE WHEN tp + fp = 0 THEN -1
+                ELSE 1000 * tp // (tp + fp) END AS BIGINT)
+             AS precision_permille,
+           CAST(CASE WHEN tp + fn = 0 THEN -1
+                ELSE 1000 * tp // (tp + fn) END AS BIGINT)
+             AS recall_permille,
+           CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN -1
+                ELSE 2000 * tp // (2 * tp + fp + fn) END AS BIGINT)
+             AS f1_permille,
+           CAST(CASE WHEN tp + fn = 0 OR tn + fp = 0 THEN -1
+                ELSE (1000 * tp // (tp + fn) + 1000 * tn // (tn + fp)) // 2
+                END AS BIGINT) AS balanced_acc_permille,
+           CAST(CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0
+                THEN 0
+                ELSE ROUND(1000.0 * (tp * tn - fp * fn)
+                     / SQRT(CAST((tp + fp) * (tp + fn) AS DOUBLE)
+                            * ((tn + fp) * (tn + fn))))
+                END AS BIGINT) AS mcc_milli
+    FROM conf
+    """,
+    tags=("llm", "quality", "eval"),
+)
+def quality_nb_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1/balanced-accuracy (exact integer permille,
+    F1 in its integer-exact 2tp form) and MCC (milli, the one float) of
+    the NB quality gate on held-out docs. Shares the scored relation
+    with the fidelity/calibration/AUC queries — one more 1-row rollup
+    over the same chain, so the five eval rows can never disagree about
+    the classifier."""
+    scored = _nb_scored(spark, sf_dir)
+    pred = F.col("score_pass") >= F.col("score_fail")
+    conf = scored.agg(
+        F.sum(F.when(pred & F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(pred & ~F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~pred & F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~pred & ~F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    mcc_den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    return conf.select(
+        "tp", "fp", "fn", "tn",
+        F.when(tp + fp == 0, F.lit(-1))
+        .otherwise(_idiv_col(F.lit(1000) * tp, tp + fp))
+        .cast("long")
+        .alias("precision_permille"),
+        F.when(tp + fn == 0, F.lit(-1))
+        .otherwise(_idiv_col(F.lit(1000) * tp, tp + fn))
+        .cast("long")
+        .alias("recall_permille"),
+        F.when(2 * tp + fp + fn == 0, F.lit(-1))
+        .otherwise(_idiv_col(F.lit(2000) * tp, 2 * tp + fp + fn))
+        .cast("long")
+        .alias("f1_permille"),
+        F.when((tp + fn == 0) | (tn + fp == 0), F.lit(-1))
+        .otherwise(
+            _idiv_col(
+                _idiv_col(F.lit(1000) * tp, tp + fn)
+                + _idiv_col(F.lit(1000) * tn, tn + fp),
+                F.lit(2),
+            )
+        )
+        .cast("long")
+        .alias("balanced_acc_permille"),
+        F.when(mcc_den == 0, F.lit(0))
+        .otherwise(
+            F.round(
+                F.lit(1000.0)
+                * (tp * tn - fp * fn)
+                / F.sqrt(
+                    ((tp + fp) * (tp + fn)).cast("double")
+                    * ((tn + fp) * (tn + fn))
+                )
+            )
+        )
+        .cast("long")
+        .alias("mcc_milli"),
+    )
+
+
+# ---------------------------------------------------------------- wave 36
+# Theil inequality index per nation (Theil, "Economics and Information
+# Theory", 1967): T = (1/n)·Σ (x_i/μ)·ln(x_i/μ) over order totals —
+# the decomposable entropy-based inequality measure beside the
+# registry's Gini and HHI. Per-order terms are micro-rounded before
+# the sum (order-free integer total, the KN recipe); μ derives from
+# the exact DECIMAL sum so both engines divide identical doubles.
+
+
+@query(
+    "agg_theil_index_by_nation",
+    oracle="""
+    WITH base AS (
+      SELECT n.n_name AS nation,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18, 2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    mu AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS tot
+      FROM base GROUP BY nation
+    ),
+    terms AS (
+      SELECT b.nation,
+             CAST(ROUND((CAST(b.cents AS DOUBLE) * m.n_orders / m.tot)
+                        * ln(CAST(b.cents AS DOUBLE) * m.n_orders / m.tot)
+                        * 1000000) AS BIGINT) AS t
+      FROM base b JOIN mu m ON m.nation = b.nation
+    )
+    SELECT m.nation, m.n_orders,
+           CAST(SUM(t.t) // m.n_orders AS BIGINT) AS theil_micro
+    FROM mu m JOIN terms t ON t.nation = m.nation
+    GROUP BY m.nation, m.n_orders
+    ORDER BY m.nation
+    """,
+    tags=("relational", "agg", "stats"),
+)
+def agg_theil_index_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of order totals per customer nation (micro):
+    the entropy-based companion to agg_gini_by_nation / agg_hhi —
+    decomposable across subgroups, which is why inequality audits of
+    revenue concentration prefer it. Per-order micro-rounded terms,
+    exact integer cents (DECIMAL-cast before scaling), one keyed
+    aggregate after two dimension joins (nation broadcast). T >= 0,
+    0 = perfectly equal."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    base = (
+        t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
+        )
+        .join(
+            F.broadcast(t.nation),
+            t.customer.c_nationkey == t.nation.n_nationkey,
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    mu = base.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("tot"),
+    )
+    x = F.col("cents").cast("double") * F.col("n_orders") / F.col("tot")
+    terms = base.join(F.broadcast(mu), "nation").select(
+        "nation",
+        "n_orders",
+        F.round(x * F.log(x) * 1_000_000).cast("long").alias("t"),
+    )
+    return (
+        terms.groupBy("nation", "n_orders")
+        .agg(_idiv_col(F.sum("t"), F.col("n_orders")).alias("theil_micro"))
+        .orderBy("nation")
     )

@@ -556,3 +556,279 @@ def test_isotonic_matches_real_pav(spark):
     raw_mass = sum(1_000_000_000 * r["n_pass"] for r in rows)
     # nano flooring loses < 1 per doc
     assert abs(fit_mass - raw_mass) < tot_docs
+
+
+# ---------------------------------------------------------------- wave 29
+
+
+def test_psi_full_python_replay(spark):
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "n_chars", "source"]
+    )
+    rows = sorted(
+        zip(t.column("n_chars").to_pylist(), t.column("doc_id").to_pylist(),
+            t.column("source").to_pylist())
+    )
+    n = len(rows)
+    # NTILE(10) semantics: first (n % 10) tiles get ceil(n/10)
+    base, extra = divmod(n, 10)
+    cells: dict = {}
+    srcs: dict = {}
+    tots = [0] * 11
+    pos = 0
+    for b in range(1, 11):
+        size = base + (1 if b <= extra else 0)
+        for _ in range(size):
+            _c, _d, src = rows[pos]
+            cells[(src, b)] = cells.get((src, b), 0) + 1
+            srcs[src] = srcs.get(src, 0) + 1
+            tots[b] += 1
+            pos += 1
+    got = {r["source"]: r for r in _run(spark, "profile_psi_source_drift").collect()}
+    assert set(got) == set(srcs)
+    for src, n1 in srcs.items():
+        psi = 0
+        for b in range(1, 11):
+            c = cells.get((src, b), 0)
+            p = (c + 1) / (n1 + 10)
+            q = (tots[b] - c + 1) / (n - n1 + 10)
+            psi += round((p - q) * math.log(p / q) * 1_000_000)
+        r = got[src]
+        assert r["n1"] == n1
+        assert r["psi_micro"] == psi, src
+        # PSI is non-negative (sum of (p-q)ln(p/q) terms, each >= 0)
+        assert r["psi_micro"] >= 0
+
+
+# ---------------------------------------------------------------- wave 30
+
+
+def test_ewma_full_python_replay(spark):
+    t = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type"])
+    daily: dict = {}
+    for ts, et in zip(t.column("ts").to_pylist(), t.column("event_type").to_pylist()):
+        daily.setdefault(et, {}).setdefault(ts.date(), 0)
+        daily[et][ts.date()] += 1
+    got = {r["event_type"]: r for r in _run(spark, "events_ewma_forecast_eval").collect()}
+    assert set(got) == set(daily)
+    for et, dc in daily.items():
+        cs = [dc[d] for d in sorted(dc)]
+        s = float(cs[0])
+        errs = []
+        for c in cs[1:]:
+            errs.append(round(1_000_000 * (c - s)))
+            s = (c + s) / 2.0  # alpha = 1/2, exact dyadic doubles
+        r = got[et]
+        assert r["n_days"] == len(cs)
+        assert r["level_micro"] == round(1_000_000 * s)
+        assert r["mae_micro"] == sum(abs(e) for e in errs) // len(errs)
+        assert r["max_abs_err_micro"] == max(abs(e) for e in errs)
+
+
+# ---------------------------------------------------------------- wave 31
+
+
+def test_pareto_front_brute_force_dominance(spark):
+    import re as _re
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pts = {}
+    for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = _re.split(r"\s+", x or "")
+        pts[d] = (len(toks), len(set(toks)))
+    front = set()
+    for d, (x, y) in pts.items():
+        dominated = any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+            for d2, (x2, y2) in pts.items()
+            if d2 != d
+        )
+        if not dominated:
+            front.add(d)
+    rows = _run(spark, "curation_pareto_front").collect()
+    assert {r["doc_id"] for r in rows} == front
+    for r in rows:
+        assert (r["n_tokens"], r["n_distinct_tokens"]) == pts[r["doc_id"]]
+    # consistency with text_token_stats (same tokenizer, same counts)
+    ts_ = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct_tokens"])
+        for r in _run(spark, "text_token_stats").collect()
+    }
+    for r in rows:
+        assert ts_[r["doc_id"]] == (r["n_tokens"], r["n_distinct_tokens"])
+
+
+# ---------------------------------------------------------------- wave 32
+
+
+def _embeddings(sf=SF):
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return dict(zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()))
+
+
+def test_kcenter_full_python_replay(spark):
+    from sea_streamer_spark.operators.similarity import cos_py
+    from sea_streamer_spark.plans.llm_ops13 import _KC_K
+
+    emb = _embeddings()
+    seed = min(emb)
+    chosen = [seed]
+    dmin = {
+        v: 1_000_000 - math.floor(cos_py(emb[v], emb[seed]) * 1_000_000)
+        for v in emb
+    }
+    want = [(1, seed, -1)]
+    for r in range(2, _KC_K + 1):
+        pick = max(dmin, key=lambda v: (dmin[v], -v))
+        want.append((r, pick, dmin[pick]))
+        chosen.append(pick)
+        for v in emb:
+            d = 1_000_000 - math.floor(cos_py(emb[v], emb[pick]) * 1_000_000)
+            if d < dmin[v]:
+                dmin[v] = d
+    rows = _run(spark, "curation_kcenter_coreset").collect()
+    assert [(r["round"], r["vec_id"], r["radius_micro"]) for r in rows] == want
+    # Gonzalez invariant: the covering radius never increases
+    radii = [r["radius_micro"] for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True)
+    # all centers distinct
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+
+
+# ---------------------------------------------------------------- wave 33
+
+
+def test_burstiness_full_python_replay(spark):
+    import re as _re
+
+    from sea_streamer_spark.plans.llm_ops13 import (
+        _BURST_MIN_TOTAL,
+        _BURST_TOPK,
+    )
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    per_w: dict = {}
+    n_docs = 0
+    for x in t.column("text").to_pylist():
+        n_docs += 1
+        cnt: dict = {}
+        for w in _re.split(r"\s+", x or ""):
+            cnt[w] = cnt.get(w, 0) + 1
+        for w, k in cnt.items():
+            e = per_w.setdefault(w, [0, 0, 0])  # tot, sq, docs
+            e[0] += k
+            e[1] += k * k
+            e[2] += 1
+    scored = [
+        (1000 * (n_docs * sq - tot * tot) // (n_docs * tot), w, tot, dw)
+        for w, (tot, sq, dw) in per_w.items()
+        if tot >= _BURST_MIN_TOTAL
+    ]
+    scored.sort(key=lambda r: (-r[0], r[1]))
+    want = scored[:_BURST_TOPK]
+    rows = _run(spark, "text_word_burstiness").collect()
+    assert len(rows) == min(_BURST_TOPK, len(scored))
+    for r, (vmr, w, tot, dw) in zip(rows, want):
+        assert (r["w"], r["n_total"], r["n_docs_with"], r["vmr_milli"]) == (
+            w, tot, dw, vmr
+        )
+        # VMR >= 0 by Cauchy-Schwarz; zero-inflation means bursty words
+        # appear in fewer docs than a Poisson spread would give
+        assert r["vmr_milli"] >= 0
+
+
+# ---------------------------------------------------------------- wave 34
+
+
+def test_submodular_coverage_full_python_replay(spark):
+    import re as _re
+
+    from sea_streamer_spark.plans.llm_ops13 import _SUB_K
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sets: dict = {}
+    for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = _re.split(r"\s+", x or "")
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        if sh:
+            sets[d] = sh
+    universe = set().union(*sets.values())
+    covered: set = set()
+    picked: list = []
+    want = []
+    for r in range(1, _SUB_K + 1):
+        best = max(
+            ((len(sh - covered), -d) for d, sh in sets.items() if d not in picked),
+        )
+        gain, d = best[0], -best[1]
+        picked.append(d)
+        covered |= sets[d]
+        want.append((r, d, gain, len(covered), 1000 * len(covered) // len(universe)))
+    rows = _run(spark, "curation_submodular_coverage").collect()
+    got = [
+        (r["round"], r["doc_id"], r["gain"], r["covered"],
+         r["coverage_permille"]) for r in rows
+    ]
+    assert got == want
+    # submodularity: marginal gains are non-increasing
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    # coverage strictly grows while gain > 0
+    covs = [r["covered"] for r in rows]
+    assert all(b > a for a, b in zip(covs, covs[1:]))
+
+
+# ---------------------------------------------------------------- wave 35
+
+
+def test_nb_metrics_consistent_with_fidelity(spark):
+    fid = _run(spark, "quality_nb_distill_fidelity").collect()[0]
+    r = _run(spark, "quality_nb_metrics_summary").collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (
+        fid["tp"], fid["fp"], fid["fn"], fid["tn"]
+    )
+    tp, fp, fn, tn = r["tp"], r["fp"], r["fn"], r["tn"]
+    assert r["precision_permille"] == (1000 * tp // (tp + fp) if tp + fp else -1)
+    assert r["recall_permille"] == (1000 * tp // (tp + fn) if tp + fn else -1)
+    assert r["f1_permille"] == 2000 * tp // (2 * tp + fp + fn)
+    assert r["balanced_acc_permille"] == (
+        (1000 * tp // (tp + fn) + 1000 * tn // (tn + fp)) // 2
+    )
+    den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    if den:
+        assert r["mcc_milli"] == round(
+            1000.0 * (tp * tn - fp * fn)
+            / math.sqrt(float((tp + fp) * (tp + fn)) * ((tn + fp) * (tn + fn)))
+        )
+    assert -1000 <= r["mcc_milli"] <= 1000
+
+
+# ---------------------------------------------------------------- wave 36
+
+
+def test_theil_full_python_replay(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(f"""
+        SELECT n.n_name, CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        JOIN '{SF}/nation.parquet' n ON n.n_nationkey = c.c_nationkey
+    """).fetchall()
+    con.close()
+    per: dict = {}
+    for nat, cents in rows:
+        per.setdefault(nat, []).append(cents)
+    got = {r["nation"]: r for r in _run(spark, "agg_theil_index_by_nation").collect()}
+    assert set(got) == set(per)
+    for nat, xs in per.items():
+        n = len(xs)
+        tot = sum(xs)
+        s = sum(round((c * n / tot) * math.log(c * n / tot) * 1_000_000) for c in xs)
+        r = got[nat]
+        assert r["n_orders"] == n
+        assert r["theil_micro"] == s // n, nat
+        # Theil T is non-negative and bounded by ln(n)
+        assert 0 <= r["theil_micro"] <= math.log(n) * 1_000_000
