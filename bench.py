@@ -462,6 +462,9 @@ def new_ops_metric(spark) -> dict:
         "curation_submodular_coverage",
         "quality_nb_metrics_summary",
         "agg_theil_index_by_nation",
+        "dedup_cdc_chunking",
+        "window_ohlc_hourly",
+        "events_twap_by_type",
     ):
         if name not in QUERIES:
             continue

@@ -2069,3 +2069,290 @@ def agg_theil_index_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_idiv_col(F.sum("t"), F.col("n_orders")).alias("theil_micro"))
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------- wave 37
+# Content-defined chunking dedup (Muthitacharoen, Chen & Mazières,
+# "A Low-Bandwidth Network File System", SOSP 2001; Xia et al.,
+# "FastCDC", ATC 2016): split every document at positions where the
+# rolling hash of the trailing 8 chars satisfies h % 64 == 0, then
+# fingerprint the chunks — boundaries depend only on LOCAL content, so
+# an insertion shifts one chunk instead of re-aligning the whole doc
+# (the property fixed-size blocks lack, and the reason storage dedup
+# uses CDC). The rolling window hash is the registry's portable char
+# fold over substring(text, i-7, 8); expected chunk length 64. Chunk
+# relations are row-based (explode boundaries + one lag window), no
+# indexed array lambdas — the same shapes on both engines.
+
+_CDC_WINDOW = 8
+_CDC_MASK = 64
+
+
+def _build_cdc_oracle() -> str:
+    from ..operators.text import duck_char_fold
+
+    fold = duck_char_fold(f"substr(text, CAST(i AS INT) - 7, {_CDC_WINDOW})")
+    return f"""
+    WITH ends AS (
+      SELECT doc_id, text, CAST(e AS BIGINT) AS e FROM (
+        SELECT doc_id, text,
+               unnest(list_append(
+                 list_filter(generate_series({_CDC_WINDOW}, length(text)),
+                             i -> ({fold}) % {_CDC_MASK} = 0),
+                 length(text))) AS e
+        FROM documents WHERE length(text) > 0
+      )
+    ),
+    dedup_e AS (SELECT DISTINCT doc_id, text, e FROM ends),
+    spans AS (
+      SELECT doc_id, e,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s,
+             text
+      FROM dedup_e
+    ),
+    chunks AS (
+      SELECT d.source, md5(substr(sp.text, CAST(sp.s AS INT) + 1,
+                                  CAST(sp.e - sp.s AS INT))) AS fp,
+             sp.e - sp.s AS clen
+      FROM spans sp JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_chunks,
+           CAST(1000 * (COUNT(*) - COUNT(DISTINCT fp)) // COUNT(*)
+                AS BIGINT) AS dup_chunk_permille,
+           CAST(1000 * SUM(clen) // COUNT(*) AS BIGINT)
+             AS mean_chunk_len_milli
+    FROM chunks GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "dedup_cdc_chunking",
+    oracle=_build_cdc_oracle(),
+    tags=("llm", "dedup"),
+)
+def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content-defined-chunking dedup profile: chunk count,
+    distinct fingerprints, duplicate-chunk rate (permille) and mean
+    chunk length (milli) under Rabin-style h%64==0 boundaries over an
+    8-char rolling window. Plan: the boundary scan is one JVM
+    higher-order filter per doc (O(bytes), CDC's inherent cost); chunk
+    extraction is an explode + one doc-keyed lag window + substring —
+    row shapes, no driver involvement; the rollup is one keyed
+    aggregate. The text column rides the explode (64:1 against the
+    chunk fan-out; at 100 TB swap to offsets + a re-join against the
+    doc store if rows are huge — documented)."""
+    docs = load_tables(spark, sf_dir, "documents").documents.filter(
+        F.length("text") > 0
+    )
+    fold = (
+        f"aggregate(split(substring(text, CAST(i AS INT) - 7, {_CDC_WINDOW}),"
+        f" ''), CAST(0 AS BIGINT),"
+        f" (a, c) -> (a * 31 + ascii(c)) % 1000000007)"
+    )
+    ends = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.when(
+                        F.length("text") >= _CDC_WINDOW,
+                        F.expr(
+                            f"filter(sequence(CAST({_CDC_WINDOW} AS BIGINT),"
+                            f" CAST(length(text) AS BIGINT)),"
+                            f" i -> ({fold}) % {_CDC_MASK} = 0)"
+                        ),
+                    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)")),
+                    F.array(F.length("text").cast("long")),
+                )
+            )
+        ).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("e")
+    spans = ends.select(
+        "source",
+        "text",
+        "e",
+        F.coalesce(F.lag("e").over(w), F.lit(0).cast("long")).alias("s"),
+    )
+    chunks = spans.select(
+        "source",
+        F.md5(
+            F.expr("substring(text, CAST(s AS INT) + 1, CAST(e - s AS INT))")
+        ).alias("fp"),
+        (F.col("e") - F.col("s")).alias("clen"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("fp").cast("long").alias("n_distinct_chunks"),
+            F.sum("clen").cast("long").alias("tot_len"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct_chunks",
+            _idiv_col(
+                F.lit(1000) * (F.col("n_chunks") - F.col("n_distinct_chunks")),
+                F.col("n_chunks"),
+            ).alias("dup_chunk_permille"),
+            _idiv_col(F.lit(1000) * F.col("tot_len"), F.col("n_chunks")).alias(
+                "mean_chunk_len_milli"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------- wave 38
+# Hourly OHLC bars (the candlestick rollup every market-data /
+# metrics pipeline materializes): per (event_type, hour), the open
+# (first value by (ts, event_id)), high, low, close (last), and count.
+# Open/close are exact order statistics via two ROW_NUMBER windows with
+# a total (ts, event_id) tie-break — no packed-key MIN_BY tricks, no
+# floats (values in the rollup-restatement milli fixed-point).
+
+
+@query(
+    "window_ohlc_hourly",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+             epoch_us(ts) AS tus, event_id,
+             CAST(ROUND(value * 1000, 0) AS BIGINT) AS v
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hour, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                                ORDER BY tus, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                                ORDER BY tus DESC, event_id DESC) AS rn_d
+      FROM base
+    )
+    SELECT event_type, hour,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS BIGINT) AS open_milli,
+           CAST(MAX(v) AS BIGINT) AS high_milli,
+           CAST(MIN(v) AS BIGINT) AS low_milli,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS BIGINT) AS close_milli,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ranked GROUP BY event_type, hour
+    ORDER BY event_type, hour
+    """,
+    tags=("streaming", "events", "window"),
+)
+def window_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event type over the value stream. Plan:
+    one keyed window pass for the open/close ranks (same partition keys
+    as the final aggregate, so the exchange is reused), one hash
+    aggregate — the shape a streaming sink would maintain
+    incrementally (high/low/count merge; open/close carry their
+    (ts, event_id) key)."""
+    ev = load_tables(spark, sf_dir, "events").events.select(
+        "event_type",
+        F.expr("CAST(unix_micros(ts) div 3600000000 AS BIGINT)").alias("hour"),
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").alias("v"),
+    )
+    wa = Window.partitionBy("event_type", "hour").orderBy("tus", "event_id")
+    wd = Window.partitionBy("event_type", "hour").orderBy(
+        F.desc("tus"), F.desc("event_id")
+    )
+    ranked = ev.select(
+        "event_type",
+        "hour",
+        "v",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("event_type", "hour")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("v")))
+            .cast("long")
+            .alias("open_milli"),
+            F.max("v").cast("long").alias("high_milli"),
+            F.min("v").cast("long").alias("low_milli"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("v")))
+            .cast("long")
+            .alias("close_milli"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+# ---------------------------------------------------------------- wave 39
+# Time-weighted average value (TWAP — the standard fix for irregular
+# sampling: a value that persists 10 hours must weigh 10× one that
+# persisted a minute; arithmetic means over event rows are wrong the
+# moment arrival is bursty). Piecewise-constant integral between
+# consecutive events: Σ v_i·(t_{i+1}-t_i) / (t_last - t_first), all
+# exact integers (milli values × microsecond gaps; the numerator is
+# bounded by max_v·span, not by the row count, so BIGINT holds at any
+# event volume).
+
+
+@query(
+    "events_twap_by_type",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, epoch_us(ts) AS tus, event_id,
+             CAST(ROUND(value * 1000, 0) AS BIGINT) AS v
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type, v,
+             LEAD(tus) OVER (PARTITION BY event_type
+                             ORDER BY tus, event_id) - tus AS dt
+      FROM seq
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dt) AS BIGINT) AS span_us,
+           CAST(SUM(v * dt) // SUM(dt) AS BIGINT) AS twap_milli,
+           CAST(SUM(v) // COUNT(*) AS BIGINT) AS naive_mean_milli
+    FROM gaps WHERE dt IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "events", "window"),
+)
+def events_twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (milli — micro would
+    overflow the segment-weighted numerator's BIGINT headroom), beside the
+    naive row mean it corrects — the gap between the two measures how
+    bursty the arrivals are. One keyed LEAD window, one aggregate,
+    exact integers end-to-end (segment-weighted sum bounded by
+    max_value·time_span, volume-independent)."""
+    ev = load_tables(spark, sf_dir, "events").events.select(
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+    gaps = ev.select(
+        "event_type",
+        "v",
+        (F.lead("tus").over(w) - F.col("tus")).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("dt").cast("long").alias("span_us"),
+            _idiv_col(
+                F.sum(F.col("v") * F.col("dt")), F.sum("dt")
+            ).alias("twap_milli"),
+            _idiv_col(F.sum("v"), F.count(F.lit(1))).alias(
+                "naive_mean_milli"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -111,6 +111,7 @@ SNAPSHOT_QUERIES = [
     "curation_pareto_front", "curation_kcenter_coreset",
     "text_word_burstiness", "curation_submodular_coverage",
     "quality_nb_metrics_summary", "agg_theil_index_by_nation",
+    "dedup_cdc_chunking", "window_ohlc_hourly", "events_twap_by_type",
 ]
 
 
