@@ -465,6 +465,8 @@ def new_ops_metric(spark) -> dict:
         "dedup_cdc_chunking",
         "window_ohlc_hourly",
         "events_twap_by_type",
+        "text_char_entropy",
+        "privacy_dp_budget_plan",
     ):
         if name not in QUERIES:
             continue

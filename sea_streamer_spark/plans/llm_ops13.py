@@ -2356,3 +2356,147 @@ def events_twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------- wave 40
+# Order-0 character entropy per document (Shannon 1948) — the
+# compressibility proxy quality filters use to catch base64 blobs,
+# repeated-char padding and binary-ish garbage (low entropy = highly
+# compressible = suspicious; CCNet and Gopher both carry an
+# entropy-adjacent screen). The identity H = ln n − (1/n)·Σ c·ln c
+# needs one fewer division than the Σ p·ln p form: per-class c·ln c
+# terms are micro-rounded (order-free integer sum), and the only other
+# roundings are ln n and the final integer floor division.
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH cc AS (
+      SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k FROM (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents WHERE length(text) > 0
+      ) GROUP BY doc_id, c
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           CAST(CAST(ROUND(ln(CAST(SUM(k) AS DOUBLE)) * 1000000) AS BIGINT)
+                - SUM(CAST(ROUND(k * ln(CAST(k AS DOUBLE)) * 1000000)
+                      AS BIGINT)) // SUM(k) AS BIGINT) AS entropy_micro
+    FROM cc GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc order-0 char entropy (micro-nats) with char count and
+    alphabet size: the compressibility screen. Plan: one char explode
+    into a (doc, char) aggregate (alphabet-bounded per doc), one
+    doc-keyed rollup; entropy via the single-division identity, terms
+    micro-rounded before the order-free sum."""
+    docs = load_tables(spark, sf_dir, "documents").documents.filter(
+        F.length("text") > 0
+    )
+    cc = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    return (
+        cc.groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            (
+                F.round(F.log(F.sum("k").cast("double")) * 1_000_000).cast(
+                    "long"
+                )
+                - _idiv_col(
+                    F.sum(
+                        F.round(
+                            F.col("k") * F.log(F.col("k").cast("double")) * 1_000_000
+                        ).cast("long")
+                    ),
+                    F.sum("k"),
+                )
+            )
+            .cast("long")
+            .alias("entropy_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- wave 41
+# Differential-privacy budget plan (Dwork, McSherry, Nissim & Smith,
+# TCC 2006): for the k-anonymity audit's quasi-identifier cells
+# (nation × market segment — single-sourced with privacy_k_anonymity
+# so the two governance tables can never disagree about a cell), the
+# Laplace-mechanism calibration table a release pipeline materializes
+# BEFORE adding noise: per cell and per ε in the standard grid, the
+# scale b = Δf/ε (count queries, Δf = 1), the expected absolute noise
+# E|Lap(b)| = b, and the expected relative error against the true cell
+# count. Everything is exact integers — the ε grid is a python-literal
+# micro table, so b_micro = 10¹²/ε_micro is integer arithmetic and no
+# float exists anywhere (a DP PLAN is deterministic; only the noise
+# draw itself, out of scope here, is random).
+
+#: ε grid in micro units (0.1, 0.5, 1.0) and the exact Laplace scale
+#: b = 1/ε in micro units for sensitivity-1 count queries.
+_DP_EPS = ((100_000, 10_000_000), (500_000, 2_000_000), (1_000_000, 1_000_000))
+
+
+@query(
+    "privacy_dp_budget_plan",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2
+    ),
+    eps(eps_micro, b_micro) AS (
+      VALUES {", ".join(f"(CAST({e} AS BIGINT), CAST({b} AS BIGINT))" for e, b in _DP_EPS)}
+    )
+    SELECT c.nation, c.segment, c.class_size,
+           CAST(e.eps_micro AS BIGINT) AS eps_micro,
+           CAST(e.b_micro AS BIGINT) AS noise_scale_micro,
+           CAST(CAST(1000 AS BIGINT) * e.b_micro
+                // (c.class_size * 1000000) AS BIGINT)
+             AS rel_err_permille,
+           CAST(c.class_size >= 5 AS BIGINT) AS k_anonymous
+    FROM cells c CROSS JOIN eps e
+    ORDER BY c.nation, c.segment, e.eps_micro
+    """,
+    tags=("relational", "privacy"),
+)
+def privacy_dp_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism calibration per quasi-identifier cell and ε:
+    noise scale, expected relative error (permille of the true count),
+    and the k-anonymity flag — the deterministic planning table for a
+    DP release of the cell histogram. Pure integer arithmetic (the ε
+    grid and 1/ε scales are import-time literals). Plan: one cell
+    aggregate crossed with a 3-row broadcast grid."""
+    cust = load_tables(spark, sf_dir, "customer").customer
+    cells = cust.groupBy(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    eps = F.broadcast(
+        spark.createDataFrame(list(_DP_EPS), "eps_micro long, b_micro long")
+    )
+    return (
+        cells.crossJoin(eps)
+        .select(
+            "nation",
+            "segment",
+            "class_size",
+            "eps_micro",
+            F.col("b_micro").alias("noise_scale_micro"),
+            _idiv_col(
+                F.lit(1000) * F.col("b_micro"),
+                F.col("class_size") * 1_000_000,
+            ).alias("rel_err_permille"),
+            (F.col("class_size") >= 5).cast("long").alias("k_anonymous"),
+        )
+        .orderBy("nation", "segment", "eps_micro")
+    )

@@ -981,3 +981,60 @@ def test_twap_full_python_replay(spark):
         # TWAP lies within the value range
         vs = [v for _t, _e, v in evs[:-1]]
         assert min(vs) <= r["twap_milli"] <= max(vs)
+
+
+# ---------------------------------------------------------------- wave 40
+
+
+def test_char_entropy_full_python_replay(spark):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = {r["doc_id"]: r for r in _run(spark, "text_char_entropy").collect()}
+    n_checked = 0
+    for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        if not x:
+            assert d not in got
+            continue
+        cnt: dict = {}
+        for ch in x:
+            cnt[ch] = cnt.get(ch, 0) + 1
+        n = len(x)
+        s = sum(round(k * math.log(k) * 1_000_000) for k in cnt.values())
+        h = round(math.log(n) * 1_000_000) - s // n
+        r = got[d]
+        assert r["n_chars"] == n
+        assert r["n_distinct_chars"] == len(cnt)
+        assert r["entropy_micro"] == h, d
+        # 0 <= H <= ln(alphabet), up to per-term rounding slack
+        assert -2 <= r["entropy_micro"]
+        assert r["entropy_micro"] <= round(math.log(len(cnt)) * 1_000_000) + 2
+        n_checked += 1
+    assert n_checked == len(got)
+
+
+# ---------------------------------------------------------------- wave 41
+
+
+def test_dp_budget_consistent_with_k_anonymity(spark):
+    from sea_streamer_spark.plans.llm_ops13 import _DP_EPS
+
+    ka = {
+        (r["nation"], r["segment"]): r
+        for r in _run(spark, "privacy_k_anonymity").collect()
+    }
+    rows = _run(spark, "privacy_dp_budget_plan").collect()
+    assert len(rows) == len(ka) * len(_DP_EPS)
+    for r in rows:
+        k = ka[(r["nation"], r["segment"])]
+        # single-sourced cells: identical class sizes and risk flags
+        assert r["class_size"] == k["class_size"]
+        assert r["k_anonymous"] == 1 - k["at_risk"]
+        b = dict(_DP_EPS)[r["eps_micro"]]
+        assert r["noise_scale_micro"] == b
+        assert r["rel_err_permille"] == 1000 * b // (r["class_size"] * 1_000_000)
+    # tighter privacy (smaller eps) always costs more relative error
+    for (nat, seg) in ka:
+        errs = [
+            r["rel_err_permille"] for r in rows
+            if (r["nation"], r["segment"]) == (nat, seg)
+        ]  # ordered by eps ascending
+        assert errs == sorted(errs, reverse=True)

@@ -112,6 +112,7 @@ SNAPSHOT_QUERIES = [
     "text_word_burstiness", "curation_submodular_coverage",
     "quality_nb_metrics_summary", "agg_theil_index_by_nation",
     "dedup_cdc_chunking", "window_ohlc_hourly", "events_twap_by_type",
+    "text_char_entropy", "privacy_dp_budget_plan",
 ]
 
 
