@@ -467,6 +467,8 @@ def new_ops_metric(spark) -> dict:
         "events_twap_by_type",
         "text_char_entropy",
         "privacy_dp_budget_plan",
+        "graph_degree_assortativity",
+        "graph_neardup_modularity",
     ):
         if name not in QUERIES:
             continue

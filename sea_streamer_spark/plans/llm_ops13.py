@@ -2500,3 +2500,219 @@ def privacy_dp_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "segment", "eps_micro")
     )
+
+
+# ---------------------------------------------------------------- wave 42
+# Degree assortativity of the near-dup graph (Newman, "Assortative
+# mixing in networks", PRL 2002): the Pearson correlation of endpoint
+# degrees over edges — positive means duplicates of hubs link to other
+# hubs (crawler boilerplate clusters), negative means star-shaped
+# template families. Over the symmetric directed edge list with
+# j = deg(u), k = deg(v):
+#     r = (2M·Σjk - (Σj)²) / (2M·Σj² - (Σj)²)
+# — every sum an exact integer (degrees are small; the quotient is the
+# single milli-rounded float). Same J >= 1/2 exact pair list as
+# dedup_clusters, single-sourced.
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {DUCK_SHINGLE_SETS},
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             CAST(SUM(du.d) AS BIGINT) AS sj,
+             CAST(SUM(du.d * dv.d) AS BIGINT) AS sjk,
+             CAST(SUM(du.d * du.d) AS BIGINT) AS sjj
+      FROM e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(m2 // 2 AS BIGINT) AS n_edges,
+           CAST(CASE WHEN m2 * sjj - sj * sj = 0 THEN 0
+                ELSE ROUND(1000.0 * (m2 * sjk - sj * sj)
+                           / (m2 * sjj - sj * sj)) END AS BIGINT)
+             AS assortativity_milli
+    FROM s
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the near-dup graph (milli), with
+    node and edge counts. Plan: the pair list is the production LSH
+    join; degrees and the three moment sums are two keyed aggregates
+    over the edge relation — all graph-sized."""
+    from ..operators import dedup as D
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.5).select("doc_a", "doc_b")
+    e = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    j = e.join(deg, "u").select("v", F.col("d").alias("du"))
+    jk = j.join(deg.withColumnRenamed("u", "v"), "v").select(
+        "du", F.col("d").alias("dv")
+    )
+    s = jk.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("du").cast("long").alias("sj"),
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("sjk"),
+        F.sum(F.col("du") * F.col("du")).cast("long").alias("sjj"),
+    )
+    den = F.col("m2") * F.col("sjj") - F.col("sj") * F.col("sj")
+    return s.crossJoin(F.broadcast(n_nodes)).select(
+        "n_nodes",
+        _idiv_col(F.col("m2"), F.lit(2)).alias("n_edges"),
+        F.when(den == 0, F.lit(0))
+        .otherwise(
+            F.round(
+                F.lit(1000.0)
+                * (F.col("m2") * F.col("sjk") - F.col("sj") * F.col("sj"))
+                / den
+            )
+        )
+        .cast("long")
+        .alias("assortativity_milli"),
+    )
+
+
+# ---------------------------------------------------------------- wave 43
+# Modularity of the near-dup partition (Newman & Girvan, "Finding and
+# evaluating community structure in networks", PRE 2004): for the
+# connected-component partition the dedup pipeline actually uses,
+#     Q = Σ_c [ m_c/m − (d_c/2m)² ] = Σ_c (4m·m_c − d_c²) / 4m²
+# — with components every edge is intra (Σm_c = m), so Q measures how
+# BALANCED the duplicate families are (one giant boilerplate component
+# drives Q → 0; many small families → Q → 1). Numerator sums are exact
+# integers; the final division is the one micro-rounded float. Cluster
+# labels single-sourced with dedup_clusters (operators/graph.py).
+
+
+@query(
+    "graph_neardup_modularity",
+    oracle=f"""
+    WITH RECURSIVE {DUCK_SHINGLE_SETS},
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u),
+    cc(node, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.v, cc.lbl FROM cc JOIN e ON e.u = cc.node
+    ),
+    lbls AS (SELECT node, MIN(lbl) AS cluster FROM cc GROUP BY node),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+    mc AS (
+      SELECT l.cluster, CAST(COUNT(*) AS BIGINT) AS m_c
+      FROM pairs p JOIN lbls l ON l.node = p.doc_a GROUP BY l.cluster
+    ),
+    dc AS (
+      SELECT l.cluster, CAST(SUM(deg.d) AS BIGINT) AS d_c
+      FROM deg JOIN lbls l ON l.node = deg.u GROUP BY l.cluster
+    ),
+    parts AS (
+      SELECT mc.cluster, mc.m_c, dc.d_c
+      FROM mc JOIN dc ON dc.cluster = mc.cluster
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM parts) AS n_components,
+           (SELECT m FROM m) AS n_edges,
+           CAST(SUM(4 * (SELECT m FROM m) * m_c - d_c * d_c) AS BIGINT)
+             AS q_numerator,
+           CAST(ROUND(1000000.0
+                * SUM(4 * (SELECT m FROM m) * m_c - d_c * d_c)
+                / (4.0 * (SELECT m FROM m) * (SELECT m FROM m)))
+                AS BIGINT) AS modularity_micro
+    FROM parts
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def graph_neardup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity (micro) of the connected-component
+    partition of the near-dup graph, with the exact integer numerator
+    Σ(4m·m_c − d_c²) exposed so the one float is auditable. Plan: pairs
+    from the production LSH join, components from the shipped hash-min
+    CC operator, then everything lives on the component dimension."""
+    from ..operators import dedup as D
+    from ..operators import graph as G
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    ).cache()
+    try:
+        e = pairs.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        ).unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+        lbls = (
+            G.dedup_clusters(docs, pairs)
+            .withColumnRenamed("doc_id", "node")
+            .withColumnRenamed("cluster_id", "cluster")
+            .join(deg.withColumnRenamed("u", "node"), "node")
+        )
+        m_row = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+        mc = (
+            pairs.join(
+                lbls.select("node", "cluster").withColumnRenamed(
+                    "node", "doc_a"
+                ),
+                "doc_a",
+            )
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("m_c"))
+        )
+        dc = lbls.groupBy("cluster").agg(
+            F.sum("d").cast("long").alias("d_c")
+        )
+        parts = mc.join(dc, "cluster").crossJoin(F.broadcast(m_row))
+        out = parts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.max("m").cast("long").alias("n_edges"),
+            F.sum(
+                4 * F.col("m") * F.col("m_c") - F.col("d_c") * F.col("d_c")
+            )
+            .cast("long")
+            .alias("q_numerator"),
+            F.round(
+                F.lit(1_000_000.0)
+                * F.sum(
+                    4 * F.col("m") * F.col("m_c")
+                    - F.col("d_c") * F.col("d_c")
+                )
+                / (4.0 * F.max("m") * F.max("m"))
+            )
+            .cast("long")
+            .alias("modularity_micro"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist()
+    return out

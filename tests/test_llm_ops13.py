@@ -1038,3 +1038,77 @@ def test_dp_budget_consistent_with_k_anonymity(spark):
             if (r["nation"], r["segment"]) == (nat, seg)
         ]  # ordered by eps ascending
         assert errs == sorted(errs, reverse=True)
+
+
+# ---------------------------------------------------------------- wave 42
+
+
+def _neardup_pairs(spark):
+    return [
+        (r["doc_a"], r["doc_b"])
+        for r in _run(spark, "dedup_minhash_lsh").select("doc_a", "doc_b").collect()
+    ]
+
+
+def test_assortativity_python_replay(spark):
+    pairs = _neardup_pairs(spark)
+    deg: dict = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m2 = sj = sjk = sjj = 0
+    for a, b in pairs:
+        for j, k in ((deg[a], deg[b]), (deg[b], deg[a])):
+            m2 += 1
+            sj += j
+            sjk += j * k
+            sjj += j * j
+    den = m2 * sjj - sj * sj
+    want = 0 if den == 0 else round(1000.0 * (m2 * sjk - sj * sj) / den)
+    r = _run(spark, "graph_degree_assortativity").collect()[0]
+    assert r["n_nodes"] == len(deg)
+    assert r["n_edges"] == len(pairs)
+    assert r["assortativity_milli"] == want
+    # a correlation lives in [-1, 1]
+    assert -1000 <= r["assortativity_milli"] <= 1000
+
+
+# ---------------------------------------------------------------- wave 43
+
+
+def test_modularity_python_replay(spark):
+    pairs = _neardup_pairs(spark)
+    # union-find components
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    deg: dict = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m = len(pairs)
+    mc: dict = {}
+    dc: dict = {}
+    for a, b in pairs:
+        mc[find(a)] = mc.get(find(a), 0) + 1
+    for v, d in deg.items():
+        dc[find(v)] = dc.get(find(v), 0) + d
+    num = sum(4 * m * mc[c] - dc[c] * dc[c] for c in mc)
+    r = _run(spark, "graph_neardup_modularity").collect()[0]
+    assert r["n_components"] == len(mc)
+    assert r["n_edges"] == m
+    assert r["q_numerator"] == num
+    assert r["modularity_micro"] == round(1_000_000.0 * num / (4.0 * m * m))
+    # component partition: all edges intra ⇒ sum(m_c) = m and
+    # Q = 1 - sum(d_c^2)/4m^2 ∈ (0, 1)
+    assert sum(mc.values()) == m
+    assert 0 < r["modularity_micro"] < 1_000_000

@@ -113,6 +113,7 @@ SNAPSHOT_QUERIES = [
     "quality_nb_metrics_summary", "agg_theil_index_by_nation",
     "dedup_cdc_chunking", "window_ohlc_hourly", "events_twap_by_type",
     "text_char_entropy", "privacy_dp_budget_plan",
+    "graph_degree_assortativity", "graph_neardup_modularity",
 ]
 
 
