@@ -469,6 +469,8 @@ def new_ops_metric(spark) -> dict:
         "privacy_dp_budget_plan",
         "graph_degree_assortativity",
         "graph_neardup_modularity",
+        "embedding_anisotropy_audit",
+        "events_user_powerlaw_mle",
     ):
         if name not in QUERIES:
             continue

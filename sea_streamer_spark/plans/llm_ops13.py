@@ -2716,3 +2716,197 @@ def graph_neardup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         pairs.unpersist()
     return out
+
+
+# ---------------------------------------------------------------- wave 44
+# Embedding anisotropy audit (Ethayarajh, "How Contextual are
+# Contextualized Word Representations?", EMNLP 2019; Mu & Viswanath,
+# "All-but-the-Top", ICLR 2018): the expected cosine between two
+# RANDOM vectors — isotropic spaces give ~0, collapsed ("cone-shaped")
+# embedding spaces give large positive values that wreck cosine
+# retrieval. The audit is exact and O(n·d), never pairwise:
+#     Σ_{a≠b} û_a·û_b = |Σ û|² − Σ|û|²
+# over unit vectors û milli-rounded per component (the DEFINITION is
+# over the rounded unit vectors, so every engine sums identical
+# integers; milli keeps |Σ û|² within BIGINT at any corpus size that
+# fits a cluster). Also reports the dominant dimension of the mean
+# vector and its energy share — the "all-but-the-top" common-direction
+# diagnostic.
+
+
+@query(
+    "embedding_anisotropy_audit",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(1000 * x / sqrt(list_reduce(
+                      list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(embedding,
+                          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+                      (a, b) -> a + b))) AS BIGINT)) AS um
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT j, CAST(uv AS BIGINT) AS uv FROM (
+        SELECT generate_subscripts(um, 1) AS j,
+               unnest(um) AS uv
+        FROM u
+      )
+    ),
+    dims AS (
+      SELECT j, CAST(SUM(uv) AS BIGINT) AS s,
+             CAST(SUM(uv * uv) AS BIGINT) AS ssq
+      FROM comp GROUP BY j
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM u),
+    tot AS (
+      SELECT CAST(SUM(s * s) AS BIGINT) AS s2,
+             CAST(SUM(ssq) AS BIGINT) AS ssq
+      FROM dims
+    ),
+    top AS (
+      SELECT j AS top_dim, s * s AS top_e FROM dims
+      ORDER BY s * s DESC, j LIMIT 1
+    )
+    SELECT n.nv AS n_vectors,
+           CAST((tot.s2 - tot.ssq) // (n.nv * (n.nv - 1)) AS BIGINT)
+             AS anisotropy_micro,
+           CAST(top.top_dim AS BIGINT) AS top_dim,
+           CAST(CASE WHEN tot.s2 = 0 THEN 0
+                ELSE 1000 * top.top_e // tot.s2 END AS BIGINT)
+             AS top_dim_share_permille
+    FROM n CROSS JOIN tot CROSS JOIN top
+    """,
+    tags=("llm", "embedding", "eval"),
+)
+def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected random-pair cosine of the embedding space (micro; large
+    positive = anisotropic cone), plus the mean vector's dominant
+    dimension and its energy share (permille). Exact integers after the
+    per-component milli rounding of unit vectors; one pass, O(n·d) —
+    the pairwise sum is recovered from |Σû|² − Σ|û|², so the audit
+    never materializes a pair. Plan: one vector projection, one
+    d-row dimension aggregate (1-based dim index, both engines). The
+    anisotropy quotient can be negative; both engines divide with
+    truncation toward zero (the house _idiv semantics on signed
+    numerators)."""
+    from ..operators.similarity import dot
+
+    emb = load_tables(spark, sf_dir, "embeddings").embeddings
+    nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    u = emb.select(
+        F.transform(
+            "embedding",
+            lambda x: F.round(1000 * x.cast("double") / nrm).cast("long"),
+        ).alias("um")
+    )
+    comp = u.select(F.posexplode("um").alias("j0", "uv")).select(
+        (F.col("j0") + 1).alias("j"), "uv"
+    )
+    dims = comp.groupBy("j").agg(
+        F.sum("uv").cast("long").alias("s"),
+        F.sum(F.col("uv") * F.col("uv")).cast("long").alias("ssq"),
+    )
+    n = u.agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    tot = dims.agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("s2"),
+        F.sum("ssq").cast("long").alias("ssq"),
+    )
+    top = (
+        dims.select(
+            F.col("j").alias("top_dim"),
+            (F.col("s") * F.col("s")).alias("top_e"),
+        )
+        .orderBy(F.desc("top_e"), "top_dim")
+        .limit(1)
+    )
+    return (
+        F.broadcast(n)
+        .crossJoin(tot)
+        .crossJoin(F.broadcast(top))
+        .select(
+            F.col("nv").alias("n_vectors"),
+            _idiv_col(
+                F.col("s2") - F.col("ssq"),
+                F.col("nv") * (F.col("nv") - 1),
+            ).alias("anisotropy_micro"),
+            F.col("top_dim").cast("long").alias("top_dim"),
+            F.when(F.col("s2") == 0, F.lit(0))
+            .otherwise(_idiv_col(F.lit(1000) * F.col("top_e"), F.col("s2")))
+            .cast("long")
+            .alias("top_dim_share_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- wave 45
+# Power-law tail fit of user activity (Clauset, Shalizi & Newman,
+# "Power-law distributions in empirical data", SIAM Review 2009): the
+# discrete MLE α = 1 + n / Σ ln(x_i / x_min) over users with at least
+# x_min events — the heavy-tail screen that decides whether per-user
+# capping/salting is needed (α < 2 means the heaviest user dominates
+# totals at scale). Per-user micro-rounded ln terms (order-free sum),
+# one exact integer division.
+
+_PL_XMIN = 5
+
+
+@query(
+    "events_user_powerlaw_mle",
+    oracle=f"""
+    WITH ua AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    tail AS (
+      SELECT x,
+             CAST(ROUND(ln(CAST(x AS DOUBLE) / {_PL_XMIN}) * 1000000)
+                  AS BIGINT) AS term
+      FROM ua WHERE x >= {_PL_XMIN}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ua) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_tail,
+           CAST({_PL_XMIN} AS BIGINT) AS x_min,
+           CAST(CASE WHEN SUM(term) <= 0 THEN -1
+                ELSE 1000000 + 1000000 * COUNT(*) * 1000000 // SUM(term)
+                END AS BIGINT) AS alpha_micro
+    FROM tail
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_user_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law MLE α (micro) for the per-user event-count
+    tail (x ≥ 5): the skew diagnostic behind the registry's salting and
+    capping choices. One user-keyed count, one tail rollup; the ln
+    terms are micro-rounded per user before the order-free sum; -1
+    flags a degenerate all-at-x_min tail."""
+    ev = load_tables(spark, sf_dir, "events").events
+    ua = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    n_users = ua.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    tail = ua.filter(F.col("x") >= _PL_XMIN).select(
+        F.round(
+            F.log(F.col("x").cast("double") / _PL_XMIN) * 1_000_000
+        )
+        .cast("long")
+        .alias("term")
+    )
+    agg = tail.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum("term").cast("long").alias("sterm"),
+    )
+    return agg.crossJoin(F.broadcast(n_users)).select(
+        "n_users",
+        "n_tail",
+        F.lit(_PL_XMIN).cast("long").alias("x_min"),
+        F.when(F.col("sterm") <= 0, F.lit(-1))
+        .otherwise(
+            F.lit(1_000_000)
+            + _idiv_col(
+                F.lit(1_000_000) * F.col("n_tail") * 1_000_000,
+                F.col("sterm"),
+            )
+        )
+        .cast("long")
+        .alias("alpha_micro"),
+    )

@@ -1112,3 +1112,75 @@ def test_modularity_python_replay(spark):
     # Q = 1 - sum(d_c^2)/4m^2 ∈ (0, 1)
     assert sum(mc.values()) == m
     assert 0 < r["modularity_micro"] < 1_000_000
+
+
+# ---------------------------------------------------------------- wave 44
+
+
+def test_anisotropy_full_python_replay(spark):
+    emb = _embeddings()
+    n = len(emb)
+    d = len(next(iter(emb.values())))
+    s = [0] * d
+    ssq = 0
+    for v in emb.values():
+        nrm = math.sqrt(sum(float(x) * float(x) for x in v))
+        for j, x in enumerate(v):
+            um = round(1000 * float(x) / nrm)
+            s[j] += um
+            ssq += um * um
+    s2 = sum(x * x for x in s)
+    # engines divide with truncation toward zero (the _idiv_col modulo
+    # trick; DuckDB // verified same in the r9 wave-13 note) — mirror it
+    num = s2 - ssq
+    den = n * (n - 1)
+    aniso = abs(num) // den * (1 if num >= 0 else -1)
+    top_dim = max(range(d), key=lambda j: (s[j] * s[j], -j)) + 1
+    r = _run(spark, "embedding_anisotropy_audit").collect()[0]
+    assert r["n_vectors"] == n
+    assert r["anisotropy_micro"] == aniso
+    assert r["top_dim"] == top_dim
+    assert r["top_dim_share_permille"] == (
+        1000 * s[top_dim - 1] ** 2 // s2 if s2 else 0
+    )
+    # identity cross-check: the O(n·d) form equals the brute-force
+    # pairwise sum of rounded-unit-vector dots
+    um = {}
+    for k, v in emb.items():
+        nrm = math.sqrt(sum(float(x) * float(x) for x in v))
+        um[k] = [round(1000 * float(x) / nrm) for x in v]
+    ids = sorted(um)
+    brute = sum(
+        sum(a * b for a, b in zip(um[i], um[j]))
+        for ii, i in enumerate(ids)
+        for j in ids[ii + 1 :]
+    )
+    assert s2 - ssq == 2 * brute
+    # a cosine expectation lives in [-1e6, 1e6]
+    assert -1_000_000 <= r["anisotropy_micro"] <= 1_000_000
+
+
+# ---------------------------------------------------------------- wave 45
+
+
+def test_powerlaw_full_python_replay(spark):
+    from sea_streamer_spark.plans.llm_ops13 import _PL_XMIN
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+    ua: dict = {}
+    for u in t.column("user_id").to_pylist():
+        ua[u] = ua.get(u, 0) + 1
+    tail = [x for x in ua.values() if x >= _PL_XMIN]
+    sterm = sum(round(math.log(x / _PL_XMIN) * 1_000_000) for x in tail)
+    r = _run(spark, "events_user_powerlaw_mle").collect()[0]
+    assert r["n_users"] == len(ua)
+    assert r["n_tail"] == len(tail)
+    assert r["x_min"] == _PL_XMIN
+    if sterm <= 0:
+        assert r["alpha_micro"] == -1
+    else:
+        assert r["alpha_micro"] == 1_000_000 + (
+            1_000_000 * len(tail) * 1_000_000 // sterm
+        )
+        # a fitted tail exponent is > 1 by construction
+        assert r["alpha_micro"] > 1_000_000

@@ -114,6 +114,7 @@ SNAPSHOT_QUERIES = [
     "dedup_cdc_chunking", "window_ohlc_hourly", "events_twap_by_type",
     "text_char_entropy", "privacy_dp_budget_plan",
     "graph_degree_assortativity", "graph_neardup_modularity",
+    "embedding_anisotropy_audit", "events_user_powerlaw_mle",
 ]
 
 
