@@ -471,6 +471,8 @@ def new_ops_metric(spark) -> dict:
         "graph_neardup_modularity",
         "embedding_anisotropy_audit",
         "events_user_powerlaw_mle",
+        "set_symmetric_diff_multiset",
+        "events_user_day_bitmask",
     ):
         if name not in QUERIES:
             continue

@@ -2910,3 +2910,151 @@ def events_user_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alpha_micro"),
     )
+
+
+# ---------------------------------------------------------------- wave 46
+# Multiset symmetric difference — completes the set-op family (distinct
+# INTERSECT/EXCEPT/UNION + multiset INTERSECT ALL/EXCEPT ALL already
+# registered): rows whose per-value multiplicities differ between the
+# customer and supplier nation multisets, duplicates preserved —
+# (A ∖ B) ⊎ (B ∖ A) under bag semantics.
+
+
+@query(
+    "set_symmetric_diff_multiset",
+    oracle="""
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT nationkey FROM (
+      SELECT s_nationkey AS nationkey FROM supplier
+      EXCEPT ALL
+      SELECT c_nationkey FROM customer
+    )
+    ORDER BY nationkey
+    """,
+    tags=("relational", "setop"),
+)
+def set_symmetric_diff_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics symmetric difference of the customer/supplier
+    nation multisets: |count_A(v) − count_B(v)| copies of each value —
+    exceptAll both ways, unioned. Catalyst rewrites each exceptAll to
+    one count-aggregate + generator (no pairwise anything)."""
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    c = t.customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s).unionAll(s.exceptAll(c)).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------- wave 47
+# Per-user day-activity bitmap (the bitmap-index / roaring technique
+# behind retention systems — Chambi et al., "Better bitmap performance
+# with Roaring bitmaps", SPE 2016, here in its single-word form): one
+# BIGINT carries a user's active days as bits offset from the corpus'
+# first day. Popcount gives active days; the LONGEST consecutive run
+# falls out of the classic bit-smearing identity — iterate
+# m ← m & (m<<1); the number of iterations before m reaches 0 is the
+# longest run of 1s — unrolled to the word width as plain integer
+# expressions on both engines. The pin proves this bit algorithm
+# EQUALS the gaps-and-islands answer (events_longest_daily_streak) on
+# every user — same semantic, two disjoint algorithms.
+
+#: bitmap capacity: day offsets beyond this are dropped (fixture spans
+#: 30 days; a production system shards masks per 62-day epoch).
+_BM_BITS = 62
+_BM_MAX_RUN = 31
+
+
+def _build_bitmask_oracle() -> str:
+    steps = []
+    for k in range(1, _BM_MAX_RUN + 1):
+        steps.append(f"""
+    s{k} AS (
+      SELECT user_id, day_mask, n_active_days,
+             m & (m * 2) AS m,
+             streak + (CASE WHEN m <> 0 THEN 1 ELSE 0 END) AS streak
+      FROM s{k - 1}
+    )""")
+    return f"""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE)
+                  - (SELECT MIN(CAST(ts AS DATE)) FROM events) AS BIGINT)
+               AS off
+      FROM events
+    ),
+    masks AS (
+      SELECT user_id,
+             CAST(SUM(CAST(1 AS BIGINT) << off) AS BIGINT) AS day_mask,
+             CAST(COUNT(*) AS BIGINT) AS n_active_days
+      FROM d WHERE off < {_BM_BITS} GROUP BY user_id
+    ),
+    s0 AS (
+      SELECT user_id, day_mask, n_active_days, day_mask AS m,
+             CAST(0 AS BIGINT) AS streak
+      FROM masks
+    ),
+    {",".join(steps)}
+    SELECT user_id, day_mask, n_active_days,
+           CAST(streak AS BIGINT) AS longest_streak_days
+    FROM s{_BM_MAX_RUN} ORDER BY user_id
+    """
+
+
+@query(
+    "events_user_day_bitmask",
+    oracle=_build_bitmask_oracle(),
+    tags=("events", "profile"),
+)
+def events_user_day_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-word day-activity bitmap per user: the mask itself,
+    popcount (active days), and the longest consecutive-day streak via
+    the m & (m<<1) smearing identity — integer bit arithmetic only, no
+    windows after the mask aggregate. Distinct (user, day) offsets sum
+    disjoint powers of two, so SUM == BIT_OR (engine-portable without a
+    bitwise aggregate). The streak answer is pinned equal to the
+    gaps-and-islands formulation on every user."""
+    ev = load_tables(spark, sf_dir, "events").events
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    d = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("off"),
+        )
+        .filter(F.col("off") < _BM_BITS)
+        .distinct()
+    )
+    masks = d.groupBy("user_id").agg(
+        F.sum(F.expr("CAST(1 AS BIGINT) << CAST(off AS INT)"))
+        .cast("long")
+        .alias("day_mask"),
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+    )
+    cur = masks.select(
+        "user_id",
+        "day_mask",
+        "n_active_days",
+        F.col("day_mask").alias("m"),
+        F.lit(0).cast("long").alias("streak"),
+    )
+    for _k in range(_BM_MAX_RUN):
+        cur = cur.select(
+            "user_id",
+            "day_mask",
+            "n_active_days",
+            F.expr("m & (m * 2)").alias("m"),
+            (
+                F.col("streak")
+                + F.when(F.col("m") != 0, 1).otherwise(0)
+            ).alias("streak"),
+        )
+    return cur.select(
+        "user_id",
+        "day_mask",
+        "n_active_days",
+        F.col("streak").cast("long").alias("longest_streak_days"),
+    ).orderBy("user_id")

@@ -1184,3 +1184,62 @@ def test_powerlaw_full_python_replay(spark):
         )
         # a fitted tail exponent is > 1 by construction
         assert r["alpha_micro"] > 1_000_000
+
+
+# ---------------------------------------------------------------- wave 46
+
+
+def test_symmetric_diff_python_replay(spark):
+    t = pq.read_table(f"{SF}/customer.parquet", columns=["c_nationkey"])
+    s = pq.read_table(f"{SF}/supplier.parquet", columns=["s_nationkey"])
+    from collections import Counter
+
+    ca = Counter(t.column("c_nationkey").to_pylist())
+    cb = Counter(s.column("s_nationkey").to_pylist())
+    want = Counter()
+    for v in set(ca) | set(cb):
+        want[v] = abs(ca.get(v, 0) - cb.get(v, 0))
+    rows = _run(spark, "set_symmetric_diff_multiset").collect()
+    got = Counter(r["nationkey"] for r in rows)
+    assert got == +want
+
+
+# ---------------------------------------------------------------- wave 47
+
+
+def test_bitmask_equals_gaps_and_islands(spark):
+    """Same semantic, two disjoint algorithms: the bit-smearing streak
+    must equal the gaps-and-islands streak for every user, and popcount
+    must equal the distinct-day count."""
+    gi = {
+        r["user_id"]: r["longest_streak_days"]
+        for r in _run(spark, "events_longest_daily_streak").collect()
+    }
+    rows = _run(spark, "events_user_day_bitmask").collect()
+    assert {r["user_id"] for r in rows} == set(gi)
+    for r in rows:
+        assert r["longest_streak_days"] == gi[r["user_id"]], r["user_id"]
+        assert r["longest_streak_days"] <= r["n_active_days"]
+        assert bin(r["day_mask"]).count("1") == r["n_active_days"]
+
+
+def test_bitmask_full_python_replay(spark):
+    t = pq.read_table(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    days: dict = {}
+    d0 = min(ts.date() for ts in t.column("ts").to_pylist())
+    for ts, u in zip(t.column("ts").to_pylist(), t.column("user_id").to_pylist()):
+        off = (ts.date() - d0).days
+        if off < 62:
+            days.setdefault(u, set()).add(off)
+    got = {r["user_id"]: r for r in _run(spark, "events_user_day_bitmask").collect()}
+    assert set(got) == set(days)
+    for u, offs in days.items():
+        mask = sum(1 << o for o in offs)
+        m, streak = mask, 0
+        while m:
+            streak += 1
+            m &= m << 1
+        r = got[u]
+        assert r["day_mask"] == mask
+        assert r["n_active_days"] == len(offs)
+        assert r["longest_streak_days"] == streak

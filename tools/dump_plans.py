@@ -115,6 +115,7 @@ SNAPSHOT_QUERIES = [
     "text_char_entropy", "privacy_dp_budget_plan",
     "graph_degree_assortativity", "graph_neardup_modularity",
     "embedding_anisotropy_audit", "events_user_powerlaw_mle",
+    "set_symmetric_diff_multiset", "events_user_day_bitmask",
 ]
 
 
