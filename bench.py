@@ -473,6 +473,8 @@ def new_ops_metric(spark) -> dict:
         "events_user_powerlaw_mle",
         "set_symmetric_diff_multiset",
         "events_user_day_bitmask",
+        "events_anomaly_masked_esd",
+        "orders_abc_analysis",
     ):
         if name not in QUERIES:
             continue

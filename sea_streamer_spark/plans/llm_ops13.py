@@ -3058,3 +3058,208 @@ def events_user_day_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active_days",
         F.col("streak").cast("long").alias("longest_streak_days"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------- wave 48
+# Iterative masked outlier screen over daily volumes (Rosner's
+# generalized ESD shape, Technometrics 1983, with a fixed 3.0 cutoff in
+# place of the t-quantile ladder — no stats library in the stack, and
+# the masking mechanics are the point): plain z-scores MISS outliers
+# when two extremes inflate the std ("masking"); the fix is iterative —
+# remove the most extreme day, RECOMPUTE mean/std without it, repeat.
+# Three unrolled rounds; each round's mean/std come from exact integer
+# (S, S²) sums over the remaining days, the max |x-μ|/σ day is an
+# integer-tie-broken argmax, and the R statistic is the one
+# milli-rounded float per round.
+
+_ESD_ROUNDS = 3
+_ESD_CUTOFF_MILLI = 3000
+
+
+def _build_esd_oracle() -> str:
+    parts = ["""
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    r0 AS (SELECT day, c FROM daily)"""]
+    rows = []
+    for k in range(1, _ESD_ROUNDS + 1):
+        parts.append(f"""
+    m{k} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM r{k - 1}
+    ),
+    p{k} AS (
+      SELECT r.day, r.c,
+             CAST(ROUND(1000 * ABS(r.c - CAST(m.s AS DOUBLE) / m.n)
+                  / SQRT((CAST(m.n AS DOUBLE) * m.ss - CAST(m.s AS DOUBLE) * m.s)
+                         / (CAST(m.n AS DOUBLE) * (m.n - 1)))) AS BIGINT)
+               AS r_milli
+      FROM r{k - 1} r CROSS JOIN m{k} m
+      ORDER BY r_milli DESC, r.day LIMIT 1
+    ),
+    r{k} AS (
+      SELECT day, c FROM r{k - 1}
+      WHERE day <> (SELECT day FROM p{k})
+    )""")
+        rows.append(
+            f"SELECT CAST({k} AS BIGINT) AS round,"
+            f" strftime(p{k}.day, '%Y-%m-%d') AS day, p{k}.c AS n_events,"
+            f" p{k}.r_milli,"
+            f" CAST(p{k}.r_milli > {_ESD_CUTOFF_MILLI} AS BIGINT) AS flagged"
+            f" FROM p{k}"
+        )
+    return (
+        "WITH " + ",".join(parts)
+        + "\n    SELECT * FROM (" + " UNION ALL ".join(rows)
+        + ") ORDER BY round"
+    )
+
+
+@query(
+    "events_anomaly_masked_esd",
+    oracle=_build_esd_oracle(),
+    tags=("streaming", "events", "stats"),
+)
+def events_anomaly_masked_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of masking-robust outlier detection over daily
+    event totals: each round reports the most extreme remaining day,
+    its deviation R = |x−μ|/σ (milli, stats recomputed WITHOUT the
+    previously removed days — the property plain z-scores lack), and
+    the 3.0-cutoff flag. Everything lives on the ~30-row day dimension;
+    round argmaxes are TakeOrdered(1) collects."""
+    ev = load_tables(spark, sf_dir, "events").events
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cur = daily
+    out = []
+    for k in range(1, _ESD_ROUNDS + 1):
+        m = cur.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        )
+        mean = F.col("s").cast("double") / F.col("n")
+        var = (
+            F.col("n").cast("double") * F.col("ss")
+            - F.col("s").cast("double") * F.col("s")
+        ) / (F.col("n").cast("double") * (F.col("n") - 1))
+        pick = (
+            cur.crossJoin(F.broadcast(m))
+            .select(
+                "day",
+                "c",
+                F.round(1000 * F.abs(F.col("c") - mean) / F.sqrt(var))
+                .cast("long")
+                .alias("r_milli"),
+            )
+            .orderBy(F.desc("r_milli"), "day")
+            .limit(1)
+            .collect()[0]
+        )
+        out.append(
+            (
+                k,
+                pick["day"].strftime("%Y-%m-%d"),
+                pick["c"],
+                pick["r_milli"],
+                1 if pick["r_milli"] > _ESD_CUTOFF_MILLI else 0,
+            )
+        )
+        cur = cur.filter(
+            F.col("day") != F.lit(pick["day"])
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "round long, day string, n_events long, r_milli long, flagged long"
+    )
+
+
+# ---------------------------------------------------------------- wave 49
+# ABC analysis (the Pareto/80-95 inventory classification every revenue
+# dashboard ships): parts ranked by lineitem revenue; class A while the
+# running share is <= 80% of total, B to 95%, C after. Exact integer
+# cents end-to-end (class boundaries tested as 20·cum <= 16·tot and
+# 20·cum <= 19·tot — no percentage floats; per-row explicit ROUND before
+# the BIGINT cast, the rollup-restatement recipe), deterministic
+# (revenue DESC, partkey) rank order.
+
+
+@query(
+    "orders_abc_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100,
+                                 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cents) OVER () AS tot
+      FROM rev
+    ),
+    classed AS (
+      SELECT CASE WHEN 20 * cum <= 16 * tot THEN 'A'
+                  WHEN 20 * cum <= 19 * tot THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM ranked
+    )
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(1000 * SUM(cents) // (SELECT SUM(cents) FROM rev) AS BIGINT)
+             AS revenue_share_permille
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    tags=("relational", "agg"),
+)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC revenue classification of parts (A: first 80% of revenue in
+    rank order, B: to 95%, C: the tail): per class, part count, exact
+    revenue cents and share. One part-keyed aggregate, one running-sum
+    window over the part dimension, integer class boundaries."""
+    li = load_tables(spark, sf_dir, "lineitem").lineitem
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            F.expr(
+                "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), "partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(w).alias("cum"),
+        F.sum("cents").over(Window.partitionBy()).alias("tot"),
+    )
+    classed = ranked.select(
+        F.when(20 * F.col("cum") <= 16 * F.col("tot"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+        "tot",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            _idiv_col(F.lit(1000) * F.sum("cents"), F.max("tot")).alias(
+                "revenue_share_permille"
+            ),
+        )
+        .orderBy("abc_class")
+    )

@@ -1243,3 +1243,83 @@ def test_bitmask_full_python_replay(spark):
         assert r["day_mask"] == mask
         assert r["n_active_days"] == len(offs)
         assert r["longest_streak_days"] == streak
+
+
+# ---------------------------------------------------------------- wave 48
+
+
+def test_masked_esd_full_python_replay(spark):
+    from sea_streamer_spark.plans.llm_ops13 import (
+        _ESD_CUTOFF_MILLI,
+        _ESD_ROUNDS,
+    )
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["ts"])
+    daily: dict = {}
+    for ts in t.column("ts").to_pylist():
+        daily[ts.date()] = daily.get(ts.date(), 0) + 1
+    remaining = dict(daily)
+    want = []
+    for k in range(1, _ESD_ROUNDS + 1):
+        n = len(remaining)
+        s = sum(remaining.values())
+        ss = sum(c * c for c in remaining.values())
+        mean = s / n
+        sd = math.sqrt((n * ss - s * s) / (n * (n - 1)))
+        scored = sorted(
+            ((round(1000 * abs(c - mean) / sd), d, c) for d, c in remaining.items()),
+            key=lambda r: (-r[0], r[1]),
+        )
+        r_milli, d, c = scored[0]
+        want.append((k, d.strftime("%Y-%m-%d"), c, r_milli,
+                     1 if r_milli > _ESD_CUTOFF_MILLI else 0))
+        del remaining[d]
+    rows = _run(spark, "events_anomaly_masked_esd").collect()
+    got = [(r["round"], r["day"], r["n_events"], r["r_milli"], r["flagged"])
+           for r in rows]
+    assert got == want
+    # the masking property: each round's stats EXCLUDE prior picks, so
+    # the reported days are all distinct
+    assert len({r["day"] for r in rows}) == _ESD_ROUNDS
+
+
+# ---------------------------------------------------------------- wave 49
+
+
+def test_abc_analysis_full_python_replay(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    rev = dict(con.sql(f"""
+        SELECT l_partkey,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                   AS BIGINT))
+        FROM '{SF}/lineitem.parquet' GROUP BY 1
+    """).fetchall())
+    con.close()
+    order = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(rev.values())
+    cum = 0
+    agg = {"A": [0, 0], "B": [0, 0], "C": [0, 0]}
+    for _pk, cents in order:
+        cum += cents
+        cls = "A" if 20 * cum <= 16 * tot else ("B" if 20 * cum <= 19 * tot else "C")
+        agg[cls][0] += 1
+        agg[cls][1] += cents
+    rows = {r["abc_class"]: r for r in _run(spark, "orders_abc_analysis").collect()}
+    assert set(rows) == {k for k, v in agg.items() if v[0] > 0}
+    for cls, (n, cents) in agg.items():
+        if n == 0:
+            continue
+        r = rows[cls]
+        assert (r["n_parts"], r["revenue_cents"]) == (n, cents), cls
+        assert r["revenue_share_permille"] == 1000 * cents // tot
+    # A (the first 80% of revenue) must out-earn C by construction;
+    # the classic "few parts in A" shape needs a skewed catalog — this
+    # synthetic fixture's part revenue is near-uniform, so only the
+    # revenue ordering is a guaranteed property
+    if "A" in rows and "C" in rows:
+        assert rows["A"]["revenue_cents"] > rows["C"]["revenue_cents"]
+    # classes partition the catalog and the revenue exactly
+    assert sum(r["revenue_cents"] for r in rows.values()) == tot
+    assert sum(r["n_parts"] for r in rows.values()) == len(rev)

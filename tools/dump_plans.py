@@ -116,6 +116,7 @@ SNAPSHOT_QUERIES = [
     "graph_degree_assortativity", "graph_neardup_modularity",
     "embedding_anisotropy_audit", "events_user_powerlaw_mle",
     "set_symmetric_diff_multiset", "events_user_day_bitmask",
+    "events_anomaly_masked_esd", "orders_abc_analysis",
 ]
 
 
