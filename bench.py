@@ -475,6 +475,7 @@ def new_ops_metric(spark) -> dict:
         "events_user_day_bitmask",
         "events_anomaly_masked_esd",
         "orders_abc_analysis",
+        "quality_jm_lambda_em",
     ):
         if name not in QUERIES:
             continue

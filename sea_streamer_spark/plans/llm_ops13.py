@@ -3263,3 +3263,170 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------- wave 50
+# Jelinek-Mercer interpolation weight via held-out EM (Jelinek &
+# Mercer 1980; Chen & Goodman 1999 §2.4 — "deleted interpolation", the
+# classical way the bigram/unigram mixing weight is actually FIT rather
+# than guessed): train ML bigram + add-one unigram on the even-doc
+# half, then EM λ on the odd-doc positions:
+#     γ_pos = λ·P_b / (λ·P_b + (1−λ)·P_u),   λ' = mean(γ)
+# Ten synchronous iterations from λ=0.5. The whole EM is INTEGER
+# arithmetic end-to-end — P_b = 10⁹·c12 // c1 and
+# P_u = 10⁹·(c+1) // (N+V) are nano-scaled integer divisions, each
+# round's responsibilities are γ_milli = 1000·λ·P_b // (λ·P_b +
+# (1000−λ)·P_u), and λ' = Σγ // n — zero floats anywhere, so every
+# engine reproduces every iterate bit-for-bit by construction.
+
+_JM_ITERS = 10
+
+
+def _build_jm_oracle() -> str:
+    rounds = []
+    for k in range(1, _JM_ITERS + 1):
+        rounds.append(f"""
+    it{k} AS MATERIALIZED (
+      SELECT CAST(SUM(1000 * l.lam * p.pb
+                      // (l.lam * p.pb + (1000 - l.lam) * p.pu))
+                  // COUNT(*) AS BIGINT) AS lam
+      FROM pos p CROSS JOIN it{k - 1} l
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS iteration, it{k}.lam AS lambda_milli,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM pos) AS n_positions"
+        f" FROM it{k}"
+        for k in range(1, _JM_ITERS + 1)
+    )
+    from ..operators.text import duck_tokens
+
+    toks = duck_tokens("text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS t FROM documents
+    ),
+    train_uni AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0)
+      GROUP BY w
+    ),
+    train_bi AS MATERIALIZED (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+        SELECT t[i-1] AS w1, t[i] AS w2
+        FROM (SELECT t, unnest(generate_series(2, len(t))) AS i
+              FROM toks WHERE doc_id % 2 = 0)
+      ) GROUP BY w1, w2
+    ),
+    tot AS (
+      SELECT (SELECT CAST(SUM(c1) AS BIGINT) FROM train_uni) AS n_tok,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM train_uni) AS v
+    ),
+    pos AS MATERIALIZED (
+      SELECT CAST(CASE WHEN b.c12 IS NOT NULL
+                  THEN 1000000000 * b.c12 // u.c1 ELSE 0 END AS BIGINT) AS pb,
+             CAST(1000000000 * (COALESCE(u2.c1, 0) + 1)
+                  // (tot.n_tok + tot.v) AS BIGINT) AS pu
+      FROM (
+        SELECT t[i-1] AS w1, t[i] AS w2
+        FROM (SELECT t, unnest(generate_series(2, len(t))) AS i
+              FROM toks WHERE doc_id % 2 = 1)
+      ) p
+      LEFT JOIN train_uni u ON u.w = p.w1
+      LEFT JOIN train_uni u2 ON u2.w = p.w2
+      LEFT JOIN train_bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+      CROSS JOIN tot
+    ),
+    it0 AS (SELECT CAST(500 AS BIGINT) AS lam),
+    {",".join(rounds)}
+    SELECT * FROM ({sel}) ORDER BY iteration
+    """
+
+
+@query(
+    "quality_jm_lambda_em",
+    oracle=_build_jm_oracle(),
+    tags=("llm", "quality", "eval"),
+)
+def quality_jm_lambda_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deleted-interpolation EM: the bigram/unigram mixing weight λ
+    (milli) fitted on held-out positions, one row per EM iteration —
+    the convergence curve for the weight KN/Stupid-Backoff variants
+    hard-code. Integer arithmetic end-to-end (nano-scaled component
+    probabilities, milli responsibilities, exact integer mean), so
+    'converged' is an exact fixpoint, not an epsilon. Plan: two
+    count aggregations train the components; the held-out position
+    relation is built once and cached; each EM round is ONE 1-row
+    aggregate over it (λ rides a broadcast literal)."""
+    from ..operators.dedup import positional_shingles
+    from ..operators.text import tokens
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    uni = (
+        train.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    bi = (
+        positional_shingles(train, k=2)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .select(
+            F.element_at(F.split("sh", " "), 1).alias("w1"),
+            F.element_at(F.split("sh", " "), 2).alias("w2"),
+            "c12",
+        )
+    )
+    tot = uni.agg(
+        F.sum("c1").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    held = positional_shingles(
+        docs.filter(F.col("doc_id") % 2 == 1), k=2
+    ).select(
+        F.element_at(F.split("sh", " "), 1).alias("w1"),
+        F.element_at(F.split("sh", " "), 2).alias("w2"),
+    )
+    pos = (
+        held.join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .join(
+            uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c1w2"),
+            "w2",
+            "left",
+        )
+        .join(bi, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.when(
+                F.col("c12").isNotNull(),
+                _idiv_col(F.lit(1_000_000_000) * F.col("c12"), F.col("c1")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pb"),
+            _idiv_col(
+                F.lit(1_000_000_000) * (F.coalesce(F.col("c1w2"), F.lit(0)) + 1),
+                F.col("n_tok") + F.col("v"),
+            ).alias("pu"),
+        )
+        .cache()
+    )
+    try:
+        n_positions = pos.count()
+        lam = 500
+        out = []
+        for k in range(1, _JM_ITERS + 1):
+            num = F.lit(1000) * F.lit(lam) * F.col("pb")
+            den = F.lit(lam) * F.col("pb") + F.lit(1000 - lam) * F.col("pu")
+            row = pos.agg(
+                _idiv_col(F.sum(_idiv_col(num, den)), F.count(F.lit(1))).alias(
+                    "lam"
+                )
+            ).collect()[0]
+            lam = int(row["lam"])
+            out.append((k, lam, n_positions))
+    finally:
+        pos.unpersist()
+    return spark.createDataFrame(
+        out, "iteration long, lambda_milli long, n_positions long"
+    )

@@ -1323,3 +1323,62 @@ def test_abc_analysis_full_python_replay(spark):
     # classes partition the catalog and the revenue exactly
     assert sum(r["revenue_cents"] for r in rows.values()) == tot
     assert sum(r["n_parts"] for r in rows.values()) == len(rev)
+
+
+# ---------------------------------------------------------------- wave 50
+
+
+def test_jm_lambda_em_full_python_replay(spark):
+    import re as _re
+
+    from sea_streamer_spark.plans.llm_ops13 import _JM_ITERS
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = {
+        d: _re.split(r"\s+", x or "")
+        for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    }
+    uni: dict = {}
+    bi: dict = {}
+    for d, toks in docs.items():
+        if d % 2 == 0:
+            for w in toks:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+    n_tok = sum(uni.values())
+    v = len(uni)
+    pos = []
+    for d, toks in docs.items():
+        if d % 2 == 1:
+            for a, b in zip(toks, toks[1:]):
+                pb = (
+                    1_000_000_000 * bi[(a, b)] // uni[a]
+                    if (a, b) in bi
+                    else 0
+                )
+                pu = 1_000_000_000 * (uni.get(b, 0) + 1) // (n_tok + v)
+                pos.append((pb, pu))
+    lam = 500
+    want = []
+    for k in range(1, _JM_ITERS + 1):
+        s = sum(
+            1000 * lam * pb // (lam * pb + (1000 - lam) * pu)
+            for pb, pu in pos
+        )
+        lam = s // len(pos)
+        want.append((k, lam, len(pos)))
+    rows = _run(spark, "quality_jm_lambda_em").collect()
+    got = [(r["iteration"], r["lambda_milli"], r["n_positions"]) for r in rows]
+    assert got == want
+    # λ is a mixing weight; the fitted value must put real mass on the
+    # bigram component (the corpus is bigram-predictable by design)
+    assert 0 <= rows[-1]["lambda_milli"] <= 1000
+    assert rows[-1]["lambda_milli"] > 250
+    # EM contracts: step sizes are non-increasing and shrink overall
+    # (at this fixture λ is still sliding at iteration 10 — the curve
+    # IS the deliverable; a fixpoint pin would be dishonest here)
+    lams = [500] + [r["lambda_milli"] for r in rows]
+    steps = [abs(b - a) for a, b in zip(lams, lams[1:])]
+    assert all(b <= a for a, b in zip(steps, steps[1:]))
+    assert steps[-1] < steps[0]

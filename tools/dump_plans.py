@@ -117,6 +117,7 @@ SNAPSHOT_QUERIES = [
     "embedding_anisotropy_audit", "events_user_powerlaw_mle",
     "set_symmetric_diff_multiset", "events_user_day_bitmask",
     "events_anomaly_masked_esd", "orders_abc_analysis",
+    "quality_jm_lambda_em",
 ]
 
 
