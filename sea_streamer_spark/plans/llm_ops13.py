@@ -2804,39 +2804,37 @@ def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = u.select(F.posexplode("um").alias("j0", "uv")).select(
         (F.col("j0") + 1).alias("j"), "uv"
     )
+    # every dimension row also carries the vector count (each vector
+    # contributes exactly one uv per dim), so n, the moment totals AND
+    # the dominant-dim argmax all fold into ONE aggregate chain — the
+    # embedding table is scanned exactly once (plan-pinned).
     dims = comp.groupBy("j").agg(
         F.sum("uv").cast("long").alias("s"),
         F.sum(F.col("uv") * F.col("uv")).cast("long").alias("ssq"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
     )
-    n = u.agg(F.count(F.lit(1)).cast("long").alias("nv"))
     tot = dims.agg(
         F.sum(F.col("s") * F.col("s")).cast("long").alias("s2"),
         F.sum("ssq").cast("long").alias("ssq"),
+        F.max("cnt").cast("long").alias("nv"),
+        F.max(
+            F.struct(
+                (F.col("s") * F.col("s")).alias("e"),
+                (-F.col("j")).alias("nj"),
+            )
+        ).alias("mx"),
     )
-    top = (
-        dims.select(
-            F.col("j").alias("top_dim"),
-            (F.col("s") * F.col("s")).alias("top_e"),
-        )
-        .orderBy(F.desc("top_e"), "top_dim")
-        .limit(1)
-    )
-    return (
-        F.broadcast(n)
-        .crossJoin(tot)
-        .crossJoin(F.broadcast(top))
-        .select(
-            F.col("nv").alias("n_vectors"),
-            _idiv_col(
-                F.col("s2") - F.col("ssq"),
-                F.col("nv") * (F.col("nv") - 1),
-            ).alias("anisotropy_micro"),
-            F.col("top_dim").cast("long").alias("top_dim"),
-            F.when(F.col("s2") == 0, F.lit(0))
-            .otherwise(_idiv_col(F.lit(1000) * F.col("top_e"), F.col("s2")))
-            .cast("long")
-            .alias("top_dim_share_permille"),
-        )
+    return tot.select(
+        F.col("nv").alias("n_vectors"),
+        _idiv_col(
+            F.col("s2") - F.col("ssq"),
+            F.col("nv") * (F.col("nv") - 1),
+        ).alias("anisotropy_micro"),
+        (-F.col("mx.nj")).cast("long").alias("top_dim"),
+        F.when(F.col("s2") == 0, F.lit(0))
+        .otherwise(_idiv_col(F.lit(1000) * F.col("mx.e"), F.col("s2")))
+        .cast("long")
+        .alias("top_dim_share_permille"),
     )
 
 

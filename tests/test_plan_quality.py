@@ -651,3 +651,70 @@ class TestRound8Waves:
         assert plan.count("BroadcastHashJoin") >= 3, plan
         assert "CartesianProduct" not in plan, plan
         assert "EvalPython" not in plan, plan
+
+
+class TestRound9Session2Plans:
+    """Plan contracts for the round-9 session-2 waves: the shapes their
+    100 TB stories rest on (the value pins live in test_llm_ops13)."""
+
+    def test_ohlc_two_shuffles(self, spark, sf_dir):
+        """Both ROW_NUMBER windows and the final aggregate share the
+        (event_type, hour) keys — one hash exchange feeds all three;
+        the only other exchange is the deterministic output sort."""
+        plan = _final_plan(QUERIES["window_ohlc_hourly"].fn(spark, sf_dir))
+        assert _shuffle_exchanges(plan) <= 2, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_twap_two_shuffles(self, spark, sf_dir):
+        """One keyed LEAD window + the per-type aggregate reuse the
+        event_type exchange; plus the output sort."""
+        plan = _final_plan(QUERIES["events_twap_by_type"].fn(spark, sf_dir))
+        assert _shuffle_exchanges(plan) <= 2, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_burstiness_single_scan_takeordered(self, spark, sf_dir):
+        """One tokenize explode feeds the (doc, word) aggregate; the
+        corpus count rides a broadcast; top-k is a TakeOrdered."""
+        plan = _final_plan(QUERIES["text_word_burstiness"].fn(spark, sf_dir))
+        assert plan.count("documents.parquet") <= 2, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_theil_broadcasts_dims(self, spark, sf_dir):
+        """Nation and the per-nation moment rollup are broadcast; the
+        order-grain relation is never shuffled to meet a dimension."""
+        plan = _final_plan(
+            QUERIES["agg_theil_index_by_nation"].fn(spark, sf_dir)
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_cdc_chunking_no_python_single_scan(self, spark, sf_dir):
+        """The rolling-hash boundary scan is a JVM higher-order filter;
+        chunk extraction is explode + one doc-keyed lag window."""
+        plan = _final_plan(QUERIES["dedup_cdc_chunking"].fn(spark, sf_dir))
+        assert "EvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_anisotropy_no_pairwise(self, spark, sf_dir):
+        """THE point of the identity form: no join of the embedding
+        table against itself anywhere — one projection, one d-row
+        aggregate."""
+        plan = _final_plan(
+            QUERIES["embedding_anisotropy_audit"].fn(spark, sf_dir)
+        )
+        assert plan.count("embeddings.parquet") == 1, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_bitmask_no_windows_after_agg(self, spark, sf_dir):
+        """The streak is computed by bit arithmetic on the mask column —
+        projections only after the per-user aggregate (no second
+        window pass)."""
+        plan = _final_plan(
+            QUERIES["events_user_day_bitmask"].fn(spark, sf_dir)
+        )
+        assert "EvalPython" not in plan, plan
+        assert plan.count("Window") <= 1, plan  # the sort is rangepart., not a window
