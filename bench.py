@@ -476,6 +476,7 @@ def new_ops_metric(spark) -> dict:
         "events_anomaly_masked_esd",
         "orders_abc_analysis",
         "quality_jm_lambda_em",
+        "events_arrival_uniformity_ks",
     ):
         if name not in QUERIES:
             continue

@@ -1025,9 +1025,20 @@ _NDCG_W = [round(1_000_000 / _math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
 
 
 def _idiv_col(a, b):
-    """Exact integer floor division for non-negative integer columns (the
-    AMS wave's modulo trick, promoted: no double-rounding boundary)."""
-    return ((a - (a % b)) / b).cast("long")
+    """Exact integer division (truncation toward zero on signed inputs,
+    matching DuckDB ``//``'s verified behavior — the wave-13 note).
+
+    Routed through DECIMAL(38,0): the original ``(a - a%b)/b`` modulo
+    trick did its final division in DOUBLE, which is exact only while
+    operands stay under 2^53 — above that, an exactly-integral quotient
+    can land one ulp BELOW the integer and truncate down (caught by the
+    arrival-uniformity KS wave: 1000·d_num // (n·span) flipped 7 → 6 at
+    sf0.1 where n·span ≈ 5.3e16). Decimal subtraction, modulo and the
+    exactly-divisible final division are all exact at 38 digits, far
+    past any BIGINT operand."""
+    ad = a.cast("decimal(38,0)")
+    bd = b.cast("decimal(38,0)")
+    return ((ad - (ad % bd)) / bd).cast("long")
 
 
 def _build_ndcg_oracle() -> str:

@@ -3428,3 +3428,84 @@ def quality_jm_lambda_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "iteration long, lambda_milli long, n_positions long"
     )
+
+
+# ---------------------------------------------------------------- wave 51
+# One-sample Kolmogorov-Smirnov uniformity test of event ARRIVAL TIMES
+# per type (Kolmogorov 1933; the monitoring question is "did events
+# arrive steadily over the window, or in bursts/drains?" — the
+# one-sample companion to the two-sample KS of wave 20). Against the
+# U[t_first, t_last] null, the supremum needs only the sample's own
+# jump points, and with u_i = (t_i - t0)/(T - t0) every comparison
+# clears denominators into integers:
+#     D·n·(T-t0) = max_i max( i·(T-t0) − n·(t_i−t0),
+#                             n·(t_i−t0) − (i−1)·(T-t0) )
+# — exact integer numerators (n·span_us ≤ 5e16 at sf0.1), one final
+# integer division for D, and z = √n·D as the single milli-rounded
+# float.
+
+
+@query(
+    "events_arrival_uniformity_ks",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, epoch_us(ts) AS tus,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             MIN(epoch_us(ts)) OVER (PARTITION BY event_type) AS t0,
+             MAX(epoch_us(ts)) OVER (PARTITION BY event_type) AS t1
+      FROM events
+    ),
+    per AS (
+      SELECT event_type, n, t1 - t0 AS span_us,
+             CAST(MAX(GREATEST(i * (t1 - t0) - n * (tus - t0),
+                               n * (tus - t0) - (i - 1) * (t1 - t0)))
+                  AS BIGINT) AS d_num
+      FROM seq GROUP BY event_type, n, t1 - t0
+    )
+    SELECT event_type, n, span_us,
+           CAST(1000 * d_num // (n * span_us) AS BIGINT) AS d_milli,
+           CAST(ROUND(SQRT(CAST(n AS DOUBLE)) * d_num / (n * span_us)
+                      * 1000) AS BIGINT) AS z_milli
+    FROM per ORDER BY event_type
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_arrival_uniformity_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample KS statistic of arrival-time uniformity per event
+    type: D (milli) from exact-integer ECDF extremes against the
+    uniform null over [first, last] arrival, and z = √n·D (milli, the
+    one float). Large D = bursty or draining ingest. One keyed rank
+    window over the same sort, then a keyed integer max."""
+    ev = load_tables(spark, sf_dir, "events").events
+    wp = Window.partitionBy("event_type")
+    w = wp.orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        F.min(F.unix_micros("ts")).over(wp).alias("t0"),
+        F.max(F.unix_micros("ts")).over(wp).alias("t1"),
+    )
+    span = F.col("t1") - F.col("t0")
+    d_plus = F.col("i") * span - F.col("n") * (F.col("tus") - F.col("t0"))
+    d_minus = F.col("n") * (F.col("tus") - F.col("t0")) - (
+        F.col("i") - 1
+    ) * span
+    per = seq.groupBy(
+        "event_type", "n", span.alias("span_us")
+    ).agg(F.max(F.greatest(d_plus, d_minus)).cast("long").alias("d_num"))
+    denom = F.col("n") * F.col("span_us")
+    return per.select(
+        "event_type",
+        "n",
+        "span_us",
+        _idiv_col(F.lit(1000) * F.col("d_num"), denom).alias("d_milli"),
+        F.round(
+            F.sqrt(F.col("n").cast("double")) * F.col("d_num") / denom * 1000
+        )
+        .cast("long")
+        .alias("z_milli"),
+    ).orderBy("event_type")

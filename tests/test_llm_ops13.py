@@ -1382,3 +1382,63 @@ def test_jm_lambda_em_full_python_replay(spark):
     steps = [abs(b - a) for a, b in zip(lams, lams[1:])]
     assert all(b <= a for a, b in zip(steps, steps[1:]))
     assert steps[-1] < steps[0]
+
+
+# ---------------------------------------------------------------- wave 51
+
+
+def test_idiv_col_exact_above_double_precision(spark):
+    """The regression that motivated the decimal _idiv_col: operands
+    past 2^53 with an exactly-integral quotient must not truncate one
+    below (the old double-division modulo trick returned 6 here)."""
+    from pyspark.sql import functions as F
+
+    from sea_streamer_spark.plans.llm_ops12 import _idiv_col
+
+    a = 380246347954840 * 1000
+    b = 20302 * 2591642839594
+    df = spark.createDataFrame(
+        [(a, b), (a + 1, b), (-a, b)], "a long, b long"
+    )
+    got = [
+        r["q"] for r in df.select(_idiv_col(F.col("a"), F.col("b")).alias("q")).collect()
+    ]
+    def trunc(x, y):
+        return abs(x) // y * (1 if x >= 0 else -1)
+    assert got == [trunc(a, b), trunc(a + 1, b), trunc(-a, b)]
+
+
+def test_arrival_uniformity_full_python_replay(spark):
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["ts", "event_id", "event_type"]
+    )
+    per: dict = {}
+    for ts, eid, et in zip(
+        t.column("ts").to_pylist(), t.column("event_id").to_pylist(),
+        t.column("event_type").to_pylist()
+    ):
+        per.setdefault(et, []).append((int(ts.timestamp() * 1_000_000), eid))
+    got = {
+        r["event_type"]: r
+        for r in _run(spark, "events_arrival_uniformity_ks").collect()
+    }
+    assert set(got) == set(per)
+    for et, evs in per.items():
+        evs.sort()
+        tus = [u for u, _e in evs]
+        n = len(tus)
+        t0, t1 = tus[0], tus[-1]
+        span = t1 - t0
+        d_num = max(
+            max(i * span - n * (u - t0), n * (u - t0) - (i - 1) * span)
+            for i, u in enumerate(tus, 1)
+        )
+        r = got[et]
+        assert r["n"] == n
+        assert r["span_us"] == span
+        assert r["d_milli"] == 1000 * d_num // (n * span), et
+        assert r["z_milli"] == round(
+            math.sqrt(n) * d_num / (n * span) * 1000
+        ), et
+        # D is a sup of ECDF deviations: within [0, 1]
+        assert 0 <= r["d_milli"] <= 1000

@@ -118,6 +118,7 @@ SNAPSHOT_QUERIES = [
     "set_symmetric_diff_multiset", "events_user_day_bitmask",
     "events_anomaly_masked_esd", "orders_abc_analysis",
     "quality_jm_lambda_em",
+    "events_arrival_uniformity_ks",
 ]
 
 
