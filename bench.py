@@ -445,7 +445,7 @@ def new_ops_metric(spark) -> dict:
         "graph_pagerank_convergence",
         "dedup_lsh_band_curve",
         "profile_ks_source_drift",
-        # round-9 waves 21-28 (session 2)
+        # round-9 waves 21-51 (session 2)
         "quality_nb_auc_eval",
         "events_mann_kendall_trend",
         "text_collocation_llr",
@@ -477,6 +477,11 @@ def new_ops_metric(spark) -> dict:
         "orders_abc_analysis",
         "quality_jm_lambda_em",
         "events_arrival_uniformity_ks",
+        # round-10 waves
+        "dedup_semantic_cell_sweep",
+        "dedup_semantic_cluster_scaled",
+        "privacy_pii_audit",
+        "privacy_pii_redact_roundtrip",
     ):
         if name not in QUERIES:
             continue

@@ -50,18 +50,23 @@ from .registry import query
 # queries can never disagree about what a cell or a near-dup is.
 
 
-def _semantic_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semantic_scored(
+    spark: SparkSession, sf_dir: str, n_cells: int = _SEM_CELLS
+) -> DataFrame:
     """(vec_id, embedding, cell, cos_c_micro): cell assignment is the
     map-side argmax projection (never shuffles); the cosine-to-centroid
-    rides in on a broadcast join against the 16-row centroid table, then
-    micro-rounds to a BIGINT — the ONE float op, rounded per row before
-    any cross-row comparison (the one-float-then-fixed-point rule)."""
+    rides in on a broadcast join against the n_cells-row centroid table,
+    then micro-rounds to a BIGINT — the ONE float op, rounded per row
+    before any cross-row comparison (the one-float-then-fixed-point
+    rule). ``n_cells`` defaults to the gate-pinned 16 (llm_ops3); the
+    round-10 scale-aware variant (llm_ops14) passes the
+    ``semantic_cells_for`` rung instead."""
     from .llm_ops import gate_ivf_centroids
 
     t = load_tables(spark, sf_dir, "embeddings")
-    cents = gate_ivf_centroids(n_cells=_SEM_CELLS)
+    cents = gate_ivf_centroids(n_cells=n_cells)
     if cents is None:
-        cents = S.ivf_centroids(t.embeddings, n_cells=_SEM_CELLS)
+        cents = S.ivf_centroids(t.embeddings, n_cells=n_cells)
     cent_df = spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in cents],
         "cell long, cvec array<double>",
@@ -109,13 +114,13 @@ def _semantic_dropped(scored: DataFrame) -> DataFrame:
     )
 
 
-def _semantic_scored_sql() -> str:
+def _semantic_scored_sql(n_cells: int = _SEM_CELLS) -> str:
     """The shared oracle CTE chain (cent → assigned → scored) — cell
     assignment SQL single-sourced via cell_structs_sql, centroid literals
     via the same gate-pinned quantizer the Spark side uses."""
     from .llm_ops import oracle_ivf_centroids
 
-    C = oracle_ivf_centroids(n_cells=_SEM_CELLS, iters=8)
+    C = oracle_ivf_centroids(n_cells=n_cells, iters=8)
     if C is None:  # gate data absent: oracle never runs, placeholder
         return "cent(cell, cvec) AS (VALUES (0, [0.0]))," \
                " assigned AS (SELECT 0 AS vec_id, [0.0] AS embedding, 0 AS cell)," \
@@ -304,12 +309,17 @@ def dedup_semantic_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cache()
         )
         cached.append(sem_pairs)
+        # Truth side via the blocked numpy tile sweep (r9 VERDICT task
+        # #4: the JVM all-pairs fold was 54 s at sf0.1 — 62% of the
+        # new_ops bench wall). exact_cosine_pairs accumulates dots and
+        # norms one dimension at a time (the identical left fold), so
+        # every cosine — and therefore every count below — is
+        # bit-identical to the previous join form and to the oracle;
+        # pinned by tests/test_llm_ops14.py::test_exact_cosine_pairs_
+        # matches_jvm_fold.
         true_pairs = (
-            a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-            .filter(cos_ab >= F.lit(_SEM_THRESHOLD))
-            .select(
-                F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
-            )
+            S.exact_cosine_pairs(scored, _SEM_THRESHOLD)
+            .select(F.col("id_a").alias("va"), F.col("id_b").alias("vb"))
             .cache()
         )
         cached.append(true_pairs)
@@ -1024,7 +1034,7 @@ _NDCG_K = 10
 _NDCG_W = [round(1_000_000 / _math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
 
 
-def _idiv_col(a, b):
+def _idiv_col(a, b, scale: int = 1):
     """Exact integer division (truncation toward zero on signed inputs,
     matching DuckDB ``//``'s verified behavior — the wave-13 note).
 
@@ -1035,8 +1045,17 @@ def _idiv_col(a, b):
     arrival-uniformity KS wave: 1000·d_num // (n·span) flipped 7 → 6 at
     sf0.1 where n·span ≈ 5.3e16). Decimal subtraction, modulo and the
     exactly-divisible final division are all exact at 38 digits, far
-    past any BIGINT operand."""
+    past any BIGINT operand.
+
+    ``scale`` multiplies the numerator INSIDE decimal space (the r9
+    ADVICE class: ``F.lit(1000) * a`` in the caller runs in BIGINT and
+    silently wraps once a > 2^63/1000, while the DuckDB oracle errors
+    loudly — the engines diverge exactly on the extreme inputs the
+    diagnostic exists to flag). Callers that fixed-point-scale a
+    quotient must pass the factor here, never pre-multiply in long."""
     ad = a.cast("decimal(38,0)")
+    if scale != 1:
+        ad = (ad * F.lit(scale)).cast("decimal(38,0)")
     bd = b.cast("decimal(38,0)")
     return ((ad - (ad % bd)) / bd).cast("long")
 

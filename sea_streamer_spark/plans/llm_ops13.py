@@ -1385,12 +1385,26 @@ def profile_psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        / power(2.0, i - 2))) AS BIGINT) AS e
       FROM lagged WHERE i >= 2
     ),
-    lvl AS (
+    lvl0 AS (
       SELECT event_type, CAST(MAX(i) AS BIGINT) AS n_days,
+             CAST(MAX(a) AS BIGINT) AS a_max,
+             CAST(MAX_BY(a, i) AS BIGINT) AS a_last,
              CAST(ROUND(1000000 * (CAST(MAX_BY(a, i) AS DOUBLE)
                                    / power(2.0, MAX(i) - 1)))
                   AS BIGINT) AS level_micro
       FROM lagged GROUP BY event_type
+    ),
+    lvl AS (
+      SELECT event_type,
+             CASE WHEN n_days <= 62 AND a_max < 9007199254740992
+                       AND a_last = a_max
+                  THEN n_days
+                  ELSE CAST(error('events_ewma_forecast_eval: closed-form '
+                       || 'capacity exceeded (n_days > 62, A_t >= 2^53, '
+                       || 'or accumulator wrapped)') AS BIGINT)
+             END AS n_days,
+             level_micro
+      FROM lvl0
     )
     SELECT l.event_type, l.n_days, l.level_micro,
            CAST(SUM(ABS(t.e)) // (l.n_days - 1) AS BIGINT) AS mae_micro,
@@ -1447,8 +1461,16 @@ def events_ewma_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("e"),
     )
-    lvl = lagged.groupBy("event_type").agg(
-        F.max("i").cast("long").alias("n_days"),
+    # Capacity guard (r9 ADVICE): the closed form A_t = Σ c_i·2^(i-2) is
+    # exact only while the shift stays in-word (n_days ≤ 62) and A_t
+    # stays an exact double (< 2^53); a is nondecreasing for nonneg
+    # counts, so last-A == max-A detects a silent BIGINT wrap. A fixture
+    # past the bound fails LOUDLY on both engines (raise_error/error())
+    # instead of emitting wrapped garbage.
+    lvl0 = lagged.groupBy("event_type").agg(
+        F.max("i").cast("long").alias("nd_raw"),
+        F.max("a").cast("long").alias("a_max"),
+        F.max_by("a", "i").cast("long").alias("a_last"),
         F.round(
             1_000_000
             * (
@@ -1458,6 +1480,23 @@ def events_ewma_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("level_micro"),
+    )
+    guard_ok = (
+        (F.col("nd_raw") <= F.lit(62))
+        & (F.col("a_max") < F.lit(9007199254740992))
+        & (F.col("a_last") == F.col("a_max"))
+    )
+    lvl = lvl0.select(
+        "event_type",
+        F.when(guard_ok, F.col("nd_raw"))
+        .otherwise(
+            F.raise_error(
+                "events_ewma_forecast_eval: closed-form capacity exceeded "
+                "(n_days > 62, A_t >= 2^53, or accumulator wrapped)"
+            ).cast("long")
+        )
+        .alias("n_days"),
+        "level_micro",
     )
     return (
         lvl.join(terms, "event_type")
@@ -2867,7 +2906,8 @@ _PL_XMIN = 5
            CAST(COUNT(*) AS BIGINT) AS n_tail,
            CAST({_PL_XMIN} AS BIGINT) AS x_min,
            CAST(CASE WHEN SUM(term) <= 0 THEN -1
-                ELSE 1000000 + 1000000 * COUNT(*) * 1000000 // SUM(term)
+                ELSE 1000000 + CAST(1000000000000 AS HUGEINT) * COUNT(*)
+                     // SUM(term)
                 END AS BIGINT) AS alpha_micro
     FROM tail
     """,
@@ -2897,12 +2937,14 @@ def events_user_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "n_tail",
         F.lit(_PL_XMIN).cast("long").alias("x_min"),
+        # 1e12 scaling inside _idiv_col's decimal space (r9 ADVICE: the
+        # old BIGINT pre-multiply 1e12·n_tail wrapped past ~9.2M tail
+        # users while the HUGEINT oracle errored — engines diverged).
         F.when(F.col("sterm") <= 0, F.lit(-1))
         .otherwise(
             F.lit(1_000_000)
             + _idiv_col(
-                F.lit(1_000_000) * F.col("n_tail") * 1_000_000,
-                F.col("sterm"),
+                F.col("n_tail"), F.col("sterm"), scale=1_000_000_000_000
             )
         )
         .cast("long")
@@ -3440,9 +3482,10 @@ def quality_jm_lambda_em(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clears denominators into integers:
 #     D·n·(T-t0) = max_i max( i·(T-t0) − n·(t_i−t0),
 #                             n·(t_i−t0) − (i−1)·(T-t0) )
-# — exact integer numerators (n·span_us ≤ 5e16 at sf0.1), one final
-# integer division for D, and z = √n·D as the single milli-rounded
-# float.
+# — exact numerators carried in DECIMAL(38,0)/HUGEINT (n·span_us is
+# ~5e16 at sf0.1 already, and the 1000× milli scaling would wrap BIGINT
+# whenever D > ~0.17 — the r9 ADVICE catch), one final exact scaled
+# division for D, and z = √n·D as the single milli-rounded float.
 
 
 @query(
@@ -3459,14 +3502,17 @@ def quality_jm_lambda_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per AS (
       SELECT event_type, n, t1 - t0 AS span_us,
-             CAST(MAX(GREATEST(i * (t1 - t0) - n * (tus - t0),
-                               n * (tus - t0) - (i - 1) * (t1 - t0)))
-                  AS BIGINT) AS d_num
+             MAX(GREATEST(
+               CAST(i AS HUGEINT) * (t1 - t0) - CAST(n AS HUGEINT) * (tus - t0),
+               CAST(n AS HUGEINT) * (tus - t0) - CAST(i - 1 AS HUGEINT) * (t1 - t0)
+             )) AS d_num
       FROM seq GROUP BY event_type, n, t1 - t0
     )
     SELECT event_type, n, span_us,
-           CAST(1000 * d_num // (n * span_us) AS BIGINT) AS d_milli,
-           CAST(ROUND(SQRT(CAST(n AS DOUBLE)) * d_num / (n * span_us)
+           CAST(1000 * d_num // (CAST(n AS HUGEINT) * span_us) AS BIGINT)
+             AS d_milli,
+           CAST(ROUND(SQRT(CAST(n AS DOUBLE)) * CAST(d_num AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * span_us AS DOUBLE)
                       * 1000) AS BIGINT) AS z_milli
     FROM per ORDER BY event_type
     """,
@@ -3489,22 +3535,36 @@ def events_arrival_uniformity_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).over(wp).alias("t0"),
         F.max(F.unix_micros("ts")).over(wp).alias("t1"),
     )
-    span = F.col("t1") - F.col("t0")
-    d_plus = F.col("i") * span - F.col("n") * (F.col("tus") - F.col("t0"))
-    d_minus = F.col("n") * (F.col("tus") - F.col("t0")) - (
-        F.col("i") - 1
-    ) * span
+    # Numerators in DECIMAL(38,0)/HUGEINT end-to-end (r9 ADVICE): i·span
+    # and n·rel are bounded only by n·span_us (~5.3e16 at sf0.1, past
+    # 2^63 at ~170× that), and the 1000× fixed-point scaling of d_num
+    # pushed the old BIGINT form over the edge at D > ~0.17 — Spark
+    # (ANSI off) wrapped silently while DuckDB errored. Decimal max is
+    # exact; d_num stays decimal until the one double (z) and the exact
+    # scaled division (d_milli, scale inside _idiv_col's decimal space).
+    span = (F.col("t1") - F.col("t0")).cast("decimal(38,0)")
+    rel = (F.col("tus") - F.col("t0")).cast("decimal(38,0)")
+    i_d = F.col("i").cast("decimal(38,0)")
+    n_d = F.col("n").cast("decimal(38,0)")
+    span_l = F.col("t1") - F.col("t0")
+    d_plus = i_d * span - n_d * rel
+    d_minus = n_d * rel - (i_d - F.lit(1)) * span
     per = seq.groupBy(
-        "event_type", "n", span.alias("span_us")
-    ).agg(F.max(F.greatest(d_plus, d_minus)).cast("long").alias("d_num"))
-    denom = F.col("n") * F.col("span_us")
+        "event_type", "n", span_l.alias("span_us")
+    ).agg(F.max(F.greatest(d_plus, d_minus)).alias("d_num"))
+    denom = F.col("n").cast("decimal(38,0)") * F.col("span_us").cast(
+        "decimal(38,0)"
+    )
     return per.select(
         "event_type",
         "n",
         "span_us",
-        _idiv_col(F.lit(1000) * F.col("d_num"), denom).alias("d_milli"),
+        _idiv_col(F.col("d_num"), denom, scale=1000).alias("d_milli"),
         F.round(
-            F.sqrt(F.col("n").cast("double")) * F.col("d_num") / denom * 1000
+            F.sqrt(F.col("n").cast("double"))
+            * F.col("d_num").cast("double")
+            / denom.cast("double")
+            * 1000
         )
         .cast("long")
         .alias("z_milli"),

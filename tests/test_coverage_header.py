@@ -1,0 +1,33 @@
+"""COVERAGE.md header counts are generated claims, not prose: they must
+equal the live registry exactly (the r8/r9 ADVICE "one wave stale" class
+— VERDICT r9 task #6 asked for this pin)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from sea_streamer_spark.plans.queries import QUERIES
+
+_COV = os.path.join(os.path.dirname(os.path.dirname(__file__)), "COVERAGE.md")
+
+
+def test_coverage_header_counts_match_registry():
+    with open(_COV, encoding="utf-8") as f:
+        text = f.read()
+    m = re.search(
+        r"\*\*(\d+) registered\s+queries, (\d+) DuckDB-oracle-checked",
+        text,
+    )
+    assert m, "COVERAGE.md header count sentence not found"
+    n_reg, n_oracle = int(m.group(1)), int(m.group(2))
+    live_reg = len(QUERIES)
+    live_oracle = sum(1 for q in QUERIES.values() if q.oracle is not None)
+    assert n_reg == live_reg, (
+        f"COVERAGE.md header says {n_reg} registered but the registry has "
+        f"{live_reg} — update the header (it is a pinned claim)"
+    )
+    assert n_oracle == live_oracle, (
+        f"COVERAGE.md header says {n_oracle} oracle-checked but the registry "
+        f"has {live_oracle}"
+    )

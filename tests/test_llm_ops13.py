@@ -1442,3 +1442,98 @@ def test_arrival_uniformity_full_python_replay(spark):
         ), et
         # D is a sup of ECDF deviations: within [0, 1]
         assert 0 <= r["d_milli"] <= 1000
+
+
+# ------------------------------------------------------------- round 10
+# ADVICE fixes: fixed-point scaling inside decimal space, and the EWMA
+# closed-form capacity guard.
+
+
+def test_idiv_col_scale_exact_past_bigint(spark):
+    """The r9 ADVICE class: pre-multiplying the numerator by the
+    fixed-point factor in BIGINT (``F.lit(1000) * a``) wraps silently
+    once a > 2^63/1000. The ``scale=`` path multiplies inside
+    DECIMAL(38,0), so 1000·a stays exact far past BIGINT."""
+    from pyspark.sql import functions as F
+
+    from sea_streamer_spark.plans.llm_ops12 import _idiv_col
+
+    a = 5_300_000_000_000_000_123  # ~5.3e18: 1000*a wraps int64
+    b = 20302 * 2591642839594
+    df = spark.createDataFrame([(a, b), (-a, b)], "a long, b long")
+    got = [
+        r["q"]
+        for r in df.select(
+            _idiv_col(F.col("a"), F.col("b"), scale=1000).alias("q")
+        ).collect()
+    ]
+    def trunc(x, y):
+        return abs(x) // y * (1 if x >= 0 else -1)
+    assert got == [trunc(1000 * a, b), trunc(-1000 * a, b)]
+    # the scaled powerlaw form too: 1e12 * n past int64
+    df2 = spark.createDataFrame([(9_300_000, 17)], "n long, d long")
+    (got2,) = [
+        r["q"]
+        for r in df2.select(
+            _idiv_col(F.col("n"), F.col("d"), scale=10**12).alias("q")
+        ).collect()
+    ]
+    assert got2 == (10**12 * 9_300_000) // 17
+
+
+def test_ewma_guard_fails_loudly_past_capacity(spark, tmp_path):
+    """A fixture spanning more days than the dyadic closed form can
+    carry exactly must FAIL (raise_error on the Spark side, error() in
+    the oracle) instead of emitting wrapped garbage — the r9 ADVICE
+    contract. 70 daily events > the 62-day word capacity."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pytest
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for d in range(70):
+        rows.append(
+            (
+                d,
+                base + datetime.timedelta(days=d),
+                d % 7,
+                "click",
+                1.0,
+                "{}",
+            )
+        )
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    qd = QUERIES["events_ewma_forecast_eval"]
+    # ANSI on: the accumulator SUM itself overflows loudly before the
+    # guard; ANSI off: the wrap is silent and the guard's raise_error
+    # fires. Either way the contract holds — a loud failure, never
+    # wrapped garbage.
+    with pytest.raises(
+        Exception, match="capacity exceeded|ARITHMETIC_OVERFLOW"
+    ):
+        qd.fn(spark, str(tmp_path)).collect()
+    con = duckdb.connect()
+    try:
+        con.sql(
+            f"CREATE VIEW events AS "
+            f"SELECT * FROM '{tmp_path}/events.parquet'"
+        )
+        with pytest.raises(
+            Exception, match="capacity exceeded|Overflow in left shift"
+        ):
+            con.sql(qd.oracle).fetchall()
+    finally:
+        con.close()

@@ -718,3 +718,64 @@ class TestRound9Session2Plans:
         )
         assert "EvalPython" not in plan, plan
         assert plan.count("Window") <= 1, plan  # the sort is rangepart., not a window
+
+
+class TestRound10Plans:
+    """Round-10 waves: the plan properties the SemDeDup scale posture
+    rests on."""
+
+    def test_scaled_semantic_cluster_cell_keyed_broadcast(self, spark, sf_dir):
+        """The scale-aware variant keeps the fixed query's shape at every
+        rung: assignment is a map-side argmax projection, the centroid
+        cosine rides a broadcast join, and the dedup candidate join is a
+        cell equi-join — never a product, never Python."""
+        plan = _final_plan(
+            QUERIES["dedup_semantic_cluster_scaled"].fn(spark, sf_dir)
+        )
+        assert "BroadcastExchange" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_cell_sweep_counting_side_keyed_joins_only(self, spark, sf_dir):
+        """The sweep's recall numerator joins truth pairs to the cell
+        assignment on vec_id twice — keyed equi-joins only (the all-pairs
+        part of the query lives in the tile-sweep truth side, never in a
+        JVM join)."""
+        from pyspark.sql import functions as F
+
+        from sea_streamer_spark.operators import similarity as S
+        from sea_streamer_spark.plans.llm_ops import gate_ivf_centroids
+        from sea_streamer_spark.plans.llm_ops14 import _sweep_colocated
+        from sea_streamer_spark.sources.tables import load_tables
+
+        emb = load_tables(spark, sf_dir, "embeddings").embeddings
+        truth = S.exact_cosine_pairs(emb, 0.45).select(
+            F.col("id_a").alias("va"), F.col("id_b").alias("vb")
+        )
+        cells = emb.select(
+            "vec_id",
+            S.ivf_cell_expr(gate_ivf_centroids(n_cells=16)).alias("cell"),
+        )
+        plan = _final_plan(_sweep_colocated(truth, cells))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_pii_audit_single_scan_no_python(self, spark, sf_dir):
+        """Detection is per-byte map-side JVM regexp: one documents scan,
+        one keyed aggregate, the output sort — and zero Python."""
+        plan = _final_plan(QUERIES["privacy_pii_audit"].fn(spark, sf_dir))
+        assert plan.count("documents.parquet") == 1, plan
+        assert "EvalPython" not in plan, plan
+        assert _shuffle_exchanges(plan) <= 2, plan
+
+    def test_pii_redaction_single_scan_no_python(self, spark, sf_dir):
+        """The redaction chain + re-detection stays one projection over
+        one scan (text never crosses a shuffle; only per-source counts
+        do)."""
+        plan = _final_plan(
+            QUERIES["privacy_pii_redact_roundtrip"].fn(spark, sf_dir)
+        )
+        assert plan.count("documents.parquet") == 1, plan
+        assert "EvalPython" not in plan, plan
+        assert _shuffle_exchanges(plan) <= 2, plan

@@ -102,7 +102,7 @@ SNAPSHOT_QUERIES = [
     "profile_mann_whitney_drift", "quality_nb_calibration_curve",
     "graph_pagerank_convergence", "dedup_lsh_band_curve",
     "profile_ks_source_drift",
-    # round-9 waves 21-28 (session 2)
+    # round-9 waves 21-51 (session 2)
     "quality_nb_auc_eval", "events_mann_kendall_trend",
     "text_collocation_llr", "events_ab_cuped",
     "dedup_prefix_filter_eval", "text_textrank_keywords",
@@ -119,6 +119,10 @@ SNAPSHOT_QUERIES = [
     "events_anomaly_masked_esd", "orders_abc_analysis",
     "quality_jm_lambda_em",
     "events_arrival_uniformity_ks",
+    # round-10 waves
+    "dedup_semantic_cluster_scaled",
+    "privacy_pii_audit",
+    "privacy_pii_redact_roundtrip",
 ]
 
 
