@@ -182,6 +182,7 @@ def main() -> None:
         # headline number stays comparable round-over-round
         "scale": scale_dedup_metric(spark),
         "scale_pipeline": scale_pipeline_metric(spark),
+        "scale_semantic": scale_semantic_metric(spark),
         "new_ops": new_ops_metric(spark),
         "wire": wire,
     }
@@ -354,6 +355,123 @@ def scale_pipeline_metric(spark) -> dict:
     return out
 
 
+def scale_semantic_metric(spark) -> dict:
+    """Semantic-dedup scale ladder (r9 judge task #7): the text
+    modality's 10× replica proof (``scale_pipeline``), run through the
+    SEMANTIC pipeline — cluster-assign → broadcast centroid score →
+    within-cell keep/drop join.
+
+    Replica protocol: 10 copies of the embedding table, identical
+    vectors, with the replica id FOLDED INTO THE CELL KEY (replica r of
+    a vector in cell c lands in effective cell c + r·K). This is
+    exactly what ``semantic_cells_for`` prescribes at 10× the corpus —
+    cells ∝ N with constant expected population — realized structurally
+    instead of training 640 centroids: candidate volume, shuffle width
+    and per-cell join size are identical to a 640-cell quantizer whose
+    cells happen to partition by replica. Cross-replica candidate pairs
+    are therefore structurally zero (the join key differs), and the
+    measured invariants are exact 10× counts:
+
+    - ``cross_replica_pairs`` == 0 — a nonzero value means the dedup
+      join stopped keying on the full cell id;
+    - candidates / dropped at 10× == exactly 10× the base run —
+      per-replica determinism, measured not argued;
+    - ``wall_ratio_x10`` — the wall-clock ratio (assignment is
+      map-side linear; the join is Σ pop² which the key extension
+      keeps linear in N)."""
+    from pyspark.sql import functions as F
+
+    from sea_streamer_spark.operators import similarity as S
+    from sea_streamer_spark.plans.llm_ops import gate_ivf_centroids
+    from sea_streamer_spark.plans.llm_ops3 import _SEM_THRESHOLD
+    from sea_streamer_spark.sources.tables import load_tables
+
+    k = 10
+    n_cells = 64  # the semantic_cells_for rung for the sf0.1 corpus
+    emb = load_tables(spark, SF_DIR, "embeddings").embeddings
+    n_base = emb.count()
+    cents = gate_ivf_centroids(n_cells=n_cells)
+    if cents is None:
+        cents = S.ivf_centroids(emb, n_cells=n_cells)
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cell long, cvec array<double>",
+    )
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    big = emb.crossJoin(reps).select(
+        (F.col("vec_id") * k + F.col("rep")).alias("vec_id"),
+        "embedding",
+        F.col("rep"),
+    )
+    base = emb.select("vec_id", "embedding", F.lit(0).cast("long").alias("rep"))
+
+    out: dict = {"replicas": k, "n_vectors": n_base * k, "n_cells_base": n_cells}
+    for tag, d0 in (("base", base), ("x10", big)):
+        t0 = time.perf_counter()
+        assigned = d0.select(
+            "vec_id",
+            "embedding",
+            "rep",
+            S.ivf_cell_expr(cents).alias("cell0"),
+        )
+        scored = (
+            assigned.join(F.broadcast(cent_df), F.col("cell0") == cent_df["cell"])
+            .select(
+                "vec_id",
+                "embedding",
+                "rep",
+                (F.col("cell0") + F.col("rep") * n_cells).alias("ecell"),
+                F.floor(
+                    S.cosine(F.col("embedding"), F.col("cvec"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("cos_c_micro"),
+            )
+        )
+        a, b = scored.alias("a"), scored.alias("b")
+        better = (F.col("b.cos_c_micro") < F.col("a.cos_c_micro")) | (
+            (F.col("b.cos_c_micro") == F.col("a.cos_c_micro"))
+            & (F.col("b.vec_id") < F.col("a.vec_id"))
+        )
+        cand = a.join(
+            b, (F.col("a.ecell") == F.col("b.ecell")) & better
+        ).select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            S.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        ).cache()
+        dropped = (
+            cand.filter(F.col("cos") >= F.lit(_SEM_THRESHOLD))
+            .select("va")
+            .distinct()
+        )
+        out[f"{tag}_dropped"] = dropped.count()
+        out[f"{tag}_wall_sec"] = round(time.perf_counter() - t0, 4)
+        # invariant actions OUTSIDE the timing (cand is cached)
+        out[f"{tag}_candidates"] = cand.count()
+        if tag == "x10":
+            out["cross_replica_pairs"] = cand.filter(
+                F.col("rep_a") != F.col("rep_b")
+            ).count()
+        cand.unpersist()
+    out["wall_ratio_x10"] = (
+        round(out["x10_wall_sec"] / out["base_wall_sec"], 2)
+        if out["base_wall_sec"] > 0
+        else None
+    )
+    out["linear"] = bool(
+        out["cross_replica_pairs"] == 0
+        and out["x10_candidates"] == out["base_candidates"] * k
+        and out["x10_dropped"] == out["base_dropped"] * k
+    )
+    spark.catalog.clearCache()
+    return out
+
+
 def new_ops_metric(spark) -> dict:
     """Non-headline timings for the round-3 late-wave operators (median of 3
     after a warm-up — shorter than the headline protocol because these are
@@ -482,6 +600,12 @@ def new_ops_metric(spark) -> dict:
         "dedup_semantic_cluster_scaled",
         "privacy_pii_audit",
         "privacy_pii_redact_roundtrip",
+        "events_theil_sen_trend",
+        "events_acf_daily",
+        "search_map_mrr_eval",
+        "quality_chi2_feature_selection",
+        "events_kaplan_meier_gaps",
+        "text_heaps_law_fit",
     ):
         if name not in QUERIES:
             continue
@@ -533,10 +657,21 @@ def wire_metric(spark) -> dict:
     # left 12 shards paying cold broker-spawn inside the first measured
     # run, inflating wire_spread_pct (r5 ADVICE).
     benchmark_wire(spark, n=20_000, n_shards=shards)
-    runs = [benchmark_wire(spark, n=n, n_shards=shards) for _ in range(3)]
+    # Per-RUN host probes (r9 judge task #8): the bench-level probe
+    # bracket showed host-state spread is the dominant wire uncertainty
+    # across builder/driver/judge hosts; a probe adjacent to EACH run
+    # lets any reader normalize a specific run's figure against the CPU
+    # the host was actually giving out during that window.
+    runs = []
+    run_probes = []
+    for _ in range(3):
+        runs.append(benchmark_wire(spark, n=n, n_shards=shards))
+        run_probes.append(_cpu_probe())
     best = max(runs, key=lambda r: r["wire_msgs_per_sec"])
     rates = [r["wire_msgs_per_sec"] for r in runs]
     best["wire_msgs_per_sec_runs"] = rates
+    best["wire_probe_ms_runs"] = run_probes
+    best["wire_probe_ms_best_run"] = run_probes[runs.index(best)]
     best["wire_spread_pct"] = round(
         100.0 * (max(rates) - min(rates)) / max(rates), 1
     )

@@ -42,6 +42,7 @@ from ..operators import similarity as S
 from ..sources.tables import load_tables
 from .llm_ops import cell_structs_sql, lit_vec, oracle_ivf_centroids, _duck_cosine
 from .llm_ops3 import _SEM_THRESHOLD
+from .llm_ops11 import _duck_gopher_pass
 from .llm_ops12 import _SEM_BETTER, _semantic_dropped, _semantic_scored
 from .registry import query
 
@@ -605,4 +606,828 @@ def privacy_pii_redact_roundtrip(
             F.sum("chars_removed").cast("long").alias("chars_removed"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------- wave 3
+# Theil-Sen trend estimator over per-type daily ingest counts (Theil
+# 1950; Sen, JASA 1968): the median of all pairwise slopes — the robust
+# companion to the Mann-Kendall TEST already registered (wave 24): M-K
+# says "is there a monotone trend", Theil-Sen says "how steep", and
+# unlike OLS one corrupted day cannot move it. Slopes are exact
+# integers: slope_micro = 1e6·(c_j − c_i) // (j − i) (truncation toward
+# zero on both engines via _idiv_col/`//`), the median is the lower
+# median by ROW_NUMBER — no floats anywhere. The pairwise relation is
+# DAY-dimension bounded (n_days ≤ 62 by the EWMA-family fixture bound:
+# ~2k pairs per type), never corpus-sized.
+
+
+@query(
+    "events_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(1000000 * (b.c - a.c) // (b.i - a.i) AS BIGINT) AS s
+      FROM idx a JOIN idx b
+        ON b.event_type = a.event_type AND b.i > a.i
+    ),
+    ranked AS (
+      SELECT event_type, s,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM slopes
+    )
+    SELECT event_type,
+           CAST((SELECT COUNT(*) FROM idx i
+                 WHERE i.event_type = ranked.event_type) AS BIGINT) AS n_days,
+           CAST(np AS BIGINT) AS n_pairs,
+           CAST(s AS BIGINT) AS slope_micro
+    FROM ranked WHERE rn = (np + 1) // 2
+    ORDER BY event_type
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend (events/day drift per day, micro) per
+    event type: lower median of the 1e6-scaled integer pairwise slopes
+    of the daily-count series. One daily rollup, one day-dimension
+    self-join (≤ n_days² pairs per type — dimension-bounded), one
+    ranking window; exact integer end-to-end."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events").events
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type", "c", F.row_number().over(w).cast("long").alias("i")
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    from .llm_ops12 import _idiv_col
+
+    slopes = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.i") > F.col("a.i")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        _idiv_col(
+            F.col("b.c") - F.col("a.c"),
+            F.col("b.i") - F.col("a.i"),
+            scale=1_000_000,
+        ).alias("s"),
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "s",
+        F.row_number().over(wp.orderBy("s")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("np"),
+    )
+    n_days = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        ranked.filter(F.col("rn") == F.floor((F.col("np") + 1) / 2))
+        .join(n_days, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.col("np").cast("long").alias("n_pairs"),
+            F.col("s").cast("long").alias("slope_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------- wave 4
+# Sample autocorrelation function of the daily ingest series per type
+# (Box & Jenkins 1970, the textbook ACF): r_k for lags 1..7 — the
+# weekly-seasonality screen beside EWMA (level), Mann-Kendall (trend),
+# CUSUM (changepoint) and the arrival-KS (burstiness). Exact integers
+# by clearing the mean's denominator: with S = Σc and n days,
+#     r_k = Σ_t (n·c_t − S)(n·c_{t+k} − S) / Σ_t (n·c_t − S)²
+# — numerator and denominator are integer sums of products of
+# (n·c − S) terms, carried in DECIMAL(38,0)/HUGEINT (n·c can pass 2^31
+# easily and the squared sums pass 2^63 at production volumes — the
+# round-10 ADVICE headroom discipline), one exact scaled division.
+
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "events_acf_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    ),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s
+      FROM idx GROUP BY event_type
+    ),
+    dev AS (
+      SELECT i.event_type, i.i,
+             CAST(st.n AS HUGEINT) * i.c - st.s AS d
+      FROM idx i JOIN stats st ON st.event_type = i.event_type
+    ),
+    den AS (
+      SELECT event_type, SUM(d * d) AS den
+      FROM dev GROUP BY event_type
+    ),
+    lags AS (
+      SELECT CAST(unnest(range(1, {_ACF_MAX_LAG + 1})) AS BIGINT) AS lag
+    ),
+    num AS (
+      SELECT a.event_type, l.lag, SUM(a.d * b.d) AS num,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM dev a
+      CROSS JOIN lags l
+      JOIN dev b ON b.event_type = a.event_type AND b.i = a.i + l.lag
+      GROUP BY a.event_type, l.lag
+    )
+    SELECT n.event_type, n.lag,
+           (SELECT st.n FROM stats st
+            WHERE st.event_type = n.event_type) AS n_days,
+           n.n_terms,
+           CAST(1000 * n.num // d.den AS BIGINT) AS acf_permille
+    FROM num n JOIN den d ON d.event_type = n.event_type
+    ORDER BY n.event_type, n.lag
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count autocorrelation r_k (permille) per event type for
+    lags 1..{7}: the seasonality screen. Mean cleared into integers
+    (n·c − S), products carried in decimal(38,0); the lag join is keyed
+    on (type, i+lag) against a 7-row lag dimension — day-dimension
+    bounded, one pass over the daily rollup."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops12 import _idiv_col
+
+    ev = load_tables(spark, sf_dir, "events").events
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type", "c", F.row_number().over(w).cast("long").alias("i")
+    )
+    stats = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    dev = idx.join(stats, "event_type").select(
+        "event_type",
+        "i",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("c")
+            - F.col("s").cast("decimal(38,0)")
+        ).alias("d"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(
+            (F.col("d") * F.col("d")).cast("decimal(38,0)")
+        ).alias("den")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a, b = dev.alias("a"), dev.alias("b")
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.i") == F.col("a.i") + F.col("lag")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+        .agg(
+            F.sum(
+                (F.col("a.d") * F.col("b.d")).cast("decimal(38,0)")
+            ).alias("num"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+    return (
+        num.join(den, "event_type")
+        .join(stats.select("event_type", F.col("n").alias("n_days")), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            F.col("n_days").cast("long").alias("n_days"),
+            "n_terms",
+            _idiv_col(F.col("num"), F.col("den"), scale=1000).alias(
+                "acf_permille"
+            ),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+# ---------------------------------------------------------------- wave 5
+# MAP@10 + MRR@10 of the query-likelihood ranking (mean average
+# precision and mean reciprocal rank — the two classic set-based IR
+# metrics beside the graded nDCG already registered; Voorhees, TREC-8
+# 1999 for MRR; Buckley & Voorhees 2000 for MAP): same ranking, same
+# synthetic term-overlap relevance as search_ndcg_eval (stated, not
+# hidden). EVERY number is exact integer arithmetic: P@i = 1e6·relcnt//i,
+# AP = ΣP@i // min(R, 10), MRR = 1e6 // first_hit_rank — no float in
+# either engine anywhere in this query.
+
+_MAP_K = 10
+
+
+def _build_map_mrr_oracle() -> str:
+    from .llm_ops12 import _build_ql_oracle
+
+    ql = _build_ql_oracle().strip()
+    toks = "list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0)"
+    return f"""
+    WITH ranked AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY ql_micro DESC, doc_id)
+               AS BIGINT) AS rank
+      FROM ({ql})
+    ),
+    qt AS (
+      SELECT DISTINCT unnest({toks}) AS term
+      FROM documents WHERE doc_id = 0
+    ),
+    rel AS (
+      SELECT c.doc_id FROM (
+        SELECT doc_id, unnest({toks}) AS term
+        FROM documents WHERE doc_id <> 0
+      ) c JOIN qt USING (term)
+      GROUP BY c.doc_id
+    ),
+    hits AS (
+      SELECT rank, CAST(ROW_NUMBER() OVER (ORDER BY rank) AS BIGINT)
+               AS relcnt
+      FROM ranked JOIN rel USING (doc_id)
+      WHERE rank <= {_MAP_K}
+    ),
+    m AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rel) AS r_total,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+             (SELECT CAST(COALESCE(SUM(1000000 * relcnt // rank), 0)
+                     AS BIGINT) FROM hits) AS ap_num,
+             (SELECT CAST(COALESCE(MIN(rank), 0) AS BIGINT) FROM hits)
+               AS first_rank
+    )
+    SELECT r_total AS n_rel_corpus, n_hits AS n_rel_topk,
+           CAST(CASE WHEN first_rank > 0 THEN 1000000 // first_rank
+                ELSE 0 END AS BIGINT) AS mrr_micro,
+           CAST(CASE WHEN LEAST(r_total, {_MAP_K}) > 0
+                THEN ap_num // LEAST(r_total, {_MAP_K})
+                ELSE 0 END AS BIGINT) AS map_micro
+    FROM m
+    """
+
+
+@query(
+    "search_map_mrr_eval",
+    oracle=_build_map_mrr_oracle(),
+    tags=("llm", "search", "eval"),
+)
+def search_map_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 and MRR@10 (micro) of the Dirichlet query-likelihood
+    ranking against binary term-overlap relevance — completes the
+    retrieval eval row (nDCG grades, MAP/MRR count and place). Exact
+    integer floor arithmetic end-to-end; the plan reuses the QL top-15
+    relation + one corpus term aggregate for the relevance set. One
+    output row."""
+    from pyspark.sql.window import Window
+
+    from ..operators import text as T
+    from .llm_ops12 import search_query_likelihood_topk
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    toks = F.filter(T.tokens("text"), lambda w: F.length(w) > 0)
+    qt = (
+        docs.filter("doc_id = 0")
+        .select(F.explode(toks).alias("term"))
+        .distinct()
+    )
+    rel = (
+        docs.filter("doc_id <> 0")
+        .select("doc_id", F.explode(toks).alias("term"))
+        .join(F.broadcast(qt), "term")
+        .select("doc_id")
+        .distinct()
+    )
+    ranked = search_query_likelihood_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("ql_micro"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rank"),
+    )
+    from .llm_ops12 import _idiv_col
+
+    hits = (
+        ranked.join(rel, "doc_id")
+        .filter(F.col("rank") <= _MAP_K)
+        .select(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy("rank"))
+            .cast("long")
+            .alias("relcnt"),
+        )
+    )
+    r_total = rel.agg(F.count(F.lit(1)).cast("long").alias("r_total"))
+    agg = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.coalesce(
+            F.sum(_idiv_col(F.col("relcnt"), F.col("rank"), scale=1_000_000)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("ap_num"),
+        F.coalesce(F.min("rank"), F.lit(0)).cast("long").alias("first_rank"),
+    )
+    return agg.crossJoin(F.broadcast(r_total)).select(
+        F.col("r_total").alias("n_rel_corpus"),
+        F.col("n_hits").alias("n_rel_topk"),
+        F.when(
+            F.col("first_rank") > 0,
+            _idiv_col(F.lit(1), F.col("first_rank"), scale=1_000_000),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mrr_micro"),
+        F.when(
+            F.least(F.col("r_total"), F.lit(_MAP_K)) > 0,
+            _idiv_col(
+                F.col("ap_num"), F.least(F.col("r_total"), F.lit(_MAP_K))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("map_micro"),
+    )
+
+
+# ---------------------------------------------------------------- wave 6
+# χ² feature selection for the NB quality classifier (Manning, Raghavan
+# & Schütze, "Introduction to Information Retrieval" §13.5, 2008): per
+# term, the 2×2 presence/label contingency over the SAME training split
+# the registered NB chain uses (doc_id % 2 = 0, gopher pass labels —
+# single-sourced so this table names the features that drive the
+# registered classifier, not some other one). With a = pass docs
+# containing the term, b = fail docs containing it, P/F = train class
+# sizes: ad − bc simplifies to a·F − b·P, and
+#     χ² = N·(a·F − b·P)² / (df·(N−df)·P·F),   df = a+b, N = P+F
+# — all-integer with the 1e6 scaling applied inside decimal space
+# (N·(aF−bP)² passes 2^63 long before the corpus is big). Ubiquitous
+# terms (df = N) are excluded: their denominator is 0 and their signal
+# is definitionally nil.
+
+
+@query(
+    "quality_chi2_feature_selection",
+    oracle=f"""
+    WITH {_duck_gopher_pass()},
+    pres AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents WHERE doc_id % 2 = 0
+      ) WHERE len(w) > 0
+    ),
+    tots AS (
+      SELECT CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(SUM(CASE WHEN passes THEN 0 ELSE 1 END) AS BIGINT) AS nf
+      FROM labels WHERE doc_id % 2 = 0
+    ),
+    cont AS (
+      SELECT p.w,
+             CAST(SUM(CASE WHEN l.passes THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN l.passes THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM pres p JOIN labels l USING (doc_id)
+      GROUP BY p.w
+    ),
+    chi AS (
+      SELECT w, a, b, a + b AS df,
+             CAST(1000000 * (np + nf)
+                  * CAST(a * nf - b * np AS HUGEINT)
+                  * CAST(a * nf - b * np AS HUGEINT)
+                  // (CAST(a + b AS HUGEINT) * (np + nf - a - b) * np * nf)
+                  AS BIGINT) AS chi2_micro
+      FROM cont CROSS JOIN tots
+      WHERE a + b < np + nf
+    )
+    SELECT w AS term, a AS n_pass_docs, b AS n_fail_docs, df AS doc_freq,
+           chi2_micro
+    FROM chi
+    ORDER BY chi2_micro DESC, term LIMIT 25
+    """,
+    tags=("llm", "quality", "text"),
+)
+def quality_chi2_feature_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-25 χ²-selected terms (micro) for the registered NB quality
+    classifier's training split — which vocabulary actually separates
+    gopher-pass from gopher-fail. One distinct (doc, term) presence
+    explode over the train half, one term-keyed contingency aggregate,
+    broadcast class totals, decimal-safe χ², TakeOrdered(25)."""
+    from ..operators import quality as Q
+    from .llm_ops12 import _idiv_col
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    labels = Q.gopher_quality_flags(docs).select("doc_id", "passes")
+    pres = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    cont = (
+        pres.join(labels, "doc_id")
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("passes"), 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("passes"), 0).otherwise(1))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    tots = (
+        labels.filter(F.col("doc_id") % 2 == 0)
+        .agg(
+            F.sum(F.when(F.col("passes"), 1).otherwise(0))
+            .cast("long")
+            .alias("np"),
+            F.sum(F.when(F.col("passes"), 0).otherwise(1))
+            .cast("long")
+            .alias("nf"),
+        )
+    )
+    d = cont.crossJoin(F.broadcast(tots)).filter(
+        F.col("a") + F.col("b") < F.col("np") + F.col("nf")
+    )
+    diff = (
+        F.col("a").cast("decimal(38,0)") * F.col("nf")
+        - F.col("b").cast("decimal(38,0)") * F.col("np")
+    )
+    num = (
+        (F.col("np") + F.col("nf")).cast("decimal(38,0)") * diff * diff
+    ).cast("decimal(38,0)")
+    den = (
+        (F.col("a") + F.col("b")).cast("decimal(38,0)")
+        * (F.col("np") + F.col("nf") - F.col("a") - F.col("b"))
+        * F.col("np")
+        * F.col("nf")
+    ).cast("decimal(38,0)")
+    return (
+        d.select(
+            F.col("w").alias("term"),
+            F.col("a").alias("n_pass_docs"),
+            F.col("b").alias("n_fail_docs"),
+            (F.col("a") + F.col("b")).cast("long").alias("doc_freq"),
+            _idiv_col(num, den, scale=1_000_000).alias("chi2_micro"),
+        )
+        .orderBy(F.desc("chi2_micro"), F.asc("term"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------- wave 7
+# Kaplan-Meier survival of INTER-EVENT gaps (Kaplan & Meier, JASA 1958
+# — the product-limit estimator): "a user just acted; how long until
+# they act again?" — the session-gap curve behind engagement and
+# timeout decisions. Durations are the hour-bucketed gaps between a
+# user's consecutive events; each user's FINAL gap is right-censored at
+# the corpus horizon (no next event was observed — textbook censoring,
+# not a heuristic; on this fixture every user is active at the window
+# end, so user-LIFETIME survival would be 100%-censored and vacuous —
+# measured, which is why the subject is the gap). Risk sets and event
+# counts are hour-dimension integer aggregates; the only floats are the
+# per-step ln((n-d)/n) micro-rounded BEFORE the cumulative sum, and the
+# final exp back to milli survival — identical doubles in both engines.
+# A step that exhausts the risk set (d = n: the largest duration is an
+# observed gap) clamps its log term to the stated sentinel and reports
+# surv_milli = 0 from there on.
+
+_KM_SENTINEL = -(10**9)
+
+
+@query(
+    "events_kaplan_meier_gaps",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    horizon AS (SELECT MAX(epoch_us(ts)) AS h FROM events),
+    dur AS (
+      SELECT CASE WHEN nxt IS NULL
+               THEN (SELECT h FROM horizon) - us
+               ELSE nxt - us END // 3600000000 AS t,
+             (nxt IS NOT NULL) AS observed
+      FROM seq
+    ),
+    risk AS (
+      SELECT CAST(t AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n_here,
+             CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM dur GROUP BY t
+    ),
+    curve AS (
+      SELECT t, d AS n_events,
+             CAST(SUM(n_here) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+      FROM risk
+    ),
+    terms AS (
+      SELECT t, n_events, n_risk,
+             CASE WHEN n_events < n_risk THEN
+               CAST(ROUND(ln(CAST(n_risk - n_events AS DOUBLE) / n_risk)
+                          * 1000000) AS BIGINT)
+             ELSE CAST({_KM_SENTINEL} AS BIGINT) END AS term_micro
+      FROM curve WHERE n_events > 0
+    ),
+    km AS (
+      SELECT t, n_risk, n_events,
+             CAST(SUM(term_micro) OVER (ORDER BY t) AS BIGINT)
+               AS log_surv_micro
+      FROM terms
+    )
+    SELECT t AS t_hours, n_risk, n_events, log_surv_micro,
+           CAST(CASE WHEN log_surv_micro <= {-(10**8)} THEN 0
+                ELSE ROUND(exp(CAST(log_surv_micro AS DOUBLE) / 1000000)
+                           * 1000) END AS BIGINT) AS surv_milli
+    FROM km ORDER BY t_hours
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_kaplan_meier_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival of hour-bucketed inter-event
+    gaps, right-censoring each user's final open gap at the corpus
+    horizon: per distinct gap length, the risk set, observed-gap count,
+    integer log-survival (micro) and the milli survival probability.
+    One per-user lead window, one hour-dimension reverse-cumulative
+    window — gaps at any corpus volume collapse to the bounded hour
+    dimension before anything nonlinear."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops12 import _idiv_col
+
+    ev = load_tables(spark, sf_dir, "events").events
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w_u).alias("nxt"),
+    )
+    horizon = ev.agg(F.max(F.unix_micros("ts")).alias("h"))
+    dur = seq.crossJoin(F.broadcast(horizon)).select(
+        _idiv_col(
+            F.when(F.col("nxt").isNull(), F.col("h") - F.col("us")).otherwise(
+                F.col("nxt") - F.col("us")
+            ),
+            F.lit(3600000000),
+        ).alias("t"),
+        F.col("nxt").isNotNull().alias("observed"),
+    )
+    risk = dur.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_here"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = risk.select(
+        "t",
+        F.col("d").alias("n_events"),
+        F.sum("n_here").over(w_desc).cast("long").alias("n_risk"),
+    )
+    terms = curve.filter(F.col("n_events") > 0).select(
+        "t",
+        "n_events",
+        "n_risk",
+        F.when(
+            F.col("n_events") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("n_events")).cast("double")
+                    / F.col("n_risk")
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+        .otherwise(F.lit(_KM_SENTINEL))
+        .alias("term_micro"),
+    )
+    w_asc = Window.orderBy("t").rangeBetween(Window.unboundedPreceding, 0)
+    km = terms.select(
+        "t",
+        "n_risk",
+        "n_events",
+        F.sum("term_micro").over(w_asc).cast("long").alias("log_surv_micro"),
+    )
+    return km.select(
+        F.col("t").alias("t_hours"),
+        "n_risk",
+        "n_events",
+        "log_surv_micro",
+        F.when(F.col("log_surv_micro") <= -(10**8), F.lit(0))
+        .otherwise(
+            F.round(
+                F.exp(F.col("log_surv_micro").cast("double") / 1_000_000)
+                * 1000
+            )
+        )
+        .cast("long")
+        .alias("surv_milli"),
+    ).orderBy("t_hours")
+
+
+# ---------------------------------------------------------------- wave 8
+# Heaps' law fit (Heaps 1978; Herdan 1960): vocabulary growth
+# V(n) ≈ K·n^β over the corpus in doc_id order — the exponent β is the
+# standard corpus-health covariate (β near 1 = unbounded novel tokens,
+# low β = saturating vocabulary; feeds tokenizer-budget decisions).
+# Checkpoints at doc-count deciles; V and n come from ONE window pass
+# (new-terms-per-doc = terms whose FIRST occurrence is that doc, then a
+# cumulative sum beside the cumulative token count); β is the exact
+# integer OLS slope over the 10 micro-rounded (ln n, ln V) points, with
+# the 1e6 scaling applied inside decimal space.
+
+
+@query(
+    "text_heaps_law_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                            w -> len(w) > 0)) AS w
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM toks GROUP BY doc_id
+    ),
+    firsts AS (
+      SELECT MIN(doc_id) AS doc_id, CAST(COUNT(DISTINCT w) AS BIGINT)
+      FROM toks GROUP BY w
+    ),
+    new_terms AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+      FROM (SELECT w, MIN(doc_id) AS doc_id FROM toks GROUP BY w)
+      GROUP BY doc_id
+    ),
+    cum AS (
+      SELECT p.doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY p.doc_id) AS BIGINT) AS r,
+             CAST(SUM(p.n_tok) OVER (ORDER BY p.doc_id) AS BIGINT) AS tok_cum,
+             CAST(SUM(COALESCE(nt.nv, 0)) OVER (ORDER BY p.doc_id) AS BIGINT)
+               AS v_cum
+      FROM per_doc p LEFT JOIN new_terms nt ON nt.doc_id = p.doc_id
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM per_doc),
+    cps AS (
+      SELECT c.r, c.tok_cum, c.v_cum,
+             CAST(ROUND(ln(CAST(c.tok_cum AS DOUBLE)) * 1000000) AS BIGINT)
+               AS x,
+             CAST(ROUND(ln(CAST(c.v_cum AS DOUBLE)) * 1000000) AS BIGINT)
+               AS y
+      FROM cum c CROSS JOIN nd
+      WHERE c.tok_cum > 0 AND c.v_cum > 0
+        AND EXISTS (SELECT 1 FROM range(1, 11) q(q)
+                    WHERE c.r = q.q * nd.n_docs // 10)
+    ),
+    ols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM cps
+    )
+    SELECT k AS n_checkpoints,
+           (SELECT n_docs FROM nd) AS n_docs,
+           (SELECT MAX(tok_cum) FROM cps) AS n_tokens_total,
+           (SELECT MAX(v_cum) FROM cps) AS vocab_total,
+           CAST(1000000 * (k * sxy - sx * sy)
+                // (k * sxx - sx * sx) AS BIGINT) AS beta_micro
+    FROM ols
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent β (micro) by exact integer
+    OLS over decile checkpoints of (ln cumulative tokens, ln cumulative
+    vocabulary) in doc_id order. New-vocabulary counts come from each
+    term's FIRST document (a term-keyed min + doc-keyed count — never a
+    prefix re-scan); both cumulatives are one window over the doc
+    dimension; the two ln's are the only floats, micro-rounded at the
+    checkpoint before any cross-row arithmetic."""
+    from pyspark.sql.window import Window
+
+    from ..operators import text as T
+    from .llm_ops12 import _idiv_col
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(T.tokens("text"), lambda w: F.length(w) > 0)
+        ).alias("w"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    new_terms = (
+        toks.groupBy("w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    )
+    w_cum = Window.orderBy("doc_id").rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        per_doc.join(new_terms, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("r"),
+            F.sum("n_tok").over(w_cum).cast("long").alias("tok_cum"),
+            F.sum(F.coalesce(F.col("nv"), F.lit(0)))
+            .over(w_cum)
+            .cast("long")
+            .alias("v_cum"),
+        )
+    )
+    nd = per_doc.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    qs = spark.range(1, 11).select(F.col("id").alias("q"))
+    cp_ranks = (
+        qs.crossJoin(F.broadcast(nd))
+        .select(
+            _idiv_col(F.col("q") * F.col("n_docs"), F.lit(10)).alias("r")
+        )
+        .distinct()
+    )
+    cps = (
+        cum.join(cp_ranks, "r")
+        .filter((F.col("tok_cum") > 0) & (F.col("v_cum") > 0))
+        .select(
+            "r",
+            "tok_cum",
+            "v_cum",
+            F.round(F.log(F.col("tok_cum").cast("double")) * 1_000_000)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("v_cum").cast("double")) * 1_000_000)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    ols = cps.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.max("tok_cum").cast("long").alias("n_tokens_total"),
+        F.max("v_cum").cast("long").alias("vocab_total"),
+    )
+    return ols.crossJoin(F.broadcast(nd)).select(
+        F.col("k").alias("n_checkpoints"),
+        "n_docs",
+        "n_tokens_total",
+        "vocab_total",
+        _idiv_col(
+            F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"),
+            F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"),
+            scale=1_000_000,
+        ).alias("beta_micro"),
     )

@@ -287,3 +287,272 @@ def test_pii_patterns_are_pairwise_disjoint():
                 assert hits == [s], (name, sname, hits)
             else:
                 assert hits == [], (name, sname, hits)
+
+
+# ---------------------------------------------------------------- wave 3/4
+
+
+def _daily_counts():
+    import datetime
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet", columns=["ts", "event_type"]
+    )
+    per: dict = {}
+    for ts, et in zip(
+        t.column("ts").to_pylist(), t.column("event_type").to_pylist()
+    ):
+        per.setdefault(et, {}).setdefault(ts.date(), 0)
+        per[et][ts.date()] += 1
+    return {et: [c for _d, c in sorted(days.items())] for et, days in per.items()}
+
+
+def _trunc_div(a, b):
+    return abs(a) // b * (1 if a >= 0 else -1)
+
+
+def test_theil_sen_full_python_replay(spark):
+    got = {r["event_type"]: r for r in _run(spark, "events_theil_sen_trend").collect()}
+    daily = _daily_counts()
+    assert set(got) == set(daily)
+    for et, cs in daily.items():
+        n = len(cs)
+        slopes = sorted(
+            _trunc_div(1_000_000 * (cs[j] - cs[i]), j - i)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        r = got[et]
+        assert r["n_days"] == n
+        assert r["n_pairs"] == len(slopes)
+        # lower median (rn = (np+1)//2, 1-indexed)
+        assert r["slope_micro"] == slopes[(len(slopes) + 1) // 2 - 1], et
+
+
+def test_theil_sen_lower_median_even_pairs():
+    """The rank pick must be the LOWER median when the pair count is
+    even — (np+1)/2 in float would select nothing (the round-10 bug this
+    pin froze out)."""
+    # pure-python statement of the contract the query uses
+    for np_ in (2, 4, 10, 465, 466):
+        rn = (np_ + 1) // 2
+        assert 1 <= rn <= np_
+        if np_ % 2 == 0:
+            assert rn == np_ // 2  # lower of the two central ranks
+
+
+def test_acf_full_python_replay(spark):
+    got = {}
+    for r in _run(spark, "events_acf_daily").collect():
+        got[(r["event_type"], r["lag"])] = r
+    daily = _daily_counts()
+    for et, cs in daily.items():
+        n = len(cs)
+        s = sum(cs)
+        dev = [n * c - s for c in cs]
+        den = sum(d * d for d in dev)
+        for lag in range(1, 8):
+            num = sum(dev[i] * dev[i + lag] for i in range(n - lag))
+            r = got[(et, lag)]
+            assert r["n_days"] == n
+            assert r["n_terms"] == n - lag
+            assert r["acf_permille"] == _trunc_div(1000 * num, den), (et, lag)
+    assert len(got) == len(daily) * 7
+
+
+# ---------------------------------------------------------------- wave 5/6
+
+
+def test_map_mrr_full_python_replay(spark):
+    """Pure-python MAP@10/MRR@10 from the collected QL ranking and a
+    python-recomputed relevance set."""
+    got = _run(spark, "search_map_mrr_eval").collect()[0]
+    from sea_streamer_spark.plans.llm_ops12 import (
+        search_query_likelihood_topk,
+    )
+
+    ranked = [
+        r["doc_id"]
+        for r in search_query_likelihood_topk(spark, SF).collect()
+    ]
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        d: set(w for w in (x or "").split() if w)
+        for d, x in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        )
+    }
+    q = toks[0]
+    rel = {d for d, ws in toks.items() if d != 0 and ws & q}
+    hits = [
+        (i + 1) for i, d in enumerate(ranked[:10]) if d in rel
+    ]
+    ap_num = sum(
+        1_000_000 * (j + 1) // rank for j, rank in enumerate(hits)
+    )
+    assert got["n_rel_corpus"] == len(rel)
+    assert got["n_rel_topk"] == len(hits)
+    assert got["mrr_micro"] == (1_000_000 // hits[0] if hits else 0)
+    assert got["map_micro"] == (
+        ap_num // min(len(rel), 10) if min(len(rel), 10) > 0 else 0
+    )
+
+
+def test_chi2_full_python_replay(spark):
+    """Contingency + χ² recomputed in python over the same train split
+    and gopher labels; the query's top-25 must match value-for-value."""
+    from sea_streamer_spark.operators.quality import gopher_quality_flags
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    labels = {
+        r["doc_id"]: r["passes"]
+        for r in gopher_quality_flags(docs).select("doc_id", "passes").collect()
+    }
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    a_cnt: dict = {}
+    b_cnt: dict = {}
+    np_ = nf_ = 0
+    for d, x in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        if d % 2 != 0:
+            continue
+        if labels[d]:
+            np_ += 1
+        else:
+            nf_ += 1
+        for w in set(w for w in (x or "").split() if w):
+            if labels[d]:
+                a_cnt[w] = a_cnt.get(w, 0) + 1
+                b_cnt.setdefault(w, 0)
+            else:
+                b_cnt[w] = b_cnt.get(w, 0) + 1
+                a_cnt.setdefault(w, 0)
+    n = np_ + nf_
+    chi = {}
+    for w in a_cnt:
+        a, b = a_cnt[w], b_cnt[w]
+        df = a + b
+        if df >= n:
+            continue
+        diff = a * nf_ - b * np_
+        chi[w] = (1_000_000 * n * diff * diff) // (
+            df * (n - df) * np_ * nf_
+        )
+    top = sorted(chi.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = _run(spark, "quality_chi2_feature_selection").collect()
+    assert len(got) == 25
+    for r, (w, c) in zip(got, top):
+        assert r["term"] == w and r["chi2_micro"] == c, (r, w, c)
+        assert r["n_pass_docs"] == a_cnt[w]
+        assert r["n_fail_docs"] == b_cnt[w]
+
+
+# ---------------------------------------------------------------- wave 7/8
+
+
+def test_kaplan_meier_gaps_full_python_replay(spark):
+    import math
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["ts", "event_id", "user_id"],
+    )
+    per: dict = {}
+    horizon = 0
+    for ts, eid, uid in zip(
+        t.column("ts").to_pylist(),
+        t.column("event_id").to_pylist(),
+        t.column("user_id").to_pylist(),
+    ):
+        us = int(ts.timestamp() * 1_000_000)
+        horizon = max(horizon, us)
+        per.setdefault(uid, []).append((us, eid))
+    durations = []
+    for evs in per.values():
+        evs.sort()
+        for i, (us, _e) in enumerate(evs):
+            if i + 1 < len(evs):
+                durations.append((( evs[i + 1][0] - us) // 3_600_000_000, True))
+            else:
+                durations.append(((horizon - us) // 3_600_000_000, False))
+    # risk set and events per distinct t
+    times = sorted({t_ for t_, _o in durations})
+    got = {r["t_hours"]: r for r in _run(spark, "events_kaplan_meier_gaps").collect()}
+    logsum = 0
+    sentinel_hit = False
+    n_curve = 0
+    for t_ in times:
+        n_risk = sum(1 for d, _o in durations if d >= t_)
+        d_t = sum(1 for d, o in durations if d == t_ and o)
+        if d_t == 0:
+            assert t_ not in got
+            continue
+        n_curve += 1
+        if d_t < n_risk:
+            logsum += round(math.log((n_risk - d_t) / n_risk) * 1_000_000)
+        else:
+            logsum += -(10**9)
+            sentinel_hit = True
+        r = got[t_]
+        assert r["n_risk"] == n_risk and r["n_events"] == d_t, t_
+        assert r["log_surv_micro"] == logsum, t_
+        expect_surv = (
+            0
+            if logsum <= -(10**8)
+            else round(math.exp(logsum / 1_000_000) * 1000)
+        )
+        assert r["surv_milli"] == expect_surv, t_
+    assert n_curve == len(got) and n_curve > 10
+    # survival is non-increasing
+    rows = sorted(got.values(), key=lambda r: r["t_hours"])
+    for a, b in zip(rows, rows[1:]):
+        assert b["surv_milli"] <= a["surv_milli"]
+    assert sentinel_hit or rows[-1]["surv_milli"] >= 0
+
+
+def test_heaps_full_python_replay(spark):
+    import math
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = sorted(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )
+    seen: set = set()
+    tok_cum = v_cum = 0
+    cum = []
+    for _d, x in docs:
+        ws = [w for w in (x or "").split() if w]
+        tok_cum += len(ws)
+        for w in ws:
+            if w not in seen:
+                seen.add(w)
+                v_cum += 1
+        cum.append((tok_cum, v_cum))
+    n = len(docs)
+    cps = sorted({(q * n) // 10 for q in range(1, 11)})
+    pts = [
+        (
+            round(math.log(cum[r - 1][0]) * 1_000_000),
+            round(math.log(cum[r - 1][1]) * 1_000_000),
+        )
+        for r in cps
+        if r >= 1 and cum[r - 1][0] > 0 and cum[r - 1][1] > 0
+    ]
+    k = len(pts)
+    sx = sum(x for x, _y in pts)
+    sy = sum(y for _x, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _y in pts)
+    beta = _trunc_div(1_000_000 * (k * sxy - sx * sy), k * sxx - sx * sx)
+    r = _run(spark, "text_heaps_law_fit").collect()[0]
+    assert r["n_checkpoints"] == k
+    assert r["n_docs"] == n
+    assert r["n_tokens_total"] == cum[cps[-1] - 1][0]
+    assert r["vocab_total"] == cum[cps[-1] - 1][1]
+    assert r["beta_micro"] == beta
+    # sublinear growth: beta < 1e6 always; ON THIS FIXTURE the ~50-word
+    # vocabulary saturates inside the first decile, so the fitted
+    # exponent is exactly 0 — the honest answer for a closed-vocabulary
+    # corpus (the operator is the deliverable, the corpus the fixture)
+    assert 0 <= r["beta_micro"] < 1_000_000

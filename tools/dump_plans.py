@@ -123,6 +123,12 @@ SNAPSHOT_QUERIES = [
     "dedup_semantic_cluster_scaled",
     "privacy_pii_audit",
     "privacy_pii_redact_roundtrip",
+    "events_theil_sen_trend",
+    "events_acf_daily",
+    "search_map_mrr_eval",
+    "quality_chi2_feature_selection",
+    "events_kaplan_meier_gaps",
+    "text_heaps_law_fit",
 ]
 
 
