@@ -1431,3 +1431,345 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             scale=1_000_000,
         ).alias("beta_micro"),
     )
+
+
+# ---------------------------------------------------------------- wave 9
+# Brier score + expected calibration error of the NB quality posterior
+# (Brier 1950; ECE per Naeini et al., AAAI 2015): the two scalar
+# calibration summaries beside the registered reliability CURVE — the
+# curve shows where the classifier lies, Brier/ECE say how much, in one
+# row a gate can threshold. Posterior p = σ(margin) is the ONE float,
+# micro-rounded per doc (identical sigmoid expression both engines);
+# Brier = Σ(p − y)² and ECE = Σ_b |Σ_b p − 1e6·pos_b| / n are then
+# exact integer arithmetic with the squares carried in decimal/HUGEINT.
+
+
+def _build_nb_brier_oracle() -> str:
+    from .llm_ops11 import _nb_chain_sql
+
+    return f"""
+    WITH {_nb_chain_sql()},
+    post AS (
+      SELECT truth,
+             CAST(ROUND(1000000 / (1 + exp(
+               -CAST(score_pass - score_fail AS DOUBLE) / 1000000)))
+               AS BIGINT) AS p
+      FROM scored
+    ),
+    binned AS (
+      SELECT truth, p, LEAST(9, p * 10 // 1000000) AS bin FROM post
+    ),
+    per_bin AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(p) AS BIGINT) AS sp,
+             CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM binned GROUP BY bin
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM post) AS n_docs,
+           (SELECT CAST(SUM(CAST(p - CASE WHEN truth THEN 1000000 ELSE 0 END
+                    AS HUGEINT)
+                  * (p - CASE WHEN truth THEN 1000000 ELSE 0 END))
+                  // (COUNT(*) * 1000000) AS BIGINT)
+            FROM post) AS brier_micro,
+           (SELECT CAST(SUM(ABS(sp - 1000000 * pos)) // SUM(nb) AS BIGINT)
+            FROM per_bin) AS ece_micro
+    """
+
+
+@query(
+    "quality_nb_brier_ece",
+    oracle=_build_nb_brier_oracle(),
+    tags=("llm", "quality", "eval"),
+)
+def quality_nb_brier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (micro) and 10-bin expected calibration error (micro)
+    of the NB-distilled Gopher gate's sigmoid posterior on the held-out
+    split — completes the classifier eval family (confusion/metrics,
+    AUC, reliability curve, now the two calibration scalars). One
+    sigmoid per doc micro-rounded, then pure integer sums (squares in
+    decimal)."""
+    from .llm_ops11 import _nb_scored
+    from .llm_ops12 import _idiv_col
+
+    scored = _nb_scored(spark, sf_dir)
+    post = scored.select(
+        "truth",
+        F.round(
+            F.lit(1_000_000)
+            / (
+                F.lit(1)
+                + F.exp(
+                    -(
+                        F.col("score_pass") - F.col("score_fail")
+                    ).cast("double")
+                    / 1_000_000
+                )
+            )
+        )
+        .cast("long")
+        .alias("p"),
+    )
+    binned = post.select(
+        "truth",
+        "p",
+        F.least(F.lit(9), _idiv_col(F.col("p") * 10, F.lit(1_000_000))).alias(
+            "bin"
+        ),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("p").cast("long").alias("sp"),
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    err = F.col("p") - F.when(F.col("truth"), F.lit(1_000_000)).otherwise(
+        F.lit(0)
+    )
+    brier = post.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((err.cast("decimal(38,0)") * err).cast("decimal(38,0)")).alias(
+            "se"
+        ),
+    )
+    ece = per_bin.agg(
+        F.sum(F.abs(F.col("sp") - F.lit(1_000_000) * F.col("pos")))
+        .cast("long")
+        .alias("abs_gap"),
+        F.sum("nb").cast("long").alias("n_total"),
+    )
+    return brier.crossJoin(F.broadcast(ece)).select(
+        "n_docs",
+        _idiv_col(F.col("se"), F.col("n_docs") * F.lit(1_000_000)).alias(
+            "brier_micro"
+        ),
+        _idiv_col(F.col("abs_gap"), F.col("n_total")).alias("ece_micro"),
+    )
+
+
+# --------------------------------------------------------------- wave 10
+# Peaks-over-threshold tail analysis of event values (Pickands 1975;
+# method-of-moments GPD fit per Hosking & Wallis, Technometrics 1987):
+# the extreme-value screen an ops pipeline runs on latency/size/value
+# columns — how heavy is the tail above the p90? Values micro-round
+# ONCE per row; the threshold is the exact ascending order statistic at
+# ceil(0.9·n); excesses are integers; Σe and Σe² ride HUGEINT/decimal
+# (e² alone passes 2^58 on this fixture); the GPD ξ̂ = (1 − m̄²/s²)/2
+# and σ̂ = m̄(m̄²/s² + 1)/2 are the only floats, computed from the three
+# integer sums with identical double expressions and rounded once.
+
+
+@query(
+    "events_pot_tail_gpd",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY
+                  ROUND(value * 1000000)) AS BIGINT) AS rn
+      FROM events
+    ),
+    thr AS (
+      SELECT event_type, v AS u, n
+      FROM vals WHERE rn = (9 * n + 9) // 10
+    ),
+    exc AS (
+      SELECT v.event_type, v.v - t.u AS e, t.u, t.n
+      FROM vals v JOIN thr t ON t.event_type = v.event_type
+      WHERE v.v > t.u
+    ),
+    mom AS (
+      SELECT event_type, MIN(u) AS u, MIN(n) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_exceed,
+             CAST(SUM(e) AS HUGEINT) AS se,
+             SUM(CAST(e AS HUGEINT) * e) AS se2
+      FROM exc GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_values,
+           CAST(u AS BIGINT) AS threshold_micro, n_exceed,
+           CAST(se // n_exceed AS BIGINT) AS mean_excess_micro,
+           CAST(ROUND(500 * (1 -
+             (CAST(se AS DOUBLE) / n_exceed)
+             * (CAST(se AS DOUBLE) / n_exceed)
+             / ((CAST(se2 AS DOUBLE) - CAST(se AS DOUBLE) * se / n_exceed)
+                / (n_exceed - 1))
+           )) AS BIGINT) AS xi_milli,
+           CAST(ROUND((CAST(se AS DOUBLE) / n_exceed) * 0.5 *
+             ((CAST(se AS DOUBLE) / n_exceed)
+              * (CAST(se AS DOUBLE) / n_exceed)
+              / ((CAST(se2 AS DOUBLE) - CAST(se AS DOUBLE) * se / n_exceed)
+                 / (n_exceed - 1)) + 1)) AS BIGINT) AS sigma_micro
+    FROM mom ORDER BY event_type
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_pot_tail_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold tail profile per event type: exact p90
+    order-statistic threshold (micro), exceedance count, integer mean
+    excess, and the method-of-moments GPD shape ξ (milli; > 0 = heavy
+    tail, capping advised) and scale σ (micro). One value-dimension
+    rank window + one keyed moment aggregate; Σe² in decimal."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops12 import _idiv_col
+
+    ev = load_tables(spark, sf_dir, "events").events
+    v = F.round(F.col("value") * 1_000_000).cast("long")
+    wp = Window.partitionBy("event_type")
+    vals = ev.select(
+        "event_type",
+        v.alias("v"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        F.row_number()
+        .over(wp.orderBy(F.round(F.col("value") * 1_000_000)))
+        .cast("long")
+        .alias("rn"),
+    )
+    thr = vals.filter(
+        F.col("rn") == _idiv_col(F.lit(9) * F.col("n") + 9, F.lit(10))
+    ).select("event_type", F.col("v").alias("u"), "n")
+    exc = (
+        vals.join(thr.select("event_type", "u", F.col("n").alias("nt")), "event_type")
+        .filter(F.col("v") > F.col("u"))
+        .select(
+            "event_type",
+            (F.col("v") - F.col("u")).alias("e"),
+            "u",
+            F.col("nt").alias("n"),
+        )
+    )
+    mom = exc.groupBy("event_type").agg(
+        F.min("u").cast("long").alias("u"),
+        F.min("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_exceed"),
+        F.sum(F.col("e").cast("decimal(38,0)")).alias("se"),
+        F.sum((F.col("e").cast("decimal(38,0)") * F.col("e"))).alias("se2"),
+    )
+    m = F.col("se").cast("double") / F.col("n_exceed")
+    s2 = (
+        F.col("se2").cast("double")
+        - F.col("se").cast("double") * F.col("se").cast("double") / F.col("n_exceed")
+    ) / (F.col("n_exceed") - 1)
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_values"),
+        F.col("u").alias("threshold_micro"),
+        "n_exceed",
+        _idiv_col(F.col("se"), F.col("n_exceed")).alias("mean_excess_micro"),
+        F.round(F.lit(500) * (F.lit(1) - m * m / s2))
+        .cast("long")
+        .alias("xi_milli"),
+        F.round(m * F.lit(0.5) * (m * m / s2 + F.lit(1)))
+        .cast("long")
+        .alias("sigma_micro"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------- wave 11
+# Largest-remainder (Hamilton) apportionment of a sampling budget
+# across sources (Hamilton 1792; Balinski & Young, "Fair
+# Representation", 1982): the exact integer allocation a curation run
+# uses to split "take B documents" proportionally — floor quotas, then
+# the leftover seats to the largest fractional remainders. Remainders
+# compare as integers (B·n_s mod N), so the whole allocation is exact
+# and deterministic (remainder desc, source asc tie-break); Hamilton
+# satisfies quota by construction (|alloc − exact share| < 1).
+
+_APPORTION_BUDGET = 100
+
+
+@query(
+    "curation_sample_apportionment",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM per),
+    q AS (
+      SELECT source, n_docs,
+             CAST({_APPORTION_BUDGET} * n_docs // (SELECT n FROM tot)
+                  AS BIGINT) AS quota_floor,
+             CAST({_APPORTION_BUDGET} * n_docs % (SELECT n FROM tot)
+                  AS BIGINT) AS rem
+      FROM per
+    ),
+    seats AS (
+      SELECT CAST({_APPORTION_BUDGET} - SUM(quota_floor) AS BIGINT) AS r
+      FROM q
+    ),
+    ranked AS (
+      SELECT source, n_docs, quota_floor, rem,
+             CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT)
+               AS rk
+      FROM q
+    )
+    SELECT source, n_docs, quota_floor,
+           CAST(CASE WHEN rk <= (SELECT r FROM seats) THEN 1 ELSE 0 END
+                AS BIGINT) AS extra,
+           quota_floor + CASE WHEN rk <= (SELECT r FROM seats)
+                         THEN 1 ELSE 0 END AS alloc
+    FROM ranked ORDER BY source
+    """,
+    tags=("llm", "curation"),
+)
+def curation_sample_apportionment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamilton largest-remainder apportionment of a {100}-doc sampling
+    budget across sources: exact integer floor quotas + remainder-ranked
+    extra seats (ties to source asc). Σ alloc == budget and every
+    source's allocation is within 1 of its exact proportional share —
+    the quota property, pinned. One source rollup + one source-dimension
+    rank window."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops12 import _idiv_col
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = per.agg(F.sum("n_docs").cast("long").alias("n"))
+    q = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        _idiv_col(F.lit(_APPORTION_BUDGET) * F.col("n_docs"), F.col("n")).alias(
+            "quota_floor"
+        ),
+        ((F.lit(_APPORTION_BUDGET) * F.col("n_docs")) % F.col("n"))
+        .cast("long")
+        .alias("rem"),
+    )
+    seats = q.agg(
+        (F.lit(_APPORTION_BUDGET) - F.sum("quota_floor"))
+        .cast("long")
+        .alias("r")
+    )
+    ranked = q.select(
+        "source",
+        "n_docs",
+        "quota_floor",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.asc("source")))
+        .cast("long")
+        .alias("rk"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(seats))
+        .select(
+            "source",
+            "n_docs",
+            "quota_floor",
+            F.when(F.col("rk") <= F.col("r"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("extra"),
+            (
+                F.col("quota_floor")
+                + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy("source")
+    )

@@ -556,3 +556,87 @@ def test_heaps_full_python_replay(spark):
     # exponent is exactly 0 — the honest answer for a closed-vocabulary
     # corpus (the operator is the deliverable, the corpus the fixture)
     assert 0 <= r["beta_micro"] < 1_000_000
+
+
+# ------------------------------------------------------------ wave 9/10/11
+
+
+def test_brier_ece_full_python_replay(spark):
+    import math
+
+    from sea_streamer_spark.plans.llm_ops11 import _nb_scored
+
+    rows = _nb_scored(spark, SF).collect()
+    ps = []
+    for r in rows:
+        margin = r["score_pass"] - r["score_fail"]
+        p = round(1_000_000 / (1 + math.exp(-margin / 1_000_000)))
+        ps.append((p, 1_000_000 if r["truth"] else 0, r["truth"]))
+    n = len(ps)
+    brier = sum((p - y) * (p - y) for p, y, _t in ps) // (n * 1_000_000)
+    bins: dict = {}
+    for p, _y, t in ps:
+        b = min(9, p * 10 // 1_000_000)
+        e = bins.setdefault(b, [0, 0, 0])
+        e[0] += 1
+        e[1] += p
+        e[2] += 1 if t else 0
+    ece = sum(abs(sp - 1_000_000 * pos) for _nb, sp, pos in bins.values()) // n
+    got = _run(spark, "quality_nb_brier_ece").collect()[0]
+    assert got["n_docs"] == n
+    assert got["brier_micro"] == brier
+    assert got["ece_micro"] == ece
+
+
+def test_pot_gpd_full_python_replay(spark):
+    t = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_type", "value"],
+    )
+    per: dict = {}
+    for et, v in zip(
+        t.column("event_type").to_pylist(), t.column("value").to_pylist()
+    ):
+        per.setdefault(et, []).append(round(v * 1_000_000))
+    got = {r["event_type"]: r for r in _run(spark, "events_pot_tail_gpd").collect()}
+    assert set(got) == set(per)
+    for et, vs in per.items():
+        vs.sort()
+        n = len(vs)
+        u = vs[(9 * n + 9) // 10 - 1]
+        exc = [v - u for v in vs if v > u]
+        ne = len(exc)
+        se, se2 = sum(exc), sum(e * e for e in exc)
+        m = se / ne
+        s2 = (se2 - se * se / ne) / (ne - 1)
+        r = got[et]
+        assert r["n_values"] == n
+        assert r["threshold_micro"] == u
+        assert r["n_exceed"] == ne
+        assert r["mean_excess_micro"] == se // ne
+        assert r["xi_milli"] == round(500 * (1 - m * m / s2)), et
+        assert r["sigma_micro"] == round(m * 0.5 * (m * m / s2 + 1)), et
+
+
+def test_apportionment_quota_property(spark):
+    """Sum of allocations equals the budget exactly, and every source is
+    within one seat of its exact proportional share (Hamilton's quota
+    guarantee) — checked against a python replay."""
+    rows = _run(spark, "curation_sample_apportionment").collect()
+    n_total = sum(r["n_docs"] for r in rows)
+    assert sum(r["alloc"] for r in rows) == 100
+    for r in rows:
+        exact = 100 * r["n_docs"] / n_total
+        assert exact - 1 < r["alloc"] < exact + 1
+        assert r["alloc"] in (r["quota_floor"], r["quota_floor"] + 1)
+    # python replay of the largest-remainder ranking
+    quotas = sorted(
+        ((100 * r["n_docs"]) % n_total, r["source"]) for r in rows
+    )
+    seats = 100 - sum((100 * r["n_docs"]) // n_total for r in rows)
+    winners = {
+        src
+        for _rem, src in sorted(quotas, key=lambda t: (-t[0], t[1]))[:seats]
+    }
+    for r in rows:
+        assert r["extra"] == (1 if r["source"] in winners else 0)

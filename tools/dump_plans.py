@@ -129,6 +129,9 @@ SNAPSHOT_QUERIES = [
     "quality_chi2_feature_selection",
     "events_kaplan_meier_gaps",
     "text_heaps_law_fit",
+    "quality_nb_brier_ece",
+    "events_pot_tail_gpd",
+    "curation_sample_apportionment",
 ]
 
 
