@@ -472,6 +472,140 @@ def scale_semantic_metric(spark) -> dict:
     return out
 
 
+#: Non-headline "new ops" measured by new_ops_metric — a MODULE-LEVEL
+#: constant so tests can pin it complete against the registry (the r9
+#: ADVICE stale-comment class came from this list living inline; worse,
+#: a newly registered query could silently never be measured).
+NEW_OPS_QUERIES = (
+    "curation_dsir_select",
+    "graph_neardup_pagerank",
+    "tokenizer_bpe_counts",
+    "curation_leakage_safe_split",
+    "layout_zorder_events",
+    # round-3 continuation wave
+    "text_lang_id_ngram",
+    "multimodal_dhash_neardup",
+    "dataset_snapshot_diff",
+    "sketch_quantile_bottomk",
+    # round-5 wave
+    "dedup_span_coverage_salted",
+    "quality_winsorize",
+    "events_rolling_7d_actives",
+    "agg_percentile_cont",
+    # round-5 llm_ops8 waves (dedup finishers / embedding QA / evals)
+    "dedup_keep_longest_per_cluster",
+    "embedding_outlier_centroid",
+    "events_last_touch_attribution",
+    "similarity_knn_label_accuracy",
+    "basket_brand_pair_lift",
+    "text_containment_pairs",
+    # round-6/7 waves (r7 judge task #2: the newest, most expensive
+    # operators previously had zero round-over-round perf signal)
+    "graph_kcore_peel",
+    "dedup_exact_substring_spans",
+    "dedup_span_removal_exact",
+    "quality_perplexity_buckets",
+    "curation_eval_decontaminate",
+    # round-8 waves (the vocab query times the memoized-trainer lookup,
+    # near-zero by design; the token-counts query is the one with real
+    # per-run corpus work — the DP over distinct words + join-back)
+    "tokenizer_unigram_counts",
+    "tokenizer_unigram_token_counts",
+    "text_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
+    "dedup_winnowing_recall_eval",
+    "tokenizer_family_compare",
+    "curation_packing_efficiency",
+    "curation_source_overlap_matrix",
+    "quality_kneser_ney_bigram",
+    "search_rocchio_expand",
+    "quality_selection_tradeoff",
+    "text_rake_keywords",
+    "embedding_binary_quantize_recall",
+    "privacy_k_anonymity_audit",
+    "events_changepoint_cusum",
+    "quality_nb_distill_fidelity",
+    "sketch_cms_error_eval",
+    "curation_temperature_sampling_plan",
+    "events_ab_srm_check",
+    "text_source_jsd_matrix",
+    "graph_harmonic_centrality",
+    "text_burrows_delta_matrix",
+    # round-9 wave 1 (SemDeDup semantic dedup; the eval recomputes the
+    # quadratic all-pairs cosine truth BY DESIGN — it is the eval's
+    # ground-truth side, not the operator's shape)
+    "dedup_semantic_cluster",
+    "dedup_semantic_recall_eval",
+    "text_readability_scores",
+    "privacy_t_closeness_audit",
+    "graph_clustering_coefficient",
+    "sketch_ams_f2_estimate",
+    "search_query_likelihood_topk",
+    "search_ndcg_eval",
+    "events_benford_audit",
+    "embedding_jl_distortion_audit",
+    "text_lexical_richness",
+    "quality_good_turing_spectrum",
+    "curation_weighted_reservoir",
+    "quality_signal_rank_correlation",
+    "events_transition_entropy",
+    "embedding_cell_label_purity",
+    "profile_mann_whitney_drift",
+    "quality_nb_calibration_curve",
+    "graph_pagerank_convergence",
+    "dedup_lsh_band_curve",
+    "profile_ks_source_drift",
+    # round-9 waves 21-51 (session 2)
+    "quality_nb_auc_eval",
+    "events_mann_kendall_trend",
+    "text_collocation_llr",
+    "events_ab_cuped",
+    "dedup_prefix_filter_eval",
+    "text_textrank_keywords",
+    "events_poisson_bootstrap_ci",
+    "quality_isotonic_calibration",
+    "profile_psi_source_drift",
+    "events_ewma_forecast_eval",
+    "curation_pareto_front",
+    "curation_kcenter_coreset",
+    "text_word_burstiness",
+    "curation_submodular_coverage",
+    "quality_nb_metrics_summary",
+    "agg_theil_index_by_nation",
+    "dedup_cdc_chunking",
+    "window_ohlc_hourly",
+    "events_twap_by_type",
+    "text_char_entropy",
+    "privacy_dp_budget_plan",
+    "graph_degree_assortativity",
+    "graph_neardup_modularity",
+    "embedding_anisotropy_audit",
+    "events_user_powerlaw_mle",
+    "set_symmetric_diff_multiset",
+    "events_user_day_bitmask",
+    "events_anomaly_masked_esd",
+    "orders_abc_analysis",
+    "quality_jm_lambda_em",
+    "events_arrival_uniformity_ks",
+    # round-10 waves
+    "dedup_semantic_cell_sweep",
+    "dedup_semantic_cluster_scaled",
+    "privacy_pii_audit",
+    "privacy_pii_redact_roundtrip",
+    "events_theil_sen_trend",
+    "events_acf_daily",
+    "search_map_mrr_eval",
+    "quality_chi2_feature_selection",
+    "events_kaplan_meier_gaps",
+    "text_heaps_law_fit",
+    "quality_nb_brier_ece",
+    "events_pot_tail_gpd",
+    "curation_sample_apportionment",
+    "events_changepoint_binseg",
+    "graph_adamic_adar_linkpred",
+)
+
+
 def new_ops_metric(spark) -> dict:
     """Non-headline timings for the round-3 late-wave operators (median of 3
     after a warm-up — shorter than the headline protocol because these are
@@ -484,132 +618,7 @@ def new_ops_metric(spark) -> dict:
     out: dict[str, float] = {}
     sp: dict[str, float] = {}
     ab: dict[str, float] = {}
-    for name in (
-        "curation_dsir_select",
-        "graph_neardup_pagerank",
-        "tokenizer_bpe_counts",
-        "curation_leakage_safe_split",
-        "layout_zorder_events",
-        # round-3 continuation wave
-        "text_lang_id_ngram",
-        "multimodal_dhash_neardup",
-        "dataset_snapshot_diff",
-        "sketch_quantile_bottomk",
-        # round-5 wave
-        "dedup_span_coverage_salted",
-        "quality_winsorize",
-        "events_rolling_7d_actives",
-        "agg_percentile_cont",
-        # round-5 llm_ops8 waves (dedup finishers / embedding QA / evals)
-        "dedup_keep_longest_per_cluster",
-        "embedding_outlier_centroid",
-        "events_last_touch_attribution",
-        "similarity_knn_label_accuracy",
-        "basket_brand_pair_lift",
-        "text_containment_pairs",
-        # round-6/7 waves (r7 judge task #2: the newest, most expensive
-        # operators previously had zero round-over-round perf signal)
-        "graph_kcore_peel",
-        "dedup_exact_substring_spans",
-        "dedup_span_removal_exact",
-        "quality_perplexity_buckets",
-        "curation_eval_decontaminate",
-        # round-8 waves (the vocab query times the memoized-trainer lookup,
-        # near-zero by design; the token-counts query is the one with real
-        # per-run corpus work — the DP over distinct words + join-back)
-        "tokenizer_unigram_counts",
-        "tokenizer_unigram_token_counts",
-        "text_winnowing_fingerprints",
-        "dedup_winnowing_pairs",
-        "dedup_winnowing_recall_eval",
-        "tokenizer_family_compare",
-        "curation_packing_efficiency",
-        "curation_source_overlap_matrix",
-        "quality_kneser_ney_bigram",
-        "search_rocchio_expand",
-        "quality_selection_tradeoff",
-        "text_rake_keywords",
-        "embedding_binary_quantize_recall",
-        "privacy_k_anonymity_audit",
-        "events_changepoint_cusum",
-        "quality_nb_distill_fidelity",
-        "sketch_cms_error_eval",
-        "curation_temperature_sampling_plan",
-        "events_ab_srm_check",
-        "text_source_jsd_matrix",
-        "graph_harmonic_centrality",
-        "text_burrows_delta_matrix",
-        # round-9 wave 1 (SemDeDup semantic dedup; the eval recomputes the
-        # quadratic all-pairs cosine truth BY DESIGN — it is the eval's
-        # ground-truth side, not the operator's shape)
-        "dedup_semantic_cluster",
-        "dedup_semantic_recall_eval",
-        "text_readability_scores",
-        "privacy_t_closeness_audit",
-        "graph_clustering_coefficient",
-        "sketch_ams_f2_estimate",
-        "search_query_likelihood_topk",
-        "search_ndcg_eval",
-        "events_benford_audit",
-        "embedding_jl_distortion_audit",
-        "text_lexical_richness",
-        "quality_good_turing_spectrum",
-        "curation_weighted_reservoir",
-        "quality_signal_rank_correlation",
-        "events_transition_entropy",
-        "embedding_cell_label_purity",
-        "profile_mann_whitney_drift",
-        "quality_nb_calibration_curve",
-        "graph_pagerank_convergence",
-        "dedup_lsh_band_curve",
-        "profile_ks_source_drift",
-        # round-9 waves 21-51 (session 2)
-        "quality_nb_auc_eval",
-        "events_mann_kendall_trend",
-        "text_collocation_llr",
-        "events_ab_cuped",
-        "dedup_prefix_filter_eval",
-        "text_textrank_keywords",
-        "events_poisson_bootstrap_ci",
-        "quality_isotonic_calibration",
-        "profile_psi_source_drift",
-        "events_ewma_forecast_eval",
-        "curation_pareto_front",
-        "curation_kcenter_coreset",
-        "text_word_burstiness",
-        "curation_submodular_coverage",
-        "quality_nb_metrics_summary",
-        "agg_theil_index_by_nation",
-        "dedup_cdc_chunking",
-        "window_ohlc_hourly",
-        "events_twap_by_type",
-        "text_char_entropy",
-        "privacy_dp_budget_plan",
-        "graph_degree_assortativity",
-        "graph_neardup_modularity",
-        "embedding_anisotropy_audit",
-        "events_user_powerlaw_mle",
-        "set_symmetric_diff_multiset",
-        "events_user_day_bitmask",
-        "events_anomaly_masked_esd",
-        "orders_abc_analysis",
-        "quality_jm_lambda_em",
-        "events_arrival_uniformity_ks",
-        # round-10 waves
-        "dedup_semantic_cell_sweep",
-        "dedup_semantic_cluster_scaled",
-        "privacy_pii_audit",
-        "privacy_pii_redact_roundtrip",
-        "events_theil_sen_trend",
-        "events_acf_daily",
-        "search_map_mrr_eval",
-        "quality_chi2_feature_selection",
-        "events_kaplan_meier_gaps",
-        "text_heaps_law_fit",
-        "quality_nb_brier_ece",
-        "events_pot_tail_gpd",
-        "curation_sample_apportionment",
-    ):
+    for name in NEW_OPS_QUERIES:
         if name not in QUERIES:
             continue
         fn = QUERIES[name].fn

@@ -1773,3 +1773,268 @@ def curation_sample_apportionment(
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------- wave 12
+# Binary-segmentation changepoint ESTIMATE over daily counts (Scott &
+# Knott 1974; Vostrikova 1981 — the location/magnitude companion to the
+# registered CUSUM test, which only flags and locates the peak of the
+# cumulative deviation): the best single split k maximizes the
+# between-segment sum-of-squares gain, which with prefix sums P_k
+# clears to integers as
+#     G(k) ∝ (n_R·P_k − n_L·(S−P_k))² / (n_L·n_R)
+# — the numerator is exact (carried in DECIMAL/HUGEINT), the division
+# truncates identically in both engines (the ranking statistic is the
+# truncated gain, stated), argmax ties break to the smaller k. Segment
+# means are exact micro integers.
+
+
+@query(
+    "events_changepoint_binseg",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS BIGINT) AS i,
+             CAST(SUM(c) OVER (PARTITION BY event_type
+                               ORDER BY day) AS BIGINT) AS p,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      FROM daily
+    ),
+    gains AS (
+      SELECT event_type, day, i, n, p, s,
+             (CAST(n - i AS HUGEINT) * p - CAST(i AS HUGEINT) * (s - p))
+               AS dnum
+      FROM idx WHERE i < n
+    ),
+    ranked AS (
+      SELECT event_type, day, i, n, p, s,
+             dnum * dnum // (CAST(i AS HUGEINT) * (n - i)) AS gain,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY dnum * dnum // (CAST(i AS HUGEINT) * (n - i)) DESC,
+                        i) AS rk
+      FROM gains
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(i AS BIGINT) AS split_index,
+           CAST(day AS VARCHAR) AS split_day,
+           CAST(gain AS BIGINT) AS gain_scaled,
+           CAST(1000000 * p // i AS BIGINT) AS mean_left_micro,
+           CAST(1000000 * (s - p) // (n - i) AS BIGINT) AS mean_right_micro,
+           CAST(1000000 * (s - p) // (n - i) - 1000000 * p // i AS BIGINT)
+             AS delta_micro
+    FROM ranked WHERE rk = 1
+    ORDER BY event_type
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-split changepoint per event type (binary
+    segmentation): the day index maximizing the exact integer-scaled
+    between-segment SSE gain, with the two segment means (micro) and
+    their delta. One daily rollup + one prefix window + one rank window
+    — all day-dimension bounded; products in decimal(38,0)."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops12 import _idiv_col
+
+    ev = load_tables(spark, sf_dir, "events").events
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wp = Window.partitionBy("event_type")
+    w = wp.orderBy("day")
+    idx = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("c").over(w.rangeBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("p"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        F.sum("c").over(wp).cast("long").alias("s"),
+    )
+    dnum = (
+        (F.col("n") - F.col("i")).cast("decimal(38,0)") * F.col("p")
+        - F.col("i").cast("decimal(38,0)") * (F.col("s") - F.col("p"))
+    )
+    gains = idx.filter(F.col("i") < F.col("n")).withColumn("dnum", dnum)
+    gain_expr = (
+        (F.col("dnum") * F.col("dnum")).cast("decimal(38,0)")
+        - (
+            (F.col("dnum") * F.col("dnum")).cast("decimal(38,0)")
+            % (F.col("i").cast("decimal(38,0)") * (F.col("n") - F.col("i")))
+        )
+    ) / (F.col("i").cast("decimal(38,0)") * (F.col("n") - F.col("i")))
+    ranked = gains.withColumn("gain", gain_expr).select(
+        "*",
+        F.row_number()
+        .over(wp.orderBy(F.desc("gain"), F.asc("i")))
+        .alias("rk"),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("i").alias("split_index"),
+            F.col("day").cast("string").alias("split_day"),
+            F.col("gain").cast("long").alias("gain_scaled"),
+            _idiv_col(F.col("p"), F.col("i"), scale=1_000_000).alias(
+                "mean_left_micro"
+            ),
+            _idiv_col(
+                F.col("s") - F.col("p"),
+                F.col("n") - F.col("i"),
+                scale=1_000_000,
+            ).alias("mean_right_micro"),
+            (
+                _idiv_col(
+                    F.col("s") - F.col("p"),
+                    F.col("n") - F.col("i"),
+                    scale=1_000_000,
+                )
+                - _idiv_col(F.col("p"), F.col("i"), scale=1_000_000)
+            )
+            .cast("long")
+            .alias("delta_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------- wave 13
+# Adamic-Adar / common-neighbor link prediction (Adamic & Adar 2003;
+# Liben-Nowell & Kleinberg, CIKM 2003) on the PART CO-PURCHASE graph:
+# which part pairs that have never met in a basket share the most
+# (rarity-weighted) co-purchase partners — the classic "bought
+# together next" recommender screen. The near-dup document graph is
+# NOT the subject because exact-Jaccard duplicate clusters are cliques
+# by construction — measured: zero open wedges at every sf and every
+# threshold, so link prediction there is structurally vacuous (stated
+# here rather than shipping a query that always returns nothing).
+# Nodes = parts; edges = pairs co-purchased in ≥ 2 orders (support
+# floor keeps edge volume at the basket-lift shape, Σ basket²). Wedge
+# volume is Σ deg(w)²; every wedge center has degree ≥ 2 so 1/ln(deg)
+# is finite; the per-center term is the ONE float, micro-rounded
+# before the order-free sum.
+
+_LP_MIN_CO = 2
+
+
+@query(
+    "graph_adamic_adar_linkpred",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_LP_MIN_CO}
+    ),
+    e AS (SELECT pa AS u, pb AS v FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u),
+    wedges AS (
+      SELECT a.v AS u, b.v AS v, a.u AS w
+      FROM e a JOIN e b ON b.u = a.u AND a.v < b.v
+    ),
+    cand AS (
+      SELECT wg.u, wg.v,
+             CAST(COUNT(*) AS BIGINT) AS cn,
+             CAST(SUM(CAST(ROUND(1000000 / ln(CAST(dw.d AS DOUBLE)))
+                  AS BIGINT)) AS BIGINT) AS aa_micro
+      FROM wedges wg JOIN deg dw ON dw.u = wg.w
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.pa = wg.u AND p.pb = wg.v)
+      GROUP BY wg.u, wg.v
+    )
+    SELECT c.u AS part_a, c.v AS part_b, c.cn AS n_common,
+           CAST(1000 * c.cn // (du.d + dv.d - c.cn) AS BIGINT)
+             AS jaccard_permille,
+           c.aa_micro
+    FROM cand c JOIN deg du ON du.u = c.u JOIN deg dv ON dv.u = c.v
+    ORDER BY c.aa_micro DESC, part_a, part_b LIMIT 20
+    """,
+    tags=("relational", "graph"),
+)
+def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted co-purchase links: unlinked part pairs ranked by
+    Adamic-Adar (micro; Σ 1/ln(deg) over common co-purchase partners,
+    each term micro-rounded) with the common-neighbor count and
+    neighbor-Jaccard (permille). One basket self-join with a support
+    floor, one wedge join, one anti-join against existing edges, one
+    keyed aggregate; TakeOrdered(20)."""
+    from .llm_ops12 import _idiv_col
+
+    li = load_tables(spark, sf_dir, "lineitem").lineitem
+    a0, b0 = li.alias("a0"), li.alias("b0")
+    pairs = (
+        a0.join(
+            b0,
+            (F.col("b0.l_orderkey") == F.col("a0.l_orderkey"))
+            & (F.col("a0.l_partkey") < F.col("b0.l_partkey")),
+        )
+        .groupBy(
+            F.col("a0.l_partkey").alias("pa"),
+            F.col("b0.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= _LP_MIN_CO)
+        .select("pa", "pb")
+    )
+    e = pairs.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionByName(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = e.alias("a"), e.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("b.u") == F.col("a.u")) & (F.col("a.v") < F.col("b.v")),
+    ).select(
+        F.col("a.v").alias("u"), F.col("b.v").alias("v"),
+        F.col("a.u").alias("w"),
+    )
+    unlinked = wedges.join(
+        pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    cand = (
+        unlinked.join(deg.withColumnRenamed("u", "w"), "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(
+                F.round(
+                    F.lit(1_000_000) / F.log(F.col("d").cast("double"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("aa_micro"),
+        )
+    )
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("cn").alias("n_common"),
+            _idiv_col(
+                F.col("cn"),
+                F.col("du") + F.col("dv") - F.col("cn"),
+                scale=1000,
+            ).alias("jaccard_permille"),
+            "aa_micro",
+        )
+        .orderBy(F.desc("aa_micro"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -31,3 +31,30 @@ def test_coverage_header_counts_match_registry():
         f"COVERAGE.md header says {n_oracle} oracle-checked but the registry "
         f"has {live_oracle}"
     )
+
+
+def test_bench_new_ops_list_is_complete():
+    """Every query registered in the round-6+ wave modules must be
+    measured by bench's new_ops phase (or be a headline query) — a new
+    registration can no longer silently skip the bench, and the list
+    lives in ONE module-level constant instead of an inline literal
+    (the r9 ADVICE stale-annotation class)."""
+    import bench
+
+    wave_modules = {
+        f"sea_streamer_spark.plans.llm_ops{i}" for i in range(10, 30)
+    }
+    bench_names = set(bench.NEW_OPS_QUERIES) | set(bench.BENCH_QUERIES)
+    missing = [
+        n
+        for n, q in QUERIES.items()
+        if getattr(q.fn, "__module__", "") in wave_modules
+        and n not in bench_names
+    ]
+    assert not missing, (
+        f"registered wave queries absent from bench.NEW_OPS_QUERIES: "
+        f"{missing}"
+    )
+    # and the list only names real queries
+    unknown = [n for n in bench.NEW_OPS_QUERIES if n not in QUERIES]
+    assert not unknown, f"bench.NEW_OPS_QUERIES has unknown names: {unknown}"

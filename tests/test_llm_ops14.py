@@ -640,3 +640,83 @@ def test_apportionment_quota_property(spark):
     }
     for r in rows:
         assert r["extra"] == (1 if r["source"] in winners else 0)
+
+
+# ------------------------------------------------------------- wave 12/13
+
+
+def test_binseg_full_python_replay(spark):
+    got = {r["event_type"]: r for r in _run(spark, "events_changepoint_binseg").collect()}
+    daily = _daily_counts()
+    assert set(got) == set(daily)
+    for et, cs in daily.items():
+        n = len(cs)
+        s = sum(cs)
+        best = None
+        p = 0
+        for i in range(1, n):
+            p += cs[i - 1]
+            dnum = (n - i) * p - i * (s - p)
+            gain = (dnum * dnum) // (i * (n - i))
+            if best is None or gain > best[0]:
+                best = (gain, i, p)
+        gain, i, p = best
+        r = got[et]
+        assert r["n_days"] == n
+        assert r["split_index"] == i, et
+        assert r["gain_scaled"] == gain
+        assert r["mean_left_micro"] == 1_000_000 * p // i
+        assert r["mean_right_micro"] == 1_000_000 * (s - p) // (n - i)
+        assert (
+            r["delta_micro"]
+            == r["mean_right_micro"] - r["mean_left_micro"]
+        )
+
+
+def test_linkpred_full_python_replay(spark):
+    import math
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+    )
+    baskets: dict = {}
+    for ok, pk in zip(
+        t.column("l_orderkey").to_pylist(), t.column("l_partkey").to_pylist()
+    ):
+        baskets.setdefault(ok, []).append(pk)
+    co: dict = {}
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                if ps[i] < ps[j]:
+                    co[(ps[i], ps[j])] = co.get((ps[i], ps[j]), 0) + 1
+    edges = {p for p, c in co.items() if c >= 2}
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {u: len(vs) for u, vs in adj.items()}
+    scores: dict = {}
+    for w, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                u, v = ns[i], ns[j]
+                if (u, v) in edges:
+                    continue
+                e = scores.setdefault((u, v), [0, 0])
+                e[0] += 1
+                e[1] += round(1_000_000 / math.log(deg[w]))
+    top = sorted(
+        scores.items(), key=lambda kv: (-kv[1][1], kv[0][0], kv[0][1])
+    )[:20]
+    got = _run(spark, "graph_adamic_adar_linkpred").collect()
+    assert len(got) == 20
+    for r, ((u, v), (cn, aa)) in zip(got, top):
+        assert (r["part_a"], r["part_b"]) == (u, v)
+        assert r["n_common"] == cn
+        assert r["aa_micro"] == aa
+        expect_j = 1000 * cn // (deg[u] + deg[v] - cn)
+        assert r["jaccard_permille"] == expect_j

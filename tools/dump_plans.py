@@ -132,6 +132,8 @@ SNAPSHOT_QUERIES = [
     "quality_nb_brier_ece",
     "events_pot_tail_gpd",
     "curation_sample_apportionment",
+    "events_changepoint_binseg",
+    "graph_adamic_adar_linkpred",
 ]
 
 
