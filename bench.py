@@ -603,6 +603,8 @@ NEW_OPS_QUERIES = (
     "curation_sample_apportionment",
     "events_changepoint_binseg",
     "graph_adamic_adar_linkpred",
+    "orders_ltv_triangle",
+    "events_lorenz_user_activity",
 )
 
 

@@ -2038,3 +2038,185 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_micro"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------- wave 14
+# Cohort LTV triangle (the classic cohort lifetime-value layout every
+# analytics stack reports; see e.g. Fader & Hardie's CLV literature for
+# the framing): customers cohorted by FIRST-order year, revenue rolled
+# up by cohort × order-age-in-years, with the running cumulative LTV
+# and its per-customer rate. Money is exact integer CENTS (the
+# orders-family convention: round once per row, then integer sums);
+# the cumulative ride is one cohort-keyed window over the bounded
+# (cohort × age) triangle.
+
+
+@query(
+    "orders_ltv_triangle",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(MIN(date_part('year', o_orderdate)) AS BIGINT)
+               AS cohort_year
+      FROM orders GROUP BY o_custkey
+    ),
+    sized AS (
+      SELECT cohort_year, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM firsts GROUP BY cohort_year
+    ),
+    cells AS (
+      SELECT f.cohort_year,
+             CAST(date_part('year', o.o_orderdate) AS BIGINT)
+               - f.cohort_year AS age_years,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c.cohort_year, c.age_years, s.n_customers, c.n_orders,
+           c.revenue_cents,
+           CAST(SUM(c.revenue_cents) OVER (PARTITION BY c.cohort_year
+                ORDER BY c.age_years) AS BIGINT) AS cum_revenue_cents,
+           CAST(SUM(c.revenue_cents) OVER (PARTITION BY c.cohort_year
+                ORDER BY c.age_years) // s.n_customers AS BIGINT)
+             AS cum_ltv_per_customer_cents
+    FROM cells c JOIN sized s ON s.cohort_year = c.cohort_year
+    ORDER BY c.cohort_year, c.age_years
+    """,
+    tags=("relational", "window"),
+)
+def orders_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort × age LTV triangle: first-order-year cohorts, exact-cent
+    revenue per age year, cohort sizes, cumulative revenue and
+    per-customer cumulative LTV (integer floor). One first-order rollup
+    (customer-keyed), one cohort×age rollup, one window over the
+    bounded triangle — order volume never crosses a window."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops12 import _idiv_col
+
+    o = load_tables(spark, sf_dir, "orders").orders
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("long").alias("cohort_year")
+    )
+    sized = firsts.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    cells = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate").cast("long") - F.col("cohort_year")).alias(
+                "age_years"
+            ),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("cohort_year").orderBy("age_years").rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cells.join(sized, "cohort_year")
+        .select(
+            "cohort_year",
+            "age_years",
+            "n_customers",
+            "n_orders",
+            "revenue_cents",
+            F.sum("revenue_cents").over(w).cast("long").alias(
+                "cum_revenue_cents"
+            ),
+            _idiv_col(
+                F.sum("revenue_cents").over(w), F.col("n_customers")
+            ).alias("cum_ltv_per_customer_cents"),
+        )
+        .orderBy("cohort_year", "age_years")
+    )
+
+
+# --------------------------------------------------------------- wave 15
+# Lorenz concentration of event volume across users (Lorenz 1905 — the
+# curve behind the Gini/Theil/HHI rows already registered for revenue):
+# users ranked by activity into deciles, each decile's share and
+# cumulative share of all events (permille). The standard "how skewed
+# is the load" picture that decides per-user salting — the powerlaw-MLE
+# wave says WHETHER the tail is heavy, this says HOW MUCH volume the
+# top decile actually carries. Pure integers; NTILE over the
+# user-dimension rollup (the calibration-curve precedent).
+
+
+@query(
+    "events_lorenz_user_activity",
+    oracle="""
+    WITH ua AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    deciled AS (
+      SELECT x, NTILE(10) OVER (ORDER BY x, user_id) AS decile FROM ua
+    ),
+    tot AS (SELECT CAST(SUM(x) AS BIGINT) AS s FROM deciled),
+    per AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS n_events
+      FROM deciled GROUP BY decile
+    )
+    SELECT decile, n_users, n_events,
+           CAST(1000 * n_events // (SELECT s FROM tot) AS BIGINT)
+             AS share_permille,
+           CAST(1000 * SUM(n_events) OVER (ORDER BY decile)
+                // (SELECT s FROM tot) AS BIGINT) AS cum_share_permille
+    FROM per ORDER BY decile
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_lorenz_user_activity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """User-activity Lorenz deciles: users ranked ascending by event
+    count (user_id tie-break), per-decile and cumulative volume shares
+    (permille, exact floor). One user rollup + one user-dimension
+    NTILE + one decile window."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops12 import _idiv_col
+
+    ev = load_tables(spark, sf_dir, "events").events
+    ua = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    deciled = ua.select(
+        "x",
+        F.ntile(10)
+        .over(Window.orderBy("x", "user_id"))
+        .cast("long")
+        .alias("decile"),
+    )
+    tot = deciled.agg(F.sum("x").cast("long").alias("s"))
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("n_events"),
+    )
+    w = Window.orderBy("decile").rangeBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            _idiv_col(F.col("n_events"), F.col("s"), scale=1000).alias(
+                "share_permille"
+            ),
+            _idiv_col(
+                F.sum("n_events").over(w), F.col("s"), scale=1000
+            ).alias("cum_share_permille"),
+        )
+        .orderBy("decile")
+    )

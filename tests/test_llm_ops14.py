@@ -720,3 +720,70 @@ def test_linkpred_full_python_replay(spark):
         assert r["aa_micro"] == aa
         expect_j = 1000 * cn // (deg[u] + deg[v] - cn)
         assert r["jaccard_permille"] == expect_j
+
+
+# ------------------------------------------------------------- wave 14/15
+
+
+def test_ltv_triangle_full_python_replay(spark):
+    t = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    firsts: dict = {}
+    rows = list(
+        zip(
+            t.column("o_custkey").to_pylist(),
+            t.column("o_orderdate").to_pylist(),
+            t.column("o_totalprice").to_pylist(),
+        )
+    )
+    for ck, d, _p in rows:
+        y = d.year
+        firsts[ck] = min(firsts.get(ck, y), y)
+    sized: dict = {}
+    for ck, cy in firsts.items():
+        sized[cy] = sized.get(cy, 0) + 1
+    cells: dict = {}
+    for ck, d, p in rows:
+        key = (firsts[ck], d.year - firsts[ck])
+        e = cells.setdefault(key, [0, 0])
+        e[0] += round(p * 100)
+        e[1] += 1
+    got = {
+        (r["cohort_year"], r["age_years"]): r
+        for r in _run(spark, "orders_ltv_triangle").collect()
+    }
+    assert set(got) == set(cells)
+    for cy in sorted({c for c, _a in cells}):
+        cum = 0
+        for age in sorted(a for c, a in cells if c == cy):
+            rev, n_ord = cells[(cy, age)]
+            cum += rev
+            r = got[(cy, age)]
+            assert r["n_customers"] == sized[cy]
+            assert r["n_orders"] == n_ord
+            assert r["revenue_cents"] == rev
+            assert r["cum_revenue_cents"] == cum
+            assert r["cum_ltv_per_customer_cents"] == cum // sized[cy]
+
+
+def test_lorenz_shares_monotone_and_complete(spark):
+    rows = sorted(
+        _run(spark, "events_lorenz_user_activity").collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # ascending rank: every user in decile d+1 has count >= every user
+    # in decile d, so the PER-USER mean is nondecreasing (sums need not
+    # be — NTILE deciles are unequal-sized when n_users % 10 != 0, e.g.
+    # 15 users at sf0.001); compare means exactly by cross-multiplying
+    for a, b in zip(rows, rows[1:]):
+        assert (
+            b["n_events"] * a["n_users"] >= a["n_events"] * b["n_users"]
+        )
+        assert b["cum_share_permille"] >= a["cum_share_permille"]
+    # the cumulative share ends at ~1000 (floor rounding can shave <1)
+    assert 995 <= rows[-1]["cum_share_permille"] <= 1000
+    total = sum(r["n_events"] for r in rows)
+    assert rows[-1]["cum_share_permille"] == 1000 * total // total

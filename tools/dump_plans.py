@@ -134,6 +134,8 @@ SNAPSHOT_QUERIES = [
     "curation_sample_apportionment",
     "events_changepoint_binseg",
     "graph_adamic_adar_linkpred",
+    "orders_ltv_triangle",
+    "events_lorenz_user_activity",
 ]
 
 
