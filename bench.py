@@ -605,6 +605,8 @@ NEW_OPS_QUERIES = (
     "graph_adamic_adar_linkpred",
     "orders_ltv_triangle",
     "events_lorenz_user_activity",
+    "quality_mcnemar_gates",
+    "events_runs_test_daily",
 )
 
 

@@ -151,6 +151,8 @@ def dedup_semantic_cell_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula. Truth side is the blocked numpy tile sweep
     (exact_cosine_pairs — all-pairs BY DESIGN, it is ground truth);
     the counting side never leaves vec_id/cell-keyed equi-joins."""
+    from .llm_ops import gate_ivf_centroids
+
     t = load_tables(spark, sf_dir, "embeddings")
     emb = t.embeddings
     n_vec = emb.count()
@@ -159,34 +161,61 @@ def dedup_semantic_cell_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_a").alias("va"), F.col("id_b").alias("vb"))
         .cache()
     )
-    cached = [truth]
+    # All three assignments in ONE relation keyed by (k, vec_id): the
+    # per-k loop previously issued 2 actions per cell count (9 jobs
+    # total — 22 s of mostly scheduling at sf0.1); candidate volumes
+    # and colocated-truth counts now take one job each (4 total).
+    per_k = []
+    for k in _SWEEP_CELLS:
+        cents = gate_ivf_centroids(n_cells=k)
+        if cents is None:
+            cents = S.ivf_centroids(emb, n_cells=k)
+        per_k.append(
+            emb.select(
+                F.lit(k).cast("long").alias("k"),
+                "vec_id",
+                S.ivf_cell_expr(cents).alias("cell"),
+            )
+        )
+    cells_all = per_k[0]
+    for d in per_k[1:]:
+        cells_all = cells_all.unionByName(d)
+    cells_all = cells_all.cache()
     out = []
     try:
         n_true = truth.count()
-        for k in _SWEEP_CELLS:
-            from .llm_ops import gate_ivf_centroids
-
-            cents = gate_ivf_centroids(n_cells=k)
-            if cents is None:
-                cents = S.ivf_centroids(emb, n_cells=k)
-            cells = emb.select(
-                "vec_id", S.ivf_cell_expr(cents).alias("cell")
-            ).cache()
-            cached.append(cells)
-            pair2 = (
-                cells.groupBy("cell")
-                .agg(F.count(F.lit(1)).cast("long").alias("pop"))
-                .agg(
-                    F.coalesce(
-                        F.sum(F.col("pop") * (F.col("pop") - 1)), F.lit(0)
-                    )
-                    .cast("long")
-                    .alias("p2")
+        pair2 = {
+            r["k"]: r["p2"]
+            for r in cells_all.groupBy("k", "cell")
+            .agg(F.count(F.lit(1)).cast("long").alias("pop"))
+            .groupBy("k")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("pop") * (F.col("pop") - 1)), F.lit(0)
                 )
-                .collect()[0]["p2"]
+                .cast("long")
+                .alias("p2")
             )
-            n_cand = pair2 // 2
-            n_coloc = _sweep_colocated(truth, cells).count()
+            .collect()
+        }
+        xa = cells_all.select(
+            "k", F.col("vec_id").alias("va"), F.col("cell").alias("cell_a")
+        )
+        xb = cells_all.select(
+            "k", F.col("vec_id").alias("vb"), F.col("cell").alias("cell_b")
+        )
+        coloc = {
+            r["k"]: r["n"]
+            for r in truth.join(xa, "va")
+            .join(xb, ["k", "vb"])
+            .filter(F.col("cell_a") == F.col("cell_b"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+        for k in _SWEEP_CELLS:
+            n_cand = pair2.get(k, 0) // 2
+            n_coloc = coloc.get(k, 0)
             c = (n_vec + _SEM_TARGET_POP - 1) // _SEM_TARGET_POP
             out.append(
                 (
@@ -203,8 +232,8 @@ def dedup_semantic_cell_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
     finally:
-        for df in cached:
-            df.unpersist()
+        truth.unpersist()
+        cells_all.unpersist()
     return spark.createDataFrame(
         out,
         "n_cells long, n_vectors long, n_true_pairs long, "
@@ -2220,3 +2249,227 @@ def events_lorenz_user_activity(
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------- wave 16
+# McNemar's test between the Gopher rule gate and its NB distillation
+# (McNemar, Psychometrika 1947 — the standard paired-classifier test):
+# on the held-out split, the discordant counts b (rule passes, NB
+# fails) and c (rule fails, NB passes) carry ALL the information about
+# which gate is stricter; the statistic (b−c)²/(b+c) is exact integer
+# milli. Completes the distillation eval: fidelity says how often they
+# agree, McNemar says whether the disagreements are one-sided.
+
+
+def _build_mcnemar_oracle() -> str:
+    from .llm_ops11 import _nb_chain_sql
+
+    return f"""
+    WITH {_nb_chain_sql()},
+    paired AS (
+      SELECT truth AS rule_pass,
+             (score_pass >= score_fail) AS nb_pass
+      FROM scored
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rule_pass AND nb_pass THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both_pass,
+           CAST(SUM(CASE WHEN NOT rule_pass AND NOT nb_pass THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_both_fail,
+           CAST(SUM(CASE WHEN rule_pass AND NOT nb_pass THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rule_only,
+           CAST(SUM(CASE WHEN NOT rule_pass AND nb_pass THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nb_only,
+           CAST(CASE WHEN SUM(CASE WHEN rule_pass <> nb_pass THEN 1 ELSE 0
+                          END) = 0 THEN 0
+                ELSE 1000
+                  * (SUM(CASE WHEN rule_pass AND NOT nb_pass THEN 1 ELSE 0
+                         END)
+                     - SUM(CASE WHEN NOT rule_pass AND nb_pass THEN 1
+                           ELSE 0 END))
+                  * (SUM(CASE WHEN rule_pass AND NOT nb_pass THEN 1 ELSE 0
+                         END)
+                     - SUM(CASE WHEN NOT rule_pass AND nb_pass THEN 1
+                           ELSE 0 END))
+                  // SUM(CASE WHEN rule_pass <> nb_pass THEN 1 ELSE 0 END)
+                END AS BIGINT) AS mcnemar_milli
+    FROM paired
+    """
+
+
+@query(
+    "quality_mcnemar_gates",
+    oracle=_build_mcnemar_oracle(),
+    tags=("llm", "quality", "eval"),
+)
+def quality_mcnemar_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired comparison of the Gopher rule gate vs the NB
+    distilled gate on held-out docs: agreement cells, the two discordant
+    counts, and the exact integer-milli statistic (b−c)²/(b+c). One
+    pass over the shared NB score relation."""
+    from .llm_ops11 import _nb_scored
+    from .llm_ops12 import _idiv_col
+
+    scored = _nb_scored(spark, sf_dir)
+    paired = scored.select(
+        F.col("truth").alias("rule_pass"),
+        (F.col("score_pass") >= F.col("score_fail")).alias("nb_pass"),
+    )
+    agg = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rule_pass") & F.col("nb_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both_pass"),
+        F.sum(
+            F.when(~F.col("rule_pass") & ~F.col("nb_pass"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both_fail"),
+        F.sum(
+            F.when(F.col("rule_pass") & ~F.col("nb_pass"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_rule_only"),
+        F.sum(
+            F.when(~F.col("rule_pass") & F.col("nb_pass"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_nb_only"),
+    )
+    disc = F.col("n_rule_only") + F.col("n_nb_only")
+    diff = F.col("n_rule_only") - F.col("n_nb_only")
+    return agg.select(
+        "n_docs",
+        "n_both_pass",
+        "n_both_fail",
+        "n_rule_only",
+        "n_nb_only",
+        F.when(disc == 0, F.lit(0))
+        .otherwise(_idiv_col(diff * diff, disc, scale=1000))
+        .cast("long")
+        .alias("mcnemar_milli"),
+    )
+
+
+# --------------------------------------------------------------- wave 17
+# Wald-Wolfowitz runs test of daily ingest randomness per event type
+# (Wald & Wolfowitz, AoMS 1940): is the above/below-median sign
+# sequence of daily counts random, or does it cluster (regimes) /
+# alternate (oscillation)? R (the run count), n1/n2 and the sign rule
+# (above = c > lower-median, ties below — stated) are exact integers;
+# z = (R − E[R])/√Var is the single milli-rounded float from the
+# closed-form moments.
+
+
+@query(
+    "events_runs_test_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS BIGINT) AS i,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY c, day) AS BIGINT) AS vr,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM daily
+    ),
+    med AS (
+      SELECT event_type, c AS m FROM idx WHERE vr = (n + 1) // 2
+    ),
+    signs AS (
+      SELECT i.event_type, i.i, i.n, (i.c > med.m) AS up
+      FROM idx i JOIN med ON med.event_type = i.event_type
+    ),
+    runs AS (
+      SELECT event_type, n,
+             CAST(1 + SUM(CASE WHEN up <> prev_up THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r,
+             CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM (
+        SELECT event_type, n, up,
+               LAG(up) OVER (PARTITION BY event_type ORDER BY i) AS prev_up
+        FROM signs
+      ) GROUP BY event_type, n
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, n1,
+           CAST(n - n1 AS BIGINT) AS n2, r AS n_runs,
+           CAST(CASE WHEN n1 = 0 OR n - n1 = 0 THEN 0
+                ELSE ROUND(1000 *
+                  (r - (1.0 + 2.0 * n1 * (n - n1) / n))
+                  / sqrt(2.0 * n1 * (n - n1)
+                         * (2.0 * n1 * (n - n1) - n)
+                         / (CAST(n AS DOUBLE) * n * (n - 1))))
+                END AS BIGINT) AS z_milli
+    FROM runs ORDER BY event_type
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs test per event type over the above/below-median sign
+    sequence of daily counts: run count, sign balance, and the
+    closed-form z (milli) — regimes show as too FEW runs, oscillation
+    as too many. Day-dimension windows only; one float."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events").events
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wp = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.row_number().over(wp.orderBy("day")).cast("long").alias("i"),
+        F.row_number().over(wp.orderBy("c", "day")).cast("long").alias("vr"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    med = idx.filter(
+        F.col("vr") == F.floor((F.col("n") + 1) / 2)
+    ).select("event_type", F.col("c").alias("m"))
+    signs = idx.join(med, "event_type").select(
+        "event_type", "i", "n", (F.col("c") > F.col("m")).alias("up")
+    )
+    lagged = signs.select(
+        "event_type",
+        "n",
+        "up",
+        F.lag("up").over(wp.orderBy("i")).alias("prev_up"),
+    )
+    runs = lagged.groupBy("event_type", "n").agg(
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(F.col("up") != F.col("prev_up"), 1).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("r"),
+        F.sum(F.when(F.col("up"), 1).otherwise(0)).cast("long").alias("n1"),
+    )
+    n, n1, r = F.col("n"), F.col("n1"), F.col("r")
+    n2 = n - n1
+    e_r = F.lit(1.0) + F.lit(2.0) * n1 * n2 / n
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n)
+        / (n.cast("double") * n * (n - 1))
+    )
+    return runs.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        "n1",
+        n2.cast("long").alias("n2"),
+        r.alias("n_runs"),
+        F.when((n1 == 0) | (n2 == 0), F.lit(0))
+        .otherwise(F.round(F.lit(1000) * (r - e_r) / F.sqrt(var)))
+        .cast("long")
+        .alias("z_milli"),
+    ).orderBy("event_type")

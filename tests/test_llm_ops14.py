@@ -787,3 +787,58 @@ def test_lorenz_shares_monotone_and_complete(spark):
     assert 995 <= rows[-1]["cum_share_permille"] <= 1000
     total = sum(r["n_events"] for r in rows)
     assert rows[-1]["cum_share_permille"] == 1000 * total // total
+
+
+# ------------------------------------------------------------- wave 16/17
+
+
+def test_mcnemar_full_python_replay(spark):
+    from sea_streamer_spark.plans.llm_ops11 import _nb_scored
+
+    rows = _nb_scored(spark, SF).collect()
+    b = sum(
+        1
+        for r in rows
+        if r["truth"] and not (r["score_pass"] >= r["score_fail"])
+    )
+    c = sum(
+        1
+        for r in rows
+        if not r["truth"] and (r["score_pass"] >= r["score_fail"])
+    )
+    got = _run(spark, "quality_mcnemar_gates").collect()[0]
+    assert got["n_docs"] == len(rows)
+    assert got["n_rule_only"] == b
+    assert got["n_nb_only"] == c
+    expect = 0 if b + c == 0 else 1000 * (b - c) * (b - c) // (b + c)
+    assert got["mcnemar_milli"] == expect
+    assert (
+        got["n_both_pass"] + got["n_both_fail"] + b + c == got["n_docs"]
+    )
+
+
+def test_runs_test_full_python_replay(spark):
+    import math
+
+    got = {r["event_type"]: r for r in _run(spark, "events_runs_test_daily").collect()}
+    daily = _daily_counts()
+    assert set(got) == set(daily)
+    for et, cs in daily.items():
+        n = len(cs)
+        m = sorted(cs)[(n + 1) // 2 - 1]
+        ups = [c > m for c in cs]
+        r_runs = 1 + sum(1 for a, b in zip(ups, ups[1:]) if a != b)
+        n1 = sum(ups)
+        n2 = n - n1
+        row = got[et]
+        assert row["n_days"] == n
+        assert row["n1"] == n1 and row["n2"] == n2
+        assert row["n_runs"] == r_runs
+        if n1 == 0 or n2 == 0:
+            assert row["z_milli"] == 0
+        else:
+            e_r = 1 + 2 * n1 * n2 / n
+            var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+            assert row["z_milli"] == round(
+                1000 * (r_runs - e_r) / math.sqrt(var)
+            ), et

@@ -136,6 +136,8 @@ SNAPSHOT_QUERIES = [
     "graph_adamic_adar_linkpred",
     "orders_ltv_triangle",
     "events_lorenz_user_activity",
+    "quality_mcnemar_gates",
+    "events_runs_test_daily",
 ]
 
 
