@@ -58,3 +58,16 @@ def test_bench_new_ops_list_is_complete():
     # and the list only names real queries
     unknown = [n for n in bench.NEW_OPS_QUERIES if n not in QUERIES]
     assert not unknown, f"bench.NEW_OPS_QUERIES has unknown names: {unknown}"
+
+
+def test_readme_inventory_count_matches_registry():
+    """README's plans/ inventory count is a pinned claim too — same
+    drift class as the COVERAGE.md header."""
+    readme = os.path.join(os.path.dirname(_COV), "README.md")
+    with open(readme, encoding="utf-8") as f:
+        text = f.read()
+    m = re.search(r"query inventory — (\d+) named", text)
+    assert m, "README inventory count sentence not found"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} queries, registry has {len(QUERIES)}"
+    )
