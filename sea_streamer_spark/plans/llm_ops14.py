@@ -2473,3 +2473,417 @@ def events_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("z_milli"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------- wave 18
+# Median/MAD robust anomaly days (Hampel 1974; the MADN rule of Leys et
+# al. 2013 — "detecting outliers: do not use mean±SD"): days whose
+# daily count deviates from the per-type MEDIAN by more than
+# 3·1.4826·MAD. Every quantity is an exact integer: lower medians via
+# rank windows, and the 3·1.4826 scale folds into the ALL-INTEGER
+# comparison 10000·|c − med| > 44478·MAD — no float exists in either
+# engine. The masked-ESD wave is the parametric cousin; this is the
+# rule ops teams actually deploy (no normality assumption).
+
+
+@query(
+    "events_anomaly_mad_days",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, c AS m FROM (
+        SELECT event_type, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, day)
+                 AS vr,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+      ) WHERE vr = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.c, med.m, ABS(d.c - med.m) AS ad
+      FROM daily d JOIN med ON med.event_type = d.event_type
+    ),
+    mad AS (
+      SELECT event_type, ad AS mad FROM (
+        SELECT event_type, ad,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad)
+                 AS vr,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+      ) WHERE vr = (n + 1) // 2
+    )
+    SELECT dev.event_type, CAST(dev.day AS VARCHAR) AS day, dev.c,
+           dev.m AS median_c, mad.mad,
+           CAST(10000 * dev.ad AS BIGINT) AS dev_e4,
+           CAST(44478 * mad.mad AS BIGINT) AS cutoff_e4
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    WHERE 10000 * dev.ad > 44478 * mad.mad
+    ORDER BY dev.event_type, day
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_anomaly_mad_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days flagged by the robust median/MAD rule (|c − median| >
+    3·1.4826·MAD, evaluated as the integer comparison 10000·dev >
+    44478·MAD): per flagged day, the count, the per-type median and
+    MAD, and both comparison sides. Two rank windows over the day
+    dimension; zero floats anywhere."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events").events
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wp = Window.partitionBy("event_type")
+
+    def lower_median(df, val, extra_order):
+        ranked = df.select(
+            "*",
+            F.row_number()
+            .over(wp.orderBy(val, *extra_order))
+            .alias("vr"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        )
+        return ranked.filter(
+            F.col("vr") == F.floor((F.col("n") + 1) / 2)
+        )
+
+    med = lower_median(daily, F.col("c"), [F.col("day")]).select(
+        "event_type", F.col("c").alias("m")
+    )
+    dev = daily.join(med, "event_type").select(
+        "event_type",
+        "day",
+        "c",
+        "m",
+        F.abs(F.col("c") - F.col("m")).alias("ad"),
+    )
+    mad = lower_median(dev, F.col("ad"), [F.col("day")]).select(
+        "event_type", F.col("ad").alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .filter(F.lit(10000) * F.col("ad") > F.lit(44478) * F.col("mad"))
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "c",
+            F.col("m").alias("median_c"),
+            "mad",
+            (F.lit(10000) * F.col("ad")).cast("long").alias("dev_e4"),
+            (F.lit(44478) * F.col("mad")).cast("long").alias("cutoff_e4"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# --------------------------------------------------------------- wave 19
+# Standardized type-token ratio (STTR; Johnson 1944's segmented TTR —
+# the fix for raw TTR's length dependence the lexical-richness wave
+# documents): per document, the mean TTR over consecutive 50-token
+# chunks (only FULL chunks count — the standard convention, stated).
+# Distinct-per-chunk counts are integers; chunk TTRs are exact permille
+# (1000·distinct // 50 — the denominator is constant, so the floor is
+# shared); the doc STTR is the exact integer mean of chunk permilles.
+
+_STTR_CHUNK = 50
+
+
+@query(
+    "text_sttr_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, w,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                  - 1 AS BIGINT) // {_STTR_CHUNK} AS chunk,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tok
+      FROM (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                              x -> len(x) > 0)) AS w,
+               generate_subscripts(list_filter(
+                 string_split_regex(text, '\\s+'), x -> len(x) > 0), 1)
+                 AS pos
+        FROM documents
+      )
+    ),
+    chunks AS (
+      SELECT doc_id, chunk,
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types,
+             CAST(COUNT(*) AS BIGINT) AS n_in_chunk
+      FROM toks GROUP BY doc_id, chunk
+    ),
+    full_chunks AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(1000 * n_types // {_STTR_CHUNK}) AS BIGINT) AS s
+      FROM chunks WHERE n_in_chunk = {_STTR_CHUNK}
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_chunks,
+           CAST(s // n_chunks AS BIGINT) AS sttr_permille
+    FROM full_chunks
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_sttr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document standardized TTR: mean exact-permille type/token
+    ratio over full 50-token chunks (partial tail chunks excluded — the
+    standard convention). One token explode with a doc-keyed position
+    window, one (doc, chunk) distinct aggregate, one doc rollup; all
+    integer."""
+    from pyspark.sql.window import Window
+
+    from ..operators import text as T
+    from .llm_ops12 import _idiv_col
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(T.tokens("text"), lambda w: F.length(w) > 0)
+        ).alias("pos", "w"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    chunked = toks.select(
+        "doc_id",
+        "w",
+        _idiv_col(
+            F.row_number().over(w_doc).cast("long") - 1,
+            F.lit(_STTR_CHUNK),
+        ).alias("chunk"),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk").agg(
+        F.countDistinct("w").cast("long").alias("n_types"),
+        F.count(F.lit(1)).cast("long").alias("n_in_chunk"),
+    )
+    full_chunks = (
+        chunks.filter(F.col("n_in_chunk") == _STTR_CHUNK)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(
+                _idiv_col(F.col("n_types"), F.lit(_STTR_CHUNK), scale=1000)
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    return full_chunks.select(
+        "doc_id",
+        "n_chunks",
+        _idiv_col(F.col("s"), F.col("n_chunks")).alias("sttr_permille"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------- wave 20
+# MAD of order value per nation (the robust-spread column beside the
+# Gini / HHI / Theil concentration rows — Hampel 1974 again, this time
+# as a per-group aggregate over money): median order value and the
+# median absolute deviation, both exact integer CENTS via lower-median
+# rank windows. A nation whose MAD rivals its median has erratic order
+# sizing regardless of what the mean/SD (skew-fragile) would claim.
+
+
+@query(
+    "agg_order_mad_by_nation",
+    oracle="""
+    WITH ov AS (
+      SELECT c.c_nationkey AS nation,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+             o.o_orderkey
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    med AS (
+      SELECT nation, cents AS m FROM (
+        SELECT nation, cents,
+               ROW_NUMBER() OVER (PARTITION BY nation
+                                  ORDER BY cents, o_orderkey) AS vr,
+               COUNT(*) OVER (PARTITION BY nation) AS n
+        FROM ov
+      ) WHERE vr = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT ov.nation, ABS(ov.cents - med.m) AS ad, ov.o_orderkey,
+             med.m
+      FROM ov JOIN med ON med.nation = ov.nation
+    ),
+    mad AS (
+      SELECT nation, ad AS mad, m FROM (
+        SELECT nation, ad, m,
+               ROW_NUMBER() OVER (PARTITION BY nation
+                                  ORDER BY ad, o_orderkey) AS vr,
+               COUNT(*) OVER (PARTITION BY nation) AS n
+        FROM dev
+      ) WHERE vr = (n + 1) // 2
+    )
+    SELECT m2.nation,
+           CAST((SELECT COUNT(*) FROM ov WHERE ov.nation = m2.nation)
+                AS BIGINT) AS n_orders,
+           m2.m AS median_cents, m2.mad AS mad_cents,
+           CAST(CASE WHEN m2.m > 0 THEN 1000 * m2.mad // m2.m ELSE 0 END
+                AS BIGINT) AS mad_over_median_permille
+    FROM mad m2 ORDER BY m2.nation
+    """,
+    tags=("relational", "agg", "stats"),
+)
+def agg_order_mad_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and MAD of order value per customer nation (exact cents,
+    lower medians by rank window, orderkey tie-break) with the
+    MAD/median ratio (permille) — the robust-spread companion to the
+    Gini/HHI/Theil rows. Two rank windows keyed by nation; no floats."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops12 import _idiv_col
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    ov = t.orders.join(
+        t.customer, t.orders.o_custkey == t.customer.c_custkey
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    wp = Window.partitionBy("nation")
+    med = (
+        ov.select(
+            "*",
+            F.row_number()
+            .over(wp.orderBy("cents", "o_orderkey"))
+            .alias("vr"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        )
+        .filter(F.col("vr") == F.floor((F.col("n") + 1) / 2))
+        .select("nation", F.col("cents").alias("m"), F.col("n").alias("n_orders"))
+    )
+    dev = ov.join(med, "nation").select(
+        "nation",
+        F.abs(F.col("cents") - F.col("m")).alias("ad"),
+        "o_orderkey",
+        "m",
+        "n_orders",
+    )
+    mad = (
+        dev.select(
+            "*",
+            F.row_number().over(wp.orderBy("ad", "o_orderkey")).alias("vr"),
+            F.count(F.lit(1)).over(wp).alias("n2"),
+        )
+        .filter(F.col("vr") == F.floor((F.col("n2") + 1) / 2))
+        .select("nation", F.col("ad").alias("mad"), "m", "n_orders")
+    )
+    return mad.select(
+        "nation",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("m").alias("median_cents"),
+        F.col("mad").alias("mad_cents"),
+        F.when(F.col("m") > 0, _idiv_col(F.col("mad"), F.col("m"), scale=1000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mad_over_median_permille"),
+    ).orderBy("nation")
+
+
+# --------------------------------------------------------------- wave 21
+# Kendall tau-a between the BM25 and query-likelihood rankings (Kendall,
+# Biometrika 1938): do the two registered rankers ORDER the corpus the
+# same way? Computed over the documents BOTH engines rank (the QL
+# top-15 ∩ BM25 top-15 overlap — stated; rank correlation over a
+# top-k overlap is the standard ranker-agreement diagnostic).
+# Concordant/discordant pair counts are exact integers over the ≤15²
+# overlap pairs; tau-a milli = 1000·(C − D) // (C + D + ties).
+
+
+def _build_rank_tau_oracle() -> str:
+    # Single-source both ranking oracles from the REGISTRY (llm_ops3's
+    # BM25 oracle is an inline literal): the tau oracle can never
+    # disagree with the rankings it claims to compare.
+    from .llm_ops12 import _build_ql_oracle
+    from .registry import QUERIES
+
+    ql = _build_ql_oracle().strip()
+    bm = QUERIES["search_bm25_topk"].oracle.strip()
+    return f"""
+    WITH qlr AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY ql_micro DESC, doc_id)
+               AS BIGINT) AS rq
+      FROM ({ql})
+    ),
+    bmr AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25_micro DESC,
+                                             doc_id) AS BIGINT) AS rb
+      FROM ({bm})
+    ),
+    both_r AS (
+      SELECT qlr.doc_id, qlr.rq, bmr.rb
+      FROM qlr JOIN bmr USING (doc_id)
+    ),
+    pairs AS (
+      SELECT CAST(SUM(CASE WHEN (a.rq - b.rq) * (a.rb - b.rb) > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN (a.rq - b.rq) * (a.rb - b.rb) < 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS total
+      FROM both_r a JOIN both_r b ON a.doc_id < b.doc_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM both_r) AS n_overlap,
+           c AS n_concordant, d AS n_discordant,
+           CAST(CASE WHEN total > 0 THEN 1000 * (c - d) // total
+                ELSE 0 END AS BIGINT) AS tau_milli
+    FROM pairs
+    """
+
+
+@query(
+    "search_rank_agreement_tau",
+    oracle=_build_rank_tau_oracle(),
+    tags=("llm", "search", "eval"),
+)
+def search_rank_agreement_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a (milli) between the BM25 and query-likelihood
+    top-15 rankings over their overlap: concordant/discordant pair
+    counts (exact integers, ≤ C(15,2) pairs) and the signed agreement.
+    Reuses both registered ranking relations verbatim."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops3 import search_bm25_topk
+    from .llm_ops12 import _idiv_col, search_query_likelihood_topk
+
+    qlr = search_query_likelihood_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("ql_micro"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rq"),
+    )
+    bmr = search_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25_micro"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rb"),
+    )
+    both_r = qlr.join(bmr, "doc_id")
+    a, b = both_r.alias("a"), both_r.alias("b")
+    prod = (F.col("a.rq") - F.col("b.rq")) * (F.col("a.rb") - F.col("b.rb"))
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).agg(
+        F.sum(F.when(prod > 0, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(prod < 0, 1).otherwise(0)).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+    n_overlap = both_r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return pairs.crossJoin(F.broadcast(n_overlap)).select(
+        "n_overlap",
+        F.col("c").alias("n_concordant"),
+        F.col("d").alias("n_discordant"),
+        F.when(F.col("total") > 0, _idiv_col(F.col("c") - F.col("d"), F.col("total"), scale=1000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("tau_milli"),
+    )

@@ -842,3 +842,122 @@ def test_runs_test_full_python_replay(spark):
             assert row["z_milli"] == round(
                 1000 * (r_runs - e_r) / math.sqrt(var)
             ), et
+
+
+# ------------------------------------------------------------ wave 18-21
+
+
+def test_mad_anomaly_full_python_replay(spark):
+    got = {
+        (r["event_type"], r["day"]): r
+        for r in _run(spark, "events_anomaly_mad_days").collect()
+    }
+    daily_by_day: dict = {}
+    t = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet", columns=["ts", "event_type"]
+    )
+    for ts, et in zip(
+        t.column("ts").to_pylist(), t.column("event_type").to_pylist()
+    ):
+        daily_by_day.setdefault(et, {}).setdefault(str(ts.date()), 0)
+        daily_by_day[et][str(ts.date())] += 1
+    expect = {}
+    for et, days in daily_by_day.items():
+        cs = sorted(days.values())
+        n = len(cs)
+        m = cs[(n + 1) // 2 - 1]
+        ads = sorted(abs(c - m) for c in days.values())
+        mad = ads[(n + 1) // 2 - 1]
+        for day, c in days.items():
+            if 10000 * abs(c - m) > 44478 * mad:
+                expect[(et, day)] = (c, m, mad)
+    assert set(got) == set(expect)
+    for k, (c, m, mad) in expect.items():
+        r = got[k]
+        assert (r["c"], r["median_c"], r["mad"]) == (c, m, mad)
+        assert r["dev_e4"] == 10000 * abs(c - m)
+        assert r["cutoff_e4"] == 44478 * mad
+
+
+def test_sttr_full_python_replay(spark):
+    got = {r["doc_id"]: r for r in _run(spark, "text_sttr_profile").collect()}
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for d, x in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        ws = [w for w in (x or "").split() if w]
+        n_full = len(ws) // 50
+        if n_full == 0:
+            assert d not in got
+            continue
+        s = sum(
+            1000 * len(set(ws[i * 50 : (i + 1) * 50])) // 50
+            for i in range(n_full)
+        )
+        r = got[d]
+        assert r["n_chunks"] == n_full
+        assert r["sttr_permille"] == s // n_full, d
+
+
+def test_order_mad_full_python_replay(spark):
+    o = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    c = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = dict(
+        zip(c.column("c_custkey").to_pylist(), c.column("c_nationkey").to_pylist())
+    )
+    per: dict = {}
+    for ok, ck, p in zip(
+        o.column("o_orderkey").to_pylist(),
+        o.column("o_custkey").to_pylist(),
+        o.column("o_totalprice").to_pylist(),
+    ):
+        per.setdefault(nation[ck], []).append((round(p * 100), ok))
+    got = {r["nation"]: r for r in _run(spark, "agg_order_mad_by_nation").collect()}
+    assert set(got) == set(per)
+    for nat, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        m = vals[(n + 1) // 2 - 1][0]
+        ads = sorted((abs(v - m), ok) for v, ok in vals)
+        mad = ads[(n + 1) // 2 - 1][0]
+        r = got[nat]
+        assert r["n_orders"] == n
+        assert r["median_cents"] == m
+        assert r["mad_cents"] == mad
+        assert r["mad_over_median_permille"] == (
+            1000 * mad // m if m > 0 else 0
+        )
+
+
+def test_rank_tau_full_python_replay(spark):
+    from sea_streamer_spark.plans.llm_ops3 import search_bm25_topk
+    from sea_streamer_spark.plans.llm_ops12 import (
+        search_query_likelihood_topk,
+    )
+
+    ql = [r["doc_id"] for r in search_query_likelihood_topk(spark, SF).collect()]
+    bm = [r["doc_id"] for r in search_bm25_topk(spark, SF).collect()]
+    rq = {d: i + 1 for i, d in enumerate(ql)}
+    rb = {d: i + 1 for i, d in enumerate(bm)}
+    overlap = sorted(set(rq) & set(rb))
+    c = d = 0
+    for i in range(len(overlap)):
+        for j in range(i + 1, len(overlap)):
+            u, v = overlap[i], overlap[j]
+            prod = (rq[u] - rq[v]) * (rb[u] - rb[v])
+            if prod > 0:
+                c += 1
+            elif prod < 0:
+                d += 1
+    got = _run(spark, "search_rank_agreement_tau").collect()[0]
+    assert got["n_overlap"] == len(overlap)
+    assert got["n_concordant"] == c
+    assert got["n_discordant"] == d
+    total = len(overlap) * (len(overlap) - 1) // 2
+    expect = _trunc_div(1000 * (c - d), total) if total else 0
+    assert got["tau_milli"] == expect

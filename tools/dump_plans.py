@@ -138,6 +138,10 @@ SNAPSHOT_QUERIES = [
     "events_lorenz_user_activity",
     "quality_mcnemar_gates",
     "events_runs_test_daily",
+    "events_anomaly_mad_days",
+    "text_sttr_profile",
+    "agg_order_mad_by_nation",
+    "search_rank_agreement_tau",
 ]
 
 
