@@ -2887,3 +2887,322 @@ def search_rank_agreement_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tau_milli"),
     )
+
+
+# --------------------------------------------------------------- wave 22
+# Cohen's kappa between the Gopher rule gate and its NB distillation
+# (Cohen, EPM 1960): the chance-corrected agreement score beside
+# McNemar's asymmetry test (wave 16) — fidelity says raw agreement,
+# kappa says how much of it survives after the agreement both gates
+# would reach by label-rate luck alone. Fully exact: with the 2×2
+# cells a/b/c/d and n = a+b+c+d, clearing denominators gives
+#     kappa = (n·(a+d) − X) / (n² − X),  X = (a+b)(a+c) + (c+d)(b+d)
+# — integer numerator and denominator, one milli floor division.
+
+
+def _build_kappa_oracle() -> str:
+    from .llm_ops11 import _nb_chain_sql
+
+    return f"""
+    WITH {_nb_chain_sql()},
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN truth AND score_pass >= score_fail
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN truth AND score_pass < score_fail
+                      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN NOT truth AND score_pass >= score_fail
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN NOT truth AND score_pass < score_fail
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM scored
+    )
+    SELECT a + b + c + d AS n_docs, a AS n_both_pass, d AS n_both_fail,
+           b + c AS n_disagree,
+           CAST(1000 * (a + d) // (a + b + c + d) AS BIGINT)
+             AS raw_agreement_permille,
+           CAST(CASE WHEN (a + b + c + d) * (a + b + c + d)
+                          - ((a + b) * (a + c) + (c + d) * (b + d)) = 0
+                THEN 0
+                ELSE 1000 * ((a + b + c + d) * (a + d)
+                             - ((a + b) * (a + c) + (c + d) * (b + d)))
+                     // ((a + b + c + d) * (a + b + c + d)
+                         - ((a + b) * (a + c) + (c + d) * (b + d)))
+                END AS BIGINT) AS kappa_milli
+    FROM cells
+    """
+
+
+@query(
+    "quality_cohens_kappa_gates",
+    oracle=_build_kappa_oracle(),
+    tags=("llm", "quality", "eval"),
+)
+def quality_cohens_kappa_gates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's kappa (milli, exact integer via cleared denominators)
+    between the Gopher rule gate and the NB distilled gate on held-out
+    docs, with the raw agreement rate beside it. One pass over the
+    shared NB score relation."""
+    from .llm_ops11 import _nb_scored
+    from .llm_ops12 import _idiv_col
+
+    scored = _nb_scored(spark, sf_dir)
+    nb_pass = F.col("score_pass") >= F.col("score_fail")
+    cells = scored.agg(
+        F.sum(F.when(F.col("truth") & nb_pass, 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("truth") & ~nb_pass, 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~F.col("truth") & nb_pass, 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(~F.col("truth") & ~nb_pass, 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    x = (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) + (
+        F.col("c") + F.col("d")
+    ) * (F.col("b") + F.col("d"))
+    num = n * (F.col("a") + F.col("d")) - x
+    den = n * n - x
+    return cells.select(
+        n.cast("long").alias("n_docs"),
+        F.col("a").alias("n_both_pass"),
+        F.col("d").alias("n_both_fail"),
+        (F.col("b") + F.col("c")).cast("long").alias("n_disagree"),
+        _idiv_col(F.col("a") + F.col("d"), n, scale=1000).alias(
+            "raw_agreement_permille"
+        ),
+        F.when(den == 0, F.lit(0))
+        .otherwise(_idiv_col(num, den, scale=1000))
+        .cast("long")
+        .alias("kappa_milli"),
+    )
+
+
+# --------------------------------------------------------------- wave 23
+# One-way ANOVA of daily counts across weekday groups (Fisher 1925 —
+# the F-test): is there a weekly seasonality SIGNAL in the per-type
+# daily series, judged parametrically beside the nonparametric runs
+# test and the ACF's lag-7 row? Group sums clear the means: with
+# group j of size n_j, sum S_j, grand sum S over n days,
+#     SSB·n·Πdenoms and SSW stay rationals — we carry
+#     ssb_num = Σ_j (n·S_j − n_j·S)² / (n·n_j)   (scaled integers)
+# exactly per group via _idiv_col (truncated per group, stated), and
+# SSW = Σ (n_j·c − S_j)² / n_j likewise. F_milli is the single
+# rounded float from the two integer sums and the degrees of freedom.
+
+
+@query(
+    "events_weekday_anova",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS wd,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS nj,
+             CAST(SUM(c) AS BIGINT) AS sj
+      FROM daily GROUP BY event_type, wd
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(COUNT(DISTINCT wd) AS BIGINT) AS k
+      FROM daily GROUP BY event_type
+    ),
+    ssb AS (
+      SELECT g.event_type,
+             CAST(SUM((CAST(tot.n AS HUGEINT) * g.sj - g.nj * tot.s)
+                      * (CAST(tot.n AS HUGEINT) * g.sj - g.nj * tot.s)
+                      // (CAST(tot.n AS HUGEINT) * tot.n * g.nj))
+                  AS BIGINT) AS ssb_i
+      FROM g JOIN tot ON tot.event_type = g.event_type
+      GROUP BY g.event_type
+    ),
+    ssw AS (
+      SELECT d.event_type,
+             CAST(SUM((CAST(g.nj AS HUGEINT) * d.c - g.sj)
+                      * (CAST(g.nj AS HUGEINT) * d.c - g.sj)
+                      // (CAST(g.nj AS HUGEINT) * g.nj))
+                  AS BIGINT) AS ssw_i
+      FROM daily d JOIN g ON g.event_type = d.event_type AND g.wd = d.wd
+      GROUP BY d.event_type
+    )
+    SELECT tot.event_type, tot.n AS n_days, tot.k AS n_groups,
+           ssb.ssb_i AS ssb_scaled, ssw.ssw_i AS ssw_scaled,
+           CAST(CASE WHEN ssw.ssw_i = 0 OR tot.k <= 1 THEN -1
+                ELSE ROUND(1000.0 * (CAST(ssb.ssb_i AS DOUBLE) / (tot.k - 1))
+                           / (CAST(ssw.ssw_i AS DOUBLE) / (tot.n - tot.k)))
+                END AS BIGINT) AS f_milli
+    FROM tot JOIN ssb ON ssb.event_type = tot.event_type
+    JOIN ssw ON ssw.event_type = tot.event_type
+    ORDER BY tot.event_type
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way weekday ANOVA per event type: integer-scaled
+    between-group and within-group sums of squares (each group term an
+    exact truncated integer — the ranking-statistic convention) and the
+    F statistic (milli, the one float; -1 flags a degenerate
+    denominator). Day-dimension keyed aggregates only."""
+    from .llm_ops12 import _idiv_col
+
+    ev = load_tables(spark, sf_dir, "events").events
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.dayofweek(F.to_date("ts")).cast("long").alias("wd"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    g = daily.groupBy("event_type", "wd").agg(
+        F.count(F.lit(1)).cast("long").alias("nj"),
+        F.sum("c").cast("long").alias("sj"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.countDistinct("wd").cast("long").alias("k"),
+    )
+    gb = g.join(tot, "event_type")
+    bterm = (
+        F.col("n").cast("decimal(38,0)") * F.col("sj")
+        - F.col("nj").cast("decimal(38,0)") * F.col("s")
+    )
+    ssb = gb.select(
+        "event_type",
+        _idiv_col(
+            (bterm * bterm).cast("decimal(38,0)"),
+            F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("nj"),
+        ).alias("t"),
+    ).groupBy("event_type").agg(F.sum("t").cast("long").alias("ssb_i"))
+    dw = daily.join(g, ["event_type", "wd"])
+    wterm = (
+        F.col("nj").cast("decimal(38,0)") * F.col("c")
+        - F.col("sj").cast("decimal(38,0)")
+    )
+    ssw = dw.select(
+        "event_type",
+        _idiv_col(
+            (wterm * wterm).cast("decimal(38,0)"),
+            F.col("nj").cast("decimal(38,0)") * F.col("nj"),
+        ).alias("t"),
+    ).groupBy("event_type").agg(F.sum("t").cast("long").alias("ssw_i"))
+    return (
+        tot.join(ssb, "event_type")
+        .join(ssw, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("k").alias("n_groups"),
+            F.col("ssb_i").alias("ssb_scaled"),
+            F.col("ssw_i").alias("ssw_scaled"),
+            F.when((F.col("ssw_i") == 0) | (F.col("k") <= 1), F.lit(-1))
+            .otherwise(
+                F.round(
+                    F.lit(1000.0)
+                    * (F.col("ssb_i").cast("double") / (F.col("k") - 1))
+                    / (F.col("ssw_i").cast("double") / (F.col("n") - F.col("k")))
+                )
+            )
+            .cast("long")
+            .alias("f_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------- wave 24
+# Discount-response curve + integer OLS slope (the price-response
+# regression every revenue team runs; OLS per Legendre/Gauss, the Heaps
+# wave's exact-integer formulation reused on a relational subject):
+# lineitem discount levels are a small discrete grid — per level,
+# the exact mean quantity (micro) — and the response slope is the
+# integer OLS fit of mean-quantity-micro against discount-permille
+# over that grid: does a deeper discount actually move volume?
+
+
+@query(
+    "lineitem_discount_response",
+    oracle="""
+    WITH lvl AS (
+      SELECT CAST(ROUND(l_discount * 1000) AS BIGINT) AS disc_permille,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(ROUND(l_quantity * 1000000) AS BIGINT))
+                  AS BIGINT) AS qsum_micro
+      FROM lineitem GROUP BY 1
+    ),
+    pts AS (
+      SELECT disc_permille AS x, n_items,
+             CAST(qsum_micro // n_items AS BIGINT) AS y
+      FROM lvl
+    ),
+    ols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM pts
+    )
+    SELECT p.x AS disc_permille, p.n_items, p.y AS mean_qty_micro,
+           CAST(CASE WHEN o.k * o.sxx - o.sx * o.sx = 0 THEN 0
+                ELSE 1000 * (o.k * o.sxy - o.sx * o.sy)
+                     // (o.k * o.sxx - o.sx * o.sx) END AS BIGINT)
+             AS slope_milli_per_permille
+    FROM pts p CROSS JOIN ols o
+    ORDER BY p.x
+    """,
+    tags=("relational", "agg", "stats"),
+)
+def lineitem_discount_response(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Discount-response curve: per discount level (permille), item
+    count and exact integer mean quantity (micro), plus the grid-level
+    OLS slope (milli quantity-micro per discount-permille — repeated on
+    every row, the grid is the dimension). One keyed rollup over
+    lineitem + one ≤~11-point OLS; decimal-safe sums."""
+    from .llm_ops12 import _idiv_col
+
+    li = load_tables(spark, sf_dir, "lineitem").lineitem
+    lvl = li.groupBy(
+        F.round(F.col("l_discount") * 1000).cast("long").alias("disc_permille")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.round(F.col("l_quantity") * 1_000_000).cast("long"))
+        .cast("long")
+        .alias("qsum_micro"),
+    )
+    pts = lvl.select(
+        F.col("disc_permille").alias("x"),
+        "n_items",
+        _idiv_col(F.col("qsum_micro"), F.col("n_items")).alias("y"),
+    )
+    ols = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        pts.crossJoin(F.broadcast(ols))
+        .select(
+            F.col("x").alias("disc_permille"),
+            "n_items",
+            F.col("y").alias("mean_qty_micro"),
+            F.when(den == 0, F.lit(0))
+            .otherwise(_idiv_col(num, den, scale=1000))
+            .cast("long")
+            .alias("slope_milli_per_permille"),
+        )
+        .orderBy("disc_permille")
+    )

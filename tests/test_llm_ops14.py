@@ -961,3 +961,100 @@ def test_rank_tau_full_python_replay(spark):
     total = len(overlap) * (len(overlap) - 1) // 2
     expect = _trunc_div(1000 * (c - d), total) if total else 0
     assert got["tau_milli"] == expect
+
+
+# ------------------------------------------------------------ wave 22-24
+
+
+def test_kappa_full_python_replay(spark):
+    from sea_streamer_spark.plans.llm_ops11 import _nb_scored
+
+    rows = _nb_scored(spark, SF).collect()
+    a = sum(1 for r in rows if r["truth"] and r["score_pass"] >= r["score_fail"])
+    b = sum(1 for r in rows if r["truth"] and r["score_pass"] < r["score_fail"])
+    c = sum(1 for r in rows if not r["truth"] and r["score_pass"] >= r["score_fail"])
+    d = sum(1 for r in rows if not r["truth"] and r["score_pass"] < r["score_fail"])
+    n = a + b + c + d
+    x = (a + b) * (a + c) + (c + d) * (b + d)
+    got = _run(spark, "quality_cohens_kappa_gates").collect()[0]
+    assert got["n_docs"] == n
+    assert got["raw_agreement_permille"] == 1000 * (a + d) // n
+    expect = 0 if n * n - x == 0 else _trunc_div(1000 * (n * (a + d) - x), n * n - x)
+    assert got["kappa_milli"] == expect
+    # consistency with the McNemar wave's cells
+    mc = _run(spark, "quality_mcnemar_gates").collect()[0]
+    assert mc["n_both_pass"] == a and mc["n_both_fail"] == d
+    assert mc["n_rule_only"] == b and mc["n_nb_only"] == c
+
+
+def test_weekday_anova_full_python_replay(spark):
+    t = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet", columns=["ts", "event_type"]
+    )
+    per: dict = {}
+    for ts, et in zip(
+        t.column("ts").to_pylist(), t.column("event_type").to_pylist()
+    ):
+        day = ts.date()
+        # DuckDB/Spark dayofweek: Sunday=... both engines matched; mirror
+        # with isoweekday mapped to the Sun=1..Sat=7 convention
+        wd = day.isoweekday() % 7 + 1
+        per.setdefault(et, {}).setdefault((day, wd), 0)
+        per[et][(day, wd)] += 1
+    got = {r["event_type"]: r for r in _run(spark, "events_weekday_anova").collect()}
+    for et, days in per.items():
+        n = len(days)
+        s = sum(days.values())
+        groups: dict = {}
+        for (day, wd), cnt in days.items():
+            groups.setdefault(wd, []).append(cnt)
+        k = len(groups)
+        ssb = sum(
+            _trunc_div(
+                (n * sum(cs) - len(cs) * s) ** 2, n * n * len(cs)
+            )
+            for cs in groups.values()
+        )
+        ssw = sum(
+            _trunc_div((len(cs) * cv - sum(cs)) ** 2, len(cs) * len(cs))
+            for cs in groups.values()
+            for cv in cs
+        )
+        r = got[et]
+        assert r["n_days"] == n and r["n_groups"] == k
+        assert r["ssb_scaled"] == ssb, et
+        assert r["ssw_scaled"] == ssw, et
+        if ssw == 0 or k <= 1:
+            assert r["f_milli"] == -1
+        else:
+            assert r["f_milli"] == round(
+                1000 * (ssb / (k - 1)) / (ssw / (n - k))
+            )
+
+
+def test_discount_response_full_python_replay(spark):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_discount", "l_quantity"]
+    )
+    lvl: dict = {}
+    for disc, q in zip(
+        t.column("l_discount").to_pylist(), t.column("l_quantity").to_pylist()
+    ):
+        key = round(disc * 1000)
+        e = lvl.setdefault(key, [0, 0])
+        e[0] += 1
+        e[1] += round(q * 1_000_000)
+    pts = {x: (n, qs // n) for x, (n, qs) in lvl.items()}
+    k = len(pts)
+    sx = sum(pts)
+    sy = sum(y for _n, y in pts.values())
+    sxy = sum(x * y for x, (_n, y) in pts.items())
+    sxx = sum(x * x for x in pts)
+    den = k * sxx - sx * sx
+    slope = 0 if den == 0 else _trunc_div(1000 * (k * sxy - sx * sy), den)
+    got = _run(spark, "lineitem_discount_response").collect()
+    assert len(got) == k
+    for r in got:
+        n, y = pts[r["disc_permille"]]
+        assert r["n_items"] == n and r["mean_qty_micro"] == y
+        assert r["slope_milli_per_permille"] == slope

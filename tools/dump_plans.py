@@ -142,6 +142,9 @@ SNAPSHOT_QUERIES = [
     "text_sttr_profile",
     "agg_order_mad_by_nation",
     "search_rank_agreement_tau",
+    "quality_cohens_kappa_gates",
+    "events_weekday_anova",
+    "lineitem_discount_response",
 ]
 
 
