@@ -3206,3 +3206,191 @@ def lineitem_discount_response(
         )
         .orderBy("disc_permille")
     )
+
+
+# --------------------------------------------------------------- wave 25
+# Gini coefficient of per-user event volume (Gini 1912, by the exact
+# sorted-rank identity G = (2·Σ i·x_(i) − (n+1)·S) / (n·S)): the scalar
+# beside the Lorenz decile table (wave 15) — one number for "how
+# concentrated is the load", exact integer milli with the products in
+# decimal/HUGEINT (Σ i·x reaches n²·x̄). Ranks tie-break by user_id;
+# the identity is tie-safe (equal x values contribute the same total
+# regardless of their relative order).
+
+
+@query(
+    "events_gini_user_activity",
+    oracle="""
+    WITH ua AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+      FROM ua
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             SUM(CAST(i AS HUGEINT) * x) AS six
+      FROM ranked
+    )
+    SELECT n AS n_users, sx AS n_events,
+           CAST(CASE WHEN n * sx = 0 THEN 0
+                ELSE 1000 * (2 * six - (n + 1) * sx)
+                     // (CAST(n AS HUGEINT) * sx) END AS BIGINT)
+             AS gini_milli
+    FROM s
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-milli Gini of per-user event counts via the
+    sorted-rank identity — the concentration scalar beside the Lorenz
+    deciles. One user rollup + one rank window + one moment aggregate;
+    rank-weighted sums in decimal(38,0)."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops12 import _idiv_col
+
+    ev = load_tables(spark, sf_dir, "events").events
+    ua = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    ranked = ua.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy("x", "user_id"))
+        .cast("long")
+        .alias("i"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("six"),
+    )
+    num = (
+        F.lit(2) * F.col("six")
+        - (F.col("n") + 1).cast("decimal(38,0)") * F.col("sx")
+    )
+    den = F.col("n").cast("decimal(38,0)") * F.col("sx")
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("n_events"),
+        F.when(den == 0, F.lit(0))
+        .otherwise(_idiv_col(num, den, scale=1000))
+        .cast("long")
+        .alias("gini_milli"),
+    )
+
+
+# --------------------------------------------------------------- wave 26
+# Youden's J optimal threshold for the NB quality margin (Youden,
+# Cancer 1950): sweep every distinct margin cutoff over the held-out
+# docs, compute sensitivity + specificity − 1 at each, and report the
+# maximizing cutoff with its ROC point — the operating point a
+# production gate would actually pin. All exact integers: TP/FP ride a
+# cumulative window over margins sorted descending (predict-pass =
+# margin ≥ cutoff), J_milli = 1000·TP//P + 1000·TN//N − 1000, argmax
+# tie-breaks to the SMALLER cutoff rank (the more permissive gate).
+
+
+def _build_youden_oracle() -> str:
+    from .llm_ops11 import _nb_chain_sql
+
+    return f"""
+    WITH {_nb_chain_sql()},
+    m AS (
+      SELECT doc_id, truth, score_pass - score_fail AS margin
+      FROM scored
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN truth THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      FROM m
+    ),
+    sweep AS (
+      SELECT margin,
+             CAST(SUM(SUM(CASE WHEN truth THEN 1 ELSE 0 END))
+                  OVER (ORDER BY margin DESC) AS BIGINT) AS tp,
+             CAST(SUM(SUM(CASE WHEN truth THEN 0 ELSE 1 END))
+                  OVER (ORDER BY margin DESC) AS BIGINT) AS fp
+      FROM m GROUP BY margin
+    ),
+    j AS (
+      SELECT margin, tp, fp,
+             CAST(1000 * tp // (SELECT p FROM tot)
+                  + 1000 * ((SELECT neg FROM tot) - fp)
+                    // (SELECT neg FROM tot) - 1000 AS BIGINT) AS j_milli
+      FROM sweep
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_docs,
+           (SELECT p FROM tot) AS n_pos, (SELECT neg FROM tot) AS n_neg,
+           margin AS best_margin_cutoff, tp, fp,
+           CAST(1000 * tp // (SELECT p FROM tot) AS BIGINT) AS tpr_permille,
+           CAST(1000 * fp // (SELECT neg FROM tot) AS BIGINT) AS fpr_permille,
+           j_milli
+    FROM j
+    ORDER BY j_milli DESC, margin LIMIT 1
+    """
+
+
+@query(
+    "quality_youden_threshold",
+    oracle=_build_youden_oracle(),
+    tags=("llm", "quality", "eval"),
+)
+def quality_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Youden-optimal NB margin cutoff on held-out docs: the
+    distinct margin value maximizing J = TPR + TNR − 1 (milli, exact
+    floors; tie → smaller cutoff) with its confusion counts and ROC
+    point. One margin-keyed aggregate + one cumulative window over the
+    distinct-margin dimension; TakeOrdered(1)."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops11 import _nb_scored
+    from .llm_ops12 import _idiv_col
+
+    scored = _nb_scored(spark, sf_dir).select(
+        "truth", (F.col("score_pass") - F.col("score_fail")).alias("margin")
+    )
+    tot = scored.agg(
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).cast("long").alias("p"),
+        F.sum(F.when(F.col("truth"), 0).otherwise(1))
+        .cast("long")
+        .alias("neg"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    per = scored.groupBy("margin").agg(
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).cast("long").alias("tp0"),
+        F.sum(F.when(F.col("truth"), 0).otherwise(1)).cast("long").alias("fp0"),
+    )
+    w = Window.orderBy(F.desc("margin")).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = per.select(
+        "margin",
+        F.sum("tp0").over(w).cast("long").alias("tp"),
+        F.sum("fp0").over(w).cast("long").alias("fp"),
+    )
+    j = sweep.crossJoin(F.broadcast(tot)).select(
+        "n_docs",
+        F.col("p").alias("n_pos"),
+        F.col("neg").alias("n_neg"),
+        F.col("margin").alias("best_margin_cutoff"),
+        "tp",
+        "fp",
+        _idiv_col(F.col("tp"), F.col("p"), scale=1000).alias("tpr_permille"),
+        _idiv_col(F.col("fp"), F.col("neg"), scale=1000).alias(
+            "fpr_permille"
+        ),
+        (
+            _idiv_col(F.col("tp"), F.col("p"), scale=1000)
+            + _idiv_col(
+                F.col("neg") - F.col("fp"), F.col("neg"), scale=1000
+            )
+            - F.lit(1000)
+        )
+        .cast("long")
+        .alias("j_milli"),
+    )
+    return j.orderBy(F.desc("j_milli"), F.asc("best_margin_cutoff")).limit(1)

@@ -1058,3 +1058,60 @@ def test_discount_response_full_python_replay(spark):
         n, y = pts[r["disc_permille"]]
         assert r["n_items"] == n and r["mean_qty_micro"] == y
         assert r["slope_milli_per_permille"] == slope
+
+
+# ------------------------------------------------------------ wave 25/26
+
+
+def test_user_gini_full_python_replay(spark):
+    t = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id"]
+    )
+    counts: dict = {}
+    for u in t.column("user_id").to_pylist():
+        counts[u] = counts.get(u, 0) + 1
+    xs = [x for _u, x in sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, s = len(xs), sum(xs)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    expect = _trunc_div(1000 * (2 * six - (n + 1) * s), n * s)
+    got = _run(spark, "events_gini_user_activity").collect()[0]
+    assert got["n_users"] == n and got["n_events"] == s
+    assert got["gini_milli"] == expect
+    # gini and the Lorenz deciles describe the same distribution:
+    # both bounded [0, 1000), and a nonzero gini implies the top decile
+    # holds more than 10% of volume
+    assert 0 <= got["gini_milli"] < 1000
+
+
+def test_youden_full_python_replay(spark):
+    from sea_streamer_spark.plans.llm_ops11 import _nb_scored
+
+    rows = _nb_scored(spark, SF).collect()
+    margins = sorted(
+        {r["score_pass"] - r["score_fail"] for r in rows}, reverse=True
+    )
+    p = sum(1 for r in rows if r["truth"])
+    neg = len(rows) - p
+    best = None
+    for m in margins:
+        tp = sum(
+            1
+            for r in rows
+            if r["truth"] and r["score_pass"] - r["score_fail"] >= m
+        )
+        fp = sum(
+            1
+            for r in rows
+            if not r["truth"] and r["score_pass"] - r["score_fail"] >= m
+        )
+        j = 1000 * tp // p + 1000 * (neg - fp) // neg - 1000
+        if best is None or (j, -m) > (best[0], -best[1]):
+            best = (j, m, tp, fp)
+    j, m, tp, fp = best
+    got = _run(spark, "quality_youden_threshold").collect()[0]
+    assert got["n_docs"] == len(rows)
+    assert got["best_margin_cutoff"] == m
+    assert got["tp"] == tp and got["fp"] == fp
+    assert got["j_milli"] == j
+    assert got["tpr_permille"] == 1000 * tp // p
+    assert got["fpr_permille"] == 1000 * fp // neg

@@ -145,6 +145,8 @@ SNAPSHOT_QUERIES = [
     "quality_cohens_kappa_gates",
     "events_weekday_anova",
     "lineitem_discount_response",
+    "events_gini_user_activity",
+    "quality_youden_threshold",
 ]
 
 
