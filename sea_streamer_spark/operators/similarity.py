@@ -873,6 +873,7 @@ def exact_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block: int = 512,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """ALL unordered id pairs with cosine >= ``threshold`` — the exact
     all-pairs ground truth used by the dedup/ANN recall evals, computed
@@ -900,6 +901,19 @@ def exact_cosine_pairs(
     import pandas as pd
 
     spark = emb.sparkSession
+    # Loud size cap (r10 VERDICT): this truth side collects the whole
+    # embedding table to the driver and broadcasts it — correct ONLY for
+    # eval-sized corpora. Count first so a corpus-sized table can never
+    # be collected silently; the error names the documented fallback.
+    n_total = emb.count()
+    if n_total > max_rows:
+        raise ValueError(
+            f"exact_cosine_pairs is an eval truth side: {n_total} rows "
+            f"exceeds max_rows={max_rows}. At this scale run the same "
+            "tile protocol as a block-keyed self-join of matrix chunks "
+            "(no driver collect / single broadcast) instead of the "
+            "broadcast fast path, or raise max_rows deliberately."
+        )
     rows = emb.select(id_col, vec_col).orderBy(id_col).collect()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
@@ -911,6 +925,17 @@ def exact_cosine_pairs(
     for dd in range(d):
         nsq += X[:, dd] * X[:, dd]
     nr = np.sqrt(nsq)
+    # Zero-norm vectors make cosine NaN, and the engines DISAGREE on
+    # NaN >= t (numpy: False; Spark SQL / DuckDB order NaN above every
+    # value) — the bit-identical-fold claim would silently fail. Fail
+    # loudly instead (r10 ADVICE); eval fixtures never contain them.
+    if (nr == 0.0).any():
+        bad = ids[np.nonzero(nr == 0.0)[0][:5]].tolist()
+        raise ValueError(
+            f"exact_cosine_pairs: zero-norm embedding(s) {bad} — cosine "
+            "is NaN and numpy/Spark/DuckDB disagree on NaN >= threshold; "
+            "filter or fix the vectors before calling the truth side."
+        )
     bc = spark.sparkContext.broadcast((ids, X, nr))
     nb = -(-n // block)
     tiles = [(i, j) for i in range(nb) for j in range(i, nb)]

@@ -1326,10 +1326,6 @@ def events_kaplan_meier_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
       FROM toks GROUP BY doc_id
     ),
-    firsts AS (
-      SELECT MIN(doc_id) AS doc_id, CAST(COUNT(DISTINCT w) AS BIGINT)
-      FROM toks GROUP BY w
-    ),
     new_terms AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nv
       FROM (SELECT w, MIN(doc_id) AS doc_id FROM toks GROUP BY w)
@@ -1956,11 +1952,10 @@ def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LP_MIN_CO = 2
 
-
-@query(
-    "graph_adamic_adar_linkpred",
-    oracle=f"""
-    WITH pairs AS (
+#: shared co-purchase-graph CTE text (pairs/e/deg/wedges) — single-sourced
+#: by the registered AA oracle below AND llm_ops15's hub-capped variant, so
+#: the two can never disagree on the graph they score.
+_AA_GRAPH_CTES = f"""pairs AS (
       SELECT a.l_partkey AS pa, b.l_partkey AS pb
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -1972,35 +1967,14 @@ _LP_MIN_CO = 2
     wedges AS (
       SELECT a.v AS u, b.v AS v, a.u AS w
       FROM e a JOIN e b ON b.u = a.u AND a.v < b.v
-    ),
-    cand AS (
-      SELECT wg.u, wg.v,
-             CAST(COUNT(*) AS BIGINT) AS cn,
-             CAST(SUM(CAST(ROUND(1000000 / ln(CAST(dw.d AS DOUBLE)))
-                  AS BIGINT)) AS BIGINT) AS aa_micro
-      FROM wedges wg JOIN deg dw ON dw.u = wg.w
-      WHERE NOT EXISTS (SELECT 1 FROM pairs p
-                        WHERE p.pa = wg.u AND p.pb = wg.v)
-      GROUP BY wg.u, wg.v
-    )
-    SELECT c.u AS part_a, c.v AS part_b, c.cn AS n_common,
-           CAST(1000 * c.cn // (du.d + dv.d - c.cn) AS BIGINT)
-             AS jaccard_permille,
-           c.aa_micro
-    FROM cand c JOIN deg du ON du.u = c.u JOIN deg dv ON dv.u = c.v
-    ORDER BY c.aa_micro DESC, part_a, part_b LIMIT 20
-    """,
-    tags=("relational", "graph"),
-)
-def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 predicted co-purchase links: unlinked part pairs ranked by
-    Adamic-Adar (micro; Σ 1/ln(deg) over common co-purchase partners,
-    each term micro-rounded) with the common-neighbor count and
-    neighbor-Jaccard (permille). One basket self-join with a support
-    floor, one wedge join, one anti-join against existing edges, one
-    keyed aggregate; TakeOrdered(20)."""
-    from .llm_ops12 import _idiv_col
+    )"""
 
+
+def _aa_graph(spark: SparkSession, sf_dir: str):
+    """Spark side of the shared co-purchase graph: (pairs, e, deg,
+    wedges) exactly as the registered AA query builds them — extracted
+    (pure refactor, identical plan) so llm_ops15's hub-capped variant
+    scores the same graph."""
     li = load_tables(spark, sf_dir, "lineitem").lineitem
     a0, b0 = li.alias("a0"), li.alias("b0")
     pairs = (
@@ -2029,6 +2003,55 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.v").alias("u"), F.col("b.v").alias("v"),
         F.col("a.u").alias("w"),
     )
+    return pairs, e, deg, wedges
+
+
+@query(
+    "graph_adamic_adar_linkpred",
+    oracle=f"""
+    WITH {_AA_GRAPH_CTES},
+    cand AS (
+      SELECT wg.u, wg.v,
+             CAST(COUNT(*) AS BIGINT) AS cn,
+             CAST(SUM(CAST(ROUND(1000000 / ln(CAST(dw.d AS DOUBLE)))
+                  AS BIGINT)) AS BIGINT) AS aa_micro
+      FROM wedges wg JOIN deg dw ON dw.u = wg.w
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.pa = wg.u AND p.pb = wg.v)
+      GROUP BY wg.u, wg.v
+    )
+    SELECT c.u AS part_a, c.v AS part_b, c.cn AS n_common,
+           CAST(1000 * c.cn // (du.d + dv.d - c.cn) AS BIGINT)
+             AS jaccard_permille,
+           c.aa_micro
+    FROM cand c JOIN deg du ON du.u = c.u JOIN deg dv ON dv.u = c.v
+    ORDER BY c.aa_micro DESC, part_a, part_b LIMIT 20
+    """,
+    tags=("relational", "graph"),
+)
+def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted co-purchase links: unlinked part pairs ranked by
+    Adamic-Adar (micro; Σ 1/ln(deg) over common co-purchase partners,
+    each term micro-rounded) with the common-neighbor count and
+    neighbor-Jaccard (permille). One basket self-join with a support
+    floor, one wedge join, one anti-join against existing edges, one
+    keyed aggregate; TakeOrdered(20).
+
+    Hub posture (r10 VERDICT task #4): wedge volume is Σ deg(w)², which
+    a 100× co-purchase graph with hub parts turns into the dominant
+    cost. The standard mitigation — drop (or sample) wedge CENTERS with
+    degree above a cap D — removes only the LEAST informative terms
+    (each contributes 1/ln(deg) → 0 as deg grows, Adamic-Adar's whole
+    point) while bounding per-center fan-out at C(D,2). This registered
+    row keeps the exact uncapped semantics (the test graphs are
+    support-floored and small-degree); the capped production shape is
+    REGISTERED AND MEASURED as ``graph_adamic_adar_hubcapped``
+    (plans/llm_ops15.py): same graph single-sourced from ``_aa_graph``/
+    ``_AA_GRAPH_CTES``, wedge volume kept/dropped, AA mass kept, and
+    top-20 agreement vs this row, all oracle-checked."""
+    from .llm_ops12 import _idiv_col
+
+    pairs, e, deg, wedges = _aa_graph(spark, sf_dir)
     unlinked = wedges.join(
         pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")),
         ["u", "v"],
@@ -3001,8 +3024,11 @@ def quality_cohens_kappa_gates(
     "events_weekday_anova",
     oracle="""
     WITH daily AS (
+      -- wd is GROUPING-ONLY (never surfaced): dayofweek(...)+1 maps
+      -- DuckDB's Sun=0..6 onto Spark's Sun=1..7 — the llm_ops8
+      -- convention — so the label spaces match if wd ever surfaces.
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS wd,
+             CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS wd,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM events GROUP BY 1, 2, 3
     ),

@@ -69,6 +69,38 @@ def test_exact_cosine_pairs_matches_jvm_fold(spark):
     assert got == jvm and len(got) > 0
 
 
+def test_exact_cosine_pairs_rejects_zero_norm(spark):
+    """Zero-norm vectors make cosine NaN, and numpy (NaN >= t is False)
+    disagrees with Spark/DuckDB (NaN sorts above every value) — the
+    truth side must fail LOUDLY instead of silently diverging (r10
+    ADVICE)."""
+    import pytest
+
+    from sea_streamer_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="zero-norm"):
+        S.exact_cosine_pairs(emb, 0.5).collect()
+
+
+def test_exact_cosine_pairs_row_cap(spark):
+    """The driver-collect truth side refuses corpus-sized inputs with an
+    error naming the documented block-keyed fallback (r10 VERDICT task
+    #1 guard) — it can never be pointed at a big table silently."""
+    import pytest
+
+    from sea_streamer_spark.operators import similarity as S
+
+    emb = spark.range(10).selectExpr(
+        "id AS vec_id", "array(CAST(id AS DOUBLE) + 1.0, 2.0) AS embedding"
+    )
+    with pytest.raises(ValueError, match="block-keyed self-join"):
+        S.exact_cosine_pairs(emb, 0.5, max_rows=5)
+
+
 def test_cell_sweep_full_python_replay(spark):
     """Third-engine replay: truth pairs via the cos_py left fold, cell
     assignment via the same gate centroid literals and (sim, -cell)

@@ -147,6 +147,9 @@ SNAPSHOT_QUERIES = [
     "lineitem_discount_response",
     "events_gini_user_activity",
     "quality_youden_threshold",
+    # round-11 waves
+    "graph_adamic_adar_hubcapped",
+    "dedup_semantic_recall_planted",
 ]
 
 
