@@ -626,6 +626,15 @@ NEW_OPS_QUERIES = (
     # round-11 waves
     "graph_adamic_adar_hubcapped",
     "dedup_semantic_recall_planted",
+    "curation_e2e_pipeline",
+    "quality_mcc_gates",
+    "text_lexical_concentration",
+    "events_dispersion_index",
+    "agg_concentration_rank_agreement",
+    "events_logrank_cohorts",
+    "embedding_mmd_split_drift",
+    "basket_part_rules",
+    "orders_retention_triangle",
 )
 
 

@@ -500,3 +500,1169 @@ def dedup_semantic_recall_planted(
         "recall_permille long, planted_recall_permille long, "
         "candidate_share_permille long, recommended boolean",
     ).orderBy("n_cells")
+
+
+# ---------------------------------------------------------------- wave 3
+# End-to-end curation pipeline (r10 VERDICT task #5): every stage of the
+# canonical training-data curation run — PII redaction → exact dedup (on
+# the REDACTED text, so documents differing only in their PII collide) →
+# MinHash near-dup clusters → scale-aware SemDeDup → Gopher quality gate
+# → Hamilton-apportioned sampling — composed as ONE registered query
+# with one DuckDB oracle, proving the stages hand off without
+# cross-stage dtype/determinism drift. Every stage is single-sourced
+# from its registered machinery (llm_ops14 redaction chain + injector,
+# llm_ops2's dedup_clusters oracle embedded verbatim, llm_ops14's
+# scaled-SemDeDup oracle embedded verbatim, llm_ops11's Gopher pass
+# fragment, llm_ops14's Hamilton shape over the SURVIVOR counts), so
+# the pipeline can never disagree with the stages it names. Documents
+# without an embedding row (sf0.1: 5000 docs, 2000 vectors) pass the
+# semantic stage unchanged — stated: no vector means SemDeDup has no
+# evidence to drop on.
+
+_E2E_BUDGET = 100  # == llm_ops14._APPORTION_BUDGET (pinned by test)
+
+
+def _build_e2e_oracle() -> str:
+    from .llm_ops11 import _duck_gopher_pass
+    from .llm_ops14 import _PII_INJECT_SQL, _redact_chain_sql
+    from .registry import QUERIES
+
+    clusters = QUERIES["dedup_clusters"].oracle.strip()
+    scaled = QUERIES["dedup_semantic_cluster_scaled"].oracle.strip()
+    return f"""
+    WITH inj AS (
+      SELECT doc_id, source, text || {_PII_INJECT_SQL} AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id, source, t, {_redact_chain_sql('t')} AS r
+      FROM inj
+    ),
+    ex AS (
+      SELECT doc_id, source, (r <> t) AS had_pii,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(r)) AS keep2
+      FROM red
+    ),
+    cl AS (SELECT doc_id, cluster_id FROM ({clusters})),
+    sem AS (SELECT vec_id, kept FROM ({scaled})),
+    {_duck_gopher_pass()},
+    st3 AS (
+      SELECT e.*, c.cluster_id,
+             e.keep2 AND e.doc_id = MIN(CASE WHEN e.keep2 THEN e.doc_id
+                                        END) OVER (PARTITION BY c.cluster_id)
+               AS keep3
+      FROM ex e JOIN cl c ON c.doc_id = e.doc_id
+    ),
+    flags AS (
+      SELECT s.source, s.had_pii, s.keep2, s.keep3,
+             s.keep3 AND COALESCE(m.kept, TRUE) AS keep4,
+             s.keep3 AND COALESCE(m.kept, TRUE) AND l.passes AS keep5
+      FROM st3 s
+      LEFT JOIN sem m ON m.vec_id = s.doc_id
+      JOIN labels l ON l.doc_id = s.doc_id
+    ),
+    per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN had_pii THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pii_docs,
+             CAST(SUM(CASE WHEN keep2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after_exact,
+             CAST(SUM(CASE WHEN keep3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after_neardup,
+             CAST(SUM(CASE WHEN keep4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after_semantic,
+             CAST(SUM(CASE WHEN keep5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after_quality
+      FROM flags GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_after_quality) AS BIGINT) AS n FROM per),
+    q AS (
+      SELECT source,
+             CAST({_E2E_BUDGET} * n_after_quality // (SELECT n FROM tot)
+                  AS BIGINT) AS quota_floor,
+             CAST({_E2E_BUDGET} * n_after_quality % (SELECT n FROM tot)
+                  AS BIGINT) AS rem
+      FROM per
+    ),
+    seats AS (
+      SELECT CAST({_E2E_BUDGET} - SUM(quota_floor) AS BIGINT) AS r FROM q
+    ),
+    ranked AS (
+      SELECT source, quota_floor, rem,
+             CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT)
+               AS rk
+      FROM q
+    )
+    SELECT p.source, p.n_docs, p.n_pii_docs, p.n_after_exact,
+           p.n_after_neardup, p.n_after_semantic, p.n_after_quality,
+           CAST(LEAST(r.quota_floor + CASE WHEN r.rk <= (SELECT r FROM
+                seats) THEN 1 ELSE 0 END, p.n_after_quality) AS BIGINT)
+             AS n_sampled
+    FROM per p JOIN ranked r ON r.source = p.source
+    ORDER BY p.source
+    """
+
+
+@query(
+    "curation_e2e_pipeline",
+    oracle=_build_e2e_oracle(),
+    tags=("llm", "curation", "dedup", "privacy"),
+)
+def curation_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation run as one per-source funnel row: documents →
+    PII-redact (llm_ops14 chain; redaction feeds the NEXT stage, so
+    docs differing only in PII exact-collide) → exact dedup (min doc_id
+    per md5 of redacted text) → MinHash near-dup clusters (registered
+    dedup_clusters relation; min surviving doc_id per cluster) →
+    scale-aware SemDeDup (registered kept flag via vec_id = doc_id;
+    no-vector docs pass, stated) → Gopher gate → Hamilton apportionment
+    of a {100}-doc budget over SURVIVOR counts (n_sampled, capped at
+    availability). Plan shape: the funnel is ONE conditional-sum
+    aggregate over per-doc flags (two window shuffles: md5 key, cluster
+    key); the Hamilton tail rides broadcast crossJoins on the
+    source-dimension relation; zero Python, no cartesian."""
+    from pyspark.sql.window import Window
+
+    from ..operators import quality as Q
+    from .llm_ops2 import dedup_clusters
+    from .llm_ops12 import _idiv_col
+    from .llm_ops14 import (
+        _pii_injected_col,
+        _redact_chain_spark,
+        dedup_semantic_cluster_scaled,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    red = docs.select(
+        "doc_id", "source", _pii_injected_col().alias("t")
+    ).select(
+        "doc_id", "source", "t", _redact_chain_spark(F.col("t")).alias("r")
+    )
+    ex = red.select(
+        "doc_id",
+        "source",
+        (F.col("r") != F.col("t")).alias("had_pii"),
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.md5(F.col("r"))))
+        ).alias("keep2"),
+    )
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    st3 = ex.join(cl, "doc_id").select(
+        "*",
+        (
+            F.col("keep2")
+            & (
+                F.col("doc_id")
+                == F.min(
+                    F.when(F.col("keep2"), F.col("doc_id"))
+                ).over(Window.partitionBy("cluster_id"))
+            )
+        ).alias("keep3"),
+    )
+    sem = dedup_semantic_cluster_scaled(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "kept"
+    )
+    labels = Q.gopher_quality_flags(docs).select("doc_id", "passes")
+    flags = (
+        st3.join(sem, "doc_id", "left")
+        .join(labels, "doc_id")
+        .select(
+            "source",
+            "had_pii",
+            "keep2",
+            "keep3",
+            (F.col("keep3") & F.coalesce(F.col("kept"), F.lit(True))).alias(
+                "keep4"
+            ),
+            (
+                F.col("keep3")
+                & F.coalesce(F.col("kept"), F.lit(True))
+                & F.col("passes")
+            ).alias("keep5"),
+        )
+    )
+
+    def _csum(c, alias):
+        return (
+            F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long").alias(alias)
+        )
+
+    per = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        _csum("had_pii", "n_pii_docs"),
+        _csum("keep2", "n_after_exact"),
+        _csum("keep3", "n_after_neardup"),
+        _csum("keep4", "n_after_semantic"),
+        _csum("keep5", "n_after_quality"),
+    )
+    tot = per.agg(F.sum("n_after_quality").cast("long").alias("n"))
+    q = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_after_quality",
+        _idiv_col(
+            F.col("n_after_quality"), F.col("n"), scale=_E2E_BUDGET
+        ).alias("quota_floor"),
+        ((F.lit(_E2E_BUDGET) * F.col("n_after_quality")) % F.col("n"))
+        .cast("long")
+        .alias("rem"),
+    )
+    seats = q.agg(
+        (F.lit(_E2E_BUDGET) - F.sum("quota_floor")).cast("long").alias("r")
+    )
+    ranked = q.select(
+        "source",
+        "quota_floor",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.asc("source")))
+        .cast("long")
+        .alias("rk"),
+    ).crossJoin(F.broadcast(seats))
+    alloc = ranked.select(
+        "source",
+        (
+            F.col("quota_floor")
+            + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+    return (
+        per.join(alloc, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_pii_docs",
+            "n_after_exact",
+            "n_after_neardup",
+            "n_after_semantic",
+            "n_after_quality",
+            F.least(F.col("alloc"), F.col("n_after_quality")).alias(
+                "n_sampled"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------- wave 4
+# Matthews correlation coefficient + balanced accuracy of the NB
+# distilled gate vs the Gopher rule truth (Matthews, BBA 1975 — the
+# standard single-number 2x2 summary robust to class imbalance;
+# balanced accuracy per Brodersen et al., ICPR 2010). Completes the
+# gate-agreement family: fidelity (raw agreement), kappa
+# (chance-corrected), McNemar (direction of disagreement), Youden
+# (threshold choice) — MCC is the correlation view of the SAME 2x2
+# cells, single-sourced from the NB chain so the five rows can never
+# disagree about the table they summarize. MCC's sqrt is the ONE float
+# (products ride DOUBLE: at production counts the 4-way margin product
+# passes 2^63, so long-space is wrong there by construction);
+# FLOOR(x + 0.5) rounds half-up identically in both engines, including
+# for negative MCC.
+
+
+def _build_mcc_oracle() -> str:
+    from .llm_ops11 import _nb_chain_sql
+
+    return f"""
+    WITH {_nb_chain_sql()},
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN truth AND score_pass >= score_fail
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN truth AND score_pass < score_fail
+                      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN NOT truth AND score_pass >= score_fail
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN NOT truth AND score_pass < score_fail
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM scored
+    )
+    SELECT a + b + c + d AS n_docs,
+           a AS n_tp, b AS n_fn, c AS n_fp, d AS n_tn,
+           CAST(CASE WHEN a + b = 0 OR a + c = 0 OR b + d = 0
+                          OR c + d = 0
+                THEN 0
+                ELSE FLOOR(1000.0 * CAST(a * d - b * c AS DOUBLE)
+                     / sqrt(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                            * CAST(b + d AS DOUBLE) * CAST(c + d AS DOUBLE))
+                     + 0.5)
+                END AS BIGINT) AS mcc_milli,
+           CAST((CASE WHEN a + b > 0 THEN 1000 * a // (a + b)
+                 ELSE 0 END
+                 + CASE WHEN c + d > 0 THEN 1000 * d // (c + d)
+                   ELSE 0 END) // 2 AS BIGINT) AS balanced_acc_milli
+    FROM cells
+    """
+
+
+@query(
+    "quality_mcc_gates",
+    oracle=_build_mcc_oracle(),
+    tags=("llm", "quality", "eval"),
+)
+def quality_mcc_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MCC (milli; one sqrt float, half-up-rounded) and balanced
+    accuracy (milli; truncated TPR/TNR permille halved — stated) of the
+    NB distilled gate against the Gopher rule truth, over the SAME
+    single-sourced 2x2 cells as the kappa/McNemar waves (pinned equal
+    in tests). One pass over the shared NB score relation."""
+    from .llm_ops11 import _nb_scored
+    from .llm_ops12 import _idiv_col
+
+    scored = _nb_scored(spark, sf_dir)
+    nb_pass = F.col("score_pass") >= F.col("score_fail")
+    cells = scored.agg(
+        F.sum(F.when(F.col("truth") & nb_pass, 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("truth") & ~nb_pass, 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~F.col("truth") & nb_pass, 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(~F.col("truth") & ~nb_pass, 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    n = a + b + c + d
+    margins = (
+        (a + b).cast("double")
+        * (a + c).cast("double")
+        * (b + d).cast("double")
+        * (c + d).cast("double")
+    )
+    mcc = F.floor(
+        F.lit(1000.0) * (a * d - b * c).cast("double") / F.sqrt(margins)
+        + F.lit(0.5)
+    ).cast("long")
+    tpr = F.when(a + b > 0, _idiv_col(a, a + b, scale=1000)).otherwise(
+        F.lit(0)
+    )
+    tnr = F.when(c + d > 0, _idiv_col(d, c + d, scale=1000)).otherwise(
+        F.lit(0)
+    )
+    return cells.select(
+        n.cast("long").alias("n_docs"),
+        a.alias("n_tp"),
+        b.alias("n_fn"),
+        c.alias("n_fp"),
+        d.alias("n_tn"),
+        F.when(
+            (a + b == 0) | (a + c == 0) | (b + d == 0) | (c + d == 0),
+            F.lit(0),
+        )
+        .otherwise(mcc)
+        .cast("long")
+        .alias("mcc_milli"),
+        _idiv_col(tpr + tnr, F.lit(2)).cast("long").alias(
+            "balanced_acc_milli"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- wave 5
+# Lexical concentration per source: Yule's characteristic K (Yule, "The
+# Statistical Study of Literary Vocabulary", 1944) and Simpson's
+# repeat-rate D (Simpson, Nature 1949) — the two classic
+# length-robust vocabulary-concentration statistics, both EXACT
+# integer-expressible from the type-frequency spectrum: with N tokens
+# and per-type counts n_w, S2 = Σ n_w²,
+#     K = 10^4 · (S2 − N) / N²          (reported milli-scaled)
+#     D = Σ n_w(n_w − 1) / (N(N − 1))   (reported micro-scaled)
+# Complements STTR (chunked type ratio) and the Good-Turing spectrum:
+# K/D measure how much probability mass repeats concentrate, and a
+# corpus whose K jumps source-over-source is boilerplate-heavy. N² and
+# N(N−1) ride DECIMAL(38,0)/HUGEINT (production token counts square
+# past 2^63 by construction).
+
+
+@query(
+    "text_lexical_concentration",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                w -> len(w) > 0)) AS w
+      FROM documents
+    ),
+    types AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n_w
+      FROM toks GROUP BY source, w
+    ),
+    per AS (
+      SELECT source,
+             CAST(SUM(n_w) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CAST(n_w AS HUGEINT) * n_w) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(n_w AS HUGEINT) * (n_w - 1)) AS HUGEINT) AS rep
+      FROM types GROUP BY source
+    )
+    SELECT source, n_tokens, n_types,
+           CAST(10000000 * (s2 - n_tokens)
+                // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+             AS yule_k_milli,
+           CAST(1000000 * rep
+                // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
+             AS simpson_micro
+    FROM per ORDER BY source
+    """,
+    tags=("llm", "text"),
+)
+def text_lexical_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Yule's K (milli) and Simpson's repeat-rate (micro) per source —
+    exact integers end-to-end: one token explode, one (source, type)
+    rollup, one source rollup; squares and the N²/N(N−1) denominators
+    in DECIMAL(38,0)."""
+    from .llm_ops12 import _idiv_col
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    types = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_w")
+    )
+    per = types.groupBy("source").agg(
+        F.sum("n_w").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("n_w").cast("decimal(38,0)") * F.col("n_w"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(F.col("n_w").cast("decimal(38,0)") * (F.col("n_w") - 1))
+        .cast("decimal(38,0)")
+        .alias("rep"),
+    )
+    n_dec = F.col("n_tokens").cast("decimal(38,0)")
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        _idiv_col(
+            F.col("s2") - F.col("n_tokens"),
+            n_dec * F.col("n_tokens"),
+            scale=10_000_000,
+        ).alias("yule_k_milli"),
+        _idiv_col(
+            F.col("rep"),
+            n_dec * (F.col("n_tokens") - 1),
+            scale=1_000_000,
+        ).alias("simpson_micro"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------- wave 6
+# Fisher's index of dispersion for the per-type daily-count series
+# (Fisher, "Statistical Methods for Research Workers", 1925 §16; Cox &
+# Lewis 1966): the chi-square statistic Σ(c − c̄)²/c̄ — under a
+# homogeneous Poisson arrival process it is ~χ²_{n−1}, so VMR (the
+# variance-to-mean ratio) far above 1 says over-dispersion (bursty
+# days), far below says under-dispersion (throttled/uniform). The
+# integer identity clears the mean: with n days, daily counts c, sum S,
+#     chi2 = (n·Σc² − S²) / S        (exact; one truncated division)
+#     VMR  = chi2 / (n − 1)
+# Completes the arrival-process battery beside the inter-arrival KS
+# (exponential gaps), runs test (sign randomness) and weekday ANOVA
+# (seasonal mean shifts). n·Σc² rides DECIMAL(38,0)/HUGEINT.
+
+
+@query(
+    "events_dispersion_index",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, s AS n_events,
+           CAST(1000 * s // n_days AS BIGINT) AS mean_daily_milli,
+           CAST(1000 * (CAST(n_days AS HUGEINT) * s2 - CAST(s AS HUGEINT)
+                        * s) // s AS BIGINT) AS chi2_milli,
+           CAST((1000 * (CAST(n_days AS HUGEINT) * s2 - CAST(s AS HUGEINT)
+                         * s) // s) // (n_days - 1) AS BIGINT) AS vmr_milli
+    FROM per ORDER BY event_type
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (chi2, milli) and variance-to-mean ratio
+    (milli) of daily counts per event type — exact integers with one
+    truncated division (then a truncated halving into VMR, stated; the
+    oracle performs the identical nested `//`). One daily rollup, one
+    type rollup; products in DECIMAL(38,0)."""
+    from .llm_ops12 import _idiv_col
+
+    ev = load_tables(spark, sf_dir, "events").events
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    chi2 = _idiv_col(
+        F.col("n_days").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s").cast("decimal(38,0)") * F.col("s"),
+        F.col("s"),
+        scale=1000,
+    )
+    return per.select(
+        "event_type",
+        "n_days",
+        F.col("s").alias("n_events"),
+        _idiv_col(F.col("s"), F.col("n_days"), scale=1000).alias(
+            "mean_daily_milli"
+        ),
+        chi2.alias("chi2_milli"),
+        _idiv_col(chi2, F.col("n_days") - 1).alias("vmr_milli"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------- wave 7
+# Spearman rank agreement between the two registered market-concentration
+# measures (Spearman, Am. J. Psychol. 1904): do Gini and HHI RANK the
+# nations the same way? Both relations are single-sourced from the
+# registry (agg_gini_by_nation / agg_hhi_by_nation embedded verbatim),
+# and with distinct ranks Spearman is EXACT integer arithmetic:
+#     rho = 1 − 6·Σd² / (n(n² − 1))
+#     rho_milli = (1000·(n(n²−1) − 6Σd²)) // (n(n²−1))   (signed trunc)
+# — the Pearson-of-ranks companion to the Kendall tau wave (tau counts
+# inversions; Spearman weights displacement quadratically, so one
+# far-displaced nation moves rho more than tau). Ranks tie-break by
+# nation asc, stated in both engines. Values: gini_micro / hhi_micro.
+
+
+def _build_spearman_oracle() -> str:
+    from .registry import QUERIES
+
+    gini = QUERIES["agg_gini_by_nation"].oracle.strip()
+    hhi = QUERIES["agg_hhi_by_nation"].oracle.strip()
+    return f"""
+    WITH gr AS (
+      SELECT nation, CAST(ROW_NUMBER() OVER (ORDER BY gini_micro DESC,
+                                             nation) AS BIGINT) AS rg
+      FROM ({gini})
+    ),
+    hr AS (
+      SELECT nation, CAST(ROW_NUMBER() OVER (ORDER BY hhi_micro DESC,
+                                             nation) AS BIGINT) AS rh
+      FROM ({hhi})
+    ),
+    d2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((rg - rh) * (rg - rh)) AS BIGINT) AS sd2
+      FROM gr JOIN hr USING (nation)
+    )
+    SELECT n AS n_nations, sd2 AS sum_d2,
+           CAST(CASE WHEN n > 1
+                THEN (1000 * (n * (n * n - 1) - 6 * sd2))
+                     // (n * (n * n - 1))
+                ELSE 1000 END AS BIGINT) AS spearman_rho_milli
+    FROM d2
+    """
+
+
+@query(
+    "agg_concentration_rank_agreement",
+    oracle=_build_spearman_oracle(),
+    tags=("relational", "stats", "eval"),
+)
+def agg_concentration_rank_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rho (milli, exact integer — ranks are distinct by the
+    nation tie-break) between the registered Gini and HHI nation
+    rankings. Reuses both registered relations verbatim; the rank join
+    is nation-dimension bounded (25 rows)."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops8 import agg_gini_by_nation, agg_hhi_by_nation
+    from .llm_ops12 import _idiv_col
+
+    gr = agg_gini_by_nation(spark, sf_dir).select(
+        "nation",
+        F.row_number()
+        .over(Window.orderBy(F.desc("gini_micro"), F.asc("nation")))
+        .cast("long")
+        .alias("rg"),
+    )
+    hr = agg_hhi_by_nation(spark, sf_dir).select(
+        "nation",
+        F.row_number()
+        .over(Window.orderBy(F.desc("hhi_micro"), F.asc("nation")))
+        .cast("long")
+        .alias("rh"),
+    )
+    d2 = gr.join(hr, "nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("rg") - F.col("rh")) * (F.col("rg") - F.col("rh")))
+        .cast("long")
+        .alias("sd2"),
+    )
+    n = F.col("n")
+    denom = n * (n * n - 1)
+    return d2.select(
+        n.alias("n_nations"),
+        F.col("sd2").alias("sum_d2"),
+        F.when(n > 1, _idiv_col(denom - 6 * F.col("sd2"), denom, scale=1000))
+        .otherwise(F.lit(1000))
+        .cast("long")
+        .alias("spearman_rho_milli"),
+    )
+
+
+# ---------------------------------------------------------------- wave 8
+# Log-rank test between user cohorts (Mantel, Cancer Chemother. Rep.
+# 1966; Peto & Peto, JRSS-A 1972): do HEAVY users (per-user event count
+# above the lower median) wait a different time between events than
+# LIGHT users? The survival subject is the inter-event gap, bucketed to
+# MINUTES by design so the event-time grid is value-bounded (≤ 43k rows
+# for a 30-day window) — at production scale the grid, not the corpus,
+# sizes the risk-set window (the standard coarsening mitigation,
+# stated). No censoring here (every gap completes inside the fixture
+# window; the Kaplan-Meier wave owns the censored formulation), so
+# O1 = the heavy cohort's gap count and the information is in O1 − E1.
+# Per-time hypergeometric terms are micro-rounded integers
+# (numerators in DECIMAL(38,0)/HUGEINT — n_j⁴-scale products pass 2^63
+# at production counts); z is the ONE float:
+#     z_milli = FLOOR((O1µ − E1µ) / sqrt(Vµ) + 0.5).
+
+
+@query(
+    "events_logrank_cohorts",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    med AS (
+      SELECT c AS m FROM (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM per_user
+      ) WHERE rn = (n + 1) // 2
+    ),
+    gaps AS (
+      SELECT CASE WHEN p.c > (SELECT m FROM med) THEN 1 ELSE 0 END AS grp,
+             CAST((epoch_us(e.ts) - epoch_us(LAG(e.ts) OVER
+                  (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)))
+                  // 60000000 AS BIGINT) AS t
+      FROM events e JOIN per_user p ON p.user_id = e.user_id
+      QUALIFY t IS NOT NULL
+    ),
+    times AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS dj,
+             CAST(SUM(grp) AS BIGINT) AS d1j
+      FROM gaps GROUP BY t
+    ),
+    risk AS (
+      SELECT t, dj, d1j,
+             CAST(SUM(dj) OVER (ORDER BY t DESC) AS BIGINT) AS nj,
+             CAST(SUM(d1j) OVER (ORDER BY t DESC) AS BIGINT) AS n1j
+      FROM times
+    ),
+    terms AS (
+      SELECT dj, d1j, nj, n1j,
+             CAST(1000000 * CAST(dj AS HUGEINT) * n1j // nj AS BIGINT)
+               AS e1_micro,
+             CAST(CASE WHEN nj > 1
+                  THEN 1000000 * CAST(dj AS HUGEINT) * n1j * (nj - n1j)
+                       * (nj - dj)
+                       // (CAST(nj AS HUGEINT) * nj * (nj - 1))
+                  ELSE 0 END AS BIGINT) AS v_micro
+      FROM risk
+    ),
+    tot AS (
+      SELECT CAST((SELECT COUNT(*) FROM per_user
+                   WHERE c > (SELECT m FROM med)) AS BIGINT)
+               AS n_users_heavy,
+             CAST((SELECT COUNT(*) FROM per_user
+                   WHERE c <= (SELECT m FROM med)) AS BIGINT)
+               AS n_users_light,
+             CAST(SUM(d1j) AS BIGINT) AS o1,
+             CAST(SUM(dj - d1j) AS BIGINT) AS n_gaps_light,
+             CAST(SUM(e1_micro) AS BIGINT) AS e1_micro,
+             CAST(SUM(v_micro) AS BIGINT) AS v_micro
+      FROM terms
+    )
+    SELECT n_users_heavy, n_users_light, o1 AS n_gaps_heavy,
+           n_gaps_light, e1_micro, v_micro,
+           CAST(CASE WHEN v_micro > 0
+                THEN FLOOR((1000000.0 * o1 - e1_micro)
+                           / sqrt(CAST(v_micro AS DOUBLE)) + 0.5)
+                ELSE 0 END AS BIGINT) AS z_milli
+    FROM tot
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_logrank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank z (milli; one float) comparing minute-bucketed
+    inter-event gaps between heavy (count > lower-median) and light
+    users. One per-user rollup, one lag window, one grid rollup, one
+    reverse-cumulative risk window over the bounded minute grid, one
+    scalar combine."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops12 import _idiv_col
+
+    ev = load_tables(spark, sf_dir, "events").events
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ranked = per_user.select(
+        "user_id",
+        "c",
+        F.row_number()
+        .over(Window.orderBy("c", "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(F.col("c").alias("m"))
+    gaps = (
+        ev.join(per_user, "user_id")
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.when(F.col("c") > F.col("m"), 1).otherwise(0).alias("grp"),
+            F.expr(
+                "(unix_micros(ts) - unix_micros(lag(ts) OVER "
+                "(PARTITION BY user_id ORDER BY ts, event_id))) "
+                "div 60000000"
+            ).alias("t"),
+        )
+        .filter(F.col("t").isNotNull())
+        .select("grp", "t")
+    )
+    times = gaps.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("dj"),
+        F.sum("grp").cast("long").alias("d1j"),
+    )
+    wd = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = times.select(
+        "dj",
+        "d1j",
+        F.sum("dj").over(wd).cast("long").alias("nj"),
+        F.sum("d1j").over(wd).cast("long").alias("n1j"),
+    )
+    dj_d = F.col("dj").cast("decimal(38,0)")
+    nj_d = F.col("nj").cast("decimal(38,0)")
+    terms = risk.select(
+        "dj",
+        "d1j",
+        _idiv_col(dj_d * F.col("n1j"), F.col("nj"), scale=1_000_000).alias(
+            "e1_micro"
+        ),
+        F.when(
+            F.col("nj") > 1,
+            _idiv_col(
+                dj_d
+                * F.col("n1j")
+                * (F.col("nj") - F.col("n1j"))
+                * (F.col("nj") - F.col("dj")),
+                nj_d * F.col("nj") * (F.col("nj") - 1),
+                scale=1_000_000,
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("v_micro"),
+    )
+    heavy = per_user.crossJoin(F.broadcast(med))
+    cohorts = heavy.agg(
+        F.sum(F.when(F.col("c") > F.col("m"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_users_heavy"),
+        F.sum(F.when(F.col("c") <= F.col("m"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_users_light"),
+    )
+    tot = terms.agg(
+        F.sum("d1j").cast("long").alias("o1"),
+        F.sum(F.col("dj") - F.col("d1j")).cast("long").alias(
+            "n_gaps_light"
+        ),
+        F.sum("e1_micro").cast("long").alias("e1_micro"),
+        F.sum("v_micro").cast("long").alias("v_micro"),
+    )
+    return cohorts.crossJoin(F.broadcast(tot)).select(
+        "n_users_heavy",
+        "n_users_light",
+        F.col("o1").alias("n_gaps_heavy"),
+        "n_gaps_light",
+        "e1_micro",
+        "v_micro",
+        F.when(
+            F.col("v_micro") > 0,
+            F.floor(
+                (
+                    F.lit(1_000_000.0) * F.col("o1")
+                    - F.col("e1_micro")
+                ).cast("double")
+                / F.sqrt(F.col("v_micro").cast("double"))
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("z_milli"),
+    )
+
+
+# ---------------------------------------------------------------- wave 9
+# Two-sample embedding drift via linear-kernel MMD (Gretton, Borgwardt,
+# Rasch, Schölkopf & Smola, JMLR 2012): with the dot-product kernel,
+# MMD² between corpora A and B is exactly ||μ_A − μ_B||² — the squared
+# distance of the mean embeddings — so the whole statistic reduces to
+# per-dimension keyed aggregates (ONE pass, map-side partial means: the
+# 100 TB shape; no pairwise kernel matrix anywhere). The registered
+# split is even/odd vec_id — a NULL split by construction, so the row
+# doubles as the family's honesty check (MMD ≈ 0; the same machinery
+# pointed at source or time splits is the production drift monitor,
+# like the PSI/KS/Mann-Whitney rows for scalar features). Float
+# discipline: each embedding component is micro-rounded BEFORE any
+# cross-row sum (one-float-then-fixed-point; double sums are
+# order-dependent and would drift cross-engine), so means, gaps and
+# MMD² are exact integers in micro/micro² space.
+
+
+@query(
+    "embedding_mmd_split_drift",
+    oracle="""
+    WITH comp AS (
+      SELECT CAST(vec_id % 2 AS BIGINT) AS grp,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS x_micro
+      FROM embeddings
+    ),
+    per AS (
+      SELECT grp, dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x_micro) AS BIGINT) AS s
+      FROM comp GROUP BY grp, dim
+    ),
+    means AS (
+      SELECT dim,
+             MAX(CASE WHEN grp = 0 THEN CAST(s // n AS BIGINT) END)
+               AS mu_a,
+             MAX(CASE WHEN grp = 1 THEN CAST(s // n AS BIGINT) END)
+               AS mu_b,
+             MAX(CASE WHEN grp = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN grp = 1 THEN n END) AS n_b
+      FROM per GROUP BY dim
+    ),
+    gaps AS (
+      SELECT dim, mu_a - mu_b AS gap, n_a, n_b,
+             ABS(mu_a - mu_b) AS agap
+      FROM means
+    )
+    SELECT CAST((SELECT MAX(n_a) FROM gaps) AS BIGINT) AS n_even,
+           CAST((SELECT MAX(n_b) FROM gaps) AS BIGINT) AS n_odd,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(CAST(gap AS HUGEINT) * gap) // 1000000 AS BIGINT)
+             AS mmd2_micro,
+           CAST(MAX(agap) AS BIGINT) AS max_dim_gap_micro,
+           CAST((SELECT MIN(dim) FROM gaps g2
+                 WHERE g2.agap = (SELECT MAX(agap) FROM gaps)) AS BIGINT)
+             AS max_gap_dim
+    FROM gaps
+    """,
+    tags=("llm", "embedding", "stats"),
+)
+def embedding_mmd_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel MMD² (micro; exact integer after per-component
+    micro-rounding) between even- and odd-vec_id embedding halves, with
+    the worst-drifting dimension. One posexplode, one (grp, dim)
+    aggregate, one dim-dimension combine — never a kernel matrix."""
+    from .llm_ops12 import _idiv_col
+
+    emb = load_tables(spark, sf_dir, "embeddings").embeddings
+    comp = emb.select(
+        (F.col("vec_id") % 2).cast("long").alias("grp"),
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "grp",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(1_000_000) + F.lit(0.5))
+        .cast("long")
+        .alias("x_micro"),
+    )
+    per = comp.groupBy("grp", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_micro").cast("long").alias("s"),
+    )
+    means = per.groupBy("dim").agg(
+        F.max(
+            F.when(F.col("grp") == 0, _idiv_col(F.col("s"), F.col("n")))
+        ).alias("mu_a"),
+        F.max(
+            F.when(F.col("grp") == 1, _idiv_col(F.col("s"), F.col("n")))
+        ).alias("mu_b"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+    )
+    gaps = means.select(
+        "dim",
+        (F.col("mu_a") - F.col("mu_b")).alias("gap"),
+        F.abs(F.col("mu_a") - F.col("mu_b")).alias("agap"),
+        "n_a",
+        "n_b",
+    )
+    mx = gaps.agg(F.max("agap").alias("mg"))
+    argdim = (
+        gaps.crossJoin(F.broadcast(mx))
+        .filter(F.col("agap") == F.col("mg"))
+        .agg(F.min("dim").cast("long").alias("max_gap_dim"))
+    )
+    return (
+        gaps.agg(
+            F.max("n_a").cast("long").alias("n_even"),
+            F.max("n_b").cast("long").alias("n_odd"),
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            _idiv_col(
+                F.sum(
+                    F.col("gap").cast("decimal(38,0)") * F.col("gap")
+                ).cast("decimal(38,0)"),
+                F.lit(1_000_000),
+            ).alias("mmd2_micro"),
+            F.max("agap").cast("long").alias("max_dim_gap_micro"),
+        )
+        .crossJoin(F.broadcast(argdim))
+    )
+
+
+# --------------------------------------------------------------- wave 10
+# Directional association rules over co-purchased parts (support /
+# confidence / lift: Agrawal, Imieliński & Swami, SIGMOD 1993;
+# conviction: Brin, Motwani, Ullman & Tsur, SIGMOD 1997; leverage:
+# Piatetsky-Shapiro 1991): the rule-quality quartet the basket-lift
+# wave (brand level) leaves to part level. Rules A→B over DISTINCT
+# parts per order with pair support ≥ 2 orders (the AA wave's floor —
+# same basket-bounded candidate shape, Σ basket² pairs, never
+# all-parts²). All measures exact integers: conf/supp in micro,
+# lift_milli = 1000·n·c_ab // (c_a·c_b), leverage_micro =
+# 1e6·(n·c_ab − c_a·c_b) // n², and conviction_milli =
+# 1000·(n − c_b)·c_a // (n·(c_a − c_ab)) with the conf=1 rows flagged
+# `certain` instead of dividing by zero (conviction → ∞ by definition).
+# Top-20 by (lift desc, antecedent, consequent) — deterministic.
+
+
+@query(
+    "basket_part_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n_ord AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM baskets),
+    item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM baskets
+             GROUP BY p),
+    pair AS (
+      SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+      FROM baskets a JOIN baskets b ON b.o = a.o AND a.p <> b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    rules AS (
+      SELECT pr.pa AS antecedent, pr.pb AS consequent, pr.cab,
+             ia.c AS c_a, ib.c AS c_b, (SELECT n FROM n_ord) AS n
+      FROM pair pr
+      JOIN item ia ON ia.p = pr.pa
+      JOIN item ib ON ib.p = pr.pb
+    )
+    SELECT antecedent, consequent, cab AS n_joint,
+           CAST(1000000 * cab // n AS BIGINT) AS support_micro,
+           CAST(1000000 * cab // c_a AS BIGINT) AS confidence_micro,
+           CAST(1000 * CAST(n AS HUGEINT) * cab // (CAST(c_a AS HUGEINT)
+                * c_b) AS BIGINT) AS lift_milli,
+           CAST(1000000 * (CAST(n AS HUGEINT) * cab - CAST(c_a AS HUGEINT)
+                * c_b) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+             AS leverage_micro,
+           (cab = c_a) AS certain,
+           CAST(CASE WHEN cab = c_a THEN 0
+                ELSE 1000 * CAST(n - c_b AS HUGEINT) * c_a
+                     // (CAST(n AS HUGEINT) * (c_a - cab))
+                END AS BIGINT) AS conviction_milli
+    FROM rules
+    ORDER BY lift_milli DESC, antecedent, consequent LIMIT 20
+    """,
+    tags=("relational", "basket"),
+)
+def basket_part_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part-level association rules by lift, with support /
+    confidence / leverage / conviction (all exact integer fixed-point;
+    conf=1 rules flagged `certain`, conviction 0 by convention — the
+    infinity case stated, never a division by zero). One distinct
+    basket projection, one basket self-join with the support-2 floor,
+    two item-count joins; TakeOrdered(20)."""
+    from .llm_ops12 import _idiv_col
+
+    li = load_tables(spark, sf_dir, "lineitem").lineitem
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_ord = baskets.agg(
+        F.countDistinct("o").cast("long").alias("n")
+    )
+    item = baskets.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("b.o") == F.col("a.o"))
+            & (F.col("a.p") != F.col("b.p")),
+        )
+        .groupBy(
+            F.col("a.p").alias("pa"), F.col("b.p").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .filter(F.col("cab") >= 2)
+    )
+    rules = (
+        pair.join(
+            item.select(F.col("p").alias("pa"), F.col("c").alias("c_a")),
+            "pa",
+        )
+        .join(
+            item.select(F.col("p").alias("pb"), F.col("c").alias("c_b")),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_ord))
+    )
+    n_h = F.col("n").cast("decimal(38,0)")
+    ca_h = F.col("c_a").cast("decimal(38,0)")
+    return rules.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        F.col("cab").alias("n_joint"),
+        _idiv_col(F.col("cab"), F.col("n"), scale=1_000_000).alias(
+            "support_micro"
+        ),
+        _idiv_col(F.col("cab"), F.col("c_a"), scale=1_000_000).alias(
+            "confidence_micro"
+        ),
+        _idiv_col(
+            n_h * F.col("cab"), ca_h * F.col("c_b"), scale=1000
+        ).alias("lift_milli"),
+        _idiv_col(
+            n_h * F.col("cab") - ca_h * F.col("c_b"),
+            n_h * F.col("n"),
+            scale=1_000_000,
+        ).alias("leverage_micro"),
+        (F.col("cab") == F.col("c_a")).alias("certain"),
+        F.when(F.col("cab") == F.col("c_a"), F.lit(0))
+        .otherwise(
+            _idiv_col(
+                (F.col("n") - F.col("c_b")).cast("decimal(38,0)")
+                * F.col("c_a"),
+                n_h * (F.col("c_a") - F.col("cab")),
+                scale=1000,
+            )
+        )
+        .cast("long")
+        .alias("conviction_milli"),
+    ).orderBy(F.desc("lift_milli"), "antecedent", "consequent").limit(20)
+
+
+# --------------------------------------------------------------- wave 11
+# Cohort retention triangle (the classic cohort-analysis layout; see
+# Fader & Hardie's CLV literature for the framing): customers cohorted
+# by FIRST-order year, and for each cohort × order-age-in-years, the
+# count and share (permille) of the cohort's customers that placed ANY
+# order at that age — the RATE companion to the revenue LTV triangle
+# (llm_ops14 wave 14, which rolls up cents; this rolls up distinct
+# active customers). Exact integers end-to-end: one firsts rollup, one
+# distinct (customer, age) projection, one cohort×age aggregate, one
+# cohort-size join.
+
+
+@query(
+    "orders_retention_triangle",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(MIN(date_part('year', o_orderdate)) AS BIGINT)
+               AS cohort_year
+      FROM orders GROUP BY o_custkey
+    ),
+    sized AS (
+      SELECT cohort_year, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM firsts GROUP BY cohort_year
+    ),
+    active AS (
+      SELECT DISTINCT f.cohort_year, o.o_custkey,
+             CAST(date_part('year', o.o_orderdate) AS BIGINT)
+               - f.cohort_year AS age
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ),
+    tri AS (
+      SELECT cohort_year, age, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM active GROUP BY cohort_year, age
+    )
+    SELECT t.cohort_year, t.age, s.n_customers, t.n_active,
+           CAST(1000 * t.n_active // s.n_customers AS BIGINT)
+             AS retention_permille
+    FROM tri t JOIN sized s ON s.cohort_year = t.cohort_year
+    ORDER BY t.cohort_year, t.age
+    """,
+    tags=("relational", "orders"),
+)
+def orders_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort × age retention: distinct active customers per cohort-year
+    and order-age-in-years, with the cohort share in permille. Exact
+    integers; the triangle is (years × years)-bounded regardless of
+    order volume."""
+    from .llm_ops12 import _idiv_col
+
+    o = load_tables(spark, sf_dir, "orders").orders
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("long").alias("cohort_year")
+    )
+    sized = firsts.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    active = (
+        o.join(firsts, "o_custkey")
+        .select(
+            "cohort_year",
+            "o_custkey",
+            (F.year("o_orderdate").cast("long") - F.col("cohort_year")).alias(
+                "age"
+            ),
+        )
+        .distinct()
+    )
+    tri = active.groupBy("cohort_year", "age").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    return (
+        tri.join(sized, "cohort_year")
+        .select(
+            "cohort_year",
+            "age",
+            "n_customers",
+            "n_active",
+            _idiv_col(
+                F.col("n_active"), F.col("n_customers"), scale=1000
+            ).alias("retention_permille"),
+        )
+        .orderBy("cohort_year", "age")
+    )

@@ -219,3 +219,436 @@ def test_planted_corpus_clusters_are_true_near_dups(spark):
         < rows[16]["candidate_share_permille"]
         or r["n_cells"] == 16
     )
+
+
+# ---------------------------------------------------------------- wave 3
+
+
+def test_e2e_pipeline_composes_registered_stages(spark):
+    """The funnel must agree stage-for-stage with the REGISTERED
+    machinery it claims to compose: exact-dedup replayed in python over
+    the python-replayed redaction chain, near-dup keeps derived from the
+    registered dedup_clusters relation, semantic keeps from the
+    registered scaled-cluster kept flags, quality keeps from the
+    registered Gopher flags, and the Hamilton tail replayed in python
+    over the survivor counts."""
+    import hashlib
+    import re as _re
+
+    from sea_streamer_spark.plans.llm_ops14 import _PII_PATTERNS
+    from sea_streamer_spark.sources.tables import load_tables
+
+    docs = {
+        r["doc_id"]: (r["source"], r["text"])
+        for r in load_tables(spark, SF, "documents").documents.collect()
+    }
+
+    # python replay of the deterministic injector + redaction chain
+    def inject(d, text):
+        m = d % 7
+        if m == 0:
+            return text + f" contact user{d}@example.org"
+        if m == 1:
+            return text + f" call 555-{d * 7 % 1000:03d}-{d * 13 % 10000:04d}"
+        if m == 2:
+            return text + f" from 10.{d % 256}.{d * 3 % 256}.{d * 7 % 256}"
+        if m == 3:
+            return (
+                text
+                + f" id {d % 1000:03d}-{d * 3 % 100:02d}-{d * 7 % 10000:04d}"
+            )
+        if m == 4:
+            return (
+                text + f" card {d % 10000:04d}-{d * 3 % 10000:04d}"
+                f"-{d * 7 % 10000:04d}-{d * 11 % 10000:04d}"
+            )
+        return text
+
+    def redact(t):
+        for _, pat, repl in _PII_PATTERNS:
+            t = _re.sub(pat, repl, t)
+        return t
+
+    red = {d: redact(inject(d, txt)) for d, (_, txt) in docs.items()}
+    had_pii = {d: red[d] != inject(d, docs[d][1]) for d in docs}
+    by_hash: dict = {}
+    for d in sorted(docs):
+        by_hash.setdefault(
+            hashlib.md5(red[d].encode()).hexdigest(), []
+        ).append(d)
+    keep2 = {d: d == min(g) for g in by_hash.values() for d in g}
+
+    cl = {
+        r["doc_id"]: r["cluster_id"]
+        for r in _run(spark, "dedup_clusters").collect()
+    }
+    by_cluster: dict = {}
+    for d, c in cl.items():
+        if keep2[d]:
+            by_cluster.setdefault(c, []).append(d)
+    keep3 = {d: keep2[d] and d == min(by_cluster[cl[d]]) for d in docs}
+
+    kept_sem = {
+        r["vec_id"]: r["kept"]
+        for r in _run(spark, "dedup_semantic_cluster_scaled").collect()
+    }
+    keep4 = {d: keep3[d] and kept_sem.get(d, True) for d in docs}
+
+    passes = {
+        r["doc_id"]: r["passes"]
+        for r in _run(spark, "quality_gopher_flags").collect()
+    }
+    keep5 = {d: keep4[d] and passes[d] for d in docs}
+
+    per: dict = {}
+    for d, (src, _) in docs.items():
+        row = per.setdefault(src, [0, 0, 0, 0, 0, 0])
+        row[0] += 1
+        row[1] += had_pii[d]
+        row[2] += keep2[d]
+        row[3] += keep3[d]
+        row[4] += keep4[d]
+        row[5] += keep5[d]
+
+    # Hamilton over survivor counts, python replay
+    budget = 100
+    n_total = sum(v[5] for v in per.values())
+    q = {
+        s: (budget * v[5] // n_total, budget * v[5] % n_total)
+        for s, v in per.items()
+    }
+    seats = budget - sum(f for f, _ in q.values())
+    order = sorted(q, key=lambda s: (-q[s][1], s))
+    alloc = {
+        s: q[s][0] + (1 if order.index(s) < seats else 0) for s in q
+    }
+
+    got = {r["source"]: r for r in _run(spark, "curation_e2e_pipeline").collect()}
+    assert set(got) == set(per)
+    for s, v in per.items():
+        r = got[s]
+        assert r["n_docs"] == v[0], s
+        assert r["n_pii_docs"] == v[1], s
+        assert r["n_after_exact"] == v[2], s
+        assert r["n_after_neardup"] == v[3], s
+        assert r["n_after_semantic"] == v[4], s
+        assert r["n_after_quality"] == v[5], s
+        assert r["n_sampled"] == min(alloc[s], v[5]), s
+    assert sum(r["n_sampled"] for r in got.values()) == budget
+
+
+def test_e2e_pipeline_funnel_is_monotone(spark):
+    """Stage survivor counts can only shrink, the budget constant
+    matches the registered apportionment wave's, and every source's
+    sample fits its survivors."""
+    from sea_streamer_spark.plans.llm_ops14 import _APPORTION_BUDGET
+    from sea_streamer_spark.plans.llm_ops15 import _E2E_BUDGET
+
+    assert _E2E_BUDGET == _APPORTION_BUDGET
+    for r in _run(spark, "curation_e2e_pipeline").collect():
+        assert (
+            r["n_docs"]
+            >= r["n_after_exact"]
+            >= r["n_after_neardup"]
+            >= r["n_after_semantic"]
+            >= r["n_after_quality"]
+            >= r["n_sampled"]
+        ), r
+
+
+# ------------------------------------------------------------ waves 4-7
+
+
+def test_mcc_full_python_replay(spark):
+    """MCC/balanced-accuracy replayed from the kappa wave's own cells —
+    the 2x2 table is pinned IDENTICAL across the whole gate-agreement
+    family (fidelity, kappa, McNemar, MCC)."""
+    kappa = _run(spark, "quality_cohens_kappa_gates").collect()[0]
+    got = _run(spark, "quality_mcc_gates").collect()[0]
+    a, d = kappa["n_both_pass"], kappa["n_both_fail"]
+    n, dis = kappa["n_docs"], kappa["n_disagree"]
+    assert got["n_docs"] == n
+    assert got["n_tp"] == a and got["n_tn"] == d
+    assert got["n_fn"] + got["n_fp"] == dis
+    b, c = got["n_fn"], got["n_fp"]
+    num = 1000.0 * (a * d - b * c)
+    den = math.sqrt(
+        float(a + b) * float(a + c) * float(b + d) * float(c + d)
+    )
+    assert got["mcc_milli"] == math.floor(num / den + 0.5)
+    assert got["balanced_acc_milli"] == (
+        1000 * a // (a + b) + 1000 * d // (c + d)
+    ) // 2
+
+
+def test_lexical_concentration_full_python_replay(spark):
+    """Yule's K and Simpson's repeat-rate recomputed from a python token
+    spectrum per source — exact integers."""
+    from collections import Counter
+
+    from sea_streamer_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF, "documents").documents.collect()
+    spec: dict = {}
+    for r in docs:
+        c = spec.setdefault(r["source"], Counter())
+        for w in r["text"].split():
+            c[w] += 1
+    got = {
+        r["source"]: r
+        for r in _run(spark, "text_lexical_concentration").collect()
+    }
+    assert set(got) == set(spec)
+    for s, c in spec.items():
+        n = sum(c.values())
+        s2 = sum(v * v for v in c.values())
+        rep = sum(v * (v - 1) for v in c.values())
+        r = got[s]
+        assert r["n_tokens"] == n
+        assert r["n_types"] == len(c)
+        assert r["yule_k_milli"] == 10_000_000 * (s2 - n) // (n * n)
+        assert r["simpson_micro"] == 1_000_000 * rep // (n * (n - 1))
+
+
+def test_dispersion_index_full_python_replay(spark):
+    """chi2/VMR recomputed from python daily counts; truncation order
+    (divide by S, then by n−1) replicated exactly."""
+    from collections import Counter
+
+    from sea_streamer_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, SF, "events").events.select(
+        "event_type", "ts"
+    ).collect()
+    daily: dict = {}
+    for r in ev:
+        daily.setdefault(r["event_type"], Counter())[r["ts"].date()] += 1
+    got = {
+        r["event_type"]: r
+        for r in _run(spark, "events_dispersion_index").collect()
+    }
+    for et, c in daily.items():
+        n, s = len(c), sum(c.values())
+        s2 = sum(v * v for v in c.values())
+        chi2 = 1000 * (n * s2 - s * s) // s
+        r = got[et]
+        assert r["n_days"] == n and r["n_events"] == s
+        assert r["mean_daily_milli"] == 1000 * s // n
+        assert r["chi2_milli"] == chi2
+        assert r["vmr_milli"] == chi2 // (n - 1)
+
+
+def test_spearman_full_python_replay(spark):
+    """rho recomputed from the two registered rankings; with the nation
+    tie-break ranks are distinct, so the 6Σd² closed form is exact."""
+    g = _run(spark, "agg_gini_by_nation").collect()
+    h = _run(spark, "agg_hhi_by_nation").collect()
+    rg = {
+        r["nation"]: i + 1
+        for i, r in enumerate(
+            sorted(g, key=lambda r: (-r["gini_micro"], r["nation"]))
+        )
+    }
+    rh = {
+        r["nation"]: i + 1
+        for i, r in enumerate(
+            sorted(h, key=lambda r: (-r["hhi_micro"], r["nation"]))
+        )
+    }
+    n = len(rg)
+    sd2 = sum((rg[k] - rh[k]) ** 2 for k in rg)
+    got = _run(spark, "agg_concentration_rank_agreement").collect()[0]
+    assert got["n_nations"] == n
+    assert got["sum_d2"] == sd2
+    den = n * (n * n - 1)
+    expect = (1000 * (den - 6 * sd2)) // den
+    # python // floors; both engines truncate toward zero — reconcile
+    num = 1000 * (den - 6 * sd2)
+    expect = abs(num) // den * (1 if num >= 0 else -1)
+    assert got["spearman_rho_milli"] == expect
+
+
+# ---------------------------------------------------------------- wave 8
+
+
+def test_logrank_full_python_replay(spark):
+    """O/E/V and z replayed in python: cohort split by lower-median
+    per-user count, minute-bucketed gaps, reverse-cumulative risk sets,
+    per-time micro-truncated hypergeometric terms in the same order."""
+    from collections import Counter
+
+    from sea_streamer_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, SF, "events").events.select(
+        "user_id", "ts", "event_id"
+    ).collect()
+    per_user = Counter(r["user_id"] for r in ev)
+    ordered = sorted(per_user.items(), key=lambda kv: (kv[1], kv[0]))
+    m = ordered[(len(ordered) + 1) // 2 - 1][1]
+    heavy = {u for u, c in per_user.items() if c > m}
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    gaps = []
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for a, b in zip(rows, rows[1:]):
+            us = int(
+                (b["ts"] - a["ts"]).total_seconds() * 1_000_000
+            )
+            gaps.append((1 if u in heavy else 0, us // 60_000_000))
+    times: dict = {}
+    for g, t in gaps:
+        dj, d1j = times.get(t, (0, 0))
+        times[t] = (dj + 1, d1j + g)
+    o1 = sum(d1 for _, d1 in times.values())
+    e1 = v = 0
+    nj = n1j = 0
+    for t in sorted(times, reverse=True):
+        dj, d1j = times[t]
+        nj += dj
+        n1j += d1j
+        e1 += 1_000_000 * dj * n1j // nj
+        if nj > 1:
+            v += (
+                1_000_000 * dj * n1j * (nj - n1j) * (nj - dj)
+                // (nj * nj * (nj - 1))
+            )
+    got = _run(spark, "events_logrank_cohorts").collect()[0]
+    assert got["n_users_heavy"] == len(heavy)
+    assert got["n_users_light"] == len(per_user) - len(heavy)
+    assert got["n_gaps_heavy"] == o1
+    assert got["n_gaps_light"] == len(gaps) - o1
+    assert got["e1_micro"] == e1
+    assert got["v_micro"] == v
+    z = math.floor((1_000_000.0 * o1 - e1) / math.sqrt(v) + 0.5)
+    assert got["z_milli"] == z
+
+
+# ---------------------------------------------------------------- wave 9
+
+
+def test_mmd_full_python_replay(spark):
+    """MMD²/max-gap replayed from python micro-rounded component sums;
+    truncated per-group means replicated exactly."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    vecs = [list(map(float, v)) for v in t.column("embedding").to_pylist()]
+    d = len(vecs[0])
+    sums = {0: [0] * d, 1: [0] * d}
+    ns = {0: 0, 1: 0}
+    for vid, v in zip(ids, vecs):
+        g = vid % 2
+        ns[g] += 1
+        for i, x in enumerate(v):
+            sums[g][i] += math.floor(x * 1_000_000 + 0.5)
+    def tdiv(a, b):
+        return abs(a) // b * (1 if a >= 0 else -1)
+    mu = {g: [tdiv(s, ns[g]) for s in sums[g]] for g in (0, 1)}
+    gaps = [mu[0][i] - mu[1][i] for i in range(d)]
+    mmd2 = sum(g * g for g in gaps) // 1_000_000
+    mg = max(abs(g) for g in gaps)
+    argdim = min(i + 1 for i, g in enumerate(gaps) if abs(g) == mg)
+    got = _run(spark, "embedding_mmd_split_drift").collect()[0]
+    assert got["n_even"] == ns[0] and got["n_odd"] == ns[1]
+    assert got["n_dims"] == d
+    assert got["mmd2_micro"] == mmd2
+    assert got["max_dim_gap_micro"] == mg
+    assert got["max_gap_dim"] == argdim
+
+
+# ----------------------------------------------------------- waves 10-11
+
+
+def test_basket_rules_full_python_replay(spark):
+    """Rule measures replayed from python basket sets (distinct parts
+    per order, pair support >= 2, directional), including the certain
+    flag and the conviction zero-convention."""
+    from collections import Counter
+
+    from sea_streamer_spark.sources.tables import load_tables
+
+    li = load_tables(spark, SF, "lineitem").lineitem.select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets: dict = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    n = len(baskets)
+    item = Counter()
+    pair = Counter()
+    for ps in baskets.values():
+        for p in ps:
+            item[p] += 1
+        for a in ps:
+            for b in ps:
+                if a != b:
+                    pair[(a, b)] += 1
+    rules = []
+    for (a, b), cab in pair.items():
+        if cab < 2:
+            continue
+        ca, cb = item[a], item[b]
+        lift = 1000 * n * cab // (ca * cb)
+        certain = cab == ca
+        conv = (
+            0
+            if certain
+            else 1000 * (n - cb) * ca // (n * (ca - cab))
+        )
+        lev_num = n * cab - ca * cb
+        lev = abs(1_000_000 * lev_num) // (n * n) * (
+            1 if lev_num >= 0 else -1
+        )
+        rules.append(
+            (
+                a,
+                b,
+                cab,
+                1_000_000 * cab // n,
+                1_000_000 * cab // ca,
+                lift,
+                lev,
+                certain,
+                conv,
+            )
+        )
+    rules.sort(key=lambda r: (-r[5], r[0], r[1]))
+    got = [tuple(r) for r in _run(spark, "basket_part_rules").collect()]
+    assert got == rules[:20]
+
+
+def test_retention_triangle_full_python_replay(spark):
+    """Cohort retention replayed from python firsts/active sets; age-0
+    retention is 1000 permille by construction (every cohort member is
+    active in their first year)."""
+    from sea_streamer_spark.sources.tables import load_tables
+
+    o = load_tables(spark, SF, "orders").orders.select(
+        "o_custkey", "o_orderdate"
+    ).collect()
+    firsts: dict = {}
+    for r in o:
+        y = r["o_orderdate"].year
+        firsts[r["o_custkey"]] = min(firsts.get(r["o_custkey"], y), y)
+    sized: dict = {}
+    for c, y in firsts.items():
+        sized[y] = sized.get(y, 0) + 1
+    active = set()
+    for r in o:
+        c = r["o_custkey"]
+        active.add((firsts[c], c, r["o_orderdate"].year - firsts[c]))
+    tri: dict = {}
+    for y, _, age in active:
+        tri[(y, age)] = tri.get((y, age), 0) + 1
+    got = _run(spark, "orders_retention_triangle").collect()
+    assert len(got) == len(tri)
+    for r in got:
+        k = (r["cohort_year"], r["age"])
+        assert r["n_active"] == tri[k]
+        assert r["n_customers"] == sized[k[0]]
+        assert r["retention_permille"] == 1000 * tri[k] // sized[k[0]]
+        if r["age"] == 0:
+            assert r["retention_permille"] == 1000

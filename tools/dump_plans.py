@@ -150,10 +150,117 @@ SNAPSHOT_QUERIES = [
     # round-11 waves
     "graph_adamic_adar_hubcapped",
     "dedup_semantic_recall_planted",
+    "curation_e2e_pipeline",
+    "quality_mcc_gates",
+    "text_lexical_concentration",
+    "events_dispersion_index",
+    "agg_concentration_rank_agreement",
+    "events_logrank_cohorts",
+    "embedding_mmd_split_drift",
+    "basket_part_rules",
+    "orders_retention_triangle",
 ]
 
 
 import re
+
+#: Inner broadcast join printed with the build on the LEFT — the AQE
+#: coin-flip class (r10 VERDICT task #7): when both join inputs have
+#: near-equal runtime stats (e.g. the semantic self-joins, whose sides
+#: are twins), AQE's build-side pick follows stage-materialization
+#: order, so an UNCHANGED query flips BuildLeft/BuildRight (and which
+#: child carries the BroadcastExchange wrapper) across regenerations.
+_BUILD_LEFT = re.compile(
+    r"BroadcastHashJoin \[(.*?)\], \[(.*?)\], Inner, BuildLeft"
+)
+
+
+def _text_col(line: str) -> int:
+    """Column where the node's text starts: consume 3-char continuation
+    cells (':  ' / '   '), then one optional marker cell (':- ' / '+- ').
+    Children of a node place their marker cell at the parent's text
+    column (Spark's generateTreeString convention)."""
+    c = 0
+    while line[c : c + 3] in (":  ", "   "):
+        c += 3
+    if line[c : c + 3] in (":- ", "+- "):
+        c += 3
+    return c
+
+
+def normalize_build_sides(plan: str) -> str:
+    """Render every INNER BroadcastHashJoin as BuildRight with the AQE
+    broadcast wrapper (``BroadcastQueryStage`` + ``BroadcastExchange``)
+    printed over the RIGHT child: when the coin flip built the left
+    input, the two wrapper lines are relocated from the left child onto
+    the right child (subtrees re-indented, markers fixed) and the token
+    rewritten. Join children keep their logical left/right order and
+    all non-wrapper content is untouched, so for the observed flip
+    class — equivalent sides, same broadcast mode — the two variants
+    serialize identically once ids are renumbered. Inner joins are
+    side-symmetric (the wrapper says HOW the join ran, not what it
+    computes); outer/semi variants pin their build side semantically
+    and are left alone. Joins with a different left-child shape (a
+    ReusedExchange leaf — its build side is pinned to the exchange it
+    reuses — or a cache-backed subtree whose InMemoryRelation block
+    breaks the 3-char-cell indentation invariant) are SKIPPED, not
+    guessed: only the flippable wrapper shape is relocated."""
+    lines = plan.splitlines()
+    sites = [i for i, ln in enumerate(lines) if _BUILD_LEFT.search(ln)]
+    for i in reversed(sites):  # bottom-up: moves never shift earlier sites
+        ln = lines[i]
+        m = _BUILD_LEFT.search(ln)
+        cc = _text_col(ln)  # children's marker column
+        l0, l1 = lines[i + 1], lines[i + 2]
+        if not (
+            l0[cc : cc + 3] == ":- "
+            and re.match(r"BroadcastQueryStage \d+$", l0[cc + 3 :])
+            and l1[cc : cc + 3] == ":  "
+            and l1[cc + 3 : cc + 6] == "+- "
+            and l1[cc + 6 :].startswith("BroadcastExchange ")
+        ):
+            continue  # not the flippable AQE wrapper shape
+        wrap_stage, wrap_exch = l0[cc + 3 :], l1[cc + 6 :]
+        # find second child (marker '+- ' at cc) and subtree end
+        j2 = None
+        for j in range(i + 3, len(lines)):
+            if lines[j][cc : cc + 3] == "+- ":
+                j2 = j
+                break
+            if _text_col(lines[j]) <= cc:
+                break
+        if j2 is None:
+            continue  # irregular indentation (e.g. cached-plan block)
+        end = len(lines)
+        for j in range(j2 + 1, len(lines)):
+            if _text_col(lines[j]) <= cc:
+                end = j
+                break
+        # left child sans wrapper: outdent its subtree by 2 cells
+        left = []
+        for idx, bl in enumerate(lines[i + 3 : j2]):
+            left.append(
+                bl[:cc] + (":- " if idx == 0 else ":  ") + bl[cc + 9 :]
+            )
+        # right child with wrapper: indent original block by 2 cells
+        r0 = lines[j2]
+        right = [
+            r0[:cc] + "+- " + wrap_stage,
+            r0[:cc] + "   +- " + wrap_exch,
+            r0[:cc] + "      +- " + r0[cc + 3 :],
+        ]
+        for bl in lines[j2 + 1 : end]:
+            # the single continuation cell becomes three (two new
+            # ancestors: BroadcastQueryStage, BroadcastExchange)
+            right.append(bl[:cc] + "   " * 3 + bl[cc + 3 :])
+        new_join = (
+            ln[: m.start()]
+            + f"BroadcastHashJoin [{m.group(1)}], [{m.group(2)}], "
+            f"Inner, BuildRight"
+            + ln[m.end() :]
+        )
+        lines = lines[:i] + [new_join] + left + right + lines[end:]
+    return "\n".join(lines)
 
 
 def canonicalize_plan(plan: str) -> str:
@@ -167,16 +274,19 @@ def canonicalize_plan(plan: str) -> str:
       renumbered, NOT collapsed, so a self-join's two ``doc_id`` columns
       stay distinguishable.
     - ``plan_id=NNN`` / ``id=#NNN`` — same treatment, separate space.
-    - AQE ``...QueryStage N`` numbers and whole-stage-codegen ``*(N)``
-      ids — these reflect RUNTIME stage-materialization order (which
-      broadcast finished first), so identical plans print different
-      absolute values across runs; first-seen renumbering over the
-      printed tree is order-independent and keeps equality relations.
+    - AQE ``...QueryStage N`` numbers reflect RUNTIME
+      stage-materialization order (which broadcast finished first), so
+      identical plans print different absolute values across runs;
+      first-seen renumbering over the printed tree is order-independent
+      and keeps equality relations.
+    - whole-stage-codegen ``*(N)`` span ids are STRIPPED to a bare
+      ``*`` (r11): span membership itself jitters with AQE stage reuse,
+      so even renumbered ids churn identical plans. The codegen marker
+      stays; the span id goes.
     """
     expr_ids: dict[str, str] = {}
     plan_ids: dict[str, str] = {}
     stage_ids: dict[str, str] = {}
-    codegen_ids: dict[str, str] = {}
 
     def _expr(m: "re.Match[str]") -> str:
         k = m.group(0)
@@ -197,10 +307,14 @@ def canonicalize_plan(plan: str) -> str:
         return f"{m.group(1)}QueryStage {stage_ids[k]}"
 
     def _codegen(m: "re.Match[str]") -> str:
-        k = m.group(1)
-        if k not in codegen_ids:
-            codegen_ids[k] = str(len(codegen_ids) + 1)
-        return f"*({codegen_ids[k]})"
+        # r11: flat strip, not renumbering. Span MEMBERSHIP (which
+        # operators fuse into one codegen loop) jitters with AQE stage
+        # materialization order — the same child aggregate prints *(2)
+        # (fused with its parent span) on one run and *(3) (own span)
+        # on the next, so first-seen renumbering cannot reconcile two
+        # identical plans. The `*` marker (codegen vs interpreted) is
+        # the load-bearing bit and stays; span ids go.
+        return "*"
 
     lambda_ids: dict[str, str] = {}
 
@@ -212,7 +326,7 @@ def canonicalize_plan(plan: str) -> str:
 
     plan = re.sub(r"plan_id=(\d+)", _plan, plan)
     plan = re.sub(r"(\w*)QueryStage (\d+)", _stage, plan)
-    plan = re.sub(r"\*\((\d+)\)", _codegen, plan)
+    plan = re.sub(r"\*\(\d+\)", _codegen, plan)
     # higher-order-function lambda variables (lambda x_558#36): the name
     # counter is session-global, same renumbering treatment
     plan = re.sub(r"(lambda [A-Za-z]+)_(\d+)", _lam, plan)
@@ -236,9 +350,11 @@ def main() -> None:
         "",
         f"Generated by `python tools/dump_plans.py {sf_dir}`. One file per",
         "plan under `plans_snapshot/<query>.txt`, with expression/plan ids",
-        "canonically renumbered (first-seen order) so regenerating the",
-        "snapshot only diffs the plans that actually changed (r8 judge",
-        "task #8). `tests/test_plan_quality.py` pins the load-bearing",
+        "canonically renumbered (first-seen order), codegen span ids",
+        "stripped to a bare `*`, and Inner broadcast joins rendered",
+        "build-right (r8 judge task #8; r10 task #7 — AQE's build-side",
+        "coin flip and codegen-span jitter no longer churn unchanged",
+        "plans). `tests/test_plan_quality.py` pins the load-bearing",
         "properties (pushdown, broadcasts, shuffle budgets,",
         "no-Python-eval) so drift fails tests before it lands here.",
         "",
@@ -247,7 +363,8 @@ def main() -> None:
         df = QUERIES[name].fn(spark, sf_dir)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        plan = canonicalize_plan(plan.split("== Initial Plan ==", 1)[0].rstrip())
+        plan = plan.split("== Initial Plan ==", 1)[0].rstrip()
+        plan = canonicalize_plan(normalize_build_sides(plan))
         evidence = [
             ln.strip()
             for ln in plan.splitlines()
