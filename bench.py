@@ -635,6 +635,8 @@ NEW_OPS_QUERIES = (
     "embedding_mmd_split_drift",
     "basket_part_rules",
     "orders_retention_triangle",
+    "events_burstiness_index",
+    "curation_dedup_order_sensitivity",
 )
 
 

@@ -522,15 +522,16 @@ def dedup_semantic_recall_planted(
 _E2E_BUDGET = 100  # == llm_ops14._APPORTION_BUDGET (pinned by test)
 
 
-def _build_e2e_oracle() -> str:
-    from .llm_ops11 import _duck_gopher_pass
+def _e2e_front_sql() -> str:
+    """Shared inj/red/ex/cl CTE text (inject -> redact -> exact-dedup
+    flag -> near-dup cluster relation) — single-sourced by the e2e
+    funnel AND the order-sensitivity row so they can never disagree on
+    the stages they share."""
     from .llm_ops14 import _PII_INJECT_SQL, _redact_chain_sql
     from .registry import QUERIES
 
     clusters = QUERIES["dedup_clusters"].oracle.strip()
-    scaled = QUERIES["dedup_semantic_cluster_scaled"].oracle.strip()
-    return f"""
-    WITH inj AS (
+    return f"""inj AS (
       SELECT doc_id, source, text || {_PII_INJECT_SQL} AS t
       FROM documents
     ),
@@ -543,7 +544,16 @@ def _build_e2e_oracle() -> str:
              doc_id = MIN(doc_id) OVER (PARTITION BY md5(r)) AS keep2
       FROM red
     ),
-    cl AS (SELECT doc_id, cluster_id FROM ({clusters})),
+    cl AS (SELECT doc_id, cluster_id FROM ({clusters}))"""
+
+
+def _build_e2e_oracle() -> str:
+    from .llm_ops11 import _duck_gopher_pass
+    from .registry import QUERIES
+
+    scaled = QUERIES["dedup_semantic_cluster_scaled"].oracle.strip()
+    return f"""
+    WITH {_e2e_front_sql()},
     sem AS (SELECT vec_id, kept FROM ({scaled})),
     {_duck_gopher_pass()},
     st3 AS (
@@ -1665,4 +1675,240 @@ def orders_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention_permille"),
         )
         .orderBy("cohort_year", "age")
+    )
+
+
+# --------------------------------------------------------------- wave 12
+# Burstiness of the arrival process per event type (Goh & Barabási, EPL
+# 2008): B = (σ − μ)/(σ + μ) over inter-event gaps — the
+# scale-free companion to the dispersion index (wave 6 judges daily
+# COUNTS against Poisson; B judges the GAP distribution itself: B → −1
+# periodic, B ≈ 0 Poisson, B → +1 bursty). Gaps in seconds (exact
+# integers); μ and σ² come from exact integer sums (Σg, Σg² in
+# DECIMAL(38,0)/HUGEINT; population variance with the n² denominator
+# cleared), σ is the ONE float:
+#     b_milli = FLOOR(1000·(σ_scaled − μ_scaled)/(σ_scaled + μ_scaled)
+#               + 0.5),  σ_scaled = sqrt(n·Σg² − (Σg)²), μ_scaled = Σg
+# (both sides scaled by n so the ratio is unchanged — no division
+# before the final expression; identical doubles in both engines).
+
+
+@query(
+    "events_burstiness_index",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) - epoch_us(LAG(ts) OVER
+                  (PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id))) // 1000000 AS BIGINT) AS g
+      FROM events
+      QUALIFY g IS NOT NULL
+    ),
+    per AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(g) AS BIGINT) AS s,
+             CAST(SUM(CAST(g AS HUGEINT) * g) AS HUGEINT) AS s2
+      FROM gaps GROUP BY event_type
+    )
+    SELECT event_type, n AS n_gaps,
+           CAST(s // n AS BIGINT) AS mean_gap_s,
+           CAST(FLOOR(1000.0 * (sqrt(CAST(CAST(n AS HUGEINT) * s2
+                                          - CAST(s AS HUGEINT) * s
+                                          AS DOUBLE)) - CAST(s AS DOUBLE))
+                      / (sqrt(CAST(CAST(n AS HUGEINT) * s2
+                                   - CAST(s AS HUGEINT) * s AS DOUBLE))
+                         + CAST(s AS DOUBLE)) + 0.5) AS BIGINT)
+             AS burstiness_milli
+    FROM per ORDER BY event_type
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness B (milli; one sqrt float, half-up
+    rounded) of per-user inter-event gaps per event type. One lag
+    window, one keyed aggregate; moment products in DECIMAL(38,0)."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops12 import _idiv_col
+
+    ev = load_tables(spark, sf_dir, "events").events
+    wu = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    gaps = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(lag(ts) OVER "
+            "(PARTITION BY event_type, user_id ORDER BY ts, event_id)))"
+            " div 1000000"
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    per = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    var_scaled = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    ).cast("double")
+    sig = F.sqrt(var_scaled)
+    mu = F.col("s").cast("double")
+    return per.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        _idiv_col(F.col("s"), F.col("n")).alias("mean_gap_s"),
+        F.floor(F.lit(1000.0) * (sig - mu) / (sig + mu) + F.lit(0.5))
+        .cast("long")
+        .alias("burstiness_milli"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------- wave 13
+# Dedup stage-order sensitivity (the pipeline-design honesty row): the
+# e2e funnel FIXES an order (exact dedup on redacted text, then the
+# near-dup cluster keep-rule among exact survivors). Stage order is a
+# real design choice — keep-min-per-cluster over ALL docs then exact
+# dedup can keep a DIFFERENT set (the cluster representative may be an
+# exact duplicate that order A already removed, whose group then
+# re-elects). This row MEASURES the divergence on this corpus instead
+# of asserting it away: both orders' final survivor sets, their
+# intersection, and the set Jaccard (permille). Front stages are
+# single-sourced from the e2e funnel (``_e2e_front_sql`` / the same
+# Spark flags), so the sensitivity row can never drift from the
+# pipeline it audits.
+
+
+def _build_order_sensitivity_oracle() -> str:
+    return f"""
+    WITH {_e2e_front_sql()},
+    joined AS (
+      SELECT e.doc_id, e.keep2, c.cluster_id
+      FROM ex e JOIN cl c ON c.doc_id = e.doc_id
+    ),
+    order_a AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, keep2 AND doc_id = MIN(CASE WHEN keep2 THEN doc_id
+                 END) OVER (PARTITION BY cluster_id) AS keep
+        FROM joined
+      ) WHERE keep
+    ),
+    nd_first AS (
+      SELECT j.doc_id, j.keep2,
+             j.doc_id = MIN(j.doc_id) OVER (PARTITION BY j.cluster_id)
+               AS keep_nd
+      FROM joined j
+    ),
+    order_b AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               keep_nd AND doc_id = MIN(CASE WHEN keep_nd THEN doc_id END)
+                 OVER (PARTITION BY h) AS keep
+        FROM (SELECT n.doc_id, n.keep_nd, md5(r.r) AS h
+              FROM nd_first n JOIN red r ON r.doc_id = n.doc_id)
+      ) WHERE keep
+    ),
+    counts AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM joined) AS n_docs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM order_a) AS n_a,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM order_b) AS n_b,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM order_a JOIN order_b USING (doc_id)) AS n_common
+    )
+    SELECT n_docs, n_a AS n_exact_first, n_b AS n_neardup_first, n_common,
+           CAST(1000 * n_common // (n_a + n_b - n_common) AS BIGINT)
+             AS survivor_jaccard_permille
+    FROM counts
+    """
+
+
+@query(
+    "curation_dedup_order_sensitivity",
+    oracle=_build_order_sensitivity_oracle(),
+    tags=("llm", "curation", "dedup", "eval"),
+)
+def curation_dedup_order_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survivor-set agreement between the two dedup stage orders
+    (exact-then-neardup vs neardup-then-exact) on the shared redacted
+    corpus: counts, intersection, and set Jaccard (permille). Same
+    front stages as the e2e funnel (single-sourced)."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops2 import dedup_clusters
+    from .llm_ops12 import _idiv_col
+    from .llm_ops14 import _pii_injected_col, _redact_chain_spark
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    red = docs.select(
+        "doc_id", "source", _pii_injected_col().alias("t")
+    ).select("doc_id", _redact_chain_spark(F.col("t")).alias("r"))
+    h = F.md5(F.col("r"))
+    ex = red.select(
+        "doc_id",
+        F.col("r"),
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(h))
+        ).alias("keep2"),
+    )
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    joined = ex.join(cl, "doc_id")
+    order_a = joined.select(
+        "doc_id",
+        (
+            F.col("keep2")
+            & (
+                F.col("doc_id")
+                == F.min(
+                    F.when(F.col("keep2"), F.col("doc_id"))
+                ).over(Window.partitionBy("cluster_id"))
+            )
+        ).alias("keep"),
+    ).filter("keep").select("doc_id")
+    nd = joined.select(
+        "doc_id",
+        "r",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("cluster_id"))
+        ).alias("keep_nd"),
+    )
+    order_b = nd.select(
+        "doc_id",
+        (
+            F.col("keep_nd")
+            & (
+                F.col("doc_id")
+                == F.min(
+                    F.when(F.col("keep_nd"), F.col("doc_id"))
+                ).over(Window.partitionBy(F.md5(F.col("r"))))
+            )
+        ).alias("keep"),
+    ).filter("keep").select("doc_id")
+    n_docs = joined.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_a = order_a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    n_b = order_b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    n_common = order_a.join(order_b, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_a))
+        .crossJoin(F.broadcast(n_b))
+        .crossJoin(F.broadcast(n_common))
+        .select(
+            "n_docs",
+            F.col("n_a").alias("n_exact_first"),
+            F.col("n_b").alias("n_neardup_first"),
+            "n_common",
+            _idiv_col(
+                F.col("n_common"),
+                F.col("n_a") + F.col("n_b") - F.col("n_common"),
+                scale=1000,
+            ).alias("survivor_jaccard_permille"),
+        )
     )

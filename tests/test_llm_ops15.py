@@ -652,3 +652,54 @@ def test_retention_triangle_full_python_replay(spark):
         assert r["retention_permille"] == 1000 * tri[k] // sized[k[0]]
         if r["age"] == 0:
             assert r["retention_permille"] == 1000
+
+
+# ----------------------------------------------------------- waves 12-13
+
+
+def test_burstiness_full_python_replay(spark):
+    """B replayed from python per-user gap moments with the identical
+    scaled closed form (no division before the final float)."""
+    from sea_streamer_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, SF, "events").events.select(
+        "event_type", "user_id", "ts", "event_id"
+    ).collect()
+    by_key: dict = {}
+    for r in ev:
+        by_key.setdefault((r["event_type"], r["user_id"]), []).append(r)
+    moments: dict = {}
+    for (et, _), rows in by_key.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for a, b in zip(rows, rows[1:]):
+            g = int((b["ts"] - a["ts"]).total_seconds() * 1_000_000) // 1_000_000
+            n, s, s2 = moments.get(et, (0, 0, 0))
+            moments[et] = (n + 1, s + g, s2 + g * g)
+    got = {r["event_type"]: r for r in _run(spark, "events_burstiness_index").collect()}
+    for et, (n, s, s2) in moments.items():
+        r = got[et]
+        assert r["n_gaps"] == n
+        assert r["mean_gap_s"] == s // n
+        sig = math.sqrt(n * s2 - s * s)
+        assert r["burstiness_milli"] == math.floor(
+            1000.0 * (sig - s) / (sig + s) + 0.5
+        )
+
+
+def test_order_sensitivity_consistent_with_e2e(spark):
+    """Order A (exact-then-neardup) must equal the e2e funnel's own
+    n_after_neardup total — the single-sourcing promise — and the
+    Jaccard column must follow from the three counts."""
+    e2e = _run(spark, "curation_e2e_pipeline").collect()
+    n_a_expected = sum(r["n_after_neardup"] for r in e2e)
+    got = _run(spark, "curation_dedup_order_sensitivity").collect()[0]
+    assert got["n_exact_first"] == n_a_expected
+    union = (
+        got["n_exact_first"]
+        + got["n_neardup_first"]
+        - got["n_common"]
+    )
+    assert got["survivor_jaccard_permille"] == 1000 * got["n_common"] // union
+    assert got["n_common"] <= min(
+        got["n_exact_first"], got["n_neardup_first"]
+    )

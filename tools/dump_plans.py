@@ -159,6 +159,8 @@ SNAPSHOT_QUERIES = [
     "embedding_mmd_split_drift",
     "basket_part_rules",
     "orders_retention_triangle",
+    "events_burstiness_index",
+    "curation_dedup_order_sensitivity",
 ]
 
 
