@@ -637,6 +637,9 @@ NEW_OPS_QUERIES = (
     "orders_retention_triangle",
     "events_burstiness_index",
     "curation_dedup_order_sensitivity",
+    "quality_precision_at_k",
+    "events_weekend_error_odds",
+    "orders_priority_mix_chi2",
 )
 
 

@@ -1912,3 +1912,343 @@ def curation_dedup_order_sensitivity(
             ).alias("survivor_jaccard_permille"),
         )
     )
+
+
+# --------------------------------------------------------------- wave 14
+# Precision/recall@k curve of the NB distilled gate's RANKING (standard
+# IR evaluation; Manning, Raghavan & Schütze, "Introduction to IR",
+# ch. 8): rank held-out docs by NB margin (score_pass − score_fail,
+# doc_id tie-break), then exact cumulative relevance at k ∈ {10, 25,
+# 50, 100} against the Gopher truth. AUC (threshold-free), Youden
+# (threshold pick), calibration (probability quality) and the 2x2
+# family (fixed gate) are registered; this is the remaining view — gate
+# quality AS A RANKER when a curation run takes "the best k docs", the
+# operation curation actually performs. Exact integers end-to-end (the
+# margin is already an integer micro score; counts and permilles via
+# truncated division).
+
+
+_PK_GRID = (10, 25, 50, 100)
+
+
+def _build_precision_at_k_oracle() -> str:
+    from .llm_ops11 import _nb_chain_sql
+
+    ks = ", ".join(str(k) for k in _PK_GRID)
+    return f"""
+    WITH {_nb_chain_sql()},
+    ranked AS (
+      SELECT truth,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_pass - score_fail
+                                     DESC, doc_id) AS BIGINT) AS rk
+      FROM scored
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ranked
+    ),
+    grid(k) AS (SELECT UNNEST([{ks}])),
+    at_k AS (
+      SELECT g.k,
+             CAST(SUM(CASE WHEN r.truth THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel_at_k
+      FROM grid g JOIN ranked r ON r.rk <= g.k
+      GROUP BY g.k
+    )
+    SELECT CAST(a.k AS BIGINT) AS k, a.n_rel_at_k,
+           CAST(1000 * a.n_rel_at_k // a.k AS BIGINT)
+             AS precision_permille,
+           CAST(1000 * a.n_rel_at_k // t.n_rel AS BIGINT)
+             AS recall_permille,
+           CAST(1000 * t.n_rel // t.n AS BIGINT) AS base_rate_permille
+    FROM at_k a, tot t
+    ORDER BY k
+    """
+
+
+@query(
+    "quality_precision_at_k",
+    oracle=_build_precision_at_k_oracle(),
+    tags=("llm", "quality", "eval"),
+)
+def quality_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact precision/recall@k of the NB margin ranking vs the Gopher
+    truth, k ∈ {10, 25, 50, 100}, with the base rate for reference. One
+    pass over the shared NB score relation + one rank window; the grid
+    join is k-dimension bounded."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops11 import _nb_scored
+    from .llm_ops12 import _idiv_col
+
+    scored = _nb_scored(spark, sf_dir)
+    ranked = scored.select(
+        "truth",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc(F.col("score_pass") - F.col("score_fail")),
+                F.asc("doc_id"),
+            )
+        )
+        .cast("long")
+        .alias("rk"),
+    )
+    tot = ranked.agg(
+        F.sum(F.when(F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    grid = spark.createDataFrame([(k,) for k in _PK_GRID], "k long")
+    at_k = (
+        F.broadcast(grid)
+        .join(ranked, ranked.rk <= grid.k)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("truth"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_rel_at_k")
+        )
+    )
+    return (
+        at_k.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_rel_at_k",
+            _idiv_col(F.col("n_rel_at_k"), F.col("k"), scale=1000).alias(
+                "precision_permille"
+            ),
+            _idiv_col(
+                F.col("n_rel_at_k"), F.col("n_rel"), scale=1000
+            ).alias("recall_permille"),
+            _idiv_col(F.col("n_rel"), F.col("n"), scale=1000).alias(
+                "base_rate_permille"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------- wave 15
+# Weekend odds ratio for error events (case-control 2x2; odds ratio per
+# Cornfield, JNCI 1951; the log-OR standard error per Woolf, Ann. Hum.
+# Genet. 1955): are errors relatively MORE likely on weekends, after
+# conditioning out overall weekend traffic? Cells are exact counts
+# (a = weekend errors, b = weekend non-errors, c = weekday errors,
+# d = weekday non-errors), OR_milli = 1000·a·d // (b·c) is EXACT
+# integer (products in DECIMAL(38,0)/HUGEINT), and the Woolf z =
+# ln(OR)/sqrt(1/a + 1/b + 1/c + 1/d) is the ONE float (half-up milli).
+# Weekend = Spark dayofweek ∈ {1, 7} == DuckDB dayofweek+1 ∈ {1, 7}
+# (the llm_ops8 convention).
+
+
+@query(
+    "events_weekend_error_odds",
+    oracle="""
+    WITH flags AS (
+      SELECT (dayofweek(CAST(ts AS DATE)) + 1) IN (1, 7) AS weekend,
+             event_type = 'error' AS is_err
+      FROM events
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN weekend AND is_err THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN weekend AND NOT is_err THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN NOT weekend AND is_err THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN NOT weekend AND NOT is_err THEN 1 ELSE 0
+                      END) AS BIGINT) AS d
+      FROM flags
+    )
+    SELECT a AS n_weekend_err, b AS n_weekend_other,
+           c AS n_weekday_err, d AS n_weekday_other,
+           CAST(CASE WHEN b = 0 OR c = 0 THEN 0
+                ELSE 1000 * CAST(a AS HUGEINT) * d
+                     // (CAST(b AS HUGEINT) * c) END AS BIGINT)
+             AS odds_ratio_milli,
+           CAST(CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN 0
+                ELSE FLOOR(1000.0 * ln((CAST(a AS DOUBLE) * d)
+                                       / (CAST(b AS DOUBLE) * c))
+                     / sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) + 0.5)
+                END AS BIGINT) AS woolf_z_milli
+    FROM cells
+    """,
+    tags=("streaming", "events", "stats"),
+)
+def events_weekend_error_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday error odds ratio (milli, exact integer) with
+    Woolf's log-OR z (milli; one ln + one sqrt float, half-up). One
+    scan, one scalar aggregate — the 2x2 never shuffles data."""
+    from .llm_ops12 import _idiv_col
+
+    ev = load_tables(spark, sf_dir, "events").events
+    weekend = F.dayofweek(F.to_date("ts")).isin(1, 7)
+    is_err = F.col("event_type") == "error"
+    cells = ev.agg(
+        F.sum(F.when(weekend & is_err, 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(weekend & ~is_err, 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~weekend & is_err, 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(~weekend & ~is_err, 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    orr = _idiv_col(
+        a.cast("decimal(38,0)") * d, b.cast("decimal(38,0)") * c, scale=1000
+    )
+    z = F.floor(
+        F.lit(1000.0)
+        * F.log(
+            (a.cast("double") * d.cast("double"))
+            / (b.cast("double") * c.cast("double"))
+        )
+        / F.sqrt(
+            F.lit(1.0) / a + F.lit(1.0) / b + F.lit(1.0) / c + F.lit(1.0) / d
+        )
+        + F.lit(0.5)
+    ).cast("long")
+    return cells.select(
+        a.alias("n_weekend_err"),
+        b.alias("n_weekend_other"),
+        c.alias("n_weekday_err"),
+        d.alias("n_weekday_other"),
+        F.when((b == 0) | (c == 0), F.lit(0))
+        .otherwise(orr)
+        .cast("long")
+        .alias("odds_ratio_milli"),
+        F.when((a == 0) | (b == 0) | (c == 0) | (d == 0), F.lit(0))
+        .otherwise(z)
+        .cast("long")
+        .alias("woolf_z_milli"),
+    )
+
+
+# --------------------------------------------------------------- wave 16
+# Priority-mix homogeneity across order years (Pearson's chi-square for
+# contingency tables, Phil. Mag. 1900): did the o_orderpriority MIX
+# shift year-over-year? The r×c test statistic with expected counts
+# cleared to integers: for cell (y, p) with observed o, row total r_y,
+# column total c_p, grand total n,
+#     chi2 = Σ (n·o − r_y·c_p)² / (n·r_y·c_p)
+# — each term micro-rounded via _idiv_col (truncated per cell, stated),
+# numerators in DECIMAL(38,0)/HUGEINT (n·o squares past 2^63 at
+# production volume). Cramér's V (1946) is reported beside it as the
+# effect size: V = sqrt(chi2 / (n·min(r−1, c−1))) — the ONE float.
+# The contingency table is (years × priorities)-bounded regardless of
+# order volume; the relational sibling of the weekday-ANOVA /
+# dispersion-index arrival battery.
+
+
+@query(
+    "orders_priority_mix_chi2",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+             o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rows_t AS (SELECT y, CAST(SUM(o) AS BIGINT) AS ry FROM cells
+               GROUP BY y),
+    cols_t AS (SELECT p, CAST(SUM(o) AS BIGINT) AS cp FROM cells
+               GROUP BY p),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT y) AS BIGINT) AS nr,
+                   CAST(COUNT(DISTINCT p) AS BIGINT) AS nc
+            FROM cells),
+    terms AS (
+      SELECT CAST(1000000 * (CAST(t.n AS HUGEINT) * c.o - CAST(r.ry AS
+                  HUGEINT) * l.cp)
+                  * (CAST(t.n AS HUGEINT) * c.o - CAST(r.ry AS HUGEINT)
+                     * l.cp)
+                  // (CAST(t.n AS HUGEINT) * r.ry * l.cp) AS BIGINT)
+               AS term_micro
+      FROM cells c
+      JOIN rows_t r ON r.y = c.y
+      JOIN cols_t l ON l.p = c.p
+      CROSS JOIN tot t
+    )
+    SELECT t.nr AS n_years, t.nc AS n_priorities, t.n AS n_orders,
+           CAST((t.nr - 1) * (t.nc - 1) AS BIGINT) AS dof,
+           CAST(SUM(m.term_micro) // 1000 AS BIGINT) AS chi2_milli,
+           CAST(FLOOR(1000 * sqrt(CAST(SUM(m.term_micro) AS DOUBLE)
+                / 1000000.0
+                / (CAST(t.n AS DOUBLE)
+                   * CAST(LEAST(t.nr - 1, t.nc - 1) AS DOUBLE))) + 0.5)
+             AS BIGINT) AS cramers_v_milli
+    FROM terms m CROSS JOIN tot t
+    GROUP BY t.nr, t.nc, t.n
+    """,
+    tags=("relational", "orders", "stats"),
+)
+def orders_priority_mix_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square (milli) of the year × priority contingency
+    table with Cramér's V effect size (milli; one sqrt float). Exact
+    per-cell integer terms via cleared expected counts; the table is
+    dimension-bounded (years × priorities)."""
+    from .llm_ops12 import _idiv_col
+
+    o = load_tables(spark, sf_dir, "orders").orders
+    cells = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rows_t = cells.groupBy("y").agg(F.sum("o").cast("long").alias("ry"))
+    cols_t = cells.groupBy("p").agg(F.sum("o").cast("long").alias("cp"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("y").cast("long").alias("nr"),
+        F.countDistinct("p").cast("long").alias("nc"),
+    )
+    n_h = F.col("n").cast("decimal(38,0)")
+    diff = n_h * F.col("o") - F.col("ry").cast("decimal(38,0)") * F.col("cp")
+    terms = (
+        cells.join(rows_t, "y")
+        .join(cols_t, "p")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            _idiv_col(
+                (diff * diff).cast("decimal(38,0)"),
+                n_h * F.col("ry") * F.col("cp"),
+                scale=1_000_000,
+            ).alias("term_micro"),
+            "n",
+            "nr",
+            "nc",
+        )
+    )
+    agg = terms.groupBy("nr", "nc", "n").agg(
+        F.sum("term_micro").cast("long").alias("s_micro")
+    )
+    return agg.select(
+        F.col("nr").alias("n_years"),
+        F.col("nc").alias("n_priorities"),
+        F.col("n").alias("n_orders"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        _idiv_col(F.col("s_micro"), F.lit(1000)).alias("chi2_milli"),
+        F.floor(
+            F.lit(1000)
+            * F.sqrt(
+                F.col("s_micro").cast("double")
+                / F.lit(1_000_000.0)
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("nr") - 1, F.col("nc") - 1).cast(
+                        "double"
+                    )
+                )
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cramers_v_milli"),
+    )

@@ -703,3 +703,99 @@ def test_order_sensitivity_consistent_with_e2e(spark):
     assert got["n_common"] <= min(
         got["n_exact_first"], got["n_neardup_first"]
     )
+
+
+# ----------------------------------------------------------- waves 14-15
+
+
+def test_precision_at_k_full_python_replay(spark):
+    """P@k/R@k replayed from the NB margin ranking collected once."""
+    from sea_streamer_spark.plans.llm_ops11 import _nb_scored
+
+    rows = _nb_scored(spark, SF).collect()
+    ranked = sorted(
+        rows,
+        key=lambda r: (-(r["score_pass"] - r["score_fail"]), r["doc_id"]),
+    )
+    n_rel = sum(1 for r in rows if r["truth"])
+    got = {r["k"]: r for r in _run(spark, "quality_precision_at_k").collect()}
+    assert set(got) == {10, 25, 50, 100}
+    for k, r in got.items():
+        rel_k = sum(1 for x in ranked[:k] if x["truth"])
+        assert r["n_rel_at_k"] == rel_k, k
+        assert r["precision_permille"] == 1000 * rel_k // k
+        assert r["recall_permille"] == 1000 * rel_k // n_rel
+        assert r["base_rate_permille"] == 1000 * n_rel // len(rows)
+    # the ranking must beat the base rate at the top of the curve
+    assert got[10]["precision_permille"] >= got[10]["base_rate_permille"]
+
+
+def test_weekend_odds_full_python_replay(spark):
+    """Cells, exact OR and Woolf z replayed from raw events."""
+    from sea_streamer_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, SF, "events").events.select(
+        "ts", "event_type"
+    ).collect()
+    a = b = c = d = 0
+    for r in ev:
+        wk = r["ts"].weekday() >= 5  # python: Mon=0..Sun=6
+        err = r["event_type"] == "error"
+        if wk and err:
+            a += 1
+        elif wk:
+            b += 1
+        elif err:
+            c += 1
+        else:
+            d += 1
+    got = _run(spark, "events_weekend_error_odds").collect()[0]
+    assert (got["n_weekend_err"], got["n_weekend_other"]) == (a, b)
+    assert (got["n_weekday_err"], got["n_weekday_other"]) == (c, d)
+    assert got["odds_ratio_milli"] == 1000 * a * d // (b * c)
+    z = math.floor(
+        1000.0 * math.log((a * d) / (b * c))
+        / math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+        + 0.5
+    )
+    assert got["woolf_z_milli"] == z
+
+
+# --------------------------------------------------------------- wave 16
+
+
+def test_priority_chi2_full_python_replay(spark):
+    """chi2/V replayed from a python contingency table with identical
+    per-cell truncation."""
+    from collections import Counter
+
+    from sea_streamer_spark.sources.tables import load_tables
+
+    o = load_tables(spark, SF, "orders").orders.select(
+        "o_orderdate", "o_orderpriority"
+    ).collect()
+    cells = Counter((r["o_orderdate"].year, r["o_orderpriority"]) for r in o)
+    ry = Counter()
+    cp = Counter()
+    for (y, p), c in cells.items():
+        ry[y] += c
+        cp[p] += c
+    n = sum(cells.values())
+    s_micro = 0
+    for (y, p), c in cells.items():
+        diff = n * c - ry[y] * cp[p]
+        s_micro += 1_000_000 * diff * diff // (n * ry[y] * cp[p])
+    got = _run(spark, "orders_priority_mix_chi2").collect()[0]
+    assert got["n_years"] == len(ry)
+    assert got["n_priorities"] == len(cp)
+    assert got["n_orders"] == n
+    assert got["dof"] == (len(ry) - 1) * (len(cp) - 1)
+    assert got["chi2_milli"] == s_micro // 1000
+    v = math.floor(
+        1000
+        * math.sqrt(
+            s_micro / 1_000_000.0 / (n * min(len(ry) - 1, len(cp) - 1))
+        )
+        + 0.5
+    )
+    assert got["cramers_v_milli"] == v
