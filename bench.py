@@ -640,6 +640,7 @@ NEW_OPS_QUERIES = (
     "quality_precision_at_k",
     "events_weekend_error_odds",
     "orders_priority_mix_chi2",
+    "events_markov_stationary",
 )
 
 

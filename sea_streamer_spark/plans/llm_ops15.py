@@ -2252,3 +2252,137 @@ def orders_priority_mix_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cramers_v_milli"),
     )
+
+
+# --------------------------------------------------------------- wave 17
+# Stationary distribution of the behavioral Markov chain (power
+# iteration / Perron-Frobenius; Kemeny & Snell, "Finite Markov
+# Chains", 1960): where does a user's event process SPEND its time in
+# the long run, vs where the raw event mix says it is today? The
+# transition relation is single-sourced from the registered
+# events_transition_matrix; rows normalize to micro fixed-point
+# (p_micro = 1e6·n_ij // row_i, truncated — stated), and K = 16
+# iterations of pi·P run in EXACT integer arithmetic (per-term
+# pi·p // 1e6, truncation order identical in both engines — the oracle
+# unrolls the same 16 joins). The chain is type-dimension bounded
+# (|types|² = 25 cells), so every iteration is a 5-row join no matter
+# the corpus size. The empirical marginal rides beside the fixed point:
+# delta ≈ 0 says the observed mix IS the stationary mix (no transient).
+
+_MARKOV_ITERS = 16
+_MARKOV_SCALE = 1_000_000
+
+
+def _build_markov_oracle() -> str:
+    from .registry import QUERIES
+
+    tm = QUERIES["events_transition_matrix"].oracle.strip()
+    it = """pi0 AS (
+      SELECT prev_type AS state,
+             CAST({s} // (SELECT COUNT(DISTINCT prev_type) FROM p)
+                  AS BIGINT) AS pi
+      FROM (SELECT DISTINCT prev_type FROM p) d(prev_type)
+    )""".format(s=_MARKOV_SCALE)
+    steps = []
+    for k in range(1, _MARKOV_ITERS + 1):
+        steps.append(f"""pi{k} AS (
+      SELECT p.next_type AS state,
+             CAST(SUM(CAST(q.pi AS HUGEINT) * p.p_micro
+                      // {_MARKOV_SCALE}) AS BIGINT) AS pi
+      FROM pi{k - 1} q JOIN p ON p.prev_type = q.state
+      GROUP BY p.next_type
+    )""")
+    chain = ",\n    ".join([it] + steps)
+    return f"""
+    WITH tm AS ({tm}),
+    rowt AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS rt FROM tm
+             GROUP BY prev_type),
+    p AS (
+      SELECT t.prev_type, t.next_type,
+             CAST({_MARKOV_SCALE} * t.n // r.rt AS BIGINT) AS p_micro
+      FROM tm t JOIN rowt r ON r.prev_type = t.prev_type
+    ),
+    {chain},
+    emp AS (
+      SELECT event_type AS state,
+             CAST({_MARKOV_SCALE} * COUNT(*)
+                  // (SELECT COUNT(*) FROM events) AS BIGINT) AS e
+      FROM events GROUP BY event_type
+    )
+    SELECT f.state, f.pi AS stationary_micro, emp.e AS empirical_micro,
+           f.pi - emp.e AS delta_micro
+    FROM pi{_MARKOV_ITERS} f JOIN emp ON emp.state = f.state
+    ORDER BY f.state
+    """
+
+
+@query(
+    "events_markov_stationary",
+    oracle=_build_markov_oracle(),
+    tags=("llm", "events", "sequence", "stats"),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution (micro fixed-point, 16 exact integer
+    power iterations) of the registered transition matrix, beside the
+    empirical event mix and their gap. Every iteration is a
+    type-dimension-bounded 5-row join; the oracle unrolls the identical
+    iterations."""
+    from .llm_ops7 import events_transition_matrix
+    from .llm_ops12 import _idiv_col
+
+    tm = events_transition_matrix(spark, sf_dir)
+    rowt = tm.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("rt")
+    )
+    p = tm.join(rowt, "prev_type").select(
+        "prev_type",
+        "next_type",
+        _idiv_col(F.col("n"), F.col("rt"), scale=_MARKOV_SCALE).alias(
+            "p_micro"
+        ),
+    )
+    states = p.select(F.col("prev_type").alias("state")).distinct()
+    n_states = states.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "state",
+        _idiv_col(F.lit(_MARKOV_SCALE), F.col("k")).alias("pi"),
+    )
+    for _ in range(_MARKOV_ITERS):
+        pi = (
+            pi.join(p, pi.state == p.prev_type)
+            .groupBy(F.col("next_type").alias("state"))
+            .agg(
+                F.sum(
+                    _idiv_col(
+                        F.col("pi").cast("decimal(38,0)")
+                        * F.col("p_micro"),
+                        F.lit(_MARKOV_SCALE),
+                    )
+                )
+                .cast("long")
+                .alias("pi")
+            )
+        )
+    ev = load_tables(spark, sf_dir, "events").events
+    n_ev = ev.agg(F.count(F.lit(1)).cast("long").alias("tot"))
+    emp = (
+        ev.groupBy(F.col("event_type").alias("state"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .crossJoin(F.broadcast(n_ev))
+        .select(
+            "state",
+            _idiv_col(F.col("c"), F.col("tot"), scale=_MARKOV_SCALE).alias(
+                "e"
+            ),
+        )
+    )
+    return (
+        pi.join(emp, "state")
+        .select(
+            "state",
+            F.col("pi").alias("stationary_micro"),
+            F.col("e").alias("empirical_micro"),
+            (F.col("pi") - F.col("e")).cast("long").alias("delta_micro"),
+        )
+        .orderBy("state")
+    )

@@ -799,3 +799,48 @@ def test_priority_chi2_full_python_replay(spark):
         + 0.5
     )
     assert got["cramers_v_milli"] == v
+
+
+# --------------------------------------------------------------- wave 17
+
+
+def test_markov_stationary_full_python_replay(spark):
+    """16 integer power iterations replayed in python from the
+    registered transition matrix with identical per-term truncation;
+    stationarity sanity: the fixed point's total mass stays within
+    truncation loss of 1e6 and deltas are small on this mixing chain."""
+    tm = _run(spark, "events_transition_matrix").collect()
+    rowt: dict = {}
+    for r in tm:
+        rowt[r["prev_type"]] = rowt.get(r["prev_type"], 0) + r["n"]
+    p = {
+        (r["prev_type"], r["next_type"]): 1_000_000 * r["n"] // rowt[r["prev_type"]]
+        for r in tm
+    }
+    states = sorted(rowt)
+    k = len(states)
+    pi = {s: 1_000_000 // k for s in states}
+    for _ in range(16):
+        nxt = {s: 0 for s in states}
+        for (a, b), pm in p.items():
+            nxt[b] += pi[a] * pm // 1_000_000
+        pi = nxt
+    from sea_streamer_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, SF, "events").events.select(
+        "event_type"
+    ).collect()
+    n = len(ev)
+    from collections import Counter
+
+    emp = Counter(r["event_type"] for r in ev)
+    got = {r["state"]: r for r in _run(spark, "events_markov_stationary").collect()}
+    assert set(got) == set(states)
+    for s in states:
+        assert got[s]["stationary_micro"] == pi[s], s
+        e = 1_000_000 * emp[s] // n
+        assert got[s]["empirical_micro"] == e
+        assert got[s]["delta_micro"] == pi[s] - e
+    mass = sum(pi.values())
+    # each iteration truncates once per transition CELL (<= k*k cells)
+    assert 1_000_000 - 16 * k * k <= mass <= 1_000_000

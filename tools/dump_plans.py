@@ -164,6 +164,7 @@ SNAPSHOT_QUERIES = [
     "quality_precision_at_k",
     "events_weekend_error_odds",
     "orders_priority_mix_chi2",
+    "events_markov_stationary",
 ]
 
 
@@ -364,12 +365,43 @@ def main() -> None:
         "no-Python-eval) so drift fails tests before it lands here.",
         "",
     ]
-    for name in SNAPSHOT_QUERIES:
+    def _dump_once(name: str) -> str:
         df = QUERIES[name].fn(spark, sf_dir)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         plan = plan.split("== Initial Plan ==", 1)[0].rstrip()
-        plan = canonicalize_plan(normalize_build_sides(plan))
+        return canonicalize_plan(normalize_build_sides(plan))
+
+    damped: list[str] = []
+    for name in SNAPSHOT_QUERIES:
+        plan = _dump_once(name)
+        # Churn damping (r11): a handful of AQE runtime races (exchange
+        # reuse/elision, LogicalQueryStage capture, cached-plan-adjacent
+        # build flips) survive text canonicalization and roam across
+        # files regen-to-regen. A REAL plan change reproduces; a race
+        # does not — so when the fresh canonical plan differs from the
+        # committed file, re-execute the query once and only accept the
+        # change if it reproduces. If the re-run matches the committed
+        # plan instead, keep the committed bytes and report the damped
+        # race (never silently).
+        out_path = os.path.join(snap_dir, f"{name}.txt")
+        if os.path.exists(out_path):
+            with open(out_path) as fh:
+                committed = fh.read().split("\n\nScan evidence:", 1)[0]
+            committed = committed.rstrip("\n")
+            if plan.rstrip("\n") != committed:
+                # a REAL change reproduces every time; an AQE race is a
+                # near-coin-flip, so demand 3 consecutive confirming
+                # re-executions before accepting (race acceptance odds
+                # ~2^-3 per file per regen; any single re-run matching
+                # the committed bytes keeps them).
+                for _ in range(3):
+                    replan = _dump_once(name)
+                    if replan.rstrip("\n") == committed:
+                        damped.append(name)
+                        plan = committed
+                        break
+                    plan = replan
         evidence = [
             ln.strip()
             for ln in plan.splitlines()
@@ -380,9 +412,11 @@ def main() -> None:
             body += ["Scan evidence:", ""]
             body += [f"- {e[:200]}" for e in evidence]
             body += [""]
-        with open(os.path.join(snap_dir, f"{name}.txt"), "w") as fh:
+        with open(out_path, "w") as fh:
             fh.write("\n".join(body))
         index.append(f"- [{name}](plans_snapshot/{name}.txt)")
+    if damped:
+        print(f"damped {len(damped)} AQE race(s): {', '.join(damped)}")
     path = os.path.join(repo, "PLANS_SNAPSHOT.md")
     with open(path, "w") as fh:
         fh.write("\n".join(index) + "\n")
