@@ -1060,6 +1060,21 @@ def _idiv_col(a, b, scale: int = 1):
     return ((ad - (ad % bd)) / bd).cast("long")
 
 
+def _imod_col(a, b, scale: int = 1):
+    """Exact integer remainder ``(scale * a) % b`` — the modulo twin of
+    :func:`_idiv_col`, multiplying INSIDE ``DECIMAL(38,0)`` space for the
+    same reason (r11 VERDICT task #8: ``F.lit(K) * col % n`` runs the
+    product in BIGINT, which silently wraps once ``col > 2^63/K`` while
+    the DuckDB oracle errors loudly). Non-negative operands only, like
+    every Hamilton-remainder call site (DuckDB ``%`` and Spark decimal
+    ``%`` agree on those; signed remainders differ by convention and are
+    deliberately out of contract here)."""
+    ad = a.cast("decimal(38,0)")
+    if scale != 1:
+        ad = (ad * F.lit(scale)).cast("decimal(38,0)")
+    return (ad % b.cast("decimal(38,0)")).cast("long")
+
+
 def _build_ndcg_oracle() -> str:
     ql = _build_ql_oracle().strip().rstrip()
     # weights as a VALUES relation (rank -> micro weight)

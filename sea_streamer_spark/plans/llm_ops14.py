@@ -1748,7 +1748,7 @@ def curation_sample_apportionment(
     rank window."""
     from pyspark.sql.window import Window
 
-    from .llm_ops12 import _idiv_col
+    from .llm_ops12 import _idiv_col, _imod_col
 
     docs = load_tables(spark, sf_dir, "documents").documents
     per = docs.groupBy("source").agg(
@@ -1758,12 +1758,12 @@ def curation_sample_apportionment(
     q = per.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
-        _idiv_col(F.lit(_APPORTION_BUDGET) * F.col("n_docs"), F.col("n")).alias(
-            "quota_floor"
-        ),
-        ((F.lit(_APPORTION_BUDGET) * F.col("n_docs")) % F.col("n"))
-        .cast("long")
-        .alias("rem"),
+        _idiv_col(
+            F.col("n_docs"), F.col("n"), scale=_APPORTION_BUDGET
+        ).alias("quota_floor"),
+        _imod_col(
+            F.col("n_docs"), F.col("n"), scale=_APPORTION_BUDGET
+        ).alias("rem"),
     )
     seats = q.agg(
         (F.lit(_APPORTION_BUDGET) - F.sum("quota_floor"))

@@ -276,7 +276,7 @@ _PLANTED_CORPUS_SQL = f"""corpus AS (
                                       THEN x * {_PLANTED_FACTOR}
                                       ELSE x END) AS embedding
       FROM embeddings e
-      CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) j
+      CROSS JOIN (SELECT UNNEST([{", ".join(str(j) for j in range(1, _PLANTED_REPS + 1))}]) AS j) j
       WHERE e.vec_id % {_PLANTED_STRIDE} = 0
     )"""
 
@@ -636,7 +636,7 @@ def curation_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import quality as Q
     from .llm_ops2 import dedup_clusters
-    from .llm_ops12 import _idiv_col
+    from .llm_ops12 import _idiv_col, _imod_col
     from .llm_ops14 import (
         _pii_injected_col,
         _redact_chain_spark,
@@ -714,9 +714,9 @@ def curation_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _idiv_col(
             F.col("n_after_quality"), F.col("n"), scale=_E2E_BUDGET
         ).alias("quota_floor"),
-        ((F.lit(_E2E_BUDGET) * F.col("n_after_quality")) % F.col("n"))
-        .cast("long")
-        .alias("rem"),
+        _imod_col(
+            F.col("n_after_quality"), F.col("n"), scale=_E2E_BUDGET
+        ).alias("rem"),
     )
     seats = q.agg(
         (F.lit(_E2E_BUDGET) - F.sum("quota_floor")).cast("long").alias("r")

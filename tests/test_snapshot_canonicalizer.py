@@ -89,3 +89,51 @@ def test_unsafe_shapes_are_skipped_not_guessed():
 :  +- ReusedExchange [k#1L], BroadcastExchange HashedRelationBroadcastMode(List(input[0, bigint, true]),false), [plan_id=4]
 +- *(2) Scan B [k#2L]"""
     assert normalize_build_sides(plan) == plan
+
+
+def test_variant_roundtrip_matches_either_form():
+    """r11 VERDICT task #3: a chronic AQE racer commits BOTH reproduced
+    byte-forms, separated by VARIANT_SEP; read_variants recovers each
+    exactly, so regen matches either form with zero churn."""
+    import tempfile
+
+    from dump_plans import VARIANT_SEP, read_variants
+
+    v1 = "* HashAggregate\n+- * Project [x#1L]"
+    v2 = "* HashAggregate\n+- ReusedExchange [x#1L]"
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
+        fh.write(v1 + VARIANT_SEP + v2 + "\n\nScan evidence:\n\n- Read...\n")
+        path = fh.name
+    assert read_variants(path) == [v1, v2]
+    os.unlink(path)
+
+
+def test_truncation_shift_normalizes_identically():
+    """r11 VERDICT task #3, root cause: Spark truncates long plan fields
+    at a fixed RAW width, volatile ids have variable widths, so an
+    identical plan can ellipsis-cut one character earlier or later
+    run-to-run (the embedding_anisotropy_audit racer: its two committed
+    byte-forms differed ONLY at a DataFilters `...` tail). The r12
+    truncation chop makes both cuts serialize identically — and is
+    idempotent, so committed snapshots re-canonicalize to themselves."""
+    a = "FileScan parquet [e#23] DataFilters: [(cast(x as double) *..., Format: Parquet"
+    b = "FileScan parquet [e#23] DataFilters: [(cast(x as double) ..., Format: Parquet"
+    ca, cb = canonicalize_plan(a), canonicalize_plan(b)
+    assert ca == cb
+    assert canonicalize_plan(ca) == ca
+
+
+def test_committed_anisotropy_snapshot_is_canonical():
+    """The chronic racer's committed snapshot must be a fixed point of
+    the current canonicalization rules — i.e. regen cannot churn it for
+    rule reasons — and stays under the CHRONIC_RACERS variant guard for
+    any future race class."""
+    from dump_plans import CHRONIC_RACERS, read_variants
+
+    assert "embedding_anisotropy_audit" in CHRONIC_RACERS
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(
+        repo, "plans_snapshot", "embedding_anisotropy_audit.txt"
+    )
+    variants = read_variants(path)
+    assert len({canonicalize_plan(v).rstrip("\n") for v in variants}) == 1

@@ -337,7 +337,40 @@ def canonicalize_plan(plan: str) -> str:
     # counter is session-global, same renumbering treatment
     plan = re.sub(r"(lambda [A-Za-z]+)_(\d+)", _lam, plan)
     plan = re.sub(r"#\d+", _expr, plan)
+    # r12: truncation-shift normalization. Spark truncates long fields
+    # (DataFilters etc.) at a fixed RAW-string width, but the volatile
+    # ids above have variable widths, so an identical plan can truncate
+    # a character earlier or later run-to-run — and the shift survives
+    # renumbering because renumbering happens AFTER the cut (the
+    # embedding_anisotropy_audit racer, 3b66ac4: its two byte-forms
+    # differed ONLY at an `...`-cut DataFilters tail). Chop the partial
+    # token adjacent to every ellipsis back to the nearest delimiter
+    # (≤48 chars), making the cut point insensitive to id-width jitter.
+    # Anchored on the delimiter so the rewrite is idempotent.
+    plan = re.sub(r"([\s\[\](,])[^\s\[\](,]{0,48}\.\.\.", r"\1...", plan)
     return plan
+
+
+#: Variant separator inside a snapshot file (r11 VERDICT task #3): a
+#: chronic AQE racer whose two byte-forms BOTH reproduce through the
+#: 3-confirmation damper gets both committed, separated by this marker;
+#: regen then matches EITHER form with zero churn. Only files in
+#: CHRONIC_RACERS may accumulate variants — everywhere else a confirmed
+#: change still replaces the file (snapshot diff = semantic change).
+VARIANT_SEP = "\n\n== accepted AQE variant (exchange-reuse race) ==\n\n"
+
+#: Files where the exchange-reuse/elision coin flip is chronic (flipped
+#: through the r11 damper, commit 3b66ac4). Confirmed new shapes APPEND
+#: as an accepted variant instead of replacing.
+CHRONIC_RACERS = {"embedding_anisotropy_audit"}
+
+
+def read_variants(path: str) -> list[str]:
+    """Committed plan byte-forms for a snapshot file (without the scan-
+    evidence tail), in commit order."""
+    with open(path) as fh:
+        committed = fh.read().split("\n\nScan evidence:", 1)[0]
+    return [v.rstrip("\n") for v in committed.split(VARIANT_SEP)]
 
 
 def main() -> None:
@@ -379,35 +412,53 @@ def main() -> None:
         # reuse/elision, LogicalQueryStage capture, cached-plan-adjacent
         # build flips) survive text canonicalization and roam across
         # files regen-to-regen. A REAL plan change reproduces; a race
-        # does not — so when the fresh canonical plan differs from the
-        # committed file, re-execute the query once and only accept the
-        # change if it reproduces. If the re-run matches the committed
-        # plan instead, keep the committed bytes and report the damped
-        # race (never silently).
+        # does not — so when the fresh canonical plan differs from every
+        # committed byte-form, re-execute and only accept the change if
+        # it reproduces 3x consecutively. If any re-run matches a
+        # committed form instead, keep the committed bytes and report
+        # the damped race (stdout AND the append-only DAMPED.md ledger,
+        # so chronic damping of the same query is visible in git — r11
+        # ADVICE). For declared CHRONIC_RACERS a confirmed new shape
+        # APPENDS as an accepted variant (both forms committed; future
+        # regens match either with zero churn) instead of replacing.
         out_path = os.path.join(snap_dir, f"{name}.txt")
+        variants = [plan.rstrip("\n")]
         if os.path.exists(out_path):
-            with open(out_path) as fh:
-                committed = fh.read().split("\n\nScan evidence:", 1)[0]
-            committed = committed.rstrip("\n")
-            if plan.rstrip("\n") != committed:
-                # a REAL change reproduces every time; an AQE race is a
-                # near-coin-flip, so demand 3 consecutive confirming
-                # re-executions before accepting (race acceptance odds
-                # ~2^-3 per file per regen; any single re-run matching
-                # the committed bytes keeps them).
+            committed = read_variants(out_path)
+            # A canonicalization-RULE upgrade (e.g. the r12 truncation
+            # chop) changes committed bytes deterministically, not as a
+            # race: re-canonicalize the committed forms (idempotent
+            # under the current rules) and rewrite without the damper
+            # when the fresh plan matches an upgraded form.
+            upgraded = [canonicalize_plan(v).rstrip("\n") for v in committed]
+            if plan.rstrip("\n") in committed:
+                variants = committed
+            elif plan.rstrip("\n") in upgraded:
+                variants = sorted(
+                    {canonicalize_plan(v).rstrip("\n") for v in committed},
+                    key=upgraded.index,
+                )
+            else:
+                accepted = True
                 for _ in range(3):
                     replan = _dump_once(name)
-                    if replan.rstrip("\n") == committed:
+                    if replan.rstrip("\n") in committed:
                         damped.append(name)
-                        plan = committed
+                        variants = committed
+                        accepted = False
                         break
                     plan = replan
+                if accepted:
+                    if name in CHRONIC_RACERS:
+                        variants = committed + [plan.rstrip("\n")]
+                    else:
+                        variants = [plan.rstrip("\n")]
         evidence = [
             ln.strip()
-            for ln in plan.splitlines()
+            for ln in variants[-1].splitlines()
             if "PushedFilters" in ln or "ReadSchema" in ln
         ]
-        body = [plan, ""]
+        body = [VARIANT_SEP.join(variants), ""]
         if evidence:
             body += ["Scan evidence:", ""]
             body += [f"- {e[:200]}" for e in evidence]
@@ -417,6 +468,8 @@ def main() -> None:
         index.append(f"- [{name}](plans_snapshot/{name}.txt)")
     if damped:
         print(f"damped {len(damped)} AQE race(s): {', '.join(damped)}")
+        with open(os.path.join(snap_dir, "DAMPED.md"), "a") as fh:
+            fh.write(f"- regen damped: {', '.join(sorted(damped))}\n")
     path = os.path.join(repo, "PLANS_SNAPSHOT.md")
     with open(path, "w") as fh:
         fh.write("\n".join(index) + "\n")
