@@ -164,16 +164,39 @@ def main() -> None:
     with tempfile.TemporaryDirectory(prefix="ss_relay_warm_") as td:
         benchmark_relay(spark, td, n=2000)  # warm the streaming machinery
     phase_samples: dict[str, list[float]] = {}
-    for _ in range(3):
+
+    def _relay_round() -> None:
         with tempfile.TemporaryDirectory(prefix="ss_relay_bench_") as td:
             for phase, sec in benchmark_relay(spark, td).items():
                 phase_samples.setdefault(phase, []).append(sec)
-    for phase, samples in phase_samples.items():
+
+    for _ in range(3):
+        _relay_round()
+    # Escalate-on-spread for the streaming phases too (r11 VERDICT task
+    # #5: streaming_produce_100k committed with a 99% spread on a ~0.2 s
+    # phase because the escalation protocol covered headline queries
+    # only). These phases are sub-second, so relative spread is mostly
+    # scheduler jitter — but the committed number should still be a
+    # stable median: when any phase's 3-repeat spread exceeds 25%, run 3
+    # more full repeats and report the drop-1-each-end trimmed median/
+    # spread of all 6, flagged in ``escalated``.
+    def _phase_spread(samples: list[float]) -> float:
         med = statistics.median(samples)
+        return 100.0 * (max(samples) - min(samples)) / med if med > 0 else 0.0
+
+    if any(_phase_spread(s) > 25.0 for s in phase_samples.values()):
+        for _ in range(3):
+            _relay_round()
+    for phase, samples in phase_samples.items():
+        trim = 1 if len(samples) > 3 else 0
+        core = sorted(samples)[trim : len(samples) - trim]
+        med = statistics.median(core)
         timings[phase] = round(med, 4)
         spreads[phase] = round(
-            100.0 * (max(samples) - min(samples)) / med if med > 0 else 0.0, 1
+            100.0 * (max(core) - min(core)) / med if med > 0 else 0.0, 1
         )
+        if len(samples) > 3:
+            escalated.append(phase)
     total = round(sum(timings.values()), 4)
     full = {
         "metric": "headline_queries_total_runtime",
@@ -190,6 +213,8 @@ def main() -> None:
         "scale": scale_dedup_metric(spark),
         "scale_pipeline": scale_pipeline_metric(spark),
         "scale_semantic": scale_semantic_metric(spark),
+        "scale_e2e": scale_e2e_metric(spark),
+        "scale_semantic_planted": scale_semantic_planted_metric(spark),
         "new_ops": new_ops_metric(spark),
         "wire": wire,
     }
@@ -479,6 +504,383 @@ def scale_semantic_metric(spark) -> dict:
     return out
 
 
+def scale_e2e_metric(spark) -> dict:
+    """Composed-funnel scale ladder (r11 VERDICT task #2): the
+    per-family ladders prove each dedup stage linear; this proves the
+    COMPOSED curation funnel — redact → exact dedup → MinHash near-dup
+    → SemDeDup → Gopher gate → Hamilton apportionment, the
+    ``curation_e2e_pipeline`` stage chain — scales as one pipeline.
+
+    Replica protocol (10×, replica-keyed like ``scale_semantic``):
+    documents and embeddings get 10 copies with ``id + 70_000·rep``
+    (70_000 ≡ 0 mod 7 preserves each doc's PII-injection class, so
+    had_pii counts replicate exactly), IDENTICAL text/vectors (Gopher
+    flags and semantic geometry replicate exactly), and replica
+    disjointness enforced where a real 10× corpus would enforce it
+    structurally: the exact-dedup window keys on (rep, md5), the
+    near-dup stage shingles on per-replica token namespaces (the
+    ``scale_pipeline`` suffix protocol), the semantic cells fold the
+    replica id (the ``scale_semantic`` protocol). Invariants measured:
+
+    - every per-source funnel count at 10× == exactly 10× base;
+    - ``n_sampled`` at 10× == base EXACTLY (Hamilton apportions the
+      same fixed budget over 10× survivors with identical shares —
+      scale-invariance of the apportionment, measured);
+    - cross-replica near-dup pairs == 0 and cross-replica semantic
+      candidates == 0;
+    - ``wall_ratio_x10`` for the composed chain."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sea_streamer_spark.operators import dedup as D
+    from sea_streamer_spark.operators import graph as G
+    from sea_streamer_spark.operators import quality as Q
+    from sea_streamer_spark.operators import similarity as S
+    from sea_streamer_spark.plans.llm_ops import gate_ivf_centroids
+    from sea_streamer_spark.plans.llm_ops3 import _SEM_THRESHOLD
+    from sea_streamer_spark.plans.llm_ops14 import (
+        _pii_injected_col,
+        _redact_chain_spark,
+    )
+    from sea_streamer_spark.sources.tables import load_tables
+
+    k, off, n_cells, budget = 10, 70_000, 64, 100
+    t = load_tables(spark, SF_DIR, "documents", "embeddings")
+    docs, emb = t.documents, t.embeddings
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    cents = gate_ivf_centroids(n_cells=n_cells)
+    if cents is None:
+        cents = S.ivf_centroids(emb, n_cells=n_cells)
+
+    def _funnel(d0, e0) -> dict:
+        """Per-source funnel counts + Hamilton allocation; d0/e0 carry a
+        ``rep`` column (all-zero for the base run)."""
+        dirty = d0.select(
+            "doc_id", "source", "rep", _pii_injected_col().alias("t")
+        ).select(
+            "doc_id",
+            "source",
+            "rep",
+            "t",
+            _redact_chain_spark(F.col("t")).alias("r"),
+        )
+        ex = dirty.select(
+            "doc_id",
+            "source",
+            "rep",
+            (F.col("r") != F.col("t")).alias("had_pii"),
+            (
+                F.col("doc_id")
+                == F.min("doc_id").over(
+                    Window.partitionBy("rep", F.md5(F.col("r")))
+                )
+            ).alias("keep2"),
+        )
+        # near-dup on per-replica token namespaces (suffix protocol)
+        nd_in = d0.select(
+            "doc_id",
+            F.regexp_replace(
+                "text", r"(\S+)", F.concat(F.lit("$1r"), F.col("rep"))
+            ).alias("text"),
+        )
+        pairs = D.minhash_lsh_dedup(nd_in, threshold=0.5).select(
+            "doc_a", "doc_b"
+        )
+        cl = G.dedup_clusters(nd_in.select("doc_id"), pairs).select(
+            "doc_id", "cluster_id"
+        )
+        st3 = ex.join(cl, "doc_id").select(
+            "*",
+            (
+                F.col("keep2")
+                & (
+                    F.col("doc_id")
+                    == F.min(F.when(F.col("keep2"), F.col("doc_id"))).over(
+                        Window.partitionBy("cluster_id")
+                    )
+                )
+            ).alias("keep3"),
+        )
+        # semantic stage: replica-folded cells, centroid-score drop
+        cent_df = spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in cents],
+            "cell long, cvec array<double>",
+        )
+        scored = (
+            e0.select(
+                "vec_id", "embedding", "rep", S.ivf_cell_expr(cents).alias("c0")
+            )
+            .join(F.broadcast(cent_df), F.col("c0") == cent_df["cell"])
+            .select(
+                "vec_id",
+                "embedding",
+                "rep",
+                (F.col("c0") + F.col("rep") * n_cells).alias("ecell"),
+                F.floor(
+                    S.cosine(F.col("embedding"), F.col("cvec"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("cs"),
+            )
+        )
+        a, b = scored.alias("a"), scored.alias("b")
+        better = (F.col("b.cs") < F.col("a.cs")) | (
+            (F.col("b.cs") == F.col("a.cs"))
+            & (F.col("b.vec_id") < F.col("a.vec_id"))
+        )
+        cand = a.join(
+            b, (F.col("a.ecell") == F.col("b.ecell")) & better
+        ).select(
+            F.col("a.vec_id").alias("va"),
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            S.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        x_rep = cand.filter(F.col("rep_a") != F.col("rep_b")).count()
+        dropped = (
+            cand.filter(F.col("cos") >= F.lit(_SEM_THRESHOLD))
+            .select(F.col("va").alias("doc_id"))
+            .distinct()
+            .withColumn("sem_dropped", F.lit(True))
+        )
+        labels = Q.gopher_quality_flags(d0.select("doc_id", "text")).select(
+            "doc_id", "passes"
+        )
+        flags = (
+            st3.join(dropped, "doc_id", "left")
+            .join(labels, "doc_id")
+            .select(
+                "source",
+                "had_pii",
+                "keep2",
+                "keep3",
+                (
+                    F.col("keep3") & F.col("sem_dropped").isNull()
+                ).alias("keep4"),
+                (
+                    F.col("keep3")
+                    & F.col("sem_dropped").isNull()
+                    & F.col("passes")
+                ).alias("keep5"),
+            )
+        )
+
+        def _csum(c, alias):
+            return (
+                F.sum(F.when(F.col(c), 1).otherwise(0))
+                .cast("long")
+                .alias(alias)
+            )
+
+        per = {
+            r["source"]: (
+                r["n_docs"],
+                r["n_pii"],
+                r["n_ex"],
+                r["n_nd"],
+                r["n_sem"],
+                r["n_q"],
+            )
+            for r in flags.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                _csum("had_pii", "n_pii"),
+                _csum("keep2", "n_ex"),
+                _csum("keep3", "n_nd"),
+                _csum("keep4", "n_sem"),
+                _csum("keep5", "n_q"),
+            )
+            .collect()
+        }
+        # Hamilton over the K-bounded per-source aggregate (driver-side
+        # on ≤20 rows — the registered row does this distributed)
+        tot = sum(v[5] for v in per.values())
+        floors = {s: budget * v[5] // tot for s, v in per.items()}
+        rems = sorted(
+            ((budget * v[5] % tot, s) for s, v in per.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        seats = budget - sum(floors.values())
+        alloc = dict(floors)
+        for _, s in rems[:seats]:
+            alloc[s] += 1
+        sampled = {s: min(alloc[s], per[s][5]) for s in per}
+        # replica of a doc id: ids are orig + off·rep with orig < off
+        x_nd = pairs.filter(
+            F.floor(F.col("doc_a") / F.lit(off))
+            != F.floor(F.col("doc_b") / F.lit(off))
+        ).count()
+        return {
+            "per_source": per,
+            "sampled": sampled,
+            "cross_replica_sem": x_rep,
+            "cross_replica_nd": x_nd,
+        }
+
+    out: dict = {"replicas": k, "budget": budget}
+    base_docs = docs.select(
+        "doc_id", "source", "text", F.lit(0).cast("long").alias("rep")
+    )
+    base_emb = emb.select(
+        "vec_id", "embedding", F.lit(0).cast("long").alias("rep")
+    )
+    big_docs = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.lit(off) * F.col("rep")).alias("doc_id"),
+        "source",
+        "text",
+        "rep",
+    )
+    big_emb = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.lit(off) * F.col("rep")).alias("vec_id"),
+        "embedding",
+        "rep",
+    )
+    results = {}
+    for tag, d0, e0 in (
+        ("base", base_docs, base_emb),
+        ("x10", big_docs, big_emb),
+    ):
+        t0 = time.perf_counter()
+        results[tag] = _funnel(d0, e0)
+        out[f"{tag}_wall_sec"] = round(time.perf_counter() - t0, 4)
+    out["wall_ratio_x10"] = (
+        round(out["x10_wall_sec"] / out["base_wall_sec"], 2)
+        if out["base_wall_sec"] > 0
+        else None
+    )
+    b, x = results["base"], results["x10"]
+    out["cross_replica_sem_candidates"] = x["cross_replica_sem"]
+    out["cross_replica_nd_pairs"] = x["cross_replica_nd"]
+    counts_linear = all(
+        tuple(10 * v for v in b["per_source"][s]) == x["per_source"][s]
+        for s in b["per_source"]
+    ) and set(b["per_source"]) == set(x["per_source"])
+    sampled_invariant = b["sampled"] == x["sampled"]
+    out["per_source_counts_x10_exact"] = bool(counts_linear)
+    out["sampled_scale_invariant"] = bool(sampled_invariant)
+    out["n_sampled_total"] = sum(b["sampled"].values())
+    out["base_funnel"] = {
+        s: list(v) + [b["sampled"][s]] for s, v in sorted(b["per_source"].items())
+    }
+    out["linear"] = bool(
+        counts_linear
+        and sampled_invariant
+        and x["cross_replica_sem"] == 0
+        and x["cross_replica_nd"] == 0
+    )
+    return out
+
+
+def scale_semantic_planted_metric(spark) -> dict:
+    """Planted recall × scale (r11 VERDICT task #4): the planted row
+    (llm_ops15) proves SemDeDup recall at three sfs; ``scale_semantic``
+    proves candidate-volume linearity at 10×. This joins them: the
+    PLANTED corpus (every 10th base vector + 3 single-dimension ×1.25
+    replicas — within-cluster cosine ≈ 0.999) runs through the
+    replica-keyed 10× protocol at the recommended rung, and planted
+    recall is reported at BOTH scales. Because the replica fold makes
+    each copy's cell assignment identical to the base corpus's, recall
+    at 10× must equal recall at base EXACTLY — measured, with the
+    truth side computed STRUCTURALLY (pairs within a planted cluster,
+    4 vectors → ≤6 pairs each, linear in N — no O(N²) sweep)."""
+    from pyspark.sql import functions as F
+
+    from sea_streamer_spark.operators import similarity as S
+    from sea_streamer_spark.plans.llm_ops3 import _SEM_THRESHOLD
+    from sea_streamer_spark.plans.llm_ops15 import (
+        _PLANTED_ID_BASE,
+        _SEM_TARGET_POP,
+        planted_embeddings,
+    )
+
+    k = 10
+    corpus = planted_embeddings(spark, SF_DIR).cache()
+    n_vec = corpus.count()
+    n_cells = (n_vec + _SEM_TARGET_POP - 1) // _SEM_TARGET_POP
+    # round the rung to the llm_ops15 sweep grid resolution: use the
+    # exact recommended count (centroids trained on the planted corpus)
+    cents = S.ivf_centroids(corpus, n_cells=n_cells)
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+
+    def _recall(e0) -> tuple[int, int]:
+        cells = e0.select(
+            "vec_id",
+            "rep",
+            (S.ivf_cell_expr(cents) + F.col("rep") * n_cells).alias("ecell"),
+            # cluster key: planted replicas share their base vector's id
+            F.when(
+                F.col("vec_id") % F.lit(10_000_000) >= _PLANTED_ID_BASE,
+                (F.col("vec_id") % F.lit(10_000_000) - _PLANTED_ID_BASE)
+                / F.lit(100),
+            )
+            .otherwise(F.col("vec_id") % F.lit(10_000_000))
+            .cast("long")
+            .alias("ck"),
+            "embedding",
+        )
+        a = cells.alias("a")
+        b = cells.alias("b")
+        clpairs = a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.rep") == F.col("b.rep"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            # at least one replica member → a planted pair
+            & (
+                (F.col("a.vec_id") % F.lit(10_000_000) >= _PLANTED_ID_BASE)
+                | (F.col("b.vec_id") % F.lit(10_000_000) >= _PLANTED_ID_BASE)
+            ),
+        ).select(
+            (
+                S.cosine(F.col("a.embedding"), F.col("b.embedding"))
+                >= F.lit(_SEM_THRESHOLD)
+            ).alias("true_pair"),
+            (F.col("a.ecell") == F.col("b.ecell")).alias("coloc"),
+        )
+        agg = clpairs.filter("true_pair").agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.when(F.col("coloc"), 1).otherwise(0)).alias("n_coloc"),
+        ).collect()[0]
+        return int(agg["n_true"]), int(agg["n_coloc"] or 0)
+
+    base = corpus.select(
+        "vec_id", "embedding", F.lit(0).cast("long").alias("rep")
+    )
+    big = corpus.crossJoin(reps).select(
+        (F.col("vec_id") + F.lit(10_000_000) * F.col("rep")).alias("vec_id"),
+        "embedding",
+        "rep",
+    )
+    out: dict = {
+        "replicas": k,
+        "n_vectors_base": n_vec,
+        "n_cells_base": n_cells,
+    }
+    for tag, e0 in (("base", base), ("x10", big)):
+        t0 = time.perf_counter()
+        n_true, n_coloc = _recall(e0)
+        out[f"{tag}_wall_sec"] = round(time.perf_counter() - t0, 4)
+        out[f"{tag}_planted_true_pairs"] = n_true
+        out[f"{tag}_planted_colocated"] = n_coloc
+        out[f"planted_recall_permille_{tag}"] = (
+            1000 * n_coloc // n_true if n_true else 1000
+        )
+    out["wall_ratio_x10"] = (
+        round(out["x10_wall_sec"] / out["base_wall_sec"], 2)
+        if out["base_wall_sec"] > 0
+        else None
+    )
+    out["recall_holds_at_x10"] = bool(
+        out["planted_recall_permille_x10"]
+        == out["planted_recall_permille_base"]
+        and out["x10_planted_true_pairs"]
+        == 10 * out["base_planted_true_pairs"]
+    )
+    return out
+
+
 #: Non-headline "new ops" measured by new_ops_metric — a MODULE-LEVEL
 #: constant so tests can pin it complete against the registry (the r9
 #: ADVICE stale-comment class came from this list living inline; worse,
@@ -728,22 +1130,36 @@ def wire_metric(spark) -> dict:
     best["wire_msgs_per_sec_runs"] = rates
     best["wire_probe_ms_runs"] = run_probes
     best["wire_probe_ms_best_run"] = run_probes[best_i]
-    # Probe-normalized per-run figures (r10 VERDICT task #2): hosts
-    # running this bench differ only in CPU steal, and the probe is a
-    # fixed pure-Python loop, so probe_ms scales ~linearly with steal.
-    # normalized = raw * (probe_run / baseline) projects each run onto
-    # the quiet-host CPU: a contended run (probe 49 ms, depressed raw)
-    # normalizes UP toward what the same code does on a quiet host.
-    # Baseline = the committed r10 quiet-host artifact's wire probes
-    # (flat 38.8-39.8 ms, host_contended=false); judges on
-    # differently-loaded hosts compare the normalized number.
+    # Probe-normalized per-run ESTIMATES (r10 VERDICT task #2, gated per
+    # r11 ADVICE). normalized = raw * (probe_run / baseline) projects a
+    # run onto the quiet-host CPU under a linear-steal model: a
+    # contended run (probe 49 ms, depressed raw) normalizes UP toward
+    # what the same code does on a quiet host. The model is only
+    # identifiable when the host's OWN probes fluctuate within the
+    # bench (CPU steal varies; an intrinsically slower CPU — older
+    # core, memory/turbo differences — shows FLAT probes and would be
+    # wrongly inflated). So: upward correction is applied only when the
+    # adjacent probes disagree by >30% (the host_contended signature);
+    # on flat-probe hosts the factor is capped at 1.0 (never inflate).
+    # RAW runs remain the primary figures; the normalized number is an
+    # estimate, labeled as such.
     best["wire_probe_baseline_ms"] = WIRE_PROBE_BASELINE_MS
-    norm = [
-        int(round(r * (p / WIRE_PROBE_BASELINE_MS)))
-        for r, p in zip(rates, run_probes)
+    wire_contended = max(run_probes) > 1.3 * min(run_probes)
+    factors = [
+        p / WIRE_PROBE_BASELINE_MS
+        if wire_contended
+        else min(p / WIRE_PROBE_BASELINE_MS, 1.0)
+        for p in run_probes
     ]
+    norm = [int(round(r * f)) for r, f in zip(rates, factors)]
     best["wire_msgs_per_sec_normalized_runs"] = norm
     best["wire_msgs_per_sec_normalized"] = norm[best_i]
+    best["wire_normalized_is_estimate"] = True
+    best["wire_normalization"] = (
+        "applied-contended-probes"
+        if wire_contended
+        else "capped-at-raw-flat-probes"
+    )
     best["wire_spread_pct"] = round(
         100.0 * (max(rates) - min(rates)) / max(rates), 1
     )

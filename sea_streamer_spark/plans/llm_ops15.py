@@ -614,50 +614,25 @@ def _build_e2e_oracle() -> str:
     """
 
 
-@query(
-    "curation_e2e_pipeline",
-    oracle=_build_e2e_oracle(),
-    tags=("llm", "curation", "dedup", "privacy"),
-)
-def curation_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole curation run as one per-source funnel row: documents →
-    PII-redact (llm_ops14 chain; redaction feeds the NEXT stage, so
-    docs differing only in PII exact-collide) → exact dedup (min doc_id
-    per md5 of redacted text) → MinHash near-dup clusters (registered
-    dedup_clusters relation; min surviving doc_id per cluster) →
-    scale-aware SemDeDup (registered kept flag via vec_id = doc_id;
-    no-vector docs pass, stated) → Gopher gate → Hamilton apportionment
-    of a {100}-doc budget over SURVIVOR counts (n_sampled, capped at
-    availability). Plan shape: the funnel is ONE conditional-sum
-    aggregate over per-doc flags (two window shuffles: md5 key, cluster
-    key); the Hamilton tail rides broadcast crossJoins on the
-    source-dimension relation; zero Python, no cartesian."""
+def _e2e_funnel_tail(
+    spark: SparkSession, sf_dir: str, ex: DataFrame
+) -> DataFrame:
+    """The funnel stages downstream of exact dedup, shared verbatim by
+    the batch pipeline and the streamed one (llm_ops16
+    ``curation_streaming_e2e`` — r11 VERDICT task #1): ``ex`` carries
+    per-doc (doc_id, source, had_pii, keep2) however those flags were
+    produced; everything after — near-dup clusters, scaled SemDeDup,
+    Gopher gate, Hamilton apportionment — is THIS one code path, so the
+    two registered rows can only differ in the exact-dedup front."""
     from pyspark.sql.window import Window
 
     from ..operators import quality as Q
+    from ..sources.tables import load_tables
     from .llm_ops2 import dedup_clusters
     from .llm_ops12 import _idiv_col, _imod_col
-    from .llm_ops14 import (
-        _pii_injected_col,
-        _redact_chain_spark,
-        dedup_semantic_cluster_scaled,
-    )
+    from .llm_ops14 import dedup_semantic_cluster_scaled
 
     docs = load_tables(spark, sf_dir, "documents").documents
-    red = docs.select(
-        "doc_id", "source", _pii_injected_col().alias("t")
-    ).select(
-        "doc_id", "source", "t", _redact_chain_spark(F.col("t")).alias("r")
-    )
-    ex = red.select(
-        "doc_id",
-        "source",
-        (F.col("r") != F.col("t")).alias("had_pii"),
-        (
-            F.col("doc_id")
-            == F.min("doc_id").over(Window.partitionBy(F.md5(F.col("r"))))
-        ).alias("keep2"),
-    )
     cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     st3 = ex.join(cl, "doc_id").select(
         "*",
@@ -754,6 +729,46 @@ def curation_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "curation_e2e_pipeline",
+    oracle=_build_e2e_oracle(),
+    tags=("llm", "curation", "dedup", "privacy"),
+)
+def curation_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation run as one per-source funnel row: documents →
+    PII-redact (llm_ops14 chain; redaction feeds the NEXT stage, so
+    docs differing only in PII exact-collide) → exact dedup (min doc_id
+    per md5 of redacted text) → MinHash near-dup clusters (registered
+    dedup_clusters relation; min surviving doc_id per cluster) →
+    scale-aware SemDeDup (registered kept flag via vec_id = doc_id;
+    no-vector docs pass, stated) → Gopher gate → Hamilton apportionment
+    of a {100}-doc budget over SURVIVOR counts (n_sampled, capped at
+    availability). Plan shape: the funnel is ONE conditional-sum
+    aggregate over per-doc flags (two window shuffles: md5 key, cluster
+    key); the Hamilton tail rides broadcast crossJoins on the
+    source-dimension relation; zero Python, no cartesian."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops14 import _pii_injected_col, _redact_chain_spark
+
+    docs = load_tables(spark, sf_dir, "documents").documents
+    red = docs.select(
+        "doc_id", "source", _pii_injected_col().alias("t")
+    ).select(
+        "doc_id", "source", "t", _redact_chain_spark(F.col("t")).alias("r")
+    )
+    ex = red.select(
+        "doc_id",
+        "source",
+        (F.col("r") != F.col("t")).alias("had_pii"),
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.md5(F.col("r"))))
+        ).alias("keep2"),
+    )
+    return _e2e_funnel_tail(spark, sf_dir, ex)
 
 
 # ---------------------------------------------------------------- wave 4

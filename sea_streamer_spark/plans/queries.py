@@ -35,6 +35,7 @@ try:  # LLM-pipeline ops land in a later milestone of each round
     from . import llm_ops13  # noqa: F401
     from . import llm_ops14  # noqa: F401
     from . import llm_ops15  # noqa: F401
+    from . import llm_ops16  # noqa: F401
 except ImportError:
     pass
 

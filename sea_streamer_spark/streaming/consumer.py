@@ -248,7 +248,7 @@ def create_consumer(
     if scheme == "kafka":
         df = _kafka_reader(spark, url, options)
     elif scheme == "file":
-        df = _file_reader(spark, url)
+        df = _file_reader(spark, url, options)
     elif scheme in ("redis", "rediss", "redis+fake"):
         from .redis import redis_reader
 
@@ -342,14 +342,24 @@ def _iggy_reader(spark: SparkSession, url: StreamUrl, options: ConsumerOptions) 
     return reader.option("starting_offsets", starting).load()
 
 
-def _file_reader(spark: SparkSession, url: StreamUrl) -> DataFrame:
+def _file_reader(
+    spark: SparkSession, url: StreamUrl, options: ConsumerOptions | None = None
+) -> DataFrame:
     """File replay backend (S8/S10 analog): a directory of envelope parquet
     consumed as a stream — new files are discovered like `tail -f`; bounded
-    replay uses an availableNow trigger (EOS, D10)."""
+    replay uses an availableNow trigger (EOS, D10).
+
+    ``max_offsets_per_trigger`` maps to ``maxFilesPerTrigger`` here (P4:
+    the paged-read cap; the file backend's read unit is a log segment
+    file, so capping files per micro-batch is the same knob Kafka's
+    offset cap turns — node.rs:141-157)."""
     path = url.streamer.nodes[0]
+    per_trigger = 8
+    if options is not None and options.max_offsets_per_trigger:
+        per_trigger = options.max_offsets_per_trigger
     return (
         spark.readStream.schema(MESSAGE_SCHEMA)
-        .option("maxFilesPerTrigger", "8")
+        .option("maxFilesPerTrigger", str(per_trigger))
         .parquet(path)
     )
 
