@@ -1,0 +1,340 @@
+"""Semantic pins for the round-12 llm_ops16 waves; the auto-parametrized
+oracle test covers hash parity, tests/test_streaming_curation.py covers
+wave 1 (the streaming e2e)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sea_streamer_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name, sf=SF):
+    return QUERIES[name].fn(spark, sf)
+
+
+def _rank2(values):
+    """value -> doubled average rank (2·avgrank), the integer tie
+    convention every rank wave uses."""
+    s = sorted(values)
+    first = {}
+    for i, v in enumerate(s):
+        first.setdefault(v, i + 1)
+    from collections import Counter
+
+    cnt = Counter(s)
+    return {v: 2 * first[v] + cnt[v] - 1 for v in cnt}
+
+
+# ---------------------------------------------------------------- wave 2
+
+
+def test_auc_full_python_replay(spark):
+    """AUC replayed from the NB score relation via the rank-sum
+    identity; the margin relation is the SAME one the MCC/kappa family
+    summarizes, pinned by matching n."""
+    from sea_streamer_spark.plans.llm_ops11 import _nb_scored
+
+    rows = _nb_scored(spark, SF).collect()
+    margins = [r["score_pass"] - r["score_fail"] for r in rows]
+    r2 = _rank2(margins)
+    np_ = sum(1 for r in rows if r["truth"])
+    nn = len(rows) - np_
+    r2p = sum(
+        r2[r["score_pass"] - r["score_fail"]] for r in rows if r["truth"]
+    )
+    got = _run(spark, "quality_auc_nb_gate").collect()[0]
+    assert got["n_pos"] == np_ and got["n_neg"] == nn
+    auc = 1_000_000 * (r2p - np_ * (np_ + 1)) // (2 * np_ * nn)
+    assert got["auc_micro"] == auc
+    assert got["gini_micro"] == 2 * auc - 1_000_000
+    mcc = _run(spark, "quality_mcc_gates").collect()[0]
+    assert mcc["n_docs"] == np_ + nn  # same single-sourced relation
+
+
+# ---------------------------------------------------------------- wave 3
+
+
+def test_mannwhitney_full_python_replay(spark):
+    from sea_streamer_spark.sources.tables import load_tables
+
+    orders = load_tables(spark, SF, "orders").orders.collect()
+    import datetime
+    from decimal import Decimal
+
+    vals = []
+    for r in orders:
+        d = r["o_orderdate"]
+        if isinstance(d, datetime.datetime):
+            d = d.date()
+        weekend = d.isoweekday() in (6, 7)
+        cents = int(Decimal(str(r["o_totalprice"])) * 100)
+        vals.append((weekend, cents))
+    r2 = _rank2([c for _, c in vals])
+    n1 = sum(1 for w, _ in vals if w)
+    n2 = len(vals) - n1
+    r2w = sum(r2[c] for w, c in vals if w)
+    u2 = r2w - n1 * (n1 + 1)
+    got = _run(spark, "orders_mannwhitney_weekend").collect()[0]
+    assert got["n_weekend"] == n1 and got["n_weekday"] == n2
+    assert got["u_weekend"] == u2 // 2
+    assert got["auc_micro"] == 1_000_000 * u2 // (2 * n1 * n2)
+    delta = u2 - n1 * n2
+    q, rem = divmod(abs(1000 * delta), n1 * n2)
+    expect = q if delta >= 0 else -q
+    assert got["cliffs_delta_milli"] == expect
+
+
+# ---------------------------------------------------------------- wave 4
+
+
+def test_kruskal_wallis_full_python_replay(spark):
+    from collections import Counter
+
+    from sea_streamer_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, SF, "events").events.collect()
+    days = Counter()
+    for r in ev:
+        days[r["ts"].date()] += 1
+    counts = list(days.values())
+    r2 = _rank2(counts)
+    groups: dict = {}
+    for d, c in days.items():
+        wd = d.isoweekday() % 7 + 1  # Spark dayofweek: 1=Sunday
+        groups.setdefault(wd, []).append(c)
+    n = len(counts)
+    s_micro = sum(
+        1_000_000 * sum(r2[c] for c in g) ** 2 // (4 * len(g))
+        for g in groups.values()
+    )
+    t3 = sum(c**3 - c for c in Counter(counts).values())
+    h = (
+        12.0 * (s_micro / 1_000_000.0) / (n * (n + 1.0)) - 3.0 * (n + 1.0)
+    ) / (1.0 - t3 / (float(n) * n * n - n))
+    got = _run(spark, "events_kruskal_wallis_weekday").collect()[0]
+    assert got["n_days"] == n
+    assert got["n_groups"] == len(groups)
+    assert got["tie_correction_t3"] == t3
+    assert got["h_milli"] == math.floor(1000.0 * h + 0.5)
+    assert 0 <= got["h_milli"] < 1000 * n  # sanity scale
+
+
+# ---------------------------------------------------------------- wave 5
+
+
+def test_session_bigrams_full_python_replay(spark):
+    from collections import Counter
+
+    from sea_streamer_spark.sources.tables import load_tables
+
+    ev = sorted(
+        load_tables(spark, SF, "events").events.collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    trans = Counter()
+    prev = {}
+    for r in ev:
+        u = r["user_id"]
+        if u in prev and (r["ts"] - prev[u][0]).total_seconds() <= 1800:
+            trans[(prev[u][1], r["event_type"])] += 1
+        prev[u] = (r["ts"], r["event_type"])
+    total = sum(trans.values())
+    nf = Counter()
+    nt = Counter()
+    for (a, b), c in trans.items():
+        nf[a] += c
+        nt[b] += c
+    expected = sorted(
+        (
+            (-c, a, b, 1000 * c // nf[a], 1_000_000 * c * total // (nf[a] * nt[b]))
+            for (a, b), c in trans.items()
+        )
+    )[:25]
+    got = _run(spark, "events_session_bigrams").collect()
+    assert len(got) == min(25, len(trans))
+    for row, (negc, a, b, conf, lift) in zip(got, expected):
+        assert (row["et_from"], row["et_to"], row["support"]) == (a, b, -negc)
+        assert row["confidence_milli"] == conf
+        assert row["lift_micro"] == lift
+
+
+# ---------------------------------------------------------------- wave 6
+
+
+def test_temperature_mixture_full_python_replay(spark):
+    from sea_streamer_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF, "documents").documents.collect()
+    from collections import Counter
+
+    per = Counter(r["source"] for r in docs)
+    w1 = dict(per)
+    w05 = {s: math.floor(1e6 * math.sqrt(n) + 0.5) for s, n in per.items()}
+    w025 = {
+        s: math.floor(1e6 * math.sqrt(math.sqrt(n)) + 0.5)
+        for s, n in per.items()
+    }
+    got = {r["source"]: r for r in _run(spark, "curation_temperature_mixture").collect()}
+    assert set(got) == set(per)
+    for s in per:
+        r = got[s]
+        assert r["n_docs"] == per[s]
+        assert r["share_prop_micro"] == 1_000_000 * w1[s] // sum(w1.values())
+        assert r["share_t05_micro"] == 1_000_000 * w05[s] // sum(w05.values())
+        assert (
+            r["share_t025_micro"] == 1_000_000 * w025[s] // sum(w025.values())
+        )
+    # flattening direction: lower temperature compresses the share range
+    for lo, hi in (("share_t025_micro", "share_t05_micro"),
+                   ("share_t05_micro", "share_prop_micro")):
+        span_lo = max(r[lo] for r in got.values()) - min(
+            r[lo] for r in got.values()
+        )
+        span_hi = max(r[hi] for r in got.values()) - min(
+            r[hi] for r in got.values()
+        )
+        assert span_lo <= span_hi
+
+
+# ---------------------------------------------------------------- wave 7
+
+
+def test_label_propagation_full_python_replay(spark):
+    from collections import Counter
+
+    from tests.test_llm_ops15 import _copurchase_graph
+
+    _edges, adj = _copurchase_graph(spark, SF)
+    labels = {u: u for u in adj}
+    for _ in range(8):
+        nxt = {}
+        for u in adj:
+            c = Counter(labels[v] for v in adj[u])
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[u] = best[0]
+        labels = nxt
+    sizes = Counter(labels.values())
+    expected = sorted(((-n, lab) for lab, n in sizes.items()))[:10]
+    got = _run(spark, "graph_label_propagation").collect()
+    assert len(got) == min(10, len(sizes))
+    for rk, (row, (negn, lab)) in enumerate(zip(got, expected), start=1):
+        assert row["rank"] == rk
+        assert (row["community"], row["size"]) == (lab, -negn)
+
+
+# ---------------------------------------------------------------- wave 8
+
+
+def test_km_full_python_replay(spark):
+    from sea_streamer_spark.sources.tables import load_tables
+
+    orders = load_tables(spark, SF, "orders").orders.collect()
+    by_cust: dict = {}
+    for r in orders:
+        by_cust.setdefault(r["o_custkey"], []).append(
+            (r["o_orderdate"], r["o_orderkey"])
+        )
+    end = max(r["o_orderdate"] for r in orders)
+
+    def mdiff(a, b):
+        return (a.year - b.year) * 12 + a.month - b.month
+
+    subj = []
+    for os_ in by_cust.values():
+        os_.sort()
+        first = os_[0][0]
+        if len(os_) >= 2:
+            subj.append((mdiff(os_[1][0], first), True))
+        else:
+            subj.append((mdiff(end, first), False))
+    from collections import Counter
+
+    events = Counter(t for t, e in subj if e)
+    rows = []
+    surv = 1_000_000
+    for m in sorted(events):
+        risk = sum(1 for t, _ in subj if t >= m)
+        d = events[m]
+        f = 1_000_000 * (risk - d) // risk
+        surv = surv * f // 1_000_000
+        rows.append((m, risk, d, surv))
+    got = _run(spark, "orders_km_repurchase").collect()
+    assert [
+        (r["month_no"], r["n_risk"], r["n_events"], r["surv_micro"])
+        for r in got
+    ] == rows
+    # survival is monotone nonincreasing and starts below 1e6
+    sv = [r["surv_micro"] for r in got]
+    assert all(a >= b for a, b in zip(sv, sv[1:]))
+
+
+# ---------------------------------------------------------------- wave 9
+
+
+def test_cusum_full_python_replay(spark):
+    from collections import Counter
+
+    from sea_streamer_spark.sources.tables import load_tables
+
+    orders = load_tables(spark, SF, "orders").orders.collect()
+    monthly = Counter(r["o_orderdate"].strftime("%Y-%m") for r in orders)
+    months = sorted(monthly)
+    tot, nm = sum(monthly.values()), len(months)
+    mu = 1_000_000 * tot // nm
+    k = mu // 10
+    s = 0
+    expect = []
+    for m in months:
+        s = max(0, s + 1_000_000 * monthly[m] - mu - k)
+        expect.append((m, monthly[m], s, s > 4 * k))
+    got = _run(spark, "orders_cusum_monthly").collect()
+    assert [
+        (r["month"], r["n_orders"], r["s_micro"], r["alarm"]) for r in got
+    ] == expect
+
+
+# ---------------------------------------------------------------- wave 10
+
+
+def test_hits_full_python_replay(spark):
+    from collections import Counter
+
+    from sea_streamer_spark.sources.tables import load_tables
+
+    t = load_tables(
+        spark, SF, "lineitem", "supplier", "orders", "customer", "nation"
+    )
+    snat = {r["s_suppkey"]: r["s_nationkey"] for r in t.supplier.collect()}
+    cnat = {r["c_custkey"]: r["c_nationkey"] for r in t.customer.collect()}
+    ocust = {r["o_orderkey"]: r["o_custkey"] for r in t.orders.collect()}
+    w = Counter()
+    for r in t.lineitem.select("l_orderkey", "l_suppkey").collect():
+        w[(snat[r["l_suppkey"]], cnat[ocust[r["l_orderkey"]]])] += 1
+    hubs = {u: 1_000_000 for u in {u for u, _ in w}}
+    auth = {}
+    for _ in range(8):
+        auth = Counter()
+        for (u, v), c in w.items():
+            auth[v] += c * hubs[u]
+        ta = sum(auth.values())
+        auth = {v: 1_000_000 * a // ta for v, a in auth.items()}
+        hubs = Counter()
+        for (u, v), c in w.items():
+            hubs[u] += c * auth[v]
+        th = sum(hubs.values())
+        hubs = {u: 1_000_000 * h // th for u, h in hubs.items()}
+    names = {r["n_nationkey"]: r["n_name"] for r in t.nation.collect()}
+    got = _run(spark, "graph_hits_nations").collect()
+    assert len(got) == len(set(hubs) | set(auth))
+    for r in got:
+        key = next(k for k, v in names.items() if v == r["nation"])
+        assert r["hub_micro"] == hubs.get(key, 0)
+        assert r["auth_micro"] == auth.get(key, 0)
+    # normalization: each score vector sums to ~1e6 (idiv truncation)
+    assert 1_000_000 - 25 <= sum(r["hub_micro"] for r in got) <= 1_000_000
+    assert 1_000_000 - 25 <= sum(r["auth_micro"] for r in got) <= 1_000_000
