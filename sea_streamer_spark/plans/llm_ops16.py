@@ -1236,3 +1236,419 @@ def graph_hits_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("auth_micro"), "nation")
     )
+
+
+# ---------------------------------------------------------------- wave 11
+# Precision-recall curve of the NB gate at coverage deciles (Davis &
+# Goadrich, ICML 2006 — PR curves are the right view under class
+# imbalance; Manning/Raghavan/Schütze IR ch.8 for P@k/R@k): rank the
+# held-out docs by margin (desc, doc_id tie-break — total order), cut
+# at k = N·d/10 for deciles d = 1..10, and report exact-integer
+# precision/recall/F1 (milli) at each cut. Completes the gate-eval
+# family's threshold axis: Youden picks ONE cut, AUC integrates over
+# all — this row shows the 10-point curve between them, from the SAME
+# single-sourced score relation.
+
+
+def _build_pr_curve_oracle() -> str:
+    from .llm_ops11 import _nb_chain_sql
+
+    return f"""
+    WITH {_nb_chain_sql()},
+    ranked AS (
+      SELECT truth,
+             ROW_NUMBER() OVER (ORDER BY score_pass - score_fail DESC,
+                                doc_id) AS rn
+      FROM scored
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT)
+               AS p
+      FROM ranked
+    ),
+    deciles AS (SELECT UNNEST(range(1, 11)) AS d),
+    cuts AS (
+      SELECT d.d, CAST(t.n * d.d // 10 AS BIGINT) AS k, t.p
+      FROM deciles d CROSS JOIN tot t
+    ),
+    curve AS (
+      SELECT c.d, c.k, c.p,
+             CAST(SUM(CASE WHEN r.truth THEN 1 ELSE 0 END) AS BIGINT)
+               AS tp
+      FROM cuts c JOIN ranked r ON r.rn <= c.k
+      GROUP BY c.d, c.k, c.p
+    )
+    SELECT d AS decile, k AS n_predicted, tp AS n_tp,
+           CAST(1000 * tp // k AS BIGINT) AS precision_milli,
+           CAST(1000 * tp // p AS BIGINT) AS recall_milli,
+           CAST(CASE WHEN 1000 * tp // k + 1000 * tp // p = 0 THEN 0
+                ELSE 2 * (1000 * tp // k) * (1000 * tp // p)
+                     // (1000 * tp // k + 1000 * tp // p) END
+                AS BIGINT) AS f1_milli
+    FROM curve
+    ORDER BY decile
+    """
+
+
+@query(
+    "quality_pr_curve_nb_gate",
+    oracle=_build_pr_curve_oracle(),
+    tags=("llm", "quality", "eval"),
+)
+def quality_pr_curve_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P/R/F1 (milli, exact integers) at the 10 coverage deciles of the
+    NB margin ranking. One global ranking window + a broadcast
+    10-row decile dimension; the curve join is rank-bounded."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops11 import _nb_scored
+    from .llm_ops12 import _idiv_col
+
+    scored = _nb_scored(spark, sf_dir).select(
+        "doc_id",
+        "truth",
+        (F.col("score_pass") - F.col("score_fail")).alias("m"),
+    )
+    ranked = scored.select(
+        "truth",
+        F.row_number()
+        .over(Window.orderBy(F.desc("m"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rn"),
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).cast("long").alias(
+            "p"
+        ),
+    )
+    deciles = spark.range(1, 11).select(F.col("id").alias("d"))
+    cuts = deciles.crossJoin(F.broadcast(tot)).select(
+        "d", _idiv_col(F.col("n") * F.col("d"), F.lit(10)).alias("k"), "p"
+    )
+    curve = (
+        ranked.crossJoin(F.broadcast(cuts))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("d", "k", "p")
+        .agg(
+            F.sum(F.when(F.col("truth"), 1).otherwise(0))
+            .cast("long")
+            .alias("tp")
+        )
+    )
+    prec = _idiv_col(F.col("tp"), F.col("k"), scale=1000)
+    rec = _idiv_col(F.col("tp"), F.col("p"), scale=1000)
+    return curve.select(
+        F.col("d").alias("decile"),
+        F.col("k").alias("n_predicted"),
+        F.col("tp").alias("n_tp"),
+        prec.alias("precision_milli"),
+        rec.alias("recall_milli"),
+        F.when(prec + rec == 0, F.lit(0))
+        .otherwise(_idiv_col(F.lit(2) * prec * rec, prec + rec))
+        .cast("long")
+        .alias("f1_milli"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------- wave 12
+# Jaccard-coefficient link prediction (Liben-Nowell & Kleinberg, CIKM
+# 2003 — the normalized sibling of the registered common-neighbors/
+# Adamic-Adar rows): for non-adjacent pairs, J = |Γu ∩ Γv| / |Γu ∪ Γv|
+# with the union via inclusion-exclusion — ALL integers, milli-scaled.
+# Graph single-sourced from llm_ops14 (_aa_graph / _AA_GRAPH_CTES), so
+# the three link-prediction rows rank the same wedge relation.
+
+
+def _build_jaccard_lp_oracle() -> str:
+    from .llm_ops14 import _AA_GRAPH_CTES
+
+    return f"""
+    WITH {_AA_GRAPH_CTES},
+    cn AS (
+      SELECT wg.u, wg.v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM wedges wg
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.pa = wg.u AND p.pb = wg.v)
+      GROUP BY wg.u, wg.v
+    )
+    SELECT cn.u, cn.v, cn.c AS n_common,
+           CAST(du.d + dv.d - cn.c AS BIGINT) AS n_union,
+           CAST(1000 * cn.c // (du.d + dv.d - cn.c) AS BIGINT)
+             AS jaccard_milli
+    FROM cn
+    JOIN deg du ON du.u = cn.u
+    JOIN deg dv ON dv.u = cn.v
+    ORDER BY jaccard_milli DESC, cn.u, cn.v
+    LIMIT 20
+    """
+
+
+@query(
+    "graph_jaccard_linkpred",
+    oracle=_build_jaccard_lp_oracle(),
+    tags=("llm", "graph"),
+)
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 non-edges by neighborhood Jaccard (milli; ties broken by
+    (u, v)). One wedge aggregate + two degree joins — the same scale
+    shape as the registered AA row (and the same hub caveat its capped
+    sibling measures)."""
+    from .llm_ops12 import _idiv_col
+    from .llm_ops14 import _aa_graph
+
+    pairs, _e, deg, wedges = _aa_graph(spark, sf_dir)
+    cn = (
+        wedges.join(
+            pairs,
+            (wedges.u == pairs.pa) & (wedges.v == pairs.pb),
+            "left_anti",
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    du = deg.select(F.col("u").alias("ju"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("jv"), F.col("d").alias("dv"))
+    uni = F.col("du") + F.col("dv") - F.col("c")
+    return (
+        cn.join(du, cn.u == du.ju)
+        .join(dv, cn.v == dv.jv)
+        .select(
+            "u",
+            "v",
+            F.col("c").alias("n_common"),
+            uni.cast("long").alias("n_union"),
+            _idiv_col(F.col("c"), uni, scale=1000).alias("jaccard_milli"),
+        )
+        .orderBy(F.desc("jaccard_milli"), "u", "v")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- wave 13
+# Atkinson inequality index, ε = 1/2 (Atkinson, J. Economic Theory
+# 1970) of order values per customer nation — the welfare-grounded
+# member of the inequality family beside the registered Gini / Theil /
+# HHI / Lorenz rows. ε = 1/2 keeps the generalized mean a sqrt chain:
+# EDE = ((Σ √x)/n)², A = 1 − EDE/μ. Each row's √cents is one
+# correctly-rounded sqrt micro-floored to an integer; the sums are
+# exact; the final combine is one fixed-order float expression.
+
+
+@query(
+    "agg_atkinson_by_nation",
+    oracle="""
+    WITH vals AS (
+      SELECT n.n_name AS nation,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    agg AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total,
+             CAST(SUM(CAST(FLOOR(1000000 * sqrt(CAST(cents AS DOUBLE)))
+                           AS BIGINT)) AS BIGINT) AS s_micro
+      FROM vals GROUP BY nation
+    )
+    SELECT nation, n AS n_orders,
+           CAST(FLOOR(1000.0 * (1.0
+                - (CAST(s_micro AS DOUBLE) / n)
+                  * (CAST(s_micro AS DOUBLE) / n)
+                  / 1e12
+                  / (CAST(total AS DOUBLE) / n)) + 0.5) AS BIGINT)
+             AS atkinson_milli
+    FROM agg
+    ORDER BY nation
+    """,
+    tags=("relational", "agg", "stats"),
+)
+def agg_atkinson_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A(ε=1/2) in milli per customer nation over order values (cents).
+    One data-sized aggregate after two dimension joins; per-row sqrt is
+    micro-floored to an integer so the nation sums are exact and
+    aggregation-order-free, then one fixed-order float finish."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    vals = (
+        t.orders.join(
+            F.broadcast(t.customer),
+            t.orders.o_custkey == t.customer.c_custkey,
+        )
+        .join(
+            F.broadcast(t.nation),
+            t.customer.c_nationkey == t.nation.n_nationkey,
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    agg = vals.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+        F.sum(
+            F.floor(
+                F.lit(1_000_000.0) * F.sqrt(F.col("cents").cast("double"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    sm = F.col("s_micro").cast("double")
+    a = F.lit(1.0) - (sm / F.col("n")) * (sm / F.col("n")) / F.lit(
+        1e12
+    ) / (F.col("total").cast("double") / F.col("n"))
+    return agg.select(
+        "nation",
+        F.col("n").alias("n_orders"),
+        F.floor(F.lit(1000.0) * a + F.lit(0.5)).cast("long").alias(
+            "atkinson_milli"
+        ),
+    ).orderBy("nation")
+
+
+# ---------------------------------------------------------------- wave 14
+# Holt's linear-trend double exponential smoothing (Holt 1957,
+# reprinted Int. J. Forecasting 2004) over monthly order volume, micro
+# fixed-point with α = β = 1/4: level and trend updates are
+# power-of-two divisions, so every step is an exact truncating integer
+# operation both engines replay in the same order — the same
+# prefix-fold pattern as the CUSUM row, with a (level, trend) STRUCT
+# accumulator. One-step-ahead forecast errors come out beside the
+# states, so the row doubles as an in-sample forecast-quality readout.
+
+
+@query(
+    "orders_holt_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    arr AS (
+      SELECT list(month ORDER BY month) AS months,
+             list(x ORDER BY month) AS xs
+      FROM monthly
+    ),
+    folded AS (
+      -- (level, trend) packed into ONE HUGEINT code = l*2^41 + (b+2^40):
+      -- DuckDB evaluates struct-literal lambda fields sequentially with
+      -- same-named acc fields SHADOWED by already-computed ones, so a
+      -- {'l','b'} accumulator silently reads the new l inside the b
+      -- expression — packing sidesteps engine-specific struct-lambda
+      -- semantics with plain integer ops both engines define identically
+      SELECT unnest(months) AS month, unnest(xs) AS n_orders,
+             unnest(list_transform(months, (e, i) ->
+               list_reduce(
+                 list_prepend(
+                   CAST(1000000 AS HUGEINT) * xs[1] * 2199023255552
+                     + 1099511627776,
+                   list_transform(list_slice(xs, 2, i), v ->
+                     CAST(v AS HUGEINT))),
+                 (acc, v) ->
+                   ((1000000 * v
+                     + 3 * ((acc - acc % 2199023255552) // 2199023255552
+                            + acc % 2199023255552 - 1099511627776)) // 4)
+                   * 2199023255552
+                   + ((((1000000 * v
+                         + 3 * ((acc - acc % 2199023255552)
+                                // 2199023255552
+                                + acc % 2199023255552 - 1099511627776))
+                        // 4)
+                       - (acc - acc % 2199023255552) // 2199023255552
+                       + 3 * (acc % 2199023255552 - 1099511627776)) // 4)
+                   + 1099511627776))) AS code
+      FROM arr
+    ),
+    states AS (
+      SELECT month, n_orders,
+             CAST((code - code % 2199023255552) // 2199023255552
+                  AS BIGINT) AS level_micro,
+             CAST(code % 2199023255552 - 1099511627776 AS BIGINT)
+               AS trend_micro
+      FROM folded
+    )
+    SELECT month, n_orders, level_micro, trend_micro,
+           CAST(level_micro + trend_micro AS BIGINT)
+             AS forecast_next_micro
+    FROM states
+    ORDER BY month
+    """,
+    tags=("relational", "orders", "stats", "forecast"),
+)
+def orders_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month Holt level/trend (micro) and the next-month forecast,
+    α = β = 1/4 truncating fixed-point. The fold runs over the
+    month-sorted array inside one collected row (month dimension ≤ ~90
+    bounds the O(T²) prefix work); the only data-sized step is the
+    month aggregate."""
+    orders = load_tables(spark, sf_dir, "orders").orders
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    arr = monthly.agg(
+        F.sort_array(F.collect_list(F.struct("month", "x"))).alias("a")
+    ).select(
+        F.col("a.month").alias("months"), F.col("a.x").alias("xs")
+    )
+
+    # (level, trend) packed into one DECIMAL(38,0) code = l*2^41 +
+    # (b + 2^40) — see the oracle's note: struct-literal lambda field
+    # semantics differ across engines (DuckDB shadows same-named acc
+    # fields sequentially), so the fold carries a single integer whose
+    # unpack/repack is plain truncating arithmetic both engines define
+    # identically (% carries the dividend's sign in both).
+    P = F.lit(2_199_023_255_552)  # 2^41
+    B = F.lit(1_099_511_627_776)  # 2^40
+    dec = "decimal(38,0)"
+
+    def _step(acc, v):
+        # every intermediate re-cast to DECIMAL(38,0): Spark's decimal
+        # division widens the scale, and the quotients here are integral
+        # by construction (numerators pre-reduced by their % residue)
+        bp = acc % P
+        lv = ((acc - bp) / P).cast(dec)
+        bv = (bp - B).cast(dec)
+        s = ((F.lit(1_000_000) * v).cast(dec) + 3 * (lv + bv)).cast(dec)
+        ln = ((s - s % 4) / 4).cast(dec)
+        bn_num = (ln - lv + 3 * bv).cast(dec)
+        bn = ((bn_num - bn_num % 4) / 4).cast(dec)
+        return (ln * P + (bn + B)).cast(dec)
+
+    folded = arr.select(
+        F.arrays_zip(
+            "months",
+            "xs",
+            F.transform(
+                F.sequence(F.lit(1), F.size("xs")),
+                lambda i: F.aggregate(
+                    F.slice("xs", F.lit(2), i - 1),
+                    (
+                        (F.lit(1_000_000) * F.element_at("xs", 1)).cast(
+                            dec
+                        )
+                        * P
+                        + B
+                    ).cast(dec),
+                    _step,
+                ),
+            ).alias("st"),
+        ).alias("z")
+    ).select(F.explode("z").alias("r"))
+    code = F.col("r.st")
+    bp = code % P
+    level = ((code - bp) / P).cast("long")
+    trend = (bp - B).cast("long")
+    return folded.select(
+        F.col("r.months").alias("month"),
+        F.col("r.xs").alias("n_orders"),
+        level.alias("level_micro"),
+        trend.alias("trend_micro"),
+        (level + trend).cast("long").alias("forecast_next_micro"),
+    ).orderBy("month")

@@ -338,3 +338,129 @@ def test_hits_full_python_replay(spark):
     # normalization: each score vector sums to ~1e6 (idiv truncation)
     assert 1_000_000 - 25 <= sum(r["hub_micro"] for r in got) <= 1_000_000
     assert 1_000_000 - 25 <= sum(r["auth_micro"] for r in got) <= 1_000_000
+
+
+# ---------------------------------------------------------------- wave 11
+
+
+def test_pr_curve_full_python_replay(spark):
+    from sea_streamer_spark.plans.llm_ops11 import _nb_scored
+
+    rows = _nb_scored(spark, SF).collect()
+    ranked = sorted(
+        rows,
+        key=lambda r: (-(r["score_pass"] - r["score_fail"]), r["doc_id"]),
+    )
+    n = len(ranked)
+    p = sum(1 for r in ranked if r["truth"])
+    got = _run(spark, "quality_pr_curve_nb_gate").collect()
+    assert [r["decile"] for r in got] == list(range(1, 11))
+    for row in got:
+        k = n * row["decile"] // 10
+        tp = sum(1 for r in ranked[:k] if r["truth"])
+        assert row["n_predicted"] == k
+        assert row["n_tp"] == tp
+        assert row["precision_milli"] == 1000 * tp // k
+        assert row["recall_milli"] == 1000 * tp // p
+        pr, rc = 1000 * tp // k, 1000 * tp // p
+        assert row["f1_milli"] == (
+            0 if pr + rc == 0 else 2 * pr * rc // (pr + rc)
+        )
+    # recall is monotone nondecreasing in coverage; decile 10 has R=1
+    rs = [r["recall_milli"] for r in got]
+    assert rs == sorted(rs) and rs[-1] == 1000
+
+
+# ---------------------------------------------------------------- wave 12
+
+
+def test_jaccard_linkpred_full_python_replay(spark):
+    from collections import Counter
+
+    from tests.test_llm_ops15 import _copurchase_graph
+
+    edges, adj = _copurchase_graph(spark, SF)
+    scores = []
+    seen = set()
+    for w, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                u, v = ns[i], ns[j]
+                if (u, v) in edges or (u, v) in seen:
+                    continue
+                seen.add((u, v))
+                c = len(adj[u] & adj[v])
+                uni = len(adj[u]) + len(adj[v]) - c
+                scores.append((-(1000 * c // uni), u, v, c, uni))
+    expected = sorted(scores)[:20]
+    got = _run(spark, "graph_jaccard_linkpred").collect()
+    assert len(got) == min(20, len(scores))
+    for row, (negj, u, v, c, uni) in zip(got, expected):
+        assert (row["u"], row["v"]) == (u, v)
+        assert row["n_common"] == c
+        assert row["n_union"] == uni
+        assert row["jaccard_milli"] == -negj
+
+
+# ---------------------------------------------------------------- wave 13
+
+
+def test_atkinson_full_python_replay(spark):
+    from decimal import Decimal
+
+    from sea_streamer_spark.sources.tables import load_tables
+
+    t = load_tables(spark, SF, "orders", "customer", "nation")
+    nat = {r["n_nationkey"]: r["n_name"] for r in t.nation.collect()}
+    cnat = {r["c_custkey"]: r["c_nationkey"] for r in t.customer.collect()}
+    per: dict = {}
+    for r in t.orders.collect():
+        cents = int(Decimal(str(r["o_totalprice"])) * 100)
+        per.setdefault(nat[cnat[r["o_custkey"]]], []).append(cents)
+    got = {r["nation"]: r for r in _run(spark, "agg_atkinson_by_nation").collect()}
+    assert set(got) == set(per)
+    for nation, xs in per.items():
+        n, total = len(xs), sum(xs)
+        s = sum(math.floor(1e6 * math.sqrt(x)) for x in xs)
+        a = 1.0 - (s / n) * (s / n) / 1e12 / (total / n)
+        r = got[nation]
+        assert r["n_orders"] == n
+        assert r["atkinson_milli"] == math.floor(1000.0 * a + 0.5)
+        assert 0 <= r["atkinson_milli"] <= 1000
+
+
+# ---------------------------------------------------------------- wave 14
+
+
+def test_holt_full_python_replay(spark):
+    from collections import Counter
+
+    from sea_streamer_spark.sources.tables import load_tables
+
+    orders = load_tables(spark, SF, "orders").orders.collect()
+    monthly = Counter(r["o_orderdate"].strftime("%Y-%m") for r in orders)
+    months = sorted(monthly)
+
+    def t4(p):
+        q, _ = divmod(abs(p), 4)
+        return q if p >= 0 else -q
+
+    l, b = 1_000_000 * monthly[months[0]], 0
+    expect = [(months[0], monthly[months[0]], l, b, l + b)]
+    for m in months[1:]:
+        ln = t4(1_000_000 * monthly[m] + 3 * (l + b))
+        b = t4(ln - l + 3 * b)
+        l = ln
+        expect.append((m, monthly[m], l, b, l + b))
+    got = _run(spark, "orders_holt_trend").collect()
+    assert [
+        (
+            r["month"],
+            r["n_orders"],
+            r["level_micro"],
+            r["trend_micro"],
+            r["forecast_next_micro"],
+        )
+        for r in got
+    ] == expect

@@ -165,6 +165,17 @@ SNAPSHOT_QUERIES = [
     "events_weekend_error_odds",
     "orders_priority_mix_chi2",
     "events_markov_stationary",
+    # round-12 waves
+    "curation_streaming_e2e",
+    "quality_auc_nb_gate",
+    "orders_mannwhitney_weekend",
+    "events_kruskal_wallis_weekday",
+    "events_session_bigrams",
+    "curation_temperature_mixture",
+    "graph_label_propagation",
+    "orders_km_repurchase",
+    "orders_cusum_monthly",
+    "graph_hits_nations",
 ]
 
 
