@@ -1652,3 +1652,181 @@ def orders_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         trend.alias("trend_micro"),
         (level + trend).cast("long").alias("forecast_next_micro"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------- wave 15
+# Resource-allocation link prediction (Zhou, Lü & Zhang, Eur. Phys. J.
+# B 2009): RA = Σ_w 1/deg(w) over common neighbors — the fully
+# RATIONAL sibling of Adamic-Adar (1/ln needs a float; 1/deg does
+# not), so this row is exact-integer end to end and closes the
+# link-prediction ladder: common neighbors → Jaccard (normalized) →
+# AA (log-damped) → RA (degree-damped). Same single-sourced graph.
+
+
+def _build_ra_lp_oracle() -> str:
+    from .llm_ops14 import _AA_GRAPH_CTES
+
+    return f"""
+    WITH {_AA_GRAPH_CTES},
+    cand AS (
+      SELECT wg.u, wg.v, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(1000000 // dw.d) AS BIGINT) AS ra
+      FROM wedges wg JOIN deg dw ON dw.u = wg.w
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.pa = wg.u AND p.pb = wg.v)
+      GROUP BY wg.u, wg.v
+    )
+    SELECT u, v, c AS n_common, ra AS ra_micro
+    FROM cand
+    ORDER BY ra_micro DESC, u, v
+    LIMIT 20
+    """
+
+
+@query(
+    "graph_resource_allocation_linkpred",
+    oracle=_build_ra_lp_oracle(),
+    tags=("llm", "graph"),
+)
+def graph_resource_allocation_linkpred(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 non-edges by resource-allocation index (micro; per-wedge
+    1/deg micro-truncated then summed — order-free exact integers).
+    Identical wedge join shape to the registered AA row; the hub-cap
+    posture measured there applies verbatim here."""
+    from .llm_ops12 import _idiv_col
+    from .llm_ops14 import _aa_graph
+
+    pairs, _e, deg, wedges = _aa_graph(spark, sf_dir)
+    dw = deg.select(F.col("u").alias("w"), "d")
+    cand = (
+        wedges.join(
+            pairs,
+            (wedges.u == pairs.pa) & (wedges.v == pairs.pb),
+            "left_anti",
+        )
+        .join(dw, "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(_idiv_col(F.lit(1_000_000), F.col("d")))
+            .cast("long")
+            .alias("ra"),
+        )
+    )
+    return (
+        cand.select(
+            "u", "v", F.col("c").alias("n_common"), F.col("ra").alias("ra_micro")
+        )
+        .orderBy(F.desc("ra_micro"), "u", "v")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- wave 16
+# Markov-chain entropy rate (Shannon 1948 §7; Cover & Thomas ch.4:
+# H(X) = −Σ_i π_i Σ_j p_ij ln p_ij for a stationary chain): how
+# predictable the event stream is per step, in nano-nats, with the
+# efficiency ratio against ln(k) (the i.i.d.-uniform ceiling). BOTH
+# inputs are the registered rows verbatim — π from the 16-iteration
+# stationary oracle, p from the transition-matrix oracle — so this row
+# cannot drift from the chain it summarizes. Each of the ≤ k² cells
+# contributes one float ln micro-product rounded to an integer BEFORE
+# the order-free sum (the NB-score determinism recipe).
+
+
+def _build_entropy_rate_oracle() -> str:
+    from .registry import QUERIES
+
+    pi = QUERIES["events_markov_stationary"].oracle.strip()
+    tm = QUERIES["events_transition_matrix"].oracle.strip()
+    return f"""
+    WITH pi AS (
+      SELECT state, stationary_micro FROM ({pi})
+    ),
+    tm AS (SELECT * FROM ({tm})),
+    rowt AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS rt FROM tm
+      GROUP BY prev_type
+    ),
+    cells AS (
+      SELECT t.prev_type, CAST(1000000 * t.n // r.rt AS BIGINT) AS p
+      FROM tm t JOIN rowt r ON r.prev_type = t.prev_type
+    ),
+    terms AS (
+      SELECT CAST(FLOOR(1e9 * (CAST(pi.stationary_micro AS DOUBLE) / 1e6)
+                        * (CAST(c.p AS DOUBLE) / 1e6)
+                        * (-ln(CAST(c.p AS DOUBLE) / 1e6)) + 0.5)
+                  AS BIGINT) AS t_nano
+      FROM cells c JOIN pi ON pi.state = c.prev_type
+      WHERE c.p > 0
+    ),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM pi)
+    SELECT k.k AS n_states,
+           CAST(SUM(t.t_nano) AS BIGINT) AS entropy_rate_nano,
+           CAST(FLOOR(1e9 * ln(CAST(k.k AS DOUBLE)) + 0.5) AS BIGINT)
+             AS max_entropy_nano,
+           CAST(1000 * SUM(t.t_nano)
+                // CAST(FLOOR(1e9 * ln(CAST(k.k AS DOUBLE)) + 0.5)
+                        AS BIGINT) AS BIGINT) AS efficiency_milli
+    FROM terms t CROSS JOIN k
+    GROUP BY k.k
+    """
+
+
+@query(
+    "events_markov_entropy_rate",
+    oracle=_build_entropy_rate_oracle(),
+    tags=("llm", "events", "sequence", "stats"),
+)
+def events_markov_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entropy rate (nano-nats/step) of the registered event Markov
+    chain, its ln(k) ceiling, and the efficiency permille. k²-bounded
+    cell relation; one ln per cell rounded before the exact sum."""
+    from .llm_ops7 import events_transition_matrix
+    from .llm_ops12 import _idiv_col
+    from .llm_ops15 import events_markov_stationary
+
+    pi = events_markov_stationary(spark, sf_dir).select(
+        "state", "stationary_micro"
+    )
+    tm = events_transition_matrix(spark, sf_dir)
+    rowt = tm.groupBy("prev_type").agg(F.sum("n").cast("long").alias("rt"))
+    cells = tm.join(rowt, "prev_type").select(
+        "prev_type",
+        _idiv_col(F.col("n"), F.col("rt"), scale=1_000_000).alias("p"),
+    )
+    terms = (
+        cells.filter(F.col("p") > 0)
+        .join(pi, cells.prev_type == pi.state)
+        .select(
+            F.floor(
+                F.lit(1e9)
+                * (F.col("stationary_micro").cast("double") / F.lit(1e6))
+                * (F.col("p").cast("double") / F.lit(1e6))
+                * (-F.log(F.col("p").cast("double") / F.lit(1e6)))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("t_nano")
+        )
+    )
+    k = pi.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    hmax = F.floor(
+        F.lit(1e9) * F.log(F.col("k").cast("double")) + F.lit(0.5)
+    ).cast("long")
+    return (
+        terms.agg(F.sum("t_nano").cast("long").alias("h"))
+        .crossJoin(F.broadcast(k))
+        .select(
+            F.col("k").alias("n_states"),
+            F.col("h").alias("entropy_rate_nano"),
+            hmax.alias("max_entropy_nano"),
+            _idiv_col(F.col("h"), hmax, scale=1000).alias(
+                "efficiency_milli"
+            ),
+        )
+    )

@@ -464,3 +464,70 @@ def test_holt_full_python_replay(spark):
         )
         for r in got
     ] == expect
+
+
+# ---------------------------------------------------------------- wave 15
+
+
+def test_resource_allocation_full_python_replay(spark):
+    from tests.test_llm_ops15 import _copurchase_graph
+
+    edges, adj = _copurchase_graph(spark, SF)
+    scores = []
+    seen = set()
+    for w, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                u, v = ns[i], ns[j]
+                if (u, v) in edges or (u, v) in seen:
+                    continue
+                seen.add((u, v))
+                common = adj[u] & adj[v]
+                ra = sum(1_000_000 // len(adj[w2]) for w2 in common)
+                scores.append((-ra, u, v, len(common)))
+    expected = sorted(scores)[:20]
+    got = _run(spark, "graph_resource_allocation_linkpred").collect()
+    assert len(got) == min(20, len(scores))
+    for row, (negra, u, v, c) in zip(got, expected):
+        assert (row["u"], row["v"], row["n_common"], row["ra_micro"]) == (
+            u,
+            v,
+            c,
+            -negra,
+        )
+
+
+# ---------------------------------------------------------------- wave 16
+
+
+def test_entropy_rate_full_python_replay(spark):
+    """Entropy rate replayed from the two registered rows it
+    single-sources (stationary π and the transition matrix)."""
+    pi = {
+        r["state"]: r["stationary_micro"]
+        for r in _run(spark, "events_markov_stationary").collect()
+    }
+    tm = _run(spark, "events_transition_matrix").collect()
+    rowt: dict = {}
+    for r in tm:
+        rowt[r["prev_type"]] = rowt.get(r["prev_type"], 0) + r["n"]
+    h = 0
+    for r in tm:
+        p = 1_000_000 * r["n"] // rowt[r["prev_type"]]
+        if p > 0:
+            h += math.floor(
+                1e9
+                * (pi[r["prev_type"]] / 1e6)
+                * (p / 1e6)
+                * (-math.log(p / 1e6))
+                + 0.5
+            )
+    k = len(pi)
+    hmax = math.floor(1e9 * math.log(k) + 0.5)
+    got = _run(spark, "events_markov_entropy_rate").collect()[0]
+    assert got["n_states"] == k
+    assert got["entropy_rate_nano"] == h
+    assert got["max_entropy_nano"] == hmax
+    assert got["efficiency_milli"] == 1000 * h // hmax
+    assert 0 < got["entropy_rate_nano"] <= hmax  # chain is not uniform-iid

@@ -176,6 +176,12 @@ SNAPSHOT_QUERIES = [
     "orders_km_repurchase",
     "orders_cusum_monthly",
     "graph_hits_nations",
+    "quality_pr_curve_nb_gate",
+    "graph_jaccard_linkpred",
+    "agg_atkinson_by_nation",
+    "orders_holt_trend",
+    "graph_resource_allocation_linkpred",
+    "events_markov_entropy_rate",
 ]
 
 
