@@ -1042,13 +1042,15 @@ def orders_cusum_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
     ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    from .llm_ops12 import _idiv_col
+
     mu = monthly.agg(
         F.sum("x").cast("long").alias("tot"),
         F.count(F.lit(1)).cast("long").alias("nm"),
     ).select(
-        ((F.lit(1_000_000) * F.col("tot") - (F.lit(1_000_000) * F.col("tot")) % F.col("nm")) / F.col("nm"))
-        .cast("long")
-        .alias("mu_micro")
+        _idiv_col(F.col("tot"), F.col("nm"), scale=1_000_000).alias(
+            "mu_micro"
+        )
     ).select(
         "mu_micro",
         (F.col("mu_micro") - F.col("mu_micro") % 10).cast("long").alias(
@@ -1346,7 +1348,7 @@ def quality_pr_curve_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         prec.alias("precision_milli"),
         rec.alias("recall_milli"),
         F.when(prec + rec == 0, F.lit(0))
-        .otherwise(_idiv_col(F.lit(2) * prec * rec, prec + rec))
+        .otherwise(_idiv_col(prec * rec, prec + rec, scale=2))
         .cast("long")
         .alias("f1_milli"),
     ).orderBy("decile")

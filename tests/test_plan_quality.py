@@ -909,3 +909,30 @@ class TestRound12Plans:
             re.search(r"ReadSchema: struct<dedup_key:string>", ln)
             for ln in scans
         ), plan
+
+    _R12_ROWS = (
+        "quality_auc_nb_gate",
+        "orders_mannwhitney_weekend",
+        "events_kruskal_wallis_weekday",
+        "events_session_bigrams",
+        "curation_temperature_mixture",
+        "graph_label_propagation",
+        "orders_km_repurchase",
+        "orders_cusum_monthly",
+        "graph_hits_nations",
+        "quality_pr_curve_nb_gate",
+        "graph_jaccard_linkpred",
+        "agg_atkinson_by_nation",
+        "orders_holt_trend",
+        "graph_resource_allocation_linkpred",
+        "events_markov_entropy_rate",
+    )
+
+    def test_round12_rows_no_python_no_cartesian(self, spark, sf_dir):
+        """Every round-12 analytic row stays JVM-side with no cartesian
+        on data relations (broadcast single-row combiners excepted, as
+        everywhere in the registry)."""
+        for name in self._R12_ROWS:
+            plan = _final_plan(QUERIES[name].fn(spark, sf_dir))
+            assert "EvalPython" not in plan, (name, plan)
+            assert "CartesianProduct" not in plan, (name, plan)
