@@ -1832,3 +1832,261 @@ def events_markov_entropy_rate(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- wave 17
+# Welch's unequal-variance t (Welch, Biometrika 1947; the recommended
+# default over Student's t — Ruxton 2006) for weekend vs weekday daily
+# event volume: the parametric sibling of the Mann-Whitney wave, same
+# two groups, so location evidence can be read under both lenses. The
+# six sufficient statistics (n, Σx, Σx²) per group are exact integers;
+# t and the Welch-Satterthwaite df are ONE fixed-order float expression
+# over them, milli-rounded half-up.
+
+
+@query(
+    "events_welch_ttest_weekend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT (dayofweek(day) + 1) IN (1, 7) AS weekend, x FROM daily
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN weekend THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN weekend THEN x ELSE 0 END) AS BIGINT)
+               AS s1,
+             CAST(SUM(CASE WHEN weekend THEN x * x ELSE 0 END) AS BIGINT)
+               AS q1,
+             CAST(SUM(CASE WHEN weekend THEN 0 ELSE 1 END) AS BIGINT)
+               AS n2,
+             CAST(SUM(CASE WHEN weekend THEN 0 ELSE x END) AS BIGINT)
+               AS s2,
+             CAST(SUM(CASE WHEN weekend THEN 0 ELSE x * x END) AS BIGINT)
+               AS q2
+      FROM g
+    )
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           CAST(FLOOR(1000.0 * (CAST(s1 AS DOUBLE) / n1
+                                - CAST(s2 AS DOUBLE) / n2) + 0.5)
+                AS BIGINT) AS mean_diff_milli,
+           CAST(FLOOR(1000.0
+                * ((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                   / sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+                           / n1) / (n1 - 1) / n1
+                          + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2
+                             / n2) / (n2 - 1) / n2)) + 0.5) AS BIGINT)
+             AS t_milli,
+           CAST(FLOOR(1000.0
+                * (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                    / (n1 - 1) / n1
+                    + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                      / (n2 - 1) / n2)
+                   * ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                      / (n1 - 1) / n1
+                      + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2
+                         / n2) / (n2 - 1) / n2)
+                   / (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+                        / n1) / (n1 - 1) / n1)
+                      * ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+                          / n1) / (n1 - 1) / n1) / (n1 - 1)
+                      + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2
+                          / n2) / (n2 - 1) / n2)
+                        * ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2
+                            / n2) / (n2 - 1) / n2) / (n2 - 1))) + 0.5)
+                AS BIGINT) AS welch_df_milli
+    FROM agg
+    """,
+    tags=("llm", "events", "stats"),
+)
+def events_welch_ttest_weekend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Welch t (milli) and Welch-Satterthwaite df (milli) for weekend vs
+    weekday daily event counts. One day-keyed aggregate then one 6-int
+    reduction; the float finish is a single fixed-order expression."""
+    daily = (
+        load_tables(spark, sf_dir, "events")
+        .events.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    g = daily.select(
+        F.dayofweek("day").isin(1, 7).alias("weekend"), "x"
+    )
+    agg = g.agg(
+        F.sum(F.when(F.col("weekend"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("weekend"), F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(
+            F.when(F.col("weekend"), F.col("x") * F.col("x")).otherwise(0)
+        )
+        .cast("long")
+        .alias("q1"),
+        F.sum(F.when(F.col("weekend"), 0).otherwise(1))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("weekend"), F.lit(0)).otherwise(F.col("x")))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(F.col("weekend"), F.lit(0)).otherwise(
+                F.col("x") * F.col("x")
+            )
+        )
+        .cast("long")
+        .alias("q2"),
+    )
+    n1, s1, q1 = (F.col(c) for c in ("n1", "s1", "q1"))
+    n2, s2, q2 = (F.col(c) for c in ("n2", "s2", "q2"))
+    se1 = (
+        (q1.cast("double") - s1.cast("double") * s1 / n1)
+        / (n1 - 1)
+        / n1
+    )
+    se2 = (
+        (q2.cast("double") - s2.cast("double") * s2 / n2)
+        / (n2 - 1)
+        / n2
+    )
+    md = s1.cast("double") / n1 - s2.cast("double") / n2
+    t = md / F.sqrt(se1 + se2)
+    df = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)
+    )
+
+    def _milli(c, alias):
+        return (
+            F.floor(F.lit(1000.0) * c + F.lit(0.5)).cast("long").alias(alias)
+        )
+
+    return agg.select(
+        n1.alias("n_weekend"),
+        n2.alias("n_weekday"),
+        _milli(md, "mean_diff_milli"),
+        _milli(t, "t_milli"),
+        _milli(df, "welch_df_milli"),
+    )
+
+
+# ---------------------------------------------------------------- wave 18
+# Two-sample Kolmogorov-Smirnov separation of the NB gate's score
+# distributions (Kolmogorov 1933; Smirnov 1939): D = sup |F_pass −
+# F_fail| over the margin axis, EXACT by cross-multiplication — at
+# each distinct margin the CDF gap |cp·nn − cn·np| is an integer, so
+# the supremum needs no floats at all. The distributional view of the
+# same single-sourced relation the AUC wave integrates: AUC measures
+# average separation, KS the worst-case gap (and the margin where it
+# occurs — the natural threshold, cross-checked against Youden).
+
+
+def _build_ks_gate_oracle() -> str:
+    from .llm_ops11 import _nb_chain_sql
+
+    return f"""
+    WITH {_nb_chain_sql()},
+    vals AS (
+      SELECT score_pass - score_fail AS m,
+             CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT)
+               AS cp0,
+             CAST(SUM(CASE WHEN truth THEN 0 ELSE 1 END) AS BIGINT)
+               AS cn0
+      FROM scored GROUP BY 1
+    ),
+    cum AS (
+      SELECT m,
+             CAST(SUM(cp0) OVER (ORDER BY m) AS BIGINT) AS cp,
+             CAST(SUM(cn0) OVER (ORDER BY m) AS BIGINT) AS cn
+      FROM vals
+    ),
+    tot AS (
+      SELECT MAX(cp) AS np, MAX(cn) AS nn FROM cum
+    ),
+    gaps AS (
+      SELECT c.m, ABS(c.cp * t.nn - c.cn * t.np) AS gap2, t.np, t.nn
+      FROM cum c CROSS JOIN tot t
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           CAST(MAX(gap2) AS BIGINT) AS gap_num,
+           CAST(1000 * MAX(gap2) // (np * nn) AS BIGINT) AS ks_d_milli,
+           CAST(MIN(CASE WHEN gap2 = (SELECT MAX(gap2) FROM gaps)
+                    THEN m END) AS BIGINT) AS argmax_margin
+    FROM gaps GROUP BY np, nn
+    """
+
+
+@query(
+    "quality_ks_gate_separation",
+    oracle=_build_ks_gate_oracle(),
+    tags=("llm", "quality", "eval"),
+)
+def quality_ks_gate_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KS D (milli, exact cross-multiplied integers) between the NB
+    margin distributions of truth-pass and truth-fail docs, with the
+    smallest argmax margin. One margin-keyed aggregate + one cumulative
+    window over distinct margins."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops11 import _nb_scored
+    from .llm_ops12 import _idiv_col
+
+    scored = _nb_scored(spark, sf_dir).select(
+        (F.col("score_pass") - F.col("score_fail")).alias("m"), "truth"
+    )
+    vals = scored.groupBy("m").agg(
+        F.sum(F.when(F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("cp0"),
+        F.sum(F.when(F.col("truth"), 0).otherwise(1))
+        .cast("long")
+        .alias("cn0"),
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "m",
+        F.sum("cp0").over(w).cast("long").alias("cp"),
+        F.sum("cn0").over(w).cast("long").alias("cn"),
+    )
+    tot = cum.agg(
+        F.max("cp").cast("long").alias("np"),
+        F.max("cn").cast("long").alias("nn"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "m",
+        "np",
+        "nn",
+        F.abs(F.col("cp") * F.col("nn") - F.col("cn") * F.col("np")).alias(
+            "gap2"
+        ),
+    )
+    best = gaps.groupBy("np", "nn").agg(
+        F.max("gap2").cast("long").alias("gap_num")
+    )
+    arg = (
+        gaps.join(
+            F.broadcast(best),
+            (gaps.np == best.np)
+            & (gaps.nn == best.nn)
+            & (gaps.gap2 == best.gap_num),
+        )
+        .agg(F.min("m").cast("long").alias("argmax_margin"))
+    )
+    return (
+        best.crossJoin(F.broadcast(arg))
+        .select(
+            F.col("np").alias("n_pos"),
+            F.col("nn").alias("n_neg"),
+            "gap_num",
+            _idiv_col(
+                F.col("gap_num"), F.col("np") * F.col("nn"), scale=1000
+            ).alias("ks_d_milli"),
+            "argmax_margin",
+        )
+    )

@@ -531,3 +531,65 @@ def test_entropy_rate_full_python_replay(spark):
     assert got["max_entropy_nano"] == hmax
     assert got["efficiency_milli"] == 1000 * h // hmax
     assert 0 < got["entropy_rate_nano"] <= hmax  # chain is not uniform-iid
+
+
+# ---------------------------------------------------------------- wave 17
+
+
+def test_welch_full_python_replay(spark):
+    from collections import Counter
+
+    from sea_streamer_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, SF, "events").events.collect()
+    days = Counter()
+    for r in ev:
+        days[r["ts"].date()] += 1
+    g1 = [c for d, c in days.items() if d.isoweekday() in (6, 7)]
+    g2 = [c for d, c in days.items() if d.isoweekday() not in (6, 7)]
+    n1, s1, q1 = len(g1), sum(g1), sum(x * x for x in g1)
+    n2, s2, q2 = len(g2), sum(g2), sum(x * x for x in g2)
+    se1 = (q1 - s1 * s1 / n1) / (n1 - 1) / n1
+    se2 = (q2 - s2 * s2 / n2) / (n2 - 1) / n2
+    md = s1 / n1 - s2 / n2
+    t = md / math.sqrt(se1 + se2)
+    df = (se1 + se2) ** 2 / (se1**2 / (n1 - 1) + se2**2 / (n2 - 1))
+    got = _run(spark, "events_welch_ttest_weekend").collect()[0]
+    assert (got["n_weekend"], got["n_weekday"]) == (n1, n2)
+    assert got["mean_diff_milli"] == math.floor(1000.0 * md + 0.5)
+    assert got["t_milli"] == math.floor(1000.0 * t + 0.5)
+    assert got["welch_df_milli"] == math.floor(1000.0 * df + 0.5)
+    # df is bounded by the pooled df
+    assert got["welch_df_milli"] <= 1000 * (n1 + n2 - 2)
+
+
+# ---------------------------------------------------------------- wave 18
+
+
+def test_ks_gate_full_python_replay(spark):
+    from sea_streamer_spark.plans.llm_ops11 import _nb_scored
+
+    rows = _nb_scored(spark, SF).collect()
+    np_ = sum(1 for r in rows if r["truth"])
+    nn = len(rows) - np_
+    by_m: dict = {}
+    for r in rows:
+        m = r["score_pass"] - r["score_fail"]
+        cp, cn = by_m.get(m, (0, 0))
+        by_m[m] = (cp + (1 if r["truth"] else 0), cn + (0 if r["truth"] else 1))
+    cp = cn = 0
+    best, arg = -1, None
+    for m in sorted(by_m):
+        dp, dn = by_m[m]
+        cp += dp
+        cn += dn
+        gap = abs(cp * nn - cn * np_)
+        if gap > best:
+            best, arg = gap, m
+    got = _run(spark, "quality_ks_gate_separation").collect()[0]
+    assert (got["n_pos"], got["n_neg"]) == (np_, nn)
+    assert got["gap_num"] == best
+    assert got["ks_d_milli"] == 1000 * best // (np_ * nn)
+    assert got["argmax_margin"] == arg
+    # a gate with any signal separates: D > 0
+    assert got["ks_d_milli"] > 0

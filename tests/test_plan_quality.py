@@ -926,6 +926,8 @@ class TestRound12Plans:
         "orders_holt_trend",
         "graph_resource_allocation_linkpred",
         "events_markov_entropy_rate",
+        "events_welch_ttest_weekend",
+        "quality_ks_gate_separation",
     )
 
     def test_round12_rows_no_python_no_cartesian(self, spark, sf_dir):

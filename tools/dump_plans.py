@@ -182,6 +182,8 @@ SNAPSHOT_QUERIES = [
     "orders_holt_trend",
     "graph_resource_allocation_linkpred",
     "events_markov_entropy_rate",
+    "events_welch_ttest_weekend",
+    "quality_ks_gate_separation",
 ]
 
 
