@@ -460,6 +460,12 @@ def scale_semantic_metric(spark) -> dict:
                 )
                 .cast("long")
                 .alias("cos_c_micro"),
+                # r12: per-vector norm hoisted before the pair join (1
+                # fold per pair instead of cosine's 3; bit-identical —
+                # same fold, same dot/(na*nb) association)
+                F.sqrt(S.dot(F.col("embedding"), F.col("embedding"))).alias(
+                    "nrm"
+                ),
             )
         )
         a, b = scored.alias("a"), scored.alias("b")
@@ -474,7 +480,10 @@ def scale_semantic_metric(spark) -> dict:
             F.col("b.vec_id").alias("vb"),
             F.col("a.rep").alias("rep_a"),
             F.col("b.rep").alias("rep_b"),
-            S.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+            (
+                S.dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
         ).cache()
         dropped = (
             cand.filter(F.col("cos") >= F.lit(_SEM_THRESHOLD))
@@ -623,6 +632,10 @@ def scale_e2e_metric(spark) -> dict:
                 )
                 .cast("long")
                 .alias("cs"),
+                # r12 norm hoist (see scale_semantic_metric note)
+                F.sqrt(S.dot(F.col("embedding"), F.col("embedding"))).alias(
+                    "nrm"
+                ),
             )
         )
         a, b = scored.alias("a"), scored.alias("b")
@@ -636,7 +649,10 @@ def scale_e2e_metric(spark) -> dict:
             F.col("a.vec_id").alias("va"),
             F.col("a.rep").alias("rep_a"),
             F.col("b.rep").alias("rep_b"),
-            S.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+            (
+                S.dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
         )
         x_rep = cand.filter(F.col("rep_a") != F.col("rep_b")).count()
         dropped = (
@@ -819,6 +835,10 @@ def scale_semantic_planted_metric(spark) -> dict:
             .cast("long")
             .alias("ck"),
             "embedding",
+            # r12 norm hoist (see scale_semantic_metric note)
+            F.sqrt(S.dot(F.col("embedding"), F.col("embedding"))).alias(
+                "nrm"
+            ),
         )
         a = cells.alias("a")
         b = cells.alias("b")
@@ -834,7 +854,8 @@ def scale_semantic_planted_metric(spark) -> dict:
             ),
         ).select(
             (
-                S.cosine(F.col("a.embedding"), F.col("b.embedding"))
+                S.dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
                 >= F.lit(_SEM_THRESHOLD)
             ).alias("true_pair"),
             (F.col("a.ecell") == F.col("b.ecell")).alias("coloc"),

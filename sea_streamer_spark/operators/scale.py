@@ -31,8 +31,22 @@ def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
     robin). At production scale the scan has far more splits than cores and
     this is a no-op. Use before wide higher-order projections (vector folds,
     shingle transforms) and before the stream side of broadcast joins, whose
-    parallelism equals the stream side's partition count."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    parallelism equals the stream side's partition count.
+
+    r12: the keyed fan-out targets ``spark.sql.shuffle.partitions``, not
+    ``defaultParallelism`` — a downstream ``groupBy(key)`` then REUSES
+    this exchange's HashPartitioning (guide §2.4: same key + same
+    partition count ⇒ no second shuffle; the count previously mismatched
+    — 32 vs 64 locally — so the exploded relation shuffled twice). The
+    width stays scale-adaptive: it is whatever the session's shuffle
+    width is, never a local constant."""
+    spark = df.sparkSession
+    try:
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        target = spark.sparkContext.defaultParallelism
+    if key is None:
+        target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, F.col(key)) if key else df.repartition(target)

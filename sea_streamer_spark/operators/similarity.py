@@ -897,29 +897,52 @@ def exact_cosine_pairs(
     matrix chunks; the broadcast is the eval-sized fast path. Replaces a
     measured 54 s JVM all-pairs fold at sf0.1 (r9 VERDICT task #4).
     """
+    df, _n = exact_cosine_pairs_n(
+        emb, threshold, id_col=id_col, vec_col=vec_col, block=block,
+        max_rows=max_rows,
+    )
+    return df
+
+
+def exact_cosine_pairs_n(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: int = 512,
+    max_rows: int = 100_000,
+) -> tuple[DataFrame, int]:
+    """:func:`exact_cosine_pairs` plus the collected row count.
+
+    The truth side already materializes every (id, vector) row on the
+    driver; returning ``len(rows)`` lets eval callers drop their own
+    ``emb.count()`` action (one Spark job per eval, r12 optimization —
+    guide §5: the driver should do almost no data work, and a count the
+    driver already knows is pure overhead)."""
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
     # Loud size cap (r10 VERDICT): this truth side collects the whole
     # embedding table to the driver and broadcasts it — correct ONLY for
-    # eval-sized corpora. Count first so a corpus-sized table can never
-    # be collected silently; the error names the documented fallback.
-    n_total = emb.count()
-    if n_total > max_rows:
+    # eval-sized corpora. The collect is LIMITed to max_rows + 1 so a
+    # corpus-sized table can never be materialized on the driver (the
+    # r12 form of the r10 count-first guard — one job instead of two);
+    # the error names the documented fallback.
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
-            f"exact_cosine_pairs is an eval truth side: {n_total} rows "
-            f"exceeds max_rows={max_rows}. At this scale run the same "
+            f"exact_cosine_pairs is an eval truth side: more than "
+            f"max_rows={max_rows} rows. At this scale run the same "
             "tile protocol as a block-keyed self-join of matrix chunks "
             "(no driver collect / single broadcast) instead of the "
             "broadcast fast path, or raise max_rows deliberately."
         )
-    rows = emb.select(id_col, vec_col).orderBy(id_col).collect()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     n, d = X.shape if len(rows) else (0, 0)
     if n == 0:
-        return spark.createDataFrame([], "id_a long, id_b long")
+        return spark.createDataFrame([], "id_a long, id_b long"), 0
     # squared norms with the same left fold as dot(v, v)
     nsq = np.zeros(n)
     for dd in range(d):
@@ -939,9 +962,13 @@ def exact_cosine_pairs(
     bc = spark.sparkContext.broadcast((ids, X, nr))
     nb = -(-n // block)
     tiles = [(i, j) for i in range(nb) for j in range(i, nb)]
-    tiles_df = spark.createDataFrame(tiles, "bi int, bj int").repartition(
-        len(tiles)
-    )
+    # One tile per partition via a pre-partitioned range — spark.range
+    # is already split into numPartitions without an exchange, where the
+    # previous createDataFrame(...).repartition(len(tiles)) paid a
+    # round-robin shuffle (and its pre-shuffle local sort) just to
+    # scatter a few dozen (bi, bj) rows (r12, guide §2.4: remove
+    # shuffles outright). The tile list rides into the closure (bytes).
+    tiles_df = spark.range(0, len(tiles), 1, len(tiles))
     thr = float(threshold)
     blk = int(block)
 
@@ -950,7 +977,7 @@ def exact_cosine_pairs(
         dim = X_.shape[1]
         for pdf in batches:
             out_a, out_b = [], []
-            for bi, bj in zip(pdf["bi"], pdf["bj"]):
+            for bi, bj in ((tiles[int(i)]) for i in pdf["id"]):
                 sa = slice(bi * blk, (bi + 1) * blk)
                 sb = slice(bj * blk, (bj + 1) * blk)
                 A, B = X_[sa], X_[sb]
@@ -971,4 +998,4 @@ def exact_cosine_pairs(
                 }
             ).astype({"id_a": "int64", "id_b": "int64"})
 
-    return tiles_df.mapInPandas(scan, "id_a long, id_b long")
+    return tiles_df.mapInPandas(scan, "id_a long, id_b long"), n

@@ -1426,24 +1426,31 @@ def dedup_winnowing_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "documents")
     # Both pair relations are tiny (duplication-bounded) but EXPENSIVE to
-    # produce (full shingle self-join / winnow chain), and three actions
-    # would evaluate each chain twice — cache for the query's lifetime and
-    # release before returning (the r7 no-leaked-caches discipline).
-    exact = (
-        D.jaccard_pairs(t.documents, threshold=0.5)
-        .select("doc_a", "doc_b")
-        .cache()
+    # produce (full shingle self-join / winnow chain). r12: ONE
+    # full-outer join + one aggregate computes all three counts in a
+    # single job, so each chain is evaluated exactly once — previously 3
+    # actions over 2 cached chains (2 cache-build evaluations + 3 job
+    # round-trips; guide §1.2 / §5).
+    exact = D.jaccard_pairs(t.documents, threshold=0.5).select(
+        "doc_a", "doc_b"
     )
-    wpairs = (
-        dedup_winnowing_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    wpairs = dedup_winnowing_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ov = exact.withColumn("e", F.lit(1)).join(
+        wpairs.withColumn("w", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
     )
-    try:
-        n_exact = exact.count()
-        n_win = wpairs.count()
-        n_common = exact.join(wpairs, ["doc_a", "doc_b"]).count()
-    finally:
-        exact.unpersist()
-        wpairs.unpersist()
+    row = ov.agg(
+        F.sum(F.coalesce(F.col("e"), F.lit(0))).cast("long").alias("ne"),
+        F.sum(F.coalesce(F.col("w"), F.lit(0))).cast("long").alias("nw"),
+        F.sum(
+            F.when(F.col("e").isNotNull() & F.col("w").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("nc"),
+    ).collect()[0]
+    n_exact = int(row["ne"] or 0)
+    n_win = int(row["nw"] or 0)
+    n_common = int(row["nc"] or 0)
     recall = (1000 * n_common) // n_exact if n_exact else 1000
     precision = (1000 * n_common) // n_win if n_win else 1000
     return spark.createDataFrame(

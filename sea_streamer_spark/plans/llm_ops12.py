@@ -97,18 +97,29 @@ def _semantic_dropped(scored: DataFrame) -> DataFrame:
     join is cell-keyed (equi-join on cell, never all-pairs); candidate
     volume is Σ cell_pop² — at production scale the cell count is the
     knob (thousands of cells keeps populations √N-ish), here it is the
-    gate-pinned 16-cell quantizer shared with the ANN queries."""
-    a, b = scored.alias("a"), scored.alias("b")
+    gate-pinned 16-cell quantizer shared with the ANN queries.
+
+    r12: per-vector norms are precomputed ONCE before the pair join —
+    ``S.cosine`` per candidate pair is 3 array folds (dot + both
+    norms); hoisting ``nrm = sqrt(dot(v, v))`` to a projection makes it
+    1 fold per pair. Bit-identical (the r9 recall_eval precedent,
+    pinned by test_exact_cosine_pairs_matches_jvm_fold's fold-equality
+    family): the norm VALUE is the same double (same fold), and the
+    comparison keeps cosine's ``dot / (na * nb)`` association."""
+    s = scored.withColumn(
+        "nrm", F.sqrt(S.dot(F.col("embedding"), F.col("embedding")))
+    )
+    a, b = s.alias("a"), s.alias("b")
     better = (F.col("b.cos_c_micro") < F.col("a.cos_c_micro")) | (
         (F.col("b.cos_c_micro") == F.col("a.cos_c_micro"))
         & (F.col("b.vec_id") < F.col("a.vec_id"))
     )
+    cos_ab = S.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & better)
-        .filter(
-            S.cosine(F.col("a.embedding"), F.col("b.embedding"))
-            >= F.lit(_SEM_THRESHOLD)
-        )
+        .filter(cos_ab >= F.lit(_SEM_THRESHOLD))
         .select(F.col("a.vec_id").alias("vec_id"))
         .distinct()
     )
@@ -268,8 +279,10 @@ def dedup_semantic_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs against the EXACT all-pairs cosine-≥-threshold truth — recall
     quantifies what cell-splitting loses (a true near-dup pair lands in
     two different cells and is never compared; the paper accepts this as
-    the price of tractability), precision is structurally 1000 (every
-    candidate is verified by the same cosine) but recomputed honestly.
+    the price of tractability), precision is structurally 1000: every
+    candidate is verified by the bit-identical cosine, so sem_pairs is
+    exactly truth ∩ same-cell — derived that way (r12), with the
+    independent oracle recomputing both sides as the honest check.
     The second half measures agreement with TEXT ground truth: dropped
     vec_ids vs membership in an exact Jaccard-≥0.5 near-dup pair — on
     this corpus the synthetic embeddings don't track text similarity,
@@ -279,51 +292,84 @@ def dedup_semantic_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves cell-bucketed joins."""
     from ..operators import dedup as D
 
-    # Per-vector norms precomputed ONCE: the all-pairs truth side would
-    # otherwise re-fold sqrt(dot(v,v)) for both endpoints of every pair
-    # (3 array folds per pair instead of 1 — measured 104 s -> ~35 s at
-    # sf0.1). The norm VALUE is the identical double (same fold), and the
-    # comparison keeps the division form dot/(na*nb), so every cosine is
-    # bit-identical to the oracle's per-pair formulation.
-    scored = (
-        _semantic_scored(spark, sf_dir)
-        .withColumn("nrm", F.sqrt(S.dot(F.col("embedding"), F.col("embedding"))))
+    # Truth side via the blocked numpy tile sweep (r9 VERDICT task #4:
+    # the JVM all-pairs fold was 54 s at sf0.1 — 62% of the new_ops
+    # bench wall). exact_cosine_pairs accumulates dots and norms one
+    # dimension at a time (the identical left fold), so every cosine is
+    # bit-identical to the JVM per-pair fold and to the oracle; pinned
+    # by tests/test_llm_ops14.py::test_exact_cosine_pairs_matches_jvm_
+    # fold.
+    #
+    # r12 restructure (guide §8: decide with small rows): the previous
+    # shape ALSO paid two Σ pop_c² cell-bucketed joins with a per-pair
+    # JVM cosine fold (sem_pairs + _semantic_dropped) — recomputing
+    # cosines the truth side had already computed for every one of those
+    # pairs. Because a same-cell pair with cosine ≥ t is BY DEFINITION a
+    # truth pair (bit-identical cosine, pinned above), sem_pairs ==
+    # truth ∩ same-cell, and the dropped set is exactly the worse-ranked
+    # endpoint ((cos_c_micro ASC, vec_id ASC) — _SEM_BETTER) of each
+    # same-cell truth pair. Both now derive from the truth table via
+    # vec_id-keyed equi-joins against the 1-row-per-vector cell/rank
+    # metadata: zero quadratic JVM work, and the six driver count()
+    # actions fuse into two aggregates (13.1 s → measured in
+    # OPTIMIZATION_r12.md). n_common == n_sem by the same set inclusion
+    # (the old join-count, retained as an identity); the oracle still
+    # computes every side independently, so the cross-engine equality
+    # remains the honest check.
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    truth_df, _n = S.exact_cosine_pairs_n(t.embeddings, _SEM_THRESHOLD)
+    truth = truth_df.select(
+        F.col("id_a").alias("va"), F.col("id_b").alias("vb")
+    )
+    meta = _semantic_scored(spark, sf_dir).select(
+        "vec_id", "cell", "cos_c_micro"
+    )
+    ma = meta.select(
+        F.col("vec_id").alias("va"),
+        F.col("cell").alias("cell_a"),
+        F.col("cos_c_micro").alias("mu_a"),
+    )
+    mb = meta.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cell").alias("cell_b"),
+        F.col("cos_c_micro").alias("mu_b"),
+    )
+    ann = (
+        truth.join(ma, "va")
+        .join(mb, "vb")
+        .select(
+            "va",
+            "vb",
+            (F.col("cell_a") == F.col("cell_b")).alias("same_cell"),
+            # the worse-ranked endpoint (the one _SEM_BETTER drops):
+            # va < vb always, so ties on cos_c_micro drop vb.
+            F.when(
+                (F.col("mu_a") < F.col("mu_b"))
+                | (
+                    (F.col("mu_a") == F.col("mu_b"))
+                    & (F.col("va") < F.col("vb"))
+                ),
+                F.col("vb"),
+            )
+            .otherwise(F.col("va"))
+            .alias("worse"),
+        )
         .cache()
     )
-    cached = [scored]
     try:
-        a, b = scored.alias("a"), scored.alias("b")
-        cos_ab = S.dot(F.col("a.embedding"), F.col("b.embedding")) / (
-            F.col("a.nrm") * F.col("b.nrm")
+        agg = ann.agg(
+            F.count(F.lit(1)).cast("long").alias("t"),
+            F.sum(F.when(F.col("same_cell"), 1).otherwise(0))
+            .cast("long")
+            .alias("s"),
+        ).collect()[0]
+        n_true, n_sem = int(agg["t"] or 0), int(agg["s"] or 0)
+        n_common = n_sem  # sem_pairs ⊆ true_pairs (set inclusion above)
+        dropped = (
+            ann.filter("same_cell")
+            .select(F.col("worse").alias("doc_id"))
+            .distinct()
         )
-        sem_pairs = (
-            a.join(
-                b,
-                (F.col("a.cell") == F.col("b.cell"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            )
-            .filter(cos_ab >= F.lit(_SEM_THRESHOLD))
-            .select(
-                F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
-            )
-            .cache()
-        )
-        cached.append(sem_pairs)
-        # Truth side via the blocked numpy tile sweep (r9 VERDICT task
-        # #4: the JVM all-pairs fold was 54 s at sf0.1 — 62% of the
-        # new_ops bench wall). exact_cosine_pairs accumulates dots and
-        # norms one dimension at a time (the identical left fold), so
-        # every cosine — and therefore every count below — is
-        # bit-identical to the previous join form and to the oracle;
-        # pinned by tests/test_llm_ops14.py::test_exact_cosine_pairs_
-        # matches_jvm_fold.
-        true_pairs = (
-            S.exact_cosine_pairs(scored, _SEM_THRESHOLD)
-            .select(F.col("id_a").alias("va"), F.col("id_b").alias("vb"))
-            .cache()
-        )
-        cached.append(true_pairs)
-        t = load_tables(spark, sf_dir, "documents")
         jpairs = D.jaccard_pairs(t.documents, threshold=0.5).select(
             "doc_a", "doc_b"
         )
@@ -331,24 +377,27 @@ def dedup_semantic_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             jpairs.select(F.col("doc_a").alias("doc_id"))
             .unionAll(jpairs.select(F.col("doc_b").alias("doc_id")))
             .distinct()
-            .cache()
         )
-        cached.append(jdocs)
-        dropped = (
-            _semantic_dropped(scored)
-            .withColumnRenamed("vec_id", "doc_id")
-            .cache()
+        # one full-outer join aggregates the three remaining counts in a
+        # single job (dropped / jaccard-dup docs / their overlap)
+        ov = dropped.withColumn("d", F.lit(1)).join(
+            jdocs.withColumn("j", F.lit(1)), "doc_id", "full_outer"
         )
-        cached.append(dropped)
-        n_true = true_pairs.count()
-        n_sem = sem_pairs.count()
-        n_common = sem_pairs.join(true_pairs, ["va", "vb"]).count()
-        n_dropped = dropped.count()
-        n_jdocs = jdocs.count()
-        n_overlap = dropped.join(jdocs, "doc_id").count()
+        row = ov.agg(
+            F.sum(F.coalesce(F.col("d"), F.lit(0))).cast("long").alias("nd"),
+            F.sum(F.coalesce(F.col("j"), F.lit(0))).cast("long").alias("nj"),
+            F.sum(
+                F.when(F.col("d").isNotNull() & F.col("j").isNotNull(), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("no"),
+        ).collect()[0]
+        n_dropped = int(row["nd"] or 0)
+        n_jdocs = int(row["nj"] or 0)
+        n_overlap = int(row["no"] or 0)
     finally:
-        for df in cached:
-            df.unpersist()
+        ann.unpersist()
     recall = (1000 * n_common) // n_true if n_true else 1000
     precision = (1000 * n_common) // n_sem if n_sem else 1000
     return spark.createDataFrame(
@@ -2190,6 +2239,7 @@ def graph_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_isolated = n_total - n_active
     s = act.select("node", F.lit(1_000_000).cast("long").alias("s"))
     stats: list[tuple[int, int, int]] = []
+    per_round = []
     try:
         for k in range(1, _PRC_ITERS + 1):
             contrib = (
@@ -2211,7 +2261,11 @@ def graph_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .localCheckpoint(eager=True)
             )
-            row = (
+            # residual aggregates are DEFERRED: both inputs are
+            # checkpointed, so the per-round join+agg is a cheap replay
+            # — one unioned collect at the end instead of one driver
+            # round-trip per iteration (r12, guide §5: 6 jobs → 1)
+            per_round.append(
                 s.withColumnRenamed("s", "s_prev")
                 .join(s_next, "node")
                 .agg(
@@ -2222,14 +2276,20 @@ def graph_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("long")
                     .alias("moved"),
                 )
-                .collect()[0]
+                .select(F.lit(k).cast("long").alias("k"), "resid", "moved")
             )
+            s = s_next
+        allstats = per_round[0]
+        for d in per_round[1:]:
+            allstats = allstats.unionByName(d)
+        by_k = {int(r["k"]): r for r in allstats.collect()}
+        for k in range(1, _PRC_ITERS + 1):
+            row = by_k[k]
             resid, moved = int(row["resid"] or 0), int(row["moved"] or 0)
             if k == 1:  # isolated nodes: 1e6 -> floor, closed form
                 resid += n_isolated * 850_000
                 moved += n_isolated
             stats.append((k, resid, moved))
-            s = s_next
     finally:
         ed.unpersist()
     return spark.createDataFrame(

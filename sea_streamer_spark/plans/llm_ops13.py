@@ -729,18 +729,6 @@ def dedup_prefix_filter_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         sizes = ds.groupBy("doc_id").agg(
             F.count(F.lit(1)).cast("long").alias("n")
         )
-        exact = (
-            inter.join(
-                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-                "doc_a",
-            )
-            .join(
-                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-                "doc_b",
-            )
-            .filter(2 * F.col("i") >= F.col("na") + F.col("nb") - F.col("i"))
-            .select("doc_a", "doc_b")
-        )
         pa = pre.select(F.col("doc_id").alias("doc_a"), "sh")
         pb = pre.select(F.col("doc_id").alias("doc_b"), "sh")
         cand_pre = (
@@ -749,18 +737,61 @@ def dedup_prefix_filter_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b")
             .distinct()
         )
-        exact_c = exact.cache()
-        cand_c = cand_pre.cache()
-        try:
-            n_docs = sizes.count()
-            n_all = inter.count()
-            n_pre = cand_c.count()
-            n_true = exact_c.count()
-            n_verified = exact_c.join(cand_c, ["doc_a", "doc_b"], "left_semi").count()
-            n_missed = exact_c.join(cand_c, ["doc_a", "doc_b"], "left_anti").count()
-        finally:
-            exact_c.unpersist()
-            cand_c.unpersist()
+        # r12 fusion: cand_pre ⊆ inter (a pair sharing a prefix shingle
+        # shares a shingle), and exact ⊆ inter by construction — so ONE
+        # pair relation annotated with (is_true, is_pre) yields all five
+        # pair counts in a single aggregate: the Σ df² inverted-index
+        # join runs ONCE (it previously ran twice: n_all count + the
+        # exact cache build) and 6 driver actions become 2 (guide §1.2:
+        # don't compute things twice; §5: the driver does no data work).
+        # n_missed = n_true − n_verified (semi/anti partition identity).
+        ann = (
+            inter.join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    2 * F.col("i") >= F.col("na") + F.col("nb") - F.col("i")
+                ).alias("is_true"),
+            )
+            .join(
+                cand_pre.withColumn("is_pre", F.lit(True)),
+                ["doc_a", "doc_b"],
+                "left",
+            )
+        )
+        row = ann.agg(
+            F.count(F.lit(1)).cast("long").alias("n_all"),
+            F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true"),
+            F.sum(F.when(F.col("is_pre").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pre"),
+            F.sum(
+                F.when(F.col("is_true") & F.col("is_pre").isNotNull(), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_verified"),
+        ).collect()[0]
+        n_all = int(row["n_all"] or 0)
+        n_true = int(row["n_true"] or 0)
+        n_pre = int(row["n_pre"] or 0)
+        n_verified = int(row["n_verified"] or 0)
+        n_missed = n_true - n_verified
+        n_docs = sizes.count()
     finally:
         ds.unpersist()
     reduction = 1000 * (n_all - n_pre) // n_all if n_all else 0
@@ -1865,17 +1896,21 @@ def curation_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy max-coverage doc selection over the shingle universe: the
     8 picks in order with marginal gain, cumulative covered-shingle
     count, and coverage permille — the (1-1/e) submodular curation
-    baseline. Plan: one cached shingle relation; each round is one
-    anti-join + count aggregate + TakeOrdered(1) (K-bounded collects);
-    the covered set stays a shingle-keyed relation, localCheckpointed
-    per round — never a driver-side set."""
+    baseline. Plan (r12): one cached shingle relation; each round is
+    EXACTLY one job — an anti-join against the distinct shingles of the
+    ≤K already-picked docs (a K-doc-bounded, broadcastable relation
+    derived from the same cache — no per-round localCheckpoint
+    materialization) + count aggregate + TakeOrdered(1). The cumulative
+    covered count needs no job at all: ``ds`` carries per-doc DISTINCT
+    shingles and candidates exclude covered ones, so each round's gain
+    IS the newly covered count — |covered_r| = |covered_{r-1}| + gain_r
+    exactly (was 3 jobs/round: pick collect + checkpoint + count)."""
     from ..operators import dedup as D
 
     docs = load_tables(spark, sf_dir, "documents").documents
     ds = D.shingle_sets(docs).cache()
     try:
         universe = ds.select("sh").distinct().count()
-        covered = None
         picked: list[int] = []
         out = []
         cov_n = 0
@@ -1883,7 +1918,11 @@ def curation_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand = ds
             if picked:
                 cand = cand.filter(~F.col("doc_id").isin(picked))
-            if covered is not None:
+                covered = (
+                    ds.filter(F.col("doc_id").isin(picked))
+                    .select("sh")
+                    .distinct()
+                )
                 cand = cand.join(covered, "sh", "left_anti")
             pick = (
                 cand.groupBy("doc_id")
@@ -1892,13 +1931,7 @@ def curation_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .limit(1)
                 .collect()[0]
             )
-            new_sh = ds.filter(F.col("doc_id") == pick["doc_id"]).select("sh")
-            covered = (
-                new_sh
-                if covered is None
-                else covered.unionByName(new_sh).distinct()
-            ).localCheckpoint(eager=True)
-            cov_n = covered.count()
+            cov_n += int(pick["gain"])
             picked.append(pick["doc_id"])
             out.append(
                 (r, pick["doc_id"], pick["gain"], cov_n,

@@ -155,12 +155,12 @@ def dedup_semantic_cell_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "embeddings")
     emb = t.embeddings
-    n_vec = emb.count()
-    truth = (
-        S.exact_cosine_pairs(emb, _SEM_THRESHOLD)
-        .select(F.col("id_a").alias("va"), F.col("id_b").alias("vb"))
-        .cache()
-    )
+    # the truth side collects every row anyway — reuse its count instead
+    # of paying a separate emb.count() job (r12, guide §5)
+    truth_df, n_vec = S.exact_cosine_pairs_n(emb, _SEM_THRESHOLD)
+    truth = truth_df.select(
+        F.col("id_a").alias("va"), F.col("id_b").alias("vb")
+    ).cache()
     # All three assignments in ONE relation keyed by (k, vec_id): the
     # per-k loop previously issued 2 actions per cell count (9 jobs
     # total — 22 s of mostly scheduling at sf0.1); candidate volumes

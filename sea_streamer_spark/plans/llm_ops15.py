@@ -387,11 +387,13 @@ def dedup_semantic_recall_planted(
     from .llm_ops import gate_ivf_centroids
 
     corpus = planted_embeddings(spark, sf_dir)
-    n_vec = corpus.count()
     key_a = _BASE_KEY_SQL.format(id="va")
     key_b = _BASE_KEY_SQL.format(id="vb")
+    # the truth side collects every corpus row anyway — reuse its count
+    # instead of paying a separate corpus.count() job (r12, guide §5)
+    truth_df, n_vec = S.exact_cosine_pairs_n(corpus, _SEM_THRESHOLD)
     truth = (
-        S.exact_cosine_pairs(corpus, _SEM_THRESHOLD)
+        truth_df
         .select(
             F.col("id_a").alias("va"),
             F.col("id_b").alias("vb"),
@@ -1873,28 +1875,26 @@ def curation_dedup_order_sensitivity(
     )
     cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     joined = ex.join(cl, "doc_id")
-    order_a = joined.select(
+    # r12: both orders' keep flags as COLUMNS on one relation, so the
+    # redact + window chain evaluates once — the previous shape combined
+    # four aggregates by crossJoin, re-evaluating `joined` four times
+    # (guide §1.2: don't compute things twice). doc_id is unique, so
+    # |A ∩ B| = Σ (keep_a AND keep_b) exactly.
+    w_cl = Window.partitionBy("cluster_id")
+    flagged = joined.select(
         "doc_id",
+        "r",
         (
             F.col("keep2")
             & (
                 F.col("doc_id")
-                == F.min(
-                    F.when(F.col("keep2"), F.col("doc_id"))
-                ).over(Window.partitionBy("cluster_id"))
+                == F.min(F.when(F.col("keep2"), F.col("doc_id"))).over(w_cl)
             )
-        ).alias("keep"),
-    ).filter("keep").select("doc_id")
-    nd = joined.select(
+        ).alias("keep_a"),
+        (F.col("doc_id") == F.min("doc_id").over(w_cl)).alias("keep_nd"),
+    ).select(
         "doc_id",
-        "r",
-        (
-            F.col("doc_id")
-            == F.min("doc_id").over(Window.partitionBy("cluster_id"))
-        ).alias("keep_nd"),
-    )
-    order_b = nd.select(
-        "doc_id",
+        "keep_a",
         (
             F.col("keep_nd")
             & (
@@ -1903,29 +1903,29 @@ def curation_dedup_order_sensitivity(
                     F.when(F.col("keep_nd"), F.col("doc_id"))
                 ).over(Window.partitionBy(F.md5(F.col("r"))))
             )
-        ).alias("keep"),
-    ).filter("keep").select("doc_id")
-    n_docs = joined.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    n_a = order_a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
-    n_b = order_b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
-    n_common = order_a.join(order_b, "doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_common")
+        ).alias("keep_b"),
     )
-    return (
-        n_docs.crossJoin(F.broadcast(n_a))
-        .crossJoin(F.broadcast(n_b))
-        .crossJoin(F.broadcast(n_common))
-        .select(
-            "n_docs",
-            F.col("n_a").alias("n_exact_first"),
-            F.col("n_b").alias("n_neardup_first"),
-            "n_common",
-            _idiv_col(
-                F.col("n_common"),
-                F.col("n_a") + F.col("n_b") - F.col("n_common"),
-                scale=1000,
-            ).alias("survivor_jaccard_permille"),
-        )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("keep_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("keep_a") & F.col("keep_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_common"),
+    ).select(
+        "n_docs",
+        F.col("n_a").alias("n_exact_first"),
+        F.col("n_b").alias("n_neardup_first"),
+        "n_common",
+        _idiv_col(
+            F.col("n_common"),
+            F.col("n_a") + F.col("n_b") - F.col("n_common"),
+            scale=1000,
+        ).alias("survivor_jaccard_permille"),
     )
 
 
@@ -2356,6 +2356,12 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_micro"
         ),
     )
+    # r12: materialize the k²-bounded transition matrix ONCE — the 16
+    # unrolled iterations each embedded the full events-scan subtree, so
+    # the analyzed plan grew superlinearly with rounds (planning time,
+    # not data, dominated the 2.3 s wall; guide §7.3 "very large plans").
+    # One eager checkpoint of ≤ k² rows; values unchanged.
+    p = p.localCheckpoint(eager=True)
     states = p.select(F.col("prev_type").alias("state")).distinct()
     n_states = states.agg(F.count(F.lit(1)).cast("long").alias("k"))
     pi = states.crossJoin(F.broadcast(n_states)).select(

@@ -341,16 +341,24 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = t.embeddings.select(
         "vec_id", "embedding", S.ivf_cell_expr(cents).alias("cell")
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # r12: hoist per-vector norms before the pair join — 1 fold per
+    # candidate pair instead of S.cosine's 3; bit-identical (same fold,
+    # same dot/(na*nb) association — the llm_ops12 _semantic_dropped
+    # note).
+    withn = assigned.withColumn(
+        "nrm", F.sqrt(S.dot(F.col("embedding"), F.col("embedding")))
+    )
+    a, b = withn.alias("a"), withn.alias("b")
+    cos_ab = S.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     dropped = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("b.vec_id") < F.col("a.vec_id")),
         )
-        .filter(
-            S.cosine(F.col("a.embedding"), F.col("b.embedding")) >= _SEM_THRESHOLD
-        )
+        .filter(cos_ab >= _SEM_THRESHOLD)
         .select(F.col("a.vec_id").alias("vec_id"))
         .distinct()
     )
