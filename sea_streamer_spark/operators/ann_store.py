@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .litexpr import lit_doubles
+
 from .similarity import cos_py, cosine, ivf_cell_expr
 
 __all__ = ["write_ivf_store", "ann_store_topk"]
@@ -63,7 +65,7 @@ def ann_store_topk(
     df = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probed))
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
-    q = F.lit([float(x) for x in qvec])
+    q = lit_doubles(qvec)
     return (
         df.select(
             id_col,

@@ -108,8 +108,12 @@ def bloom_might_contain(model: BloomModel, col: Column) -> Column:
     """Map-side membership probe: AND over g packed-word bit tests. The
     word array rides into the plan as ONE array literal (m_bits/64 longs —
     ~128 KB at m=2^20), evaluated JVM-side in whole-stage codegen; no
-    Python, no shuffle, no join."""
-    words = F.lit(list(model.words))
+    Python, no shuffle, no join. r12: the literal is built by one SQL
+    parse (litexpr.lit_longs) — ``F.lit(16k-element list)`` cost ~8 s of
+    py4j round-trips per plan build; values fold identically."""
+    from .litexpr import lit_longs
+
+    words = lit_longs(model.words)
     cond = F.lit(True)
     for bit in _probe_bits(col, model.m_bits, model.g):
         word = F.element_at(words, ((bit / 64).cast("long") + 1).cast("int"))

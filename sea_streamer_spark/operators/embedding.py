@@ -37,6 +37,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .litexpr import lit_doubles
+
 
 @dataclass(frozen=True)
 class WhitenModel:
@@ -184,8 +186,8 @@ def sq8_encode(df: DataFrame, mins, scales, vec_col: str = "embedding") -> Colum
     model arrays ride into whole-stage codegen. float32 inputs are cast
     to double (exact), after which every operation is IEEE-identical in
     DuckDB, so the codes value-hash replay."""
-    mn = F.lit([float(v) for v in mins])
-    sc = F.lit([float(v) for v in scales])
+    mn = lit_doubles(mins)
+    sc = lit_doubles(scales)
     idx = F.sequence(F.lit(1), F.size(F.col(vec_col)))
     return F.transform(
         idx,

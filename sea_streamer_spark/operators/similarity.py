@@ -368,7 +368,9 @@ def pq_code_expr(codebooks: list[list[list[float]]], vec_col: str = "embedding")
         # tie-break are identical, but the expression tree is ~ksub× smaller
         # — driver-side plan build dropped from seconds to tens of ms for
         # the composed IVF-PQ query (py4j round-trips scale with tree size).
-        cb = F.lit([[float(x) for x in cvec] for cvec in codebooks[s]])
+        # r12: the literal itself rides one SQL parse (lit_vecs) instead of
+        # per-element py4j lit calls — same constant-folded doubles.
+        cb = lit_vecs([list(cvec) for cvec in codebooks[s]])
         best = F.array_max(
             F.transform(
                 cb,
@@ -453,7 +455,7 @@ def pq_adc_expr(
                 acc += float(x) * float(c)
             lut.append(acc)
         term = F.element_at(
-            F.lit([float(v) for v in lut]),
+            lit_doubles(lut),
             F.element_at(codes_col, s + 1).cast("int") + 1,
         )
         adc = term if adc is None else adc + term
@@ -507,6 +509,9 @@ def ann_ivf_pq_topk(
     )
 
 
+from .litexpr import lit_doubles, lit_vecs  # noqa: E402  (one-parse literals)
+
+
 def ivf_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str = "embedding") -> Column:
     """Nearest-centroid cell id as a single projection expression.
 
@@ -525,7 +530,7 @@ def ivf_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str = "embe
     assert [c for c, _ in centroids] == list(range(len(centroids))), (
         "ivf_cell_expr expects dense 0..n-1 cell ids"
     )
-    cents = F.lit([[float(x) for x in vec] for _, vec in centroids])
+    cents = lit_vecs([vec for _, vec in centroids])
     best = F.array_max(
         F.transform(
             cents,
@@ -783,7 +788,7 @@ def mmr_select(
     # written-down λ-complement) means 0.3 — round so both engines multiply
     # by the SAME double (a 1-ulp score skew here flips the driver hash).
     one_m = round(1.0 - lam, 10)
-    q = F.lit([float(x) for x in query_vec])
+    q = lit_doubles(query_vec)
     cands = (
         df.select(
             F.col(id_col).alias("cid"),

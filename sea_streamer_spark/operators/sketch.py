@@ -102,9 +102,13 @@ def cms_build(
 def cms_estimate_expr(model: CmsModel, key: Column) -> Column:
     """Map-side JVM estimate: min over d packed-row literal lookups — the
     same zero-join probe shape as bloom_might_contain."""
+    from .litexpr import lit_longs
+
     buckets = _bucket_cols(key, model.width)
+    # r12: one-parse literals (d×width longs previously rode py4j
+    # element-by-element — ~2 s of plan-build per probe expression)
     looks = [
-        F.element_at(F.lit(list(model.grid[j])), (b + 1).cast("int"))
+        F.element_at(lit_longs(model.grid[j]), (b + 1).cast("int"))
         for j, b in enumerate(buckets)
     ]
     return F.least(*looks).cast("long")
