@@ -108,6 +108,32 @@ def _measure(
 WIRE_PROBE_BASELINE_MS = 39.0
 
 
+def _stat_snapshot() -> list[int] | None:
+    """Cumulative /proc/stat cpu jiffies (user..steal) — or None where
+    unavailable. Used to compute the hypervisor STEAL share across the
+    bench: the single-threaded probe runs at normal priority on one core
+    and stays flat when the hypervisor only caps the VM's *aggregate*
+    multi-core capacity (observed r12: probes 39–42 ms, host_contended
+    false, yet every 32-core query ran 2–4× slower with 50–120% spreads
+    while /proc/stat showed steal spiking under load). Steal-over-the-run
+    is the mechanical signal for that failure mode."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        if parts and parts[0] == "cpu":
+            return [int(x) for x in parts[1:9]]
+    except Exception:
+        pass
+    return None
+
+
+def _steal_pct(a: list[int] | None, b: list[int] | None) -> float | None:
+    if not a or not b or len(a) < 8 or len(b) < 8:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    busy = sum(d) - d[3]  # exclude idle: steal share of NON-IDLE time
+    return round(100.0 * d[7] / busy, 1) if busy > 0 else 0.0
+
+
 def _cpu_probe() -> float:
     """Milliseconds for a fixed single-threaded pure-Python loop — the
     host-load canary (min of 5 runs after a 1 s settle, so the bench's
@@ -129,6 +155,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     spark = get_spark(app_name="sea-streamer-spark-bench")
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    stat0 = _stat_snapshot()
     probes = {"start": _cpu_probe()}
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -220,8 +247,14 @@ def main() -> None:
     }
     probes["end"] = _cpu_probe()
     full["cpu_probe_ms"] = probes
+    steal = _steal_pct(stat0, _stat_snapshot())
+    full["cpu_steal_pct"] = steal
+    # Contended when the single-thread probes disagree OR the hypervisor
+    # stole a material share of the run's non-idle CPU (the multi-core
+    # capacity failure mode the probes cannot see — _stat_snapshot note).
     full["host_contended"] = bool(
         max(probes.values()) > 1.3 * min(probes.values())
+        or (steal is not None and steal > 3.0)
     )
     # Full payload to a file + an early stdout line; the driver's artifact
     # captures only the trailing ~2000 chars of stdout, and in round 5 the
@@ -242,6 +275,7 @@ def main() -> None:
         "wire_msgs_per_sec": full["wire"].get("wire_msgs_per_sec"),
         "wire_relay_msgs_per_sec": full["wire"].get("wire_relay_msgs_per_sec"),
         "host_contended": full["host_contended"],
+        "cpu_steal_pct": full["cpu_steal_pct"],
         "full": "BENCH_FULL.json",
     }
     line = json.dumps(compact)

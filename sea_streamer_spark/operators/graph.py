@@ -111,15 +111,26 @@ def _hashmin_components(e: DataFrame, max_iter: int) -> DataFrame | None:
         new_labels = (
             labels.union(nbr).groupBy("node").agg(F.min("cluster").alias("cluster"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster") < F.col("o.cluster"))
-            .limit(1)
-            .count()
+        # r12: the convergence flag rides INSIDE the checkpointed frame —
+        # the old→new comparison join runs once in the materialization
+        # job, and the per-round fixpoint check becomes a narrow scan of
+        # checkpointed blocks instead of its own join+shuffle job (guide
+        # §5: halve the per-round driver round-trip cost). new ≤ old
+        # always (the min-aggregate includes the old label), so
+        # ``chg = new < old`` detects exactly the old check's condition.
+        upd = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster", "old"), "node"
+            )
+            .select(
+                "node",
+                "cluster",
+                (F.col("cluster") < F.col("old")).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
+        changed = upd.filter("chg").limit(1).count()
+        labels = upd.select("node", "cluster")
         if changed == 0:
             return labels
     return None
