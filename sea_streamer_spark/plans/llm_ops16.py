@@ -62,15 +62,23 @@ def _stream_transform(df: DataFrame) -> DataFrame:
 
 
 def _streamed_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run (once per machine+sf; flock-serialized, .done-marked like the
-    broker roundtrip fixtures) the streaming front over ``sf_dir``'s
-    documents and return the accumulated per-doc flag state. The
-    envelope log carries the SAME PII-injected text the batch pipeline
-    derives (injection is corpus fixture, redaction is the pipeline),
-    so the two fronts see identical inputs."""
+    """Run the streaming front over ``sf_dir``'s documents and return
+    the accumulated per-doc flag state. The envelope log carries the
+    SAME PII-injected text the batch pipeline derives (injection is
+    corpus fixture, redaction is the pipeline), so the two fronts see
+    identical inputs.
+
+    The envelope log is an INPUT fixture (write-once per machine+sf,
+    flock-serialized — the broker-roundtrip-fixture posture); the
+    streaming COMPUTATION runs fresh on every invocation into a
+    throwaway work dir, so no computed intermediate persists across
+    bench/oracle runs (the ``ss_write_roundtrip`` posture; r12
+    measurement-honesty fix — previously the flag state was .done-memoized
+    with the fixture, which let re-invocations skip the streamed front)."""
     import fcntl
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from ..streaming.curation import (
@@ -98,15 +106,21 @@ def _streamed_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(root, "src"),
                 n_segments=_STREAM_SEGMENTS,
             )
-            run_curation_stream(
-                spark,
-                os.path.join(root, "src"),
-                os.path.join(root, "work"),
-                _stream_transform,
-            )
             with open(done, "w"):
                 pass
-    return read_flags(spark, os.path.join(root, "work", "flags"))
+        # migrate pre-r12 layouts: the old protocol persisted the stream
+        # output under root/work — computed state, remove it
+        shutil.rmtree(os.path.join(root, "work"), ignore_errors=True)
+    work = tempfile.mkdtemp(prefix="sea_curation_work_")
+    try:
+        flags_dir = run_curation_stream(
+            spark, os.path.join(root, "src"), work, _stream_transform
+        )
+        # eager materialization so the throwaway dir can be removed
+        # before the caller's funnel tail evaluates
+        return read_flags(spark, flags_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _build_streaming_e2e_oracle() -> str:
@@ -773,17 +787,23 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u", "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # r12: the per-round pick is an argmax (max count, min label on
+        # ties) — min(struct(-c, lab)) in ONE keyed aggregate with
+        # map-side partial aggregation, instead of a row_number window
+        # that paid a per-round sort on top of the (u) shuffle
+        # (guide §2.3 "aggregate before you shuffle"). Struct order is
+        # lexicographic, so min(-c, lab) == (max c, then min lab),
+        # exactly the old ORDER BY c DESC, lab ASC rank-1 row.
         labels = (
-            counted.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("u").orderBy(
-                        F.desc("c"), F.asc("lab")
+            counted.groupBy("u")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("lab").alias("lab")
                     )
-                ),
+                ).alias("b")
             )
-            .filter(F.col("rn") == 1)
-            .select("u", "lab")
+            .select("u", F.col("b.lab").alias("lab"))
         )
     sized = labels.groupBy(F.col("lab").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("size")
@@ -1792,9 +1812,14 @@ def events_markov_entropy_rate(
     from .llm_ops12 import _idiv_col
     from .llm_ops15 import events_markov_stationary
 
+    # r12: materialize the k-row stationary vector ONCE — it is
+    # referenced twice below (the terms join and the k count), and each
+    # reference embeds the full 16-iteration unrolled chain whose
+    # PLANNING cost dominates its wall time (the llm_ops15 checkpoint
+    # rationale; guide §7.3 "very large plans")
     pi = events_markov_stationary(spark, sf_dir).select(
         "state", "stationary_micro"
-    )
+    ).localCheckpoint(eager=True)
     tm = events_transition_matrix(spark, sf_dir)
     rowt = tm.groupBy("prev_type").agg(F.sum("n").cast("long").alias("rt"))
     cells = tm.join(rowt, "prev_type").select(
@@ -2048,17 +2073,27 @@ def quality_ks_gate_separation(
         .cast("long")
         .alias("cn0"),
     )
+    # r12: one pass over the margin dimension (guide §1.2 / the wave-10
+    # order-sensitivity fusion). Previously the gap relation was
+    # self-joined against its own max (best) and cross-joined with a
+    # separate totals aggregate, so the NB scoring chain upstream was
+    # embedded (and its post-exchange compute re-run) up to 6×. The
+    # totals now ride the SAME single-partition margin sort as the
+    # cumulative sums (an unbounded frame adds no exchange), and the
+    # argmax-with-min-margin-tie-break is min(struct(-gap2, m)) — exactly
+    # the old max-gap2-then-min-m because struct order is lexicographic.
     w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = vals.select(
         "m",
         F.sum("cp0").over(w).cast("long").alias("cp"),
         F.sum("cn0").over(w).cast("long").alias("cn"),
+        F.sum("cp0").over(wall).cast("long").alias("np"),
+        F.sum("cn0").over(wall).cast("long").alias("nn"),
     )
-    tot = cum.agg(
-        F.max("cp").cast("long").alias("np"),
-        F.max("cn").cast("long").alias("nn"),
-    )
-    gaps = cum.crossJoin(F.broadcast(tot)).select(
+    gaps = cum.select(
         "m",
         "np",
         "nn",
@@ -2066,27 +2101,22 @@ def quality_ks_gate_separation(
             "gap2"
         ),
     )
-    best = gaps.groupBy("np", "nn").agg(
-        F.max("gap2").cast("long").alias("gap_num")
+    res = gaps.agg(
+        F.max("np").cast("long").alias("np"),
+        F.max("nn").cast("long").alias("nn"),
+        F.max("gap2").cast("long").alias("gap_num"),
+        F.min(
+            F.struct(
+                (-F.col("gap2")).alias("ng"), F.col("m").alias("m")
+            )
+        ).alias("b"),
     )
-    arg = (
-        gaps.join(
-            F.broadcast(best),
-            (gaps.np == best.np)
-            & (gaps.nn == best.nn)
-            & (gaps.gap2 == best.gap_num),
-        )
-        .agg(F.min("m").cast("long").alias("argmax_margin"))
-    )
-    return (
-        best.crossJoin(F.broadcast(arg))
-        .select(
-            F.col("np").alias("n_pos"),
-            F.col("nn").alias("n_neg"),
-            "gap_num",
-            _idiv_col(
-                F.col("gap_num"), F.col("np") * F.col("nn"), scale=1000
-            ).alias("ks_d_milli"),
-            "argmax_margin",
-        )
+    return res.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        "gap_num",
+        _idiv_col(
+            F.col("gap_num"), F.col("np") * F.col("nn"), scale=1000
+        ).alias("ks_d_milli"),
+        F.col("b.m").cast("long").alias("argmax_margin"),
     )
