@@ -106,21 +106,28 @@ def _hashmin_components(e: DataFrame, max_iter: int) -> DataFrame | None:
     )
     for _ in range(max_iter):
         nbr = sym.join(labels.withColumnRenamed("node", "v"), "v").select(
-            F.col("u").alias("node"), "cluster"
-        )
-        new_labels = (
-            labels.union(nbr).groupBy("node").agg(F.min("cluster").alias("cluster"))
+            F.col("u").alias("node"),
+            "cluster",
+            F.lit(False).alias("own"),
         )
         # r12: the convergence flag rides INSIDE the checkpointed frame —
-        # the old→new comparison join runs once in the materialization
-        # job, and the per-round fixpoint check becomes a narrow scan of
-        # checkpointed blocks instead of its own join+shuffle job (guide
-        # §5: halve the per-round driver round-trip cost). new ≤ old
-        # always (the min-aggregate includes the old label), so
-        # ``chg = new < old`` detects exactly the old check's condition.
+        # the old→new comparison runs in the materialization job, and the
+        # per-round fixpoint check becomes a narrow scan of checkpointed
+        # blocks instead of its own join+shuffle job (guide §5: halve the
+        # per-round driver round-trip cost). The old label is recovered
+        # IN the same keyed aggregate (each node contributes exactly one
+        # ``own`` row, so ``min(cluster) FILTER own`` IS the previous
+        # label — no post-aggregate join with the labels frame; guide
+        # §2.3/§2.4: one exchange per round, not two). new ≤ old always
+        # (the min includes the own row), so ``chg = new < old`` detects
+        # exactly the old check's condition.
         upd = (
-            new_labels.join(
-                labels.withColumnRenamed("cluster", "old"), "node"
+            labels.withColumn("own", F.lit(True))
+            .union(nbr)
+            .groupBy("node")
+            .agg(
+                F.min("cluster").alias("cluster"),
+                F.min(F.when(F.col("own"), F.col("cluster"))).alias("old"),
             )
             .select(
                 "node",

@@ -308,9 +308,15 @@ def _winnow_prints_df(docs: DataFrame) -> DataFrame:
     The argmin inside each window is the integer encode
     ``h·2^20 + (2^20-1-pos)`` — minimal hash first, RIGHTMOST position on
     hash ties (the paper's robust-winnowing tie rule). Hashes are computed
-    ONCE per k-gram position (before the ×W window explode), and the
-    explode itself is the bounded fan-out W, so the relation volume is
-    W×positions — never quadratic."""
+    ONCE per k-gram position; the per-window minimum is a frame-bounded
+    window ``MIN`` over the trailing W positions (r12: previously a ×W
+    ``explode(sequence(...))`` + (doc, n_pos, e)-keyed aggregate — the
+    window form computes the identical ``MIN(enc)`` per window end e while
+    removing the W× row fan-out AND the groupBy exchange: the fan_out
+    hash-partitioning on doc_id is reused, so selection adds only a local
+    per-doc sort; guide §2.4)."""
+    from pyspark.sql.window import Window
+
     from ..operators.dedup import _shingle_array
     from ..operators.scale import fan_out
     from ..operators.text import char_fold_hash
@@ -325,18 +331,23 @@ def _winnow_prints_df(docs: DataFrame) -> DataFrame:
     hashed = pos_rel.filter(F.col("n_pos") >= _WIN_W).select(
         "doc_id",
         "n_pos",
+        "pos",
         (
             char_fold_hash(F.col("sh")) * _POS_MOD
             + (F.lit(_POS_MOD - 1) - F.col("pos"))
         ).alias("enc"),
-        F.explode(
-            F.sequence(
-                F.greatest(F.col("pos"), F.lit(_WIN_W - 1)),
-                F.least(F.col("pos") + _WIN_W - 1, F.col("n_pos") - 1),
-            )
-        ).alias("e"),
     )
-    sel = hashed.groupBy("doc_id", "n_pos", "e").agg(F.min("enc").alias("m"))
+    wmin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), 0)
+    )
+    sel = hashed.select(
+        "doc_id",
+        "n_pos",
+        F.col("pos").alias("e"),
+        F.min("enc").over(wmin).alias("m"),
+    ).filter(F.col("e") >= _WIN_W - 1)
     return sel.select(
         "doc_id",
         "n_pos",

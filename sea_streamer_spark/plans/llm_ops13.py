@@ -2209,21 +2209,55 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct fingerprints, duplicate-chunk rate (permille) and mean
     chunk length (milli) under Rabin-style h%64==0 boundaries over an
     8-char rolling window. Plan: the boundary scan is one JVM
-    higher-order filter per doc (O(bytes), CDC's inherent cost); chunk
-    extraction is an explode + one doc-keyed lag window + substring —
-    row shapes, no driver involvement; the rollup is one keyed
-    aggregate. The text column rides the explode (64:1 against the
-    chunk fan-out; at 100 TB swap to offsets + a re-join against the
-    doc store if rows are huge — documented)."""
+    higher-order filter per doc over a once-built int codes array
+    (O(bytes), CDC's inherent cost — r12: fan_out + codes array + a
+    Generate barrier, see the inline note); chunk extraction is an
+    explode + one doc-keyed lag window + substring — row shapes, no
+    driver involvement; the rollup is one keyed aggregate. The text
+    column rides the explode (64:1 against the chunk fan-out; at 100 TB
+    swap to offsets + a re-join against the doc store if rows are huge
+    — documented)."""
+    from ..operators.scale import fan_out
+
     docs = load_tables(spark, sf_dir, "documents").documents.filter(
         F.length("text") > 0
     )
-    fold = (
-        f"aggregate(split(substring(text, CAST(i AS INT) - 7, {_CDC_WINDOW}),"
-        f" ''), CAST(0 AS BIGINT),"
-        f" (a, c) -> (a * 31 + ascii(c)) % 1000000007)"
+    # r12: the per-position window fold previously re-sliced the string —
+    # ``aggregate(split(substring(text, i-7, 8), ''))`` — an interpreted
+    # 8-step fold plus an O(i) substring scan and 9 string allocations for
+    # EVERY position, all inside the scan's single small-file task. Now a
+    # per-doc int codes array is built ONCE (post-fan_out, so the O(bytes)
+    # work parallelizes across the shuffle width), and the lambda is 8
+    # O(1) array reads + integer arithmetic. The direct 8-term polynomial
+    # equals the stepwise fold exactly: each fold step keeps a < 1e9+7 so
+    # a*31+c never overflows, hence fold(window) ≡ Σ 31^(7-j)·c_j (mod p),
+    # and the direct sum's magnitude is ≤ ~7.3e12 ≪ 2^63. The one-element
+    # explode between the codes projection and the boundary lambda is a
+    # Generate BARRIER: CollapseProject cannot merge across Generate, so
+    # the codes build cannot be re-inlined into the per-position lambda
+    # (the documented project-collapse trap, operators/dedup.simhash note).
+    # Equivalence is pinned by test_cdc_chunking_full_python_replay and
+    # the plan shape by test_cdc_codes_built_once_below_barrier.
+    coded = (
+        fan_out(docs.select("doc_id", "source", "text"), key="doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.length("text").cast("long").alias("len"),
+            F.expr("transform(split(text, ''), c -> ascii(c))").alias(
+                "codes"
+            ),
+        )
+        .select("*", F.explode(F.array(F.lit(1))).alias("__barrier"))
+        .drop("__barrier")
     )
-    ends = docs.select(
+    fold = " + ".join(
+        f"CAST(codes[CAST(i AS INT) - {_CDC_WINDOW - j}] AS BIGINT)"
+        f" * {31 ** (_CDC_WINDOW - 1 - j)}"
+        for j in range(_CDC_WINDOW)
+    )
+    ends = coded.select(
         "doc_id",
         "source",
         "text",
@@ -2231,14 +2265,15 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(
                 F.concat(
                     F.when(
-                        F.length("text") >= _CDC_WINDOW,
+                        F.col("len") >= _CDC_WINDOW,
                         F.expr(
                             f"filter(sequence(CAST({_CDC_WINDOW} AS BIGINT),"
-                            f" CAST(length(text) AS BIGINT)),"
-                            f" i -> ({fold}) % {_CDC_MASK} = 0)"
+                            f" len),"
+                            f" i -> (({fold}) % 1000000007)"
+                            f" % {_CDC_MASK} = 0)"
                         ),
                     ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)")),
-                    F.array(F.length("text").cast("long")),
+                    F.array(F.col("len")),
                 )
             )
         ).alias("e"),

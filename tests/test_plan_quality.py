@@ -604,18 +604,20 @@ class TestRound8Waves:
         assert "EvalPython" not in plan, plan
 
     def test_winnowing_hashes_before_window_explode(self, spark, sf_dir):
-        """The char-fold hash must be computed once per position BEFORE
-        the ×W window explode — the explode's Generate input carries the
-        already-encoded value, not the shingle string."""
+        """The char-fold hash must be computed once per position, and the
+        per-window selection must be the frame-bounded window MIN (r12) —
+        no ×W explode fan-out, no (doc, e)-keyed re-aggregation shuffle:
+        exactly one Generate (the shingle posexplode) and a Window whose
+        min() consumes the already-encoded long."""
         plan = _final_plan(
             QUERIES["text_winnowing_fingerprints"].fn(spark, sf_dir)
         )
-        # two Generates: posexplode (shingles) then the window explode;
-        # the second must consume an aggregate-encoded long, not re-hash
         gens = [ln for ln in plan.splitlines() if "Generate" in ln]
-        assert len(gens) >= 2, plan
-        window_gen = gens[-1]
-        assert "aggregate" not in window_gen, window_gen
+        assert len(gens) == 1, plan
+        assert "Window" in plan, plan
+        win_lines = [ln for ln in plan.splitlines() if "min(enc" in ln]
+        assert win_lines, plan
+        assert all("aggregate(" not in ln for ln in win_lines), plan
         assert "EvalPython" not in plan, plan
         assert "CartesianProduct" not in plan, plan
 
@@ -697,6 +699,24 @@ class TestRound9Session2Plans:
         plan = _final_plan(QUERIES["dedup_cdc_chunking"].fn(spark, sf_dir))
         assert "EvalPython" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+    def test_cdc_codes_built_once_below_barrier(self, spark, sf_dir):
+        """r12: the per-doc int codes array must be materialized in a
+        Project BELOW the Generate barrier, and the per-position boundary
+        lambda must read `codes` attributes only — if project-collapse
+        ever re-inlines the codes build into the lambda (the O(n²) trap),
+        `transform(split(` shows up inside the filter lambda's Generate."""
+        plan = _final_plan(QUERIES["dedup_cdc_chunking"].fn(spark, sf_dir))
+        # the codes build appears exactly once, in a Project, not in the
+        # boundary Generate's filter lambda
+        assert plan.count("transform(split(") == 1, plan
+        lam_lines = [
+            ln for ln in plan.splitlines() if "filter(sequence(" in ln
+        ]
+        assert lam_lines, plan
+        assert all(
+            "transform(split(" not in ln for ln in lam_lines
+        ), plan
 
     def test_anisotropy_no_pairwise(self, spark, sf_dir):
         """THE point of the identity form: no join of the embedding
