@@ -63,6 +63,8 @@ def _semantic_scored(
     ``semantic_cells_for`` rung instead."""
     from .llm_ops import gate_ivf_centroids
 
+    from ..operators.scale import fan_out
+
     t = load_tables(spark, sf_dir, "embeddings")
     cents = gate_ivf_centroids(n_cells=n_cells)
     if cents is None:
@@ -71,7 +73,12 @@ def _semantic_scored(
         [(int(c), [float(x) for x in v]) for c, v in cents],
         "cell long, cvec array<double>",
     )
-    assigned = t.embeddings.select(
+    # r12: fan_out before the argmax projection — the n_cells × dim
+    # distance fold is the expensive per-row stage, and the embeddings
+    # scan is one small-file split locally, so without the fan-out the
+    # whole quantization ran in a single task (guide §2.5 input-parallelism
+    # note; no-op at production scale where splits ≫ cores).
+    assigned = fan_out(t.embeddings, key="vec_id").select(
         "vec_id", "embedding", S.ivf_cell_expr(cents).alias("cell")
     )
     return assigned.join(F.broadcast(cent_df), "cell").select(
@@ -734,7 +741,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     docs = load_tables(spark, sf_dir, "documents").documents
-    pairs = D.minhash_lsh_dedup(docs, threshold=0.5).select("doc_a", "doc_b")
+    # r12: pairs feeds the degree union (×2) AND the three-way oriented
+    # triangle join — one eager checkpoint, one LSH build (guide §3.3)
+    pairs = (
+        D.minhash_lsh_dedup(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionAll(pairs.select(F.col("doc_b").alias("node")))

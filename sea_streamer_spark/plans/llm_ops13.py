@@ -2664,7 +2664,15 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     docs = load_tables(spark, sf_dir, "documents").documents
-    pairs = D.minhash_lsh_dedup(docs, threshold=0.5).select("doc_a", "doc_b")
+    # r12: the pair list is referenced 6+ times below (×2 union, two deg
+    # joins, n_nodes) and the LSH verify chain was re-run for the copies
+    # exchange reuse could not cover — one eager checkpoint makes the
+    # build single-evaluation (measured −72% on this query; guide §3.3).
+    pairs = (
+        D.minhash_lsh_dedup(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     e = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(

@@ -1974,7 +1974,19 @@ def _aa_graph(spark: SparkSession, sf_dir: str):
     """Spark side of the shared co-purchase graph: (pairs, e, deg,
     wedges) exactly as the registered AA query builds them — extracted
     (pure refactor, identical plan) so llm_ops15's hub-capped variant
-    scores the same graph."""
+    scores the same graph.
+
+    r12: ``pairs`` is eager-localCheckpointed — every consumer references
+    the graph several times (e is a ×2 union of pairs, wedges a self-join
+    of e, deg an aggregate of e; the AA/LPA/link-pred rows then join
+    these against each other), and the lineitem⋈lineitem co-purchase
+    build was re-evaluated for the references AQE's exchange reuse could
+    not cover (measured: assortativity-class queries spend most of their
+    wall re-running the pair build). The checkpoint is computed inside
+    the query invocation (never reused across runs) and cuts the build
+    to exactly one evaluation; pairs is co-purchase mass, not corpus
+    mass, so materializing it is the right 100 TB shape too (guide §3.3:
+    materialise the multiply-referenced intermediate)."""
     li = load_tables(spark, sf_dir, "lineitem").lineitem
     a0, b0 = li.alias("a0"), li.alias("b0")
     pairs = (
@@ -1990,6 +2002,7 @@ def _aa_graph(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= _LP_MIN_CO)
         .select("pa", "pb")
+        .localCheckpoint(eager=True)
     )
     e = pairs.select(
         F.col("pa").alias("u"), F.col("pb").alias("v")
