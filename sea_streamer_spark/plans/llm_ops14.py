@@ -151,10 +151,14 @@ def dedup_semantic_cell_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula. Truth side is the blocked numpy tile sweep
     (exact_cosine_pairs — all-pairs BY DESIGN, it is ground truth);
     the counting side never leaves vec_id/cell-keyed equi-joins."""
+    from ..operators.scale import fan_out
     from .llm_ops import gate_ivf_centroids
 
     t = load_tables(spark, sf_dir, "embeddings")
-    emb = t.embeddings
+    # r12: fan_out — the three quantizer applies are the expensive
+    # per-row stages; without it they all ran inside the one small-file
+    # scan task (no-op at production split counts)
+    emb = fan_out(t.embeddings, key="vec_id")
     # the truth side collects every row anyway — reuse its count instead
     # of paying a separate emb.count() job (r12, guide §5)
     truth_df, n_vec = S.exact_cosine_pairs_n(emb, _SEM_THRESHOLD)

@@ -384,9 +384,13 @@ def dedup_semantic_recall_planted(
     counting side never leaves vec_id/cell-keyed equi-joins; quantizers
     are the gate-trained k-means family (train-once-apply-at-any-scale,
     so each size matches its centroid-literal oracle at every sf)."""
+    from ..operators.scale import fan_out
     from .llm_ops import gate_ivf_centroids
 
-    corpus = planted_embeddings(spark, sf_dir)
+    # r12: fan_out — the three quantizer applies below are the expensive
+    # per-row stages and the derived corpus otherwise inherits the single
+    # small-file scan split (no-op at production split counts)
+    corpus = fan_out(planted_embeddings(spark, sf_dir), key="vec_id")
     key_a = _BASE_KEY_SQL.format(id="va")
     key_b = _BASE_KEY_SQL.format(id="vb")
     # the truth side collects every corpus row anyway — reuse its count

@@ -338,6 +338,10 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = gate_ivf_centroids(n_cells=_SEM_CELLS)
     if cents is None:
         cents = S.ivf_centroids(t.embeddings, n_cells=_SEM_CELLS)
+    # r12: fan_out measured here and REVERTED — unlike _semantic_scored,
+    # this query's wall is its Σpop² pair join, not the 16-cell argmax;
+    # the added exchange cost more than the parallelism bought (0.33 →
+    # 0.40 s at sf0.1)
     assigned = t.embeddings.select(
         "vec_id", "embedding", S.ivf_cell_expr(cents).alias("cell")
     )
