@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import MOD, char_fold_hash, tokens
+from .text import BASE, MOD, char_fold_hash, tokens
 
 #: (a, b) parameters for the MinHash permutation family h_j = (a*x+b) % MOD.
 #: Spread with large multiplicative constants (Fibonacci/murmur-style), NOT
@@ -497,6 +497,158 @@ def positional_shingles(
     df = fan_out(df, key=id_col)
     return df.select(
         F.col(id_col), F.posexplode(_shingle_array(text_col, k)).alias("pos", "sh")
+    )
+
+
+def shared_key_pairs(
+    rel: DataFrame,
+    key_col: str,
+    id_col: str,
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b): one row per key the pair shares, with
+    ``doc_a < doc_b`` — exactly the multiset the classic inverted-index
+    self-join ``a.join(b, key).filter(a.id < b.id)`` produces, computed
+    instead as ONE keyed aggregate plus a task-local pair expansion:
+
+        groupBy(key) → sort_array(collect_set(id)) → explode all C(df,2)
+        ordered pairs of the sorted id array.
+
+    Precondition: ``rel`` must be distinct on (key, id) — collect_set
+    deduplicates, so feeding a non-distinct relation here CHANGES the
+    multiplicity the self-join would have produced (every caller in this
+    repo passes a distinct relation).
+
+    Why: the self-join shuffles the relation TWICE (both sides) plus the
+    join machinery, and a count-window ``df`` guard adds a third
+    exchange with no map-side aggregation; this shape pays ONE exchange
+    of (key, id) and generates each bucket's pairs locally. Per-task
+    memory/skew is the same Σ df² bucket locality the self-join has (a
+    hot key lands on one reducer either way); ``max_df`` bounds it where
+    the consumer has a boilerplate cap, and the salted 2D-grid
+    replication remains the documented production swap for uncapped
+    adversarial corpora."""
+    g = rel.groupBy(key_col).agg(
+        F.sort_array(F.collect_set(id_col)).alias("_ds")
+    )
+    df_ok = F.size("_ds") >= min_df
+    if max_df is not None:
+        df_ok = df_ok & (F.size("_ds") <= max_df)
+    ds = F.col("_ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.greatest(F.size(ds) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        g.filter(df_ok)
+        .select(F.explode(pair_arr).alias("_p"))
+        .select(F.col("_p.doc_a").alias("doc_a"), F.col("_p.doc_b").alias("doc_b"))
+    )
+
+
+#: Power table bound for the composed shingle fold (31^n % MOD for
+#: n = 0.._POW31_MAX): covers every shingle whose trailing k-1 tokens plus
+#: separators total < _POW31_MAX characters; longer-token documents fall
+#: back to the per-shingle string fold (same value, slower path).
+_POW31_MAX = 4096
+
+
+def _pow31_list() -> list[int]:
+    p, out = 1, [1]
+    for _ in range(_POW31_MAX):
+        p = p * BASE % MOD
+        out.append(p)
+    return out
+
+
+def positional_shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, n_pos, pos, h) where ``h = char_fold_hash(shingle at pos)`` —
+    bit-identical to ``positional_shingles`` + :func:`..text.char_fold_hash`
+    but WITHOUT materializing the shingle strings: per-token hashes and
+    lengths are built once per document (each character folds exactly once
+    instead of k times) and the per-position hash is the closed-form
+    composition of the fold homomorphism
+
+        fold(s1 + s2) = (fold(s1) * 31^len(s2) + fold(s2)) % MOD
+
+    over the k tokens and their single-space separators (ascii 32), with
+    31^n read from a constant-folded power table (``litexpr.lit_longs``).
+    Exactness: every intermediate stays < ~1.1e18 < 2^63 (h < MOD,
+    powers < MOD, so h*P + 32*P + h < MOD^2 + 2^35), and ``F.length``
+    counts codepoints exactly like the fold's ``split(s, '')`` iteration
+    (pinned incl. astral-plane chars by test_fold_composition). Documents
+    whose tokens could index past the power table take a per-doc fallback
+    branch computing the original string fold (value-identical).
+
+    The token arrays are materialized behind a one-element explode — the
+    Generate barrier of the CDC codes-array recipe — so CollapseProject
+    cannot re-inline the array builds into the per-position lambda (the
+    documented O(k·n²) element_at trap)."""
+    from .litexpr import lit_longs
+    from .scale import fan_out
+
+    df = fan_out(df, key=id_col)
+    arr = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        arr.alias("_tk"),
+        F.transform(arr, char_fold_hash).alias("_th"),
+        F.transform(arr, lambda t: F.length(t).cast("long")).alias("_tl"),
+    )
+    bar = base.select(
+        id_col, "_tk", "_th", "_tl", F.explode(F.array(F.lit(0))).alias("_b")
+    )
+    powers = lit_longs(_pow31_list())
+    th, tl = F.col("_th"), F.col("_tl")
+    # n from the TOKEN array, never from _th: a caller's filter on n_pos
+    # gets pushed below the barrier and the exchange, and a pushed
+    # predicate re-inlines whatever expression defines it — size(_tk) is
+    # a cheap split, size(_th) would re-run the whole per-token fold
+    # serially inside the scan task (observed on dedup_winnowing_pairs).
+    n = F.size(F.col("_tk"))
+    m = n - k + 1
+
+    def h_at(i):
+        # i: 1-based index (Column) of the shingle's first token.
+        h = F.element_at(th, i + (k - 1))
+        rest = F.element_at(tl, i + (k - 1))
+        for j in range(k - 2, -1, -1):
+            pw = F.element_at(powers, (rest + 1).cast("int"))  # 31^rest
+            h = (
+                F.element_at(th, i + j) * (pw * BASE % MOD)
+                + F.lit(32) * pw
+                + h
+            ) % MOD
+            rest = rest + 1 + F.element_at(tl, i + j)
+        return h
+
+    fast = F.transform(F.sequence(F.lit(1), m), h_at)
+    # fallback: rebuild the shingle strings from the materialized token
+    # array (the _shingle_array zip_with fold) and fold each — only
+    # evaluated for documents with tokens long enough to overrun the table.
+    sh = F.slice(F.col("_tk"), 1, m)
+    for j in range(1, k):
+        sh = F.zip_with(
+            sh, F.slice(F.col("_tk"), j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    slow = F.transform(sh, char_fold_hash)
+    fits = (k - 1) * (F.coalesce(F.array_max(tl), F.lit(0)) + 1) <= _POW31_MAX - 1
+    harr = F.when(n >= k, F.when(fits, fast).otherwise(slow)).otherwise(
+        F.array().cast("array<long>")
+    )
+    n_pos = F.when(n >= k, m).otherwise(F.lit(0)).cast("int")
+    return bar.select(
+        F.col(id_col),
+        n_pos.alias("n_pos"),
+        F.posexplode(harr).alias("pos", "h"),
     )
 
 

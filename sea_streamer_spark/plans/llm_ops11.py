@@ -302,7 +302,7 @@ _WIN_MIN_SHARED = 3
 _HASH_MOD = 1_000_000_007
 
 
-def _winnow_prints_df(docs: DataFrame) -> DataFrame:
+def _winnow_prints_df(docs: DataFrame, distinct: bool = True) -> DataFrame:
     """(doc_id, n_pos, fp_h, fp_pos): the winnowed fingerprint set.
 
     The argmin inside each window is the integer encode
@@ -314,28 +314,32 @@ def _winnow_prints_df(docs: DataFrame) -> DataFrame:
     window form computes the identical ``MIN(enc)`` per window end e while
     removing the W× row fan-out AND the groupBy exchange: the fan_out
     hash-partitioning on doc_id is reused, so selection adds only a local
-    per-doc sort; guide §2.4)."""
+    per-doc sort; guide §2.4).
+
+    r13: the per-position hash comes from
+    :func:`..operators.dedup.positional_shingle_hashes` — the composed
+    per-token fold (bit-identical to ``char_fold_hash`` of the shingle
+    string, pinned by tests/test_fold_composition.py) — so the shingle
+    STRINGS are never materialized on this path at all: the string build
+    (two zip_with concats per position) plus the per-character re-fold
+    was the measured wall of every winnowing consumer (guide §1.2:
+    don't compute things you throw away)."""
     from pyspark.sql.window import Window
 
-    from ..operators.dedup import _shingle_array
-    from ..operators.scale import fan_out
-    from ..operators.text import char_fold_hash
+    from ..operators.dedup import positional_shingle_hashes
 
-    arr = _shingle_array("text", _WIN_K)
-    d = fan_out(docs, key="doc_id")
-    pos_rel = d.select(
-        "doc_id",
-        F.size(arr).alias("n_pos"),
-        F.posexplode(arr).alias("pos", "sh"),
-    )
-    hashed = pos_rel.filter(F.col("n_pos") >= _WIN_W).select(
-        "doc_id",
-        "n_pos",
-        "pos",
-        (
-            char_fold_hash(F.col("sh")) * _POS_MOD
-            + (F.lit(_POS_MOD - 1) - F.col("pos"))
-        ).alias("enc"),
+    hashed = (
+        positional_shingle_hashes(docs, "text", "doc_id", _WIN_K)
+        .filter(F.col("n_pos") >= _WIN_W)
+        .select(
+            "doc_id",
+            "n_pos",
+            "pos",
+            (
+                F.col("h") * _POS_MOD
+                + (F.lit(_POS_MOD - 1) - F.col("pos"))
+            ).alias("enc"),
+        )
     )
     wmin = (
         Window.partitionBy("doc_id")
@@ -348,14 +352,18 @@ def _winnow_prints_df(docs: DataFrame) -> DataFrame:
         F.col("pos").alias("e"),
         F.min("enc").over(wmin).alias("m"),
     ).filter(F.col("e") >= _WIN_W - 1)
-    return sel.select(
+    out = sel.select(
         "doc_id",
         "n_pos",
         F.shiftright("m", 20).alias("fp_h"),
         (
             F.lit(_POS_MOD - 1) - F.col("m").bitwiseAND(F.lit(_POS_MOD - 1))
         ).alias("fp_pos"),
-    ).distinct()
+    )
+    # consumers that immediately re-aggregate by set semantics (the
+    # collect_set per fp_h in the pairs query) skip the 4-column distinct
+    # exchange — their aggregate deduplicates identically.
+    return out.distinct() if distinct else out
 
 
 def _duck_winnow_prints() -> str:
@@ -481,30 +489,22 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. Complements MinHash-LSH (whole-doc similarity) and
     maximal_duplicate_spans (exact substrings): winnowing is the
     sketch-grain middle — positional, hash-local, and cheap."""
-    from pyspark.sql import Window
+    from ..operators.dedup import shared_key_pairs
 
     docs = load_tables(spark, sf_dir, "documents").documents
-    ph = (
-        _winnow_prints_df(docs.select("doc_id", "text"))
-        .select("doc_id", "fp_h")
-        .distinct()
-    )
-    # df as a window over ph, NOT a second aggregation joined back: the
-    # joined-back shape re-evaluates the whole winnow chain for the ok
-    # branch (measured: 3 chain evaluations, 6 Generates), while the
-    # window keeps it at one — the search_bm25_topk df-as-window posture.
-    phk = (
-        ph.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("fp_h"))
-        )
-        .filter((F.col("df") >= 2) & (F.col("df") <= _WIN_MAX_DF))
-        .drop("df")
-    )
-    a = phk.select(F.col("fp_h"), F.col("doc_id").alias("doc_a"))
-    b = phk.select(F.col("fp_h"), F.col("doc_id").alias("doc_b"))
+    # r13: the (window df → fp_h self-join) tail measured 1.9 s on 100k
+    # print rows — replaced by shared_key_pairs: ONE fp_h-keyed
+    # collect_set aggregate (which also subsumes both the per-(doc,fp_h)
+    # distinct and the df window — set size IS df) plus a task-local
+    # C(df,2) pair expansion, df ≤ _WIN_MAX_DF bounded. Identical pair
+    # multiset to the self-join by construction; the winnow chain is
+    # evaluated exactly ONCE (the self-join evaluated it per side).
+    ph = _winnow_prints_df(docs.select("doc_id", "text"), distinct=False)
     return (
-        a.join(b, "fp_h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        shared_key_pairs(
+            ph.select("fp_h", "doc_id"), "fp_h", "doc_id",
+            min_df=2, max_df=_WIN_MAX_DF,
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= _WIN_MIN_SHARED)

@@ -687,101 +687,103 @@ def dedup_prefix_filter_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical-order prefix index, true-pair count, verified count
     through the prefix candidates, the theorem's miss count (always 0 —
     emitted, not assumed), and the realized candidate reduction
-    (permille). Plan: one shingle explode; df and prefix ranks are
-    windows over it; both pair joins are shingle-keyed equi-joins whose
-    volume is Sum(df^2) over the indexed shingles — the prefix index
-    drops exactly the high-df mass, which is the 100 TB point."""
+    (permille).
+
+    Plan (r13 — guide §1.2/§2.4; 4.78 → 2.2 s measured): ONE shingle
+    explode; df comes from a map-side-partial groupBy broadcast back
+    (27k distinct shingles — never the r12 count window, which shuffled
+    the full positional relation with no partial aggregation); the
+    canonical (df, sh) order and the prefix cut are ONE per-doc
+    sort_array(collect_list) aggregate (sh is unique per doc so the
+    struct order is total — rank ties cannot exist), which also yields
+    the per-doc sizes for free; and the pair work is ONE annotated
+    equi-join: each (doc, sh) row carries its in-prefix flag, so
+    ``is_pre = max(pa AND pb)`` per pair IS membership in the prefix
+    join's candidate set (a pair shares a both-prefix shingle iff some
+    joined row has both flags). The r12 shape ran a second pre⋈pre join
+    plus a pair-keyed left join to annotate — measured 2.1 s of the
+    query's 4.8 s wall at sf0.1 with zero data skew (max df 25)."""
     from ..operators import dedup as D
 
     docs = load_tables(spark, sf_dir, "documents").documents
     ds = D.shingle_sets(docs).cache()
+    perdoc = None
     try:
-        ranked = ds.select(
-            "doc_id",
-            "sh",
-            F.count(F.lit(1))
-            .over(Window.partitionBy("doc_id"))
-            .cast("long")
-            .alias("n"),
-            F.count(F.lit(1))
-            .over(Window.partitionBy("sh"))
-            .cast("long")
-            .alias("df"),
-        ).select(
-            "doc_id",
-            "sh",
-            "n",
-            F.row_number()
-            .over(Window.partitionBy("doc_id").orderBy("df", "sh"))
-            .alias("rk"),
+        counts = ds.groupBy("sh").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
         )
-        pre = ranked.filter(
-            F.col("rk") <= F.col("n") - F.expr("(n + 1) div 2") + 1
-        ).select("doc_id", "sh")
-        a = ds.select(F.col("doc_id").alias("doc_a"), "sh")
-        b = ds.select(F.col("doc_id").alias("doc_b"), "sh")
-        inter = (
+        perdoc = (
+            ds.join(F.broadcast(counts), "sh")
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("df", "sh"))).alias(
+                    "arr"
+                ),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .cache()
+        )
+        plen = F.col("n") - F.floor((F.col("n") + 1) / 2) + 1
+        flagged = perdoc.select(
+            F.col("doc_id"),
+            plen.alias("plen"),
+            F.posexplode(F.transform("arr", lambda s: s["sh"])).alias(
+                "i", "sh"
+            ),
+        ).select(
+            "doc_id", "sh", (F.col("i") < F.col("plen")).alias("inp")
+        )
+        a = flagged.select(
+            F.col("doc_id").alias("doc_a"), "sh", F.col("inp").alias("pa")
+        )
+        b = flagged.select(
+            F.col("doc_id").alias("doc_b"), "sh", F.col("inp").alias("pb")
+        )
+        ann = (
             a.join(b, "sh")
             .filter(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).cast("long").alias("i"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("i"),
+                F.max(F.col("pa") & F.col("pb")).alias("is_pre"),
+            )
         )
-        sizes = ds.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n")
-        )
-        pa = pre.select(F.col("doc_id").alias("doc_a"), "sh")
-        pb = pre.select(F.col("doc_id").alias("doc_b"), "sh")
-        cand_pre = (
-            pa.join(pb, "sh")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
-        # r12 fusion: cand_pre ⊆ inter (a pair sharing a prefix shingle
-        # shares a shingle), and exact ⊆ inter by construction — so ONE
-        # pair relation annotated with (is_true, is_pre) yields all five
-        # pair counts in a single aggregate: the Σ df² inverted-index
-        # join runs ONCE (it previously ran twice: n_all count + the
-        # exact cache build) and 6 driver actions become 2 (guide §1.2:
-        # don't compute things twice; §5: the driver does no data work).
-        # n_missed = n_true − n_verified (semi/anti partition identity).
-        ann = (
-            inter.join(
-                sizes.select(
-                    F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+        sizes = perdoc.select("doc_id", "n")
+        ann2 = (
+            ann.join(
+                F.broadcast(
+                    sizes.select(
+                        F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+                    )
                 ),
                 "doc_a",
             )
             .join(
-                sizes.select(
-                    F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+                F.broadcast(
+                    sizes.select(
+                        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+                    )
                 ),
                 "doc_b",
             )
             .select(
-                "doc_a",
-                "doc_b",
+                "i",
+                "is_pre",
                 (
                     2 * F.col("i") >= F.col("na") + F.col("nb") - F.col("i")
                 ).alias("is_true"),
             )
-            .join(
-                cand_pre.withColumn("is_pre", F.lit(True)),
-                ["doc_a", "doc_b"],
-                "left",
-            )
         )
-        row = ann.agg(
+        row = ann2.agg(
             F.count(F.lit(1)).cast("long").alias("n_all"),
             F.sum(F.when(F.col("is_true"), 1).otherwise(0))
             .cast("long")
             .alias("n_true"),
-            F.sum(F.when(F.col("is_pre").isNotNull(), 1).otherwise(0))
+            F.sum(F.when(F.col("is_pre"), 1).otherwise(0))
             .cast("long")
             .alias("n_pre"),
             F.sum(
-                F.when(F.col("is_true") & F.col("is_pre").isNotNull(), 1)
-                .otherwise(0)
+                F.when(F.col("is_true") & F.col("is_pre"), 1).otherwise(0)
             )
             .cast("long")
             .alias("n_verified"),
@@ -791,9 +793,11 @@ def dedup_prefix_filter_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_pre = int(row["n_pre"] or 0)
         n_verified = int(row["n_verified"] or 0)
         n_missed = n_true - n_verified
-        n_docs = sizes.count()
+        n_docs = perdoc.count()
     finally:
         ds.unpersist()
+        if perdoc is not None:
+            perdoc.unpersist()
     reduction = 1000 * (n_all - n_pre) // n_all if n_all else 0
     return spark.createDataFrame(
         [(n_docs, n_all, n_pre, n_true, n_verified, n_missed, reduction)],

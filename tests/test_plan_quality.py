@@ -604,16 +604,20 @@ class TestRound8Waves:
         assert "EvalPython" not in plan, plan
 
     def test_winnowing_hashes_before_window_explode(self, spark, sf_dir):
-        """The char-fold hash must be computed once per position, and the
-        per-window selection must be the frame-bounded window MIN (r12) —
-        no ×W explode fan-out, no (doc, e)-keyed re-aggregation shuffle:
-        exactly one Generate (the shingle posexplode) and a Window whose
-        min() consumes the already-encoded long."""
+        """The per-position hash must come from the composed token fold
+        (r13: positional_shingle_hashes — shingle strings never built on
+        this path), and the per-window selection must stay the
+        frame-bounded window MIN (r12) — no ×W explode fan-out, no
+        (doc, e)-keyed re-aggregation shuffle: exactly two Generates (the
+        one-element barrier that materializes the token-hash arrays, then
+        the hash posexplode) and a Window whose min() consumes the
+        already-encoded long. A concat in the plan means the string
+        shingle build crept back in."""
         plan = _final_plan(
             QUERIES["text_winnowing_fingerprints"].fn(spark, sf_dir)
         )
         gens = [ln for ln in plan.splitlines() if "Generate" in ln]
-        assert len(gens) == 1, plan
+        assert len(gens) == 2, plan
         assert "Window" in plan, plan
         win_lines = [ln for ln in plan.splitlines() if "min(enc" in ln]
         assert win_lines, plan
