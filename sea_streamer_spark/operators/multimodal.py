@@ -758,6 +758,68 @@ def dhash_png(df: DataFrame) -> DataFrame:
     return _fan(df.select("doc_id", "payload")).mapInPandas(batch, DHASH_SCHEMA)
 
 
+def dhash_synth_resized(
+    df: DataFrame,
+    synth_width: int,
+    synth_height: int,
+    width: int,
+    height: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fused synthesize_png → resize_png → dhash_png in ONE mapInPandas
+    stage (guide §4: the three chained stages each paid a full JVM↔Python
+    Arrow round-trip — encode, ship back, decode+resize+re-encode, ship
+    back, decode+hash — while the per-image Python work is ~0.14 ms/doc;
+    the measured cost was almost entirely boundary machinery). The fused
+    body calls the SAME codec functions in the same order with the same
+    bytes, so the emitted (doc_id, dhash) rows are bit-identical to the
+    chained operators (pinned by tests/test_dhash.py's fused-vs-chained
+    test); the individual operators stay for the roundtrip queries."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        from .png import decode_png, encode_png
+
+        need = synth_width * synth_height * 3
+
+        def one(doc_id, text):
+            seed = (text or "x").encode("utf-8") or b"x"
+            reps = -(-need // len(seed))
+            payload = encode_png(synth_width, synth_height, (seed * reps)[:need])
+            dec = decode_png(payload)
+            if dec is None:
+                return (doc_id, None)
+            w, h, ch, img = dec
+            ys = (_np.arange(height) * h) // height
+            xs = (_np.arange(width) * w) // width
+            small = encode_png(width, height, img[ys][:, xs].tobytes(), channels=ch)
+            dec2 = decode_png(small)
+            if dec2 is None:
+                return (doc_id, None)
+            w2, h2, ch2, img2 = dec2
+            if w2 != DHASH_W + 1 or h2 != DHASH_H or ch2 < 3:
+                return (doc_id, None)
+            px = _np.asarray(img2, dtype=_np.int64).reshape(h2, w2, ch2)
+            gray = (
+                299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+            ) // 1000
+            bits = gray[:, :-1] > gray[:, 1:]
+            acc = 0
+            for r in range(DHASH_H):
+                for c in range(DHASH_W):
+                    if bits[r, c]:
+                        acc |= 1 << (r * DHASH_W + c)
+            return (doc_id, acc)
+
+        for pdf in batches:
+            rows = [one(d, t) for d, t in zip(pdf["doc_id"], pdf[text_col])]
+            yield _pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    return _fan(df.select("doc_id", text_col)).mapInPandas(batch, DHASH_SCHEMA)
+
+
 def hamming_block_pairs(
     hashes: DataFrame,
     hash_col: str,

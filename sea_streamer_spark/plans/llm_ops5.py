@@ -347,13 +347,20 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     member of the near-dup family next to MinHash (text) and SimHash
     (tokens). The oracle replays pixels positionally from the text bytes,
     so any corruption in deflate/unfilter/resize/luma/bit packing changes
-    the driver hash."""
+    the driver hash.
+
+    r13: the synth → resize → hash chain runs as ONE fused mapInPandas
+    stage (operators/multimodal.dhash_synth_resized — bit-identical
+    composition of the same codec calls, pinned fused-vs-chained): the
+    three separate Python stages each paid a JVM↔Python Arrow round-trip
+    while the actual per-image Python work is ~0.14 ms/doc (guide §4)."""
     from ..operators import multimodal as M
 
     docs = load_tables(spark, sf_dir, "documents").documents
-    png = M.synthesize_png(docs, width=18, height=14)
-    small = M.resize_png(png, width=9, height=7).select("doc_id", "payload")
-    return M.dhash_near_dup(M.dhash_png(small))
+    hashes = M.dhash_synth_resized(
+        docs, synth_width=18, synth_height=14, width=9, height=7
+    )
+    return M.dhash_near_dup(hashes)
 
 
 @query(
@@ -828,9 +835,11 @@ def dedup_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "fp").filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
-    png = M.synthesize_png(docs, width=18, height=14)
-    small = M.resize_png(png, width=9, height=7).select("doc_id", "payload")
-    img = M.dhash_near_dup(M.dhash_png(small)).select("doc_a", "doc_b")
+    img = M.dhash_near_dup(
+        M.dhash_synth_resized(
+            docs, synth_width=18, synth_height=14, width=9, height=7
+        )
+    ).select("doc_a", "doc_b")
     agreement = (
         F.when(txt["doc_a"].isNotNull() & img["doc_a"].isNotNull(), "both")
         .when(img["doc_a"].isNotNull(), "image_only")

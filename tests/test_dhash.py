@@ -112,6 +112,29 @@ class TestDhash:
 
         assert check_query(spark, "multimodal_dhash_neardup", SF_DIR) > 0
 
+    def test_fused_matches_chained(self, spark):
+        """r13: dhash_synth_resized (one Python stage) must emit exactly
+        the rows of the synthesize_png → resize_png → dhash_png chain —
+        the fused body calls the same codec functions on the same bytes,
+        and this pin keeps that true (incl. empty text and unicode)."""
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="hello world " * 20),
+                Row(doc_id=2, text=""),
+                Row(doc_id=3, text="ünïcode 😀 bytes " * 9),
+                Row(doc_id=4, text="x"),
+            ]
+        )
+        chained = M.dhash_png(
+            M.resize_png(
+                M.synthesize_png(docs, width=18, height=14), width=9, height=7
+            ).select("doc_id", "payload")
+        ).collect()
+        fused = M.dhash_synth_resized(
+            docs, synth_width=18, synth_height=14, width=9, height=7
+        ).collect()
+        assert sorted(map(tuple, fused)) == sorted(map(tuple, chained))
+
 
 def afp_py(doc_id: int) -> int:
     """Pure-python reference of M.wav_fingerprint's per-row computation."""
