@@ -1550,25 +1550,28 @@ def quality_selection_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
+    # r13: the grand total rides the SAME 10-row single-partition window
+    # as the cumulative sum (unbounded-following frame) — the previous
+    # crossJoin(broadcast(per.agg(...))) referenced `per` twice, which
+    # re-evaluated the whole KN-scoring chain upstream of it (guide
+    # §1.2: don't compute things twice; interleaved A/B 5.23 → 4.02 s).
     wcum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = F.sum("n_tokens").over(wcum).cast("long")
-    return (
-        per.crossJoin(
-            F.broadcast(per.agg(F.sum("n_tokens").cast("long").alias("all_tokens")))
-        )
-        .select(
-            F.col("decile").cast("long").alias("decile"),
-            "n_docs",
-            "n_tokens",
-            cum.alias("cum_tokens"),
-            F.floor(F.lit(1000.0) * cum / F.col("all_tokens"))
-            .cast("long")
-            .alias("cum_token_permille"),
-        )
-        .orderBy("decile")
+    wall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    cum = F.sum("n_tokens").over(wcum).cast("long")
+    allt = F.sum("n_tokens").over(wall).cast("long")
+    return per.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_docs",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        F.floor(F.lit(1000.0) * cum / allt)
+        .cast("long")
+        .alias("cum_token_permille"),
+    ).orderBy("decile")
 
 
 # ------------------------------------------------------------------ RAKE

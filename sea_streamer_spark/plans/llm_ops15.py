@@ -680,6 +680,12 @@ def _e2e_funnel_tail(
             F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long").alias(alias)
         )
 
+    # r13: one eager checkpoint of the ≤|sources|-row funnel table — it
+    # is referenced three times below (grand total, Hamilton quotas, the
+    # final join) and each reference otherwise replays the whole
+    # LSH/CC/semantic/Gopher chain above whatever exchange reuse happens
+    # to cover (guide §5; interleaved A/B −7 % on curation_e2e_pipeline,
+    # positive in every pair).
     per = flags.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         _csum("had_pii", "n_pii_docs"),
@@ -687,7 +693,7 @@ def _e2e_funnel_tail(
         _csum("keep3", "n_after_neardup"),
         _csum("keep4", "n_after_semantic"),
         _csum("keep5", "n_after_quality"),
-    )
+    ).localCheckpoint(eager=True)
     tot = per.agg(F.sum("n_after_quality").cast("long").alias("n"))
     q = per.crossJoin(F.broadcast(tot)).select(
         "source",
