@@ -23,6 +23,30 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: (session id, analyzed-plan semanticHash) → physical partition count.
+#: ``df.rdd.getNumPartitions()`` triggers FULL physical planning (~87 ms
+#: of driver time per call measured at sf0.1) and fan_out runs on every
+#: shingle/vector/codec query build, several times per bench run of the
+#: same query — the memo replaces replanning with one semanticHash
+#: (~26 ms, stable across rebuilds of the same query). A hash collision
+#: could only mis-steer the repartition DECISION (a performance shape),
+#: never a value: every declared aggregate on fan_out paths is
+#: partition-count-invariant (r12 journal #9).
+_NPART_MEMO: dict[tuple[int, int], int] = {}
+
+
+def _probe_num_partitions(df: DataFrame) -> int:
+    try:
+        key = (id(df.sparkSession), df.semanticHash())
+    except Exception:
+        return df.rdd.getNumPartitions()
+    n = _NPART_MEMO.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _NPART_MEMO[key] = n
+    return n
+
+
 def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
     """Decouple an expensive per-row stage's parallelism from the scan's
     split count: when the input has fewer partitions than the session's
@@ -47,7 +71,7 @@ def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
         target = spark.sparkContext.defaultParallelism
     if key is None:
         target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _probe_num_partitions(df) >= target:
         return df
     return df.repartition(target, F.col(key)) if key else df.repartition(target)
 
