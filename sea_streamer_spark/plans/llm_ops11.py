@@ -323,7 +323,15 @@ def _winnow_prints_df(docs: DataFrame, distinct: bool = True) -> DataFrame:
     STRINGS are never materialized on this path at all: the string build
     (two zip_with concats per position) plus the per-character re-fold
     was the measured wall of every winnowing consumer (guide §1.2:
-    don't compute things you throw away)."""
+    don't compute things you throw away).
+
+    Determinism precondition (ADVICE note): the trailing-W ROWS frame
+    orders by ``pos``, which is unique per document ONLY because
+    ``doc_id`` is unique in the documents table (the corpus fixture
+    contract every registered query already relies on — exact-dedup
+    keys, cluster mins). A duplicated doc_id would give orderBy('pos')
+    ties and a nondeterministic frame subset; if this is ever fed
+    non-fixture data, add a deterministic secondary sort key."""
     from pyspark.sql.window import Window
 
     from ..operators.dedup import positional_shingle_hashes

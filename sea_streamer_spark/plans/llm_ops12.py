@@ -1448,8 +1448,14 @@ def embedding_jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("a.vec_id") % 2 == 0)
         .select(dv.alias("dv"))
     )
+    # r13: one-parse literals for the 16×64 ±1 rows — F.lit(list) marshals
+    # per element through py4j at plan-build time (the r12 litexpr class;
+    # this site was missed), and each row is referenced twice below.
+    from ..operators.litexpr import lit_doubles
+
+    jl_rows = [lit_doubles(r) for r in _JL_R]
     proj_sq = sum(
-        (S.dot(F.col("dv"), F.lit(r)) * S.dot(F.col("dv"), F.lit(r)) for r in _JL_R),
+        (S.dot(F.col("dv"), r) * S.dot(F.col("dv"), r) for r in jl_rows),
         F.lit(0.0),
     )
     d2 = S.dot(F.col("dv"), F.col("dv"))

@@ -2246,6 +2246,14 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the documented project-collapse trap, operators/dedup.simhash note).
     # Equivalence is pinned by test_cdc_chunking_full_python_replay and
     # the plan shape by test_cdc_codes_built_once_below_barrier.
+    # At-scale memory note (r13, ADVICE): the codes array materializes
+    # one int per character NEXT TO the text column through the barrier
+    # scan — roughly 5-9x per-row amplification for large documents, on
+    # top of the text-rides-the-explode note below. The projection DOES
+    # prune codes right after `ends` is built (only ends + text cross the
+    # explode), so the amplification is transient per task; for huge-row
+    # corpora the swap is recomputing codes per partition slice (or the
+    # maxBytesPerBatch-bounded Arrow variant) rather than widening the row.
     coded = (
         fan_out(docs.select("doc_id", "source", "text"), key="doc_id")
         .select(

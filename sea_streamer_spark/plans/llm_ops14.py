@@ -1990,7 +1990,15 @@ def _aa_graph(spark: SparkSession, sf_dir: str):
     the query invocation (never reused across runs) and cuts the build
     to exactly one evaluation; pairs is co-purchase mass, not corpus
     mass, so materializing it is the right 100 TB shape too (guide §3.3:
-    materialise the multiply-referenced intermediate)."""
+    materialise the multiply-referenced intermediate).
+
+    r13 (ADVICE note): eager=True means MERE PLAN CONSTRUCTION executes
+    the pair build (explain-only callers pay it), and local checkpoints
+    are non-reliable — on a multi-executor cluster an executor loss
+    mid-query fails the job instead of recomputing lineage. Acceptable
+    for the bench (single-process local mode); the cluster swap is a
+    reliable checkpoint dir or persist()+count with StorageLevel
+    replication."""
     li = load_tables(spark, sf_dir, "lineitem").lineitem
     a0, b0 = li.alias("a0"), li.alias("b0")
     pairs = (

@@ -275,12 +275,17 @@ def embedding_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise FileNotFoundError(f"no embeddings parquet under {sf_dir}")
     mu, w = model
     t = load_tables(spark, sf_dir, "embeddings")
-    mu_lit = F.lit([float(v) for v in mu])
+    # r13: one-parse literals (litexpr contract: folds to the bit-identical
+    # IEEE double literal) — F.lit(list) marshalled the 64-d μ and the
+    # 64×k W columns per element through py4j at every plan build.
+    from ..operators.litexpr import lit_doubles
+
+    mu_lit = lit_doubles(float(v) for v in mu)
     diff = F.zip_with(
         F.col("embedding"), mu_lit, lambda x, y: x.cast("double") - y.cast("double")
     )
     cols = [
-        F.round(S.dot(diff, F.lit([float(v) for v in w[:, j]])) * 1_000_000)
+        F.round(S.dot(diff, lit_doubles(float(v) for v in w[:, j])) * 1_000_000)
         .cast("long")
         .alias(f"y{j}")
         for j in range(w.shape[1])

@@ -1963,7 +1963,9 @@ def embedding_dim_variance_audit(
     )
     mean = {int(r["pos"]): int(r["s"]) // int(r["n"]) for r in sums}
     n_rows = int(sums[0]["n"])
-    mean_lit = F.array(*[F.lit(mean[p]).cast("long") for p in sorted(mean)])
+    from ..operators.litexpr import lit_longs
+
+    mean_lit = lit_longs(mean[p] for p in sorted(mean))  # one-parse literal (r13)
     ex = m.select(F.posexplode("xm").alias("pos", "v")).select(
         "pos", "v",
         F.element_at(mean_lit, F.col("pos") + 1).alias("mm"),
