@@ -1147,3 +1147,53 @@ def test_youden_full_python_replay(spark):
     assert got["j_milli"] == j
     assert got["tpr_permille"] == 1000 * tp // p
     assert got["fpr_permille"] == 1000 * fp // neg
+
+
+def test_aa_pairs_basket_expansion_matches_self_join(spark):
+    """r13: the co-purchase pair build is a basket expansion, not a
+    lineitem self-join — the co MULTIPLICITY must match the join exactly,
+    including duplicate partkeys within one order (mult(pa)·mult(pb))."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 10), (1, 11), (1, 11), (1, 12),  # dup partkey 11 in order 1
+        (2, 10), (2, 12),
+        (3, 11), (3, 11),  # only equal pair -> excluded
+        (4, 13),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    a0, b0 = li.alias("a0"), li.alias("b0")
+    want = (
+        a0.join(
+            b0,
+            (F.col("b0.l_orderkey") == F.col("a0.l_orderkey"))
+            & (F.col("a0.l_partkey") < F.col("b0.l_partkey")),
+        )
+        .groupBy(
+            F.col("a0.l_partkey").alias("pa"),
+            F.col("b0.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .collect()
+    )
+    bk = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
+    ps = F.col("ps")
+    pair_arr = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.greatest(F.size(ps) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    got = (
+        bk.select(F.explode(pair_arr).alias("p"))
+        .filter(F.col("p.pa") < F.col("p.pb"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
