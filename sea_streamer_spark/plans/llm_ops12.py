@@ -2270,6 +2270,15 @@ def graph_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("node")
                 .agg(F.sum("c").cast("long").alias("inc"))
             )
+            # r13: LAZY checkpoint (the pagerank_fixed round pattern,
+            # guide §5): s_next is referenced 3× (next round, residual
+            # vs prev, residual vs next) so the checkpoint itself is
+            # structurally required — but materializing it EAGERLY made
+            # every round its own blocking driver job. Lazy, the whole
+            # 6-round chain plus all residual aggregates evaluate in
+            # the ONE collect below; each s_next still persists (and
+            # its lineage truncates) at first materialization inside
+            # that job, and round-k residuals overlap round-k+1 stages.
             s_next = (
                 act.join(contrib, "node", "left")
                 .select(
@@ -2278,7 +2287,7 @@ def graph_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("long")
                     .alias("s"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             # residual aggregates are DEFERRED: both inputs are
             # checkpointed, so the per-round join+agg is a cheap replay

@@ -621,7 +621,10 @@ def _build_e2e_oracle() -> str:
 
 
 def _e2e_funnel_tail(
-    spark: SparkSession, sf_dir: str, ex: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    ex: DataFrame | None = None,
+    ex_fn=None,
 ) -> DataFrame:
     """The funnel stages downstream of exact dedup, shared verbatim by
     the batch pipeline and the streamed one (llm_ops16
@@ -629,7 +632,30 @@ def _e2e_funnel_tail(
     per-doc (doc_id, source, had_pii, keep2) however those flags were
     produced; everything after — near-dup clusters, scaled SemDeDup,
     Gopher gate, Hamilton apportionment — is THIS one code path, so the
-    two registered rows can only differ in the exact-dedup front."""
+    two registered rows can only differ in the exact-dedup front.
+
+    ``ex_fn`` (callable returning the ``ex`` relation) is the streamed
+    caller's form: its front BLOCKS the driver for the whole bounded
+    micro-batch replay, so it runs on a pool thread concurrently with
+    the cluster/semantic builds below instead of serially before them.
+
+    r13: the three expensive upstream builds — ``ex_fn`` (streamed
+    front: per-batch driver loop), ``dedup_clusters`` (CC fixpoint
+    rounds: one blocking job + probe per round) and
+    ``dedup_semantic_cluster_scaled`` (count + quantizer-apply actions)
+    — are INDEPENDENT subtrees, but each blocks the driver during plan
+    BUILD, so they used to run strictly back-to-back while most
+    executor cores sat idle (each round/batch job is graph- or
+    batch-sized, nowhere near cluster-wide). Guide §2.6 ("overlap
+    independent jobs"): build them on a small driver thread pool —
+    Spark's scheduler interleaves their jobs, the values are unchanged
+    (same deterministic relations, joined the same way), and the tail
+    latency of each loop back-fills with the others' work. The pool is
+    bounded (3) and joined before the tail composes, so no build
+    escapes the call."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
     from pyspark.sql.window import Window
 
     from ..operators import quality as Q
@@ -639,7 +665,27 @@ def _e2e_funnel_tail(
     from .llm_ops14 import dedup_semantic_cluster_scaled
 
     docs = load_tables(spark, sf_dir, "documents").documents
-    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+
+    def _cl() -> DataFrame:
+        return dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+
+    def _sem() -> DataFrame:
+        return dedup_semantic_cluster_scaled(spark, sf_dir).select(
+            F.col("vec_id").alias("doc_id"), "kept"
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_ex = (
+            pool.submit(inheritable_thread_target(ex_fn))
+            if ex_fn is not None
+            else None
+        )
+        f_cl = pool.submit(inheritable_thread_target(_cl))
+        f_sem = pool.submit(inheritable_thread_target(_sem))
+        cl = f_cl.result()
+        sem = f_sem.result()
+        if f_ex is not None:
+            ex = f_ex.result()
     st3 = ex.join(cl, "doc_id").select(
         "*",
         (
@@ -651,9 +697,6 @@ def _e2e_funnel_tail(
                 ).over(Window.partitionBy("cluster_id"))
             )
         ).alias("keep3"),
-    )
-    sem = dedup_semantic_cluster_scaled(spark, sf_dir).select(
-        F.col("vec_id").alias("doc_id"), "kept"
     )
     labels = Q.gopher_quality_flags(docs).select("doc_id", "passes")
     flags = (

@@ -148,11 +148,17 @@ def curation_streaming_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_e2e_funnel_tail`` (zero Python, no cartesian)."""
     from .llm_ops15 import _e2e_funnel_tail
 
-    flags = _streamed_flags(spark, sf_dir)
-    ex = flags.select(
-        "doc_id", "source", "had_pii", F.col("keep").alias("keep2")
-    )
-    return _e2e_funnel_tail(spark, sf_dir, ex)
+    # r13 (guide §2.6): the streamed front blocks the driver for the
+    # whole bounded micro-batch replay while its per-batch jobs leave
+    # most cores idle — handed to the funnel tail as a thunk, it runs
+    # on a pool thread CONCURRENTLY with the tail's cluster/semantic
+    # chain builds (values unchanged; same relations, same joins).
+    def _ex() -> DataFrame:
+        return _streamed_flags(spark, sf_dir).select(
+            "doc_id", "source", "had_pii", F.col("keep").alias("keep2")
+        )
+
+    return _e2e_funnel_tail(spark, sf_dir, ex_fn=_ex)
 
 
 # ---------------------------------------------------------------- wave 2
