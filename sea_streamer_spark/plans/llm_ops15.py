@@ -1588,33 +1588,54 @@ def basket_part_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 part-level association rules by lift, with support /
     confidence / leverage / conviction (all exact integer fixed-point;
     conf=1 rules flagged `certain`, conviction 0 by convention — the
-    infinity case stated, never a division by zero). One distinct
-    basket projection, one basket self-join with the support-2 floor,
-    two item-count joins; TakeOrdered(20)."""
+    infinity case stated, never a division by zero). r13 (guide §2.4,
+    the _aa_graph basket-expansion recipe): ONE order-keyed
+    ``sort_array(collect_set(part))`` aggregate — collect_set subsumes
+    the DISTINCT (o, p) projection — feeds the order count (one row per
+    order with ≥1 lineitem = COUNT DISTINCT o), the per-part order
+    counts (set explode), and the pair counts (task-local i<j expansion
+    of the sorted array, symmetrized — the directional self-join's count
+    is symmetric). The old shape was a baskets self-join plus THREE more
+    evaluations of the distinct (n_ord/item/both join sides: 10 lineitem
+    scans, 26 Exchanges in the before-plan); now lineitem is scanned and
+    shuffled ONCE into the eager-checkpointed basket relation (computed
+    inside every invocation, never reused across runs; baskets are
+    order-line bounded — ≤7 in TPC-H — so the expansion is O(1) per
+    order, no skew). Two item-count joins; TakeOrdered(20)."""
     from .llm_ops12 import _idiv_col
 
     li = load_tables(spark, sf_dir, "lineitem").lineitem
-    baskets = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    n_ord = baskets.agg(
-        F.countDistinct("o").cast("long").alias("n")
+    g = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=True)
     )
-    item = baskets.groupBy("p").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    n_ord = g.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    item = (
+        g.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    a, b = baskets.alias("a"), baskets.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("b.o") == F.col("a.o"))
-            & (F.col("a.p") != F.col("b.p")),
+    ps = F.col("ps")
+    pair_arr = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.greatest(F.size(ps) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
         )
-        .groupBy(
-            F.col("a.p").alias("pa"), F.col("b.p").alias("pb")
-        )
+    )
+    up = (
+        g.select(F.explode(pair_arr).alias("_p"))
+        .groupBy(F.col("_p.pa").alias("pa"), F.col("_p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).cast("long").alias("cab"))
         .filter(F.col("cab") >= 2)
+    )
+    pair = up.unionByName(
+        up.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "cab"
+        )
     )
     rules = (
         pair.join(

@@ -720,30 +720,54 @@ def basket_brand_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical double expression tree on integers far below 2^53, then
     floor, so the result is engine-exact.
 
-    Plan: one distinct (order, brand) relation (broadcast part join — the
-    dimension is tiny), self equi-join ON THE ORDER KEY so candidate
-    volume is Σ basket_size² (baskets are ≤ 7 lineitems in this schema,
-    bounded by order size in general), never |orders|². Marginals are a
-    25-row broadcast; top-20 is TakeOrdered. The 1-row N relation rides a
-    broadcast nested-loop join by construction (1 × 300 rows)."""
+    Plan (r13, guide §2.4 — the _aa_graph basket-expansion recipe): ONE
+    order-keyed ``sort_array(collect_set(brand))`` aggregate over the
+    broadcast part join — collect_set subsumes the DISTINCT (order,
+    brand) projection — feeds the order count (one row per order with
+    ≥1 brand = COUNT DISTINCT okey), the 25-row marginals (set explode),
+    and the pair counts (task-local i<j expansion of the sorted array —
+    sortedness makes brand_a < brand_b by construction). The old shape
+    self-joined the distinct relation on the order key and re-evaluated
+    it for n_orders/marginals/both join sides (20 scans, 38 Exchanges in
+    the before-plan); now lineitem is scanned and shuffled ONCE into the
+    eager-checkpointed basket relation (computed inside every
+    invocation, never reused across runs; baskets are ≤ 7 lineitems in
+    this schema so the expansion is O(1) per order). Marginals are a
+    25-row broadcast; top-20 is TakeOrdered. The 1-row N relation rides
+    a broadcast nested-loop join by construction (1 × 300 rows)."""
     t = load_tables(spark, sf_dir, "lineitem", "part")
-    ob = (
+    g = (
         t.lineitem.select(F.col("l_orderkey").alias("okey"), "l_partkey")
         .join(
             F.broadcast(t.part.select("p_partkey", "p_brand")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .select("okey", F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy("okey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .localCheckpoint(eager=True)
     )
-    n_orders = ob.select(F.countDistinct("okey").alias("n_orders"))
-    marg = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
-    a = ob.select(F.col("okey"), F.col("brand").alias("brand_a"))
-    b = ob.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    n_orders = g.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    marg = (
+        g.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bs = F.col("bs")
+    pair_arr = F.flatten(
+        F.transform(
+            bs,
+            lambda x, i: F.transform(
+                F.slice(bs, i + 2, F.greatest(F.size(bs) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "okey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
+        g.select(F.explode(pair_arr).alias("_p"))
+        .groupBy(
+            F.col("_p.brand_a").alias("brand_a"),
+            F.col("_p.brand_b").alias("brand_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
     ma = F.broadcast(marg.select(F.col("brand").alias("brand_a"), F.col("n").alias("na")))

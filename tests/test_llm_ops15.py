@@ -844,3 +844,59 @@ def test_markov_stationary_full_python_replay(spark):
     mass = sum(pi.values())
     # each iteration truncates once per transition CELL (<= k*k cells)
     assert 1_000_000 - 16 * k * k <= mass <= 1_000_000
+
+
+def test_basket_set_pair_expansion_matches_distinct_self_join(spark):
+    """r13: basket_part_rules / basket_brand_pair_lift build pair counts
+    by sorted-SET expansion instead of a distinct-basket self-join — the
+    directional count must match the join exactly, including duplicate
+    partkeys within one order (the DISTINCT collapses multiplicity on
+    BOTH sides identically) and singleton/equal-only orders (no pairs)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 10), (1, 11), (1, 11), (1, 12),  # dup partkey 11 in order 1
+        (2, 10), (2, 12),
+        (3, 11), (3, 11),  # equal-only order -> no pairs
+        (4, 13),           # singleton -> no pairs
+        (5, 12), (5, 10),  # reversed insert order -> sort_array canon
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a0, b0 = baskets.alias("a0"), baskets.alias("b0")
+    want = (
+        a0.join(
+            b0,
+            (F.col("b0.o") == F.col("a0.o"))
+            & (F.col("a0.p") != F.col("b0.p")),
+        )
+        .groupBy(F.col("a0.p").alias("pa"), F.col("b0.p").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .collect()
+    )
+    g = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    ps = F.col("ps")
+    pair_arr = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.greatest(F.size(ps) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    up = (
+        g.select(F.explode(pair_arr).alias("_p"))
+        .groupBy(F.col("_p.pa").alias("pa"), F.col("_p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+    )
+    got = up.unionByName(
+        up.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "cab")
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # the unordered half really is ordered: sortedness => pa < pb
+    assert all(r["pa"] < r["pb"] for r in up.collect())
